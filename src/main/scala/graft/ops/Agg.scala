@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2.4: A3–A7).
+  *
+  * Oracle-parity convention: monetary doubles in the testdata are exact
+  * 2-decimal values, so we cast to DECIMAL before summing — both Spark and
+  * DuckDB then aggregate exactly, independent of partitioning / ordering —
+  * and cast the final result back to DOUBLE. This is also the right posture
+  * at 100 TB: decimal partial aggregation is deterministic under AQE
+  * re-partitioning, while double summation is not.
+  */
+object Agg {
+
+  /** Exact 2-decimal monetary value. */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact 2-decimal rate in [0, 1] (discount/tax). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal sum surfaced as double (deterministic across engines). */
+  def dsum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Daily engagement rollup (A3–A5; REF wistia_redshift_schemas.py:43-52 —
+    * the declared-but-never-implemented gold job, docx FR4). Mapped onto the
+    * `events` table: event_id≈event_key, ts≈received_at, user_id≈visitor_key,
+    * value≈percent_viewed (FIXTURES.md §6 role mapping).
+    *
+    * loads = all events; plays = events with value > threshold;
+    * play_rate = plays/loads; hours_watched = sum(value)/3600 treating value
+    * as engagement-seconds; engagement = avg(value); visitors = exact
+    * distinct users (A4; swap in approx_count_distinct at 100 TB — see
+    * [[dailyEngagementApprox]]).
+    */
+  def dailyEngagement(events: DataFrame, playThreshold: Double = 5.0): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(
+        count(lit(1)).as("load_count"),
+        count(when(col("value") > playThreshold, 1)).as("play_count"),
+        dsum(col("value")).as("value_sum"),
+        countDistinct(col("user_id")).as("visitors"))
+      .select(
+        col("event_type"), col("dt"), col("load_count"), col("play_count"),
+        (col("play_count").cast("double") / col("load_count")).as("play_rate"),
+        (col("value_sum") / lit(3600.0)).as("hours_watched"),
+        (col("value_sum") / col("load_count")).as("engagement"),
+        col("visitors"))
+
+  /** 100 TB variant: HLL++ sketch for the distinct-visitor count (A4). The
+    * exact form shuffles every (key, user) pair; the sketch is one pass with
+    * map-side partials. rsd 1.6% ≈ Redshift's default HLL error.
+    */
+  def dailyEngagementApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(
+        count(lit(1)).as("load_count"),
+        approx_count_distinct(col("user_id")).as("visitors_approx"))
+
+  /** Pricing summary (A6 partial+final hash agg; TPC-H Q1 shape on lineitem).
+    * Every measure is decimal-exact internally, surfaced as double.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val one = lit(BigDecimal("1.00")).cast(DecimalType(4, 2))
+    val disc = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    val charge = disc * (one + rate(col("l_tax")))
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty") / col("count_order")).as("avg_qty"),
+        col("count_order"))
+  }
+
+  /** Rollup totals (A7): per (returnflag, linestatus), per returnflag, grand. */
+  def returnFlagRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Running max of event-time (A2) — the watermark-advance computation the
+    * reference folds by hand across pages (REF wistia_pull_wistia_api.py:217-224).
+    */
+  def highWater(events: DataFrame): DataFrame =
+    events.agg(max(col("ts")).as("high_water"), count(lit(1)).as("n_events"))
+}

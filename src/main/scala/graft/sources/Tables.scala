@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.schema.Schemas
+
+/** Table access layer over the driver testdata (S12) and JSON bronze files
+  * (S5/S6/S7). Every read carries an explicit schema — no inference in the
+  * engine path (SURVEY.md §1.3, §4.4).
+  *
+  * At cluster scale the same API points at a partitioned table root
+  * (`.../fact_events/dt=.../media_id=...`); Catalyst partition pruning
+  * replaces the reference's by-hand path construction
+  * (REF wistia_transform_silver.py:24-26).
+  */
+object Tables {
+
+  private val schemas: Map[String, StructType] = Map(
+    "region" -> Schemas.region,
+    "nation" -> Schemas.nation,
+    "customer" -> Schemas.customer,
+    "supplier" -> Schemas.supplier,
+    "part" -> Schemas.part,
+    "orders" -> Schemas.orders,
+    "lineitem" -> Schemas.lineitem,
+    "events" -> Schemas.events,
+    "documents" -> Schemas.documents,
+    "embeddings" -> Schemas.embeddings)
+
+  /** Parquet scan with explicit schema (S12). `sfDir` is a testdata scale
+    * directory or any directory laid out the same way.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) on disk, which Spark's vectorized
+    * reader refuses as TimestampType; we read it as raw nanos (legacy flag)
+    * and convert with integral division — `ts div 1000` — so no precision is
+    * lost (a double division would corrupt epoch-nanos > 2^53).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = StructType(Schemas.events.fields.map {
+        case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+        case f => f
+      })
+      spark.read.schema(rawSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(Schemas.events.fieldNames.map(col): _*)
+    } else {
+      val reader = spark.read
+      schemas.get(name).foreach(reader.schema)
+      reader.parquet(path)
+    }
+  }
+
+  /** JSON scan with explicit schema (S5/S6). multiLine for pretty-printed
+    * single-object files (metadata.json).
+    */
+  def loadJson(spark: SparkSession, path: String, schema: StructType,
+               multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema).option("multiLine", multiLine).json(path)
+
+  /** Partitioned parquet sink (S8 analog): Hive-style layout that downstream
+    * scans prune automatically. partitionBy columns go last in the path just
+    * like the reference's media_id=/dt= layout
+    * (REF wistia_pull_wistia_api.py:117-129).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Register each testdata table as a temp view so spark.sql(...) parity
+    * queries can run against the same names the DuckDB oracle uses.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    schemas.keys.foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}
