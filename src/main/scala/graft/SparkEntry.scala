@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.ops.Agg
+import graft.ops.{Agg, Dedup, Joins, Upsert}
+import graft.schema.Schemas
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,7 +33,67 @@ object SparkEntry {
     // A2/T3: event-time high-water mark (watermark advance).
     "q03_high_water" -> ((s, dir) => Agg.highWater(t(s, dir, "events"))),
     // A7: rollup (per-group, per-flag subtotal, grand total).
-    "q04_rollup" -> ((s, dir) => Agg.returnFlagRollup(t(s, dir, "lineitem")))
+    "q04_rollup" -> ((s, dir) => Agg.returnFlagRollup(t(s, dir, "lineitem"))),
+    // P1/P2/P4/P5/P7: wide projection + JSON field extraction + coalesce
+    // fallback (the silver flatten re-expressed over the events table).
+    "q05_flatten_events" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id").as("event_key"),
+        col("ts").as("received_at"),
+        col("user_id").as("visitor_key"),
+        col("event_type"),
+        col("value").cast("double").as("percent_viewed"),
+        from_json(col("props"), Schemas.eventProps).getField("k").as("prop_k"),
+        coalesce(from_json(col("props"), Schemas.eventProps).getField("k"), lit(-1L))
+          .as("prop_k_filled"))),
+    // A1/W1: deterministic first-wins dedup (one row per l_orderkey).
+    // The tiebreak order spans every column: (orderkey, linenumber) is NOT
+    // unique in the testdata, and a partial order would leave the winner
+    // partition-dependent — exactly the nondeterminism W1 exists to kill.
+    "q06_dedup_first" -> ((s, dir) =>
+      Dedup.firstWins(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+          "l_linestatus", "l_shipdate").map(col(_).asc))),
+    // U1: single-key stage-wins upsert (dim_media merge shape).
+    "q07_upsert_dim" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val stage = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      Upsert.merge(cust, stage, Seq("c_custkey"))
+    }),
+    // U1b: composite-key upsert on the daily-agg grain (event_type, dt).
+    "q08_upsert_daily" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def daily(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+          .agg(count(lit(1)).as("load_count"),
+            countDistinct(col("user_id")).as("visitors"))
+      val target = daily(ev.filter(col("event_id") % 2 === 0))
+      val stage = daily(ev.filter(col("event_id") % 3 === 0))
+      Upsert.merge(target, stage, Seq("event_type", "dt"))
+    }),
+    // J3/J4: star join with broadcast dims (TPC-H Q5 shape).
+    "q09_revenue_by_nation" -> ((s, dir) =>
+      Joins.revenueByNation(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "supplier"),
+        t(s, dir, "nation"), t(s, dir, "region"), "ASIA")),
+    // J5 left outer + agg: per-customer order summary with 0-fill.
+    "q10_customer_orders" -> ((s, dir) =>
+      Joins.customerOrderSummary(t(s, dir, "customer"), t(s, dir, "orders"))),
+    // J1/J5 anti: customers with no finished ('F') order.
+    "q11_anti_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      Joins.antiJoin(t(s, dir, "customer"), o,
+        col("c_custkey") === col("o_custkey"))
+    }),
+    // J5 semi: customers with at least one big open order (EXISTS).
+    "q12_semi_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000.0)
+      Joins.semiJoin(t(s, dir, "customer"), o,
+        col("c_custkey") === col("o_custkey"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,6 +127,72 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q05_flatten_events" ->
+      """SELECT event_id AS event_key, ts AS received_at, user_id AS visitor_key,
+        |  event_type, CAST(value AS DOUBLE) AS percent_viewed,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS prop_k_filled
+        |FROM events""".stripMargin,
+    "q06_dedup_first" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |    l_shipdate) = 1""".stripMargin,
+    "q07_upsert_dim" ->
+      """WITH stage AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+        |FROM customer t
+        |WHERE NOT EXISTS (SELECT 1 FROM stage s WHERE s.c_custkey = t.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM stage""".stripMargin,
+    "q08_upsert_daily" ->
+      """WITH target AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS load_count,
+        |    COUNT(DISTINCT user_id) AS visitors
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |stage AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS load_count,
+        |    COUNT(DISTINCT user_id) AS visitors
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2)
+        |SELECT t.event_type, t.dt, t.load_count, t.visitors FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM stage s
+        |                  WHERE s.event_type = t.event_type AND s.dt = t.dt)
+        |UNION ALL
+        |SELECT event_type, dt, load_count, visitors FROM stage""".stripMargin,
+    "q09_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q10_customer_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  COUNT(o_orderkey) AS order_count,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment""".stripMargin,
+    "q11_anti_customers" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+    "q12_semi_customers" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        |                AND o.o_totalprice > 200000.0)""".stripMargin
   )
 }

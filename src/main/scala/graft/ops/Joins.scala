@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Agg.{dsum, money, rate}
+
+/** Join operators (SURVEY.md §2.3: J1–J5; J6/J7 live in their own modules).
+  *
+  * The reference's only joins are merge-procedure semi/anti joins
+  * (REF wistia_stored_procedures.py:9-11,54-57) plus the implied star join
+  * of fact_events to its dims (schema FKs, wistia_redshift_schemas.py:21,29).
+  * Dims are tiny relative to the fact (2 media vs millions of events), so the
+  * star join broadcasts — zero shuffle on the fact side at any scale.
+  */
+object Joins {
+
+  /** J3: fact ⋈ broadcast(dim). The explicit hint keeps the plan broadcast
+    * even if stats mislead AQE; dims that outgrow the threshold fall back to
+    * sort-merge automatically when the hint is dropped.
+    */
+  def starJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "inner")
+
+  /** J4 composed: local-supplier revenue by nation within a region — the
+    * classic TPC-H Q5 shape over the testdata star schema. All dims
+    * broadcast; the only shuffles are lineitem⋈orders (both sides keyed on
+    * the join column) and the final aggregation.
+    */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String): DataFrame = {
+    val one = lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+    val revenue = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** J5 left outer: every customer with order count and decimal-exact spend
+    * (0 for customers with no orders).
+    */
+  def customerOrderSummary(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("order_count"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+
+  /** J1/J5 anti: rows in `left` with no key match in `right` — the merge
+    * procedure's DELETE-matching complement, and the "customers without
+    * orders" report.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** J5 semi: rows in `left` with at least one match (EXISTS). */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Upsert / merge / maintenance operators (SURVEY.md §2.9: U0–U4).
+  *
+  * The reference merges via a Redshift staging table + stored procedure:
+  * DELETE target rows matching stage keys, INSERT all stage rows, TRUNCATE
+  * stage (REF redshift/seed_data/wistia_stored_procedures.py:3-42,49-85;
+  * driver wiring wistia_transform_silver.py:93-107). In-engine that whole
+  * dance is one deterministic dataflow: anti-join + union — stage wins on
+  * key collision, exactly the delete+insert semantics.
+  */
+object Upsert {
+
+  /** U1/U1b: delete+insert merge, stage-wins. `keys` may be composite
+    * (`media_id` for dim_media, `(media_id, dt)` for the daily agg).
+    *
+    * Scale note: both sides shuffle on `keys` for the anti-join; when the
+    * stage is an incremental delta (the common case) Catalyst broadcasts it
+    * and the target is never shuffled at all — the 100 TB-friendly plan.
+    */
+  def merge(target: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(stage, keys, "left_anti").unionByName(stage)
+
+  /** U1b at rest: merge a delta into a dt-partitioned parquet table by
+    * rewriting ONLY the partitions the delta touches
+    * (`partitionOverwriteMode=dynamic`) — the Spark-idiomatic form of the
+    * composite-key upsert: untouched partitions are never read or written.
+    * The caller's delta must contain full replacement content for each
+    * touched partition (e.g. the re-aggregated days).
+    */
+  def overwritePartitions(delta: DataFrame, tablePath: String,
+                          partitionCols: Seq[String]): Unit =
+    delta.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(tablePath)
+
+  /** U1 at rest for unpartitioned dim tables: write-temp-then-swap so readers
+    * never observe a half-written table (the atomicity the reference got from
+    * Redshift transactions). Single-process rename; with a transactional
+    * table format this becomes MERGE INTO.
+    */
+  def atomicReplace(spark: SparkSession, merged: DataFrame, tablePath: String): Unit = {
+    val tmp = tablePath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(tablePath)
+    if (Files.exists(target)) {
+      val trash = Paths.get(tablePath + ".old")
+      deleteRecursive(trash)
+      Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(trash)
+    } else {
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** U4: idempotent table bootstrap — create empty parquet table with the
+    * given schema if absent (CREATE TABLE IF NOT EXISTS analog).
+    */
+  def createIfNotExists(spark: SparkSession, tablePath: String,
+                        schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!Files.exists(Paths.get(tablePath))) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.parquet(tablePath)
+    }
+}

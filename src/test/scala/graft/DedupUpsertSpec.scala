@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Dedup, Upsert}
+
+/** A1/W1 dedup + U1/U1b upsert semantics (REF wistia_transform_silver.py:54;
+  * wistia_stored_procedures.py:3-42,49-85).
+  */
+class DedupUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstWins keeps exactly the earliest row per key (W1 determinism)") {
+    val df = Seq(
+      ("k1", "2025-01-02T00:00:00Z", "late"),
+      ("k1", "2025-01-01T00:00:00Z", "early"),
+      ("k2", "2025-01-01T00:00:00Z", "only")
+    ).toDF("event_key", "received_at", "tag")
+    val out = Dedup.firstWins(df, Seq("event_key"), Seq(col("received_at").asc))
+    assert(out.count() == 2)
+    val k1 = out.filter($"event_key" === "k1").collect().head
+    assert(k1.getAs[String]("tag") == "early")
+  }
+
+  test("firstWins is idempotent") {
+    val df = Seq(("a", 2), ("a", 1), ("b", 3), ("b", 3)).toDF("k", "v")
+    val once = Dedup.firstWins(df, Seq("k"), Seq(col("v").asc))
+    val twice = Dedup.firstWins(once, Seq("k"), Seq(col("v").asc))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("arbitrary dedup keeps one row per key (A1 parity)") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    assert(Dedup.arbitrary(df, Seq("k")).count() == 2)
+  }
+
+  test("merge is stage-wins on collision and appends new keys (U1)") {
+    val target = Seq(("m1", "old"), ("m2", "keep")).toDF("media_id", "name")
+    val stage = Seq(("m1", "new"), ("m3", "add")).toDF("media_id", "name")
+    val out = Upsert.merge(target, stage, Seq("media_id"))
+      .as[(String, String)].collect().toMap
+    assert(out == Map("m1" -> "new", "m2" -> "keep", "m3" -> "add"))
+  }
+
+  test("merge on composite key (U1b)") {
+    val target = Seq(("m1", "2025-01-01", 10L), ("m1", "2025-01-02", 20L)).toDF("media_id", "dt", "n")
+    val stage = Seq(("m1", "2025-01-02", 99L)).toDF("media_id", "dt", "n")
+    val out = Upsert.merge(target, stage, Seq("media_id", "dt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("m1", "2025-01-01", 10L), ("m1", "2025-01-02", 99L)))
+  }
+
+  test("merge behaves as right-biased map union (property, 20 seeded cases)") {
+    val kv = Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 1000)))
+    for (i <- 0 until 20) {
+      // distinct keys per side, mirroring a keyed table
+      val tm = kv.apply(Gen.Parameters.default, Seed(i * 2L)).getOrElse(Nil).toMap
+      val sm = kv.apply(Gen.Parameters.default, Seed(i * 2L + 1)).getOrElse(Nil).toMap
+      val target = tm.toSeq.toDF("k", "v")
+      val stage = sm.toSeq.toDF("k", "v")
+      val got = Upsert.merge(target, stage, Seq("k"))
+        .as[(Int, Int)].collect().toMap
+      assert(got == tm ++ sm, s"seed pair $i")
+    }
+  }
+
+  test("merge is idempotent: re-applying the same stage changes nothing") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val stage = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    val once = Upsert.merge(target, stage, Seq("k"))
+    val twice = Upsert.merge(once, stage, Seq("k"))
+    assert(once.as[(Int, String)].collect().toSet ==
+      twice.as[(Int, String)].collect().toSet)
+  }
+
+  test("atomicReplace swaps table content atomically (U1 at rest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val table = s"$dir/dim"
+    Seq((1, "a")).toDF("k", "v").write.parquet(table)
+    val merged = Seq((1, "A"), (2, "b")).toDF("k", "v")
+    Upsert.atomicReplace(spark, merged, table)
+    val out = spark.read.parquet(table).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "A"), (2, "b")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table + ".old")))
+  }
+
+  test("overwritePartitions rewrites only touched partitions (U1b at rest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val table = s"$dir/daily"
+    Seq(("2025-01-01", 1L), ("2025-01-02", 2L)).toDF("dt", "n")
+      .write.partitionBy("dt").parquet(table)
+    Upsert.overwritePartitions(
+      Seq(("2025-01-02", 99L)).toDF("dt", "n"), table, Seq("dt"))
+    val out = spark.read.parquet(table).as[(Long, String)].collect()
+      .map { case (n, dt) => (dt, n) }.toSet
+    assert(out == Set(("2025-01-01", 1L), ("2025-01-02", 99L)))
+  }
+}

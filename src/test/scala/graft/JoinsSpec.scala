@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.ops.Joins
+import graft.sources.Tables
+
+/** J1–J5 joins; also asserts the star join actually plans as a broadcast
+  * hash join (the 100 TB posture: no shuffle of the fact side).
+  */
+class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("starJoin broadcasts the dim side") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val pt = Tables.load(spark, sf, "part")
+    val out = Joins.starJoin(li.withColumnRenamed("l_partkey", "p_partkey"), pt, "p_partkey")
+    out.collect()
+    val plan: SparkPlan = out.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected BroadcastHashJoinExec in:\n${plan.toString.take(2000)}")
+  }
+
+  test("anti + semi partition the customer set") {
+    val cust = Tables.load(spark, sf, "customer")
+    val ord = Tables.load(spark, sf, "orders")
+    val anti = Joins.antiJoin(cust, ord, $"c_custkey" === $"o_custkey").count()
+    val semi = Joins.semiJoin(cust, ord, $"c_custkey" === $"o_custkey").count()
+    assert(anti + semi == cust.count())
+  }
+
+  test("customerOrderSummary zero-fills customers without orders") {
+    val cust = Seq((1L, "a", "SEG"), (2L, "b", "SEG")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val ord = Seq((10L, 1L, 100.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Joins.customerOrderSummary(cust, ord)
+      .orderBy("c_custkey").collect()
+    assert(out(0).getAs[Long]("order_count") == 1L)
+    assert(out(0).getAs[Double]("total_spent") == 100.0)
+    assert(out(1).getAs[Long]("order_count") == 0L)
+    assert(out(1).getAs[Double]("total_spent") == 0.0)
+  }
+
+  test("revenueByNation returns one row per nation in the region") {
+    val out = Joins.revenueByNation(
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "orders"),
+      Tables.load(spark, sf, "customer"), Tables.load(spark, sf, "supplier"),
+      Tables.load(spark, sf, "nation"), Tables.load(spark, sf, "region"),
+      "ASIA")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+}
