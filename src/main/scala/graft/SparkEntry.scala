@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, Joins, Upsert}
+import graft.ops.{Agg, Dedup, Joins, SetOps, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
 
@@ -93,7 +93,84 @@ object SparkEntry {
         .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000.0)
       Joins.semiJoin(t(s, dir, "customer"), o,
         col("c_custkey") === col("o_custkey"))
-    })
+    }),
+    // W2: rank / dense_rank / ntile of supplier revenue within returnflag.
+    "q13_rank_suppliers" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(Agg.dsum(col("l_extendedprice")).as("revenue"))
+      Windows.ranked(rev, Seq("l_returnflag"),
+        Seq(col("revenue").desc, col("l_suppkey").asc))
+    }),
+    // W3: day-over-day delta of daily order totals.
+    "q14_day_over_day" -> ((s, dir) =>
+      Windows.dayOverDay(Windows.dailyOrderTotals(t(s, dir, "orders")),
+        Seq.empty, "dt", "day_total")),
+    // W4: trailing 7-row rolling sum (decimal-exact inside the frame — a
+    // double rolling sum would diverge between engines on summation order).
+    "q15_rolling_7d" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(Agg.money(col("o_totalprice"))).as("_dec"))
+      Windows.rollingSum(daily, Seq.empty, "dt", "_dec", 7)
+        .select(col("dt"), col("_dec").cast("double").as("day_total"),
+          col("rolling_7").cast("double").as("rolling_7"))
+    }),
+    // O2/O3: global top-k via TakeOrderedAndProject (no global sort).
+    "q16_top_orders" -> ((s, dir) =>
+      TopK.global(t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 10)),
+    // W2/O3: top-3 customers per market segment.
+    "q17_top_per_segment" -> ((s, dir) =>
+      TopK.perGroup(t(s, dir, "customer"), Seq("c_mktsegment"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)),
+    // U2 except: BUILDING customers that never placed a >300k order.
+    "q18_except" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      SetOps.except(building, big)
+    }),
+    // U2 intersect: BUILDING customers that DID place a >300k order.
+    "q19_intersect" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      SetOps.intersect(building, big)
+    }),
+    // U2 union distinct: high-balance ∪ big-order customer keys.
+    "q20_union_distinct" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      SetOps.unionDistinct(rich, big)
+    }),
+    // F1/F2/F5/F6: scalar function sampler (dates, strings, math, CASE).
+    // round() runs on decimal, not double: double round is
+    // representation-dependent and diverges between engines at .5.
+    "q21_scalar_fns" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"),
+        lower(col("o_orderpriority")).as("priority_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_code"),
+        concat(col("o_orderstatus"), lit("-"), lower(col("o_orderpriority"))).as("label"),
+        round(Agg.money(col("o_totalprice")), 0).cast("double").as("price_rounded"),
+        abs(col("o_totalprice") - 100000.0).as("abs_diff"),
+        when(col("o_orderstatus") === "F", "done")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"))),
+    // F4: JSON path extraction via get_json_object (string out + typed cast).
+    "q22_json_props" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_long")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,6 +270,77 @@ object SparkEntry {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
-        |                AND o.o_totalprice > 200000.0)""".stripMargin
+        |                AND o.o_totalprice > 200000.0)""".stripMargin,
+    "q13_rank_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_suppkey, revenue,
+        |  CAST(RANK() OVER w AS INT) AS rank,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS dense_rank,
+        |  CAST(NTILE(4) OVER w AS INT) AS ntile
+        |FROM rev
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY revenue DESC, l_suppkey)""".stripMargin,
+    "q14_day_over_day" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS day_total,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT dt, day_total, n_orders,
+        |  LAG(day_total, 1) OVER (ORDER BY dt) AS prev_day_total,
+        |  day_total - COALESCE(LAG(day_total, 1) OVER (ORDER BY dt), 0.0) AS delta
+        |FROM daily""".stripMargin,
+    "q15_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS dec_total
+        |  FROM orders GROUP BY 1)
+        |SELECT dt, CAST(dec_total AS DOUBLE) AS day_total,
+        |  CAST(SUM(dec_total) OVER (ORDER BY dt
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7
+        |FROM daily""".stripMargin,
+    "q16_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q17_top_per_segment" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rank_in_group
+        |FROM customer
+        |QUALIFY rank_in_group <= 3""".stripMargin,
+    "q18_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0""".stripMargin,
+    "q19_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0""".stripMargin,
+    "q20_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
+    "q21_scalar_fns" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mth,
+        |  lower(o_orderpriority) AS priority_lower,
+        |  substr(o_orderpriority, 1, 1) AS priority_code,
+        |  o_orderstatus || '-' || lower(o_orderpriority) AS label,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 0) AS DOUBLE) AS price_rounded,
+        |  abs(o_totalprice - 100000.0) AS abs_diff,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'done'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'other' END AS status_label
+        |FROM orders""".stripMargin,
+    "q22_json_props" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+        |FROM events""".stripMargin
   )
 }

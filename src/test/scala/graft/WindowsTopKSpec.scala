@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SetOps, TopK, Windows}
+
+/** W2–W4 windows, O3 top-k, U2 set ops. */
+class WindowsTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ranked assigns rank/dense_rank/ntile under a total order (W2)") {
+    val df = Seq(("a", 1, 30.0), ("a", 2, 30.0), ("a", 3, 10.0), ("b", 4, 5.0))
+      .toDF("grp", "id", "score")
+    val out = Windows.ranked(df, Seq("grp"), Seq($"score".desc, $"id".asc))
+      .orderBy("grp", "rank").collect()
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 1))
+    assert(out.map(_.getAs[Int]("dense_rank")).toSeq == Seq(1, 2, 3, 1))
+  }
+
+  test("dayOverDay computes lag deltas with 0-fill on the first day (W3)") {
+    val daily = Seq(("2025-01-01", 10.0, 1L), ("2025-01-02", 25.0, 2L), ("2025-01-03", 5.0, 1L))
+      .toDF("dt", "day_total", "n_orders")
+    val out = Windows.dayOverDay(daily, Seq.empty, "dt", "day_total")
+      .orderBy("dt").collect()
+    assert(out.map(_.getAs[Double]("delta")).toSeq == Seq(10.0, 15.0, -20.0))
+    assert(out(0).isNullAt(out(0).fieldIndex("prev_day_total")))
+  }
+
+  test("rollingSum covers a trailing k-row frame (W4)") {
+    val daily = (1 to 10).map(i => (f"2025-01-$i%02d", 1.0)).toDF("dt", "v")
+    val out = Windows.rollingSum(daily, Seq.empty, "dt", "v", 7)
+      .orderBy("dt").collect()
+    assert(out.map(_.getAs[Double]("rolling_7")).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0, 7.0))
+  }
+
+  test("TopK.global plans as TakeOrderedAndProject (O3, no global sort)") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toDouble)).toDF("id", "v")
+    val top = TopK.global(df, Seq($"v".desc, $"id".asc), 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(top.collect().length == 5)
+  }
+
+  test("TopK.perGroup keeps k rows per group with in-group rank") {
+    val df = Seq(("a", 1, 5.0), ("a", 2, 4.0), ("a", 3, 3.0), ("b", 4, 1.0))
+      .toDF("grp", "id", "v")
+    val out = TopK.perGroup(df, Seq("grp"), Seq($"v".desc, $"id".asc), 2)
+    assert(out.count() == 3)
+    assert(out.filter($"grp" === "a").agg(max("rank_in_group")).as[Int].head() == 2)
+  }
+
+  test("set ops: distinct union / intersect / except semantics (U2)") {
+    val a = Seq(1, 2, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k")
+    assert(SetOps.unionDistinct(a, b).as[Int].collect().toSet == Set(1, 2, 3, 4))
+    assert(SetOps.intersect(a, b).as[Int].collect().toSet == Set(2, 3))
+    assert(SetOps.except(a, b).as[Int].collect().toSet == Set(1))
+    assert(SetOps.unionAll(a, b).count() == 7)
+  }
+}
