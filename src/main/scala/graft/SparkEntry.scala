@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, Joins, SetOps, TopK, Upsert, Windows}
+import graft.incr.Incremental
+import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
 
@@ -170,7 +171,60 @@ object SparkEntry {
       t(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_long")))
+        get_json_object(col("props"), "$.k").cast("long").as("k_long"))),
+    // J6: as-of join — each event picks up the latest Monday rollup at or
+    // before its day (union+window form; DuckDB ASOF JOIN is the oracle).
+    "q23_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("dt"))
+      val quotes = ev.groupBy(col("event_type"), to_date(col("ts")).as("qdt"))
+        .agg(count(lit(1)).as("q_loads"))
+        .filter(dayofweek(col("qdt")) === 2) // Monday
+      AsOfJoin.asOf(probes, quotes, Seq("event_type"), "dt", "qdt")
+    }),
+    // J6: range join — lineitems shipped within 90 days of their order date.
+    "q24_range_join" -> ((s, dir) =>
+      Joins.rangeJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"),
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_shipped_90d"),
+          Agg.dsum(col("l_extendedprice")).as("revenue_90d"))),
+    // T1/P6: the watermark freshness gate as a pushed-down scan predicate.
+    "q25_watermark_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))),
+    // T1+T3: per-key incremental — rows newer than each key's stored
+    // high-water mark (state built in-query from the even half of the data).
+    "q26_incremental_new_rows" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type").as("source_key"))
+        .agg(max(col("ts")).as("high_water"))
+      Incremental.newRows(ev, state, "event_type", "ts")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    }),
+    // T7: tumbling daily window (batch twin of the streaming query).
+    "q27_daily_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("load_count"),
+          countDistinct(col("user_id")).as("visitors"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("load_count"), col("visitors"))),
+    // T8: session windows (30-min gap) per user — batch twin; the oracle is
+    // the classic gaps-and-islands formulation.
+    "q28_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,6 +395,55 @@ object SparkEntry {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q23_asof_join" ->
+      """WITH probes AS (
+        |  SELECT event_id, event_type, CAST(ts AS DATE) AS dt FROM events),
+        |quotes AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, CAST(ts AS DATE) AS qdt, COUNT(*) AS q_loads
+        |    FROM events GROUP BY 1, 2)
+        |  WHERE isodow(qdt) = 1)
+        |SELECT p.event_id, p.event_type, p.dt, q.qdt, q.q_loads
+        |FROM probes p ASOF JOIN quotes q
+        |  ON p.event_type = q.event_type AND p.dt >= q.qdt""".stripMargin,
+    "q24_range_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_shipped_90d,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue_90d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q25_watermark_filter" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q26_incremental_new_rows" ->
+      """WITH state AS (
+        |  SELECT event_type AS source_key, MAX(ts) AS high_water
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type
+        |FROM events e LEFT JOIN state s ON e.event_type = s.source_key
+        |WHERE e.ts > COALESCE(s.high_water, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin,
+    "q27_daily_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+        |  COUNT(*) AS load_count, COUNT(DISTINCT user_id) AS visitors
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q28_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess_id""".stripMargin
   )
 }

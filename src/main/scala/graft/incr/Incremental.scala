@@ -1,0 +1,83 @@
+package graft.incr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Upsert
+
+/** Batch-incremental watermark semantics (SURVEY.md §2.10: T1–T6).
+  *
+  * The reference hand-rolls this vocabulary around a JSON control file: a
+  * per-source freshness gate `updated > last_seen`
+  * (REF wistia_pull_wistia_api.py:173), a per-run high-water fold of
+  * `received_at` (:217-224), and an atomically rewritten state map
+  * (:57-77,237-247). Here the state is a tiny keyed table and every rule is
+  * a dataflow:
+  *
+  *   new rows   = batch ⋉ state  WHERE ts > high_water   (T1/P6)
+  *   next state = merge(state, max(ts) per key)          (T3, monotone)
+  *
+  * The state table is broadcast (it has one row per source), so the gate
+  * adds zero shuffles to the batch scan at any scale; with a timestamp-
+  * partitioned source the predicate prunes partitions before reading.
+  */
+object Incremental {
+
+  val stateSchema: StructType = StructType(Seq(
+    StructField("source_key", StringType),
+    StructField("high_water", TimestampType)))
+
+  private val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+
+  def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stateSchema)
+
+  /** T1: rows strictly newer than the per-key watermark (keys absent from
+    * the state pass entirely — the reference's "fresh pull" branch).
+    */
+  def newRows(batch: DataFrame, state: DataFrame, keyCol: String,
+              tsCol: String): DataFrame =
+    batch.join(broadcast(state), batch(keyCol) === state("source_key"), "left")
+      .filter(col(tsCol) > coalesce(col("high_water"), epoch))
+      .drop("source_key", "high_water")
+
+  /** T3: advance the watermark to max(ts) per key seen in this batch.
+    * Monotone by construction: merge is stage-wins and the stage carries
+    * max(old, new) via the union inside the aggregate.
+    */
+  def advance(state: DataFrame, batch: DataFrame, keyCol: String,
+              tsCol: String): DataFrame = {
+    val observed = batch.groupBy(col(keyCol).as("source_key"))
+      .agg(max(col(tsCol)).as("high_water"))
+    val merged = Upsert.merge(
+      state,
+      // guard against a batch whose max is older than the stored watermark
+      observed.join(state.withColumnRenamed("high_water", "_old"),
+        Seq("source_key"), "left")
+        .select(col("source_key"),
+          greatest(col("high_water"), coalesce(col("_old"), epoch)).as("high_water")),
+      Seq("source_key"))
+    merged
+  }
+
+  /** T1+T3+T6 end-to-end: read state table, emit new rows, persist the
+    * advanced state atomically (write-temp-then-swap — the reference only
+    * persists its watermark after a successful run, :267).
+    */
+  def runIncremental(spark: SparkSession, statePath: String, batch: DataFrame,
+                     keyCol: String, tsCol: String): DataFrame = {
+    Upsert.createIfNotExists(spark, statePath, stateSchema)
+    // Pin the state in memory: the returned `fresh` frame is lazy, and the
+    // atomic swap below deletes the files it would otherwise re-read. The
+    // state is one row per source, so this is bytes, not data.
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(
+        spark.read.schema(stateSchema).parquet(statePath).collect(): _*),
+      stateSchema)
+    val fresh = newRows(batch, pinned, keyCol, tsCol)
+    Upsert.atomicReplace(spark, advance(pinned, batch, keyCol, tsCol), statePath)
+    fresh
+  }
+}

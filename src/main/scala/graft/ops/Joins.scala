@@ -66,4 +66,15 @@ object Joins {
   /** J5 semi: rows in `left` with at least one match (EXISTS). */
   def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_semi")
+
+  /** J6 range join: equi-keys + a range predicate on a time/number column.
+    * Keeping at least one equality conjunct is load-bearing at scale: it
+    * lets Spark plan a hash/sort-merge join with the range as a cheap
+    * post-join filter. A pure range condition (no equality) degenerates to
+    * broadcast-nested-loop — if you need that, bucket the range into a join
+    * key first (see vector.Similarity for the pattern).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, equiCond: Column,
+                rangeCond: Column): DataFrame =
+    left.join(right, equiCond && rangeCond)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** T2/T3/T5/T7/T8: the Structured-Streaming twin of the events path, driven
+  * synchronously over the sf0.001 parquet (memory sink +
+  * processAllAvailable) and cross-checked against the batch equivalents.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runStream(df: org.apache.spark.sql.DataFrame, name: String,
+                        mode: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming dailyCounts matches batch tumbling window (T7)") {
+    val stream = EventsStream.readEvents(spark, sf)
+    // complete mode: append would withhold the newest windows (still inside
+    // the watermark delay) at end-of-stream, so the batch compare needs the
+    // full result.
+    val got = runStream(EventsStream.dailyCounts(stream), "daily_out", "complete")
+      .select("ws", "event_type", "load_count")
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("load_count"))
+      .select(col("window.start").as("ws"), col("event_type"), col("load_count"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sessions match batch session_window (T8)") {
+    val stream = EventsStream.readEvents(spark, sf)
+    val got = runStream(EventsStream.sessions(stream), "sess_out", "complete")
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("dedupWithinWatermark emits each event_id once (T5)") {
+    val stream = EventsStream.readEvents(spark, sf)
+    val got = runStream(EventsStream.dedupWithinWatermark(stream), "dedup_out", "append")
+    val n = Tables.load(spark, sf, "events").count()
+    assert(got.count() == n) // event_id is unique in the testdata
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
+  test("streaming checkpoint restarts without reprocessing (T2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"
+    val cp = s"$dir/cp"
+    val out = s"$dir/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // first micro-batch: one file
+    Tables.load(spark, sf, "events").limit(100)
+      .write.mode("overwrite").parquet(s"$src/batch1")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Tables.load(spark, sf, "events").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = stream.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 100)
+    // add data, restart from checkpoint: only the new file is processed
+    Tables.load(spark, sf, "events").limit(150)
+      .write.mode("overwrite").parquet(s"$src/batch2")
+    run()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == 250, s"expected 250 (100 + 150), got $n2 — checkpoint replayed or skipped data")
+  }
+}
