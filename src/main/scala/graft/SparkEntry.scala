@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.incr.Incremental
 import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
+import graft.text.{TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -224,7 +227,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
-          col("user_id"), col("n_events")))
+          col("user_id"), col("n_events"))),
+    // A8 exact: hash-keyed text dedup.
+    "q29_dedup_exact" -> ((s, dir) =>
+      TextDedup.exactDedup(t(s, dir, "documents"))),
+    // A8 near-dup: shingle → MinHash → LSH bands → exact-Jaccard verify.
+    "q30_near_dup_minhash" -> ((s, dir) =>
+      TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)),
+    // A8 SimHash (engine-internal xxhash64 — no SQL oracle, rows-only).
+    "q31_simhash_near_dups" -> ((s, dir) =>
+      TextDedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 4)),
+    // F8 north star: marker-word language ID with deterministic argmax.
+    "q32_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    // F8 north star: quality scoring (token/char stats + linear score).
+    "q33_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    // F8 north star: whitespace + BPE-ish regex token counting.
+    "q34_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // F8 north star: md5-prefix fingerprint + same-fingerprint cluster size.
+    "q35_fingerprint_prefix" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"))
+        .select(col("doc_id"), col("prefix_fp"),
+          count(lit(1)).over(Window.partitionBy(col("prefix_fp"))).as("n_same_prefix"))),
+    // F8: winnowing-style char-k-gram min-hash fingerprint (rows-only).
+    "q36_fingerprint_kgram" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +470,99 @@ object SparkEntry {
         |SELECT MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, COUNT(*) AS n_events
-        |FROM numbered GROUP BY user_id, sess_id""".stripMargin
+        |FROM numbered GROUP BY user_id, sess_id""".stripMargin,
+    "q29_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q30_near_dup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |JOIN sizes za ON za.doc_id = c.doc_a
+        |JOIN sizes zb ON zb.doc_id = c.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
+    "q32_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+        |      ['the', 'a', 'row'])) AS INT) AS en_score,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+        |      ['data', 'query'])) AS INT) AS es_score,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+        |      ['merge', 'batch'])) AS INT) AS de_score,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+        |      ['stream', 'filter'])) AS INT) AS fr_score,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+        |      ['window', 'join'])) AS INT) AS zh_score
+        |  FROM documents)
+        |SELECT doc_id, actual_lang, en_score, es_score, de_score, fr_score, zh_score,
+        |  CASE
+        |    WHEN en_score >= es_score AND en_score >= de_score
+        |     AND en_score >= fr_score AND en_score >= zh_score THEN 'en'
+        |    WHEN es_score >= de_score AND es_score >= fr_score
+        |     AND es_score >= zh_score THEN 'es'
+        |    WHEN de_score >= fr_score AND de_score >= zh_score THEN 'de'
+        |    WHEN fr_score >= zh_score THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |FROM scored""".stripMargin,
+    "q33_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t) AS stopword_ratio,
+        |  (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 2.0
+        |    + (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t))
+        |    - (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) AS quality
+        |FROM base""".stripMargin,
+    "q34_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+        |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_distinct_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_measured,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q35_fingerprint_prefix" ->
+      """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
+        |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
+  * §2.8 F8 + north star): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure `functions._` expressions — whole-stage
+  * codegen'd, no UDFs — so a 100 TB documents scan stays in one codegen
+  * stage per partition with zero shuffles until an aggregation asks for one.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Marker-word language ID: score per language = count of distinct marker
+    * tokens present; argmax with a fixed tie-break order. A real system
+    * swaps in char-n-gram models; the ENGINE shape — per-language score
+    * columns + deterministic argmax — is identical.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "row"),
+    "es" -> Seq("data", "query"),
+    "de" -> Seq("merge", "batch"),
+    "fr" -> Seq("stream", "filter"),
+    "zh" -> Seq("window", "join"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"${lang}_score",
+        size(array_intersect(toks, array(markers.map(lit): _*))))
+    }
+    // argmax with tie-break in declaration order: first language whose score
+    // is >= all later ones wins.
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val laterScores = langs.drop(i + 1).map(l => col(s"${l}_score"))
+        val isMax = laterScores.map(col(s"${lang}_score") >= _).reduce(_ && _)
+        when(isMax, lang).otherwise(elseCol)
+    }
+    scored.select(col("doc_id") +: col("lang").as("actual_lang") +:
+      langs.map(l => col(s"${l}_score")) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Quality scoring: token/char statistics + a deterministic linear score.
+    * Ratios are int/int double divisions (bit-identical across engines).
+    */
+  def qualityScore(docs: DataFrame,
+                   stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)))
+      .withColumn("sum_token_len",
+        aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+      .withColumn("n_stop", size(filter(t, x => array_contains(stopArr, x))))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("sum_token_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        ((col("n_distinct_tokens").cast("double") / col("n_tokens")) * lit(2.0)
+          + (col("n_stop").cast("double") / col("n_tokens"))
+          - (col("n_punct").cast("double") / length(col("text")))).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs | digit runs | single other chars).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("n_bpe_tokens"))
+
+  /** Document fingerprints. `prefix_fp` (md5 of the head) is cross-engine
+    * and oracle-checked; `kgram_fp` is a winnowing-style min over char
+    * k-gram xxhash64 values (engine-internal, used for fast clustering).
+    */
+  def fingerprints(docs: DataFrame, prefixLen: Int = 80, k: Int = 8): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(substring(col("text"), 1, prefixLen)).as("prefix_fp"),
+      expr(
+        s"""array_min(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+           |  i -> xxhash64(substring(text, i, $k))))""".stripMargin)
+        .as("kgram_fp"))
+}

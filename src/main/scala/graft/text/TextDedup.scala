@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family (SURVEY.md §2.4 A8 + north star):
+  * exact, MinHash+LSH near-dup, n-gram Jaccard verification, SimHash.
+  *
+  * Scale design: every step is a keyed shuffle or a band-bucketed join —
+  * never an all-pairs comparison. The LSH band join's cost is Σ_band
+  * (bucket size)², which at 100 TB is controlled by the band width (wider
+  * bands → fewer, more-similar candidates); the exact-Jaccard verify runs
+  * only on LSH candidates.
+  *
+  * Hash choice: the MinHash rows use `md5(shingle || '#' || seed)` rather
+  * than xxhash64 — slightly slower, but bit-identical across engines, which
+  * makes the whole near-dup pipeline oracle-checkable in SQL. The SimHash
+  * path uses codegen'd xxhash64 (engine-internal, no oracle).
+  */
+object TextDedup {
+
+  /** Exact dedup (A8-exact): one row per distinct text, keyed by md5. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document. Documents shorter than n
+    * tokens produce no shingles (guarded: Spark's `sequence` would count
+    * DOWN for a negative span).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val joined = (0 until n).map(k => s"element_at(_toks, CAST(i + $k AS INT))")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .withColumn("_toks", split(col("text"), "\\s+"))
+      .filter(size(col("_toks")) >= n)
+      .withColumn("shingle",
+        explode(expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> $joined)")))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: `numHashes` per-doc minima of seeded md5 prefixes.
+    * One hash-aggregate on doc_id; signature columns are m0..m{k-1}.
+    */
+  def minhashSignatures(shingleDf: DataFrame, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 16)).as(s"m$i")
+    }
+    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `numBands` concatenated bands and
+    * self-join per (band_id, band value). Returns distinct candidate pairs
+    * with doc_a < doc_b.
+    */
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
+                    numBands: Int = 2): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      signatures.select(col("doc_id"), concat(cols: _*).as("band"),
+        lit(b).as("band_id"))
+    }.reduce(_.unionByName(_))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_id"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_id"))
+    a.join(b, Seq("band", "band_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard, computed ONLY for the candidate pairs (the
+    * verify step of MinHash/LSH). Output: (doc_a, doc_b, jaccard).
+    */
+  def jaccardVerify(candidates: DataFrame, shingleDf: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sa = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = candidates
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), Seq("doc_b"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    * Jaccard ≥ threshold.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val cand = lshCandidates(minhashSignatures(sh))
+    jaccardVerify(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash-64 per document (engine-internal hash; no SQL oracle).
+    * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is
+    * the fingerprint. Candidates = any matching 16-bit quadrant (the
+    * standard hamming-LSH trick); verified by bit_count(xor) <= maxHamming.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(expr(s"(_h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = docs
+      .withColumn("_tok", explode(split(col("text"), "\\s+")))
+      .withColumn("_h", xxhash64(col("_tok")))
+      .groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val packed = (0 until 64).map(b =>
+      expr(s"CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, candidate-
+    * limited by 16-bit quadrant equality.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(docs)
+    val quads = (0 until 4).map { q =>
+      sh.select(col("doc_id"), expr(s"(simhash >> ${q * 16}) & 65535").as("quad"),
+        lit(q).as("quad_id"), col("simhash"))
+    }.reduce(_.unionByName(_))
+    val a = quads.select(col("doc_id").as("doc_a"), col("quad"), col("quad_id"),
+      col("simhash").as("sim_a"))
+    val b = quads.select(col("doc_id").as("doc_b"), col("quad"), col("quad_id"),
+      col("simhash").as("sim_b"))
+    a.join(b, Seq("quad", "quad_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

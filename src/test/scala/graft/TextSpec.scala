@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextAnalysis, TextDedup}
+
+/** A8 dedup family + F8 text analysis. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+
+  test("exactDedup groups identical texts and keeps the min doc_id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = TextDedup.exactDedup(d).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("shingles produces distinct word trigrams; short docs drop out") {
+    val d = docs((1L, "a b c d"), (2L, "x y"))
+    val out = TextDedup.shingles(d).as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("near-dup pipeline finds mutated copies, not unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mutated = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, mutated), (3L, other))
+    val pairs = TextDedup.nearDupPairs(d, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard value is the exact shingle-set ratio") {
+    val d = docs((1L, "a b c d"), (2L, "a b c e"))
+    val sh = TextDedup.shingles(d)
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = TextDedup.jaccardVerify(cand, sh).select("jaccard").as[Double].head()
+    assert(j == 1.0 / 3.0) // shingles: {abc,bcd} vs {abc,bce} -> 1 of 3
+  }
+
+  test("simhash of identical docs is identical; near-dups have small hamming") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val mutated = (1 to 50).map(i => if (i == 25) "CHANGED" else s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, mutated))
+    val sh = TextDedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 8)
+    val pairs = TextDedup.simhashNearDups(d, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("langId scores markers and breaks ties in declaration order") {
+    val d = Seq((1L, "the a row row", "en"), (2L, "data query data", "es"),
+      (3L, "nothing matches here", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(1).getAs[String]("pred_lang") == "es")
+    assert(out(2).getAs[String]("pred_lang") == "en") // all-zero tie -> first lang
+  }
+
+  test("qualityScore ratios are exact int-division doubles") {
+    val d = docs((1L, "the a the cat."))
+    val r = TextAnalysis.qualityScore(d).collect().head
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Double]("stopword_ratio") == 3.0 / 4.0)
+    assert(r.getAs[Double]("punct_ratio") == 1.0 / 14.0)
+  }
+
+  test("tokenCounts: ws vs BPE-ish segmentation") {
+    val d = docs((1L, "ab12 cd!"))
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 2)
+    assert(r.getAs[Int]("n_bpe_tokens") == 4) // ab | 12 | cd | !
+  }
+
+  test("fingerprints: equal prefixes share prefix_fp; kgram_fp is stable") {
+    val d = docs((1L, "x" * 100 + "tail1"), (2L, "x" * 100 + "tail2"), (3L, "zzz"))
+    val out = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("prefix_fp") == out(1).getAs[String]("prefix_fp"))
+    assert(out(0).getAs[String]("prefix_fp") != out(2).getAs[String]("prefix_fp"))
+    assert(!out(2).isNullAt(out(2).fieldIndex("kgram_fp")))
+  }
+}
