@@ -10,6 +10,7 @@ import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
 import graft.text.{TextAnalysis, TextDedup}
+import graft.vector.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -250,7 +251,20 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("prefix_fp"))).as("n_same_prefix"))),
     // F8: winnowing-style char-k-gram min-hash fingerprint (rows-only).
     "q36_fingerprint_kgram" -> ((s, dir) =>
-      TextAnalysis.fingerprints(t(s, dir, "documents")))
+      TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
+    "q37_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    // J7 scale path: LSH-bucketed candidate pairs with verified cosine.
+    "q38_knn_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshCandidatePairs(t(s, dir, "embeddings"), bits = 8)),
+    // J7 north star: embedding-cosine near-dup within a blocking key.
+    "q39_embedding_near_dup" -> ((s, dir) =>
+      Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),
+    // F7: array-function sampler (norms, dims, quantized checksum).
+    "q40_vector_norms" -> ((s, dir) => Similarity.norms(t(s, dir, "embeddings")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -563,6 +577,58 @@ object SparkEntry {
     "q35_fingerprint_prefix" ->
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q37_knn_bruteforce" ->
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 10)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+        |  cosine
+        |FROM pairs
+        |QUALIFY rank <= 5""".stripMargin,
+    "q38_knn_lsh_buckets" ->
+      """WITH bits AS (
+        |  SELECT e.vec_id, r1.i,
+        |    SUM(CAST(floor(CAST(e.embedding[CAST(r2.d AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |        * (CASE WHEN ((r1.i * 31 + r2.d) * 1103515245 + 12345) % 97 < 48
+        |           THEN 1 ELSE -1 END)) AS dotv
+        |  FROM embeddings e, range(8) r1(i), range(1, 65) r2(d)
+        |  GROUP BY e.vec_id, r1.i),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN dotv >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+        |  FROM bits GROUP BY vec_id)
+        |SELECT CAST(a.bucket AS BIGINT) AS bucket, ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+        |  list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+        |    AS cosine
+        |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id""".stripMargin,
+    "q39_embedding_near_dup" ->
+      """SELECT * FROM (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+    "q40_vector_norms" ->
+      """SELECT vec_id,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+        |  CAST(len(embedding) AS INT) AS dims,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qsum
+        |FROM embeddings""".stripMargin
   )
 }

@@ -1,0 +1,114 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (SURVEY.md §2.3 J7 +
+  * north star). All math runs through codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) in DOUBLE with sequential accumulation — the
+  * same order DuckDB's `list_dot_product` uses, which is what makes the
+  * oracle hash-compare exact.
+  *
+  * Scale design:
+  *  - Brute force broadcasts the PROBES (small side) and makes one pass
+  *    over the corpus: per-probe top-k via window rank, no corpus shuffle.
+  *    Right answer for "few probes × huge corpus".
+  *  - The LSH path buckets vectors by random-hyperplane sign bits computed
+  *    over QUANTIZED components (integer dot products — exact, order-free,
+  *    engine-independent), then joins within buckets only: cost is
+  *    Σ_bucket n², tunable via the bit count. Right answer for
+  *    "all-pairs similarity on a huge corpus".
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force exact top-k cosine neighbors for each probe vector. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id (`bits` sign bits packed into a long).
+    *
+    * Components are quantized to `floor(x * 1000)` BEFORE the signed sum, so
+    * the bucket decision is integer arithmetic: exactly reproducible in any
+    * engine regardless of float summation order. The hyperplane entry for
+    * (plane i, dim d) is the deterministic pseudo-sign of
+    * `((i*31 + d) * 1103515245 + 12345) mod 97 < 48`.
+    */
+  def lshBucket(embCol: String, bits: Int = 8, dims: Int = 64): Column = {
+    val dotI =
+      s"""aggregate(sequence(1, $dims), CAST(0 AS BIGINT), (acc, d) ->
+         |  acc + CAST(floor(CAST(element_at($embCol, d) AS DOUBLE) * 1000) AS BIGINT)
+         |        * (CASE WHEN ((CAST(i AS BIGINT) * 31 + d) * 1103515245 + 12345) % 97 < 48
+         |           THEN 1 ELSE -1 END))""".stripMargin
+    val bucket =
+      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc2, i) ->
+         |  acc2 + (CASE WHEN ($dotI) >= 0
+         |          THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))
+         |          ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    expr(bucket)
+  }
+
+  /** LSH-bucketed candidate pairs with verified exact cosine. The join key
+    * is the bucket id; no cross-bucket pairs are ever materialized.
+    */
+  def lshCandidatePairs(corpus: DataFrame, bits: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket("embedding", bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicates within a blocking key (here: label).
+    * Blocked all-pairs: cost Σ_block n² — at 100 TB the block key comes from
+    * LSH buckets ([[lshCandidatePairs]]) instead of a label column.
+    */
+  def nearDupWithinLabel(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Per-vector L2 norm and quantized-norm — the array-function sampler
+    * (F7): transform/aggregate/zip_with surface.
+    */
+  def norms(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("vec_id"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("l2_norm"),
+      expr("CAST(size(embedding) AS INT)").as("dims"),
+      expr("CAST(aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> " +
+        "acc + CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)")
+        .as("qsum"))
+}
