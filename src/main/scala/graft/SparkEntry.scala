@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.incr.Incremental
+import graft.multimodal.Multimodal
 import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
@@ -196,10 +197,10 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_shipped_90d"),
           Agg.dsum(col("l_extendedprice")).as("revenue_90d"))),
-    // T1/P6: the watermark freshness gate as a pushed-down scan predicate.
+    // T1/P6: the watermark freshness gate as a pushed-down scan predicate —
+    // applied in the raw nanos domain so parquet row-group stats prune.
     "q25_watermark_filter" -> ((s, dir) =>
-      t(s, dir, "events")
-        .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+      Tables.loadEventsAfter(s, dir, java.time.Instant.parse("2024-01-20T00:00:00Z"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))),
     // T1+T3: per-key incremental — rows newer than each key's stored
@@ -264,7 +265,34 @@ object SparkEntry {
     "q39_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),
     // F7: array-function sampler (norms, dims, quantized checksum).
-    "q40_vector_norms" -> ((s, dir) => Similarity.norms(t(s, dir, "embeddings")))
+    "q40_vector_norms" -> ((s, dir) => Similarity.norms(t(s, dir, "embeddings"))),
+    // North star multimodal: opaque binary payload column + typed metadata.
+    "q41_multimodal_binary" -> ((s, dir) =>
+      Multimodal.syntheticAssets(t(s, dir, "documents")).select(
+        col("asset_id"), col("kind"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        hex(expr("substring(payload, 1, 4)")).as("head_hex"),
+        col("width"), col("height"), col("duration_ms"))),
+    // North star multimodal: batched mapPartitions decode stub (rows-only —
+    // the feature math is engine-internal Scala, the batching is the point).
+    "q42_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
+        .as[Multimodal.Asset]
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("feature")(0).cast("double").as("f0"))
+    }),
+    // North star multimodal: frame sampling (row explosion before shuffle).
+    "q43_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
+        .as[Multimodal.Asset]
+      Multimodal.sampleFrames(s, assets).toDF()
+    }),
+    // North star multimodal: resize planning (metadata-only, no payload read).
+    "q44_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.syntheticAssets(t(s, dir, "documents"))))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -629,6 +657,39 @@ object SparkEntry {
         |  CAST(len(embedding) AS INT) AS dims,
         |  CAST(list_sum(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qsum
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "q41_multimodal_binary" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes,
+        |  upper(substr(md5(text), 1, 8)) AS head_hex,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  n_chars * 100 AS duration_ms
+        |FROM documents""".stripMargin,
+    "q43_frame_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |idx AS (
+        |  SELECT asset_id, unnest(range(0, duration_ms // 1000 + 1)) AS i
+        |  FROM vids)
+        |SELECT asset_id, CAST(i AS INT) AS frame_index, i * 1000 AS offset_ms
+        |FROM idx""".stripMargin,
+    "q44_resize_plan" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(doc_id % 640 + 1 AS INT) AS width,
+        |    CAST(doc_id % 480 + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT asset_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 224 THEN 1.0
+        |       ELSE 224.0 / CAST(greatest(width, height) AS DOUBLE) END AS scale,
+        |  CAST(floor(width * (CASE WHEN greatest(width, height) <= 224 THEN 1.0
+        |       ELSE 224.0 / CAST(greatest(width, height) AS DOUBLE) END)) AS INT) AS target_w,
+        |  CAST(floor(height * (CASE WHEN greatest(width, height) <= 224 THEN 1.0
+        |       ELSE 224.0 / CAST(greatest(width, height) AS DOUBLE) END)) AS INT) AS target_h
+        |FROM a""".stripMargin
   )
 }

@@ -72,6 +72,31 @@ object Tables {
                        mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Events scan with the watermark predicate applied in the RAW nanos
+    * domain, BEFORE the micros conversion. The converted column is wrapped
+    * in `timestamp_micros(ts div 1000)`, which Catalyst cannot push through
+    * — `load(...).filter($"ts" > wm)` therefore reads every row group. This
+    * variant pushes `ts > bound` onto the INT64 parquet column (row-group
+    * statistics pruning), which at 100 TB is the difference between a
+    * pruned incremental read and a full scan.
+    *
+    * Bound algebra: micros-truncated ts > T  ⟺  rawNanos >= (T_µs + 1) µs.
+    */
+  def loadEventsAfter(spark: SparkSession, sfDir: String,
+                      after: java.time.Instant): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Schemas.events.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+      case f => f
+    })
+    val afterMicros = after.getEpochSecond * 1000000L + after.getNano / 1000
+    val boundNanos = (afterMicros + 1) * 1000L
+    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= boundNanos)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(Schemas.events.fieldNames.map(col): _*)
+  }
+
   /** Register each testdata table as a temp view so spark.sql(...) parity
     * queries can run against the same names the DuckDB oracle uses.
     */

@@ -89,13 +89,19 @@ object Similarity {
     * LSH buckets ([[lshCandidatePairs]]) instead of a label column.
     */
   def nearDupWithinLabel(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = corpus.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+    // Norms are computed once per VECTOR (n sqrt+dot), not once per PAIR
+    // (n² would triple the pair-stage flops). Identical doubles either way,
+    // so the oracle formula is unchanged.
+    val withNorm = corpus.select(col("label"), col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
