@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.incr.Incremental
 import graft.multimodal.Multimodal
-import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, TopK, Upsert, Windows}
+import graft.ops.{Agg, AsOfJoin, Dedup, Joins, SetOps, Skew, TopK, Upsert, Windows}
 import graft.schema.Schemas
 import graft.sources.Tables
 import graft.text.{TextAnalysis, TextDedup}
@@ -292,8 +292,70 @@ object SparkEntry {
     }),
     // North star multimodal: resize planning (metadata-only, no payload read).
     "q44_resize_plan" -> ((s, dir) =>
-      Multimodal.resizePlan(Multimodal.syntheticAssets(t(s, dir, "documents"))))
+      Multimodal.resizePlan(Multimodal.syntheticAssets(t(s, dir, "documents")))),
+    // Docx-implied dim_visitor (SURVEY §1.1 item 2): visitor dimension
+    // derived from the event stream.
+    "q45_dim_visitor" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id").as("visitor_key"))
+        .agg(
+          min(col("ts")).as("first_seen"),
+          max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_event_types"),
+          Agg.dsum(col("value")).as("total_value"))),
+    // Docx-implied fact_media_engagement: per-media-analog engagement fact.
+    "q46_media_engagement" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_visitors"),
+          Agg.dsum(col("value")).as("total_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .withColumn("avg_value", col("total_value") / col("n_events"))),
+    // A7: CUBE over two dimensions (all 4 grouping combinations).
+    "q47_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Agg.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+    // A7: explicit GROUPING SETS with grouping indicators.
+    "q48_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+    // SQL-dialect parity: the EXACT oracle SQL string also runs on Spark.
+    "q49_sql_parity" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(sharedSql)
+    }),
+    // Skew posture: two-phase salted aggregation == direct groupBy.
+    "q50_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", salts = 16)),
+    // A4 scale path: HLL++ sketch distinct (engine-specific values ->
+    // rows-only; the exact twin is q46's n_visitors).
+    "q51_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("visitors_approx")))
   )
+
+  /** One SQL text, two engines (q49): must stay inside the ANSI subset both
+    * Spark and DuckDB parse identically.
+    */
+  private val sharedSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY c_mktsegment""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -690,6 +752,43 @@ object SparkEntry {
         |       ELSE 224.0 / CAST(greatest(width, height) AS DOUBLE) END)) AS INT) AS target_w,
         |  CAST(floor(height * (CASE WHEN greatest(width, height) <= 224 THEN 1.0
         |       ELSE 224.0 / CAST(greatest(width, height) AS DOUBLE) END)) AS INT) AS target_h
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q45_dim_visitor" ->
+      """SELECT user_id AS visitor_key,
+        |  MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_event_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q46_media_engagement" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_visitors,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q47_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q49_sql_parity" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q50_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -66,16 +66,21 @@ object Incremental {
     * advanced state atomically (write-temp-then-swap — the reference only
     * persists its watermark after a successful run, :267).
     */
-  def runIncremental(spark: SparkSession, statePath: String, batch: DataFrame,
-                     keyCol: String, tsCol: String): DataFrame = {
+  /** State table read, pinned in memory: incremental results are lazy, and
+    * the atomic state swap deletes the files they would otherwise re-read.
+    * The state is one row per source, so this is bytes, not data.
+    */
+  def pinnedState(spark: SparkSession, statePath: String): DataFrame = {
     Upsert.createIfNotExists(spark, statePath, stateSchema)
-    // Pin the state in memory: the returned `fresh` frame is lazy, and the
-    // atomic swap below deletes the files it would otherwise re-read. The
-    // state is one row per source, so this is bytes, not data.
-    val pinned = spark.createDataFrame(
+    spark.createDataFrame(
       java.util.Arrays.asList(
         spark.read.schema(stateSchema).parquet(statePath).collect(): _*),
       stateSchema)
+  }
+
+  def runIncremental(spark: SparkSession, statePath: String, batch: DataFrame,
+                     keyCol: String, tsCol: String): DataFrame = {
+    val pinned = pinnedState(spark, statePath)
     val fresh = newRows(batch, pinned, keyCol, tsCol)
     Upsert.atomicReplace(spark, advance(pinned, batch, keyCol, tsCol), statePath)
     fresh
