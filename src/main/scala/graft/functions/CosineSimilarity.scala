@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd cosine similarity over two float-array columns (SURVEY.md §4.3:
+  * "promote to a codegen'd Expression only if the HOF form benchmarks
+  * poorly" — the zip_with+aggregate form evaluates two interpreted lambda
+  * calls per element; this compiles to a single fused Java loop inside
+  * whole-stage codegen).
+  *
+  * Numeric contract: identical doubles to the HOF form and the DuckDB
+  * oracle — each accumulator (dot, |a|², |b|²) sums left-to-right in
+  * DOUBLE, then dot / (sqrt(na) * sqrt(nb)).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<float>; enforced by usage (AbstractDataType —
+  // the ExpectsInputTypes contract — is private[sql] in Spark 4).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi;
+         |  $na += $xi * $xi;
+         |  $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL-registry surface for the engine's custom expressions. */
+object GraftFunctions {
+
+  // Spark 4 moved the Column<->Expression bridge behind private[sql]
+  // (org.apache.spark.sql.classic.ExpressionUtils); its static methods are
+  // bytecode-public, so one reflective lookup at classload restores the
+  // plugin surface Spark 3 exposed as `new Column(expr)` / `col.expr`.
+  private val exprUtils =
+    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+  private val toExpr =
+    exprUtils.getMethod("expression", classOf[Column])
+  private val toColumn =
+    exprUtils.getMethod("column", classOf[Expression])
+
+  private[graft] def expr(c: Column): Expression =
+    toExpr.invoke(null, c).asInstanceOf[Expression]
+  private[graft] def column(e: Expression): Column =
+    toColumn.invoke(null, e).asInstanceOf[Column]
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expr(a), expr(b)))
+
+  /** Register custom functions on an EXISTING session (tests, notebooks). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
+      "built-in")
+}

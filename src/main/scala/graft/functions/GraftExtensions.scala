@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point (SURVEY.md §4.3's "keep an extension
+  * point"): installs the engine's custom expressions into every session
+  * built with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic, or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *
+  * so `SELECT cosine_similarity(a, b)` works in plain SQL. Planner
+  * strategies / optimizer rules would be injected here too; reference
+  * parity needs none (§4.3), so the function injection is the whole
+  * surface for now.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+  }
+}

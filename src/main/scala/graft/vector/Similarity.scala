@@ -22,14 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
+  /** Sequential-order double dot product of two float arrays (HOF form). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** HOF cosine — kept as the compose-built-ins baseline; ~3 interpreted
+    * lambda evaluations per element.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine via the codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one fused Java loop, bit-identical doubles to
+    * [[cosineHof]] and the DuckDB oracle.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_similarity(a, b)
 
   /** Brute-force exact top-k cosine neighbors for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
@@ -89,19 +99,13 @@ object Similarity {
     * LSH buckets ([[lshCandidatePairs]]) instead of a label column.
     */
   def nearDupWithinLabel(corpus: DataFrame, threshold: Double): DataFrame = {
-    // Norms are computed once per VECTOR (n sqrt+dot), not once per PAIR
-    // (n² would triple the pair-stage flops). Identical doubles either way,
-    // so the oracle formula is unchanged.
-    val withNorm = corpus.select(col("label"), col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val a = corpus.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
