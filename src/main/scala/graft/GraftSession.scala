@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftFunctions
+
+/** Session factory: the engine's recommended configuration in one place —
+  * what a user switching from the reference stack starts from.
+  *
+  *   val spark = GraftSession.build()            // local[all cores]
+  *   val spark = GraftSession.build("local[32]", shufflePartitions = 32)
+  *
+  * Sets UTC (oracle/DuckDB parity and the reference's Z-normalized
+  * timestamps), AQE with skew-join handling, shuffle partitions sized to
+  * the actual parallelism (never the 200 default), and registers the
+  * engine's custom SQL functions.
+  */
+object GraftSession {
+
+  def build(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+            shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.registerAll(spark)
+    spark
+  }
+}

@@ -70,15 +70,44 @@ object Flatten {
     * driver-side branching (the reference's `_page_shape` control flow
     * becomes data).
     */
-  def normalizePages(pages: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def normalizePages(pages: DataFrame, payloadCol: String = "payload"): DataFrame =
+    normalizedRows(pages, payloadCol)
+      .withColumn("_row", explode(col("_rows")))
+      .select(col("_row.*"))
+
+  /** `from_json` with an ARRAY schema silently wraps a bare OBJECT into a
+    * one-element array (all-null fields), so the bare-array fallback must
+    * be gated on the payload actually being an array — otherwise corrupt
+    * objects materialize as all-null rows instead of parse failures.
+    */
+  private def normalizedRows(pages: DataFrame, payloadCol: String): DataFrame = {
     val env = from_json(col(payloadCol), Schemas.wistiaEventPage)
     val bare = from_json(col(payloadCol),
       org.apache.spark.sql.types.ArrayType(Schemas.wistiaEventRaw))
-    pages
-      .withColumn("_rows", coalesce(
-        env.getField("data"), env.getField("events"),
-        env.getField("items"), env.getField("results"), bare))
+    val isArray = ltrim(col(payloadCol)).startsWith("[")
+    pages.withColumn("_rows", coalesce(
+      env.getField("data"), env.getField("events"),
+      env.getField("items"), env.getField("results"),
+      when(isArray, bare)))
+  }
+
+  /** P8 + T6 hardened: corrupt or unrecognized pages don't vanish (plain
+    * [[normalizePages]] silently drops them via the null explode) and don't
+    * fail the run (the reference isolates failures per media and proceeds,
+    * REF wistia_pull_wistia_api.py:261-267) — they land in a quarantine
+    * frame carrying the raw payload for replay after a parser fix.
+    * Returns (good rows, quarantined pages).
+    */
+  def normalizePagesWithQuarantine(pages: DataFrame,
+                                   payloadCol: String = "payload")
+      : (DataFrame, DataFrame) = {
+    val tagged = normalizedRows(pages, payloadCol)
+    val good = tagged.filter(col("_rows").isNotNull)
       .withColumn("_row", explode(col("_rows")))
       .select(col("_row.*"))
+    val quarantined = tagged.filter(col("_rows").isNull)
+      .select(col(payloadCol).as("raw_payload"),
+        current_timestamp().as("quarantined_at"))
+    (good, quarantined)
   }
 }

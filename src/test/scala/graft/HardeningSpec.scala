@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.maintenance.Compaction
+import graft.ops.Flatten
+import graft.sources.PagedSource
+import graft.sources.PagedSource.{Checkpoint, Page, PagedApi}
+
+/** T6 failure isolation (quarantine), compaction maintenance, session
+  * factory, and the SURVEY §5.2 watermark-monotonicity property.
+  */
+class HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quarantine: corrupt pages isolate without failing or vanishing (T6)") {
+    val ok = """{"data":[{"event_key":"e1","received_at":"2025-01-01T00:00:00Z",
+      |"media_id":"m1"}]}""".stripMargin.replaceAll("\n", "")
+    val corrupt = """{"totally": "unrecognized"}"""
+    val garbage = """not json at all {{{"""
+    val (good, quarantined) =
+      Flatten.normalizePagesWithQuarantine(Seq(ok, corrupt, garbage).toDF("payload"))
+    assert(good.count() == 1)
+    assert(good.select("event_key").as[String].head() == "e1")
+    val q = quarantined.select("raw_payload").as[String].collect().toSet
+    assert(q == Set(corrupt, garbage), "corrupt pages must be preserved for replay")
+  }
+
+  test("plain normalizePages drops corrupt pages silently (documented contrast)") {
+    val out = Flatten.normalizePages(Seq("""{"x": 1}""").toDF("payload"))
+    assert(out.count() == 0)
+  }
+
+  test("compactTable collapses small files; content unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val table = s"$dir/t"
+    // 10 appends of 10 rows -> many small files
+    (0 until 10).foreach { i =>
+      (i * 10 until (i + 1) * 10).map(x => (x.toLong, s"r$x")).toDF("k", "v")
+        .repartition(4).write.mode("append").parquet(table)
+    }
+    val before = Compaction.fileCount(table)
+    val content = spark.read.parquet(table).as[(Long, String)].collect().toSet
+    Compaction.compactTable(spark, table, numFiles = 2)
+    assert(Compaction.fileCount(table) <= 2)
+    assert(Compaction.fileCount(table) < before)
+    assert(spark.read.parquet(table).as[(Long, String)].collect().toSet == content)
+  }
+
+  test("compactPartitions rewrites only the targeted partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactp").toString
+    val table = s"$dir/t"
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"d${i % 2}")).toDF("k", "dt")
+        .repartition(3).write.mode("append").partitionBy("dt").parquet(table)
+    }
+    val d1Before = Compaction.fileCount(s"$table/dt=d1")
+    Compaction.compactPartitions(spark, table, "dt", Seq("d0"), numFiles = 1)
+    assert(Compaction.fileCount(s"$table/dt=d0") == 1)
+    assert(Compaction.fileCount(s"$table/dt=d1") == d1Before,
+      "untouched partition must not be rewritten")
+    assert(spark.read.parquet(table).count() == 6)
+  }
+
+  test("property: replaying any prefix of pages never lowers the checkpoint high-water") {
+    val tsGen = Gen.choose(0, 59).map(s => f"2025-01-01T00:00:$s%02dZ")
+    val pagesGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(tsGen))
+    for (i <- 0 until 25) {
+      val pages = pagesGen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(List(List("2025-01-01T00:00:00Z")))
+      val api = new PagedApi {
+        def fetch(page: Long): Page = {
+          val ts = pages(page.toInt - 1)
+          val payload = ts.map(t => s"""{"received_at":"$t"}""")
+            .mkString("[", ",", "]")
+          Page(payload, ts.length,
+            total = Some(pages.map(_.length).sum.toLong),
+            perPage = Some(ts.length.toLong max 1L))
+        }
+      }
+      // pull with every possible page budget; high-water must be monotone
+      var prev: Option[String] = None
+      var cp = Checkpoint()
+      for (budget <- 1 to pages.length) {
+        val r = PagedSource.pull(api, cp, maxPages = 1,
+          timeBudgetMillis = Long.MaxValue, defaultPerPage = 1000)
+        cp = r.checkpoint
+        val hw = cp.lastReceivedAt
+        assert(prev.forall(p => hw.exists(_ >= p)),
+          s"seed $i: watermark regressed from $prev to $hw")
+        prev = hw
+      }
+    }
+  }
+
+  test("GraftSession.build configures UTC/AQE and registers SQL functions") {
+    // getOrCreate returns the already-running test session but must still
+    // register the functions on it.
+    val s = GraftSession.build(master = "local[4]", shufflePartitions = 4)
+    val r = s.sql("SELECT cosine_similarity(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")
+      .as[Double].head()
+    assert(r == 1.0)
+  }
+}
