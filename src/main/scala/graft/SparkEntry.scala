@@ -345,7 +345,56 @@ object SparkEntry {
     "q51_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("visitors_approx")))
+        .agg(approx_count_distinct(col("user_id")).as("visitors_approx"))),
+    // W2 extended: first/last/nth value, percent_rank, cume_dist.
+    "q52_window_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        first(col("c_custkey")).over(wf).as("richest_custkey"),
+        last(col("c_custkey")).over(wf).as("poorest_custkey"),
+        nth_value(col("c_custkey"), 2).over(wf).as("second_custkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+    // F8: string distance (levenshtein) against a fixed probe name.
+    "q54_levenshtein" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).as("lev"),
+          length(col("c_name")).cast("int").as("name_len"))
+        .filter(col("lev") <= 3)),
+    // Pivot: status x priority order counts (manual CASE form in the oracle).
+    "q55_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        // pivot leaves NULL where a combination is absent; the oracle's
+        // FILTER counts produce 0 — align.
+        .select(col("o_orderstatus") +:
+          Seq("p1", "p2", "p3", "p4", "p5")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+    // Variance/stddev via exact decimal moments — naive one-pass float
+    // variance is engine/order-dependent; decimal sum and sum-of-squares
+    // make the textbook formula deterministic in both engines.
+    "q56_variance_explicit" -> ((s, dir) => {
+      val v = Agg.money(col("o_totalprice"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(v).as("_s"), sum(v * v).as("_ss"), count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          ((col("_ss").cast("double") -
+            col("_s").cast("double") * col("_s").cast("double") / col("n"))
+            / (col("n") - 1)).as("variance"))
+    })
   )
 
   /** One SQL text, two engines (q49): must stay inside the ANSI subset both
@@ -789,6 +838,42 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_l_extendedprice,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q52_window_family" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  FIRST_VALUE(c_custkey) OVER wf AS richest_custkey,
+        |  LAST_VALUE(c_custkey) OVER wf AS poorest_custkey,
+        |  NTH_VALUE(c_custkey, 2) OVER wf AS second_custkey,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW
+        |  w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q54_levenshtein" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS lev,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer
+        |WHERE levenshtein(c_name, 'Customer#000000042') <= 3""".stripMargin,
+    "q55_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q56_variance_explicit" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS variance
+        |FROM m""".stripMargin
   )
 }

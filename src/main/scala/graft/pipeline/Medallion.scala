@@ -31,6 +31,7 @@ object Medallion {
     val dimMedia = s"$root/silver/dim_media"
     val dailyAgg = s"$root/gold/media_daily_agg"
     val state = s"$root/control/watermarks"
+    val quarantine = s"$root/control/quarantine"
   }
 
   /** Bronze: persist one pull's page payloads under the reference's
@@ -60,7 +61,12 @@ object Medallion {
       .option("basePath", layout.bronzeEvents)
       .json(layout.bronzeEvents)
       .select("payload")
-    val flat = Flatten.factEvents(Flatten.normalizePages(pages))
+    // T6: unparseable pages isolate into the quarantine table; the run
+    // proceeds on everything else (the reference's per-media try/except,
+    // REF wistia_pull_wistia_api.py:261-267, generalized to per-page).
+    val (rows, quarantined) = Flatten.normalizePagesWithQuarantine(pages)
+    quarantined.write.mode("append").parquet(layout.quarantine)
+    val flat = Flatten.factEvents(rows)
     val deduped = Dedup.firstWins(flat, Seq("event_key"),
       Seq(col("received_at").desc, col("media_id").asc))
     // Write-then-advance: if the job dies between the two, the next run

@@ -39,14 +39,17 @@ object MedallionDemo {
     println(s"[demo] root=$root")
     println(s"[demo] fact after run 1: ${Medallion.refreshFactEvents(spark, l).count()} rows")
 
-    // overlap re-delivery + one new event
+    // overlap re-delivery + one new event + one corrupt page (an upstream
+    // HTML error body) that must quarantine, not fail the run
     Medallion.writeBronzePages(spark, l, "m1", "2025-03-02", PullResult(Seq(
       s"""{"events":[${ev("e3", "2025-03-02T09:00:00Z", "m1", 0.9)},
          |${ev("e4", "2025-03-02T10:00:00Z", "m1", 0.4)}]}"""
-        .stripMargin.replaceAll("\n", "")),
+        .stripMargin.replaceAll("\n", ""),
+      """<html>502 Bad Gateway</html>"""),
       Checkpoint(), complete = true))
     println(s"[demo] fact after run 2 (1 dup gated, 1 new): ${Medallion.refreshFactEvents(spark, l).count()} rows")
     println(s"[demo] watermark state: ${spark.read.parquet(l.state).collect().mkString(", ")}")
+    println(s"[demo] quarantined pages: ${spark.read.parquet(l.quarantine).count()}")
 
     val gold = Medallion.refreshDailyAgg(spark, l)
     gold.orderBy("media_id", "dt").show(truncate = false)

@@ -38,15 +38,19 @@ class MedallionSpec extends SparkSpec {
     assert(fact1.count() == 4)
     assert(fact1.select("event_key").distinct().count() == 4)
 
-    // ---- run 2: overlap re-delivery (e3 again) + genuinely new events -----
+    // ---- run 2: overlap re-delivery (e3 again) + new events + one corrupt
+    // page (must quarantine, not fail or corrupt the fact table) ----------
     Medallion.writeBronzePages(spark, l, "m1", "2025-01-02", PullResult(Seq(
       page(ev("e3", "2025-01-02T09:00:00Z", "m1", 0.9), // duplicate, same ts
         ev("e5", "2025-01-02T10:00:00Z", "m1", 0.3),
-        ev("e6", "2025-01-02T11:00:00Z", "m1", 0.8))), done, complete = true))
+        ev("e6", "2025-01-02T11:00:00Z", "m1", 0.8)),
+      """<html>502 Bad Gateway</html>"""), done, complete = true))
 
     val fact2 = Medallion.refreshFactEvents(spark, l)
     assert(fact2.count() == 6, "duplicate e3 must be gated by the watermark")
     assert(fact2.select("event_key").distinct().count() == 6)
+    assert(spark.read.parquet(l.quarantine).count() >= 1,
+      "the corrupt page must land in quarantine")
 
     // watermark advanced to the max received_at per media
     val state = spark.read.parquet(l.state)
