@@ -394,7 +394,46 @@ object SparkEntry {
           ((col("_ss").cast("double") -
             col("_s").cast("double") * col("_s").cast("double") / col("n"))
             / (col("n") - 1)).as("variance"))
-    })
+    }),
+    // Correlated scalar subquery: orders above their customer's decimal-
+    // exact average order value (Catalyst subquery decorrelation surface).
+    "q57_scalar_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+          |  SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+    // TPC-H Q3 shape: shipping-priority revenue join.
+    "q58_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1997-06-15 00:00:00").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(Agg.money(col("l_extendedprice")) *
+          (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+            - Agg.rate(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+    // TPC-H Q10 shape: returned-item revenue per customer.
+    "q59_returned_items" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(Agg.money(col("l_extendedprice")) *
+          (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+            - Agg.rate(col("l_discount")))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20))
   )
 
   /** One SQL text, two engines (q49): must stay inside the ANSI subset both
@@ -874,6 +913,33 @@ object SparkEntry {
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, n,
         |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS variance
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q57_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+        |  SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q58_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q59_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

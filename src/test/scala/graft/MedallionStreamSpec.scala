@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Medallion
+import graft.pipeline.Medallion.Layout
+import graft.sources.PagedSource.{Checkpoint, PullResult}
+import graft.streaming.MedallionStream
+
+/** The streaming silver path must reproduce the batch pipeline's fact
+  * table, absorb re-delivered duplicates via the watermarked dedup, and
+  * resume from its checkpoint without reprocessing.
+  */
+class MedallionStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(key: String, ts: String, media: String): String =
+    s"""{"event_key":"$key","received_at":"$ts","percent_viewed":0.5,
+       |"visitor_key":"v-$key","media_id":"$media","media_name":"vid"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("streaming silver path: ingest, dedup within watermark, checkpoint resume") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mstream").toString
+    val l = Layout(root)
+    val fact = s"$root/stream/fact"
+    val cp = s"$root/stream/cp"
+    val done = Checkpoint()
+
+    // batch 1: two pages, one duplicate event across pages
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-01", PullResult(Seq(
+      s"""{"data":[${ev("s1", "2025-04-01T10:00:00Z", "m1")},
+         |${ev("s2", "2025-04-01T11:00:00Z", "m1")}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      s"""[${ev("s2", "2025-04-01T11:00:00Z", "m1")},
+         |${ev("s3", "2025-04-01T12:00:00Z", "m1")}]"""
+        .stripMargin.replaceAll("\n", "")), done, complete = true))
+
+    val out1 = MedallionStream.runOnce(spark, l.bronzeEvents, fact, cp)
+    assert(out1.count() == 3, "duplicate s2 must be absorbed by the stream dedup")
+    assert(out1.select("event_key").distinct().count() == 3)
+
+    // batch 2: new bronze partition; restart from checkpoint
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-02", PullResult(Seq(
+      s"""{"data":[${ev("s4", "2025-04-02T09:00:00Z", "m1")}]}"""),
+      done, complete = true))
+    val out2 = MedallionStream.runOnce(spark, l.bronzeEvents, fact, cp)
+    assert(out2.count() == 4, "restart must process only the new file")
+    assert(out2.select("event_key").distinct().count() == 4)
+
+    // pure restart with nothing new: no growth
+    val out3 = MedallionStream.runOnce(spark, l.bronzeEvents, fact, cp)
+    assert(out3.count() == 4)
+
+    // streaming output must match the batch pipeline's view of event keys
+    val batchKeys = graft.ops.Dedup.firstWins(
+      graft.ops.Flatten.factEvents(graft.ops.Flatten.normalizePages(
+        spark.read.schema(new org.apache.spark.sql.types.StructType()
+          .add("payload", org.apache.spark.sql.types.StringType))
+          .json(s"${l.bronzeEvents}/*/*").select("payload"))),
+      Seq("event_key"), Seq(col("received_at").desc))
+      .select("event_key").as[String].collect().toSet
+    val streamKeys = out3.select("event_key").as[String].collect().toSet
+    assert(streamKeys == batchKeys)
+  }
+}
