@@ -421,6 +421,11 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(20)
     }),
+    // J7 recall lever: OR of 4 independent LSH tables (rows-only — the
+    // single-table q38 carries the oracle; this one carries the recall).
+    "q60_knn_lsh_multi" -> ((s, dir) =>
+      Similarity.lshCandidatePairsMulti(t(s, dir, "embeddings"),
+        bits = 8, tables = 4)),
     // TPC-H Q10 shape: returned-item revenue per customer.
     "q59_returned_items" -> ((s, dir) =>
       t(s, dir, "lineitem").filter(col("l_returnflag") === "R")

@@ -64,11 +64,12 @@ object Similarity {
     * (plane i, dim d) is the deterministic pseudo-sign of
     * `((i*31 + d) * 1103515245 + 12345) mod 97 < 48`.
     */
-  def lshBucket(embCol: String, bits: Int = 8, dims: Int = 64): Column = {
+  def lshBucket(embCol: String, bits: Int = 8, dims: Int = 64,
+                planeOffset: Int = 0): Column = {
     val dotI =
       s"""aggregate(sequence(1, $dims), CAST(0 AS BIGINT), (acc, d) ->
          |  acc + CAST(floor(CAST(element_at($embCol, d) AS DOUBLE) * 1000) AS BIGINT)
-         |        * (CASE WHEN ((CAST(i AS BIGINT) * 31 + d) * 1103515245 + 12345) % 97 < 48
+         |        * (CASE WHEN (((CAST(i AS BIGINT) + $planeOffset) * 31 + d) * 1103515245 + 12345) % 97 < 48
          |           THEN 1 ELSE -1 END))""".stripMargin
     val bucket =
       s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc2, i) ->
@@ -80,10 +81,13 @@ object Similarity {
 
   /** LSH-bucketed candidate pairs with verified exact cosine. The join key
     * is the bucket id; no cross-bucket pairs are ever materialized.
+    * `planeOffset` selects an independent hyperplane family (used by the
+    * multi-table variant).
     */
-  def lshCandidatePairs(corpus: DataFrame, bits: Int = 8): DataFrame = {
+  def lshCandidatePairs(corpus: DataFrame, bits: Int = 8,
+                        planeOffset: Int = 0): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket("embedding", bits).as("bucket"))
+      lshBucket("embedding", bits, planeOffset = planeOffset).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -92,6 +96,21 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
+  }
+
+  /** Multi-table LSH (OR of `tables` independent hash tables): a pair is a
+    * candidate if ANY table buckets it together. Standard recall lever —
+    * single-table recall p becomes 1-(1-p)^T — at T× the bucketing cost and
+    * union-distinct of the candidate sets. Verified cosine on the distinct
+    * pairs only.
+    */
+  def lshCandidatePairsMulti(corpus: DataFrame, bits: Int = 8,
+                             tables: Int = 4): DataFrame = {
+    val pairSets = (0 until tables).map { t =>
+      lshCandidatePairs(corpus, bits, planeOffset = t * bits)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    }
+    pairSets.reduce(_.unionByName(_)).distinct()
   }
 
   /** Embedding-cosine near-duplicates within a blocking key (here: label).

@@ -51,6 +51,31 @@ class VectorSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L))) // negated vector flips every sign bit
   }
 
+  test("multi-table LSH strictly improves recall over single-table") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // ground truth: top-50 most similar pairs by brute force
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("ea"), col("eb")).as("c"))
+      .orderBy(col("c").desc).limit(50)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    def recall(pairs: org.apache.spark.sql.DataFrame): Int =
+      pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+        .intersect(truth).size
+    // This corpus's top pairs are only cosine ~0.5 (theta ~60deg), so the
+    // per-table collision probability is (1 - theta/pi)^bits: bits=8 gives
+    // ~4%/table (near-dup tuning), bits=4 gives ~20%/table. The recall
+    // LEVERS are bits (down) and tables (up) — assert both directions.
+    val single8 = recall(Similarity.lshCandidatePairs(emb, bits = 8))
+    val multi8 = recall(Similarity.lshCandidatePairsMulti(emb, bits = 8, tables = 4))
+    val multi4 = recall(Similarity.lshCandidatePairsMulti(emb, bits = 4, tables = 4))
+    assert(multi8 > single8, s"more tables must raise recall: $multi8 vs $single8")
+    assert(multi4 > multi8, s"fewer bits must raise recall at equal tables: $multi4 vs $multi8")
+    assert(multi4 >= 20, s"bits=4 x 4 tables on cos~0.5 pairs should recall >=40%, got $multi4")
+  }
+
   test("norms: unit-ish vectors from the testdata have l2_norm ~ 1") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val stats = Similarity.norms(emb).agg(min("l2_norm"), max("l2_norm"))
