@@ -36,11 +36,28 @@ object Incremental {
 
   /** T1: rows strictly newer than the per-key watermark (keys absent from
     * the state pass entirely — the reference's "fresh pull" branch).
+    *
+    * The strict bound replicates the reference's `>` gate and is safe only
+    * when at most one event can carry a given (key, ts). When distinct
+    * events can share the watermark timestamp across runs (same-second
+    * events split across pulls), use [[newRowsInclusive]] + a downstream
+    * identity dedup, or the boundary events are silently lost.
     */
   def newRows(batch: DataFrame, state: DataFrame, keyCol: String,
               tsCol: String): DataFrame =
     batch.join(broadcast(state), batch(keyCol) === state("source_key"), "left")
       .filter(col(tsCol) > coalesce(col("high_water"), epoch))
+      .drop("source_key", "high_water")
+
+  /** T1 inclusive variant: re-admits rows AT the watermark so same-
+    * timestamp events arriving in a later run are not dropped; the caller
+    * must dedup by event identity (the medallion path anti-joins on
+    * event_key against the existing fact table).
+    */
+  def newRowsInclusive(batch: DataFrame, state: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame =
+    batch.join(broadcast(state), batch(keyCol) === state("source_key"), "left")
+      .filter(col(tsCol) >= coalesce(col("high_water"), epoch))
       .drop("source_key", "high_water")
 
   /** T3: advance the watermark to max(ts) per key seen in this batch.

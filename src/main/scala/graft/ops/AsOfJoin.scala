@@ -43,12 +43,18 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = qOnly.foldLeft(pSide.unionByName(qSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled
-      .filter(col("_is_probe") === 1)
-      .filter(qOnly.map(c => col(c).isNotNull).reduce(_ && _))
-      .drop("_t", "_is_probe")
+    // Fill the quote columns as ONE struct, not column-by-column: per-column
+    // last(ignoreNulls) would backfill a NULL field of the matched quote
+    // from an OLDER quote, synthesizing a row that never existed — and
+    // per-column isNotNull match detection would drop probes whose true
+    // match merely had a null field.
+    val unioned = pSide.unionByName(qSide)
+      .withColumn("_quote",
+        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+      .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
+    unioned
+      .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
+      .select(keys.map(col) ++ pOnly.map(col) ++
+        qOnly.map(c => col(s"_quote.$c").as(c)): _*)
   }
 }

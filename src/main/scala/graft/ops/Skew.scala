@@ -25,8 +25,12 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
+    // Row-position salt, not a content hash: the classic hot key is a pile
+    // of IDENTICAL rows, which a content hash sends to ONE salt — exactly
+    // the case salting exists to break. Any distribution yields the same
+    // aggregate, so nondeterminism across retries is harmless here.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(Agg.money(col(valueCol))).as("_psum"),
@@ -43,7 +47,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")

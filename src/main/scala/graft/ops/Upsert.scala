@@ -41,12 +41,16 @@ object Upsert {
       .partitionBy(partitionCols: _*)
       .parquet(tablePath)
 
-  /** U1 at rest for unpartitioned dim tables: write-temp-then-swap so readers
-    * never observe a half-written table (the atomicity the reference got from
-    * Redshift transactions). Single-process rename; with a transactional
-    * table format this becomes MERGE INTO.
+  /** U1 at rest for unpartitioned dim tables: write-temp-then-swap.
+    * Readers never observe a HALF-WRITTEN table, but on a plain filesystem
+    * there is an unavoidable instant between the two renames where the
+    * canonical path is absent — a true transaction needs a table format
+    * (MERGE INTO) or a catalog pointer swap. A crash in that instant leaves
+    * the previous content at `<path>.old`, which the next call (or
+    * [[recoverIfNeeded]]) restores instead of deleting.
     */
   def atomicReplace(spark: SparkSession, merged: DataFrame, tablePath: String): Unit = {
+    recoverIfNeeded(tablePath)
     val tmp = tablePath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode("overwrite").parquet(tmp)
     val target = Paths.get(tablePath)
@@ -58,6 +62,18 @@ object Upsert {
       deleteRecursive(trash)
     } else {
       Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Crash recovery: if a previous swap died between its two renames, the
+    * canonical path is missing and `.old` holds the only copy — restore it
+    * rather than letting the next swap's cleanup destroy it.
+    */
+  def recoverIfNeeded(tablePath: String): Unit = {
+    val target = Paths.get(tablePath)
+    val trash = Paths.get(tablePath + ".old")
+    if (!Files.exists(target) && Files.exists(trash)) {
+      Files.move(trash, target, StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

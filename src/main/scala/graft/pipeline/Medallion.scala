@@ -49,37 +49,80 @@ object Medallion {
 
   /** Silver fact path (REF wistia_transform_silver.py:16-67): read bronze
     * pages, normalize the dynamic envelope, flatten to 19 columns, dedup by
-    * event_key (deterministic, latest received_at wins), append new rows
-    * only (idempotent via the event-time watermark).
+    * event_key (deterministic total order), append only events not already
+    * in the fact table.
+    *
+    * Exactly-once without a transactional format:
+    *  1. the watermark gate is INCLUSIVE (same-timestamp events arriving in
+    *     a later run are not lost) and only prunes work;
+    *  2. idempotence comes from an anti-join on event_key against the
+    *     existing fact table — a crash between the append and the state
+    *     swap re-delivers rows, and the anti-join absorbs them (a blind
+    *     append after a crash would duplicate them forever);
+    *  3. the state swap happens last, as the reference persists its
+    *     watermark only after a successful run (REF wistia_pull_wistia_api.py:267).
+    *
+    * The bronze scan is pruned to partitions at/after the oldest stored
+    * watermark day, so per-run cost tracks the delta, not total history.
     */
   def refreshFactEvents(spark: SparkSession, layout: Layout): DataFrame = {
-    val pages = spark.read
+    val pinned = Incremental.pinnedState(spark, layout.state)
+    val minDt: Option[String] = {
+      val hw = pinned.collect().map(_.getTimestamp(1)).filter(_ != null)
+      if (hw.isEmpty) None
+      else Some(hw.min.toInstant.toString.take(10)) // min across sources
+    }
+    val allPages = spark.read
       .schema(new org.apache.spark.sql.types.StructType()
         .add("payload", org.apache.spark.sql.types.StringType)
         .add("media_id", org.apache.spark.sql.types.StringType)
         .add("dt", org.apache.spark.sql.types.StringType))
       .option("basePath", layout.bronzeEvents)
       .json(layout.bronzeEvents)
+    val pages = minDt.fold(allPages)(d => allPages.filter(col("dt") >= d))
       .select("payload")
-    // T6: unparseable pages isolate into the quarantine table; the run
-    // proceeds on everything else (the reference's per-media try/except,
-    // REF wistia_pull_wistia_api.py:261-267, generalized to per-page).
-    val (rows, quarantined) = Flatten.normalizePagesWithQuarantine(pages)
-    quarantined.write.mode("append").parquet(layout.quarantine)
+    // T6: unparseable pages isolate into the quarantine table (the
+    // reference's per-media try/except, REF wistia_pull_wistia_api.py:
+    // 261-267, generalized per page). Parse once; both consumers share it.
+    val (rows, quarantined) = Flatten.normalizePagesWithQuarantine(
+      pages.persist())
+    appendNewQuarantined(spark, layout, quarantined)
     val flat = Flatten.factEvents(rows)
     val deduped = Dedup.firstWins(flat, Seq("event_key"),
-      Seq(col("received_at").desc, col("media_id").asc))
-    // Write-then-advance: if the job dies between the two, the next run
-    // re-delivers (at-least-once) and the event-key dedup absorbs it — the
-    // reference makes the same choice by persisting its watermark file only
-    // at the end of a successful run (REF wistia_pull_wistia_api.py:267).
-    val pinned = Incremental.pinnedState(spark, layout.state)
-    Incremental.newRows(deduped, pinned, "media_id", "received_at")
+      Schemas.factEvents.fieldNames.filterNot(_ == "event_key").toSeq
+        .map(c => if (c == "received_at") col(c).desc else col(c).asc))
+    val candidates = Incremental.newRowsInclusive(
+      deduped, pinned, "media_id", "received_at")
+    val existingKeys =
+      if (new java.io.File(layout.factEvents).exists())
+        spark.read.schema(Schemas.factEvents).parquet(layout.factEvents)
+          .select("event_key")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("event_key", org.apache.spark.sql.types.StringType))
+    candidates.join(existingKeys, Seq("event_key"), "left_anti")
       .write.mode("append").parquet(layout.factEvents)
     Upsert.atomicReplace(spark,
       Incremental.advance(pinned, deduped, "media_id", "received_at"),
       layout.state)
+    pages.unpersist()
     spark.read.parquet(layout.factEvents)
+  }
+
+  /** Idempotent quarantine append: re-parsing old bronze must not re-add
+    * pages already quarantined (keyed by payload hash).
+    */
+  private def appendNewQuarantined(spark: SparkSession, layout: Layout,
+                                   quarantined: DataFrame): Unit = {
+    val keyed = quarantined.withColumn("payload_hash", md5(col("raw_payload")))
+    val fresh =
+      if (new java.io.File(layout.quarantine).exists()) {
+        val existing = spark.read.parquet(layout.quarantine)
+          .select("payload_hash")
+        keyed.join(existing, Seq("payload_hash"), "left_anti")
+      } else keyed
+    fresh.write.mode("append").parquet(layout.quarantine)
   }
 
   /** Silver dim path (REF wistia_transform_silver.py:71-112): metadata JSON

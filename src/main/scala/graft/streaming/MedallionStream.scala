@@ -52,12 +52,38 @@ object MedallionStream {
       .start()
   }
 
-  /** Drain-to-completion helper for the batch-incremental mode. */
+  /** Companion quarantine stream (T6 parity with the batch path): corrupt
+    * pages must not vanish into the offset log — this query routes them to
+    * the quarantine table under its OWN checkpoint, so both streams resume
+    * independently.
+    */
+  def quarantineQuery(spark: SparkSession, bronzeDir: String,
+                      quarantineDir: String,
+                      checkpointDir: String): StreamingQuery = {
+    val pages = spark.readStream.schema(pageSchema)
+      .option("basePath", bronzeDir)
+      .json(s"$bronzeDir/*/*")
+      .select("payload")
+    val (_, quarantined) = Flatten.normalizePagesWithQuarantine(pages)
+    quarantined
+      .writeStream
+      .format("parquet")
+      .option("path", quarantineDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drain-to-completion helper for the batch-incremental mode: runs the
+    * fact stream and the quarantine stream.
+    */
   def runOnce(spark: SparkSession, bronzeDir: String, factDir: String,
               checkpointDir: String): DataFrame = {
     val q = factEventsQuery(spark, bronzeDir, factDir, checkpointDir)
-    q.processAllAvailable()
-    q.stop()
+    val qq = quarantineQuery(spark, bronzeDir, s"$checkpointDir-quarantine-out",
+      s"$checkpointDir-quarantine")
+    q.processAllAvailable(); q.stop()
+    qq.processAllAvailable(); qq.stop()
     spark.read.parquet(factDir)
   }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Agg
+import graft.sources.Tables
+
+/** SURVEY §5.2(3): partition-layout invariance — results must not depend on
+  * how the data is physically split (the property AQE re-partitioning
+  * relies on).
+  */
+class InvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decimal aggregation is invariant under repartitioning") {
+    val li = Tables.load(spark, sf, "lineitem")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      Agg.pricingSummary(df).orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toSeq).toSeq
+    val base = summarize(li)
+    for (n <- Seq(1, 3, 17)) {
+      assert(summarize(li.repartition(n)) == base, s"repartition($n) changed results")
+    }
+    assert(summarize(li.repartition(8, col("l_partkey"))) == base,
+      "keyed repartition changed results")
+  }
+
+  test("deterministic dedup is invariant under repartitioning") {
+    val li = Tables.load(spark, sf, "lineitem")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.firstWins(df, Seq("l_orderkey"),
+        Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+          "l_linestatus", "l_shipdate").map(col(_).asc))
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .as[(Long, Long, Int)].collect().toSet
+    val base = dedup(li)
+    assert(dedup(li.repartition(7)) == base)
+    assert(dedup(li.repartition(2, col("l_suppkey"))) == base)
+  }
+
+  test("minhash signatures are invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextDedup.minhashSignatures(graft.text.TextDedup.shingles(df))
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(docs.repartition(9)) == sigs(docs))
+  }
+}

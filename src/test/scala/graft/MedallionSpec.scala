@@ -62,6 +62,25 @@ class MedallionSpec extends SparkSpec {
     val fact3 = Medallion.refreshFactEvents(spark, l)
     assert(fact3.count() == 6, "skip branch must ingest nothing")
 
+    // ---- crash recovery: state lost AFTER a successful append -------------
+    // (equivalent to dying between the fact append and the watermark swap:
+    // the next run re-selects everything, and the event_key anti-join must
+    // absorb it instead of duplicating the table)
+    val statePath = java.nio.file.Paths.get(l.state)
+    java.nio.file.Files.walk(statePath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    val factAfterCrash = Medallion.refreshFactEvents(spark, l)
+    assert(factAfterCrash.count() == 6,
+      "replay with lost watermark state must not duplicate fact rows")
+
+    // ---- watermark boundary: a DIFFERENT event at exactly the stored
+    // high-water timestamp must still be ingested (inclusive gate) ---------
+    Medallion.writeBronzePages(spark, l, "m1", "2025-01-03", PullResult(Seq(
+      page(ev("e7", "2025-01-02T11:00:00Z", "m1", 0.2))), done, complete = true))
+    val factBoundary = Medallion.refreshFactEvents(spark, l)
+    assert(factBoundary.count() == 7,
+      "distinct event at ts == watermark must not be dropped")
+
     // ---- dim upsert: v1 then v2 (stage wins) ------------------------------
     def writeMeta(path: String, json: String): String = {
       java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes)

@@ -34,20 +34,14 @@ class SkewSpec extends SparkSpec {
     assert(salted.size == 1000)
   }
 
-  test("saltedAgg spreads a hot key over multiple salts") {
-    val hot = Seq.fill(500)(("HOT", 1.0)).toDF("k", "v")
-    val salted = hot.withColumn("_salt",
-      pmod(xxhash64(hot.columns.map(col): _*), lit(8)))
-    // xxhash64 over (k, v) is constant for identical rows -> same salt.
-    // The helper hashes ALL columns, so truly identical rows do collapse;
-    // verify on rows with a distinguishing column instead:
-    val varied = Seq.tabulate(500)(i => ("HOT", i.toDouble)).toDF("k", "v")
-    val saltCount = Skew.saltedAgg(varied, Seq("k"), "v", 8)
-    // correctness
-    assert(saltCount.as[(String, Double, Long)].head() == (("HOT", 124750.0, 500L)))
-    val nSalts = varied.withColumn("_salt",
-      pmod(xxhash64(varied.columns.map(col): _*), lit(8)))
+  test("saltedAgg spreads a hot key of IDENTICAL rows over multiple salts") {
+    // the worst case for a content-hash salt: byte-identical duplicate rows
+    val hot = Seq.fill(500)(("HOT", 1.0)).toDF("k", "v").repartition(4)
+    val agg = Skew.saltedAgg(hot, Seq("k"), "v", 8)
+    assert(agg.as[(String, Double, Long)].head() == (("HOT", 500.0, 500L)))
+    val nSalts = hot.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
       .select(countDistinct("_salt")).as[Long].head()
-    assert(nSalts > 1, "hot key must spread over multiple partial groups")
+    assert(nSalts > 1, "identical hot-key rows must spread over multiple partial groups")
   }
 }
