@@ -909,6 +909,30 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
         |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q60_knn_lsh_multi" ->
+      """WITH bits AS (
+        |  SELECT e.vec_id, r1.i // 8 AS table_id, r1.i % 8 AS bit,
+        |    SUM(CAST(floor(CAST(e.embedding[CAST(r2.d AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |        * (CASE WHEN ((r1.i * 31 + r2.d) * 1103515245 + 12345) % 97 < 48
+        |           THEN 1 ELSE -1 END)) AS dotv
+        |  FROM embeddings e, range(32) r1(i), range(1, 65) r2(d)
+        |  GROUP BY e.vec_id, r1.i),
+        |buckets AS (
+        |  SELECT vec_id, table_id,
+        |    SUM(CASE WHEN dotv >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+        |  FROM bits GROUP BY vec_id, table_id),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT c.vec_a, c.vec_b,
+        |  list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+        |    AS cosine
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |JOIN embeddings eb ON eb.vec_id = c.vec_b""".stripMargin,
     "q56_variance_explicit" ->
       """WITH m AS (
         |  SELECT o_orderstatus,
