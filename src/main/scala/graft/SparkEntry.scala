@@ -56,11 +56,13 @@ object SparkEntry {
     // The tiebreak order spans every column: (orderkey, linenumber) is NOT
     // unique in the testdata, and a partial order would leave the winner
     // partition-dependent — exactly the nondeterminism W1 exists to kill.
+    // All-ascending order -> the hash-aggregate min(struct) plan (no sort,
+    // map-side combine); the window form is Dedup.firstWins.
     "q06_dedup_first" -> ((s, dir) =>
-      Dedup.firstWins(t(s, dir, "lineitem"), Seq("l_orderkey"),
+      Dedup.firstWinsViaMin(t(s, dir, "lineitem"), Seq("l_orderkey"),
         Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-          "l_linestatus", "l_shipdate").map(col(_).asc))),
+          "l_linestatus", "l_shipdate"))),
     // U1: single-key stage-wins upsert (dim_media merge shape).
     "q07_upsert_dim" -> ((s, dir) => {
       val cust = t(s, dir, "customer")

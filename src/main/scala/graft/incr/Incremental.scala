@@ -45,9 +45,7 @@ object Incremental {
     */
   def newRows(batch: DataFrame, state: DataFrame, keyCol: String,
               tsCol: String): DataFrame =
-    batch.join(broadcast(state), batch(keyCol) === state("source_key"), "left")
-      .filter(col(tsCol) > coalesce(col("high_water"), epoch))
-      .drop("source_key", "high_water")
+    gated(batch, state, keyCol, tsCol, inclusive = false)
 
   /** T1 inclusive variant: re-admits rows AT the watermark so same-
     * timestamp events arriving in a later run are not dropped; the caller
@@ -56,9 +54,21 @@ object Incremental {
     */
   def newRowsInclusive(batch: DataFrame, state: DataFrame, keyCol: String,
                        tsCol: String): DataFrame =
-    batch.join(broadcast(state), batch(keyCol) === state("source_key"), "left")
-      .filter(col(tsCol) >= coalesce(col("high_water"), epoch))
-      .drop("source_key", "high_water")
+    gated(batch, state, keyCol, tsCol, inclusive = true)
+
+  // State columns are renamed to reserved names before the join so a batch
+  // that itself carries a `source_key`/`high_water` column (e.g. advance()
+  // output piped back through) neither collides nor gets silently dropped.
+  private def gated(batch: DataFrame, state: DataFrame, keyCol: String,
+                    tsCol: String, inclusive: Boolean): DataFrame = {
+    val s = state.select(col("source_key").as("__graft_sk"),
+      col("high_water").as("__graft_hw"))
+    val bound = coalesce(col("__graft_hw"), epoch)
+    val cond = if (inclusive) col(tsCol) >= bound else col(tsCol) > bound
+    batch.join(broadcast(s), batch(keyCol) === s("__graft_sk"), "left")
+      .filter(cond)
+      .drop("__graft_sk", "__graft_hw")
+  }
 
   /** T3: advance the watermark to max(ts) per key seen in this batch.
     * Monotone by construction: merge is stage-wins and the stage carries
@@ -95,10 +105,16 @@ object Incremental {
       stateSchema)
   }
 
+  /** The returned rows are MATERIALIZED (localCheckpoint) before the state
+    * swap: returning a lazy frame would let a caller crash after the
+    * watermark already advanced, silently losing the batch on rerun — the
+    * persist-last contract (REF :267) must cover the caller's consumption,
+    * not just this method body.
+    */
   def runIncremental(spark: SparkSession, statePath: String, batch: DataFrame,
                      keyCol: String, tsCol: String): DataFrame = {
     val pinned = pinnedState(spark, statePath)
-    val fresh = newRows(batch, pinned, keyCol, tsCol)
+    val fresh = newRows(batch, pinned, keyCol, tsCol).localCheckpoint(true)
     Upsert.atomicReplace(spark, advance(pinned, batch, keyCol, tsCol), statePath)
     fresh
   }

@@ -32,7 +32,10 @@ object AsOfJoin {
         pOnly.map(col) ++
         qOnly.map(c => lit(null).cast(quotes.schema(c).dataType).as(c)) ++
         Seq(col(probeTime).as("_t"), lit(1).as("_is_probe")): _*)
-    val qSide = quotes.select(
+    // A NULL-time quote can never satisfy probe.t >= quote.t (ASOF
+    // semantics); without this filter it would sort to the frame start
+    // (nulls-first) and become a universal fallback match.
+    val qSide = quotes.filter(col(quoteTime).isNotNull).select(
       keys.map(col) ++
         pOnly.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
         qOnly.map(col) ++

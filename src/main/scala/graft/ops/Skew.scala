@@ -22,19 +22,28 @@ object Skew {
   /** Two-phase salted sum/count per key. Output: key columns + `sum_<col>`
     * (decimal-exact, surfaced double) + `n`. Equal to the direct groupBy —
     * verified by the oracle — but with no single-reducer hot key.
+    *
+    * Determinism design: a row-position salt (monotonically_increasing_id,
+    * rand) is NOT retry-safe on shuffle-derived input — a re-attempted map
+    * task can emit different salts and partial-stage retry then double-
+    * counts or drops rows (the SPARK-23207 class of bug). Instead:
+    *  1. pre-aggregate by the FULL row (map-side combine collapses the
+    *     worst case, a hot key of identical rows, before any reducer
+    *     sees it);
+    *  2. salt the now-distinct rows by content hash (deterministic, and
+    *     distinct rows spread);
+    *  3. weighted two-phase aggregation.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
-    // Row-position salt, not a content hash: the classic hot key is a pile
-    // of IDENTICAL rows, which a content hash sends to ONE salt — exactly
-    // the case salting exists to break. Any distribution yields the same
-    // aggregate, so nondeterminism across retries is harmless here.
-    val salted = df.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val weighted = df.groupBy(df.columns.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val salted = weighted.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ "_salt").map(col): _*)
-      .agg(sum(Agg.money(col(valueCol))).as("_psum"),
-        count(lit(1)).as("_pn"))
+      .agg(sum(Agg.money(col(valueCol)) * col("_cnt")).as("_psum"),
+        sum(col("_cnt")).as("_pn"))
     partial
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
@@ -42,12 +51,16 @@ object Skew {
   }
 
   /** Salted broadcast-free join for a skewed big side against a small-but-
-    * not-broadcastable right side. `right` is replicated `salts`×.
+    * not-broadcastable right side. `right` is replicated `salts`×. The big
+    * side's salt is a content hash: deterministic (retry-safe); distinct
+    * rows of a hot key spread. Byte-identical duplicate rows share a salt —
+    * pre-aggregate such duplicates (see [[saltedAgg]]) before a join if
+    * that is the skew shape.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -94,15 +94,17 @@ object Medallion {
     val candidates = Incremental.newRowsInclusive(
       deduped, pinned, "media_id", "received_at")
     val existingKeys =
-      if (new java.io.File(layout.factEvents).exists())
-        spark.read.schema(Schemas.factEvents).parquet(layout.factEvents)
-          .select("event_key")
+      if (Tables.pathExists(spark, layout.factEvents))
+        spark.read.parquet(layout.factEvents).select("event_key")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType()
           .add("event_key", org.apache.spark.sql.types.StringType))
+    // fact is dt-partitioned so downstream gold refreshes prune to the
+    // days a run actually touched.
     candidates.join(existingKeys, Seq("event_key"), "left_anti")
-      .write.mode("append").parquet(layout.factEvents)
+      .withColumn("dt", to_date(col("received_at")))
+      .write.mode("append").partitionBy("dt").parquet(layout.factEvents)
     Upsert.atomicReplace(spark,
       Incremental.advance(pinned, deduped, "media_id", "received_at"),
       layout.state)
@@ -117,7 +119,7 @@ object Medallion {
                                    quarantined: DataFrame): Unit = {
     val keyed = quarantined.withColumn("payload_hash", md5(col("raw_payload")))
     val fresh =
-      if (new java.io.File(layout.quarantine).exists()) {
+      if (Tables.pathExists(spark, layout.quarantine)) {
         val existing = spark.read.parquet(layout.quarantine)
           .select("payload_hash")
         keyed.join(existing, Seq("payload_hash"), "left_anti")
@@ -134,7 +136,7 @@ object Medallion {
     val stage = Flatten.dimMedia(
       Tables.loadJson(spark, metadataJsonPath, Schemas.wistiaMediaRaw,
         multiLine = true))
-    val targetExists = new java.io.File(layout.dimMedia).exists()
+    val targetExists = Tables.pathExists(spark, layout.dimMedia)
     val merged = if (targetExists) {
       Upsert.merge(spark.read.schema(Schemas.dimMedia).parquet(layout.dimMedia)
         .localCheckpoint(true), stage, Seq("media_id"))
@@ -147,12 +149,17 @@ object Medallion {
     * declared-but-never-built job behind media_daily_agg_stage +
     * sp_upsert_media_daily_agg (REF wistia_redshift_schemas.py:43-52,
     * wistia_stored_procedures.py:49-85). Dynamic partition overwrite
-    * rewrites only the days present in the refresh.
+    * rewrites only the days present in the refresh: pass `onlyDays` (the
+    * dt values a silver run touched) and both the fact SCAN (dt partition
+    * pruning) and the gold WRITE stay O(delta); None rebuilds everything.
     */
-  def refreshDailyAgg(spark: SparkSession, layout: Layout): DataFrame = {
-    val fact = spark.read.schema(Schemas.factEvents).parquet(layout.factEvents)
+  def refreshDailyAgg(spark: SparkSession, layout: Layout,
+                      onlyDays: Option[Seq[java.sql.Date]] = None): DataFrame = {
+    val allFact = spark.read.parquet(layout.factEvents)
+    val fact = onlyDays.fold(allFact)(days =>
+      allFact.filter(col("dt").isin(days.map(d => lit(d)): _*)))
     val daily = fact
-      .groupBy(col("media_id"), to_date(col("received_at")).as("dt"))
+      .groupBy(col("media_id"), col("dt"))
       .agg(
         count(lit(1)).as("load_count"),
         count(when(col("percent_viewed") > 0.0, 1)).as("play_count"),

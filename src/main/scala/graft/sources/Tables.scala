@@ -97,6 +97,16 @@ object Tables {
       .select(Schemas.events.fieldNames.map(col): _*)
   }
 
+  /** Filesystem-aware existence check: correctness-bearing "does this
+    * table exist yet" tests must go through the Hadoop FileSystem of the
+    * path's scheme — `java.io.File` silently answers false for every
+    * hdfs:///s3a:// path, which would disable idempotence anti-joins.
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Register each testdata table as a temp view so spark.sql(...) parity
     * queries can run against the same names the DuckDB oracle uses.
     */

@@ -56,6 +56,13 @@ object MedallionStream {
     * pages must not vanish into the offset log — this query routes them to
     * the quarantine table under its OWN checkpoint, so both streams resume
     * independently.
+    *
+    * Deliberate trade-off: two queries re-read the bronze delta twice per
+    * trigger. The single-pass alternative (one query + foreachBatch
+    * splitting good/quarantine) cannot keep `dropDuplicatesWithinWatermark`
+    * state, which lives in the streaming plan — we pay the second
+    * sequential read of the trigger's delta files to keep exactly-once
+    * dedup state and independent restartability.
     */
   def quarantineQuery(spark: SparkSession, bronzeDir: String,
                       quarantineDir: String,

@@ -84,33 +84,54 @@ object Similarity {
     * `planeOffset` selects an independent hyperplane family (used by the
     * multi-table variant).
     */
-  def lshCandidatePairs(corpus: DataFrame, bits: Int = 8,
-                        planeOffset: Int = 0): DataFrame = {
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket("embedding", bits, planeOffset = planeOffset).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("bucket"), col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+  /** Candidate vec-id pairs sharing a bucket in ONE hash table (ids only —
+    * verification is a separate, join-once step).
+    */
+  private def lshCandidateIds(corpus: DataFrame, bits: Int,
+                              planeOffset: Int, dims: Int): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"),
+      lshBucket("embedding", bits, dims, planeOffset).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
   }
+
+  /** Join candidate id-pairs back to embeddings ONCE and compute cosine. */
+  private def verifyPairs(corpus: DataFrame, idPairs: DataFrame): DataFrame = {
+    val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    idPairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .drop("emb_a", "emb_b")
+  }
+
+  /** LSH-bucketed candidate pairs with verified exact cosine. The join key
+    * is the bucket id; no cross-bucket pairs are ever materialized.
+    * `dims` MUST match the embedding length: shorter arrays make every
+    * projection NULL→bit 0 and the whole corpus collapses into bucket 0 —
+    * i.e. a silent O(n²) cross join, the exact blowup LSH exists to avoid.
+    */
+  def lshCandidatePairs(corpus: DataFrame, bits: Int = 8,
+                        planeOffset: Int = 0, dims: Int = 64): DataFrame =
+    verifyPairs(corpus,
+      lshCandidateIds(corpus, bits, planeOffset, dims)
+        .select(col("bucket"), col("vec_a"), col("vec_b")))
+      .select(col("bucket"), col("vec_a"), col("vec_b"), col("cosine"))
 
   /** Multi-table LSH (OR of `tables` independent hash tables): a pair is a
     * candidate if ANY table buckets it together. Standard recall lever —
-    * single-table recall p becomes 1-(1-p)^T — at T× the bucketing cost and
-    * union-distinct of the candidate sets. Verified cosine on the distinct
-    * pairs only.
+    * single-table recall p becomes 1-(1-p)^T — at T× the bucketing cost.
+    * Candidates are unioned and DEDUPED AS ID PAIRS first; the cosine is
+    * computed once per distinct pair (not once per table collision).
     */
   def lshCandidatePairsMulti(corpus: DataFrame, bits: Int = 8,
-                             tables: Int = 4): DataFrame = {
-    val pairSets = (0 until tables).map { t =>
-      lshCandidatePairs(corpus, bits, planeOffset = t * bits)
-        .select(col("vec_a"), col("vec_b"), col("cosine"))
-    }
-    pairSets.reduce(_.unionByName(_)).distinct()
+                             tables: Int = 4, dims: Int = 64): DataFrame = {
+    val idPairs = (0 until tables).map { t =>
+      lshCandidateIds(corpus, bits, planeOffset = t * bits, dims = dims)
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    verifyPairs(corpus, idPairs)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   /** Embedding-cosine near-duplicates within a blocking key (here: label).

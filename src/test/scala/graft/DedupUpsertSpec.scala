@@ -31,6 +31,18 @@ class DedupUpsertSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("firstWinsViaMin equals the window form for all-ascending orders") {
+    val df = Seq(
+      ("k1", 2, "b"), ("k1", 1, "a"), ("k1", 1, "z"), ("k2", 5, "x"))
+      .toDF("k", "n", "s")
+    val win = Dedup.firstWins(df, Seq("k"), Seq(col("n").asc, col("s").asc))
+      .as[(String, Int, String)].collect().toSet
+    val agg = Dedup.firstWinsViaMin(df, Seq("k"), Seq("n", "s"))
+      .as[(String, Int, String)].collect().toSet
+    assert(agg == win)
+    assert(agg == Set(("k1", 1, "a"), ("k2", 5, "x")))
+  }
+
   test("arbitrary dedup keeps one row per key (A1 parity)") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     assert(Dedup.arbitrary(df, Seq("k")).count() == 2)

@@ -34,14 +34,21 @@ class SkewSpec extends SparkSpec {
     assert(salted.size == 1000)
   }
 
-  test("saltedAgg spreads a hot key of IDENTICAL rows over multiple salts") {
-    // the worst case for a content-hash salt: byte-identical duplicate rows
+  test("saltedAgg neutralizes a hot key of IDENTICAL rows via full-row pre-agg") {
+    // the worst case: byte-identical duplicate rows (a content-hash salt
+    // alone would send them all to one reducer) — the full-row pre-agg
+    // collapses them map-side into one weighted row before salting
     val hot = Seq.fill(500)(("HOT", 1.0)).toDF("k", "v").repartition(4)
     val agg = Skew.saltedAgg(hot, Seq("k"), "v", 8)
     assert(agg.as[(String, Double, Long)].head() == (("HOT", 500.0, 500L)))
-    val nSalts = hot.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(8L)))
+
+    // distinct rows of a hot key spread across salts deterministically
+    val varied = Seq.tabulate(500)(i => ("HOT", i.toDouble)).toDF("k", "v")
+    assert(Skew.saltedAgg(varied, Seq("k"), "v", 8)
+      .as[(String, Double, Long)].head() == (("HOT", 124750.0, 500L)))
+    val nSalts = varied.withColumn("_salt",
+      pmod(xxhash64(varied.columns.map(col): _*), lit(8)))
       .select(countDistinct("_salt")).as[Long].head()
-    assert(nSalts > 1, "identical hot-key rows must spread over multiple partial groups")
+    assert(nSalts > 1, "distinct hot-key rows must spread over multiple salts")
   }
 }
