@@ -428,6 +428,23 @@ object SparkEntry {
     "q60_knn_lsh_multi" -> ((s, dir) =>
       Similarity.lshCandidatePairsMulti(t(s, dir, "embeddings"),
         bits = 8, tables = 4)),
+    // Exact median via an explicit deterministic formula: built-in
+    // percentile/quantile interpolation differs between engines at the
+    // last ulp; ranking + decimal middle-average is bit-exact in both.
+    "q61_median_exact" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(medianSql)
+    }),
+    // Per-key mode (argmax by frequency with deterministic tie-break).
+    "q62_mode_per_user" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      TopK.perGroup(counts, Seq("user_id"),
+        Seq(col("n").desc, col("event_type").asc), 1)
+        .select(col("user_id"), col("event_type").as("top_event_type"),
+          col("n").as("n_occurrences"))
+    }),
     // TPC-H Q10 shape: returned-item revenue per customer.
     "q59_returned_items" -> ((s, dir) =>
       t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -442,6 +459,26 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20))
   )
+
+  /** Exact median, one SQL text for both engines (q61). `/` is FLOAT
+    * division in both dialects, so the two middle ranks come from explicit
+    * floor() — `(n+1)/2` alone would silently select only the upper-middle
+    * row for even-sized groups. The middle average runs in decimal
+    * (sum of two DECIMAL(12,2) halved exactly at scale 6).
+    */
+  private val medianSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS median_price
+      |FROM ranked
+      |WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |   OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+      |GROUP BY o_orderstatus""".stripMargin
 
   /** One SQL text, two engines (q49): must stay inside the ANSI subset both
     * Spark and DuckDB parse identically.
@@ -945,6 +982,15 @@ object SparkEntry {
         |SELECT o_orderstatus, n,
         |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS variance
         |FROM m""".stripMargin,
+    "q61_median_exact" -> medianSql,
+    "q62_mode_per_user" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type AS top_event_type, n AS n_occurrences
+        |FROM counts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY n DESC, event_type) = 1""".stripMargin,
     "q57_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
