@@ -28,8 +28,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Session-wide, set ONCE here (never inside a read path): the events
+      // table is TIMESTAMP(NANOS) on disk, which the vectorized reader only
+      // accepts as a raw long. Tables.load converts lossless downstream.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate may return a pre-existing session whose builder configs
+    // were ignored — enforce the runtime-settable ones on it directly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     GraftFunctions.registerAll(spark)
     spark
   }

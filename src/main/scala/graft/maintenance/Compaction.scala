@@ -43,15 +43,20 @@ object Compaction {
   }
 
   /** File count for a table or partition dir (the signal a maintenance
-    * scheduler watches).
+    * scheduler watches). Goes through the path's Hadoop FileSystem so the
+    * same scheduler logic works on file://, hdfs:// and s3a://.
     */
-  def fileCount(path: String): Int = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) 0
+  def fileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
     else {
-      val s = java.nio.file.Files.walk(p)
-      try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
-      finally s.close()
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -41,27 +41,47 @@ object Upsert {
       .partitionBy(partitionCols: _*)
       .parquet(tablePath)
 
-  /** U1 at rest for unpartitioned dim tables: write-temp-then-swap.
-    * Readers never observe a HALF-WRITTEN table, but on a plain filesystem
-    * there is an unavoidable instant between the two renames where the
-    * canonical path is absent — a true transaction needs a table format
-    * (MERGE INTO) or a catalog pointer swap. A crash in that instant leaves
-    * the previous content at `<path>.old`, which the next call (or
-    * [[recoverIfNeeded]]) restores instead of deleting.
+  /** Resolve the Hadoop FileSystem of a path's scheme — file://, hdfs://,
+    * s3a://, … all go through the same API; `java.io`/`java.nio` would
+    * silently see nothing on anything but the local disk.
+    */
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+
+  /** U1 at rest for unpartitioned dim tables: write-temp-then-swap, through
+    * the path's Hadoop FileSystem so the same code runs on file://, hdfs://
+    * and s3a://. Readers never observe a HALF-WRITTEN table, but there is an
+    * unavoidable instant between the two renames where the canonical path is
+    * absent — a true transaction needs a table format (MERGE INTO) or a
+    * catalog pointer swap. A crash in that instant leaves the previous
+    * content at `<path>.old`, which the next call (or [[recoverIfNeeded]])
+    * restores instead of deleting.
+    *
+    * Scheme caveat: HDFS rename is an atomic namenode op; S3A rename is a
+    * copy+delete (O(data), not atomic) — on object stores prefer the
+    * partitioned form ([[overwritePartitions]]) or a manifest-pointer
+    * layout; this swap remains CORRECT there (crash ⇒ recoverable `.old`),
+    * just not instantaneous.
     */
   def atomicReplace(spark: SparkSession, merged: DataFrame, tablePath: String): Unit = {
-    recoverIfNeeded(tablePath)
+    recoverIfNeeded(spark, tablePath)
     val tmp = tablePath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(tablePath)
-    if (Files.exists(target)) {
-      val trash = Paths.get(tablePath + ".old")
-      deleteRecursive(trash)
-      Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursive(trash)
+    val (fs, target) = fsOf(spark, tablePath)
+    if (fs.exists(target)) {
+      val trash = new Path(tablePath + ".old")
+      fs.delete(trash, true)
+      renameOrThrow(fs, target, trash)
+      renameOrThrow(fs, new Path(tmp), target)
+      fs.delete(trash, true)
     } else {
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      renameOrThrow(fs, new Path(tmp), target)
     }
   }
 
@@ -69,27 +89,23 @@ object Upsert {
     * canonical path is missing and `.old` holds the only copy — restore it
     * rather than letting the next swap's cleanup destroy it.
     */
-  def recoverIfNeeded(tablePath: String): Unit = {
-    val target = Paths.get(tablePath)
-    val trash = Paths.get(tablePath + ".old")
-    if (!Files.exists(target) && Files.exists(trash)) {
-      Files.move(trash, target, StandardCopyOption.ATOMIC_MOVE)
+  def recoverIfNeeded(spark: SparkSession, tablePath: String): Unit = {
+    val (fs, target) = fsOf(spark, tablePath)
+    val trash = new Path(tablePath + ".old")
+    if (!fs.exists(target) && fs.exists(trash)) {
+      renameOrThrow(fs, trash, target)
     }
   }
-
-  private def deleteRecursive(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 
   /** U4: idempotent table bootstrap — create empty parquet table with the
     * given schema if absent (CREATE TABLE IF NOT EXISTS analog).
     */
   def createIfNotExists(spark: SparkSession, tablePath: String,
-                        schema: org.apache.spark.sql.types.StructType): Unit =
-    if (!Files.exists(Paths.get(tablePath))) {
+                        schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, target) = fsOf(spark, tablePath)
+    if (!fs.exists(target)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.parquet(tablePath)
     }
+  }
 }

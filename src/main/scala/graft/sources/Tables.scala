@@ -40,7 +40,6 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = StructType(Schemas.events.fields.map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
         case f => f
@@ -84,7 +83,6 @@ object Tables {
     */
   def loadEventsAfter(spark: SparkSession, sfDir: String,
                       after: java.time.Instant): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = StructType(Schemas.events.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f

@@ -20,7 +20,6 @@ object EventsStream {
     */
   def readEvents(spark: SparkSession, dir: String,
                  globFilter: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = StructType(Schemas.events.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f

@@ -98,6 +98,54 @@ class DedupUpsertSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table + ".old")))
   }
 
+  test("atomicReplace runs through the Hadoop FileSystem of the path's scheme") {
+    // Explicit file:// URI — java.nio would reject it as a path; the swap
+    // must resolve the scheme's FileSystem and rename through it.
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-fs-swap").toString
+    val table = s"$dir/dim"
+    Seq((1, "a")).toDF("k", "v").write.parquet(table)
+    Upsert.atomicReplace(spark, Seq((1, "A"), (2, "b")).toDF("k", "v"), table)
+    assert(spark.read.parquet(table).as[(Int, String)].collect().toSet ==
+      Set((1, "A"), (2, "b")))
+    val p = new org.apache.hadoop.fs.Path(table + ".old")
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
+
+  test("recoverIfNeeded restores a table stranded at .old by a mid-swap crash") {
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-fs-recover").toString
+    val table = s"$dir/dim"
+    Seq((7, "x")).toDF("k", "v").write.parquet(table)
+    // Simulate the crash window: canonical renamed away, replacement never
+    // landed.
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(table + ".old")))
+    Upsert.recoverIfNeeded(spark, table)
+    assert(spark.read.parquet(table).as[(Int, String)].collect().toSet ==
+      Set((7, "x")))
+    // And the next atomicReplace must also self-recover from that state.
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(table + ".old")))
+    Upsert.atomicReplace(spark, Seq((8, "y")).toDF("k", "v"), table)
+    assert(spark.read.parquet(table).as[(Int, String)].collect().toSet ==
+      Set((8, "y")))
+  }
+
+  test("createIfNotExists bootstraps once and is idempotent (U4)") {
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-fs-create").toString
+    val table = s"$dir/state"
+    val schema = graft.incr.Incremental.stateSchema
+    Upsert.createIfNotExists(spark, table, schema)
+    assert(spark.read.schema(schema).parquet(table).count() == 0)
+    // Second call must not fail or truncate existing content.
+    Seq(("s1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("source_key", "high_water").write.mode("append").parquet(table)
+    Upsert.createIfNotExists(spark, table, schema)
+    assert(spark.read.schema(schema).parquet(table).count() == 1)
+  }
+
   test("overwritePartitions rewrites only touched partitions (U1b at rest)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
     val table = s"$dir/daily"

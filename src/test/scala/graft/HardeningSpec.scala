@@ -41,11 +41,11 @@ class HardeningSpec extends SparkSpec {
       (i * 10 until (i + 1) * 10).map(x => (x.toLong, s"r$x")).toDF("k", "v")
         .repartition(4).write.mode("append").parquet(table)
     }
-    val before = Compaction.fileCount(table)
+    val before = Compaction.fileCount(spark, table)
     val content = spark.read.parquet(table).as[(Long, String)].collect().toSet
     Compaction.compactTable(spark, table, numFiles = 2)
-    assert(Compaction.fileCount(table) <= 2)
-    assert(Compaction.fileCount(table) < before)
+    assert(Compaction.fileCount(spark, table) <= 2)
+    assert(Compaction.fileCount(spark, table) < before)
     assert(spark.read.parquet(table).as[(Long, String)].collect().toSet == content)
   }
 
@@ -56,10 +56,10 @@ class HardeningSpec extends SparkSpec {
       Seq((i.toLong, s"d${i % 2}")).toDF("k", "dt")
         .repartition(3).write.mode("append").partitionBy("dt").parquet(table)
     }
-    val d1Before = Compaction.fileCount(s"$table/dt=d1")
+    val d1Before = Compaction.fileCount(spark, s"$table/dt=d1")
     Compaction.compactPartitions(spark, table, "dt", Seq("d0"), numFiles = 1)
-    assert(Compaction.fileCount(s"$table/dt=d0") == 1)
-    assert(Compaction.fileCount(s"$table/dt=d1") == d1Before,
+    assert(Compaction.fileCount(spark, s"$table/dt=d0") == 1)
+    assert(Compaction.fileCount(spark, s"$table/dt=d1") == d1Before,
       "untouched partition must not be rewritten")
     assert(spark.read.parquet(table).count() == 6)
   }
