@@ -93,10 +93,28 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
 
+  /** Evaluate a foldable int argument of a SQL function call (e.g. the
+    * `bits` literal in `lsh_bucket(emb, 8, 64, 0)`).
+    */
+  private[functions] def litInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"lsh_bucket: $name must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private[functions] def lshBucketFromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.size >= 3 && exprs.size <= 4,
+      "lsh_bucket(embedding, bits, dims[, planeOffset])")
+    LshBucket(exprs(0), litInt(exprs(1), "bits"), litInt(exprs(2), "dims"),
+      if (exprs.size > 3) litInt(exprs(3), "planeOffset") else 0)
+  }
+
   /** Register custom functions on an EXISTING session (tests, notebooks). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", lshBucketFromSql, "built-in")
+  }
 }

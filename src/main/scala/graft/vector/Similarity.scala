@@ -63,9 +63,25 @@ object Similarity {
     * engine regardless of float summation order. The hyperplane entry for
     * (plane i, dim d) is the deterministic pseudo-sign of
     * `((i*31 + d) * 1103515245 + 12345) mod 97 < 48`.
+    *
+    * Production path: the codegen'd [[graft.functions.LshBucket]]
+    * expression — one fused JVM loop per row instead of ~bits×dims
+    * interpreted lambda steps (the round-1 bench's slowest data path), with
+    * a loud error when `dims` doesn't match the embedding length (the HOF
+    * form silently collapsed everything into bucket 0). Bit-identical
+    * buckets to [[lshBucketHof]] and the DuckDB oracle.
     */
   def lshBucket(embCol: String, bits: Int = 8, dims: Int = 64,
-                planeOffset: Int = 0): Column = {
+                planeOffset: Int = 0): Column =
+    graft.functions.LshBucketMath.lshBucketCol(col(embCol), bits, dims, planeOffset)
+
+  /** The compose-built-ins HOF form of [[lshBucket]] — kept as the
+    * cross-checkable baseline (InvarianceSpec asserts bucket equality).
+    * ~bits×dims interpreted lambda evaluations per row; do not use in hot
+    * paths.
+    */
+  def lshBucketHof(embCol: String, bits: Int = 8, dims: Int = 64,
+                   planeOffset: Int = 0): Column = {
     val dotI =
       s"""aggregate(sequence(1, $dims), CAST(0 AS BIGINT), (acc, d) ->
          |  acc + CAST(floor(CAST(element_at($embCol, d) AS DOUBLE) * 1000) AS BIGINT)
@@ -107,9 +123,9 @@ object Similarity {
 
   /** LSH-bucketed candidate pairs with verified exact cosine. The join key
     * is the bucket id; no cross-bucket pairs are ever materialized.
-    * `dims` MUST match the embedding length: shorter arrays make every
-    * projection NULL→bit 0 and the whole corpus collapses into bucket 0 —
-    * i.e. a silent O(n²) cross join, the exact blowup LSH exists to avoid.
+    * `dims` must match the embedding length — enforced at runtime by
+    * [[graft.functions.LshBucket]], which throws on mismatch instead of
+    * silently collapsing the corpus into bucket 0 (an O(n²) cross join).
     */
   def lshCandidatePairs(corpus: DataFrame, bits: Int = 8,
                         planeOffset: Int = 0, dims: Int = 64): DataFrame =

@@ -45,6 +45,43 @@ class FunctionsSpec extends SparkSpec {
     q.collect() // force actual codegen compilation, not just planning
   }
 
+  test("LshBucket expression is bit-identical to the HOF form (all tables)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // cover the multi-table offsets too — same planes the q60 oracle uses
+    for (off <- Seq(0, 8, 16, 24)) {
+      val diff = emb.select(
+        Similarity.lshBucket("embedding", bits = 8, dims = 64, planeOffset = off).as("fast"),
+        Similarity.lshBucketHof("embedding", bits = 8, dims = 64, planeOffset = off).as("hof"))
+        .filter(col("fast") =!= col("hof"))
+      assert(diff.count() == 0, s"planeOffset=$off: codegen bucket != HOF bucket")
+    }
+  }
+
+  test("LshBucket fails loudly on a dims mismatch (no silent bucket-0 collapse)") {
+    val bad = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(Similarity.lshBucket("embedding", bits = 8, dims = 64).as("b"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .take(8).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("lsh_bucket")),
+      s"expected the lsh_bucket dims guard, got: ${chain(e)}")
+  }
+
+  test("lsh_bucket is callable from SQL and stays in whole-stage codegen") {
+    GraftFunctions.registerAll(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_lsh_test")
+    val q = spark.sql(
+      "SELECT lsh_bucket(embedding, 8, 64) AS b FROM emb_lsh_test")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [lsh_bucket"), plan.take(500))
+    val range = q.agg(min(col("b")), max(col("b"))).as[(Long, Long)].head()
+    assert(range._1 >= 0L && range._2 <= 255L)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
