@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd cosine similarity over two float-array columns (SURVEY.md §4.3:
   * "promote to a codegen'd Expression only if the HOF form benchmarks
@@ -19,10 +20,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; enforced by usage (AbstractDataType —
-  // the ExpectsInputTypes contract — is private[sql] in Spark 4).
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+
+  // Analysis-time type guard (same contract as LshBucket): getFloat reads
+  // 4-byte slots, so any other element width silently yields garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity: both inputs must be array<float>, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -98,7 +108,14 @@ object GraftFunctions {
     */
   private[functions] def litInt(e: Expression, name: String): Int = {
     require(e.foldable, s"lsh_bucket: $name must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      // NULL is foldable, so `lsh_bucket(emb, NULL, 64)` reaches here — it
+      // must get the descriptive error, not a bare NullPointerException.
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"lsh_bucket: $name must be a non-null literal integer, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
   }
 
   private[functions] def lshBucketFromSql(exprs: Seq[Expression]): Expression = {

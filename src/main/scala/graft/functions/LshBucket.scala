@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Integer-quantized random-hyperplane LSH bucket id over a float-array
   * column, as a codegen'd Catalyst expression.
@@ -34,6 +35,18 @@ case class LshBucket(child: Expression, bits: Int, dims: Int, planeOffset: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
 
+  // Analysis-time type guard: the quantize loop reads 4-byte float slots
+  // out of UnsafeArrayData — an array<double>/array<int> child would
+  // "work" and produce garbage bucket ids. Same fail-loudly contract as
+  // the dims check, but caught before any row is evaluated.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket: embedding must be array<float>, got ${other.simpleString} — " +
+        "reading another element width at float offsets would silently " +
+        "produce wrong bucket ids")
+  }
+
   override protected def nullSafeEval(input: Any): Any =
     LshBucketMath.compute(input.asInstanceOf[ArrayData], bits, dims, planeOffset)
 
@@ -62,6 +75,14 @@ object LshBucketMath {
     val q = new Array[Long](dims)
     var d = 0
     while (d < dims) {
+      if (arr.isNullAt(d)) {
+        // getFloat on a null slot reads 0.0f — a null-containing embedding
+        // would get a plausible bucket while the HOF baseline yields NULL.
+        throw new IllegalArgumentException(
+          s"lsh_bucket: embedding element $d is NULL — the contract requires " +
+            s"exactly $dims non-null elements; a zero-filled read would " +
+            "silently mis-bucket the vector.")
+      }
       q(d) = math.floor(arr.getFloat(d).toDouble * 1000.0).toLong
       d += 1
     }

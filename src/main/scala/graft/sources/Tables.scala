@@ -37,9 +37,25 @@ object Tables {
     * and convert with integral division — `ts div 1000` — so no precision is
     * lost (a double division would corrupt epoch-nanos > 2^53).
     */
+  /** The events table needs `spark.sql.legacy.parquet.nanosAsLong=true` SET
+    * AT SESSION BUILD TIME (it is read by the parquet converter before any
+    * per-query conf is consulted). GraftSession/Bench/Verify all set it; an
+    * externally-built session that didn't gets this actionable error
+    * instead of Spark's "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))".
+    */
+  private def requireNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "reading the events table requires " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+        "builder (see graft.GraftSession) — the on-disk ts column is " +
+        "TIMESTAMP(NANOS), which Spark only exposes as raw INT64 nanos")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
+      requireNanosConf(spark)
       val rawSchema = StructType(Schemas.events.fields.map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
         case f => f
@@ -83,6 +99,7 @@ object Tables {
     */
   def loadEventsAfter(spark: SparkSession, sfDir: String,
                       after: java.time.Instant): DataFrame = {
+    requireNanosConf(spark)
     val rawSchema = StructType(Schemas.events.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f

@@ -16,10 +16,19 @@ import graft.schema.Schemas
 object EventsStream {
 
   /** Streaming read of an events-shaped parquet directory. Same nanos→micros
-    * conversion as the batch loader (Tables.load).
+    * conversion as the batch loader (Tables.load) — and the same session
+    * requirement: `spark.sql.legacy.parquet.nanosAsLong=true` must be set
+    * at session build time (see graft.GraftSession); asserted here so
+    * external callers get an actionable error.
     */
   def readEvents(spark: SparkSession, dir: String,
                  globFilter: String = "events.parquet"): DataFrame = {
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "EventsStream.readEvents requires " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+        "builder (see graft.GraftSession)")
     val rawSchema = StructType(Schemas.events.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f

@@ -70,6 +70,54 @@ class FunctionsSpec extends SparkSpec {
       s"expected the lsh_bucket dims guard, got: ${chain(e)}")
   }
 
+  test("LshBucket rejects a non-float array child at analysis time") {
+    val dbl = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      dbl.select(Similarity.lshBucket("embedding", bits = 8, dims = 2).as("b"))
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("array<float>"),
+      s"expected the array<float> type guard, got: ${e.getMessage}")
+  }
+
+  test("LshBucket throws on a NULL embedding element (no zero-fill bucket)") {
+    val withNull = Seq((1L, Seq[java.lang.Float](1f, null, 3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      withNull.select(Similarity.lshBucket("embedding", bits = 8, dims = 3).as("b"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .take(8).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("NULL")),
+      s"expected the null-element guard, got: ${chain(e)}")
+  }
+
+  test("cosine_similarity rejects non-float arrays at analysis time") {
+    val dbl = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      dbl.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("array<float>"),
+      s"expected the array<float> type guard, got: ${e.getMessage}")
+  }
+
+  test("lsh_bucket SQL misuse gets descriptive errors, not NPEs") {
+    GraftFunctions.registerAll(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_err_test")
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(embedding, NULL, 64) FROM emb_err_test")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .take(8).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("non-null literal integer")),
+      s"expected the litInt guard message, got: ${chain(e)}")
+  }
+
   test("lsh_bucket is callable from SQL and stays in whole-stage codegen") {
     GraftFunctions.registerAll(spark)
     Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
