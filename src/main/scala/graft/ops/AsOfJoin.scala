@@ -60,4 +60,87 @@ object AsOfJoin {
       .select(keys.map(col) ++ pOnly.map(col) ++
         qOnly.map(c => col(s"_quote.$c").as(c)): _*)
   }
+
+  /** Scale variant of [[asOf]]: partitions by (key, time-bucket) instead of
+    * key alone. The plain form concentrates each key's ENTIRE probe+quote
+    * history into one window partition — with low key cardinality (a handful
+    * of event types) that is one single-reducer sort per key at 100 TB. Here
+    * the time axis is split into `bucketSeconds`-wide buckets, so partition
+    * count scales with keys × buckets and each partition sorts only its own
+    * slice.
+    *
+    * Correctness across bucket boundaries: a probe early in bucket b may
+    * need the last quote from an earlier bucket. That boundary quote is
+    * carried over explicitly — per (key, bucket) take the bucket's last
+    * quote (max_by over quoteTime), then a running `last` over the TINY
+    * per-bucket summary (one row per key×bucket, ordered by bucket, frame
+    * ending at -1) yields the carried-in quote, which is injected into the
+    * bucket's partition as an ordinary quote row (its own time is strictly
+    * before the bucket start, so it sorts first). Result is row-identical to
+    * [[asOf]]; same caller contract.
+    */
+  def asOfBucketed(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                   probeTime: String, quoteTime: String,
+                   bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val pOnly = probes.columns.filterNot(keys.contains)
+    val qOnly = quotes.columns.filterNot(keys.contains)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c.cast("timestamp")) / bucketSeconds)
+
+    val q0 = quotes.filter(col(quoteTime).isNotNull)
+    val keyCols = keys.map(col)
+
+    // Last quote per (key, bucket) — one struct row per populated bucket.
+    val lastPerBucket = q0
+      .withColumn("_bucket", bucketOf(col(quoteTime)))
+      .groupBy(keyCols :+ col("_bucket"): _*)
+      .agg(max_by(struct(qOnly.map(col): _*), col(quoteTime)).as("_last_q"))
+
+    // Every (key, bucket) either side touches; the carried-in quote for each
+    // is the running last over strictly-earlier buckets. This window runs on
+    // the per-bucket SUMMARY (|keys| × |buckets| rows), not the data.
+    val allBuckets = probes
+      .select(keyCols :+ bucketOf(col(probeTime)).as("_bucket"): _*)
+      .union(q0.select(keyCols :+ bucketOf(col(quoteTime)).as("_bucket"): _*))
+      .distinct()
+    val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = allBuckets
+      .join(lastPerBucket, keys :+ "_bucket", "left")
+      .withColumn("_carried", last(col("_last_q"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carried").isNotNull)
+
+    val pSide = probes.select(
+      keyCols ++ pOnly.map(col) ++
+        qOnly.map(c => lit(null).cast(quotes.schema(c).dataType).as(c)) ++
+        Seq(col(probeTime).as("_t"), bucketOf(col(probeTime)).as("_bucket"),
+          lit(1).as("_is_probe")): _*)
+    val qSideIn = q0.select(
+      keyCols ++ pOnly.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        qOnly.map(col) ++
+        Seq(col(quoteTime).as("_t"), bucketOf(col(quoteTime)).as("_bucket"),
+          lit(0).as("_is_probe")): _*)
+    // The carried quote keeps its ORIGINAL time (a field of the struct) —
+    // strictly before this bucket's start, so it sorts before every
+    // in-bucket row of either side.
+    val qSideCarried = carried.select(
+      keyCols ++ pOnly.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        qOnly.map(c => col(s"_carried.$c").as(c)) ++
+        Seq(col(s"_carried.$quoteTime").cast(
+            quotes.schema(quoteTime).dataType).as("_t"),
+          col("_bucket"), lit(0).as("_is_probe")): _*)
+
+    val w = Window.partitionBy(keyCols :+ col("_bucket"): _*)
+      .orderBy(col("_t").asc, col("_is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    pSide.unionByName(qSideIn).unionByName(qSideCarried)
+      .withColumn("_quote",
+        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+      .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
+      .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
+      .select(keyCols ++ pOnly.map(col) ++
+        qOnly.map(c => col(s"_quote.$c").as(c)): _*)
+  }
 }

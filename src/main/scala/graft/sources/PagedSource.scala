@@ -23,6 +23,53 @@ object PagedSource {
     def fetch(page: Long): Page
   }
 
+  /** A fetch that failed with an HTTP status (the connector surfaces the
+    * code; the engine owns the retry decision).
+    */
+  final case class HttpStatusFailure(status: Int)
+    extends RuntimeException(s"HTTP $status")
+
+  /** A fetch that failed before any HTTP status existed (DNS, connect,
+    * read timeout — the reference's URLError branch).
+    */
+  final class TransportFailure(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** S4: retry/backoff decorator over any [[PagedApi]] (REF
+    * glue_jobs/bronze/wistia_pull_wistia_api.py:83-97). Truth table matches
+    * the reference exactly:
+    *   - [[HttpStatusFailure]] with a retryable status (500/502/503/504 by
+    *     default): sleep the next backoff step and retry, while steps remain.
+    *   - [[HttpStatusFailure]] with any other status (4xx etc.): rethrow
+    *     immediately — client errors don't heal with time.
+    *   - [[TransportFailure]]: always retry while steps remain.
+    *   - Anything else: rethrow immediately.
+    * After the schedule is exhausted the NEXT failure propagates (the
+    * reference's `list(retries)+[None]` sentinel). `sleep` is injected so
+    * tests run on a virtual clock.
+    */
+  def retrying(api: PagedApi,
+               backoffMillis: Seq[Long] = Seq(1000L, 2000L, 4000L),
+               retryableStatus: Set[Int] = Set(500, 502, 503, 504),
+               sleep: Long => Unit = Thread.sleep): PagedApi =
+    new PagedApi {
+      def fetch(page: Long): Page = {
+        var attempt = 0
+        while (true) {
+          val remaining = attempt < backoffMillis.size
+          try return api.fetch(page)
+          catch {
+            case e: HttpStatusFailure
+                if retryableStatus(e.status) && remaining =>
+              sleep(backoffMillis(attempt)); attempt += 1
+            case _: TransportFailure if remaining =>
+              sleep(backoffMillis(attempt)); attempt += 1
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+    }
+
   /** Resumable checkpoint (REF :157-159,237-247): next page to fetch plus
     * the max event-time seen so far.
     */
