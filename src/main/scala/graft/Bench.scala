@@ -62,7 +62,13 @@ object Bench {
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Methodology marker: per-query numbers are min-of-2 timed passes (the
+    // second pass runs page-cache-warm), so they are NOT comparable to a
+    // single cold pass. pass_totals carries both raw pass sums so any
+    // cross-round comparison can see exactly what was measured.
+    val passTotal1 = p1.filter(_._3).map(_._2).sum
+    val passTotal2 = p2.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min_of_passes","passes":2,"pass_totals":[$passTotal1,$passTotal2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

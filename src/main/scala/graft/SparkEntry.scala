@@ -190,6 +190,39 @@ object SparkEntry {
         .filter(dayofweek(col("qdt")) === 2) // Monday
       AsOfJoin.asOf(probes, quotes, Seq("event_type"), "dt", "qdt")
     }),
+    // J6 scale variant: same query as q23 through asOfBucketed — partitions
+    // by (key, week-bucket) instead of key alone, so the plan survives low
+    // key cardinality at 100 TB (q23's event_type has a handful of values;
+    // the plain form sorts each key's entire history in ONE reducer). Same
+    // DuckDB ASOF oracle as q23; hash-identical output is the contract.
+    "q63_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("dt"))
+      val quotes = ev.groupBy(col("event_type"), to_date(col("ts")).as("qdt"))
+        .agg(count(lit(1)).as("q_loads"))
+        .filter(dayofweek(col("qdt")) === 2) // Monday
+      AsOfJoin.asOfBucketed(probes, quotes, Seq("event_type"), "dt", "qdt",
+        bucketSeconds = 7L * 86400)
+    }),
+    // J4 over a mid-size dim (TPC-H Q14 shape): part ⋈ lineitem promo
+    // revenue share per ship month. At bench SF the part side broadcasts;
+    // at 100 TB the same plan is a shuffle hash/sort-merge join on
+    // l_partkey — the one join shape no other query exercised.
+    "q53_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val disc = Agg.money(col("l_extendedprice")) *
+        (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
+          - Agg.rate(col("l_discount")))
+      li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc)).cast("double") * 100.0 /
+            sum(disc).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
     // J6: range join — lineitems shipped within 90 days of their order date.
     "q24_range_join" -> ((s, dir) =>
       Joins.rangeJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
@@ -238,6 +271,11 @@ object SparkEntry {
     // A8 near-dup: shingle → MinHash → LSH bands → exact-Jaccard verify.
     "q30_near_dup_minhash" -> ((s, dir) =>
       TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)),
+    // A8 production path: identical pipeline with xxhash64 signatures
+    // (Spark's seeded xxhash64 has no DuckDB analog — rows-only, like q31;
+    // q30 stays as the oracle-checked md5 twin).
+    "q64_near_dup_fast" -> ((s, dir) =>
+      TextDedup.nearDupPairsFast(t(s, dir, "documents"), threshold = 0.5)),
     // A8 SimHash (engine-internal xxhash64 — no SQL oracle, rows-only).
     "q31_simhash_near_dups" -> ((s, dir) =>
       TextDedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 4)),
@@ -460,6 +498,21 @@ object SparkEntry {
         .limit(20))
   )
 
+  /** One ASOF oracle text for both q23 (plain) and q63 (bucketed): the two
+    * Spark plans must hash-identically against the same DuckDB result.
+    */
+  private val asofSql: String =
+    """WITH probes AS (
+      |  SELECT event_id, event_type, CAST(ts AS DATE) AS dt FROM events),
+      |quotes AS (
+      |  SELECT * FROM (
+      |    SELECT event_type, CAST(ts AS DATE) AS qdt, COUNT(*) AS q_loads
+      |    FROM events GROUP BY 1, 2)
+      |  WHERE isodow(qdt) = 1)
+      |SELECT p.event_id, p.event_type, p.dt, q.qdt, q.q_loads
+      |FROM probes p ASOF JOIN quotes q
+      |  ON p.event_type = q.event_type AND p.dt >= q.qdt""".stripMargin
+
   /** Exact median, one SQL text for both engines (q61). `/` is FLOAT
     * division in both dialects, so the two middle ranks come from explicit
     * floor() — `(n+1)/2` alone would silently select only the upper-middle
@@ -658,17 +711,20 @@ object SparkEntry {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
         |FROM events""".stripMargin,
-    "q23_asof_join" ->
-      """WITH probes AS (
-        |  SELECT event_id, event_type, CAST(ts AS DATE) AS dt FROM events),
-        |quotes AS (
-        |  SELECT * FROM (
-        |    SELECT event_type, CAST(ts AS DATE) AS qdt, COUNT(*) AS q_loads
-        |    FROM events GROUP BY 1, 2)
-        |  WHERE isodow(qdt) = 1)
-        |SELECT p.event_id, p.event_type, p.dt, q.qdt, q.q_loads
-        |FROM probes p ASOF JOIN quotes q
-        |  ON p.event_type = q.event_type AND p.dt >= q.qdt""".stripMargin,
+    "q23_asof_join" -> asofSql,
+    // The bucketed form must be row-identical to the plain form — one
+    // oracle text proves both (the whole point of the q63 entry).
+    "q63_asof_bucketed" -> asofSql,
+    "q53_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q24_range_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_shipped_90d,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue_90d

@@ -15,13 +15,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Numeric contract: identical doubles to the HOF form and the DuckDB
   * oracle — each accumulator (dot, |a|², |b|²) sums left-to-right in
-  * DOUBLE, then dot / (sqrt(na) * sqrt(nb)).
+  * DOUBLE, then dot / (sqrt(na) * sqrt(nb)). A NULL element makes the
+  * result NULL (the HOF form's `x + null` propagates; DuckDB's
+  * list_dot_product does the same) — getFloat on a null slot would read
+  * 0.0 and yield a silently wrong similarity. Length mismatch throws:
+  * truncating to min(n) would compare different vectors than the caller
+  * thinks (same fail-loudly contract as [[LshBucket]]).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // True even for non-null inputs: a NULL *element* nulls the result.
+  override def nullable: Boolean = true
 
   // Analysis-time type guard (same contract as LshBucket): getFloat reads
   // 4-byte slots, so any other element width silently yields garbage.
@@ -34,15 +41,50 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"${l.simpleString} and ${r.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityMath.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.CosineSimilarityMath.compute($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The fused similarity loop, static so generated Java calls it directly
+  * (same pattern as [[LshBucketMath]]). Returns null (boxed) when either
+  * array has a NULL element — one box per row, dwarfed by the dims-length
+  * loop it guards.
+  */
+object CosineSimilarityMath {
+
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"cosine_similarity: arrays have $n and ${y.numElements()} elements — " +
+          "truncating to the shorter length would silently compare the wrong " +
+          "vectors; fix the embedding dims (or the data).")
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -50,35 +92,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
-    copy(left = newLeft, right = newRight)
 }
 
 /** Column-API and SQL-registry surface for the engine's custom expressions. */

@@ -29,14 +29,6 @@ object Tables {
     "documents" -> Schemas.documents,
     "embeddings" -> Schemas.embeddings)
 
-  /** Parquet scan with explicit schema (S12). `sfDir` is a testdata scale
-    * directory or any directory laid out the same way.
-    *
-    * `events.ts` is TIMESTAMP(NANOS) on disk, which Spark's vectorized
-    * reader refuses as TimestampType; we read it as raw nanos (legacy flag)
-    * and convert with integral division — `ts div 1000` — so no precision is
-    * lost (a double division would corrupt epoch-nanos > 2^53).
-    */
   /** The events table needs `spark.sql.legacy.parquet.nanosAsLong=true` SET
     * AT SESSION BUILD TIME (it is read by the parquet converter before any
     * per-query conf is consulted). GraftSession/Bench/Verify all set it; an
@@ -52,6 +44,14 @@ object Tables {
         "builder (see graft.GraftSession) — the on-disk ts column is " +
         "TIMESTAMP(NANOS), which Spark only exposes as raw INT64 nanos")
 
+  /** Parquet scan with explicit schema (S12). `sfDir` is a testdata scale
+    * directory or any directory laid out the same way.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) on disk, which Spark's vectorized
+    * reader refuses as TimestampType; we read it as raw nanos (legacy flag)
+    * and convert with integral division — `ts div 1000` — so no precision is
+    * lost (a double division would corrupt epoch-nanos > 2^53).
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {

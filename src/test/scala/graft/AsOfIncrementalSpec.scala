@@ -29,6 +29,76 @@ class AsOfIncrementalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Double]("v") == 1.0)
   }
 
+  test("asOfBucketed is row-identical to asOf on randomized data, all bucket widths (J6)") {
+    // Property check: the bucketed scale variant must agree with the plain
+    // form for bucket widths smaller than quote gaps (forces carried-in
+    // quotes across many empty buckets), comparable to them, and much
+    // larger (single bucket = degenerate case).
+    val rnd = new scala.util.Random(20260812L)
+    val keys = Seq("a", "b", "c", "d")
+    val probes = (1 to 400)
+      .map(i => (keys(rnd.nextInt(keys.size)), rnd.nextInt(2000).toLong, s"p$i"))
+      .toDF("k", "pt", "tag")
+    // caller contract: quote times unique within a key
+    val quotes = keys.take(3).flatMap { k => // key "d" gets NO quotes at all
+      rnd.shuffle((0 until 2000).toList).take(50)
+        .map(qt => (k, qt.toLong, rnd.nextDouble()))
+    }.toDF("k", "qt", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("k", "tag", "pt", "qt", "v").collect()
+        .map(_.mkString("|")).sorted.toSeq
+
+    val expected = canon(AsOfJoin.asOf(probes, quotes, Seq("k"), "pt", "qt"))
+    assert(expected.nonEmpty)
+    for (bucket <- Seq(1L, 7L, 64L, 500L, 1000000L)) {
+      val got = canon(AsOfJoin.asOfBucketed(probes, quotes, Seq("k"), "pt", "qt",
+        bucketSeconds = bucket))
+      assert(got == expected, s"bucketSeconds=$bucket diverged from plain asOf")
+    }
+  }
+
+  test("asOfBucketed edge cases: boundary quotes, equal-ts ties, probe-only buckets (J6)") {
+    // bucketSeconds=10; buckets are [0,10) [10,20) [20,30) [30,40) [40,50)
+    val probes = Seq(
+      ("a", 5L, "equalTs"),        // quote at exactly t=5 → matches it (>=)
+      ("a", 10L, "atBucketStart"), // quote at exactly the bucket boundary t=10
+      ("a", 25L, "probeOnlyBucket"), // [20,30) has no quotes → carry from t=15
+      ("a", 45L, "carriedBoundary"), // [40,50) empty → carry t=30 (a boundary quote)
+      ("a", 3L, "noQuoteYet"),     // before every quote → dropped
+      ("b", 100L, "keyWithoutQuotes") // dropped
+    ).toDF("k", "pt", "tag")
+    val quotes = Seq(
+      ("a", 5L, 1.0), ("a", 9L, 2.0), ("a", 10L, 2.5),
+      ("a", 15L, 3.0), ("a", 30L, 4.0)
+    ).toDF("k", "qt", "v")
+
+    val out = AsOfJoin.asOfBucketed(probes, quotes, Seq("k"), "pt", "qt", 10L)
+      .select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("equalTs", 5L, 1.0),
+      ("atBucketStart", 10L, 2.5),
+      ("probeOnlyBucket", 15L, 3.0),
+      ("carriedBoundary", 30L, 4.0)))
+    // and identical to the plain form
+    val plain = AsOfJoin.asOf(probes, quotes, Seq("k"), "pt", "qt")
+      .select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    assert(out == plain)
+  }
+
+  test("asOfBucketed partition count scales with keys × buckets, not keys (J6 scale)") {
+    // The whole point of the variant: the big window's shuffle key must be
+    // (key, bucket). Read it straight from the physical plan.
+    val probes = Seq(("a", 5L, "p1"), ("a", 25L, "p2")).toDF("k", "pt", "tag")
+    val quotes = Seq(("a", 4L, 1.0), ("a", 24L, 2.0)).toDF("k", "qt", "v")
+    val plan = AsOfJoin.asOfBucketed(probes, quotes, Seq("k"), "pt", "qt", 10L)
+      .queryExecution.executedPlan.toString
+    // the main window's exchange must hash on BOTH k and _bucket
+    val twoColPartitioning = """hashpartitioning\(k#\d+[^)]*_bucket""".r
+    assert(twoColPartitioning.findFirstIn(plan).isDefined,
+      s"expected hashpartitioning(k, _bucket) in the plan:\n${plan.take(3000)}")
+  }
+
   test("newRows gates per key; unseen keys pass entirely (T1)") {
     val batch = Seq(("a", 10L, "x1"), ("a", 20L, "x2"), ("b", 5L, "y1"))
       .toDF("src", "seq", "payload")
@@ -107,6 +177,90 @@ class AsOfIncrementalSpec extends SparkSpec {
     assert(r2.complete)
     assert(r1.payloads.length + r2.payloads.length == 5)
     assert(r2.checkpoint.lastReceivedAt.contains("2025-01-01T00:00:05Z"))
+  }
+
+  // --- S4 retry/backoff truth table (REF wistia_pull_wistia_api.py:83-97) ---
+
+  /** An api that fails `failures` times (with `err`) then succeeds. */
+  private class FlakyApi(failures: Int, err: Int => Throwable) extends PagedApi {
+    var calls = 0
+    def fetch(page: Long): Page = {
+      calls += 1
+      if (calls <= failures) throw err(calls)
+      Page(s"""[{"received_at":"2025-01-01T00:00:0${page}Z"}]""", 1, None, Some(2))
+    }
+  }
+
+  test("retrying: retryable 5xx sleeps the schedule, 4th failure propagates (S4)") {
+    for (status <- Seq(500, 502, 503, 504)) {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val api = new FlakyApi(4, _ => PagedSource.HttpStatusFailure(status))
+      val e = intercept[PagedSource.HttpStatusFailure] {
+        PagedSource.retrying(api, sleep = sleeps += _).fetch(1L)
+      }
+      assert(e.status == status)
+      // 3 backoff steps consumed in order; the 4th failure propagates.
+      assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L), s"status $status")
+      assert(api.calls == 4, s"status $status: 1 initial + 3 retries")
+    }
+  }
+
+  test("retrying: success after 2 failures returns the page, 2 sleeps (S4)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val api = new FlakyApi(2, _ => PagedSource.HttpStatusFailure(503))
+    val p = PagedSource.retrying(api, sleep = sleeps += _).fetch(1L)
+    assert(p.size == 1 && api.calls == 3)
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
+  }
+
+  test("retrying: 4xx rethrows immediately with zero sleeps (S4)") {
+    for (status <- Seq(400, 401, 403, 404, 429)) {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val api = new FlakyApi(1, _ => PagedSource.HttpStatusFailure(status))
+      val e = intercept[PagedSource.HttpStatusFailure] {
+        PagedSource.retrying(api, sleep = sleeps += _).fetch(1L)
+      }
+      assert(e.status == status && sleeps.isEmpty && api.calls == 1,
+        s"status $status must not retry")
+    }
+  }
+
+  test("retrying: TransportFailure (no HTTP status) is retried (S4)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val api = new FlakyApi(1, _ => new PagedSource.TransportFailure("connect reset"))
+    val p = PagedSource.retrying(api, sleep = sleeps += _).fetch(1L)
+    assert(p.size == 1 && api.calls == 2 && sleeps.toSeq == Seq(1000L))
+  }
+
+  test("retrying: non-HTTP, non-transport errors rethrow immediately (S4)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val api = new FlakyApi(1, _ => new IllegalStateException("bug, not weather"))
+    intercept[IllegalStateException] {
+      PagedSource.retrying(api, sleep = sleeps += _).fetch(1L)
+    }
+    assert(sleeps.isEmpty && api.calls == 1)
+  }
+
+  test("retrying: backoff schedule resets per fetch, not per pull (S4)") {
+    // Each page may consume the full schedule — a pull of N pages must not
+    // share one retry budget across pages (matches the reference, which
+    // constructs the retry iterator inside the per-request helper).
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var callsForPage = Map.empty[Long, Int].withDefaultValue(0)
+    val api = new PagedApi {
+      def fetch(page: Long): Page = {
+        callsForPage = callsForPage.updated(page, callsForPage(page) + 1)
+        if (callsForPage(page) <= 3) throw PagedSource.HttpStatusFailure(500)
+        // page 1 comes back full (not last); page 2 short (last)
+        Page(s"""[{"received_at":"2025-01-01T00:00:0${page}Z"}]""",
+          if (page == 2L) 1 else 2, None, None)
+      }
+    }
+    val r = PagedSource.pull(PagedSource.retrying(api, sleep = sleeps += _),
+      Checkpoint(), maxPages = 10, timeBudgetMillis = 60000, defaultPerPage = 2)
+    assert(r.complete && r.payloads.length == 2)
+    // both pages each burned the full (1,2,4)s schedule
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L, 1000L, 2000L, 4000L))
   }
 
   test("pull stops on time budget exhaustion (T4)") {

@@ -94,6 +94,37 @@ class FunctionsSpec extends SparkSpec {
       s"expected the null-element guard, got: ${chain(e)}")
   }
 
+  test("cosine_similarity yields NULL on a NULL element (interpreted + codegen)") {
+    // The HOF baseline and DuckDB's list_dot_product both propagate NULL;
+    // getFloat on a null slot would silently read 0.0 instead.
+    val withNull = Seq(
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](1f, 2f, 3f)))
+      .toDF("a", "b")
+    val rows = withNull
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(rows.count(_.isNullAt(0)) == 1, "null-element row must yield NULL")
+    assert(rows.count(r => !r.isNullAt(0) && math.abs(r.getDouble(0) - 1.0) < 1e-12) == 1)
+    // Interpreted path (no codegen wrapper): direct eval through the math.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val nullArr = ArrayData.toArrayData(Array[Any](1.0f, null, 3.0f))
+    val okArr = ArrayData.toArrayData(Array[Any](1.0f, 2.0f, 3.0f))
+    assert(graft.functions.CosineSimilarityMath.compute(nullArr, okArr) == null)
+  }
+
+  test("cosine_similarity throws on a length mismatch (no silent truncation)") {
+    val bad = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .take(8).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("cosine_similarity")),
+      s"expected the length-mismatch guard, got: ${chain(e)}")
+  }
+
   test("cosine_similarity rejects non-float arrays at analysis time") {
     val dbl = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     val e = intercept[Exception] {

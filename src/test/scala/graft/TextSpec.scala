@@ -35,6 +35,34 @@ class TextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fast (xxhash64) near-dup pipeline: same verify semantics as the md5 twin") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mutated = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val exactCopy = base
+    val d = docs((1L, base), (2L, mutated), (3L, other), (4L, exactCopy))
+    val pairs = TextDedup.nearDupPairsFast(d, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical texts have identical signatures → ALWAYS candidates, j=1.0
+    assert(pairs((1L, 4L)) == 1.0)
+    // the near-dup survives the exact-Jaccard verify; unrelated docs don't pair
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.5)
+    assert(pairs.keys.forall { case (a, b) => a < b && !Set(a, b).contains(3L) })
+  }
+
+  test("fast signatures are deterministic BIGINTs with the m0..m7 shape") {
+    val d = docs((1L, "a b c d e"), (2L, "f g h i j"))
+    val sh = TextDedup.shingles(d)
+    val s1 = TextDedup.minhashSignaturesFast(sh).orderBy("doc_id").collect()
+    val s2 = TextDedup.minhashSignaturesFast(sh).orderBy("doc_id").collect()
+    assert(s1.sameElements(s2), "xxhash64 signatures must be deterministic")
+    val schema = TextDedup.minhashSignaturesFast(sh).schema
+    assert(schema.fieldNames.toSeq == ("doc_id" +: (0 until 8).map(i => s"m$i")))
+    assert(schema.fields.drop(1).forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+  }
+
   test("jaccard value is the exact shingle-set ratio") {
     val d = docs((1L, "a b c d"), (2L, "a b c e"))
     val sh = TextDedup.shingles(d)
