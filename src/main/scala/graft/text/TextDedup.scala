@@ -28,7 +28,15 @@ object TextDedup {
     * tokens produce no shingles (guarded: Spark's `sequence` would count
     * DOWN for a negative span).
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(docs, n).distinct()
+
+  /** Shingles WITHOUT the distinct — no shuffle, straight off the scan.
+    * Enough for MinHash signatures (MIN is duplicate-invariant), which
+    * saves the (doc_id, shingle) exchange on the pipeline's longest chain;
+    * set-semantics steps (sizes, intersection) need [[shingles]].
+    */
+  private def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     val joined = (0 until n).map(k => s"element_at(_toks, CAST(i + $k AS INT))")
       .mkString("concat_ws(' ', ", ", ", ")")
     docs
@@ -37,7 +45,6 @@ object TextDedup {
       .withColumn("shingle",
         explode(expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> $joined)")))
       .select(col("doc_id"), col("shingle"))
-      .distinct()
   }
 
   /** MinHash signature: `numHashes` per-doc minima of seeded md5 prefixes.
@@ -67,57 +74,123 @@ object TextDedup {
     shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: split the signature into `numBands` concatenated bands and
-    * self-join per (band_id, band value). Returns distinct candidate pairs
-    * with doc_a < doc_b. Band cells are '|'-delimited so variable-width
-    * values (the BIGINT fast signatures) cannot alias across cell
-    * boundaries; the fixed-width md5 path is unaffected.
+  /** LSH banding: split the signature into `numBands` concatenated bands
+    * and bucket per (band_id, band value). Returns distinct candidate
+    * pairs with doc_a < doc_b. Band cells are '|'-delimited so
+    * variable-width values (the BIGINT fast signatures) cannot alias
+    * across cell boundaries; the fixed-width md5 path is unaffected.
+    *
+    * Shape: ONE pass over `signatures` — bands posexplode off each row,
+    * one shuffle to (band_id, band) buckets, and the candidate pairs
+    * expand in-partition from the sorted per-bucket id list. The earlier
+    * union + self-join form consumed the signature plan four times (two
+    * union branches × two join sides) and Spark re-executed the whole
+    * upstream shingle scan for each — 4× the dominant cost. Pair count is
+    * still Σ_band (bucket size)², controlled by band width; per-task
+    * memory is O(bucket size), which the LSH design bounds (run
+    * [[exactDedup]] first so identical-text floods can't create a
+    * degenerate bucket).
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
                     numBands: Int = 2): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val bands = (0 until numBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      signatures.select(col("doc_id"), concat_ws("|", cols: _*).as("band"),
-        lit(b).as("band_id"))
-    }.reduce(_.unionByName(_))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_id"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_id"))
-    a.join(b, Seq("band", "band_id"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val bandVals = (0 until numBands).map { b =>
+      concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }
+    signatures
+      .select(col("doc_id"), posexplode(array(bandVals: _*)))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
   /** Exact n-gram Jaccard, computed ONLY for the candidate pairs (the
     * verify step of MinHash/LSH). Output: (doc_a, doc_b, jaccard).
+    *
+    * Inner semantics: pairs with an EMPTY intersection are omitted (their
+    * jaccard is 0, which any positive threshold filters anyway, and the
+    * DuckDB oracle's verify join is inner too). This lets the expensive
+    * `candidates` plan be consumed exactly once — a left join back onto it
+    * would re-execute the whole LSH subtree just to emit rows the caller
+    * throws away.
     */
   def jaccardVerify(candidates: DataFrame, shingleDf: DataFrame): DataFrame = {
     val sizes = shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sa = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = candidates
+    candidates
       .join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    candidates
-      .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), Seq("doc_a"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), Seq("doc_b"))
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 
-  /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
-    * Jaccard ≥ threshold. Oracle-checkable md5 form; production entry
-    * point is [[nearDupPairsFast]].
+  /** Fused near-dup pipeline: ONE pass over the corpus. The staged form
+    * ([[minhashSignatures]] → [[lshCandidates]] → [[jaccardVerify]])
+    * consumes the shingle subtree four times (signature branch + both
+    * verify sides + sizes) and Spark re-executes the tokenize/explode scan
+    * for each — exchange reuse never fires across the differing aggregates.
+    * Here a single groupBy(doc_id) emits the minhash minima AND the
+    * distinct shingle set; the set rides into the band buckets, so the
+    * exact Jaccard is computed at pair-expansion time from data already
+    * in-partition. Plan: scan → explode → hash-agg(doc_id) → posexplode
+    * bands → hash-agg(band) → in-partition pair expand → distinct. Three
+    * shuffles, zero joins, one scan.
+    *
+    * Per-bucket memory grows from O(ids) to O(ids × shingle set); LSH
+    * bucket sizes are bounded by band width, and identical-text floods
+    * must be removed first via [[exactDedup]] (same caveat as
+    * [[lshCandidates]]).
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
-    val cand = lshCandidates(minhashSignatures(sh))
-    jaccardVerify(cand, sh).filter(col("jaccard") >= threshold)
+  private def nearDupFused(docs: DataFrame, threshold: Double,
+                           hashExpr: Int => org.apache.spark.sql.Column,
+                           numHashes: Int = 8, numBands: Int = 2): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val profAggs = (0 until numHashes).map(i => min(hashExpr(i)).as(s"m$i")) :+
+      collect_set(col("shingle")).as("sh")
+    val bandVals = (0 until numBands).map { b =>
+      concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }
+    shinglesRaw(docs)
+      .groupBy(col("doc_id")).agg(profAggs.head, profAggs.tail: _*)
+      .select(col("doc_id"), col("sh"), posexplode(array(bandVals: _*)))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           size(array_intersect(a.sh, b.sh)) AS n_inter,
+          |           size(a.sh) AS na, size(b.sh) AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.n_inter").cast("double") /
+          (col("p.na") + col("p.nb") - col("p.n_inter"))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
   }
+
+  /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    * Jaccard ≥ threshold (fused single-pass plan, see [[nearDupFused]]).
+    * Oracle-checkable md5 form; production entry point is
+    * [[nearDupPairsFast]].
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupFused(docs, threshold,
+      i => substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 16))
 
   /** Production near-dup pipeline: same shape as [[nearDupPairs]] but with
     * the xxhash64 signatures. The verify step is IDENTICAL (exact n-gram
@@ -126,11 +199,8 @@ object TextDedup {
     * band together) differs. Identical texts always pair: equal shingle
     * sets give equal signatures, hence equal bands.
     */
-  def nearDupPairsFast(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
-    val cand = lshCandidates(minhashSignaturesFast(sh))
-    jaccardVerify(cand, sh).filter(col("jaccard") >= threshold)
-  }
+  def nearDupPairsFast(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupFused(docs, threshold, i => xxhash64(lit(i), col("shingle")))
 
   /** SimHash-64 per document (engine-internal hash; no SQL oracle).
     * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is
