@@ -37,14 +37,18 @@ object TextDedup {
     * set-semantics steps (sizes, intersection) need [[shingles]].
     */
   private def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
-    val joined = (0 until n).map(k => s"element_at(_toks, CAST(i + $k AS INT))")
-      .mkString("concat_ws(' ', ", ", ", ")")
+    // Explode the window-start INDEX and project the n-gram with plain
+    // element_at, rather than explode(transform(..., i -> concat_ws(...))):
+    // lambda (HOF) expressions are interpreted, not codegen'd, so the
+    // transform form evaluated the per-shingle concat outside whole-stage
+    // codegen — on the corpus scan, the pipeline's hottest expression.
+    val gram = concat_ws(" ",
+      (0 until n).map(k => expr(s"element_at(_toks, CAST(_i + $k AS INT))")): _*)
     docs
       .withColumn("_toks", split(col("text"), "\\s+"))
       .filter(size(col("_toks")) >= n)
-      .withColumn("shingle",
-        explode(expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> $joined)")))
-      .select(col("doc_id"), col("shingle"))
+      .withColumn("_i", explode(expr(s"sequence(1, size(_toks) - ${n - 1})")))
+      .select(col("doc_id"), gram.as("shingle"))
   }
 
   /** MinHash signature: `numHashes` per-doc minima of seeded md5 prefixes.
