@@ -58,11 +58,9 @@ object MedallionStream {
     * independently.
     *
     * Deliberate trade-off: two queries re-read the bronze delta twice per
-    * trigger. The single-pass alternative (one query + foreachBatch
-    * splitting good/quarantine) cannot keep `dropDuplicatesWithinWatermark`
-    * state, which lives in the streaming plan — we pay the second
-    * sequential read of the trigger's delta files to keep exactly-once
-    * dedup state and independent restartability.
+    * trigger, in exchange for keeping `dropDuplicatesWithinWatermark`
+    * state in the streaming plan and the file sink's exactly-once commit
+    * log. [[factEventsSinglePassQuery]] is the one-read alternative.
     */
   def quarantineQuery(spark: SparkSession, bronzeDir: String,
                       quarantineDir: String,
@@ -91,6 +89,88 @@ object MedallionStream {
       s"$checkpointDir-quarantine")
     q.processAllAvailable(); q.stop()
     qq.processAllAvailable(); qq.stop()
+    spark.read.parquet(factDir)
+  }
+
+  /** Single-pass streaming silver: ONE read of the bronze delta per
+    * trigger feeds BOTH the fact table and the quarantine, via
+    * `foreachBatch`. Inside the sink the micro-batch is a plain batch
+    * DataFrame, so `dropDuplicatesWithinWatermark` (whose state lives in
+    * the streaming plan, before the sink) is unavailable; its
+    * absorb-within-horizon semantics are re-expressed as an anti-join
+    * against the fact rows already written, bounded below by
+    * `min(batch.received_at) - dedupHorizonMillis` — a re-delivered
+    * event carries its original event time, so only that slice of the
+    * fact can contain its first copy. The bound reaches the parquet scan
+    * as a pushed row-group predicate (partition pruning instead, if the
+    * fact is laid out by day), so the per-trigger read of the fact is
+    * proportional to the horizon, not to the table — the state store's
+    * role, played by the sink's own recent files.
+    *
+    * The same anti-join is what upgrades `foreachBatch`'s at-least-once
+    * to exactly-once for the fact: a replayed micro-batch finds its own
+    * keys already in the fact and appends nothing. Quarantine replays
+    * are absorbed the same way by raw_payload (corrupt pages have no
+    * key; the quarantine stays small by construction, so that anti-join
+    * is against a tiny table).
+    */
+  def factEventsSinglePassQuery(spark: SparkSession, bronzeDir: String,
+                                factDir: String, quarantineDir: String,
+                                checkpointDir: String,
+                                dedupHorizonMillis: Long = 86400000L,
+                                maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader = spark.readStream.schema(pageSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val pages = reader
+      .option("basePath", bronzeDir)
+      .json(s"$bronzeDir/*/*")
+      .select("payload")
+    pages.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (good, quar) = Flatten.normalizePagesWithQuarantine(batch)
+        val flat = graft.ops.Dedup.firstWins(Flatten.factEvents(good),
+          Seq("event_key"), Seq(col("received_at").desc))
+        val factExists = new org.apache.hadoop.fs.Path(factDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(factDir))
+        val fresh = if (!factExists) flat else {
+          // null min = empty batch (append is a no-op) or all-null event
+          // times (no horizon to bound by — append as-is, like the batch
+          // path would)
+          val minTs = flat.agg(min(col("received_at"))).first().getTimestamp(0)
+          if (minTs == null) flat
+          else {
+            val lower = new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)
+            flat.join(
+              spark.read.parquet(factDir)
+                .filter(col("received_at") >= lit(lower))
+                .select(col("event_key")),
+              Seq("event_key"), "left_anti")
+          }
+        }
+        fresh.write.mode("append").parquet(factDir)
+        val quarExists = new org.apache.hadoop.fs.Path(quarantineDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(quarantineDir))
+        val freshQuar = if (!quarExists) quar else quar.join(
+          spark.read.parquet(quarantineDir).select(col("raw_payload")),
+          Seq("raw_payload"), "left_anti")
+        if (!freshQuar.isEmpty) freshQuar.write.mode("append").parquet(quarantineDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drain-to-completion helper for [[factEventsSinglePassQuery]]. */
+  def runOnceSinglePass(spark: SparkSession, bronzeDir: String,
+                        factDir: String, quarantineDir: String,
+                        checkpointDir: String): DataFrame = {
+    val q = factEventsSinglePassQuery(spark, bronzeDir, factDir,
+      quarantineDir, checkpointDir)
+    q.processAllAvailable(); q.stop()
     spark.read.parquet(factDir)
   }
 }

@@ -62,4 +62,62 @@ class MedallionStreamSpec extends SparkSpec {
     val streamKeys = out3.select("event_key").as[String].collect().toSet
     assert(streamKeys == batchKeys)
   }
+
+  test("single-pass silver: one bronze read feeds fact + quarantine; " +
+       "anti-join dedup absorbs cross-trigger re-deliveries") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mstream1p").toString
+    val l = Layout(root)
+    val fact = s"$root/sp/fact"
+    val quar = s"$root/sp/quarantine"
+    val cp = s"$root/sp/cp"
+    val done = Checkpoint()
+
+    // trigger 1: duplicate s2 across pages + one corrupt page
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-01", PullResult(Seq(
+      s"""{"data":[${ev("s1", "2025-04-01T10:00:00Z", "m1")},
+         |${ev("s2", "2025-04-01T11:00:00Z", "m1")}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      s"""[${ev("s2", "2025-04-01T11:00:00Z", "m1")},
+         |${ev("s3", "2025-04-01T12:00:00Z", "m1")}]"""
+        .stripMargin.replaceAll("\n", ""),
+      """{"oops": not json"""), done, complete = true))
+
+    val out1 = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, cp)
+    assert(out1.count() == 3, "intra-trigger duplicate s2 must be absorbed")
+    assert(spark.read.parquet(quar).count() == 1,
+      "the corrupt page must land in quarantine from the same pass")
+
+    // trigger 2: s2 re-delivered in a NEW trigger (the case the two-query
+    // path handles with dropDuplicatesWithinWatermark state) + new s4
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-02", PullResult(Seq(
+      s"""{"data":[${ev("s2", "2025-04-01T11:00:00Z", "m1")},
+         |${ev("s4", "2025-04-02T09:00:00Z", "m1")}]}"""
+        .stripMargin.replaceAll("\n", "")), done, complete = true))
+    val out2 = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, cp)
+    assert(out2.count() == 4, "cross-trigger duplicate s2 must be absorbed by the anti-join")
+    assert(out2.select("event_key").distinct().count() == 4)
+
+    // drained restart: no growth in fact or quarantine
+    val out3 = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, cp)
+    assert(out3.count() == 4)
+    assert(spark.read.parquet(quar).count() == 1)
+
+    // replayed micro-batch (fresh checkpoint over the same bronze) appends
+    // nothing: the anti-join makes the foreachBatch sink idempotent
+    val out4 = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar,
+      s"$root/sp/cp-replay")
+    assert(out4.count() == 4, "full replay must be absorbed by the anti-join")
+    assert(spark.read.parquet(quar).count() == 1,
+      "quarantine replay must be absorbed by the raw_payload anti-join")
+
+    // parity with the batch pipeline's view of event keys
+    val batchKeys = graft.ops.Dedup.firstWins(
+      graft.ops.Flatten.factEvents(graft.ops.Flatten.normalizePages(
+        spark.read.schema(new org.apache.spark.sql.types.StructType()
+          .add("payload", org.apache.spark.sql.types.StringType))
+          .json(s"${l.bronzeEvents}/*/*").select("payload"))),
+      Seq("event_key"), Seq(col("received_at").desc))
+      .select("event_key").as[String].collect().toSet
+    assert(out4.select("event_key").as[String].collect().toSet == batchKeys)
+  }
 }
