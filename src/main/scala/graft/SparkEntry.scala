@@ -301,6 +301,13 @@ object SparkEntry {
     // J7 scale path: LSH-bucketed candidate pairs with verified cosine.
     "q38_knn_lsh_buckets" -> ((s, dir) =>
       Similarity.lshCandidatePairs(t(s, dir, "embeddings"), bits = 8)),
+    // J7 ANN scale path: IVF-flat top-k (deterministic seed centroids,
+    // map-side list assignment, probed-lists-only search).
+    "q65_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        nCentroids = 16, nProbe = 4)
+    }),
     // J7 north star: embedding-cosine near-dup within a blocking key.
     "q39_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),
@@ -891,6 +898,43 @@ object SparkEntry {
         |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |JOIN embeddings ea ON ea.vec_id = a.vec_id
         |JOIN embeddings eb ON eb.vec_id = b.vec_id""".stripMargin,
+    // IVF: centroid seeds = 16 lowest vec_ids; assignment = argmax cosine
+    // (tie -> lowest c_id); probes search their top-4 lists only. Same
+    // list_dot_product cosine as q37, so doubles are bit-identical.
+    "q65_knn_ivf" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 10
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |cand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.neighbor_id)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+        |  cosine
+        |FROM cand
+        |QUALIFY rank <= 5""".stripMargin,
     "q39_embedding_near_dup" ->
       """SELECT * FROM (
         |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -150,6 +150,58 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** IVF-flat approximate top-k cosine search (the ANN scale path next to
+    * [[bruteForceTopK]]'s exact baseline and the LSH pair variants).
+    *
+    * Centroids are the embeddings of the `nCentroids` lowest vec_ids — a
+    * deterministic stand-in for an offline k-means (kmeans|| at scale); the
+    * query path below is identical either way. They are collected to the
+    * driver (nCentroids × dims floats — broadcast-variable sized) and
+    * inlined as literal arrays, so:
+    *
+    *  - list ASSIGNMENT is a pure map-side projection over the corpus —
+    *    `array_min` over per-centroid (−cosine, c_id) structs — no join, no
+    *    shuffle;
+    *  - probe LIST SELECTION is the same projection over the probes plus a
+    *    sort/slice of the K structs (top `nProbe` lists per probe);
+    *  - SEARCH broadcasts the (probe, list) pairs and equi-joins on
+    *    list_id, so cosine is computed only against the probed fraction
+    *    (~nProbe/nCentroids) of the corpus, and the only exchange in the
+    *    whole plan is the final per-probe top-k window over candidates.
+    *
+    * Exactness contract: ranks and cosines of returned rows are exact;
+    * recall < 1 is the IVF trade (a true neighbor in an unprobed list is
+    * missed). With `nProbe = nCentroids` every list is probed and the
+    * result is row-identical to [[bruteForceTopK]] (property-tested).
+    * Ties break (cosine desc, c_id asc / neighbor_id asc) in both engines.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def centStructs(emb: Column): Column = array(cents.map { case (cId, cEmb) =>
+      struct((-cosine(emb, typedLit(cEmb))).as("nc"), lit(cId).as("c_id"))
+    }: _*)
+    val assigned = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+      array_min(centStructs(col("embedding"))).getField("c_id").as("list_id"))
+    val probeLists = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        centStructs(col("embedding")).as("_cs"))
+      .select(col("probe_id"), col("p_emb"),
+        explode(expr(s"transform(slice(sort_array(_cs), 1, $nProbe), s -> s.c_id)"))
+          .as("list_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicates within a blocking key (here: label).
     * Blocked all-pairs: cost Σ_block n² — at 100 TB the block key comes from
     * LSH buckets ([[lshCandidatePairs]]) instead of a label column.

@@ -31,6 +31,35 @@ class VectorSpec extends SparkSpec {
     assert(out.groupBy("probe_id").count().select(max("count")).as[Long].head() == 5)
   }
 
+  test("ivfTopK with all lists probed is row-identical to bruteForceTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    for (nc <- Seq(4, 16)) {
+      val ivf = Similarity.ivfTopK(emb, probes, 5, nCentroids = nc, nProbe = nc)
+      val bf = Similarity.bruteForceTopK(emb, probes, 5)
+      assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty,
+        s"full-probe IVF (nCentroids=$nc) must equal brute force exactly")
+    }
+  }
+
+  test("ivfTopK with partial probing: exact ranks/cosines, bounded candidate set") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(emb, probes, 5, nCentroids = 16, nProbe = 4)
+    // each probe returns at most k rows, ranks are 1..n contiguous,
+    // self never appears
+    assert(ivf.filter($"probe_id" === $"neighbor_id").count() == 0)
+    assert(ivf.groupBy("probe_id").count().select(max("count")).as[Long].head() <= 5)
+    // every returned (probe, neighbor, cosine) must agree exactly with the
+    // brute-force cosine for that pair (exact-math contract: only recall
+    // is approximate)
+    val bfAll = Similarity.bruteForceTopK(emb, probes, Int.MaxValue)
+      .select($"probe_id", $"neighbor_id", $"cosine".as("bf_cosine"))
+    val joined = ivf.join(bfAll, Seq("probe_id", "neighbor_id"))
+    assert(joined.count() == ivf.count())
+    assert(joined.filter($"cosine" =!= $"bf_cosine").count() == 0)
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket("embedding", 8).as("b"))
