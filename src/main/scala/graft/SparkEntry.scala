@@ -293,6 +293,15 @@ object SparkEntry {
     // F8: winnowing-style char-k-gram min-hash fingerprint (rows-only).
     "q36_fingerprint_kgram" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // North star corpus prep: salted-md5 train/val/test split (map-side,
+    // reproducible, re-rolled by salt).
+    "q66_dataset_split" -> ((s, dir) =>
+      graft.text.Corpus.deterministicSplit(t(s, dir, "documents"))),
+    // North star corpus prep: sequence packing — concatenate-then-chunk
+    // token offsets and pack ids, windowed per hash shard.
+    "q67_sequence_pack" -> ((s, dir) =>
+      graft.text.Corpus.packSequences(t(s, dir, "documents"),
+        maxTokens = 2048, numShards = 8)),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -863,6 +872,26 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
         |FROM documents""".stripMargin,
+    "q66_dataset_split" ->
+      """SELECT doc_id,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) AS bucket_hex,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q67_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 2048 AS pack_id
+        |FROM o""".stripMargin,
     "q37_knn_bruteforce" ->
       """WITH pairs AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

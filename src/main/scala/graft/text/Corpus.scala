@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines (north star,
+  * next to [[TextDedup]]/[[TextAnalysis]]): deterministic dataset
+  * splitting and sequence packing.
+  *
+  * Both are pure map-side or shard-local — no global coordination — so
+  * they hold at 100 TB: splitting is a per-row hash projection, packing
+  * is a windowed running sum inside hash shards (a global pack order is
+  * deliberately NOT offered; pretraining consumers shuffle shards anyway,
+  * and a single global window would serialize the corpus through one
+  * reducer).
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment by md5 range.
+    *
+    * The first two hex chars of `md5(doc_id ':' salt)` give 256 uniform
+    * buckets; the split is decided by STRING comparison against hex
+    * thresholds (`floor(256 * pct)`), which every engine orders
+    * identically — no hex-to-int conversion, whose SQL spelling is
+    * dialect-specific. Changing `salt` re-rolls the assignment;
+    * repeating it reproduces the split exactly (the property that makes
+    * a multi-run 100 TB pipeline resumable and its eval set stable).
+    *
+    * Default 80/10/10: train < 'cc' (204/256), val < 'e6' (230/256).
+    */
+  def deterministicSplit(docs: DataFrame, salt: String = "graft",
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"train+val must leave room for test, got $trainPct+$valPct")
+    val t1 = f"${(256 * trainPct) / 100}%02x"
+    val t2 = f"${(256 * (trainPct + valPct)) / 100}%02x"
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket_hex"),
+      when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** Sequence packing: assign each document a byte-free token offset and
+    * a pack (training-batch) id of capacity `maxTokens`, the
+    * concatenate-then-chunk layout pretraining loaders use (a document
+    * whose span crosses a boundary belongs to the pack where it starts).
+    *
+    * Runs inside `numShards` hash shards: the running sum is a window
+    * per shard ordered by doc_id, so shards pack in parallel and the
+    * biggest partition is corpus/numShards — at scale, size numShards to
+    * the cluster, not the data. Token count is the whitespace count of
+    * [[TextAnalysis.tokenCounts]] (n_ws_tokens), kept identical so both
+    * report the same totals.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int = 2048,
+                    numShards: Int = 8): DataFrame = {
+    require(maxTokens > 0 && numShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % numShards).cast("int").as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset DIV $maxTokens"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.text.{TextAnalysis, TextDedup}
+import graft.text.{Corpus, TextAnalysis, TextDedup}
 
 /** A8 dedup family + F8 text analysis. */
 class TextSpec extends SparkSpec {
@@ -114,5 +114,35 @@ class TextSpec extends SparkSpec {
     assert(out(0).getAs[String]("prefix_fp") == out(1).getAs[String]("prefix_fp"))
     assert(out(0).getAs[String]("prefix_fp") != out(2).getAs[String]("prefix_fp"))
     assert(!out(2).isNullAt(out(2).fieldIndex("kgram_fp")))
+  }
+
+  test("deterministicSplit: reproducible, salt-sensitive, proportions sane") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = Corpus.deterministicSplit(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Corpus.deterministicSplit(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2, "same salt must reproduce the identical assignment")
+    val s3 = Corpus.deterministicSplit(d, salt = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 != s3, "a different salt must re-roll the assignment")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
+  }
+
+  test("packSequences: per-shard offsets are contiguous from 0; pack = start DIV cap") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Corpus.packSequences(d, maxTokens = 512, numShards = 4)
+      .orderBy("shard", "doc_id").collect()
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expect, s"gap at doc ${r.getLong(0)}")
+        assert(r.getAs[Long]("pack_id") == r.getAs[Long]("start_offset") / 512)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+    // every document lands in exactly one shard/pack
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 }
