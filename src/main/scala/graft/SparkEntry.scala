@@ -302,6 +302,13 @@ object SparkEntry {
     "q67_sequence_pack" -> ((s, dir) =>
       graft.text.Corpus.packSequences(t(s, dir, "documents"),
         maxTokens = 2048, numShards = 8)),
+    // North star corpus prep: eval-set decontamination (n-gram overlap of
+    // a held-out slice against the rest of the corpus).
+    "q68_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.contamination(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -872,6 +879,25 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
         |FROM documents""".stripMargin,
+    "q68_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |evsh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |trsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 != 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM evsh GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_contaminated
+        |  FROM evsh WHERE shingle IN (SELECT shingle FROM trsh)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles AS contamination
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
     "q66_dataset_split" ->
       """SELECT doc_id,
         |  substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) AS bucket_hex,

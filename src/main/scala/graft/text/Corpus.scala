@@ -44,6 +44,33 @@ object Corpus {
         .as("split"))
   }
 
+  /** Eval-set decontamination: for each eval document, the fraction of its
+    * distinct word n-grams that appear ANYWHERE in the training corpus
+    * (the standard benchmark-leakage check run before training). Returns
+    * every eval doc with >= n tokens: (doc_id, n_shingles, n_contaminated,
+    * contamination), zero-overlap docs included.
+    *
+    * Shape: the train side — the 100 TB side — collapses to distinct
+    * shingles and is consumed ONCE by a left-semi join (shuffle on the
+    * shingle key; Spark's semi-join inserts a bloom/runtime filter under
+    * AQE when the eval side is small, which it is by construction). The
+    * eval subtree is consumed twice (sizes + hits) — the acceptable side
+    * to re-execute.
+    */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
+                    n: Int = 3): DataFrame = {
+    val evalSh = TextDedup.shingles(evalDocs, n)
+    val trainSh = TextDedup.shingles(trainDocs, n).select(col("shingle")).distinct()
+    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination"))
+  }
+
   /** Sequence packing: assign each document a byte-free token offset and
     * a pack (training-batch) id of capacity `maxTokens`, the
     * concatenate-then-chunk layout pretraining loaders use (a document

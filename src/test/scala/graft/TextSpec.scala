@@ -130,6 +130,22 @@ class TextSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
   }
 
+  test("contamination: exact overlap fraction, zero-overlap docs kept") {
+    val eval = docs(
+      (10L, "a b c d"),     // shingles {a b c, b c d}
+      (20L, "x y z"),       // shingles {x y z} — no overlap with train
+      (30L, "a"))           // too short: no shingles, absent from output
+    val train = docs((1L, "a b c q"), (2L, "p q r"))
+    val out = Corpus.contamination(eval, train).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 10L &&
+      out(0).getAs[Long]("n_contaminated") == 1L &&
+      out(0).getAs[Double]("contamination") == 0.5)
+    assert(out(1).getLong(0) == 20L &&
+      out(1).getAs[Long]("n_contaminated") == 0L &&
+      out(1).getAs[Double]("contamination") == 0.0)
+  }
+
   test("packSequences: per-shard offsets are contiguous from 0; pack = start DIV cap") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Corpus.packSequences(d, maxTokens = 512, numShards = 4)
