@@ -309,6 +309,9 @@ object SparkEntry {
       graft.text.Corpus.contamination(
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
     }),
+    // F8/A9 quality: Gopher-rule within-doc duplicate-n-gram fraction.
+    "q69_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -879,6 +882,22 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
         |FROM documents""".stripMargin,
+    "q69_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |tot AS (
+        |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_shingles_total
+        |  FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |d AS (SELECT doc_id, COUNT(*) AS n_distinct_shingles FROM sh GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_shingles_total, d.n_distinct_shingles,
+        |  1.0 - CAST(d.n_distinct_shingles AS DOUBLE) / tot.n_shingles_total
+        |    AS repetition
+        |FROM tot JOIN d ON d.doc_id = tot.doc_id""".stripMargin,
     "q68_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),

@@ -81,6 +81,28 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
         .as("n_bpe_tokens"))
 
+  /** Within-document repetition (the Gopher-rule duplicate-n-gram quality
+    * signal): the fraction of a document's word n-gram OCCURRENCES that
+    * are repeats of an earlier n-gram in the same document. Docs shorter
+    * than n tokens are excluded (no n-grams to judge).
+    *
+    * The occurrence total needs no explode — it is `tokens - (n-1)` —
+    * so the only heavy step is the distinct count, one explode +
+    * per-doc aggregate.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val dst = TextDedup.shingles(docs, n)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_shingles"))
+    docs
+      .select(col("doc_id"),
+        (size(tokens(col("text"))) - (n - 1)).cast("long").as("n_shingles_total"))
+      .filter(col("n_shingles_total") > 0)
+      .join(dst, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles_total"), col("n_distinct_shingles"),
+        (lit(1.0) - col("n_distinct_shingles").cast("double") /
+          col("n_shingles_total")).as("repetition"))
+  }
+
   /** Document fingerprints. `prefix_fp` (md5 of the head) is cross-engine
     * and oracle-checked; `kgram_fp` is a winnowing-style min over char
     * k-gram xxhash64 values (engine-internal, used for fast clustering).

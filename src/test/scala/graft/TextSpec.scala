@@ -130,6 +130,19 @@ class TextSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
   }
 
+  test("repetition: exact duplicate-shingle fraction; short docs excluded") {
+    val d = docs(
+      (1L, "aaa bbb aaa bbb aaa"), // 3 shingle occurrences, 2 distinct
+      (2L, "p q r s"),             // 2 occurrences, 2 distinct -> 0.0
+      (3L, "x y"))                 // < 3 tokens -> excluded
+    val out = TextAnalysis.repetition(d).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_shingles_total") == 3L &&
+      out(0).getAs[Long]("n_distinct_shingles") == 2L &&
+      out(0).getAs[Double]("repetition") == 1.0 - 2.0 / 3.0)
+    assert(out(1).getAs[Double]("repetition") == 0.0)
+  }
+
   test("contamination: exact overlap fraction, zero-overlap docs kept") {
     val eval = docs(
       (10L, "a b c d"),     // shingles {a b c, b c d}
