@@ -118,6 +118,9 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
 
+  def seeded_md5(s: Column, numSeeds: Int): Column =
+    column(SeededMd5(expr(s), numSeeds))
+
   /** Evaluate a foldable int argument of a SQL function call (e.g. the
     * `bits` literal in `lsh_bucket(emb, 8, 64, 0)`).
     */
@@ -148,5 +151,12 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", lshBucketFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "seeded_md5",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "seeded_md5(str, numSeeds)")
+        SeededMd5(exprs(0), litInt(exprs(1), "numSeeds"))
+      },
+      "built-in")
   }
 }

@@ -158,16 +158,23 @@ object TextDedup {
     * [[lshCandidates]]).
     */
   private def nearDupFused(docs: DataFrame, threshold: Double,
-                           hashExpr: Int => org.apache.spark.sql.Column,
+                           hashArray: (org.apache.spark.sql.Column, Int) =>
+                             org.apache.spark.sql.Column,
                            numHashes: Int = 8, numBands: Int = 2): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val profAggs = (0 until numHashes).map(i => min(hashExpr(i)).as(s"m$i")) :+
+    // The k seeded hashes are PROJECTED once per shingle row as an array
+    // (one expression evaluation), then each min-agg reads its element —
+    // k hash computations per row, not k per aggregate child evaluation.
+    val profAggs = (0 until numHashes)
+      .map(i => min(element_at(col("_h"), i + 1)).as(s"m$i")) :+
       collect_set(col("shingle")).as("sh")
     val bandVals = (0 until numBands).map { b =>
       concat_ws("|",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
     }
     shinglesRaw(docs)
+      .select(col("doc_id"), col("shingle"),
+        hashArray(col("shingle"), numHashes).as("_h"))
       .groupBy(col("doc_id")).agg(profAggs.head, profAggs.tail: _*)
       .select(col("doc_id"), col("sh"), posexplode(array(bandVals: _*)))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
@@ -194,7 +201,7 @@ object TextDedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     nearDupFused(docs, threshold,
-      i => substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 16))
+      (s, k) => graft.functions.GraftFunctions.seeded_md5(s, k))
 
   /** Production near-dup pipeline: same shape as [[nearDupPairs]] but with
     * the xxhash64 signatures. The verify step is IDENTICAL (exact n-gram
@@ -204,7 +211,8 @@ object TextDedup {
     * sets give equal signatures, hence equal bands.
     */
   def nearDupPairsFast(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    nearDupFused(docs, threshold, i => xxhash64(lit(i), col("shingle")))
+    nearDupFused(docs, threshold,
+      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*))
 
   /** SimHash-64 per document (engine-internal hash; no SQL oracle).
     * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is
