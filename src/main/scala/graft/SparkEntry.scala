@@ -312,6 +312,9 @@ object SparkEntry {
     // F8/A9 quality: Gopher-rule within-doc duplicate-n-gram fraction.
     "q69_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"))),
+    // A9 tokenizer prep: top-V token vocabulary with deterministic ids.
+    "q70_vocab" -> ((s, dir) =>
+      graft.text.Corpus.buildVocab(t(s, dir, "documents"), topV = 256)),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -882,6 +885,15 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
         |FROM documents""".stripMargin,
+    "q70_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token)
+        |SELECT token, n_occurrences,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+        |    AS token_id
+        |FROM cnt
+        |QUALIFY token_id <= 256""".stripMargin,
     "q69_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),

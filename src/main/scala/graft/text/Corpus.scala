@@ -44,6 +44,26 @@ object Corpus {
         .as("split"))
   }
 
+  /** Top-V token vocabulary with contiguous ids (the tokenizer-prep step):
+    * global token frequencies, truncated to the `topV` most frequent,
+    * ids assigned 1..V by (count desc, token asc) — fully deterministic,
+    * so re-running on the same corpus yields the same vocab.
+    *
+    * Scale: the count is one partial+final hash aggregate on the token;
+    * the truncation plans as TakeOrderedAndProject (no global sort of the
+    * full token set); only the V surviving rows pass through the global
+    * row_number window, so the single-partition window is bounded by V,
+    * never by the corpus.
+    */
+  def buildVocab(docs: DataFrame, topV: Int = 256): DataFrame = {
+    require(topV > 0)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc).limit(topV)
+      .withColumn("token_id", row_number().over(w).cast("int"))
+  }
+
   /** Eval-set decontamination: for each eval document, the fraction of its
     * distinct word n-grams that appear ANYWHERE in the training corpus
     * (the standard benchmark-leakage check run before training). Returns

@@ -48,4 +48,23 @@ class InvarianceSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(sigs(docs.repartition(9)) == sigs(docs))
   }
+
+  test("sequence packing is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.packSequences(df, maxTokens = 512, numShards = 4)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val base = pack(docs)
+    assert(pack(docs.repartition(11)) == base)
+    assert(pack(docs.repartition(3, col("doc_id"))) == base)
+  }
+
+  test("contamination is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def contam(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.contamination(
+        df.filter(col("doc_id") % 10 === 0), df.filter(col("doc_id") % 10 =!= 0))
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(contam(docs.repartition(13)) == contam(docs))
+  }
 }

@@ -130,6 +130,16 @@ class TextSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
   }
 
+  test("buildVocab: frequency-then-lexical ids, truncation, determinism") {
+    val d = docs((1L, "b a a c b a"), (2L, "c d"))
+    val out = Corpus.buildVocab(d, topV = 3).orderBy("token_id").collect()
+    // counts: a=3, b=2, c=2, d=1 -> tie (b,c) breaks lexically, d truncated
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 2L, 3)))
+    assert(Corpus.buildVocab(d, topV = 3).collect().toSeq ==
+      Corpus.buildVocab(d, topV = 3).collect().toSeq)
+  }
+
   test("repetition: exact duplicate-shingle fraction; short docs excluded") {
     val d = docs(
       (1L, "aaa bbb aaa bbb aaa"), // 3 shingle occurrences, 2 distinct
