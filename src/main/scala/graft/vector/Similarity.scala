@@ -177,21 +177,45 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def centStructs(emb: Column): Column = array(cents.map { case (cId, cEmb) =>
-      struct((-cosine(emb, typedLit(cEmb))).as("nc"), lit(cId).as("c_id"))
-    }: _*)
+    val cents = collectCentroids(
+      corpus.orderBy(col("vec_id")).limit(nCentroids))
     val assigned = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-      array_min(centStructs(col("embedding"))).getField("c_id").as("list_id"))
-    val probeLists = probes
+      array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+        .as("list_id"))
+    ivfSearch(assigned, probeListsFor(probes, cents, nProbe), k)
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] =
+    centroids.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Per-centroid (−cosine, c_id) structs over inlined literal centroids —
+    * `array_min` of this is the assignment argmax; `sort_array` + slice is
+    * probe-list selection.
+    */
+  private def centStructs(cents: Array[(Long, Seq[Float])])(emb: Column): Column =
+    array(cents.map { case (cId, cEmb) =>
+      struct((-cosine(emb, typedLit(cEmb))).as("nc"), lit(cId).as("c_id"))
+    }: _*)
+
+  /** (probe_id, p_emb, list_id) rows: each probe's top-`nProbe` lists. */
+  private def probeListsFor(probes: DataFrame,
+                            cents: Array[(Long, Seq[Float])],
+                            nProbe: Int): DataFrame =
+    probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        centStructs(col("embedding")).as("_cs"))
+        centStructs(cents)(col("embedding")).as("_cs"))
       .select(col("probe_id"), col("p_emb"),
         explode(expr(s"transform(slice(sort_array(_cs), 1, $nProbe), s -> s.c_id)"))
           .as("list_id"))
+
+  /** Search tail shared by the in-memory and at-rest index forms: broadcast
+    * the probe lists, join on list_id, exact cosine, per-probe top-k with
+    * a map-side WindowGroupLimit under the single exchange.
+    */
+  private def ivfSearch(assigned: DataFrame, probeLists: DataFrame,
+                        k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probeLists), Seq("list_id"))
@@ -200,6 +224,46 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Persist an IVF-flat index: the corpus PARTITIONED BY list_id on disk
+    * (one directory per inverted list) plus the centroid table. A search
+    * against the written index reads ONLY the probed list partitions —
+    * partition pruning does what the in-memory form's join does, so the
+    * scan cost of a query is ~nProbe/nCentroids of the corpus regardless
+    * of corpus size. This is the vector-database layout expressed as a
+    * plain partitioned parquet table.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String,
+                    nCentroids: Int = 16): Unit = {
+    val centDf = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id"), col("embedding"))
+    centDf.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cents = collectCentroids(centDf)
+    corpus.select(col("vec_id"), col("embedding"),
+      array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+        .as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
+  /** Top-k search against a [[writeIvfIndex]] index. Row-identical to
+    * [[ivfTopK]] over the same corpus/parameters (spec-asserted); the
+    * probed-lists filter lands in `PartitionFilters`, so unprobed list
+    * directories are never opened.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val probeLists = probeListsFor(probes, cents, nProbe)
+    // ≤ probes × nProbe ids — driver-tiny, and inlining them (vs a join)
+    // is what lets the planner prune partitions statically.
+    val wanted = probeLists.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("list_id").cast("long").as("list_id"))
+    ivfSearch(assigned, probeLists, k)
   }
 
   /** Embedding-cosine near-duplicates within a blocking key (here: label).

@@ -60,6 +60,21 @@ class VectorSpec extends SparkSpec {
     assert(joined.filter($"cosine" =!= $"bf_cosine").count() == 0)
   }
 
+  test("IVF at-rest index: search equals in-memory form; partitions pruned") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 16)
+    val onDisk = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = 4)
+    val inMem = Similarity.ivfTopK(emb, probes, 5, nCentroids = 16, nProbe = 4)
+    assert(onDisk.exceptAll(inMem).isEmpty && inMem.exceptAll(onDisk).isEmpty,
+      "index search must be row-identical to the in-memory form")
+    // the probed-lists filter must prune at the partition level, not scan+filter
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"expected the list_id INSET in PartitionFilters:\n${plan.take(2000)}")
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket("embedding", 8).as("b"))
