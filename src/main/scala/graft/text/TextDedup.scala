@@ -235,22 +235,34 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidate-
-    * limited by 16-bit quadrant equality.
+    * limited by 16-bit quadrant equality (any of the 4 quadrants matching
+    * makes a candidate — the standard hamming-LSH trick).
+    *
+    * Shape: ONE pass over the per-doc simhashes — the union + self-join
+    * form consumed the SimHash aggregation subtree 8 times (4 quadrant
+    * branches × 2 join sides) and Spark re-executed the tokenize/hash/
+    * aggregate chain for each (the same multiply-consumed-subtree trap
+    * [[lshCandidates]] had). Here the quadrants posexplode off each row,
+    * one shuffle buckets (quad_id, quad), and the pairs expand
+    * in-partition with the hamming computed in place.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(docs)
-    val quads = (0 until 4).map { q =>
-      sh.select(col("doc_id"), expr(s"(simhash >> ${q * 16}) & 65535").as("quad"),
-        lit(q).as("quad_id"), col("simhash"))
-    }.reduce(_.unionByName(_))
-    val a = quads.select(col("doc_id").as("doc_a"), col("quad"), col("quad_id"),
-      col("simhash").as("sim_a"))
-    val b = quads.select(col("doc_id").as("doc_b"), col("quad"), col("quad_id"),
-      col("simhash").as("sim_b"))
-    a.join(b, Seq("quad", "quad_id"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+    simhash(docs)
+      .select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 4).map(q => expr(s"(simhash >> ${q * 16}) & 65535")): _*)))
+      .withColumnsRenamed(Map("pos" -> "quad_id", "col" -> "quad"))
+      .groupBy(col("quad_id"), col("quad"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           bit_count(a.simhash ^ b.simhash) AS hamming))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

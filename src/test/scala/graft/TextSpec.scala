@@ -130,6 +130,34 @@ class TextSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
   }
 
+  test("fused near-dup pipeline equals the staged composition (randomized)") {
+    // seeded generator: word pool small enough to force real near-dups
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    // 30 random docs + a near-copy of each (one word appended) so
+    // high-jaccard pairs are guaranteed to exist
+    val rows = (1L to 30L).flatMap { id =>
+      val words = Seq.fill(8 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+      Seq((id, words.mkString(" ")),
+        (id + 100L, (words :+ pool(rnd.nextInt(pool.size))).mkString(" ")))
+    }
+    val d = docs(rows: _*)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val sh = TextDedup.shingles(d)
+    val staged = TextDedup.jaccardVerify(
+      TextDedup.lshCandidates(TextDedup.minhashSignatures(sh)), sh)
+      .filter(col("jaccard") >= 0.5).collect().map(key).toSet
+    val fused = TextDedup.nearDupPairs(d, 0.5).collect().map(key).toSet
+    assert(fused == staged, "fused md5 pipeline must equal the staged form")
+    val stagedFast = TextDedup.jaccardVerify(
+      TextDedup.lshCandidates(TextDedup.minhashSignaturesFast(sh)), sh)
+      .filter(col("jaccard") >= 0.5).collect().map(key).toSet
+    val fusedFast = TextDedup.nearDupPairsFast(d, 0.5).collect().map(key).toSet
+    assert(fusedFast == stagedFast, "fused xxhash64 pipeline must equal staged")
+    assert(fused.nonEmpty, "generator must actually produce near-dups")
+  }
+
   test("buildVocab: frequency-then-lexical ids, truncation, determinism") {
     val d = docs((1L, "b a a c b a"), (2L, "c d"))
     val out = Corpus.buildVocab(d, topV = 3).orderBy("token_id").collect()
