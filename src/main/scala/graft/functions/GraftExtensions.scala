@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       GraftFunctions.lshBucketFromSql _))
+    ext.injectFunction((
+      FunctionIdentifier("seeded_md5"),
+      new ExpressionInfo(classOf[SeededMd5].getName, "seeded_md5"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "seeded_md5(str, numSeeds)")
+        SeededMd5(exprs(0), GraftFunctions.litInt(exprs(1), "numSeeds"))
+      }))
   }
 }

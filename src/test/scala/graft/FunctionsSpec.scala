@@ -191,6 +191,27 @@ class FunctionsSpec extends SparkSpec {
       s"bucketed join must not shuffle either side:\n${plan.take(3000)}")
   }
 
+  test("GraftExtensions injects all three SQL functions") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // registerFunctions is private[sql] but bytecode-public (the
+    // GraftFunctions bridge precedent); apply the injections to a clone of
+    // the live registry — extensions cannot be attached to an existing
+    // session, so this is the testable surface of the config-injection
+    // path.
+    val registry = spark.sessionState.functionRegistry.clone()
+    for (fn <- Seq("cosine_similarity", "lsh_bucket", "seeded_md5"))
+      registry.dropFunction(FunctionIdentifier(fn))
+    val m = classOf[SparkSessionExtensions].getDeclaredMethods
+      .find(_.getName == "registerFunctions").get
+    m.invoke(ext, registry)
+    for (fn <- Seq("cosine_similarity", "lsh_bucket", "seeded_md5"))
+      assert(registry.functionExists(FunctionIdentifier(fn)),
+        s"$fn missing after extension injection")
+  }
+
   test("seeded_md5 is bit-identical to the composed built-in form") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val composed = (0 until 8).map(i =>
