@@ -411,10 +411,10 @@ object SparkEntry {
         "l_extendedprice", salts = 16)),
     // A4 scale path: HLL++ sketch distinct (engine-specific values ->
     // rows-only; the exact twin is q46's n_visitors).
+    // A4 100 TB twin of q02: HLL++ distinct visitors per (type, day) —
+    // engine-internal sketch, rows-only.
     "q51_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("visitors_approx"))),
+      Agg.dailyEngagementApprox(t(s, dir, "events"))),
     // W2 extended: first/last/nth value, percent_rank, cume_dist.
     "q52_window_family" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window

@@ -33,6 +33,42 @@ class HardeningSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("filesFor sizes compaction output from partition bytes") {
+    assert(Compaction.filesFor(0L, 128L) == 1)          // empty -> still 1 file
+    assert(Compaction.filesFor(100L, 128L) == 1)
+    assert(Compaction.filesFor(128L, 128L) == 1)
+    assert(Compaction.filesFor(129L, 128L) == 2)
+    assert(Compaction.filesFor(1280L, 128L) == 10)
+  }
+
+  test("writePartitioned lays out partition directories; readback matches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wpart").toString
+    val df = Seq((1L, "2025-04-01", "a"), (2L, "2025-04-01", "b"),
+      (3L, "2025-04-02", "c")).toDF("id", "dt", "v")
+    graft.sources.Tables.writePartitioned(df, dir, Seq("dt"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("dt=2025-04-01", "dt=2025-04-02"))
+    val back = spark.read.parquet(dir).select("id", "dt", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "2025-04-01", "a"), (2L, "2025-04-01", "b"),
+      (3L, "2025-04-02", "c")))
+  }
+
+  test("emptyState bootstraps the watermark table: advance == from-scratch") {
+    import graft.incr.Incremental
+    val empty = Incremental.emptyState(spark)
+    assert(empty.schema == Incremental.stateSchema && empty.count() == 0)
+    val batch = Seq(("m1", java.sql.Timestamp.valueOf("2025-04-01 10:00:00")),
+      ("m2", java.sql.Timestamp.valueOf("2025-04-02 09:00:00")))
+      .toDF("source", "ts")
+    val advanced = Incremental.advance(empty, batch, "source", "ts")
+      .as[(String, java.sql.Timestamp)].collect().toMap
+    assert(advanced == Map(
+      "m1" -> java.sql.Timestamp.valueOf("2025-04-01 10:00:00"),
+      "m2" -> java.sql.Timestamp.valueOf("2025-04-02 09:00:00")))
+  }
+
   test("compactTable collapses small files; content unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val table = s"$dir/t"
