@@ -122,16 +122,18 @@ object GraftFunctions {
     column(SeededMd5(expr(s), numSeeds))
 
   /** Evaluate a foldable int argument of a SQL function call (e.g. the
-    * `bits` literal in `lsh_bucket(emb, 8, 64, 0)`).
+    * `bits` literal in `lsh_bucket(emb, 8, 64, 0)`). `name` must carry the
+    * function name ("lsh_bucket: bits") — litInt serves several functions,
+    * and the error has to point at the one the user called.
     */
   private[functions] def litInt(e: Expression, name: String): Int = {
-    require(e.foldable, s"lsh_bucket: $name must be a literal integer")
+    require(e.foldable, s"$name must be a literal integer")
     e.eval() match {
       // NULL is foldable, so `lsh_bucket(emb, NULL, 64)` reaches here — it
       // must get the descriptive error, not a bare NullPointerException.
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"lsh_bucket: $name must be a non-null literal integer, got " +
+        s"$name must be a non-null literal integer, got " +
           s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
     }
   }
@@ -139,8 +141,9 @@ object GraftFunctions {
   private[functions] def lshBucketFromSql(exprs: Seq[Expression]): Expression = {
     require(exprs.size >= 3 && exprs.size <= 4,
       "lsh_bucket(embedding, bits, dims[, planeOffset])")
-    LshBucket(exprs(0), litInt(exprs(1), "bits"), litInt(exprs(2), "dims"),
-      if (exprs.size > 3) litInt(exprs(3), "planeOffset") else 0)
+    LshBucket(exprs(0), litInt(exprs(1), "lsh_bucket: bits"),
+      litInt(exprs(2), "lsh_bucket: dims"),
+      if (exprs.size > 3) litInt(exprs(3), "lsh_bucket: planeOffset") else 0)
   }
 
   /** Register custom functions on an EXISTING session (tests, notebooks). */
@@ -155,7 +158,7 @@ object GraftFunctions {
       "seeded_md5",
       { exprs: Seq[Expression] =>
         require(exprs.size == 2, "seeded_md5(str, numSeeds)")
-        SeededMd5(exprs(0), litInt(exprs(1), "numSeeds"))
+        SeededMd5(exprs(0), litInt(exprs(1), "seeded_md5: numSeeds"))
       },
       "built-in")
   }

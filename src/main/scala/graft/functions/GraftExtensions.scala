@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SeededMd5].getName, "seeded_md5"),
       { exprs: Seq[Expression] =>
         require(exprs.size == 2, "seeded_md5(str, numSeeds)")
-        SeededMd5(exprs(0), GraftFunctions.litInt(exprs(1), "numSeeds"))
+        SeededMd5(exprs(0), GraftFunctions.litInt(exprs(1), "seeded_md5: numSeeds"))
       }))
   }
 }

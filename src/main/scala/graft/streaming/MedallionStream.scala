@@ -109,10 +109,18 @@ object MedallionStream {
     *
     * The same anti-join is what upgrades `foreachBatch`'s at-least-once
     * to exactly-once for the fact: a replayed micro-batch finds its own
-    * keys already in the fact and appends nothing. Quarantine replays
-    * are absorbed the same way by raw_payload (corrupt pages have no
-    * key; the quarantine stays small by construction, so that anti-join
-    * is against a tiny table).
+    * keys already in the fact and appends nothing. The join is NULL-SAFE
+    * (`<=>`) and the fact slice keeps null-event-time rows, so events
+    * with a missing key or unparseable timestamp are replay-idempotent
+    * too. Quarantine replays are recognized by (raw_payload, batch_id):
+    * a replay reuses the batch id and is absorbed; a byte-identical
+    * corrupt page genuinely re-occurring in a LATER trigger has a new
+    * batch id and is kept.
+    *
+    * The normalized good/quarantine frames are persisted for the sink's
+    * duration — the sink runs multiple actions (min, two writes, one
+    * isEmpty), and without the pin each would re-read and re-parse the
+    * bronze delta, forfeiting the single-read goal.
     */
   def factEventsSinglePassQuery(spark: SparkSession, bronzeDir: String,
                                 factDir: String, quarantineDir: String,
@@ -127,37 +135,46 @@ object MedallionStream {
       .option("basePath", bronzeDir)
       .json(s"$bronzeDir/*/*")
       .select("payload")
+    def exists(dir: String): Boolean = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(dir))
     pages.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (good, quar) = Flatten.normalizePagesWithQuarantine(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, rawQuar) = Flatten.normalizePagesWithQuarantine(batch)
         val flat = graft.ops.Dedup.firstWins(Flatten.factEvents(good),
-          Seq("event_key"), Seq(col("received_at").desc))
-        val factExists = new org.apache.hadoop.fs.Path(factDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(factDir))
-        val fresh = if (!factExists) flat else {
-          // null min = empty batch (append is a no-op) or all-null event
-          // times (no horizon to bound by — append as-is, like the batch
-          // path would)
-          val minTs = flat.agg(min(col("received_at"))).first().getTimestamp(0)
-          if (minTs == null) flat
-          else {
-            val lower = new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)
-            flat.join(
-              spark.read.parquet(factDir)
-                .filter(col("received_at") >= lit(lower))
-                .select(col("event_key")),
-              Seq("event_key"), "left_anti")
+          Seq("event_key"), Seq(col("received_at").desc)).persist()
+        val quar = rawQuar.withColumn("batch_id", lit(batchId)).persist()
+        try {
+          val fresh = if (!exists(factDir)) flat else {
+            // null min = empty batch (append is a no-op) or all-null event
+            // times (no horizon to bound by — append as-is, like the batch
+            // path would)
+            val minTs = flat.agg(min(col("received_at"))).first().getTimestamp(0)
+            if (minTs == null) flat
+            else {
+              val lower = new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)
+              // keep null-event-time rows in the slice and match keys
+              // null-safely: otherwise a null-timestamp or null-key event
+              // slips past the anti-join and duplicates on replay
+              val prior = spark.read.parquet(factDir)
+                .filter(col("received_at") >= lit(lower) ||
+                  col("received_at").isNull)
+                .select(col("event_key").as("_prior_key"))
+              flat.join(prior, flat("event_key") <=> prior("_prior_key"),
+                "left_anti")
+            }
           }
+          fresh.write.mode("append").parquet(factDir)
+          val freshQuar = if (!exists(quarantineDir)) quar else quar.join(
+            spark.read.parquet(quarantineDir)
+              .select(col("raw_payload"), col("batch_id")),
+            Seq("raw_payload", "batch_id"), "left_anti")
+          if (!freshQuar.isEmpty)
+            freshQuar.write.mode("append").parquet(quarantineDir)
+        } finally {
+          flat.unpersist()
+          quar.unpersist()
         }
-        fresh.write.mode("append").parquet(factDir)
-        val quarExists = new org.apache.hadoop.fs.Path(quarantineDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(quarantineDir))
-        val freshQuar = if (!quarExists) quar else quar.join(
-          spark.read.parquet(quarantineDir).select(col("raw_payload")),
-          Seq("raw_payload"), "left_anti")
-        if (!freshQuar.isEmpty) freshQuar.write.mode("append").parquet(quarantineDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

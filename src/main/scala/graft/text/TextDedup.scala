@@ -95,26 +95,39 @@ object TextDedup {
     * [[exactDedup]] first so identical-text floods can't create a
     * degenerate bucket).
     */
-  def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
-                    numBands: Int = 2): DataFrame = {
+  /** In-partition ordered-pair expansion over a sorted per-bucket array
+    * `col`: every (a, b) with a strictly before b, projected by `inner`
+    * (an expression over struct/scalar lambda vars `a` and `b`). The
+    * slice arithmetic lives HERE once — it is shared by every bucket
+    * join ([[lshCandidates]], the fused near-dup pipeline,
+    * [[simhashNearDups]]).
+    */
+  private def pairExpand(colName: String, inner: String): org.apache.spark.sql.Column =
+    explode(expr(
+      s"""flatten(transform($colName, (a, i) ->
+         |  transform(slice($colName, i + 2, size($colName) - i - 1), b ->
+         |    $inner)))""".stripMargin))
+
+  /** The `numBands` '|'-joined band values over signature columns m0..m{k-1}. */
+  private def bandCols(numHashes: Int, numBands: Int): Seq[org.apache.spark.sql.Column] = {
     val rowsPerBand = numHashes / numBands
-    val bandVals = (0 until numBands).map { b =>
+    (0 until numBands).map { b =>
       concat_ws("|",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
     }
+  }
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
+                    numBands: Int = 2): DataFrame =
     signatures
-      .select(col("doc_id"), posexplode(array(bandVals: _*)))
+      .select(col("doc_id"), posexplode(array(bandCols(numHashes, numBands): _*)))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
       .groupBy(col("band_id"), col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
-          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(pairExpand("ids", "struct(a AS doc_a, b AS doc_b)").as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard, computed ONLY for the candidate pairs (the
     * verify step of MinHash/LSH). Output: (doc_a, doc_b, jaccard).
@@ -161,32 +174,33 @@ object TextDedup {
                            hashArray: (org.apache.spark.sql.Column, Int) =>
                              org.apache.spark.sql.Column,
                            numHashes: Int = 8, numBands: Int = 2): DataFrame = {
-    val rowsPerBand = numHashes / numBands
+    // Contract boundary: the staged form's inner verify join omits
+    // zero-intersection candidates, the fused form emits them with
+    // jaccard 0.0 — any POSITIVE threshold filters both identically
+    // (the equivalence the property spec asserts); at <= 0 they differ.
+    require(threshold > 0,
+      s"nearDup threshold must be > 0 (zero-overlap pairs are not " +
+        s"near-dups and are not materialized), got $threshold")
     // The k seeded hashes are PROJECTED once per shingle row as an array
     // (one expression evaluation), then each min-agg reads its element —
     // k hash computations per row, not k per aggregate child evaluation.
     val profAggs = (0 until numHashes)
       .map(i => min(element_at(col("_h"), i + 1)).as(s"m$i")) :+
       collect_set(col("shingle")).as("sh")
-    val bandVals = (0 until numBands).map { b =>
-      concat_ws("|",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
-    }
     shinglesRaw(docs)
       .select(col("doc_id"), col("shingle"),
         hashArray(col("shingle"), numHashes).as("_h"))
       .groupBy(col("doc_id")).agg(profAggs.head, profAggs.tail: _*)
-      .select(col("doc_id"), col("sh"), posexplode(array(bandVals: _*)))
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(bandCols(numHashes, numBands): _*)))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
       .groupBy(col("band_id"), col("band"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(expr(
-        """flatten(transform(items, (a, i) ->
-          |  transform(slice(items, i + 2, size(items) - i - 1), b ->
-          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |           size(array_intersect(a.sh, b.sh)) AS n_inter,
-          |           size(a.sh) AS na, size(b.sh) AS nb))))""".stripMargin)).as("p"))
+      .select(pairExpand("items",
+        """struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       size(array_intersect(a.sh, b.sh)) AS n_inter,
+          |       size(a.sh) AS na, size(b.sh) AS nb)""".stripMargin).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         (col("p.n_inter").cast("double") /
           (col("p.na") + col("p.nb") - col("p.n_inter"))).as("jaccard"))
@@ -255,12 +269,10 @@ object TextDedup {
       .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
         .as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(expr(
-        """flatten(transform(items, (a, i) ->
-          |  transform(slice(items, i + 2, size(items) - i - 1), b ->
-          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |           bit_count(a.simhash ^ b.simhash) AS hamming))))"""
-          .stripMargin)).as("p"))
+      .select(pairExpand("items",
+        """struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       bit_count(a.simhash ^ b.simhash) AS hamming)""".stripMargin)
+        .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.hamming").as("hamming"))
       .distinct()

@@ -192,11 +192,17 @@ object Similarity {
 
   /** Per-centroid (−cosine, c_id) structs over inlined literal centroids —
     * `array_min` of this is the assignment argmax; `sort_array` + slice is
-    * probe-list selection.
+    * probe-list selection. A NaN cosine (zero-norm vector or centroid,
+    * 0/0) maps to −∞ here so it ranks FIRST — matching the SQL oracle's
+    * `ORDER BY ccos DESC`, where NaN sorts greatest; Spark's struct min
+    * would otherwise rank NaN last and assign a different list.
     */
   private def centStructs(cents: Array[(Long, Seq[Float])])(emb: Column): Column =
     array(cents.map { case (cId, cEmb) =>
-      struct((-cosine(emb, typedLit(cEmb))).as("nc"), lit(cId).as("c_id"))
+      struct(
+        (-nanvl(cosine(emb, typedLit(cEmb)), lit(Double.PositiveInfinity)))
+          .as("nc"),
+        lit(cId).as("c_id"))
     }: _*)
 
   /** (probe_id, p_emb, list_id) rows: each probe's top-`nProbe` lists. */
@@ -254,13 +260,17 @@ object Similarity {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
-    val probeLists = probeListsFor(probes, cents, nProbe)
-    // ≤ probes × nProbe ids — driver-tiny, and inlining them (vs a join)
-    // is what lets the planner prune partitions statically.
-    val wanted = probeLists.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0))
+    // Materialize the probe lists ONCE (probes are broadcast-small by
+    // contract): the rows feed the broadcast join AND yield the probed
+    // list ids, which must be inlined — not joined — for the planner to
+    // prune partitions statically.
+    val pl = probeListsFor(probes, cents, nProbe)
+    val plRows = pl.collect()
+    val probeLists = spark.createDataFrame(
+      java.util.Arrays.asList(plRows: _*), pl.schema)
+    val wanted = plRows.map(_.getAs[Long]("list_id")).distinct
     val assigned = spark.read.parquet(s"$dir/lists")
-      .filter(col("list_id").isin(wanted: _*))
+      .filter(col("list_id").isin(wanted.toSeq: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("list_id").cast("long").as("list_id"))
     ivfSearch(assigned, probeLists, k)

@@ -102,13 +102,26 @@ class MedallionStreamSpec extends SparkSpec {
     assert(out3.count() == 4)
     assert(spark.read.parquet(quar).count() == 1)
 
+    // trigger 3: a null-timestamp event (parseable, no received_at) and the
+    // SAME corrupt payload genuinely re-occurring in a new trigger
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-03", PullResult(Seq(
+      """{"data":[{"event_key":"s5","percent_viewed":0.1,"visitor_key":"v-s5","media_id":"m1","media_name":"vid"}]}""",
+      """{"oops": not json"""), done, complete = true))
+    val out3b = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, cp)
+    assert(out3b.count() == 5, "null-timestamp event must land in the fact")
+    assert(spark.read.parquet(quar).count() == 2,
+      "a corrupt page re-occurring in a LATER trigger is a new row (new batch id)")
+
     // replayed micro-batch (fresh checkpoint over the same bronze) appends
-    // nothing: the anti-join makes the foreachBatch sink idempotent
+    // nothing: the anti-join makes the foreachBatch sink idempotent — for
+    // null-timestamp rows too (null-safe key match, isNull-keeping slice)
     val out4 = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar,
       s"$root/sp/cp-replay")
-    assert(out4.count() == 4, "full replay must be absorbed by the anti-join")
-    assert(spark.read.parquet(quar).count() == 1,
-      "quarantine replay must be absorbed by the raw_payload anti-join")
+    assert(out4.count() == 5, "full replay must be absorbed by the anti-join")
+    assert(out4.filter(col("received_at").isNull).count() == 1,
+      "the null-timestamp event must not duplicate on replay")
+    assert(spark.read.parquet(quar).count() == 2,
+      "quarantine replay must be absorbed by the (raw_payload, batch_id) anti-join")
 
     // parity with the batch pipeline's view of event keys
     val batchKeys = graft.ops.Dedup.firstWins(
