@@ -138,6 +138,11 @@ object GraftFunctions {
     }
   }
 
+  private[functions] def seededMd5FromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "seeded_md5(str, numSeeds)")
+    SeededMd5(exprs(0), litInt(exprs(1), "seeded_md5: numSeeds"))
+  }
+
   private[functions] def lshBucketFromSql(exprs: Seq[Expression]): Expression = {
     require(exprs.size >= 3 && exprs.size <= 4,
       "lsh_bucket(embedding, bits, dims[, planeOffset])")
@@ -155,11 +160,6 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", lshBucketFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "seeded_md5",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 2, "seeded_md5(str, numSeeds)")
-        SeededMd5(exprs(0), litInt(exprs(1), "seeded_md5: numSeeds"))
-      },
-      "built-in")
+      "seeded_md5", seededMd5FromSql, "built-in")
   }
 }

@@ -30,9 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("seeded_md5"),
       new ExpressionInfo(classOf[SeededMd5].getName, "seeded_md5"),
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 2, "seeded_md5(str, numSeeds)")
-        SeededMd5(exprs(0), GraftFunctions.litInt(exprs(1), "seeded_md5: numSeeds"))
-      }))
+      GraftFunctions.seededMd5FromSql _))
   }
 }

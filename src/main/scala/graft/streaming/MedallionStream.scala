@@ -146,29 +146,35 @@ object MedallionStream {
         val quar = rawQuar.withColumn("batch_id", lit(batchId)).persist()
         try {
           val fresh = if (!exists(factDir)) flat else {
-            // null min = empty batch (append is a no-op) or all-null event
-            // times (no horizon to bound by — append as-is, like the batch
-            // path would)
+            // null min = empty batch, or a batch of only null-event-time
+            // rows — the latter still needs the anti-join (against the
+            // fact's isNull slice) or a replay duplicates those rows.
             val minTs = flat.agg(min(col("received_at"))).first().getTimestamp(0)
-            if (minTs == null) flat
-            else {
-              val lower = new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)
-              // keep null-event-time rows in the slice and match keys
-              // null-safely: otherwise a null-timestamp or null-key event
-              // slips past the anti-join and duplicates on replay
-              val prior = spark.read.parquet(factDir)
-                .filter(col("received_at") >= lit(lower) ||
-                  col("received_at").isNull)
-                .select(col("event_key").as("_prior_key"))
-              flat.join(prior, flat("event_key") <=> prior("_prior_key"),
-                "left_anti")
-            }
+            val slice = if (minTs == null) col("received_at").isNull else
+              col("received_at") >=
+                lit(new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)) ||
+                col("received_at").isNull
+            // keep null-event-time rows in the slice and match keys
+            // null-safely: otherwise a null-timestamp or null-key event
+            // slips past the anti-join and duplicates on replay
+            val prior = spark.read.parquet(factDir).filter(slice)
+              .select(col("event_key").as("_prior_key"))
+            flat.join(prior, flat("event_key") <=> prior("_prior_key"),
+              "left_anti")
           }
           fresh.write.mode("append").parquet(factDir)
-          val freshQuar = if (!exists(quarantineDir)) quar else quar.join(
-            spark.read.parquet(quarantineDir)
-              .select(col("raw_payload"), col("batch_id")),
-            Seq("raw_payload", "batch_id"), "left_anti")
+          val freshQuar = if (!exists(quarantineDir)) quar else {
+            // a replay can only re-deliver THIS batch id — filtering the
+            // prior read to it bounds the per-trigger quarantine scan to
+            // one batch (the horizon slice's analogue) and pushes down;
+            // the payload match is null-safe (a null-payload record must
+            // not re-append on every replay)
+            val prior = spark.read.parquet(quarantineDir)
+              .filter(col("batch_id") === batchId)
+              .select(col("raw_payload").as("_prior_payload"))
+            quar.join(prior, quar("raw_payload") <=> prior("_prior_payload"),
+              "left_anti")
+          }
           if (!freshQuar.isEmpty)
             freshQuar.write.mode("append").parquet(quarantineDir)
         } finally {

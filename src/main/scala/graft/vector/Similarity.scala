@@ -242,10 +242,13 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
                     nCentroids: Int = 16): Unit = {
-    val centDf = corpus.orderBy(col("vec_id")).limit(nCentroids)
+    corpus.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id"), col("embedding"))
-    centDf.write.mode("overwrite").parquet(s"$dir/centroids")
-    val cents = collectCentroids(centDf)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // read the tiny file just written rather than re-running the
+    // full-corpus top-k subquery a second time
+    val cents = collectCentroids(
+      corpus.sparkSession.read.parquet(s"$dir/centroids"))
     corpus.select(col("vec_id"), col("embedding"),
       array_min(centStructs(cents)(col("embedding"))).getField("c_id")
         .as("list_id"))

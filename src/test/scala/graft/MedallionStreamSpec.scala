@@ -133,4 +133,35 @@ class MedallionStreamSpec extends SparkSpec {
       .select("event_key").as[String].collect().toSet
     assert(out4.select("event_key").as[String].collect().toSet == batchKeys)
   }
+
+  test("single-pass silver: a batch of ONLY null-timestamp rows is replay-idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mstreamnull").toString
+    val l = Layout(root)
+    val fact = s"$root/np/fact"
+    val quar = s"$root/np/quarantine"
+    // trigger 1 (cp A): a normal event so the fact exists
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-01", PullResult(Seq(
+      s"""{"data":[${ev("n1", "2025-04-01T10:00:00Z", "m1")}]}"""),
+      Checkpoint(), complete = true))
+    MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, s"$root/np/cpA")
+    // trigger 2 (cp A): ONLY a null-timestamp event — min(received_at) is
+    // null for the batch, the branch that must still anti-join
+    Medallion.writeBronzePages(spark, l, "m1", "2025-04-02", PullResult(Seq(
+      """{"data":[{"event_key":"n2","percent_viewed":0.2,"visitor_key":"v-n2","media_id":"m1","media_name":"vid"}]}"""),
+      Checkpoint(), complete = true))
+    val out = MedallionStream.runOnceSinglePass(spark, l.bronzeEvents, fact, quar, s"$root/np/cpA")
+    assert(out.count() == 2)
+    // replay the null-only page alone (a second bronze root holding just
+    // that page, fresh checkpoint — the crash-before-checkpoint shape):
+    // the batch's min ts is null and its row is already in the fact —
+    // nothing may append
+    val l2 = Layout(s"$root/replay")
+    Medallion.writeBronzePages(spark, l2, "m1", "2025-04-02", PullResult(Seq(
+      """{"data":[{"event_key":"n2","percent_viewed":0.2,"visitor_key":"v-n2","media_id":"m1","media_name":"vid"}]}"""),
+      Checkpoint(), complete = true))
+    val out2 = MedallionStream.runOnceSinglePass(spark, l2.bronzeEvents, fact, quar, s"$root/np/cpB")
+    assert(out2.count() == 2,
+      "null-only batch replay must be absorbed by the isNull-slice anti-join")
+    assert(out2.filter(col("received_at").isNull).count() == 1)
+  }
 }
