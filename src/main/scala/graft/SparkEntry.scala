@@ -427,7 +427,8 @@ object SparkEntry {
         last(col("c_custkey")).over(wf).as("poorest_custkey"),
         nth_value(col("c_custkey"), 2).over(wf).as("second_custkey"),
         percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
     }),
     // F8: string distance (levenshtein) against a fixed probe name.
     "q54_levenshtein" -> ((s, dir) =>
@@ -502,6 +503,17 @@ object SparkEntry {
       Tables.registerViews(s, dir)
       s.sql(medianSql)
     }),
+    // A4-style 100 TB twin of q61: t-digest sketch percentiles (one pass,
+    // mergeable partials — the exact form buffers every value per group).
+    // Engine-internal sketch, rows-only, like q51/q64.
+    "q71_median_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice").cast("double"), lit(0.5),
+            lit(10000)).as("median_approx"),
+          percentile_approx(col("o_totalprice").cast("double"),
+            array(lit(0.25), lit(0.75)), lit(10000)).as("quartiles_approx"))),
     // Per-key mode (argmax by frequency with deterministic tie-break).
     "q62_mode_per_user" -> ((s, dir) => {
       val counts = t(s, dir, "events")
@@ -1114,7 +1126,8 @@ object SparkEntry {
         |  LAST_VALUE(c_custkey) OVER wf AS poorest_custkey,
         |  NTH_VALUE(c_custkey, 2) OVER wf AS second_custkey,
         |  PERCENT_RANK() OVER w AS pct_rank,
-        |  CUME_DIST() OVER w AS cume
+        |  CUME_DIST() OVER w AS cume,
+        |  NTILE(4) OVER w AS quartile
         |FROM customer
         |WINDOW
         |  w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),

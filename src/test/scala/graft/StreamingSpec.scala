@@ -87,4 +87,32 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(out).count()
     assert(n2 == 250, s"expected 250 (100 + 150), got $n2 — checkpoint replayed or skipped data")
   }
+
+  test("streaming corpus dedup: exact dups dropped across triggers and restarts") {
+    import graft.streaming.CorpusStream
+    val root = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val cp = s"$root/cp"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    // trigger 1: 3 docs, one intra-batch exact dup
+    Seq((1L, "the quick fox"), (2L, "lazy dog"), (3L, "the quick fox"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val out1 = CorpusStream.runOnce(spark, src, out, cp, schema)
+    assert(out1.count() == 2)
+    // trigger 2 (restart from checkpoint): one cross-trigger dup + one new —
+    // dedup state must survive the restart
+    Seq((4L, "lazy dog"), (5L, "brand new text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val out2 = CorpusStream.runOnce(spark, src, out, cp, schema)
+    assert(out2.count() == 3,
+      "cross-trigger duplicate must be dropped by the restored dedup state")
+    assert(out2.select("text").as[String].collect().toSet ==
+      Set("the quick fox", "lazy dog", "brand new text"))
+    // batch parity: same survivor set as TextDedup.exactDedup over all input
+    val all = spark.read.parquet(src)
+    assert(out2.count() == graft.text.TextDedup.exactDedup(all).count())
+  }
 }
