@@ -503,17 +503,19 @@ object SparkEntry {
       Tables.registerViews(s, dir)
       s.sql(medianSql)
     }),
-    // A4-style 100 TB twin of q61: t-digest sketch percentiles (one pass,
-    // mergeable partials — the exact form buffers every value per group).
-    // Engine-internal sketch, rows-only, like q51/q64.
+    // A4-style 100 TB twin of q61: Greenwald-Khanna quantile sketch (one
+    // pass, ONE mergeable summary per group serving all three quantiles —
+    // the exact form buffers every value per group). Engine-internal
+    // sketch, rows-only, like q51/q64.
     "q71_median_approx" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(
-          percentile_approx(col("o_totalprice").cast("double"), lit(0.5),
-            lit(10000)).as("median_approx"),
-          percentile_approx(col("o_totalprice").cast("double"),
-            array(lit(0.25), lit(0.75)), lit(10000)).as("quartiles_approx"))),
+        .agg(percentile_approx(col("o_totalprice").cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_q"))
+        .select(col("o_orderstatus"),
+          element_at(col("_q"), 2).as("median_approx"),
+          array(element_at(col("_q"), 1), element_at(col("_q"), 3))
+            .as("quartiles_approx"))),
     // Per-key mode (argmax by frequency with deterministic tie-break).
     "q62_mode_per_user" -> ((s, dir) => {
       val counts = t(s, dir, "events")
@@ -1127,7 +1129,7 @@ object SparkEntry {
         |  NTH_VALUE(c_custkey, 2) OVER wf AS second_custkey,
         |  PERCENT_RANK() OVER w AS pct_rank,
         |  CUME_DIST() OVER w AS cume,
-        |  NTILE(4) OVER w AS quartile
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
         |FROM customer
         |WINDOW
         |  w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),

@@ -36,12 +36,19 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Drain-to-completion helper (the batch-incremental mode). */
+  /** Drain-to-completion helper (the batch-incremental mode). Returns an
+    * empty frame when no batch ever committed (the sink only creates
+    * `outDir` on its first write).
+    */
   def runOnce(spark: SparkSession, srcDir: String, outDir: String,
               checkpointDir: String, schema: StructType)
       : org.apache.spark.sql.DataFrame = {
     val q = dedupStreamQuery(spark, srcDir, outDir, checkpointDir, schema)
     q.processAllAvailable(); q.stop()
-    spark.read.parquet(outDir)
+    if (graft.sources.Tables.pathExists(spark, outDir))
+      spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add("text_hash", org.apache.spark.sql.types.StringType))
   }
 }

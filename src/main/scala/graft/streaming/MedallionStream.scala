@@ -187,13 +187,20 @@ object MedallionStream {
       .start()
   }
 
-  /** Drain-to-completion helper for [[factEventsSinglePassQuery]]. */
+  /** Drain-to-completion helper for [[factEventsSinglePassQuery]].
+    * Returns an empty fact frame when no batch ever committed (the sink
+    * only creates `factDir` on its first write).
+    */
   def runOnceSinglePass(spark: SparkSession, bronzeDir: String,
                         factDir: String, quarantineDir: String,
                         checkpointDir: String): DataFrame = {
     val q = factEventsSinglePassQuery(spark, bronzeDir, factDir,
       quarantineDir, checkpointDir)
     q.processAllAvailable(); q.stop()
-    spark.read.parquet(factDir)
+    if (graft.sources.Tables.pathExists(spark, factDir))
+      spark.read.parquet(factDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.schema.Schemas.factEvents)
   }
 }
