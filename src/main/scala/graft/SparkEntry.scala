@@ -957,11 +957,14 @@ object SparkEntry {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, shard, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+        |    -- SUM(BIGINT) is HUGEINT in DuckDB; Spark's running sum is
+        |    -- BIGINT — cast so the gate's dtype compare cannot flap
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_offset
         |  FROM t)
         |SELECT doc_id, shard, n_tokens, start_offset,
-        |  start_offset // 2048 AS pack_id
+        |  CAST(start_offset // 2048 AS BIGINT) AS pack_id
         |FROM o""".stripMargin,
     "q37_knn_bruteforce" ->
       """WITH pairs AS (
