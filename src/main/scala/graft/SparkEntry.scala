@@ -315,6 +315,10 @@ object SparkEntry {
     // A9 tokenizer prep: top-V token vocabulary with deterministic ids.
     "q70_vocab" -> ((s, dir) =>
       graft.text.Corpus.buildVocab(t(s, dir, "documents"), topV = 256)),
+    // A9 flagship composition: the C4/Gopher-style curation pipeline
+    // (lang-id + quality + repetition rules) as one Catalyst plan.
+    "q72_curate" -> ((s, dir) =>
+      graft.text.Corpus.curate(t(s, dir, "documents"))),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -899,6 +903,44 @@ object SparkEntry {
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
         |FROM documents""".stripMargin,
+    "q72_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+        |         WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+        |         WHEN de >= fr AND de >= zh THEN 'de'
+        |         WHEN fr >= zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |    len(list_intersect(list_distinct(t), ['the', 'a', 'row'])) AS en,
+        |    len(list_intersect(list_distinct(t), ['data', 'query'])) AS es,
+        |    len(list_intersect(list_distinct(t), ['merge', 'batch'])) AS de,
+        |    len(list_intersect(list_distinct(t), ['stream', 'filter'])) AS fr,
+        |    len(list_intersect(list_distinct(t), ['window', 'join'])) AS zh
+        |  FROM base)),
+        |qual AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 2.0
+        |      + (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t))
+        |      - (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
+        |      AS quality
+        |  FROM base),
+        |tot AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_tot
+        |        FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |             FROM base WHERE len(t) >= 3)),
+        |rep AS (
+        |  SELECT tot.doc_id, 1.0 - CAST(d.n AS DOUBLE) / tot.n_tot AS repetition
+        |  FROM tot JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) d
+        |    ON d.doc_id = tot.doc_id)
+        |SELECT l.doc_id, l.pred_lang, q.quality, r.repetition
+        |FROM lang l
+        |JOIN qual q ON q.doc_id = l.doc_id
+        |JOIN rep r ON r.doc_id = l.doc_id
+        |WHERE l.pred_lang = 'en' AND q.quality >= 1.0 AND r.repetition <= 0.2""".stripMargin,
     "q70_vocab" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),

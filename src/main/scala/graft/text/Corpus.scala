@@ -44,6 +44,32 @@ object Corpus {
         .as("split"))
   }
 
+  /** End-to-end corpus curation (the C4/Gopher-style rule pipeline): keep
+    * documents that (a) language-identify as `lang`, (b) score at least
+    * `minQuality`, (c) repeat at most `maxRepetition` of their word
+    * n-grams — and, implicitly, have at least n tokens (the repetition
+    * branch drops shorter docs: the min-length rule). One row per
+    * surviving doc with the three deciding signals.
+    *
+    * Plan shape: lang-id and quality are per-row projections over the
+    * corpus scan; repetition is the one aggregate. Every filter sits
+    * BELOW its join, so survivors — not the corpus — flow through the
+    * 1:1 doc_id joins. At 100 TB, fuse the two row-wise projections into
+    * one pass if the repeated (doc_id, text) scan matters; the aggregate
+    * branch is irreducible.
+    */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 1.0,
+             maxRepetition: Double = 0.2, n: Int = 3): DataFrame =
+    TextAnalysis.langId(docs)
+      .filter(col("pred_lang") === lang)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(TextAnalysis.qualityScore(docs)
+        .filter(col("quality") >= minQuality)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .join(TextAnalysis.repetition(docs, n)
+        .filter(col("repetition") <= maxRepetition)
+        .select(col("doc_id"), col("repetition")), Seq("doc_id"))
+
   /** Top-V token vocabulary with contiguous ids (the tokenizer-prep step):
     * global token frequencies, truncated to the `topV` most frequent,
     * ids assigned 1..V by (count desc, token asc) — fully deterministic,

@@ -158,6 +158,20 @@ class TextSpec extends SparkSpec {
     assert(fused.nonEmpty, "generator must actually produce near-dups")
   }
 
+  test("curate applies lang, quality, repetition, and min-length rules") {
+    val d = docs(
+      (1L, "the data row holds a value and the row stays"), // en, decent quality
+      (2L, "data query data query data query"),             // es-scored, repetitive
+      (3L, "x y"))                                          // < 3 tokens
+    val out = Corpus.curate(d, lang = "en", minQuality = 0.5,
+      maxRepetition = 0.9).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val r = out.head
+    assert(r.getAs[String]("pred_lang") == "en")
+    assert(r.getAs[Double]("quality") >= 0.5)
+    assert(r.getAs[Double]("repetition") <= 0.9)
+  }
+
   test("buildVocab: frequency-then-lexical ids, truncation, determinism") {
     val d = docs((1L, "b a a c b a"), (2L, "c d"))
     val out = Corpus.buildVocab(d, topV = 3).orderBy("token_id").collect()
