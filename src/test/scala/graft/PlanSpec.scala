@@ -1,0 +1,60 @@
+package graft
+
+/** Executable plan contracts for the headline queries: the physical-plan
+  * properties BASELINE.md's plan audit reads off by hand, pinned as tests
+  * so a future change that silently loses a broadcast, a pushed filter,
+  * or a map-side partial top-k fails CI instead of the bench.
+  *
+  * Checks run on the ANALYZED-to-executed plan string at sf0.001 (plan
+  * shape does not depend on SF for these: the broadcasts are hinted or
+  * literal-inlined, not size-estimated).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q09 star join: dims broadcast, fact never sort-merge joined") {
+    val p = plan("q09_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "a dim outgrew/lost its broadcast — the fact side would shuffle:\n" +
+        p.take(800))
+  }
+
+  test("q16 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q16_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q37 brute-force KNN: probes broadcast, map-side partial top-k") {
+    val p = plan("q37_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"),
+      p.take(800))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected partial (map-side) + final WindowGroupLimit:\n" + p.take(800))
+  }
+
+  test("q65 IVF: corpus assignment is map-side; exactly one exchange") {
+    val p = plan("q65_knn_ivf")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "IVF must shuffle only the final per-probe top-k:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q53 promo revenue: part broadcasts into the lineitem scan") {
+    val p = plan("q53_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q25 watermark filter: bound pushed to the parquet scan") {
+    val p = plan("q25_watermark_filter")
+    assert(p.contains("PushedFilters: [") &&
+      p.replaceAll("(?s).*?PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("GreaterThan"),
+      "the raw-nanos watermark bound must reach the scan:\n" + p.take(1200))
+  }
+}
