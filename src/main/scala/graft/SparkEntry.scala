@@ -509,17 +509,21 @@ object SparkEntry {
     }),
     // A4-style 100 TB twin of q61: Greenwald-Khanna quantile sketch (one
     // pass, ONE mergeable summary per group serving all three quantiles —
-    // the exact form buffers every value per group). Engine-internal
-    // sketch, rows-only, like q51/q64.
+    // the exact form buffers every value per group, and q61's window ranks
+    // the whole table through 3 reducers. This sketch IS the production
+    // median path at scale; q61 is its oracle-exact small-data twin.
+    // Engine-internal sketch, rows-only, like q51/q64. All three quantiles
+    // projected as scalar DOUBLEs (the harness row-hasher can't sort an
+    // array column).
     "q71_median_approx" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(percentile_approx(col("o_totalprice").cast("double"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_q"))
         .select(col("o_orderstatus"),
+          element_at(col("_q"), 1).as("q25_approx"),
           element_at(col("_q"), 2).as("median_approx"),
-          array(element_at(col("_q"), 1), element_at(col("_q"), 3))
-            .as("quartiles_approx"))),
+          element_at(col("_q"), 3).as("q75_approx"))),
     // Per-key mode (argmax by frequency with deterministic tie-break).
     "q62_mode_per_user" -> ((s, dir) => {
       val counts = t(s, dir, "events")
@@ -565,6 +569,13 @@ object SparkEntry {
     * floor() — `(n+1)/2` alone would silently select only the upper-middle
     * row for even-sized groups. The middle average runs in decimal
     * (sum of two DECIMAL(12,2) halved exactly at scale 6).
+    *
+    * SCALE POSTURE (see SCALE.md "Median family"): this window partitions
+    * on o_orderstatus — a 3-value key — so at 100 TB the whole orders table
+    * funnels through 3 reducers. q61 exists ONLY as the oracle-exact twin
+    * for cross-engine verification; the production path at scale is q71's
+    * mergeable GK sketch (partial+final ObjectHashAggregate, no window —
+    * pinned in PlanSpec).
     */
   private val medianSql: String =
     """WITH ranked AS (

@@ -51,24 +51,43 @@ object Corpus {
     * branch drops shorter docs: the min-length rule). One row per
     * surviving doc with the three deciding signals.
     *
-    * Plan shape: lang-id and quality are per-row projections over the
-    * corpus scan; repetition is the one aggregate. Every filter sits
-    * BELOW its join, so survivors — not the corpus — flow through the
-    * 1:1 doc_id joins. At 100 TB, fuse the two row-wise projections into
-    * one pass if the repeated (doc_id, text) scan matters; the aggregate
-    * branch is irreducible.
+    * Plan shape: ONE fused row-wise projection over a single corpus scan
+    * computes all three per-row signals (pred_lang, quality, and the
+    * n-gram occurrence total) and filters lang + quality before any
+    * shuffle — at 100 TB the corpus is read exactly twice: once for the
+    * fused row-wise pass, once for the distinct-shingle aggregate (the
+    * irreducible explode branch). Survivors of the row-wise filters —
+    * not the corpus — flow through the one 1:1 doc_id join.
+    * Scan count is pinned in PlanSpec ("q72 curate reads documents at
+    * most twice").
     */
   def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 1.0,
-             maxRepetition: Double = 0.2, n: Int = 3): DataFrame =
-    TextAnalysis.langId(docs)
-      .filter(col("pred_lang") === lang)
-      .select(col("doc_id"), col("pred_lang"))
-      .join(TextAnalysis.qualityScore(docs)
-        .filter(col("quality") >= minQuality)
-        .select(col("doc_id"), col("quality")), Seq("doc_id"))
-      .join(TextAnalysis.repetition(docs, n)
-        .filter(col("repetition") <= maxRepetition)
-        .select(col("doc_id"), col("repetition")), Seq("doc_id"))
+             maxRepetition: Double = 0.2, n: Int = 3): DataFrame = {
+    // Scores projected as named columns first so the argmax (which
+    // references each score ~4×) is written once in the plan; both
+    // selects fuse into one codegen stage over one scan.
+    val scored = docs.select(
+      Seq(col("doc_id"), col("text")) ++
+        TextAnalysis.langScores(col("text")).map { case (l, s) =>
+          s.as(s"${l}_score")
+        }: _*)
+    val rowwise = scored
+      .select(
+        col("doc_id"),
+        TextAnalysis.predLangExpr(l => col(s"${l}_score")).as("pred_lang"),
+        TextAnalysis.qualityExpr(col("text")).as("quality"),
+        (size(TextAnalysis.tokens(col("text"))) - (n - 1)).cast("long")
+          .as("n_shingles_total"))
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality &&
+        col("n_shingles_total") > 0)
+    val distinctShingles = TextDedup.shingles(docs, n)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_shingles"))
+    rowwise.join(distinctShingles, Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        (lit(1.0) - col("n_distinct_shingles").cast("double") /
+          col("n_shingles_total")).as("repetition"))
+      .filter(col("repetition") <= maxRepetition)
+  }
 
   /** Top-V token vocabulary with contiguous ids (the tokenizer-prep step):
     * global token frequencies, truncated to the `topV` most frequent,

@@ -25,23 +25,49 @@ object TextAnalysis {
     "fr" -> Seq("stream", "filter"),
     "zh" -> Seq("window", "join"))
 
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(tokens(col("text")))
-    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
-      df.withColumn(s"${lang}_score",
-        size(array_intersect(toks, array(markers.map(lit): _*))))
+  /** Per-language marker-count score expressions (one row-wise pass). */
+  private[text] def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(text))
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
     }
-    // argmax with tie-break in declaration order: first language whose score
-    // is >= all later ones wins.
+  }
+
+  /** argmax with tie-break in declaration order: first language whose score
+    * is >= all later ones wins. Shared by [[langId]] and [[Corpus.curate]]
+    * so the two compute bit-identical predictions.
+    */
+  private[text] def predLangExpr(score: String => Column): Column = {
     val langs = langMarkers.map(_._1)
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
-        val laterScores = langs.drop(i + 1).map(l => col(s"${l}_score"))
-        val isMax = laterScores.map(col(s"${lang}_score") >= _).reduce(_ && _)
+        val laterScores = langs.drop(i + 1).map(score)
+        val isMax = laterScores.map(score(lang) >= _).reduce(_ && _)
         when(isMax, lang).otherwise(elseCol)
     }
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langScores(col("text")).foldLeft(docs) {
+      case (df, (lang, s)) => df.withColumn(s"${lang}_score", s)
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = predLangExpr(l => col(s"${l}_score"))
     scored.select(col("doc_id") +: col("lang").as("actual_lang") +:
       langs.map(l => col(s"${l}_score")) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** The linear quality score as one expression: identical tree (hence
+    * bit-identical doubles) whether computed via [[qualityScore]]'s named
+    * intermediates or [[Corpus.curate]]'s fused single projection.
+    */
+  private[text] def qualityExpr(text: Column,
+                                stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val t = tokens(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    (size(array_distinct(t)).cast("double") / size(t)) * lit(2.0) +
+      (size(filter(t, x => array_contains(stopArr, x))).cast("double") / size(t)) -
+      (length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text))
   }
 
   /** Quality scoring: token/char statistics + a deterministic linear score.
@@ -64,9 +90,7 @@ object TextAnalysis {
         (col("sum_token_len").cast("double") / col("n_tokens")).as("avg_token_len"),
         (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        ((col("n_distinct_tokens").cast("double") / col("n_tokens")) * lit(2.0)
-          + (col("n_stop").cast("double") / col("n_tokens"))
-          - (col("n_punct").cast("double") / length(col("text")))).as("quality"))
+        qualityExpr(col("text"), stopwords).as("quality"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation

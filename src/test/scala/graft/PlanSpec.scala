@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q71 approx median plans as partial+final ObjectHashAggregate, no window") {
+    // The GK sketch is the median family's production path precisely
+    // because it aggregates (mergeable, partial+final) instead of ranking
+    // the whole table through q61's 3-value window partition.
+    val p = plan("q71_median_approx")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final sketch aggregate:\n" + p.take(800))
+    assert(!p.contains("Window"),
+      "the sketch path must never rank through a window:\n" + p.take(800))
+  }
+
+  test("q72 curate reads documents at most twice (fused row-wise pass)") {
+    val p = plan("q72_curate")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"expected <=2 corpus scans (fused row-wise + shingle aggregate), " +
+        s"got $scans:\n" + p.take(1600))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
