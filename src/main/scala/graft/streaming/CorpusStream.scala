@@ -13,13 +13,15 @@ import org.apache.spark.sql.types.StructType
   *
   * State is one 32-char hash per distinct text, kept indefinitely: a
   * duplicate document is a duplicate regardless of arrival time, so no
-  * watermark applies. At 100 TB, bound the store by sharding the stream
-  * on the hash prefix (state partitions by the dedup key already) and by
-  * periodically compacting: rewrite the deduped corpus, restart the
-  * stream fresh against the delta. When the dedup horizon IS
-  * business-bounded, swap in `dropDuplicatesWithinWatermark` (the
-  * [[MedallionStream]] pattern) to make state size proportional to the
-  * horizon instead.
+  * watermark applies. At 100 TB, bound the store by periodically
+  * compacting — [[compact]] snapshots the deduped corpus, then
+  * [[dedupStreamQueryAfterCompaction]] restarts the stream with EMPTY
+  * state (fresh checkpoint): pre-compaction history is consulted through
+  * a stateless stream-static anti-join against the snapshot, so the
+  * state store only ever holds hashes that arrived since the last
+  * compaction. When the dedup horizon IS business-bounded, swap in
+  * `dropDuplicatesWithinWatermark` (the [[MedallionStream]] pattern) to
+  * make state size proportional to the horizon instead.
   */
 object CorpusStream {
 
@@ -36,6 +38,52 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Compaction entry point (the state bound): snapshot the stream's
+    * deduped output into `compactedDir` as the new authoritative corpus.
+    * The re-dedup on text_hash makes the snapshot idempotent — safe to
+    * run against an output that a crashed sink double-wrote.
+    *
+    * After this, retire the old stream (its checkpoint included) and
+    * start [[dedupStreamQueryAfterCompaction]] with a FRESH checkpoint
+    * and a fresh delta output dir. The full corpus is then
+    * `compactedDir` ∪ delta, and the live state store is bounded by
+    * arrivals-since-compaction, not corpus history.
+    */
+  def compact(spark: SparkSession, dedupedOutDir: String,
+              compactedDir: String): Unit =
+    spark.read.parquet(dedupedOutDir)
+      .dropDuplicates("text_hash")
+      .write.mode("overwrite").parquet(compactedDir)
+
+  /** Post-compaction stream: dedup state starts EMPTY (point
+    * `checkpointDir` somewhere fresh). History lives in the compacted
+    * snapshot and is applied as a stream-static LEFT ANTI join — a
+    * stateless per-micro-batch hash join (broadcast or shuffled by size),
+    * never rows in the state store. The anti-join sits BELOW
+    * dropDuplicates so replayed pre-compaction documents don't even
+    * enter the state: state size is exactly the distinct-new-text count
+    * since compaction. First occurrences of genuinely new texts append
+    * to `deltaOutDir` (NOT the old output — the snapshot already holds
+    * pre-compaction survivors, and the corpus is snapshot ∪ delta).
+    */
+  def dedupStreamQueryAfterCompaction(spark: SparkSession, srcDir: String,
+                                      deltaOutDir: String,
+                                      checkpointDir: String,
+                                      schema: StructType,
+                                      compactedDir: String): StreamingQuery = {
+    val seen = spark.read.parquet(compactedDir).select(col("text_hash"))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("text_hash", md5(col("text")))
+      .join(seen, Seq("text_hash"), "left_anti")
+      .dropDuplicates("text_hash")
+      .writeStream
+      .format("parquet")
+      .option("path", deltaOutDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates
     * `outDir` on its first write).
@@ -44,6 +92,21 @@ object CorpusStream {
               checkpointDir: String, schema: StructType)
       : org.apache.spark.sql.DataFrame = {
     val q = dedupStreamQuery(spark, srcDir, outDir, checkpointDir, schema)
+    drain(spark, q, outDir, schema)
+  }
+
+  /** [[runOnce]] for the post-compaction stream. */
+  def runOnceAfterCompaction(spark: SparkSession, srcDir: String,
+                             deltaOutDir: String, checkpointDir: String,
+                             schema: StructType, compactedDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val q = dedupStreamQueryAfterCompaction(spark, srcDir, deltaOutDir,
+      checkpointDir, schema, compactedDir)
+    drain(spark, q, deltaOutDir, schema)
+  }
+
+  private def drain(spark: SparkSession, q: StreamingQuery, outDir: String,
+                    schema: StructType): org.apache.spark.sql.DataFrame = {
     q.processAllAvailable(); q.stop()
     if (graft.sources.Tables.pathExists(spark, outDir))
       spark.read.parquet(outDir)

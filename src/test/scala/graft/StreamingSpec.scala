@@ -115,4 +115,47 @@ class StreamingSpec extends SparkSpec {
     val all = spark.read.parquet(src)
     assert(out2.count() == graft.text.TextDedup.exactDedup(all).count())
   }
+
+  test("corpus dedup compaction: state restarts empty, history via anti-join") {
+    import graft.streaming.CorpusStream
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    assert(CorpusStream.runOnce(spark, src, out, s"$root/cp", schema).count() == 2)
+
+    // Compact: snapshot becomes the authoritative corpus; the old stream
+    // (and its checkpoint/state) is retired.
+    CorpusStream.compact(spark, out, s"$root/compacted")
+    assert(spark.read.parquet(s"$root/compacted").count() == 2)
+
+    // Delta arrivals: one pre-compaction dup, one new text twice. The
+    // post-compaction stream runs with a FRESH checkpoint, so it replays
+    // ALL of src — replayed and duplicate docs must be dropped by the
+    // snapshot anti-join alone, without ever entering the state store.
+    Seq((4L, "beta text"), (5L, "gamma text"), (6L, "gamma text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q = CorpusStream.dedupStreamQueryAfterCompaction(spark, src,
+      s"$root/delta", s"$root/cp2", schema, s"$root/compacted")
+    q.processAllAvailable(); q.stop()
+
+    val delta = spark.read.parquet(s"$root/delta")
+    assert(delta.count() == 1, "only the genuinely new text may append")
+    assert(delta.select("text").as[String].collect().toSet == Set("gamma text"))
+    // Corpus = snapshot ∪ delta: every distinct text exactly once.
+    val full = spark.read.parquet(s"$root/compacted").unionByName(delta)
+    assert(full.count() == 3)
+    assert(full.select("text_hash").distinct().count() == 3)
+    // The state bound itself: across all micro-batches the dedup state
+    // held at most the ONE new hash — not the 3-hash corpus history.
+    val maxStateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    assert(maxStateRows == 1,
+      s"post-compaction state must start empty and hold only " +
+        s"new-since-compaction hashes, saw $maxStateRows rows")
+  }
 }
