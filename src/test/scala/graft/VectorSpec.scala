@@ -75,6 +75,47 @@ class VectorSpec extends SparkSpec {
       s"expected the list_id INSET in PartitionFilters:\n${plan.take(2000)}")
   }
 
+  test("IVF at-rest index: nProbe extremes row-identical; full probe hits brute force") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-np").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 8)
+    // nProbe=1 (max pruning) and nProbe=nCentroids (zero pruning): the
+    // at-rest index must stay row-identical to the in-memory form at both
+    // ends, not just the middle the headline query uses.
+    for (np <- Seq(1, 8)) {
+      val onDisk = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = np)
+      val inMem = Similarity.ivfTopK(emb, probes, 5, nCentroids = 8, nProbe = np)
+      assert(onDisk.exceptAll(inMem).isEmpty && inMem.exceptAll(onDisk).isEmpty,
+        s"at-rest vs in-memory diverged at nProbe=$np")
+    }
+    // recall-1.0 bound: with every list probed the index search must equal
+    // exact brute force, not just the in-memory IVF
+    val full = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = 8)
+    val bf = Similarity.bruteForceTopK(emb, probes, 5)
+    assert(full.exceptAll(bf).isEmpty && bf.exceptAll(full).isEmpty,
+      "full-probe index search must have recall 1.0 (== brute force)")
+  }
+
+  test("IVF at-rest index: probing an empty (never-written) list is safe") {
+    // Two identical seed centroids: the assignment tie-break (struct min on
+    // (-cosine, c_id)) sends every vector to list 0, so list 1 exists as a
+    // probed id but was never written as a partition directory.
+    val emb = vecs(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 0), (4L, Seq(0.7f, 0.3f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 2)
+    assert(!new java.io.File(s"$dir/lists/list_id=1").exists(),
+      "precondition: the tie-broken list must be absent for this test to bite")
+    val probes = emb.filter($"vec_id" === 4L)
+    val onDisk = Similarity.searchIvfIndex(spark, dir, probes, 3, nProbe = 2)
+    val inMem = Similarity.ivfTopK(emb, probes, 3, nCentroids = 2, nProbe = 2)
+    assert(onDisk.exceptAll(inMem).isEmpty && inMem.exceptAll(onDisk).isEmpty,
+      "empty probed list must not diverge the at-rest form")
+    assert(onDisk.count() == 3, "all non-self vectors live in the written list")
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket("embedding", 8).as("b"))
