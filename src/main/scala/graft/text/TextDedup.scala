@@ -173,7 +173,10 @@ object TextDedup {
   private def nearDupFused(docs: DataFrame, threshold: Double,
                            hashArray: (org.apache.spark.sql.Column, Int) =>
                              org.apache.spark.sql.Column,
-                           numHashes: Int = 8, numBands: Int = 2): DataFrame = {
+                           numHashes: Int = 8, numBands: Int = 2,
+                           shingleKey: org.apache.spark.sql.Column =>
+                             org.apache.spark.sql.Column = identity)
+      : DataFrame = {
     // Contract boundary: the staged form's inner verify join omits
     // zero-intersection candidates, the fused form emits them with
     // jaccard 0.0 — any POSITIVE threshold filters both identically
@@ -184,9 +187,13 @@ object TextDedup {
     // The k seeded hashes are PROJECTED once per shingle row as an array
     // (one expression evaluation), then each min-agg reads its element —
     // k hash computations per row, not k per aggregate child evaluation.
+    // `shingleKey` is what the verify set holds per shingle: the oracle
+    // twin keeps raw strings (SQL-expressible Jaccard); the production
+    // path keys by xxhash64, shrinking what the band shuffle carries from
+    // ~n-gram string width to 8 bytes per distinct shingle.
     val profAggs = (0 until numHashes)
       .map(i => min(element_at(col("_h"), i + 1)).as(s"m$i")) :+
-      collect_set(col("shingle")).as("sh")
+      collect_set(shingleKey(col("shingle"))).as("sh")
     shinglesRaw(docs)
       .select(col("doc_id"), col("shingle"),
         hashArray(col("shingle"), numHashes).as("_h"))
@@ -218,15 +225,19 @@ object TextDedup {
       (s, k) => graft.functions.GraftFunctions.seeded_md5(s, k))
 
   /** Production near-dup pipeline: same shape as [[nearDupPairs]] but with
-    * the xxhash64 signatures. The verify step is IDENTICAL (exact n-gram
-    * Jaccard on candidates), so every emitted pair is exactly as true as
-    * the md5 path's — only the LSH recall lottery (which random minima
-    * band together) differs. Identical texts always pair: equal shingle
-    * sets give equal signatures, hence equal bands.
+    * the xxhash64 signatures, and the verify sets hold xxhash64(shingle)
+    * keys instead of raw n-gram strings — the Jaccard of the hashed sets
+    * equals the exact n-gram Jaccard up to 64-bit collisions (~n²/2⁶⁴,
+    * negligible at any corpus size that fits an LSH bucket), and the band
+    * shuffle carries 8 bytes per distinct shingle instead of the n-gram
+    * text. Only the LSH recall lottery (which random minima band
+    * together) differs from the md5 path. Identical texts always pair:
+    * equal shingle sets give equal signatures, hence equal bands.
     */
   def nearDupPairsFast(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     nearDupFused(docs, threshold,
-      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*))
+      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
+      shingleKey = s => xxhash64(s))
 
   /** SimHash-64 per document (engine-internal hash; no SQL oracle).
     * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is
