@@ -276,6 +276,12 @@ object SparkEntry {
     // q30 stays as the oracle-checked md5 twin).
     "q64_near_dup_fast" -> ((s, dir) =>
       TextDedup.nearDupPairsFast(t(s, dir, "documents"), threshold = 0.5)),
+    // A8 survivor selection: connected components over the q30 pairs
+    // (min-label propagation; oracle is a DuckDB recursive CTE over the
+    // same pair SQL). One row per clustered doc with its component min.
+    "q73_dedup_clusters" -> ((s, dir) =>
+      TextDedup.dedupClusters(
+        TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5))),
     // A8 SimHash (engine-internal xxhash64 — no SQL oracle, rows-only).
     "q31_simhash_near_dups" -> ((s, dir) =>
       TextDedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 4)),
@@ -866,6 +872,59 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = c.doc_a
         |JOIN sizes zb ON zb.doc_id = c.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
+    // q30's pair pipeline + a recursive label walk: every label reachable
+    // through the symmetric edge set, MIN per doc = component minimum.
+    "q73_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes za ON za.doc_id = c.doc_a
+        |  JOIN sizes zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS doc_id, w.lab
+        |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
+        |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,

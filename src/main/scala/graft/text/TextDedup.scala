@@ -239,6 +239,80 @@ object TextDedup {
       (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
       shingleKey = s => xxhash64(s))
 
+  /** Connected components over near-dup pairs — the survivor-selection
+    * step a dedup pipeline needs AFTER pair generation (a transitive dup
+    * chain a~b~c must keep one document, not lose b twice and keep both
+    * ends). Returns (doc_id, cluster_id) for every document appearing in
+    * a pair, where cluster_id is the MINIMUM doc_id of its connected
+    * component; the component representative is the row with
+    * doc_id = cluster_id.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the least label among itself and its neighbors (one
+    * equi-join + one partial+final min aggregate per round, both plain
+    * shuffles), converging in at most `diameter` rounds. Labels are
+    * `localCheckpoint`ed between rounds so the plan doesn't grow with
+    * iteration count, and convergence is detected by the label SUM
+    * reaching a fixpoint (labels only ever decrease, so equal sums ⇒ no
+    * label moved — one cheap aggregate per round, no row-level compare).
+    *
+    * Scale posture: near-dup components are LSH cliques glued by shared
+    * members — diameters of 2–4, so 3–5 rounds in practice; the edge
+    * list (near-dup pairs) is sparse by construction. The `maxIters`
+    * guard throws rather than returning silently-unmerged clusters.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val half = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    // Decimal sum: a BIGINT sum of doc ids can overflow long at corpus
+    // scale, and a wrapped sum could fake a fixpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prev = labelSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("_nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("_nl")).as("_nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      iters += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters")
+    labels
+  }
+
+  /** End-to-end near-dup removal: the corpus minus every non-representative
+    * member of each near-dup component (one survivor — the min doc_id —
+    * per transitive duplicate cluster). The anti-join keys are only the
+    * cluster LOSERS, a tiny table relative to the corpus.
+    */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val losers = dedupClusters(nearDupPairsFast(docs, threshold))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash-64 per document (engine-internal hash; no SQL oracle).
     * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is
     * the fingerprint, folded by the custom typed [[graft.functions.SimHashAgg]]

@@ -158,6 +158,49 @@ class TextSpec extends SparkSpec {
     assert(fused.nonEmpty, "generator must actually produce near-dups")
   }
 
+  test("dedupClusters: transitive chains collapse to the component min") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    // a 5-vertex path (diameter 4 — forces several propagation rounds),
+    // one disjoint pair, and a clique edge ordering that arrives reversed
+    val out = TextDedup.dedupClusters(pairs(
+      (4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (8L, 9L), (9L, 7L)))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupClusters matches a union-find reference on random sparse graphs") {
+    val rnd = new scala.util.Random(11)
+    val ps = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    ps.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = TextDedup.dedupClusters(ps.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("dedupedCorpus keeps exactly one survivor per near-dup cluster") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mutated = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, mutated), (3L, other), (4L, base))
+    // {1,2,4} are one transitive cluster (1~2 near-dup, 1~4 identical);
+    // survivor is the min doc_id
+    val kept = TextDedup.dedupedCorpus(d, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("curate applies lang, quality, repetition, and min-length rules") {
     val d = docs(
       (1L, "the data row holds a value and the row stays"), // en, decent quality
