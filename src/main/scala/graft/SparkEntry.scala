@@ -321,6 +321,18 @@ object SparkEntry {
     // A9 tokenizer prep: top-V token vocabulary with deterministic ids.
     "q70_vocab" -> ((s, dir) =>
       graft.text.Corpus.buildVocab(t(s, dir, "documents"), topV = 256)),
+    // F8 scoring: TF-IDF sufficient statistics (the ln-scored column is
+    // engine-internal — ln differs from libm in the last ulp; see scaladoc).
+    "q74_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("n_docs"))),
+    // A9 domain mixing: deterministic per-language downsampling (half-rate
+    // English, quarter-rate the rest) — map-side, reproducible, no RNG.
+    "q75_stratified_sample" -> ((s, dir) =>
+      graft.text.Corpus.stratifiedSample(t(s, dir, "documents"),
+        rates = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25,
+          "fr" -> 0.25, "zh" -> 0.25))),
     // A9 flagship composition: the C4/Gopher-style curation pipeline
     // (lang-id + quality + repetition rules) as one Catalyst plan.
     "q72_curate" -> ((s, dir) =>
@@ -1062,6 +1074,24 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q74_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.token, t.tf, d.df, n.n_docs
+        |FROM tfc t JOIN dfc d USING (token) CROSS JOIN nd n""".stripMargin,
+    "q75_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket_hex,
+        |    CASE WHEN lang = 'en' THEN '8000'
+        |         WHEN lang IN ('es', 'de', 'fr', 'zh') THEN '4000' END AS thr
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket_hex FROM s
+        |WHERE thr IS NOT NULL AND bucket_hex < thr""".stripMargin,
     "q67_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,

@@ -89,6 +89,37 @@ object Corpus {
       .filter(col("repetition") <= maxRepetition)
   }
 
+  /** Deterministic per-stratum subsampling (the domain-mixing step: weight
+    * a corpus toward a target source/language mixture by downsampling the
+    * over-represented strata). A document is kept iff its salted md5
+    * bucket — the first 4 hex chars, 65536 uniform buckets — falls below
+    * `floor(65536 · rate)` for its stratum; strata absent from `rates`
+    * are dropped. Pure map-side projection + filter, the same
+    * hex-threshold algebra as [[deterministicSplit]]: reproducible
+    * run-over-run, re-rolled by salt, zero shuffles at any corpus size,
+    * and cross-engine exact (string compare on hex, no float rates in
+    * the decision).
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       stratumCol: String = "lang",
+                       salt: String = "graft"): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates must be fractions in [0,1]: $rates")
+    val thresholds = rates.map { case (s, r) =>
+      s -> f"${math.floor(65536 * r).toLong}%04x"
+    }
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 4)
+    val thr = thresholds.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, t)) => when(col(stratumCol) === s, t).otherwise(acc)
+    }
+    docs
+      .withColumn("_bucket", bucket)
+      .withColumn("_thr", thr)
+      .filter(col("_thr").isNotNull && col("_bucket") < col("_thr"))
+      .select(col("doc_id"), col(stratumCol), col("_bucket").as("bucket_hex"))
+  }
+
   /** Top-V token vocabulary with contiguous ids (the tokenizer-prep step):
     * global token frequencies, truncated to the `topV` most frequent,
     * ids assigned 1..V by (count desc, token asc) — fully deterministic,

@@ -127,6 +127,33 @@ object TextAnalysis {
           col("n_shingles_total")).as("repetition"))
   }
 
+  /** TF-IDF per (document, token): term frequency, document frequency,
+    * corpus size, and the score `tf · ln(n_docs / df)`. Two partial+final
+    * hash aggregates (token explode → (doc,token) counts → token df) plus
+    * a broadcast of the 1-row corpus count — no window, no driver-side
+    * count, so the plan composes into pipelines unchanged at any corpus
+    * size. The df side joins on the token key (broadcast when small,
+    * shuffled hash join at vocabulary scale).
+    *
+    * Oracle note: `ln` is NOT bit-identical between Java and libm (~0.1%
+    * of inputs differ in the last ulp — measured, see BASELINE round 5),
+    * so only the integer sufficient statistics (tf, df, n_docs) are
+    * cross-engine checkable; `tf_idf` is engine-internal, like the
+    * xxhash64 columns.
+    */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("n_docs"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("tf_idf"))
+  }
+
   /** Document fingerprints. `prefix_fp` (md5 of the head) is cross-engine
     * and oracle-checked; `kgram_fp` is a winnowing-style min over char
     * k-gram xxhash64 values (engine-internal, used for fast clustering).

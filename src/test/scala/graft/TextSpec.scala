@@ -201,6 +201,41 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("tfIdf: exact counts; a token in every doc scores exactly zero") {
+    val d = docs((1L, "a a b"), (2L, "a c"), (3L, "a c c"))
+    val out = TextAnalysis.tfIdf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out((1L, "a")) == (2L, 3L, 3L, 0.0)) // df == n_docs → ln(1) = 0
+    assert(out((3L, "c"))._1 == 2L && out((3L, "c"))._2 == 2L)
+    // StrictMath, not math.log: Catalyst's log is StrictMath-based and the
+    // two differ here in the last ulp (the very reason tf_idf is kept out
+    // of the cross-engine oracle)
+    assert(out((1L, "b")) ==
+      (1L, 1L, 3L, StrictMath.log(3.0))) // rarest token, single occurrence
+    assert(out.size == 6)
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, drops unlisted strata") {
+    val d = (1L to 2000L).map(i =>
+      (i, "text", if (i % 2 == 0) "en" else if (i % 4 == 1) "es" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 0.5, "es" -> 0.25)
+    val s1 = Corpus.stratifiedSample(d, rates).collect()
+    val s2 = Corpus.stratifiedSample(d, rates).collect()
+    assert(s1.sortBy(_.getLong(0)) sameElements s2.sortBy(_.getLong(0)),
+      "same salt must reproduce the same sample")
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!byLang.contains("xx"), "strata without a rate are dropped")
+    // md5 buckets are uniform: 1000 en docs at 0.5 and 500 es at 0.25
+    // land within a loose binomial band
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang.toString)
+    assert(byLang("es") > 75 && byLang("es") < 175, byLang.toString)
+    // re-salting re-rolls the selection
+    val s3 = Corpus.stratifiedSample(d, rates, salt = "other").collect()
+    assert(s3.map(_.getLong(0)).toSet != s1.map(_.getLong(0)).toSet)
+  }
+
   test("curate applies lang, quality, repetition, and min-length rules") {
     val d = docs(
       (1L, "the data row holds a value and the row stays"), // en, decent quality
