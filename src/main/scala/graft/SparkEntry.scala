@@ -333,6 +333,17 @@ object SparkEntry {
       graft.text.Corpus.stratifiedSample(t(s, dir, "documents"),
         rates = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25,
           "fr" -> 0.25, "zh" -> 0.25))),
+    // A9 tokenizer application: encode the corpus against its own top-V
+    // vocab — one (doc_id, pos, token_id) row per token, OOV = 0.
+    "q76_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.encode(d, graft.text.Corpus.buildVocab(d, topV = 256))
+    }),
+    // A9 domain quota: at most N docs per language, chosen in salted-md5
+    // order (deterministic; the cap twin of q75's rate sampler).
+    "q77_cap_per_stratum" -> ((s, dir) =>
+      graft.text.Corpus.capPerStratum(t(s, dir, "documents"),
+        maxPerStratum = 40)),
     // A9 flagship composition: the C4/Gopher-style curation pipeline
     // (lang-id + quality + repetition rules) as one Catalyst plan.
     "q72_curate" -> ((s, dir) =>
@@ -1092,6 +1103,32 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket_hex FROM s
         |WHERE thr IS NOT NULL AND bucket_hex < thr""".stripMargin,
+    "q76_encode" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+        |      AS token_id
+        |  FROM cnt
+        |  QUALIFY token_id <= 256),
+        |pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |              FROM documents)))
+        |SELECT p.doc_id, p.pos,
+        |  CAST(COALESCE(v.token_id, 0) AS INT) AS token_id
+        |FROM pos p LEFT JOIN vocab v ON v.token = p.token""".stripMargin,
+    "q77_cap_per_stratum" ->
+      """SELECT doc_id, lang, rank_in_stratum FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft') ASC,
+        |               doc_id ASC) AS INT) AS rank_in_stratum
+        |  FROM documents)
+        |WHERE rank_in_stratum <= 40""".stripMargin,
     "q67_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,

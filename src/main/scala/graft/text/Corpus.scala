@@ -140,6 +140,46 @@ object Corpus {
       .withColumn("token_id", row_number().over(w).cast("int"))
   }
 
+  /** Tokenizer application (the encode step after [[buildVocab]]): one row
+    * per token POSITION — (doc_id, pos, token_id), OOV mapped to the
+    * reserved id 0 (vocab ids start at 1). Emitted exploded rather than
+    * as an array column so the output is scalar-typed end to end (ready
+    * for [[packSequences]]-style downstream aggregation, and exactly
+    * cross-engine comparable).
+    *
+    * Scale: one posexplode off the corpus scan + one join on the token
+    * key; the vocab is V rows — broadcast by size estimation for any
+    * realistic V, so the corpus never shuffles.
+    */
+  def encode(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).cast("int").as("token_id"))
+
+  /** Per-stratum quota cap (the "at most N docs per domain" rule): keep
+    * each stratum's first `maxPerStratum` documents in salted-md5 hash
+    * order — a deterministic uniform choice, like [[stratifiedSample]]
+    * but with an absolute cap instead of a rate. One window per stratum;
+    * partition count scales with stratum cardinality, and each partition
+    * ranks only its own stratum.
+    */
+  def capPerStratum(docs: DataFrame, maxPerStratum: Int,
+                    stratumCol: String = "lang",
+                    salt: String = "graft"): DataFrame = {
+    require(maxPerStratum > 0)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_bucket").asc, col("doc_id").asc)
+    docs
+      .withColumn("_bucket",
+        md5(concat(col("doc_id").cast("string"), lit(":" + salt))))
+      .withColumn("rank_in_stratum", row_number().over(w).cast("int"))
+      .filter(col("rank_in_stratum") <= maxPerStratum)
+      .select(col("doc_id"), col(stratumCol), col("rank_in_stratum"))
+  }
+
   /** Eval-set decontamination: for each eval document, the fraction of its
     * distinct word n-grams that appear ANYWHERE in the training corpus
     * (the standard benchmark-leakage check run before training). Returns

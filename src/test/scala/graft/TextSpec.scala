@@ -236,6 +236,33 @@ class TextSpec extends SparkSpec {
     assert(s3.map(_.getLong(0)).toSet != s1.map(_.getLong(0)).toSet)
   }
 
+  test("encode: positions in order, vocab ids applied, OOV maps to 0") {
+    val d = docs((1L, "b a b"), (2L, "a zz"))
+    // vocab over the corpus: a(tf 2) and b(tf 2) tie → lexical order;
+    // top-1 truncation makes b OOV
+    val vocab = Corpus.buildVocab(d, topV = 1)
+    val out = Corpus.encode(d, vocab).as[(Long, Int, Int)].collect().toSet
+    // vocab = {a -> 1}; b and zz are OOV
+    assert(out == Set((1L, 0, 0), (1L, 1, 1), (1L, 2, 0), (2L, 0, 1), (2L, 1, 0)))
+  }
+
+  test("capPerStratum: deterministic cap, rank contiguous from 1") {
+    val d = (1L to 300L).map(i => (i, "text", if (i % 3 == 0) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.capPerStratum(d, maxPerStratum = 25)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 25L, "es" -> 25L))
+    val ranks = out.filter($"lang" === "en")
+      .select("rank_in_stratum").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 25))
+    // same salt → same survivors; different salt → different survivors
+    val again = Corpus.capPerStratum(d, 25).select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    val other = Corpus.capPerStratum(d, 25, salt = "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != again)
+  }
+
   test("curate applies lang, quality, repetition, and min-length rules") {
     val d = docs(
       (1L, "the data row holds a value and the row stays"), // en, decent quality
