@@ -67,4 +67,27 @@ class InvarianceSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(contam(docs.repartition(13)) == contam(docs))
   }
+
+  test("dedup clustering is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextDedup.dedupClusters(
+        graft.text.TextDedup.nearDupPairs(df, threshold = 0.5))
+        .as[(Long, Long)].collect().toMap
+    val base = clusters(docs)
+    assert(base.nonEmpty, "testdata must contain near-dup clusters")
+    assert(clusters(docs.repartition(9)) == base)
+  }
+
+  test("encode and quota cap are invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.encode(df, graft.text.Corpus.buildVocab(df, 64))
+        .as[(Long, Int, Int)].collect().toSet
+    def cap(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.capPerStratum(df, 30)
+        .as[(Long, String, Int)].collect().toSet
+    assert(enc(docs.repartition(7)) == enc(docs))
+    assert(cap(docs.repartition(5)) == cap(docs))
+  }
 }
