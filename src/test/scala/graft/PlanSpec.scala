@@ -69,6 +69,22 @@ class PlanSpec extends SparkSpec {
         s"got $scans:\n" + p.take(1600))
   }
 
+  test("q76 encode: vocab broadcasts, the corpus never shuffles") {
+    val p = plan("q76_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the V-row vocab must broadcast into the corpus scan:\n" + p.take(800))
+  }
+
+  test("q77 quota cap: map-side partial WindowGroupLimit bounds the stratum reducers") {
+    // lang is a 5-value key; without the partial group-limit every map
+    // task would ship its whole stratum slice to 5 reducers. With it,
+    // at most maxPerStratum rows per stratum leave each map task.
+    val p = plan("q77_cap_per_stratum")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected partial (map-side) + final WindowGroupLimit:\n" + p.take(800))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
