@@ -36,10 +36,20 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional focus filter for local iteration: SPARK_GRAFT_ONLY="q73,q30"
+    // times just those queries. Unset (the driver's invocation) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) =>
+        names.exists(k.startsWith) }
+      case None => SparkEntry.queries
+    }
+
     // Warm-up: exercise codegen, shuffle machinery, and every table's
     // parquet footer once, on the smallest SF.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
@@ -52,7 +62,7 @@ object Bench {
     // co-tenant contention) — min-of-2 reports the query's actual data-path
     // cost while still running each query start-to-finish both times.
     def timedPass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

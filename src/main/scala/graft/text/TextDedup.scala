@@ -262,13 +262,40 @@ object TextDedup {
     * guard throws rather than returning silently-unmerged clusters.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the pair plan BEFORE symmetrizing: `half` is consumed
+    // twice by the union, and without the checkpoint the planner must
+    // rediscover the shared subtree (exchange reuse saves the re-execution
+    // but not the double planning); with it the upstream pair pipeline
+    // (shingle → minhash → LSH → verify, the dominant cost) runs exactly
+    // once, unconditionally.
     val half = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = half
-      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    val sym = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    // Self-loops fold the "min of self and neighbors" into ONE join + one
+    // min-aggregate per hop (no second join back onto the labels). The
+    // edge list is NOT deduplicated: min-aggregation is duplicate-
+    // invariant, symmetrized doc_a<doc_b pairs cannot collide, and the
+    // per-pair self-loop duplicates are bounded by vertex degree — so the
+    // whole edge build is narrow (zero shuffles, one map-job checkpoint)
+    // instead of paying two distinct exchanges for cosmetics.
+    val edges = sym
+      .unionByName(sym.select(col("src"), col("src").as("dst")))
+      .localCheckpoint()
+    // One hop of min-label propagation: label'(v) = min over N(v) ∪ {v}
+    // (the self-loop supplies v's own label).
+    def hop(ls: DataFrame): DataFrame = edges
+      .join(ls.select(col("doc_id").as("dst"), col("cluster_id").as("_nl")),
+        Seq("dst"))
+      .groupBy(col("src")).agg(min(col("_nl")).as("cluster_id"))
+      .withColumnRenamed("src", "doc_id")
+    // Initialization IS the first hop (labels start at doc_id, so the hop
+    // aggregate needs no join at all) — one free round. Near-dup
+    // components are LSH cliques glued by shared members, so most
+    // components are already converged here and the loop below runs once
+    // purely to certify the fixpoint.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
+      .withColumnRenamed("src", "doc_id")
       .localCheckpoint()
     // Decimal sum: a BIGINT sum of doc ids can overflow long at corpus
     // scale, and a wrapped sum could fake a fixpoint.
@@ -279,16 +306,8 @@ object TextDedup {
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"),
-          col("cluster_id").as("_nl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("_nl")).as("_nmin"))
-        .withColumnRenamed("src", "doc_id")
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+      // Labels only decrease, so an unchanged sum certifies a fixpoint.
+      val next = hop(labels).localCheckpoint()
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
