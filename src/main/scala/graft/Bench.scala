@@ -78,7 +78,15 @@ object Bench {
       // Both passes must succeed for the query to count as ok.
       (name, if (ok1 && ok2) math.min(t1, t2) else -1.0, ok1 && ok2)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of stdout and JSON-parses the
+    // bench line from it; with 80+ queries the full-name, full-precision
+    // line outgrew that window and round 5's bench failed to parse. Keep
+    // the line compact: qNN key prefixes (unique — names are qNN_slug; the
+    // slug mapping lives in BASELINE.md's per-query table) and 3-decimal
+    // seconds (the measurement noise floor is ~2 orders above 1 ms anyway).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
@@ -89,7 +97,7 @@ object Bench {
     // cross-round comparison can see exactly what was measured.
     val passTotal1 = p1.filter(_._3).map(_._2).sum
     val passTotal2 = p2.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min_of_passes","passes":2,"pass_totals":[$passTotal1,$passTotal2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes","passes":2,"pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -344,6 +344,33 @@ object SparkEntry {
     "q77_cap_per_stratum" -> ((s, dir) =>
       graft.text.Corpus.capPerStratum(t(s, dir, "documents"),
         maxPerStratum = 40)),
+    // A9 RAG/context prep: overlapping token-window chunking (64-token
+    // windows, 16-token overlap) — map-side, zero shuffles.
+    "q78_chunk" -> ((s, dir) =>
+      graft.text.Corpus.chunk(t(s, dir, "documents"),
+        chunkSize = 64, overlap = 16)),
+    // A9 decontamination scale twin: identical output to q68 but the
+    // train side is consumed map-side by a broadcast semi-join and never
+    // shuffles (oracle: same SQL as q68).
+    "q79_decontaminate_broadcast" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.contaminationBroadcast(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
+    // A9 mixture reweighting: α=1/2 temperature sampling — keep-rate per
+    // language ∝ √n_s, largest stratum keeps all (IEEE sqrt/div are
+    // correctly rounded, so the thresholds are cross-engine exact).
+    "q80_temperature_sample" -> ((s, dir) =>
+      graft.text.Corpus.temperatureSample(t(s, dir, "documents"))),
+    // A8 end-to-end: the corpus minus every non-survivor of each
+    // near-dup component (md5 pair pipeline → connected components →
+    // anti-join; the production entry point is dedupedCorpus/xxhash64).
+    "q81_dedup_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.TextDedup.survivors(
+        d, graft.text.TextDedup.nearDupPairs(d, threshold = 0.5))
+        .select(col("doc_id"), col("lang"))
+    }),
     // A9 flagship composition: the C4/Gopher-style curation pipeline
     // (lang-id + quality + repetition rules) as one Catalyst plan.
     "q72_curate" -> ((s, dir) =>
@@ -948,6 +975,63 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.lab
         |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
         |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin,
+    // q73's component walk + the survivor anti-join: keep a document unless
+    // it is a clustered NON-representative (cluster_id != doc_id).
+    "q81_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes za ON za.doc_id = c.doc_a
+        |  JOIN sizes zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS doc_id, w.lab
+        |  FROM edges e JOIN walk w ON w.doc_id = e.dst),
+        |clusters AS (
+        |  SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,
@@ -1078,6 +1162,49 @@ object SparkEntry {
         |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
         |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles AS contamination
         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
+    // q79 is the broadcast-plan twin of q68: same rows, same SQL truth.
+    "q79_decontaminate_broadcast" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |evsh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |trsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 != 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM evsh GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_contaminated
+        |  FROM evsh WHERE shingle IN (SELECT shingle FROM trsh)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shingles,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles AS contamination
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
+    "q78_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS start
+        |  FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS INT) AS chunk_id,
+        |  CAST(LEAST(64, len(t) - start + 1) AS INT) AS n_chunk_tokens,
+        |  array_to_string(t[start:start+63], ' ') AS chunk_text
+        |FROM st""".stripMargin,
+    "q80_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, printf('%05x', CAST(FLOOR(65536 *
+        |    (SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(MAX(n) OVER () AS DOUBLE))))
+        |    AS BIGINT)) AS thr
+        |  FROM c)
+        |SELECT d.doc_id, d.lang,
+        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket_hex
+        |FROM documents d JOIN t ON t.lang = d.lang
+        |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
+        |      < t.thr""".stripMargin,
     "q66_dataset_split" ->
       """SELECT doc_id,
         |  substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 2) AS bucket_hex,

@@ -207,6 +207,98 @@ object Corpus {
           col("n_shingles")).as("contamination"))
   }
 
+  /** Overlapping token-window chunking (the RAG/context-window prep step):
+    * one row per chunk of `chunkSize` tokens, windows starting every
+    * `chunkSize - overlap` tokens, the final window short if the document
+    * ends mid-chunk. Emits (doc_id, chunk_id, n_chunk_tokens, chunk_text)
+    * with chunk ids contiguous from 0 per document.
+    *
+    * Pure map-side: tokenize → explode the window-START index (an int
+    * sequence, not the token array — the explode multiplies rows by
+    * chunks-per-doc, not tokens-per-doc) → slice and re-join each window.
+    * Zero shuffles at any corpus size.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+      .withColumn("_start", explode(expr(s"sequence(1, size(_toks), $stride)")))
+      .select(
+        col("doc_id"),
+        expr(s"CAST((_start - 1) DIV $stride AS INT)").as("chunk_id"),
+        least(lit(chunkSize), size(col("_toks")) - col("_start") + 1)
+          .cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", expr(s"slice(_toks, _start, $chunkSize)")).as("chunk_text"))
+  }
+
+  /** Scale twin of [[contamination]] for the case the eval set is small
+    * enough to broadcast (the normal case: benchmarks are MBs, the corpus
+    * is TBs): identical output, but the TRAIN side — the 100 TB side —
+    * is consumed once by a map-side broadcast semi-join and NEVER
+    * shuffles. [[contamination]] shuffles both shingle sets on the
+    * shingle key; here the only exchanges are over eval-sized data (the
+    * surviving train shingles are a subset of the eval set by
+    * construction, so the second-stage distinct and broadcast are
+    * eval-bounded too).
+    */
+  def contaminationBroadcast(evalDocs: DataFrame, trainDocs: DataFrame,
+                             n: Int = 3): DataFrame = {
+    val evalSh = TextDedup.shingles(evalDocs, n)
+    val evalKeys = evalSh.select(col("shingle")).distinct()
+    // Which eval shingles appear in train — computed FROM the train scan
+    // (raw shingles: the broadcast semi-join is duplicate-invariant, so
+    // the train side skips its distinct shuffle as well).
+    val present = TextDedup.shinglesRaw(trainDocs, n)
+      .select(col("shingle"))
+      .join(broadcast(evalKeys), Seq("shingle"), "left_semi")
+      .distinct()
+    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(broadcast(present), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination"))
+  }
+
+  /** Temperature-based mixture reweighting (the multilingual/multi-domain
+    * sampling rule: keep-rate per stratum ∝ n_s^α, α = 1/2, normalized so
+    * the largest stratum keeps everything) — flattens the corpus mixture
+    * toward under-represented strata without an explicit rate table.
+    *
+    * Determinism contract: α is FIXED at 1/2 because `sqrt` and division
+    * are IEEE-754 correctly-rounded on every engine (an arbitrary `pow`
+    * is not), so the per-stratum threshold floor(65536·√(n_s/n_max)) is
+    * bit-identical cross-engine and the keep decision — a string compare
+    * of the salted md5 bucket against the 5-hex-digit threshold — is
+    * exactly reproducible. The 5-digit padding makes threshold 0x10000
+    * ("keep all", the largest stratum) compare correctly against 4-digit
+    * buckets.
+    *
+    * Scale: one count aggregate over the corpus, a broadcast of the
+    * V-row threshold table back onto the scan, and a map-side filter —
+    * the corpus itself never shuffles.
+    */
+  def temperatureSample(docs: DataFrame, stratumCol: String = "lang",
+                        salt: String = "graft"): DataFrame = {
+    val thr = format_string("%05x",
+      floor(lit(65536) * (sqrt(col("_n").cast("double")) /
+        sqrt(col("_nmax").cast("double")))).cast("bigint"))
+    val rates = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_nmax", max(col("_n")).over(Window.partitionBy()))
+      .select(col(stratumCol), thr.as("_thr"))
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 4)
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("_bucket", bucket)
+      .filter(concat(lit("0"), col("_bucket")) < col("_thr"))
+      .select(col("doc_id"), col(stratumCol), col("_bucket").as("bucket_hex"))
+  }
+
   /** Sequence packing: assign each document a byte-free token offset and
     * a pack (training-batch) id of capacity `maxTokens`, the
     * concatenate-then-chunk layout pretraining loaders use (a document

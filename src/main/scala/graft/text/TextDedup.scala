@@ -36,7 +36,7 @@ object TextDedup {
     * saves the (doc_id, shingle) exchange on the pipeline's longest chain;
     * set-semantics steps (sizes, intersection) need [[shingles]].
     */
-  private def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[text] def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     // Explode the window-start INDEX and project the n-gram with plain
     // element_at, rather than explode(transform(..., i -> concat_ws(...))):
     // lambda (HOF) expressions are interpreted, not codegen'd, so the
@@ -320,17 +320,24 @@ object TextDedup {
     labels
   }
 
-  /** End-to-end near-dup removal: the corpus minus every non-representative
-    * member of each near-dup component (one survivor — the min doc_id —
-    * per transitive duplicate cluster). The anti-join keys are only the
-    * cluster LOSERS, a tiny table relative to the corpus.
+  /** The corpus minus every non-representative member of each near-dup
+    * component of `pairs` (one survivor — the min doc_id — per transitive
+    * duplicate cluster). The anti-join keys are only the cluster LOSERS,
+    * a tiny table relative to the corpus.
     */
-  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val losers = dedupClusters(nearDupPairsFast(docs, threshold))
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = dedupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** End-to-end near-dup removal with the production (xxhash64) pair
+    * pipeline; the oracle-checkable md5 twin is
+    * `survivors(docs, nearDupPairs(docs, t))`.
+    */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    survivors(docs, nearDupPairsFast(docs, threshold))
 
   /** SimHash-64 per document (engine-internal hash; no SQL oracle).
     * Per token: xxhash64 → each of the 64 bits votes ±1; the sign vector is

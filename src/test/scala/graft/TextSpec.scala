@@ -316,6 +316,70 @@ class TextSpec extends SparkSpec {
       out(1).getAs[Double]("contamination") == 0.0)
   }
 
+  test("chunk: overlapping windows tile the token stream; final window short") {
+    // 10 tokens, chunkSize 4, overlap 1 -> stride 3: starts 1,4,7,10.
+    val d = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+    val out = Corpus.chunk(d, chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val one = out.filter(_.getLong(0) == 1L)
+    assert(one.map(_.getAs[Int]("chunk_id")).toSeq == Seq(0, 1, 2, 3))
+    assert(one.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(one.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(4, 4, 4, 1))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq
+      == Seq("solo"))
+  }
+
+  test("chunk: rejects overlap >= chunkSize") {
+    intercept[IllegalArgumentException] {
+      Corpus.chunk(docs((1L, "a b")), chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("contaminationBroadcast: row-identical to contamination") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val eval = d.filter(col("doc_id") % 10 === 0)
+    val train = d.filter(col("doc_id") % 10 =!= 0)
+    val a = Corpus.contamination(eval, train).orderBy("doc_id").collect().toSeq
+    val b = Corpus.contaminationBroadcast(eval, train).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // the scale contract: the train-side shingle stream must reach the
+    // semi-join via broadcast, never a shuffle exchange
+    val plan = Corpus.contaminationBroadcast(eval, train)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("temperatureSample: sqrt-rate keep fractions, largest stratum keeps all") {
+    val rows = (1L to 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .withColumn("lang",
+        when(col("doc_id") <= 256, "en")         // n=256
+          .when(col("doc_id") <= 320, "de")      // n=64
+          .otherwise("fr"))                      // n=80
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val out = Corpus.temperatureSample(rows).collect()
+    val kept = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // largest stratum (en): threshold 0x10000 > any 4-hex bucket -> all kept
+    assert(kept("en") == 256)
+    // smaller strata: kept fraction tracks sqrt(n_s/n_max) = 0.5 for de
+    // (binomial around 32 of 64); determinism is the hard guarantee
+    val again = Corpus.temperatureSample(rows).collect()
+    assert(out.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+    assert(kept("de") > 16 && kept("de") < 48)
+    assert(kept("fr") > 20 && kept("fr") < 60)
+  }
+
+  test("survivors: drops exactly the non-representative cluster members") {
+    // explicit pair set (LSH recall is a separate concern): 1~2~3 one
+    // transitive cluster, 4 untouched
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.survivors(d, pairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
   test("packSequences: per-shard offsets are contiguous from 0; pack = start DIV cap") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Corpus.packSequences(d, maxTokens = 512, numShards = 4)
