@@ -375,6 +375,35 @@ object SparkEntry {
     // (lang-id + quality + repetition rules) as one Catalyst plan.
     "q72_curate" -> ((s, dir) =>
       graft.text.Corpus.curate(t(s, dir, "documents"))),
+    // J4 skew variant: the q53 join shape through Skew.saltedJoin — the
+    // big side salts by content hash, the small side replicates salts×,
+    // so a hot l_suppkey spreads over `salts` reducers instead of one.
+    // Row-identical to the plain join (the oracle IS the plain join).
+    "q82_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val small = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(big, small, "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(Agg.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // A8 incremental: dedup a NEW batch (doc_id % 10 = 0) against the
+    // persisted signature index of the existing corpus — the corpus is
+    // never re-paired; the delta broadcasts (the 100 TB daily pattern).
+    "q83_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.nearDupAgainstIndex(
+        TextDedup.signatureIndex(d.filter(col("doc_id") % 10 =!= 0)),
+        TextDedup.signatureIndex(d.filter(col("doc_id") % 10 === 0)),
+        threshold = 0.5)
+    }),
+    // A4 mergeable-state form: per-day HLL sketches rolled up per type
+    // from sketch state alone (Datasketches binary is engine-internal —
+    // rows-only; q02/q27 are the exact oracle-checked twins).
+    "q84_sketch_rollup" -> ((s, dir) =>
+      Agg.sketchRollup(Agg.dailySketches(t(s, dir, "events")))),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1032,6 +1061,61 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
         |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
+    // q82's oracle is the PLAIN join — the salted form must be
+    // row-identical to it.
+    "q82_salted_join" ->
+      """SELECT s.s_nationkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey""".stripMargin,
+    // q30's md5 MinHash CTEs with the candidate join restricted to
+    // corpus-side (doc_id % 10 <> 0) vs batch-side (doc_id % 10 = 0):
+    // signatures are per-document, so computing them over the full table
+    // and filtering sides in the join equals the split-then-index build.
+    "q83_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id
+        |   AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |JOIN sizes za ON za.doc_id = c.doc_a
+        |JOIN sizes zb ON zb.doc_id = c.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,

@@ -94,4 +94,34 @@ object Agg {
     */
   def highWater(events: DataFrame): DataFrame =
     events.agg(max(col("ts")).as("high_water"), count(lit(1)).as("n_events"))
+
+  /** Mergeable distinct-count sketches at the daily grain (A4 scale path,
+    * second form): a Datasketches HLL per (event_type, day), persisted as a
+    * BINARY column. Unlike [[dailyEngagementApprox]] (which re-derives its
+    * estimate from raw events every run), these sketches are STATE — at
+    * 100 TB the daily job appends one sketch row per key and any rollup
+    * window is answered from sketches alone, never rescanning event
+    * history. Union of HLL sketches is lossless at a fixed lgK, so a
+    * merged estimate equals the estimate of a direct sketch over the
+    * union (asserted in SketchSpec).
+    */
+  def dailySketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(hll_sketch_agg(col("user_id")).as("visitor_sketch"),
+        count(lit(1)).as("load_count"))
+
+  /** Roll persisted daily sketches up to one estimate per event_type —
+    * the consume side of [[dailySketches]]: sketches merge associatively
+    * map-side, so the shuffle carries one partial sketch per (key,
+    * partition), independent of history length.
+    */
+  def sketchRollup(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("visitor_sketch")))
+          .as("visitors_est"),
+        sum(col("load_count")).as("load_count"),
+        count(lit(1)).as("n_days"))
 }

@@ -170,6 +170,38 @@ object TextDedup {
     * must be removed first via [[exactDedup]] (same caveat as
     * [[lshCandidates]]).
     */
+  /** Per-document banded LSH profile: one row per (doc, band) carrying the
+    * band value AND the document's (possibly hashed) shingle set. This is
+    * the shared first half of the fused pipeline — and, persisted, it IS
+    * the near-dup signature index an incremental pipeline probes
+    * ([[signatureIndex]] / [[nearDupAgainstIndex]]).
+    *
+    * The k seeded hashes are PROJECTED once per shingle row as an array
+    * (one expression evaluation), then each min-agg reads its element —
+    * k hash computations per row, not k per aggregate child evaluation.
+    * `shingleKey` is what the verify set holds per shingle: the oracle
+    * twin keeps raw strings (SQL-expressible Jaccard); the production
+    * path keys by xxhash64, shrinking what the band shuffle carries from
+    * ~n-gram string width to 8 bytes per distinct shingle.
+    */
+  private def bandedProfiles(docs: DataFrame,
+                             hashArray: (org.apache.spark.sql.Column, Int) =>
+                               org.apache.spark.sql.Column,
+                             numHashes: Int, numBands: Int,
+                             shingleKey: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column): DataFrame = {
+    val profAggs = (0 until numHashes)
+      .map(i => min(element_at(col("_h"), i + 1)).as(s"m$i")) :+
+      collect_set(shingleKey(col("shingle"))).as("sh")
+    shinglesRaw(docs)
+      .select(col("doc_id"), col("shingle"),
+        hashArray(col("shingle"), numHashes).as("_h"))
+      .groupBy(col("doc_id")).agg(profAggs.head, profAggs.tail: _*)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(bandCols(numHashes, numBands): _*)))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
+  }
+
   private def nearDupFused(docs: DataFrame, threshold: Double,
                            hashArray: (org.apache.spark.sql.Column, Int) =>
                              org.apache.spark.sql.Column,
@@ -184,23 +216,7 @@ object TextDedup {
     require(threshold > 0,
       s"nearDup threshold must be > 0 (zero-overlap pairs are not " +
         s"near-dups and are not materialized), got $threshold")
-    // The k seeded hashes are PROJECTED once per shingle row as an array
-    // (one expression evaluation), then each min-agg reads its element —
-    // k hash computations per row, not k per aggregate child evaluation.
-    // `shingleKey` is what the verify set holds per shingle: the oracle
-    // twin keeps raw strings (SQL-expressible Jaccard); the production
-    // path keys by xxhash64, shrinking what the band shuffle carries from
-    // ~n-gram string width to 8 bytes per distinct shingle.
-    val profAggs = (0 until numHashes)
-      .map(i => min(element_at(col("_h"), i + 1)).as(s"m$i")) :+
-      collect_set(shingleKey(col("shingle"))).as("sh")
-    shinglesRaw(docs)
-      .select(col("doc_id"), col("shingle"),
-        hashArray(col("shingle"), numHashes).as("_h"))
-      .groupBy(col("doc_id")).agg(profAggs.head, profAggs.tail: _*)
-      .select(col("doc_id"), col("sh"),
-        posexplode(array(bandCols(numHashes, numBands): _*)))
-      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band"))
+    bandedProfiles(docs, hashArray, numHashes, numBands, shingleKey)
       .groupBy(col("band_id"), col("band"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("items"))
       .filter(size(col("items")) > 1)
@@ -238,6 +254,70 @@ object TextDedup {
     nearDupFused(docs, threshold,
       (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
       shingleKey = s => xxhash64(s))
+
+  /** Persistable near-dup signature index over a corpus: one row per
+    * (doc, LSH band) with the band value and the doc's distinct shingle
+    * set — everything [[nearDupAgainstIndex]] needs to both CANDIDATE
+    * (band equality) and VERIFY (exact Jaccard) an incoming document
+    * without touching the corpus text again. A MinHash signature depends
+    * only on its own document's shingles, so index rows built corpus-split
+    * by corpus-split are identical to a single full build — the index can
+    * be appended batch by batch.
+    *
+    * Oracle-checkable md5 form; [[signatureIndexFast]] is the production
+    * twin (xxhash64 signatures, 8-byte hashed shingle keys).
+    */
+  def signatureIndex(docs: DataFrame, numHashes: Int = 8,
+                     numBands: Int = 2): DataFrame =
+    bandedProfiles(docs,
+      (s, k) => graft.functions.GraftFunctions.seeded_md5(s, k),
+      numHashes, numBands, identity)
+
+  /** Production signature index: same shape as [[signatureIndex]] with
+    * xxhash64 signatures and hashed shingle keys (see
+    * [[nearDupPairsFast]] for the equivalence argument).
+    */
+  def signatureIndexFast(docs: DataFrame, numHashes: Int = 8,
+                         numBands: Int = 2): DataFrame =
+    bandedProfiles(docs,
+      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
+      numHashes, numBands, s => xxhash64(s))
+
+  /** Incremental near-dup: which documents of a NEW batch near-duplicate
+    * something already in the corpus — without re-pairing the corpus.
+    * `index` is the persisted [[signatureIndex]] of the existing corpus
+    * (read back from parquet in production); `batchIndex` is the same
+    * transform over the delta. Output: (doc_a = corpus doc, doc_b = batch
+    * doc, jaccard >= threshold).
+    *
+    * Scale shape — this is the 100 TB daily-delta pattern: the corpus
+    * index is SCANNED once (no shuffle on it: the batch side broadcasts,
+    * so band matching is map-side against each index partition), the
+    * delta is broadcast-small by construction (a day's intake vs the
+    * accumulated corpus), and the exact-Jaccard verify happens inside the
+    * join projection from the two shingle sets already co-located by the
+    * broadcast. Nothing re-pairs corpus-vs-corpus; cost is linear in the
+    * index, not quadratic in history. Batch-internal dups are a separate
+    * (and far smaller) [[nearDupPairs]] run over the batch alone.
+    */
+  def nearDupAgainstIndex(index: DataFrame, batchIndex: DataFrame,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0,
+      s"nearDup threshold must be > 0, got $threshold")
+    val probe = broadcast(batchIndex.select(col("band_id"), col("band"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+    index
+      .join(probe, Seq("band_id", "band"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh"), col("sh_b"))).as("_ni"),
+        size(col("sh")).as("_na"), size(col("sh_b")).as("_nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("_ni").cast("double") /
+          (col("_na") + col("_nb") - col("_ni"))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** Connected components over near-dup pairs — the survivor-selection
     * step a dedup pipeline needs AFTER pair generation (a transitive dup

@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
       "expected partial (map-side) + final WindowGroupLimit:\n" + p.take(800))
   }
 
+  test("q83 incremental dedup: the batch index broadcasts into the corpus index") {
+    // The 100 TB contract: the accumulated corpus index is only SCANNED —
+    // the delta broadcasts, so losing the hint to a sort-merge join would
+    // shuffle the whole index every day.
+    val p = plan("q83_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus index must never shuffle for the probe join:\n" + p.take(800))
+  }
+
+  test("q84 sketch rollup: mergeable partial+final aggregates, no window") {
+    val p = plan("q84_sketch_rollup")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final sketch aggregates:\n" + p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Agg
+import graft.sources.Tables
+
+/** A4 mergeable-state form: per-day Datasketches HLL sketches that persist
+  * as BINARY state and roll up per key without rescanning event history.
+  * The contract that makes the pattern safe at 100 TB: HLL union is
+  * LOSSLESS at a fixed lgK, so merged daily sketches estimate exactly what
+  * one direct sketch over the union would.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(col("event_type"), col("visitors_est"))
+      .as[(String, Long)].collect().toMap
+
+  test("merged daily sketches estimate == direct sketch over all events") {
+    val ev = Tables.load(spark, sf, "events")
+    val merged = estimates(Agg.sketchRollup(Agg.dailySketches(ev)))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("visitors_est"))
+    assert(merged == estimates(direct),
+      "HLL union must be lossless at the default lgK")
+  }
+
+  test("sketch estimate lands within error bounds of the exact distinct") {
+    val ev = Tables.load(spark, sf, "events")
+    val est = estimates(Agg.sketchRollup(Agg.dailySketches(ev)))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(3.0, 0.05 * n),
+        s"$k: est=${est(k)} exact=$n")
+    }
+  }
+
+  test("sketches survive a parquet round-trip (persistable daily state)") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    Agg.dailySketches(ev).write.mode("overwrite").parquet(dir)
+    val fromDisk = Agg.sketchRollup(spark.read.parquet(dir))
+    val inMemory = Agg.sketchRollup(Agg.dailySketches(ev))
+    assert(estimates(fromDisk) == estimates(inMemory))
+    // exact side-channel columns carry through the rollup exactly
+    val counts = fromDisk.select(col("event_type"), col("load_count"))
+      .as[(String, Long)].collect().toMap
+    val directCounts = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(counts == directCounts)
+  }
+}

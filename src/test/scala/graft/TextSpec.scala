@@ -158,6 +158,47 @@ class TextSpec extends SparkSpec {
     assert(fused.nonEmpty, "generator must actually produce near-dups")
   }
 
+  test("nearDupAgainstIndex equals the cross-side slice of the full pipeline") {
+    // seeded generator (same shape as the fused-equivalence test): 30 docs
+    // in the "corpus" (id <= 100) and a near-copy of each in the "batch"
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = (1L to 30L).flatMap { id =>
+      val words = Seq.fill(8 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+      Seq((id, words.mkString(" ")),
+        (id + 100L, (words :+ pool(rnd.nextInt(pool.size))).mkString(" ")))
+    }
+    val d = docs(rows: _*)
+    val base = d.filter(col("doc_id") <= 100)
+    val batch = d.filter(col("doc_id") > 100)
+    val incr = TextDedup.nearDupAgainstIndex(
+      TextDedup.signatureIndex(base), TextDedup.signatureIndex(batch), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the full-corpus pipeline, restricted to pairs straddling the split,
+    // re-oriented as (corpus doc, batch doc)
+    val full = TextDedup.nearDupPairs(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a <= 100) != (b <= 100) }
+      .map { case (a, b, j) => if (a <= 100) (a, b, j) else (b, a, j) }.toSet
+    assert(incr == full, "index probe must equal the full run's cross pairs")
+    assert(incr.nonEmpty, "generator must actually produce cross-side dups")
+  }
+
+  test("signatureIndex built in appends equals the single full build") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+    val base = d.filter(col("doc_id") <= 2)
+    val batch = d.filter(col("doc_id") > 2)
+    def rows(ix: org.apache.spark.sql.DataFrame) = ix
+      .select(col("doc_id"), col("band_id"), col("band"),
+        sort_array(col("sh")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3))).toSet
+    assert(rows(TextDedup.signatureIndex(d)) ==
+      (rows(TextDedup.signatureIndex(base)) ++
+        rows(TextDedup.signatureIndex(batch))),
+      "per-doc signatures must be split-invariant (append-only index)")
+  }
+
   test("dedupClusters: transitive chains collapse to the component min") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
     // a 5-vertex path (diameter 4 — forces several propagation rounds),
