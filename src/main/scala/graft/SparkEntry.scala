@@ -404,6 +404,16 @@ object SparkEntry {
     // rows-only; q02/q27 are the exact oracle-checked twins).
     "q84_sketch_rollup" -> ((s, dir) =>
       Agg.sketchRollup(Agg.dailySketches(t(s, dir, "events")))),
+    // A9/F8 passage cleaning: cross-corpus repeated n-grams (boilerplate
+    // hotlist) — one shingle-keyed count, HAVING-filtered.
+    "q85_boilerplate_ngrams" -> ((s, dir) =>
+      graft.text.Corpus.boilerplateNgrams(t(s, dir, "documents"),
+        minDocs = 2)),
+    // A9/F8 per-doc filter signal: share of a doc's distinct n-grams that
+    // are corpus-wide boilerplate (exchange-reused single corpus scan).
+    "q86_boilerplate_fraction" -> ((s, dir) =>
+      graft.text.Corpus.boilerplateFraction(t(s, dir, "documents"),
+        minDocs = 2)),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1116,6 +1126,36 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = c.doc_a
         |JOIN sizes zb ON zb.doc_id = c.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
+    "q85_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3))
+        |SELECT shingle, COUNT(*) AS df
+        |FROM sh GROUP BY shingle HAVING COUNT(*) >= 2""".stripMargin,
+    "q86_boilerplate_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_boiler
+        |  FROM sh s JOIN hot h ON s.shingle = h.shingle GROUP BY s.doc_id)
+        |SELECT z.doc_id, z.n_shingles,
+        |  COALESCE(h.n_boiler, 0) AS n_boiler,
+        |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / z.n_shingles
+        |    AS boilerplate_frac
+        |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,

@@ -207,6 +207,51 @@ object Corpus {
           col("n_shingles")).as("contamination"))
   }
 
+  /** Cross-corpus repeated n-grams (the "boilerplate" signal of C4-style
+    * line dedup, at n-gram granularity): every word n-gram appearing in
+    * at least `minDocs` DISTINCT documents, with its document frequency.
+    * Headers, footers, license blurbs, and navigation chrome surface
+    * here; the list is the input to passage-level cleaning.
+    *
+    * Scale shape: one keyed shuffle on the shingle (partial+final count —
+    * the distinct in [[TextDedup.shingles]] already collapsed per-doc
+    * repeats map-side), then a HAVING-style filter. The output is tiny
+    * relative to the corpus — df >= minDocs is a power-law tail cut.
+    */
+  def boilerplateNgrams(docs: DataFrame, minDocs: Int = 3,
+                        n: Int = 3): DataFrame =
+    TextDedup.shingles(docs, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+
+  /** Per-document boilerplate fraction: the share of a doc's distinct
+    * n-grams that are corpus-wide repeated ([[boilerplateNgrams]]) — the
+    * per-doc filter signal ("drop documents that are mostly chrome").
+    *
+    * The distinct (doc, shingle) set is consumed three times (the hotlist
+    * build, the per-doc sizes, the hit count), so it is materialized ONCE
+    * via `localCheckpoint` (disk-backed, the q73 pattern) — measured,
+    * Spark's exchange reuse does NOT unify the three consumers and the
+    * declarative form scanned and re-shingled the corpus three times
+    * (PlanSpec pins the single-scan shape). Every aggregate downstream
+    * carries counts only — no per-group row buffering — and the hotlist
+    * side of the semi-join is df-filtered, far smaller than the corpus.
+    */
+  def boilerplateFraction(docs: DataFrame, minDocs: Int = 3,
+                          n: Int = 3): DataFrame = {
+    val sh = TextDedup.shingles(docs, n).localCheckpoint()
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(hot, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_shingles")).as("boilerplate_frac"))
+  }
+
   /** Overlapping token-window chunking (the RAG/context-window prep step):
     * one row per chunk of `chunkSize` tokens, windows starting every
     * `chunkSize - overlap` tokens, the final window short if the document

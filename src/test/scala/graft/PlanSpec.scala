@@ -102,6 +102,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("q86 boilerplate fraction: one corpus scan, checkpointed shingles") {
+    // The shingle set feeds three consumers; without the checkpoint the
+    // corpus was scanned and re-shingled three times (exchange reuse does
+    // not fire across them — measured, not assumed).
+    val p = plan("q86_boilerplate_fraction")
+    assert(!p.contains("FileScan"),
+      "all three consumers must read the materialized shingle set, not " +
+        "re-scan the corpus:\n" + p.take(1200))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&

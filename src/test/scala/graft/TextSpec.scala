@@ -199,6 +199,27 @@ class TextSpec extends SparkSpec {
       "per-doc signatures must be split-invariant (append-only index)")
   }
 
+  test("boilerplateNgrams: exact document frequencies, tail cut applied") {
+    val d = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
+    val hot = Corpus.boilerplateNgrams(d, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(hot == Map("a b c" -> 2L))
+    // per-doc repeats of the same n-gram must NOT inflate df
+    val rep = docs((1L, "a b c a b c"), (2L, "z z z"))
+    assert(Corpus.boilerplateNgrams(rep, minDocs = 2)
+      .as[(String, Long)].collect().isEmpty)
+  }
+
+  test("boilerplateFraction: exact shares; clean docs score zero") {
+    val d = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
+    val out = Corpus.boilerplateFraction(d, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("dedupClusters: transitive chains collapse to the component min") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
     // a 5-vertex path (diameter 4 — forces several propagation rounds),
