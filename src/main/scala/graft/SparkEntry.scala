@@ -414,6 +414,14 @@ object SparkEntry {
     "q86_boilerplate_fraction" -> ((s, dir) =>
       graft.text.Corpus.boilerplateFraction(t(s, dir, "documents"),
         minDocs = 2)),
+    // A9 decontamination at fixed memory: the train side folds into one
+    // bloom filter (engine-internal hashes — rows-only; q68/q79 are the
+    // exact oracle twins, and TextSpec pins the no-false-negative bound).
+    "q87_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.contaminationBloom(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

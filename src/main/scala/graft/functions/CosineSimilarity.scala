@@ -118,6 +118,28 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
 
+  /** Spark's internal bloom-filter aggregate (the machinery behind runtime
+    * row-level filtering), surfaced as a Column: folds `c` (must be a
+    * LongType hash, e.g. `xxhash64(...)`) into a `numBits`-wide filter,
+    * returned as one BINARY value. Partials merge by bitwise OR —
+    * associative, commutative, duplicate- and order-invariant — so the
+    * result bytes are deterministic under any partitioning.
+    */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expr(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloom_filter_agg]] result. `filter` must
+    * be foldable (a collected-bytes literal) or a scalar subquery; false
+    * positives possible, false negatives never.
+    */
+  def might_contain(filter: Column, c: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expr(filter), expr(c)))
+
   def seeded_md5(s: Column, numSeeds: Int): Column =
     column(SeededMd5(expr(s), numSeeds))
 

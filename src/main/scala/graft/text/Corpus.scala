@@ -207,6 +207,42 @@ object Corpus {
           col("n_shingles")).as("contamination"))
   }
 
+  /** Fixed-memory decontamination: the train side collapses to ONE
+    * bloom filter instead of its distinct shingle set. [[contamination]]
+    * and [[contaminationBroadcast]] carry exact train state whose size
+    * grows with the corpus; here the 100 TB side folds map-side into a
+    * `numBits` filter (partials OR together — one tiny binary reaches the
+    * driver), which is then inlined as a literal so the eval probe is a
+    * pure codegen'd projection. The price is one-sided error: per-doc
+    * `n_flagged` can only OVER-count (bloom false positives, rate set by
+    * numBits/items) — never under-count, so no contaminated document
+    * escapes (TextSpec pins `n_flagged >= n_contaminated` per doc).
+    * Output shape mirrors [[contamination]] with flagged_frac in place of
+    * contamination; the hashes are engine-internal (xxhash64 + bloom),
+    * so queries over this path are rows-only checked, with q68/q79 as
+    * the exact oracle-checked twins.
+    */
+  def contaminationBloom(evalDocs: DataFrame, trainDocs: DataFrame,
+                         n: Int = 3, estimatedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_filter_agg, might_contain}
+    // Bloom insertion is duplicate-invariant: the raw shingle stream
+    // feeds the aggregate straight off the scan — no distinct shuffle on
+    // the train side at all (cheaper than even the broadcast form).
+    val filterBytes = TextDedup.shinglesRaw(trainDocs, n)
+      .agg(bloom_filter_agg(xxhash64(col("shingle")), estimatedItems,
+        numBits).as("f"))
+      .head.getAs[Array[Byte]]("f")
+    val evalSh = TextDedup.shingles(evalDocs, n)
+    val hit = might_contain(lit(filterBytes), xxhash64(col("shingle")))
+    evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(hit, 1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_shingles"))
+          .as("flagged_frac"))
+  }
+
   /** Cross-corpus repeated n-grams (the "boilerplate" signal of C4-style
     * line dedup, at n-gram granularity): every word n-gram appearing in
     * at least `minDocs` DISTINCT documents, with its document frequency.

@@ -399,6 +399,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("contaminationBloom: never under-counts the exact contamination") {
+    // randomized eval/train with guaranteed overlap: each eval doc shares
+    // a prefix with a train doc
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val trainRows = (1L to 20L).map { id =>
+      (id, Seq.fill(10)(pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val evalRows = trainRows.take(10).map { case (id, text) =>
+      (id + 100L, text.split(" ").take(6).mkString(" ") + " extra tail words")
+    } ++ Seq((200L, "q r s t u v"))
+    val train = docs(trainRows: _*)
+    val eval = docs(evalRows: _*)
+    val exact = Corpus.contamination(eval, train).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated")))).toMap
+    val bloom = Corpus.contaminationBloom(eval, train).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_flagged")))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nSh, nCont)) =>
+      val (bSh, bFlag) = bloom(id)
+      assert(bSh == nSh)
+      assert(bFlag >= nCont,
+        s"doc $id: bloom flagged $bFlag < exact $nCont — a false NEGATIVE")
+    }
+    assert(exact.values.exists(_._2 > 0), "fixture must have contamination")
+    // at this filter size vs item count the FP rate is ~0: exact equality
+    assert(bloom == exact.map { case (k, v) => k -> v },
+      "a 2^23-bit filter over dozens of shingles must not false-positive")
+  }
+
   test("contaminationBroadcast: row-identical to contamination") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val eval = d.filter(col("doc_id") % 10 === 0)
