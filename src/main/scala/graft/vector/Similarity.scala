@@ -255,6 +255,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
   }
 
+  /** Append a vector delta to a [[writeIvfIndex]] index without touching
+    * existing rows — the vector-domain twin of the incremental dedup
+    * index ([[graft.text.TextDedup.nearDupAgainstIndex]]): assignment
+    * depends only on the FROZEN centroid table, so a delta assigned
+    * batch-by-batch lands in exactly the lists a single full build would
+    * have produced (spec-asserted row identity), and each day's append
+    * writes only delta-sized files into the affected list directories.
+    * The trade is the standard IVF one: centroids drift from the true
+    * data distribution as the corpus grows, degrading recall-per-probe —
+    * re-cluster (rebuild) when the delta volume dwarfs the build corpus;
+    * searches stay correct-as-ranked regardless.
+    */
+  def appendIvfIndex(delta: DataFrame, dir: String): Unit = {
+    val cents = collectCentroids(
+      delta.sparkSession.read.parquet(s"$dir/centroids"))
+    delta.select(col("vec_id"), col("embedding"),
+      array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+        .as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
   /** Top-k search against a [[writeIvfIndex]] index. Row-identical to
     * [[ivfTopK]] over the same corpus/parameters (spec-asserted); the
     * probed-lists filter lands in `PartitionFilters`, so unprobed list

@@ -75,6 +75,30 @@ class VectorSpec extends SparkSpec {
       s"expected the list_id INSET in PartitionFilters:\n${plan.take(2000)}")
   }
 
+  test("IVF append-built index is row-identical to the single full build") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    // centroids come from the 16 lowest vec_ids, all in the base half —
+    // both builds therefore share the exact same centroid table
+    val base = emb.filter($"vec_id" % 2 === 0 || $"vec_id" < 32)
+    val delta = emb.exceptAll(base)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    val dirIncr = java.nio.file.Files.createTempDirectory("graft-ivf-i").toString
+    Similarity.writeIvfIndex(emb, dirFull, nCentroids = 16)
+    Similarity.writeIvfIndex(base, dirIncr, nCentroids = 16)
+    Similarity.appendIvfIndex(delta, dirIncr)
+    // identical list contents...
+    val lf = spark.read.parquet(s"$dirFull/lists")
+    val li = spark.read.parquet(s"$dirIncr/lists")
+    assert(lf.exceptAll(li).isEmpty && li.exceptAll(lf).isEmpty,
+      "append-built lists must equal the full build's lists")
+    // ...and identical search results
+    val sf = Similarity.searchIvfIndex(spark, dirFull, probes, 5, nProbe = 4)
+    val si = Similarity.searchIvfIndex(spark, dirIncr, probes, 5, nProbe = 4)
+    assert(sf.exceptAll(si).isEmpty && si.exceptAll(sf).isEmpty,
+      "search over the appended index must be row-identical")
+  }
+
   test("IVF at-rest index: nProbe extremes row-identical; full probe hits brute force") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter($"vec_id" < 5)
