@@ -90,4 +90,51 @@ class InvarianceSpec extends SparkSpec {
     assert(enc(docs.repartition(7)) == enc(docs))
     assert(cap(docs.repartition(5)) == cap(docs))
   }
+
+  test("salted join is invariant under repartitioning") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    def joined(big: org.apache.spark.sql.DataFrame) =
+      graft.ops.Skew.saltedJoin(big, sup, "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(Agg.dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+        .as[(Long, Double, Long)].collect().toSet
+    assert(joined(li.repartition(7)) == joined(li))
+  }
+
+  test("incremental dedup probe is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextDedup.nearDupAgainstIndex(
+        graft.text.TextDedup.signatureIndex(df.filter(col("doc_id") % 10 =!= 0)),
+        graft.text.TextDedup.signatureIndex(df.filter(col("doc_id") % 10 === 0)),
+        0.5).as[(Long, Long, Double)].collect().toSet
+    assert(probe(docs.repartition(9)) == probe(docs))
+  }
+
+  test("sketch rollup and bloom decontamination are invariant under repartitioning") {
+    // both fold through mergeable state (HLL union / bloom OR) — the
+    // partial-merge order must not leak into results
+    val ev = Tables.load(spark, sf, "events")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      Agg.sketchRollup(Agg.dailySketches(df))
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(roll(ev.repartition(7)) == roll(ev))
+    val docs = Tables.load(spark, sf, "documents")
+    def bloom(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.contaminationBloom(
+        df.filter(col("doc_id") % 10 === 0), df.filter(col("doc_id") % 10 =!= 0))
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(bloom(docs.repartition(11)) == bloom(docs))
+  }
+
+  test("boilerplate fraction is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def boiler(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.boilerplateFraction(df, minDocs = 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(boiler(docs.repartition(6)) == boiler(docs))
+  }
 }
