@@ -143,4 +143,33 @@ object AsOfJoin {
       .select(keyCols ++ pOnly.map(col) ++
         qOnly.map(c => col(s"_quote.$c").as(c)): _*)
   }
+
+  /** Stats-fed dispatch between [[asOf]] and [[asOfBucketed]] — the
+    * SCALE.md crossover rule ("stay plain while the hottest key fits one
+    * task's sort") applied mechanically: one partial+final count over
+    * both sides' keys measures the hottest key, and the bucketed form is
+    * chosen only when that exceeds `maxKeyRows`. The probe costs one
+    * cheap aggregate (map-side combined onto |keys| rows) — negligible
+    * next to the join it sizes, and the price of not having table stats
+    * at plan time. Both branches are row-identical, so the dispatch can
+    * never change results, only the plan (spec-asserted both ways).
+    *
+    * Default threshold 10 M ≈ a few GB at typical row widths, the
+    * one-task in-memory sort budget from SCALE.md; tune it with the
+    * cluster's task size.
+    */
+  def asOfAuto(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+               probeTime: String, quoteTime: String, bucketSeconds: Long,
+               maxKeyRows: Long = 10000000L): DataFrame = {
+    val keyCols = keys.map(col)
+    val hottest = probes.select(keyCols: _*)
+      .unionByName(quotes.select(keyCols: _*))
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n"))).head.get(0)
+    val hot = Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (hot > maxKeyRows)
+      asOfBucketed(probes, quotes, keys, probeTime, quoteTime, bucketSeconds)
+    else
+      asOf(probes, quotes, keys, probeTime, quoteTime)
+  }
 }

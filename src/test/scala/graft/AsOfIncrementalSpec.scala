@@ -86,6 +86,32 @@ class AsOfIncrementalSpec extends SparkSpec {
     assert(out == plain)
   }
 
+  test("asOfAuto dispatches by hottest-key cardinality; results identical either way (J6)") {
+    val probes = Seq(("a", 5L, "p1"), ("a", 10L, "p2"), ("b", 3L, "p3"))
+      .toDF("k", "pt", "tag")
+    val quotes = Seq(("a", 4L, 100.0), ("a", 9L, 200.0), ("b", 2L, 300.0))
+      .toDF("k", "qt", "v")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      "Window".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val expected = res(AsOfJoin.asOf(probes, quotes, Seq("k"), "pt", "qt"))
+    // generous budget -> plain plan (exactly one window, over the data)
+    val plainRoute = AsOfJoin.asOfAuto(probes, quotes, Seq("k"), "pt", "qt",
+      bucketSeconds = 10L, maxKeyRows = 1000L)
+    assert(windows(plainRoute) == 1, "should have routed to plain asOf")
+    assert(res(plainRoute) == expected)
+    // hottest key ("a": 2 probes + 2 quotes = 4 rows) over budget ->
+    // bucketed plan (carry-over window + data window)
+    val bucketRoute = AsOfJoin.asOfAuto(probes, quotes, Seq("k"), "pt", "qt",
+      bucketSeconds = 10L, maxKeyRows = 3L)
+    assert(windows(bucketRoute) >= 2, "should have routed to asOfBucketed")
+    assert(res(bucketRoute) == expected)
+    // empty inputs must not crash the stats probe
+    assert(AsOfJoin.asOfAuto(probes.limit(0), quotes.limit(0), Seq("k"),
+      "pt", "qt", 10L).count() == 0)
+  }
+
   test("asOfBucketed partition count scales with keys × buckets, not keys (J6 scale)") {
     // The whole point of the variant: the big window's shuffle key must be
     // (key, bucket). Read it straight from the physical plan.
