@@ -87,6 +87,26 @@ object Tables {
                        mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed catalog table (S8 extended — the co-located-join layout):
+    * rows hash into `numBuckets` files per partition by `bucketCol`, and
+    * the bucket spec is recorded in the catalog, so a join or aggregate
+    * keyed on the bucket column reads each bucket as a pre-shuffled
+    * partition — ZERO exchange on either side when both sides share the
+    * spec (TablesBucketSpec pins the no-Exchange plan). This is the
+    * at-rest answer to the biggest 100 TB cost in the repo's star joins:
+    * fact ⋈ fact on l_orderkey/o_orderkey shuffles BOTH tables every
+    * run, but written bucketed once, every subsequent run joins in place.
+    * Sort within buckets by the key so the join is a streaming merge,
+    * not a hash build.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Events scan with the watermark predicate applied in the RAW nanos
     * domain, BEFORE the micros conversion. The converted column is wrapped
     * in `timestamp_micros(ts div 1000)`, which Catalyst cannot push through
