@@ -243,43 +243,89 @@ object Corpus {
           .as("flagged_frac"))
   }
 
+  /** Distinct `(doc_id, xxhash64(shingle))` pairs — the 8-byte shuffle
+    * twin of [[TextDedup.shingles]], for consumers that only need shingle
+    * IDENTITY, not text. The distinct and every aggregate downstream
+    * exchange 16-byte rows instead of n-gram strings; at corpus scale the
+    * shuffle volume drops by the mean shingle width (~50 bytes for word
+    * 3-grams). Same re-keying that took the MinHash path (q30 → q64) from
+    * md5 strings to codegen'd longs.
+    */
+  private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    TextDedup.shinglesRaw(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("_h"))
+      .distinct()
+
+  /** Hash values whose document frequency reaches `minDocs`, from the
+    * distinct (doc_id, _h) pairs — the hotlist side of
+    * [[boilerplateFraction]]'s semi-join.
+    */
+  private def hotHashes(hashed: DataFrame, minDocs: Int): DataFrame =
+    hashed.groupBy(col("_h")).agg(count(lit(1)).as("_dfh"))
+      .filter(col("_dfh") >= minDocs).select(col("_h"))
+
   /** Cross-corpus repeated n-grams (the "boilerplate" signal of C4-style
     * line dedup, at n-gram granularity): every word n-gram appearing in
     * at least `minDocs` DISTINCT documents, with its document frequency.
     * Headers, footers, license blurbs, and navigation chrome surface
     * here; the list is the input to passage-level cleaning.
     *
-    * Scale shape: one keyed shuffle on the shingle (partial+final count —
-    * the distinct in [[TextDedup.shingles]] already collapsed per-doc
-    * repeats map-side), then a HAVING-style filter. The output is tiny
-    * relative to the corpus — df >= minDocs is a power-law tail cut.
+    * Scale shape, re-keyed in round 7: ONE corpus scan and one aggregate
+    * chain GROUPED BY `xxhash64(shingle)` — the shuffle key is 8 bytes,
+    * not n-gram text; the text rides along only as a `min(shingle)`
+    * payload so the output keeps the human-readable n-gram. The earlier
+    * text-keyed form (distinct + groupBy on the shingle string) paid two
+    * corpus-sized string exchanges; A/B at sf0.1 measured 0.52 s vs
+    * 0.91 s warm for identical output. A two-scan hash-then-recover
+    * variant (broadcast the hot hashes back for the text) re-paid the
+    * shingle generation and lost to BOTH (1.09 s) — shingle explode cost
+    * dominates shuffle width here, so the single-scan form wins.
+    *
+    * Exactness bound (same trade as [[boilerplateFraction]], documented
+    * once there): a 64-bit collision merges two n-grams into one group —
+    * min-text row with the union df. Zero collisions on every test
+    * corpus (TextSpec pins bit-identity against the text-keyed form);
+    * at 10^12 distinct shingles the expected number of affected rows is
+    * ~10^4 out of 10^12 — noise for a boilerplate signal.
     */
   def boilerplateNgrams(docs: DataFrame, minDocs: Int = 3,
                         n: Int = 3): DataFrame =
-    TextDedup.shingles(docs, n)
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    TextDedup.shinglesRaw(docs, n)
+      .groupBy(xxhash64(col("shingle")).as("_h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("shingle")).as("shingle"))
       .filter(col("df") >= minDocs)
+      .select(col("shingle"), col("df"))
 
   /** Per-document boilerplate fraction: the share of a doc's distinct
     * n-grams that are corpus-wide repeated ([[boilerplateNgrams]]) — the
     * per-doc filter signal ("drop documents that are mostly chrome").
     *
-    * The distinct (doc, shingle) set is consumed three times (the hotlist
-    * build, the per-doc sizes, the hit count), so it is materialized ONCE
-    * via `localCheckpoint` (disk-backed, the q73 pattern) — measured,
-    * Spark's exchange reuse does NOT unify the three consumers and the
+    * Rides the same 8-byte keys as [[boilerplateNgrams]]: the distinct
+    * (doc_id, _h) set is consumed three times (the hotlist build, the
+    * per-doc sizes, the hit count), so it is materialized ONCE via
+    * `localCheckpoint` (disk-backed, the q73 pattern) — measured, Spark's
+    * exchange reuse does NOT unify the three consumers and the
     * declarative form scanned and re-shingled the corpus three times
-    * (PlanSpec pins the single-scan shape). Every aggregate downstream
-    * carries counts only — no per-group row buffering — and the hotlist
-    * side of the semi-join is df-filtered, far smaller than the corpus.
+    * (PlanSpec pins the single-scan shape). Every downstream aggregate
+    * carries counts only, and the hotlist side of the semi-join is
+    * df-filtered and broadcast.
+    *
+    * Exactness bound: a 64-bit collision between two distinct shingles in
+    * the SAME document undercounts that doc's n_shingles by 1, and a
+    * collision with a hot hash can flag one extra n-gram. P(any same-doc
+    * collision) <= sum over docs of s_d^2 / 2^65 — for 10^12 docs of
+    * ~300 shingles each that is ~2e-3 for the whole corpus, i.e. expected
+    * errors well under one row at 100 TB; on the test corpora there are
+    * zero 64-bit collisions and the output is bit-identical to the
+    * text-keyed form (asserted by TextSpec against a text-keyed oracle).
     */
   def boilerplateFraction(docs: DataFrame, minDocs: Int = 3,
                           n: Int = 3): DataFrame = {
-    val sh = TextDedup.shingles(docs, n).localCheckpoint()
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs).select(col("shingle"))
+    val sh = hashedShingles(docs, n).localCheckpoint()
+    val hot = hotHashes(sh, minDocs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = sh.join(hot, Seq("shingle"), "left_semi")
+    val hits = sh.join(broadcast(hot), Seq("_h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     sizes.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),

@@ -220,6 +220,33 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("boilerplate hashed fast paths match the text-keyed oracle form") {
+    // The round-7 8-byte re-keying must be output-identical to the
+    // text-shuffling form it replaced (the scaladoc's exactness claim).
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def textKeyedHot(minDocs: Int) = TextDedup.shingles(d, 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    def textKeyedFrac(minDocs: Int) = {
+      val sh = TextDedup.shingles(d, 3)
+      val hot = textKeyedHot(minDocs).select(col("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val hits = sh.join(hot, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_shingles")).as("boilerplate_frac"))
+    }
+    assert(Corpus.boilerplateNgrams(d, minDocs = 3).as[(String, Long)]
+      .collect().toSet == textKeyedHot(3).as[(String, Long)].collect().toSet)
+    assert(Corpus.boilerplateFraction(d, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet ==
+      textKeyedFrac(3).as[(Long, Long, Long, Double)].collect().toSet)
+  }
+
   test("dedupClusters: transitive chains collapse to the component min") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
     // a 5-vertex path (diameter 4 — forces several propagation rounds),
