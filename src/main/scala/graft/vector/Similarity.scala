@@ -139,6 +139,12 @@ object Similarity {
     * single-table recall p becomes 1-(1-p)^T — at T× the bucketing cost.
     * Candidates are unioned and DEDUPED AS ID PAIRS first; the cosine is
     * computed once per distinct pair (not once per table collision).
+    *
+    * Operating regime (measured — BASELINE.md round-7 curve): hyperplane
+    * LSH pays off ABOVE ~0.7 cosine, where p(same bucket) is large; at a
+    * 0.4 threshold p ≈ 0.63^bits and even the multi-table OR recovers
+    * <20% of true pairs. For low-threshold pair search use the blocked
+    * exact forms ([[nearDupWithinLabel]], IVF-list-bucketed pairs).
     */
   def lshCandidatePairsMulti(corpus: DataFrame, bits: Int = 8,
                              tables: Int = 4, dims: Int = 64): DataFrame = {
@@ -153,9 +159,12 @@ object Similarity {
   /** IVF-flat approximate top-k cosine search (the ANN scale path next to
     * [[bruteForceTopK]]'s exact baseline and the LSH pair variants).
     *
-    * Centroids are the embeddings of the `nCentroids` lowest vec_ids — a
-    * deterministic stand-in for an offline k-means (kmeans|| at scale); the
-    * query path below is identical either way. They are collected to the
+    * Centroids here are the embeddings of the `nCentroids` lowest vec_ids —
+    * the deterministic seed; [[trainCentroids]] refines them with Lloyd
+    * iterations and [[writeIvfIndex]]`(trainIters > 0)` persists the
+    * trained set (measurably better recall-per-probe on clustered data —
+    * see the VectorSpec recall bound and the BASELINE.md curve). The
+    * query path is identical either way. They are collected to the
     * driver (nCentroids × dims floats — broadcast-variable sized) and
     * inlined as literal arrays, so:
     *
@@ -189,6 +198,79 @@ object Similarity {
   private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] =
     centroids.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Deterministic Lloyd (k-means) refinement of the IVF centroids —
+    * recall-per-probe is the product an IVF index sells, and the first-N
+    * seed ignores the data distribution entirely (on clustered
+    * embeddings several seeds land in one cluster and other clusters get
+    * carved across far-away lists). Each iteration is ONE corpus pass:
+    * list assignment is the same map-side literal-centroid projection the
+    * query path uses, and the per-list per-dimension means reduce through
+    * partial aggregation to k × dims rows on the driver.
+    *
+    * Determinism: float means are order-dependent under parallel
+    * summation, which would make centroids — and therefore list layout
+    * and recall — vary run to run. Components are quantized to 2^-20
+    * grid longs BEFORE summing (exact, associative, partition-order
+    * free), so training is bit-reproducible at any parallelism, the same
+    * trick [[lshBucket]] uses for hyperplane signs. Quantization error
+    * (≤ 5e-7 per component, embeddings are O(1)) is far below any recall
+    * effect. Empty lists keep their previous centroid (standard Lloyd).
+    *
+    * Scale: driver state is k × dims floats per iteration; the corpus is
+    * scanned `iters` times with no shuffle beyond the k×dims×partitions
+    * partial-agg rows. For 100 TB, run on a sample — centroid quality
+    * needs distribution coverage, not every row (the sample bound is the
+    * k-means|| argument); the returned table plugs into
+    * [[writeIvfIndex]] / [[appendIvfIndex]] unchanged either way.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
+                     iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val Q = 1 << 20
+    var cents = collectCentroids(
+      corpus.orderBy(col("vec_id")).limit(nCentroids))
+    val dims = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .select(col("embedding"),
+          array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+            .as("list_id"))
+        .select(col("list_id"), posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(expr(s"CAST(round(CAST(col AS DOUBLE) * $Q) AS BIGINT)"))
+          .as("qsum"), count(lit(1)).as("n"))
+        .collect()
+      val byList = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cId, old) =>
+        byList.get(cId) match {
+          case Some(rows) =>
+            val arr = new Array[Float](dims)
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                (r.getLong(2).toDouble / Q / r.getLong(3)).toFloat
+            }
+            (cId, arr.toSeq)
+          case None => (cId, old)
+        }
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.toDF("vec_id", "embedding")
+  }
+
+  /** Recall@k of an approximate ANN result against the exact one: the
+    * fraction of true (probe, neighbor) top-k pairs the approximate
+    * search recovered. The measuring stick for the IVF/LSH operating
+    * points tabulated in BASELINE.md.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val truth = exact.select(col("probe_id"), col("neighbor_id"))
+    val hits = truth
+      .intersect(approx.select(col("probe_id"), col("neighbor_id")))
+      .count()
+    hits.toDouble / truth.count()
+  }
 
   /** Per-centroid (−cosine, c_id) structs over inlined literal centroids —
     * `array_min` of this is the assignment argmax; `sort_array` + slice is
@@ -238,13 +320,17 @@ object Similarity {
     * partition pruning does what the in-memory form's join does, so the
     * scan cost of a query is ~nProbe/nCentroids of the corpus regardless
     * of corpus size. This is the vector-database layout expressed as a
-    * plain partitioned parquet table.
+    * plain partitioned parquet table. `trainIters > 0` runs
+    * [[trainCentroids]] Lloyd refinement before assignment; 0 keeps the
+    * deterministic first-N seed (the pre-round-7 behavior).
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
-                    nCentroids: Int = 16): Unit = {
-    corpus.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+                    nCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    val centDf =
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters)
+      else corpus.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id"), col("embedding"))
+    centDf.write.mode("overwrite").parquet(s"$dir/centroids")
     // read the tiny file just written rather than re-running the
     // full-corpus top-k subquery a second time
     val cents = collectCentroids(

@@ -121,6 +121,41 @@ class VectorSpec extends SparkSpec {
       "full-probe index search must have recall 1.0 (== brute force)")
   }
 
+  test("trained centroids: deterministic, and strictly better recall than first-N") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // bit-reproducibility: quantized accumulators make Lloyd training
+    // independent of partitioning/parallelism
+    val c1 = Similarity.trainCentroids(emb, nCentroids = 16, iters = 3)
+      .as[(Long, Seq[Float])].collect().toMap
+    val c2 = Similarity.trainCentroids(emb.repartition(7), nCentroids = 16,
+      iters = 3).as[(Long, Seq[Float])].collect().toMap
+    assert(c1 == c2, "training must be bit-reproducible at any parallelism")
+
+    // recall bound on the clustered testdata (measured margins at k=10:
+    // nProbe=2 0.436 vs 0.312, nProbe=4 0.618 vs 0.510 — assert the
+    // direction, not the exact values, so data regeneration can't flap it)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopK(emb, probes, 10).cache()
+    val dirF = java.nio.file.Files.createTempDirectory("graft-ivf-first").toString
+    val dirT = java.nio.file.Files.createTempDirectory("graft-ivf-train").toString
+    Similarity.writeIvfIndex(emb, dirF, nCentroids = 16)
+    Similarity.writeIvfIndex(emb, dirT, nCentroids = 16, trainIters = 5)
+    for (np <- Seq(2, 4)) {
+      val rF = Similarity.recallAtK(
+        Similarity.searchIvfIndex(spark, dirF, probes, 10, nProbe = np), exact)
+      val rT = Similarity.recallAtK(
+        Similarity.searchIvfIndex(spark, dirT, probes, 10, nProbe = np), exact)
+      assert(rT > rF,
+        s"trained centroids must beat first-N recall at nProbe=$np: $rT vs $rF")
+      // absolute floors from the BASELINE.md round-7 curve (measured
+      // 0.436 / 0.618 at nProbe=2/4), with margin for data regeneration
+      val floor = if (np == 2) 0.35 else 0.50
+      assert(rT >= floor,
+        s"trained recall at nProbe=$np fell below the BASELINE.md floor: $rT < $floor")
+    }
+    exact.unpersist()
+  }
+
   test("IVF at-rest index: probing an empty (never-written) list is safe") {
     // Two identical seed centroids: the assignment tie-break (struct min on
     // (-cosine, c_id)) sends every vector to list 0, so list 1 exists as a
