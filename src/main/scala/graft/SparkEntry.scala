@@ -422,6 +422,32 @@ object SparkEntry {
       graft.text.Corpus.contaminationBloom(
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
     }),
+    // S8 extended as a registered query: fact⋈fact through same-spec
+    // bucketed catalog tables — the orderkey shuffle is paid ONCE at
+    // write time; the join AND the aggregate keyed on the same column
+    // run with zero Exchange (PlanSpec-pinned). ensureBucketed reuses
+    // the session's tables, so repeat executions (bench pass 2) measure
+    // the join-in-place cost that motivates the layout. Table names
+    // carry an sfDir tag so verify (sf0.01) and bench (sf0.1) JVMs
+    // can never cross-serve each other's rows.
+    "q88_bucketed_join" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val liT = s"graft_bk_lineitem_$tag"
+      val ordT = s"graft_bk_orders_$tag"
+      graft.sources.Tables.ensureBucketed(s, t(s, dir, "lineitem"),
+        liT, "l_orderkey", 8)
+      graft.sources.Tables.ensureBucketed(s,
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        ordT, "l_orderkey", 8)
+      val one = lit(BigDecimal("1.00"))
+        .cast(org.apache.spark.sql.types.DecimalType(4, 2))
+      s.table(liT).join(s.table(ordT), Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_totalprice"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(Agg.money(col("l_extendedprice")) *
+            (one - Agg.rate(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1164,6 +1190,13 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / z.n_shingles
         |    AS boilerplate_frac
         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    "q88_bucketed_join" ->
+      """SELECT l_orderkey, o_totalprice, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_totalprice""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,

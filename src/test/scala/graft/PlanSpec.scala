@@ -112,6 +112,23 @@ class PlanSpec extends SparkSpec {
         "re-scan the corpus:\n" + p.take(1200))
   }
 
+  test("q88 bucketed fact-fact join: zero exchange on either side") {
+    // With broadcast disabled the join MUST be a bucket-aligned sort-merge
+    // with no hashpartitioning Exchange anywhere — the shuffle was paid at
+    // write time. (With broadcast allowed the small side may build a
+    // BroadcastExchange instead; both regimes are exchange-free on the
+    // fact scans, but this pins the stronger fact⋈fact contract.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q88_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join/agg must read pre-shuffled buckets, not exchange:\n" +
+          p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
