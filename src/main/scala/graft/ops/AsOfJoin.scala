@@ -144,15 +144,63 @@ object AsOfJoin {
         qOnly.map(c => col(s"_quote.$c").as(c)): _*)
   }
 
+  /** Append a batch's per-key row counts to a persisted stats table —
+    * the piece [[asOfAuto]]'s count probe was substituting for. Fold
+    * this into the same daily job that appends the data (the
+    * `dailySketches` pattern: one extra map-side-combined aggregate over
+    * rows the job already scanned) and the stats stay current without
+    * ever rescanning the table. Readers SUM per key across delta rows,
+    * so appends never rewrite history; compact the stats table on the
+    * data table's compaction cadence if delta count ever matters (it is
+    * |keys| × appends rows — tiny).
+    */
+  def appendKeyStats(batch: DataFrame, keys: Seq[String], dir: String): Unit =
+    batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .write.mode("append").parquet(dir)
+
+  /** Hottest-key row count summed across the given stats tables
+    * ([[appendKeyStats]] output), or None when any directory is missing
+    * (caller falls back to scanning). The read costs one pass over
+    * |keys| × appends stat rows — independent of data size, which is the
+    * point: at 100 TB the dispatch consults kilobytes, not the tables.
+    */
+  def hottestFromStats(dirs: Seq[String], keys: Seq[String]): Option[Long] =
+    dirs match {
+      case Nil => None
+      case ds =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        if (!ds.forall(graft.sources.Tables.pathExists(spark, _))) None
+        else {
+          val hottest = ds.map(spark.read.parquet(_))
+            .reduce(_.unionByName(_))
+            .groupBy(keys.map(col): _*).agg(sum(col("_n")).as("_n"))
+            .agg(max(col("_n"))).head.get(0)
+          Some(Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L))
+        }
+    }
+
   /** Stats-fed dispatch between [[asOf]] and [[asOfBucketed]] — the
     * SCALE.md crossover rule ("stay plain while the hottest key fits one
-    * task's sort") applied mechanically: one partial+final count over
-    * both sides' keys measures the hottest key, and the bucketed form is
-    * chosen only when that exceeds `maxKeyRows`. The probe costs one
-    * cheap aggregate (map-side combined onto |keys| rows) — negligible
-    * next to the join it sizes, and the price of not having table stats
-    * at plan time. Both branches are row-identical, so the dispatch can
-    * never change results, only the plan (spec-asserted both ways).
+    * task's sort") applied mechanically: the hottest key count across
+    * both sides decides, and the bucketed form is chosen only when it
+    * exceeds `maxKeyRows`. Both branches are row-identical, so the
+    * dispatch can never change results, only the plan (spec-asserted
+    * both ways).
+    *
+    * Where the count comes from, in preference order:
+    *  1. `statsDirs` — persisted [[appendKeyStats]] tables (normally one
+    *     per side), maintained at ingest. The dispatch then reads
+    *     kilobytes of stats instead of scanning either side — the right
+    *     mode for repeated dispatches over at-rest tables.
+    *  2. Fallback (statsDirs empty or a directory missing): one
+    *     partial+final count over both sides' keys — map-side combined
+    *     onto |keys| rows, negligible next to the join it sizes, but it
+    *     IS a full scan of both inputs; fine when the join follows
+    *     immediately, wasteful as a steady state.
+    *
+    * Caller contract for statsDirs: the stats must cover exactly the
+    * rows being joined (same filters); stale stats route, not corrupt —
+    * the worst case is a suboptimal plan, never a wrong result.
     *
     * Default threshold 10 M ≈ a few GB at typical row widths, the
     * one-task in-memory sort budget from SCALE.md; tune it with the
@@ -160,13 +208,16 @@ object AsOfJoin {
     */
   def asOfAuto(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                probeTime: String, quoteTime: String, bucketSeconds: Long,
-               maxKeyRows: Long = 10000000L): DataFrame = {
+               maxKeyRows: Long = 10000000L,
+               statsDirs: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
-    val hottest = probes.select(keyCols: _*)
-      .unionByName(quotes.select(keyCols: _*))
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
-      .agg(max(col("_n"))).head.get(0)
-    val hot = Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val hot = hottestFromStats(statsDirs, keys).getOrElse {
+      val hottest = probes.select(keyCols: _*)
+        .unionByName(quotes.select(keyCols: _*))
+        .groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
+        .agg(max(col("_n"))).head.get(0)
+      Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
     if (hot > maxKeyRows)
       asOfBucketed(probes, quotes, keys, probeTime, quoteTime, bucketSeconds)
     else

@@ -28,29 +28,86 @@ object Windows {
       .withColumn("ntile", ntile(buckets).over(w))
   }
 
+  /** Year-bucketed exact evaluation of a GLOBAL date-ordered window whose
+    * frame needs at most `carry` preceding rows: partition by
+    * year(dateCol), prepend each year's last `carry` rows to the next
+    * PRESENT year's partition (gap years skip forward, exactly like the
+    * global order does), evaluate the caller's window expressions
+    * per-year, and drop the carry rows. Output-identical to the
+    * partition-less window while the shuffle scales with years — this is
+    * the asOfBucketed carry pattern at daily grain, and it kills Spark's
+    * "No Partition Defined for Window" move-everything-to-one-partition
+    * plan (the warning noise BASELINE.md's bench tail used to carry).
+    *
+    * The distinct-years collect is bounded by the calendar (a daily-grain
+    * frame has ~1 row per day; even a century is 100 values) — the same
+    * bounded-small-by-construction argument as the IVF centroid collect.
+    */
+  private def yearBucketed(daily: DataFrame, dateCol: String, carry: Int)(
+      eval: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
+        => DataFrame): DataFrame = {
+    val years = daily.select(year(col(dateCol)).as("_yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val succ: Map[Int, Int] = years.zip(years.drop(1)).toMap
+    val base = daily.withColumn("_yr", year(col(dateCol)))
+      .withColumn("_is_carry", lit(0))
+    val wTail = Window.partitionBy(col("_yr")).orderBy(col(dateCol).desc)
+    val carries = base
+      .withColumn("_rnd", row_number().over(wTail))
+      .filter(col("_rnd") <= carry).drop("_rnd")
+      // try_element_at: ANSI mode makes plain element_at THROW on a
+      // missing key, and the last year's tail has no successor by design
+      .withColumn("_yr", try_element_at(typedLit(succ), col("_yr")))
+      .filter(col("_yr").isNotNull) // last year's tail carries nowhere
+      .withColumn("_is_carry", lit(1))
+    // carry sorts before any real row of equal date cannot happen (dates
+    // are unique at daily grain and a carry comes from an earlier year),
+    // so ordering by date alone stays total
+    val w = Window.partitionBy(col("_yr")).orderBy(col(dateCol))
+    eval(base.unionByName(carries), w)
+      .filter(col("_is_carry") === 0).drop("_yr", "_is_carry")
+  }
+
   /** W3: day-over-day delta of a daily decimal-exact measure.
     * Input must already be at daily grain; output adds prev/delta columns.
     * The lag and the subtraction stay in decimal, so the surfaced double is
     * engine-independent.
+    *
+    * With an empty `partition` the global window evaluates through
+    * [[yearBucketed]] (carry = 1 row): identical output, year-keyed
+    * shuffle instead of a single-partition sort.
     */
   def dayOverDay(daily: DataFrame, partition: Seq[String], dateCol: String,
                  measureCol: String): DataFrame = {
-    val w = Window.partitionBy(partition.map(col): _*).orderBy(col(dateCol))
-    daily
-      .withColumn("prev_" + measureCol, lag(col(measureCol), 1).over(w))
-      .withColumn("delta",
-        col(measureCol) - coalesce(col("prev_" + measureCol), lit(0.0)))
+    def eval(df: DataFrame,
+             w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn("prev_" + measureCol, lag(col(measureCol), 1).over(w))
+        .withColumn("delta",
+          col(measureCol) - coalesce(col("prev_" + measureCol), lit(0.0)))
+    if (partition.nonEmpty)
+      eval(daily,
+        Window.partitionBy(partition.map(col): _*).orderBy(col(dateCol)))
+    else yearBucketed(daily, dateCol, carry = 1)(eval)
   }
 
   /** W4: trailing k-row rolling sum of a daily measure (rows-based frame;
     * with contiguous days this is the k-day rolling window — the docx FR8
     * 7-day production window when k=7).
+    *
+    * With an empty `partition` the global window evaluates through
+    * [[yearBucketed]] (carry = k−1 rows): identical output, year-keyed
+    * shuffle instead of a single-partition sort.
     */
   def rollingSum(daily: DataFrame, partition: Seq[String], dateCol: String,
                  measureCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(partition.map(col): _*)
-      .orderBy(col(dateCol)).rowsBetween(-(k - 1), 0)
-    daily.withColumn(s"rolling_${k}", sum(col(measureCol)).over(w))
+    def eval(df: DataFrame,
+             w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn(s"rolling_${k}",
+        sum(col(measureCol)).over(w.rowsBetween(-(k - 1), 0)))
+    if (partition.nonEmpty)
+      eval(daily,
+        Window.partitionBy(partition.map(col): _*).orderBy(col(dateCol)))
+    else yearBucketed(daily, dateCol, carry = k - 1)(eval)
   }
 
   /** Daily decimal-exact order totals — shared input for W3/W4 demos. */

@@ -92,6 +92,26 @@ object MedallionStream {
     spark.read.parquet(factDir)
   }
 
+  /** The horizon slice of the at-rest fact a micro-batch must anti-join
+    * against: rows with `received_at >= minTs − horizon`, plus every
+    * null-event-time row (those never age out of the dedup horizon — no
+    * timestamp proves them old). The bound is a LITERAL timestamp so it
+    * lands in the parquet scan's `PushedFilters` as row-group pruning;
+    * the per-trigger fact read is therefore proportional to the horizon,
+    * not the table (MedallionStreamSpec pins the pushed filter). A null
+    * `minTs` (empty batch / all-null event times) degenerates to the
+    * isNull slice alone.
+    */
+  private[graft] def priorFactSlice(spark: SparkSession, factDir: String,
+                                    minTs: java.sql.Timestamp,
+                                    horizonMillis: Long): DataFrame = {
+    val slice = if (minTs == null) col("received_at").isNull else
+      col("received_at") >=
+        lit(new java.sql.Timestamp(minTs.getTime - horizonMillis)) ||
+        col("received_at").isNull
+    spark.read.parquet(factDir).filter(slice)
+  }
+
   /** Single-pass streaming silver: ONE read of the bronze delta per
     * trigger feeds BOTH the fact table and the quarantine, via
     * `foreachBatch`. Inside the sink the micro-batch is a plain batch
@@ -102,10 +122,10 @@ object MedallionStream {
     * `min(batch.received_at) - dedupHorizonMillis` — a re-delivered
     * event carries its original event time, so only that slice of the
     * fact can contain its first copy. The bound reaches the parquet scan
-    * as a pushed row-group predicate (partition pruning instead, if the
-    * fact is laid out by day), so the per-trigger read of the fact is
-    * proportional to the horizon, not to the table — the state store's
-    * role, played by the sink's own recent files.
+    * as a pushed row-group predicate ([[priorFactSlice]]; partition
+    * pruning instead, if the fact is laid out by day), so the per-trigger
+    * read of the fact is proportional to the horizon, not to the table —
+    * the state store's role, played by the sink's own recent files.
     *
     * The same anti-join is what upgrades `foreachBatch`'s at-least-once
     * to exactly-once for the fact: a replayed micro-batch finds its own
@@ -146,18 +166,27 @@ object MedallionStream {
         val quar = rawQuar.withColumn("batch_id", lit(batchId)).persist()
         try {
           val fresh = if (!exists(factDir)) flat else {
+            // The min probe is a driver-side action ON PURPOSE, and it is
+            // not an extra pass: it is the first action on the persisted
+            // frame, so it doubles as the cache materializer the write
+            // then reads. Folding the bound into the write's own query as
+            // a scalar subquery (Dataset.scalar, Spark 4) was evaluated
+            // and rejected: measured on Spark 4.1.2, a subquery bound
+            // reaches the fact scan with `PushedFilters: []` while this
+            // literal bound pushes GreaterThanOrEqual into row-group
+            // pruning — the probe is what keeps the per-trigger fact read
+            // horizon-bounded instead of full-table (the pushed filter is
+            // spec-pinned via priorFactSlice).
+            //
             // null min = empty batch, or a batch of only null-event-time
             // rows — the latter still needs the anti-join (against the
             // fact's isNull slice) or a replay duplicates those rows.
             val minTs = flat.agg(min(col("received_at"))).first().getTimestamp(0)
-            val slice = if (minTs == null) col("received_at").isNull else
-              col("received_at") >=
-                lit(new java.sql.Timestamp(minTs.getTime - dedupHorizonMillis)) ||
-                col("received_at").isNull
             // keep null-event-time rows in the slice and match keys
             // null-safely: otherwise a null-timestamp or null-key event
             // slips past the anti-join and duplicates on replay
-            val prior = spark.read.parquet(factDir).filter(slice)
+            val prior = priorFactSlice(spark, factDir, minTs,
+              dedupHorizonMillis)
               .select(col("event_key").as("_prior_key"))
             flat.join(prior, flat("event_key") <=> prior("_prior_key"),
               "left_anti")

@@ -112,6 +112,44 @@ class AsOfIncrementalSpec extends SparkSpec {
       "pt", "qt", 10L).count() == 0)
   }
 
+  test("asOfAuto consults persisted key stats; routing matches the scan probe") {
+    val probes = Seq(("a", 5L, "p1"), ("a", 10L, "p2"), ("b", 3L, "p3"))
+      .toDF("k", "pt", "tag")
+    val quotes = Seq(("a", 4L, 100.0), ("a", 9L, 200.0), ("b", 2L, 300.0))
+      .toDF("k", "qt", "v")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-stats-p").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-stats-q").toString
+    // two delta appends on the probe side: the reader must SUM deltas,
+    // not take the last file's count
+    AsOfJoin.appendKeyStats(probes.filter($"pt" <= 5), Seq("k"), dirP)
+    AsOfJoin.appendKeyStats(probes.filter($"pt" > 5), Seq("k"), dirP)
+    AsOfJoin.appendKeyStats(quotes, Seq("k"), dirQ)
+    assert(AsOfJoin.hottestFromStats(Seq(dirP, dirQ), Seq("k"))
+      .contains(4L), "hottest key 'a' = 2 probe + 2 quote rows across deltas")
+
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      "Window".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val expected = res(AsOfJoin.asOf(probes, quotes, Seq("k"), "pt", "qt"))
+    // identical thresholds to the scan-probe test: stats-fed dispatch
+    // must route the same way, without touching either data side
+    val plainRoute = AsOfJoin.asOfAuto(probes, quotes, Seq("k"), "pt", "qt",
+      bucketSeconds = 10L, maxKeyRows = 1000L, statsDirs = Seq(dirP, dirQ))
+    assert(windows(plainRoute) == 1, "stats said under budget -> plain asOf")
+    assert(res(plainRoute) == expected)
+    val bucketRoute = AsOfJoin.asOfAuto(probes, quotes, Seq("k"), "pt", "qt",
+      bucketSeconds = 10L, maxKeyRows = 3L, statsDirs = Seq(dirP, dirQ))
+    assert(windows(bucketRoute) >= 2, "stats said over budget -> bucketed")
+    assert(res(bucketRoute) == expected)
+    // a missing stats dir falls back to the count probe - same routing
+    val fallback = AsOfJoin.asOfAuto(probes, quotes, Seq("k"), "pt", "qt",
+      bucketSeconds = 10L, maxKeyRows = 3L,
+      statsDirs = Seq(dirP, s"$dirQ/never-written"))
+    assert(windows(fallback) >= 2, "missing stats must fall back, not misroute")
+    assert(res(fallback) == expected)
+  }
+
   test("asOfBucketed partition count scales with keys × buckets, not keys (J6 scale)") {
     // The whole point of the variant: the big window's shuffle key must be
     // (key, bucket). Read it straight from the physical plan.

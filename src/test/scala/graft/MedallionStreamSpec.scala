@@ -164,4 +164,27 @@ class MedallionStreamSpec extends SparkSpec {
       "null-only batch replay must be absorbed by the isNull-slice anti-join")
     assert(out2.filter(col("received_at").isNull).count() == 1)
   }
+
+  test("horizon slice: the literal bound reaches the fact scan as a pushed filter") {
+    // The reason the min probe stays a driver-side action: a literal
+    // bound row-group-prunes the per-trigger fact read; a scalar-subquery
+    // bound (the "fold it into the write pass" alternative) measures as
+    // PushedFilters: [] on Spark 4.1. Pin the pushed literal so a future
+    // refactor can't silently regress the scan to full-table.
+    val dir = java.nio.file.Files.createTempDirectory("graft-slice").toString
+    spark.range(100)
+      .selectExpr("CAST(id AS STRING) AS event_key",
+        "timestamp_micros(id * 1000000) AS received_at")
+      .write.mode("overwrite").parquet(dir)
+    val plan = MedallionStream.priorFactSlice(spark, dir,
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:50"), 10000L)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(received_at"),
+      s"horizon bound must be pushed into the parquet scan, got: $pushed")
+    // and the slice must still admit null-event-time rows (the pushed Or
+    // keeps IsNull alongside the bound)
+    assert(pushed.contains("IsNull(received_at"),
+      s"null-event-time rows must survive the pushed slice, got: $pushed")
+  }
 }

@@ -34,6 +34,41 @@ class WindowsTopKSpec extends SparkSpec {
       Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0, 7.0))
   }
 
+  test("year-bucketed windows: identical to the global form across year boundaries and gap years") {
+    // years 2023, 2024, 2026 with 2025 ABSENT: the 2026 rows' frames must
+    // reach back to 2024's tail, exactly like the global order does
+    val days = Seq.tabulate(4)(i => f"2023-12-${28 + i}%02d") ++
+      Seq.tabulate(4)(i => f"2024-01-${i + 1}%02d") ++
+      Seq.tabulate(4)(i => f"2026-03-${i + 1}%02d")
+    val daily = days.zipWithIndex.map { case (d, i) => (d, (i + 1).toDouble) }
+      .toDF("dt", "v")
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("dt"))
+
+    val lagRef = daily.withColumn("prev_v", lag(col("v"), 1).over(wAll))
+      .withColumn("delta", col("v") - coalesce(col("prev_v"), lit(0.0)))
+      .select($"dt", $"prev_v", $"delta")
+      .as[(String, Option[Double], Double)].collect().toSet
+    val lagOut = Windows.dayOverDay(daily, Seq.empty, "dt", "v")
+      .select($"dt", $"prev_v", $"delta")
+      .as[(String, Option[Double], Double)].collect().toSet
+    assert(lagOut == lagRef, "dayOverDay diverged from the global window")
+
+    val rollRef = daily.withColumn("rolling_3",
+        sum(col("v")).over(wAll.rowsBetween(-2, 0)))
+      .select($"dt", $"rolling_3").as[(String, Double)].collect().toSet
+    val rollOut = Windows.rollingSum(daily, Seq.empty, "dt", "v", 3)
+      .select($"dt", $"rolling_3").as[(String, Double)].collect().toSet
+    assert(rollOut == rollRef, "rollingSum diverged from the global window")
+
+    // and the year-bucketed plan must NOT move everything to one partition:
+    // every window exchange hashes on the year bucket
+    val p = Windows.rollingSum(daily, Seq.empty, "dt", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "year-bucketed windows must never plan a single-partition exchange:\n" +
+        p.take(1200))
+  }
+
   test("TopK.global plans as TakeOrderedAndProject (O3, no global sort)") {
     val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toDouble)).toDF("id", "v")
     val top = TopK.global(df, Seq($"v".desc, $"id".asc), 5)
