@@ -468,6 +468,29 @@ object SparkEntry {
       Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),
     // F7: array-function sampler (norms, dims, quantized checksum).
     "q40_vector_norms" -> ((s, dir) => Similarity.norms(t(s, dir, "embeddings"))),
+    // A8 north star: semantic dedup clusters — connected components of
+    // the embedding-cosine pair graph (q73's component walk over vector
+    // pairs; oracle = the same recursive CTE over list_dot_product).
+    "q89_semantic_clusters" -> ((s, dir) =>
+      Similarity.semanticClusters(
+        Similarity.nearDupWithinLabel(t(s, dir, "embeddings"),
+          threshold = 0.3))),
+    // A8 north star: the surviving corpus after semantic dedup — one
+    // representative (min vec_id) per cosine-component.
+    "q90_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
+        Similarity.nearDupWithinLabel(emb, threshold = 0.3))
+    }),
+    // A8 scale path: semantic dedup on an UNLABELED corpus — candidates
+    // blocked by trained-IVF multi-assignment instead of the label column
+    // (engine-internal Lloyd centroids — no SQL oracle, rows-only; recall
+    // vs the exact pair set is measured in VectorSpec).
+    "q91_semantic_dedup_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
+        Similarity.ivfCandidatePairs(emb, threshold = 0.3))
+    }),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
       Multimodal.syntheticAssets(t(s, dir, "documents")).select(
@@ -1197,6 +1220,51 @@ object SparkEntry {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey, o_totalprice""".stripMargin,
+    // q73's recursive component walk over embedding-cosine pairs: the
+    // pair predicate is q39's (hash-exact there), the walk is q73's.
+    "q89_semantic_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |    >= 0.3),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION
+        |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS vec_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS vec_id, w.lab
+        |  FROM edges e JOIN walk w ON w.vec_id = e.dst)
+        |SELECT vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY vec_id""".stripMargin,
+    "q90_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |    >= 0.3),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION
+        |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS vec_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS vec_id, w.lab
+        |  FROM edges e JOIN walk w ON w.vec_id = e.dst),
+        |losers AS (
+        |  SELECT vec_id FROM walk GROUP BY vec_id
+        |  HAVING MIN(lab) != vec_id)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |LEFT JOIN losers l ON l.vec_id = e.vec_id
+        |WHERE l.vec_id IS NULL""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang AS actual_lang,

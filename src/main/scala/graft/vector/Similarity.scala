@@ -402,6 +402,70 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Semantic (embedding-cosine) dedup clusters: connected components of
+    * a near-dup pair graph over vectors — the embedding-space analogue of
+    * [[graft.text.TextDedup.dedupClusters]], and deliberately the SAME
+    * machinery (min-label propagation, localCheckpoint rounds, label-sum
+    * fixpoint): the component walk is representation-agnostic, only the
+    * pair generator differs. `pairs` needs (vec_a, vec_b); any generator
+    * plugs in — [[nearDupWithinLabel]] (blocked exact), [[ivfCandidatePairs]]
+    * (unlabeled scale path), [[lshCandidatePairsMulti]] (high-threshold
+    * regime).
+    */
+  def semanticClusters(pairs: DataFrame): DataFrame =
+    graft.text.TextDedup.dedupClusters(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  /** The corpus minus every non-representative member of each semantic
+    * near-dup component (one survivor — the min vec_id — per cluster;
+    * vectors in no pair survive untouched). Anti-join keys are only the
+    * cluster LOSERS — a tiny table relative to the corpus, same shape as
+    * [[graft.text.TextDedup.survivors]].
+    */
+  def semanticDedup(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = semanticClusters(pairs)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id"))
+    corpus.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** IVF-list-blocked candidate pairs — the unlabeled-corpus blocking
+    * scheme for semantic dedup at LOW thresholds, where hyperplane LSH
+    * recall collapses (p ≈ 0.63^bits at cosine 0.4 — the
+    * [[lshCandidatePairsMulti]] operating-regime note). Blocks come from
+    * the data distribution instead: each vector joins its top-`assign`
+    * trained-centroid lists (multi-assignment is the recall lever — a
+    * near-boundary pair split by top-1 partitioning still co-locates in a
+    * secondary list), pairs sharing ANY list are candidates, deduped as
+    * id pairs, then verified by exact cosine ONCE per pair.
+    *
+    * Cost: Σ_list n² with list sizes steered by `nCentroids` (sized so a
+    * list fits one task), times `assign`² in the worst case — the
+    * semantic analogue of the banded-LSH bound, never all-pairs. Recall
+    * vs the exact pair set is measured in VectorSpec on the clustered
+    * testdata, mirroring the IVF recall curve in BASELINE.md.
+    */
+  def ivfCandidatePairs(corpus: DataFrame, threshold: Double,
+                        nCentroids: Int = 16, assign: Int = 2,
+                        trainIters: Int = 3): DataFrame = {
+    val cents = collectCentroids(
+      trainCentroids(corpus, nCentroids, trainIters))
+    val lists = corpus
+      .select(col("vec_id"), centStructs(cents)(col("embedding")).as("_cs"))
+      .select(col("vec_id"),
+        explode(expr(s"transform(slice(sort_array(_cs), 1, $assign), s -> s.c_id)"))
+          .as("list_id"))
+    val a = lists.select(col("list_id"), col("vec_id").as("vec_a"))
+    val b = lists.select(col("list_id"), col("vec_id").as("vec_b"))
+    val idPairs = a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    verifyPairs(corpus, idPairs)
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Per-vector L2 norm and quantized-norm — the array-function sampler
     * (F7): transform/aggregate/zip_with surface.
     */

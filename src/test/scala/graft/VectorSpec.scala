@@ -226,4 +226,48 @@ class VectorSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(stats._1 > 0.99 && stats._2 < 1.01)
   }
+
+  test("semanticDedup: one survivor per component, singletons untouched") {
+    // two exact-dup clusters {1,2,3} and {10,11} plus singleton 20:
+    // survivors must be {1, 10, 20} regardless of pair generator
+    val d = vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(3f, 0f), 0),
+      (10L, Seq(0f, 1f), 0), (11L, Seq(0f, 5f), 0),
+      (20L, Seq(1f, -1f), 0))
+    val pairs = Similarity.nearDupWithinLabel(d, threshold = 0.99)
+    val clusters = Similarity.semanticClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val kept = Similarity.semanticDedup(d, pairs)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
+  test("ivfCandidatePairs: exact-cosine subset, and recall beats single-list blocking") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // ground truth: unblocked all-pairs at the same threshold (no label
+    // blocking — the IVF path exists for corpora WITHOUT labels)
+    val ea = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val eb = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val truth = ea.join(eb, $"vec_a" < $"vec_b")
+      .withColumn("cosine", Similarity.cosine($"ea", $"eb"))
+      .filter($"cosine" >= 0.3)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata must contain near-dup pairs at 0.3")
+    def pairSet(assign: Int) =
+      Similarity.ivfCandidatePairs(emb, threshold = 0.3,
+        nCentroids = 8, assign = assign, trainIters = 2)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val multi = pairSet(2)
+    // precision is 1.0 by construction (every candidate is verified by
+    // the exact cosine) — a false positive means the verify step broke
+    assert(multi.subsetOf(truth), "verified pairs must all be true pairs")
+    // multi-assignment must recover most of the truth, and strictly
+    // dominate top-1-only blocking on the clustered testdata
+    val single = pairSet(1)
+    assert(single.subsetOf(multi), "assign=2 blocks are a superset of top-1")
+    assert(multi.size >= (truth.size * 0.6).toInt,
+      s"recall too low: ${multi.size}/${truth.size}")
+    assert(multi.size >= single.size)
+  }
 }
