@@ -448,6 +448,21 @@ object SparkEntry {
             (one - Agg.rate(col("l_discount"))))
             .cast("double").as("revenue"))
     }),
+    // S8/O3 layout: two-column slice of a z-ordered events copy — the
+    // multi-column file-skipping layout (ZOrder). The ensure-once write
+    // is maintenance work; repeat executions measure the pruned read
+    // (ZOrderSpec pins the row-group skipping; this row pins read-back
+    // correctness against the plain table).
+    "q92_zorder_slice" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
+      graft.maintenance.ZOrder.ensureLayout(s, t(s, dir, "events"), zDir,
+        Seq("user_id", "ts"), numFiles = 16)
+      s.read.parquet(zDir).filter(
+        col("user_id").between(10, 19) &&
+          col("ts").between(lit("2024-01-10").cast("timestamp"),
+            lit("2024-01-15").cast("timestamp")))
+    }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1220,6 +1235,14 @@ object SparkEntry {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey, o_totalprice""".stripMargin,
+    // the z-ordered copy holds exactly the original rows, so the slice
+    // oracle runs on the plain table
+    "q92_zorder_slice" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 19
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
     // q73's recursive component walk over embedding-cosine pairs: the
     // pair predicate is q39's (hash-exact there), the walk is q73's.
     "q89_semantic_clusters" ->
