@@ -327,19 +327,24 @@ object TextDedup {
     * component; the component representative is the row with
     * doc_id = cluster_id.
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * vertex takes the least label among itself and its neighbors (one
-    * equi-join + one partial+final min aggregate per round, both plain
-    * shuffles), converging in at most `diameter` rounds. Labels are
+    * Algorithm: Shiloach-Vishkin-style hook + compress — each round
+    * flattens the label forest by two pointer-jumping steps (|V|-row
+    * self-joins), then merges adjacent TREES by proposing each edge's
+    * other-side root to its own root (one edge equi-join + one
+    * partial+final min aggregate), converging in O(log diameter) edge
+    * rounds. Labels are
     * `localCheckpoint`ed between rounds so the plan doesn't grow with
     * iteration count, and convergence is detected by the label SUM
     * reaching a fixpoint (labels only ever decrease, so equal sums ⇒ no
     * label moved — one cheap aggregate per round, no row-level compare).
     *
-    * Scale posture: near-dup components are LSH cliques glued by shared
-    * members — diameters of 2–4, so 3–5 rounds in practice; the edge
-    * list (near-dup pairs) is sparse by construction. The `maxIters`
-    * guard throws rather than returning silently-unmerged clusters.
+    * Scale posture: LSH near-dup components are cliques glued by shared
+    * members (diameters 2–4 → 2–3 rounds); cosine-threshold graphs from
+    * [[graft.vector.Similarity.semanticClusters]] chain much longer
+    * (diameter ~20 measured on the sf0.1 testdata → 6 rounds under
+    * doubling). maxIters = 20 therefore bounds components of diameter
+    * ~2^20; the guard throws rather than returning silently-unmerged
+    * clusters.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the pair plan BEFORE symmetrizing: `half` is consumed
@@ -362,18 +367,42 @@ object TextDedup {
     val edges = sym
       .unionByName(sym.select(col("src"), col("src").as("dst")))
       .localCheckpoint()
-    // One hop of min-label propagation: label'(v) = min over N(v) ∪ {v}
-    // (the self-loop supplies v's own label).
-    def hop(ls: DataFrame): DataFrame = edges
-      .join(ls.select(col("doc_id").as("dst"), col("cluster_id").as("_nl")),
-        Seq("dst"))
-      .groupBy(col("src")).agg(min(col("_nl")).as("cluster_id"))
-      .withColumnRenamed("src", "doc_id")
-    // Initialization IS the first hop (labels start at doc_id, so the hop
-    // aggregate needs no join at all) — one free round. Near-dup
-    // components are LSH cliques glued by shared members, so most
-    // components are already converged here and the loop below runs once
-    // purely to certify the fixpoint.
+    // COMPRESS (pointer jumping): label'(v) = label(label(v)). Every
+    // label is a vertex id (labels start as ids and min() preserves
+    // that), so the lookup is a |V|-row self-join — cheap next to the
+    // edge join. Two fixed applications per round keep the label forest
+    // near-flat without paying a fixpoint action per application.
+    def compress(ls: DataFrame): DataFrame =
+      ls.join(ls.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("_g")), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_g"), col("cluster_id")).as("cluster_id"))
+    // HOOK at the ROOT, not the leaf: every symmetric edge proposes the
+    // other endpoint's root to its own ROOT's label (min-aggregated per
+    // root), so whole trees merge in one round. Leaf-hooking — the
+    // pre-round-7 form, label'(v) = min over N(v)'s labels — moves
+    // information ONE component-hop per round: on the sf0.1
+    // cosine-threshold graph (components of 151 vertices, diameter ~20)
+    // it needed 21 edge-join rounds, past the maxIters guard; root
+    // hooking + compression needs 5 (measured, and matches the
+    // Shiloach-Vishkin O(log diameter) bound). At 100 TB the edge join
+    // is the dominant cost, so edge-round count is THE scale metric.
+    def hook(ls: DataFrame): DataFrame = {
+      val prop = sym
+        .join(ls.select(col("doc_id").as("src"), col("cluster_id").as("_rs")),
+          Seq("src"))
+        .join(ls.select(col("doc_id").as("dst"), col("cluster_id").as("_rd")),
+          Seq("dst"))
+        .filter(col("_rs") =!= col("_rd"))
+        .groupBy(col("_rs")).agg(min(col("_rd")).as("_nl"))
+      ls.join(prop, ls("cluster_id") === prop("_rs"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_nl"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+    // Initialization IS the first hook (labels start at doc_id, so the
+    // aggregate needs no join at all; the self-loop edges fold v's own
+    // id into the min) — one free round.
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
       .withColumnRenamed("src", "doc_id")
       .localCheckpoint()
@@ -386,8 +415,11 @@ object TextDedup {
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // Labels only decrease, so an unchanged sum certifies a fixpoint.
-      val next = hop(labels).localCheckpoint()
+      // Labels only decrease under both compress and hook, so an
+      // unchanged sum certifies a full fixpoint: depth-1 forest (compress
+      // moved nothing) AND no cross-root edge (hook proposed nothing) —
+      // i.e. every label is its component's minimum vertex id.
+      val next = hook(compress(compress(labels))).localCheckpoint()
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
