@@ -497,6 +497,20 @@ object SparkEntry {
       Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
         Similarity.nearDupWithinLabel(emb, threshold = 0.3))
     }),
+    // A8/J7 incremental: daily-delta semantic near-dup against the
+    // persisted IVF corpus index (q83's daily pattern in the vector
+    // domain) — the corpus is never re-paired; only probed list
+    // directories are read (PartitionFilters, spec-pinned).
+    "q93_semantic_dedup_delta" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdd_$tag"
+      val emb = t(s, dir, "embeddings")
+      if (!graft.sources.Tables.pathExists(s, s"$ivfDir/lists"))
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 50), ivfDir,
+          nCentroids = 16)
+      Similarity.nearDupAgainstIvfIndex(s, ivfDir,
+        emb.filter(col("vec_id") < 50), threshold = 0.3, nProbe = 4)
+    }),
     // A8 scale path: semantic dedup on an UNLABELED corpus — candidates
     // blocked by trained-IVF multi-assignment instead of the label column
     // (engine-internal Lloyd centroids — no SQL oracle, rows-only; recall
@@ -1264,6 +1278,41 @@ object SparkEntry {
         |  SELECT e.src AS vec_id, w.lab
         |  FROM edges e JOIN walk w ON w.vec_id = e.dst)
         |SELECT vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY vec_id""".stripMargin,
+    // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
+    // assigns top-1, the delta probes its top-4 lists, exact cosine
+    // verifies. Same list_dot_product kernel, so doubles are bit-exact.
+    "q93_semantic_dedup_delta" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id >= 50 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS corpus_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id >= 50
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS delta_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 50
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4)
+        |SELECT a.corpus_id, pl.delta_id,
+        |  list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(d.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))))
+        |    AS cosine
+        |FROM plists pl
+        |JOIN assign a ON a.list_id = pl.list_id
+        |JOIN embeddings c ON c.vec_id = a.corpus_id
+        |JOIN embeddings d ON d.vec_id = pl.delta_id
+        |WHERE list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(d.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[]))))
+        |    >= 0.3""".stripMargin,
     "q90_semantic_dedup" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -466,6 +466,63 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Incremental semantic near-dup: which vectors of a NEW batch
+    * near-duplicate (cosine ≥ threshold) something already in a
+    * [[writeIvfIndex]] corpus index — the vector twin of
+    * [[graft.text.TextDedup.nearDupAgainstIndex]] (q83's daily-delta
+    * pattern), and the missing piece between [[appendIvfIndex]] (which
+    * grows the index) and [[semanticDedup]] (which dedups a closed
+    * corpus).
+    *
+    * Scale shape: the delta assigns to its top-`nProbe` lists map-side
+    * against the FROZEN centroid table; the probed list ids inline as
+    * literals so only those list directories are opened (the same
+    * `PartitionFilters` contract [[searchIvfIndex]] pins); the (delta,
+    * list) rows broadcast; exact cosine verifies inside the join
+    * projection. The corpus is never re-paired — cost is the probed
+    * ~nProbe/nCentroids fraction of one index scan per batch. A corpus
+    * vector lives in exactly one list, so no pair can appear twice.
+    *
+    * Output: (corpus_id, delta_id, cosine). `nProbe = nCentroids` probes
+    * every list and returns exactly the brute-force delta × corpus pair
+    * set (spec-asserted); smaller nProbe trades recall for scan volume.
+    */
+  def nearDupAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, delta: DataFrame,
+                             threshold: Double, nProbe: Int = 4): DataFrame = {
+    require(threshold > 0, s"nearDup threshold must be > 0, got $threshold")
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val pl = probeListsFor(delta, cents, nProbe)
+    val plRows = pl.collect()
+    val probeLists = spark.createDataFrame(
+      java.util.Arrays.asList(plRows: _*), pl.schema)
+    val wanted = plRows.map(_.getAs[Long]("list_id")).distinct
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted.toSeq: _*))
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("n_emb"),
+        col("list_id").cast("long").as("list_id"))
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("probe_id").as("delta_id"), col("cosine"))
+  }
+
+  /** The batch minus every vector that near-duplicates the indexed
+    * corpus — corpus precedence (the at-rest representative wins, the
+    * same direction as decontamination), so the survivors are safe to
+    * [[appendIvfIndex]]. Batch-internal dups are a separate (and far
+    * smaller) [[semanticDedup]] over the batch alone — mirroring the
+    * text pipeline's split of delta-vs-corpus and delta-vs-delta.
+    */
+  def dedupDeltaAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, delta: DataFrame,
+                                threshold: Double, nProbe: Int = 4): DataFrame = {
+    val dups = nearDupAgainstIvfIndex(spark, dir, delta, threshold, nProbe)
+      .select(col("delta_id").as("vec_id")).distinct()
+    delta.join(dups, Seq("vec_id"), "left_anti")
+  }
+
   /** Per-vector L2 norm and quantized-norm — the array-function sampler
     * (F7): transform/aggregate/zip_with surface.
     */

@@ -227,6 +227,40 @@ class VectorSpec extends SparkSpec {
     assert(stats._1 > 0.99 && stats._2 < 1.01)
   }
 
+  test("incremental semantic dedup: full probe equals brute force; partial probe prunes") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val delta = emb.filter($"vec_id" < 50)
+    val corpus = emb.filter($"vec_id" >= 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dd").toString
+    Similarity.writeIvfIndex(corpus, dir, nCentroids = 16)
+    // ground truth: brute-force delta × corpus pairs at the threshold
+    val truth = delta.select($"vec_id".as("delta_id"), $"embedding".as("pe"))
+      .crossJoin(corpus.select($"vec_id".as("corpus_id"), $"embedding".as("ce")))
+      .withColumn("cosine", Similarity.cosine($"pe", $"ce"))
+      .filter($"cosine" >= 0.3)
+      .select($"corpus_id", $"delta_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata must contain delta-vs-corpus pairs at 0.3")
+    def pairs(nProbe: Int) =
+      Similarity.nearDupAgainstIvfIndex(spark, dir, delta, 0.3, nProbe)
+        .select($"corpus_id", $"delta_id").as[(Long, Long)].collect().toSet
+    assert(pairs(16) == truth,
+      "probing every list must return exactly the brute-force pair set")
+    val partial = pairs(4)
+    assert(partial.subsetOf(truth),
+      "partial probing must never invent a pair (exact cosine verify)")
+    // the partial probe must read only the probed list directories
+    val plan = Similarity.nearDupAgainstIvfIndex(spark, dir, delta, 0.3, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"expected the list_id INSET in PartitionFilters:\n${plan.take(2000)}")
+    // survivors: delta minus matched delta ids, corpus precedence
+    val matched = truth.map(_._2)
+    val kept = Similarity.dedupDeltaAgainstIvfIndex(spark, dir, delta, 0.3, 16)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == delta.select($"vec_id").as[Long].collect().toSet -- matched,
+      "survivors must be exactly the unmatched delta vectors")
+  }
+
   test("semanticDedup: one survivor per component, singletons untouched") {
     // two exact-dup clusters {1,2,3} and {10,11} plus singleton 20:
     // survivors must be {1, 10, 20} regardless of pair generator
