@@ -408,9 +408,12 @@ object TextDedup {
       .localCheckpoint()
     // Decimal sum: a BIGINT sum of doc ids can overflow long at corpus
     // scale, and a wrapped sum could fake a fixpoint.
+    // null sum = zero vertices (an EMPTY pair set — normal for a
+    // streaming micro-batch with no internal dups): fold to ZERO so the
+    // loop certifies the trivial fixpoint instead of NPE-ing.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .head.getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var iters = 0
     var converged = false

@@ -466,6 +466,43 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Exact all-pairs near-dup at a cosine threshold — the brute-force
+    * baseline every blocked generator ([[nearDupWithinLabel]],
+    * [[ivfCandidatePairs]], [[lshCandidatePairsMulti]]) is measured
+    * against, and the right generator outright when the input is SMALL
+    * by contract (a micro-batch's internal dups in
+    * [[graft.streaming.VectorStream]]). O(n²) — never point it at a
+    * corpus.
+    */
+  def nearDupPairsExact(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** The `delta` vec_ids already present in a [[writeIvfIndex]] index —
+    * the replay guard for streaming ingestion. Frozen centroids make
+    * assignment deterministic, so a re-delivered vector can only live in
+    * its own top-1 list: only those list directories are read (partition
+    * pruning), never the index.
+    */
+  def indexedIds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 delta: DataFrame): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val assigned = delta.select(col("vec_id"),
+      array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+        .as("list_id"))
+    val wanted = assigned.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted.toSeq: _*))
+      .select(col("vec_id"))
+      .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+  }
+
   /** Incremental semantic near-dup: which vectors of a NEW batch
     * near-duplicate (cosine ≥ threshold) something already in a
     * [[writeIvfIndex]] corpus index — the vector twin of

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+import graft.streaming.VectorStream
+import graft.vector.Similarity
+
+/** Streaming vector ingestion (VectorStream): the index is the dedup
+  * state — replayed ids, in-batch dups, and corpus near-dups all die
+  * before the append, across micro-batches and across full replays.
+  */
+class VectorStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, e) => (id, e, 0) }.toDF("vec_id", "embedding", "label")
+
+  test("ingest: replay guard, in-batch dedup, corpus precedence — and a full replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // seed corpus: the four axis vectors; index bootstrapped from it
+    Similarity.writeIvfIndex(
+      vecs(100L -> Seq(1f, 0f, 0f, 0f), 101L -> Seq(0f, 1f, 0f, 0f),
+        102L -> Seq(0f, 0f, 1f, 0f), 103L -> Seq(0f, 0f, 0f, 1f)),
+      idx, nCentroids = 4)
+
+    // one batch carrying all three dup modes plus one genuine survivor:
+    //  - id 100: replayed id (already indexed)           -> replay guard
+    //  - id 1:   cosine ~0.995 vs indexed v100           -> corpus precedence
+    //  - ids 2,3: in-batch near-dup pair (cosine ~0.9997) -> min id 2 survives
+    val batch = vecs(
+      100L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.99f, 0.1f, 0f, 0f),
+      2L -> Seq(0.7f, 0.7f, 0f, 0f),
+      3L -> Seq(0.71f, 0.69f, 0f, 0f))
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp1", schema,
+      threshold = 0.9, nProbe = 4).awaitTermination()
+
+    def indexedIds() = spark.read.parquet(s"$idx/lists")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(indexedIds() == Set(100L, 101L, 102L, 103L, 2L),
+      "only the in-batch survivor may join the seed corpus")
+
+    // full replay (same rows, new file, FRESH checkpoint — the harshest
+    // at-least-once case): ids 100/2 die on the replay guard, 1 and 3
+    // die on corpus precedence (3's survivor-twin 2 is now indexed)
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b2")
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp2", schema,
+      threshold = 0.9, nProbe = 4).awaitTermination()
+    assert(indexedIds() == Set(100L, 101L, 102L, 103L, 2L),
+      "a replayed batch must append nothing")
+
+    // and the index stays searchable mid-stream: the survivor is
+    // findable, its dropped twin is not
+    val hit = Similarity.searchIvfIndex(spark, idx,
+      vecs(999L -> Seq(0.7f, 0.7f, 0f, 0f)), k = 1, nProbe = 4)
+    assert(hit.select($"neighbor_id").as[Long].head() == 2L)
+  }
+
+  test("a batch with no survivors and no pairs is a no-op (empty-graph path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstream2").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Similarity.writeIvfIndex(
+      vecs(10L -> Seq(1f, 0f), 11L -> Seq(0f, 1f)), idx, nCentroids = 2)
+    // pure replay batch: every id already indexed, no internal pairs
+    vecs(10L -> Seq(1f, 0f), 11L -> Seq(0f, 1f))
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp", schema,
+      threshold = 0.9, nProbe = 2).awaitTermination()
+    assert(spark.read.parquet(s"$idx/lists").count() == 2,
+      "an all-replay batch must leave the index untouched")
+  }
+}
