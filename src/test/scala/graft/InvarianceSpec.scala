@@ -91,6 +91,34 @@ class InvarianceSpec extends SparkSpec {
     assert(cap(docs.repartition(5)) == cap(docs))
   }
 
+  test("semantic dedup and IVF pair blocking are invariant under repartitioning") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      graft.vector.Similarity.semanticDedup(df.select($"vec_id", $"label"),
+        graft.vector.Similarity.nearDupWithinLabel(df, 0.3))
+        .as[(Long, Int)].collect().toSet
+    val base = survivors(emb)
+    assert(base.nonEmpty)
+    assert(survivors(emb.repartition(9)) == base)
+    // quantized Lloyd training + assignment must be partition-order free,
+    // or the IVF blocking (and therefore q91's survivor set) would drift
+    def ivfPairs(df: org.apache.spark.sql.DataFrame) =
+      graft.vector.Similarity.ivfCandidatePairs(df, 0.3,
+        nCentroids = 8, assign = 2, trainIters = 2)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(ivfPairs(emb.repartition(7)) == ivfPairs(emb))
+  }
+
+  test("z-order layout read-back is invariant under input repartitioning") {
+    val events = Tables.load(spark, sf, "events")
+    def layout(df: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zinv").toString
+      graft.maintenance.ZOrder.write(df, dir, Seq("user_id", "ts"), 4)
+      spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    }
+    assert(layout(events.repartition(11)) == layout(events))
+  }
+
   test("salted join is invariant under repartitioning") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
