@@ -463,6 +463,24 @@ object SparkEntry {
           col("ts").between(lit("2024-01-10").cast("timestamp"),
             lit("2024-01-15").cast("timestamp")))
     }),
+    // S12/U5 layout: the same 2-D slice through the SkipIndex manifest —
+    // planning-time file pruning (driver hands the scan only overlapping
+    // files; ZOrderSpec pins the pruned file count). Same oracle
+    // semantics as q92: the manifest path must change nothing.
+    "q94_manifest_slice" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
+      val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_zmanifest_$tag"
+      graft.maintenance.ZOrder.ensureLayout(s, t(s, dir, "events"), zDir,
+        Seq("user_id", "ts"), numFiles = 16)
+      if (!graft.sources.Tables.pathExists(s, mDir))
+        graft.maintenance.SkipIndex.write(s, zDir, mDir, Seq("user_id", "ts"))
+      graft.maintenance.SkipIndex.scanRanges(s, zDir, mDir,
+        Map[String, (Any, Any)](
+          "user_id" -> ((10L, 19L)),
+          "ts" -> ((java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))))
+    }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1249,6 +1267,14 @@ object SparkEntry {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey, o_totalprice""".stripMargin,
+    // identical semantics to q92 — the manifest path is a pure read-side
+    // optimization, so the same oracle must hold
+    "q94_manifest_slice" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 19
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
     // the z-ordered copy holds exactly the original rows, so the slice
     // oracle runs on the plain table
     "q92_zorder_slice" ->

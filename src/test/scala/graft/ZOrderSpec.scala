@@ -76,6 +76,43 @@ class ZOrderSpec extends SparkSpec {
       s"z-order must beat single-dimension clustering: z=$zScan plain=$plainScan")
   }
 
+  test("skip-index manifest prunes the file list at planning time") {
+    val events = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val zDir = tmp("graft-skip-z")
+    val mDir = tmp("graft-skip-m")
+    ZOrder.write(events, zDir, Seq("user_id", "ts"), numFiles = 16)
+    graft.maintenance.SkipIndex.write(spark, zDir, mDir, Seq("user_id", "ts"))
+    assert(spark.read.parquet(mDir).count() == 16, "one manifest row per file")
+
+    val ranges = Map[String, (Any, Any)](
+      "user_id" -> (10L, 19L),
+      "ts" -> (java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    val out = graft.maintenance.SkipIndex.scanRanges(spark, zDir, mDir, ranges)
+    // identical rows to the full-table filter...
+    val expected = events.filter(
+      col("user_id").between(10, 19) &&
+        col("ts").between(lit("2024-01-10").cast("timestamp"),
+          lit("2024-01-15").cast("timestamp")))
+    assert(out.count() == expected.count() && expected.count() > 0)
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+    // ...from at most the 2 curve quadrants the rectangle can overlap
+    // (exact count varies with sampled range boundaries — 1 when every
+    // matching row landed one side of a quadrant boundary)
+    val filesRead = out.select(input_file_name()).distinct().count()
+    assert(filesRead <= 2,
+      s"manifest must hand the scan only the overlapping files, got $filesRead")
+
+    // degenerate ranges: no overlap -> empty result, no error
+    val none = graft.maintenance.SkipIndex.scanRanges(spark, zDir, mDir,
+      Map("user_id" -> (10000L, 20000L)))
+    assert(none.count() == 0)
+    // full range -> the whole table back
+    val all = graft.maintenance.SkipIndex.scanRanges(spark, zDir, mDir,
+      Map("user_id" -> (0L, 10000L)))
+    assert(all.count() == events.count())
+  }
+
   test("zValue: null and constant columns quantize without error") {
     val d = Seq((1L, Option(5L)), (2L, None), (3L, Option(5L)))
       .toDF("a", "b")
