@@ -131,6 +131,41 @@ class HardeningSpec extends SparkSpec {
     }
   }
 
+  test("skip-index: all-null stats columns cannot prove non-overlap — files kept, rows right") {
+    // one file whose user_id is entirely NULL: its min/max stats are null,
+    // so the overlap test must KEEP it (dropping would silently lose any
+    // non-null columns' rows on other predicates ... and null user_ids can
+    // never match a range anyway, so the residual filter drops the rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-null").toString
+    val m = s"$dir/manifest"
+    val t = s"$dir/table"
+    Seq((1L, Option(5L)), (2L, Option(15L))).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$t/f1")
+    Seq((3L, Option.empty[Long]), (4L, Option.empty[Long]))
+      .toDF("event_id", "user_id").coalesce(1).write.parquet(s"$t/f2")
+    graft.maintenance.SkipIndex.write(spark, s"$t/*", m, Seq("user_id"))
+    val out = graft.maintenance.SkipIndex.scanRanges(spark, s"$t/*", m,
+      Map("user_id" -> ((10L, 20L))))
+    assert(out.select($"event_id").as[Long].collect().toSet == Set(2L),
+      "only the in-range non-null row may survive")
+  }
+
+  test("z-order and semantic dedup degenerate inputs: empty tables are no-ops") {
+    val empty = spark.emptyDataset[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // empty pair graph -> empty clusters, full corpus survives
+    assert(graft.vector.Similarity.semanticClusters(
+      graft.vector.Similarity.nearDupPairsExact(empty, 0.9)).count() == 0)
+    val one = Seq((1L, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(graft.vector.Similarity.semanticDedup(one,
+      graft.vector.Similarity.nearDupPairsExact(one, 0.9)).count() == 1)
+    // z-order of an empty frame writes an empty, readable table
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z-empty").toString
+    graft.maintenance.ZOrder.write(
+      spark.emptyDataset[(Long, Long)].toDF("a", "b"), zDir, Seq("a", "b"), 2)
+    assert(spark.read.parquet(zDir).count() == 0)
+  }
+
   test("GraftSession.build configures UTC/AQE and registers SQL functions") {
     // getOrCreate returns the already-running test session but must still
     // register the functions on it.
