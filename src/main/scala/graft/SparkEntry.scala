@@ -448,6 +448,35 @@ object SparkEntry {
             (one - Agg.rate(col("l_discount"))))
             .cast("double").as("revenue"))
     }),
+    // A9 explicit-weight dataset mixing: per-source keep rate
+    // min(1, w·budget/n) from a target mixture table — the complement of
+    // q80's implicit temperature rule (rates broadcast, corpus map-side).
+    "q95_mixture_sample" -> ((s, dir) =>
+      graft.text.Corpus.mixtureSample(t(s, dir, "documents"),
+        weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1,
+          "src3" -> 0.05, "src4" -> 0.025),
+        budget = 200)),
+    // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
+    // digit runs) over the events props column — one codegen'd row-wise
+    // projection, zero shuffles.
+    "q96_redact" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("props"),
+        graft.text.TextAnalysis.redact(col("props")).as("props_redacted"))),
+    // A9 mixture diagnostic: pairwise token-vocabulary Jaccard between
+    // sources (the overlap matrix read before setting q95's weights) —
+    // vocab-bounded distinct, token-keyed pair join.
+    "q97_source_overlap" -> ((s, dir) =>
+      graft.text.Corpus.sourceOverlap(
+        t(s, dir, "documents").filter(col("source").isin(
+          "src0", "src1", "src2", "src3", "src4")))),
+    // A4 quantile-state form: per-day mergeable value histograms rolled
+    // up to the p50 bucket per event_type — lossless merge makes the
+    // sketch path oracle-checkable against direct computation on raw
+    // events (unlike GK/t-digest, whose merges are order-dependent).
+    "q98_hist_quantile" -> ((s, dir) =>
+      Agg.histQuantile(
+        Agg.dailyValueHist(t(s, dir, "events"), width = 1.0), q = 0.5)),
     // S8/O3 layout: two-column slice of a z-ordered events copy — the
     // multi-column file-skipping layout (ZOrder). The ensure-once write
     // is maintenance work; repeat executions measure the pruned read
@@ -810,6 +839,68 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q95_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, printf('%05x', CAST(FLOOR(65536 * LEAST(
+        |    CAST(1.0 AS DOUBLE),
+        |    (CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+        |                 WHEN 'src2' THEN CAST(0.1 AS DOUBLE)
+        |                 WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+        |                 WHEN 'src4' THEN CAST(0.025 AS DOUBLE) END)
+        |      * CAST(200 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS thr
+        |  FROM c
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+        |SELECT d.doc_id, d.source,
+        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket_hex
+        |FROM documents d JOIN t ON t.source = d.source
+        |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
+        |      < t.thr""".stripMargin,
+    "q96_redact" ->
+      """SELECT event_id, event_type, props,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted
+        |FROM events""".stripMargin,
+    "q97_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source AS stratum,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |st AS (SELECT DISTINCT stratum, token FROM tok),
+        |sz AS (SELECT stratum, COUNT(*) AS n FROM st GROUP BY stratum),
+        |p AS (
+        |  SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+        |    COUNT(*) AS n_inter
+        |  FROM st a JOIN st b ON a.token = b.token AND a.stratum < b.stratum
+        |  GROUP BY 1, 2)
+        |SELECT p.stratum_a, p.stratum_b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+        |  CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) AS jaccard
+        |FROM p
+        |JOIN sz sa ON sa.stratum = p.stratum_a
+        |JOIN sz sb ON sb.stratum = p.stratum_b""".stripMargin,
+    "q98_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value / CAST(1.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM b)
+        |SELECT event_type, total AS n_events, MIN(bucket) AS bucket,
+        |  CAST(MIN(bucket) AS DOUBLE) * CAST(1.0 AS DOUBLE) AS q_lo,
+        |  CAST(MIN(bucket) + 1 AS DOUBLE) * CAST(1.0 AS DOUBLE) AS q_hi
+        |FROM c
+        |WHERE cum >= CEIL(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
+        |GROUP BY event_type, total""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

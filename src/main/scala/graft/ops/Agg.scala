@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -124,4 +125,62 @@ object Agg {
           .as("visitors_est"),
         sum(col("load_count")).as("load_count"),
         count(lit(1)).as("n_days"))
+
+  /** The quantile twin of [[dailySketches]]: a fixed-width value histogram
+    * per (event_type, day), persisted as an `array<struct<bucket,n>>`
+    * column — mergeable STATE for percentile queries, so any rollup
+    * window answers "p50/p99 of value" from per-day rows alone, never
+    * rescanning event history. Merge (sum counts per bucket) is exactly
+    * lossless: a merged histogram IS the histogram of the union, so a
+    * quantile from rolled-up state equals one computed directly from raw
+    * events at the same bucket width — which is what makes this sketch
+    * oracle-checkable where GK/t-digest (merge-order-dependent) are not.
+    * Error is bounded by `width`, chosen at write time; counts are exact.
+    *
+    * Scale: one partial+final hash aggregate to bucket counts (buckets
+    * per key bounded by value-range/width, not by events), then a
+    * per-key collect bounded the same way. The array is sorted by bucket
+    * so the persisted state is byte-deterministic under AQE.
+    */
+  def dailyValueHist(events: DataFrame, width: Double = 1.0): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"),
+        floor(col("value") / lit(width)).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("event_type"), col("dt"))
+      .agg(
+        sort_array(collect_list(struct(col("_b").as("bucket"),
+          col("_n").as("n")))).as("hist"),
+        sum(col("_n")).as("n_events"))
+  }
+
+  /** Consume side of [[dailyValueHist]]: merge persisted per-day
+    * histograms per event_type and read off the q-quantile bucket — the
+    * smallest bucket whose cumulative count reaches `ceil(q · total)`.
+    * Returns (event_type, n_events, bucket, q_lo, q_hi): the true
+    * q-quantile lies in [q_lo, q_hi), a `width`-wide interval.
+    *
+    * Scale: explode + re-sum is a bucket-count-bounded aggregate (counts
+    * merge associatively map-side); the cumulative window partitions by
+    * event_type and ranks only that key's buckets — never event rows.
+    */
+  def histQuantile(daily: DataFrame, q: Double, width: Double = 1.0): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1]: $q")
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    daily
+      .select(col("event_type"), explode(col("hist")).as("_h"))
+      .groupBy(col("event_type"), col("_h.bucket").as("bucket"))
+      .agg(sum(col("_h.n")).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(cum))
+      .withColumn("_total", sum(col("_n")).over(tot))
+      .filter(col("_cum") >= ceil(lit(q) * col("_total").cast("double")))
+      .groupBy(col("event_type"), col("_total"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("event_type"), col("_total").as("n_events"), col("bucket"),
+        (col("bucket").cast("double") * lit(width)).as("q_lo"),
+        ((col("bucket") + 1).cast("double") * lit(width)).as("q_hi"))
+  }
 }

@@ -426,6 +426,90 @@ object Corpus {
       .select(col("doc_id"), col(stratumCol), col("_bucket").as("bucket_hex"))
   }
 
+  /** Explicit-weight dataset mixing (the Pile/Dolma-style "mixture table"
+    * step, the complement of [[temperatureSample]]'s implicit ∝n^α rule):
+    * given a target weight per stratum and a total document budget, keep
+    * each stratum at rate `min(1, w_s · budget / n_s)` — the rate that
+    * makes the SAMPLED corpus approach the target mixture, capped at 1
+    * where a stratum is too small to fill its share (no upsampling; an
+    * epoch-repeat factor is the loader's job, not the sampler's).
+    *
+    * Determinism contract (same as [[stratifiedSample]]/[[temperatureSample]]):
+    * the rate is a chain of individually correctly-rounded IEEE-754 ops
+    * (one multiply, one divide, `least`, one multiply, `floor`), so the
+    * 5-hex-digit threshold is bit-identical cross-engine, and the keep
+    * decision is a string compare of the salted md5 bucket against it.
+    * Strata absent from `weights` get weight 0 and are dropped.
+    *
+    * Scale: one count aggregate over the corpus, a broadcast of the
+    * stratum-row rate table back onto the scan, and a map-side filter —
+    * the corpus never shuffles.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    budget: Long, stratumCol: String = "source",
+                    salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) && budget > 0,
+      s"need non-negative weights and budget > 0: $weights, $budget")
+    val wcol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    // the null-weight filter must run BEFORE least(): both Spark's least
+    // and SQL LEAST skip nulls, so an unlisted stratum would otherwise
+    // silently resolve to rate 1.0 instead of being dropped
+    val thr = format_string("%05x",
+      floor(lit(65536) * least(lit(1.0),
+        col("_w") * lit(budget.toDouble) / col("_n").cast("double")))
+        .cast("bigint"))
+    val rates = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wcol)
+      .filter(col("_w").isNotNull)
+      .select(col(stratumCol), thr.as("_thr"))
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 4)
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("_bucket", bucket)
+      .filter(concat(lit("0"), col("_bucket")) < col("_thr"))
+      .select(col("doc_id"), col(stratumCol), col("_bucket").as("bucket_hex"))
+  }
+
+  /** Pairwise token-vocabulary Jaccard between strata (the dataset-overlap
+    * matrix a mixture designer reads before setting [[mixtureSample]]
+    * weights: two "different" sources sharing 0.9 of their vocabulary are
+    * one source). Output: one row per unordered stratum pair that shares
+    * at least one token — (stratum_a, stratum_b, n_a, n_b, n_inter,
+    * jaccard), with a < b lexically and jaccard = |A∩B| / |A∪B| computed
+    * as one division of exact longs (cross-engine deterministic).
+    *
+    * Scale: the distinct (stratum, token) set is bounded by
+    * strata × vocabulary, not by corpus rows — the only corpus-sized step
+    * is the dedup of exploded tokens, one 2-column shuffle. The pair join
+    * is keyed by token; a token shared by k strata expands to k² pair
+    * rows, so the join output is vocab × strata², far below all-pairs of
+    * documents. Strata counts are assumed small (sources, languages);
+    * this is a diagnostic over the catalog, not a per-document operator.
+    */
+  def sourceOverlap(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val st = docs
+      .select(col(stratumCol).as("stratum"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("stratum")).agg(count(lit(1)).as("_n"))
+    val pairs = st.select(col("stratum").as("stratum_a"), col("token"))
+      .join(st.select(col("stratum").as("stratum_b"), col("token")), Seq("token"))
+      .filter(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(sizes.select(col("stratum").as("stratum_a"),
+        col("_n").as("n_a"))), Seq("stratum_a"))
+      .join(broadcast(sizes.select(col("stratum").as("stratum_b"),
+        col("_n").as("n_b"))), Seq("stratum_b"))
+      .select(col("stratum_a"), col("stratum_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Sequence packing: assign each document a byte-free token offset and
     * a pack (training-batch) id of capacity `maxTokens`, the
     * concatenate-then-chunk layout pretraining loaders use (a document

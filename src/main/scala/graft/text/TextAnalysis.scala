@@ -166,4 +166,25 @@ object TextAnalysis {
         s"""array_min(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
            |  i -> xxhash64(substring(text, i, $k))))""".stripMargin)
         .as("kgram_fp"))
+
+  /** Default PII redaction rules, applied in declaration order (emails
+    * before IPs before bare digit runs — a rule's replacement must not
+    * create matches for a LATER rule, and `<EMAIL>`/`<IP>`/`<NUM>`
+    * contain no digits or `@`, so the chain is order-stable). Patterns
+    * are deliberately restricted to the regex intersection of Java's
+    * engine and RE2 (character classes, bounded repetition; no
+    * lookaround, no backreferences) so the same rule table runs
+    * unchanged on Spark, DuckDB, or any RE2-based scrubber.
+    */
+  val redactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]+" -> "<NUM>")
+
+  /** PII scrub of a text column (the pre-training privacy pass): each
+    * rule is one codegen'd `regexp_replace`, chained — a single row-wise
+    * projection, zero shuffles at any corpus size. NULL propagates.
+    */
+  def redact(c: Column, rules: Seq[(String, String)] = redactionRules): Column =
+    rules.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
 }

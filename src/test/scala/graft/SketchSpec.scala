@@ -56,4 +56,49 @@ class SketchSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(counts == directCounts)
   }
+
+  private def quantiles(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, Double, Double)] =
+    df.select(col("event_type"), col("n_events"), col("bucket"),
+      col("q_lo"), col("q_hi"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map { case (k, n, b, lo, hi) => k -> ((n, b, lo, hi)) }.toMap
+
+  test("histogram merge is lossless: per-day state == one direct histogram") {
+    val ev = Tables.load(spark, sf, "events")
+    val daily = Agg.histQuantile(Agg.dailyValueHist(ev, width = 2.0),
+      q = 0.5, width = 2.0)
+    // direct = the same sketch with ONE group (a single all-time "day")
+    val direct = Agg.histQuantile(
+      Agg.dailyValueHist(ev.withColumn("ts", lit("2024-01-01").cast("timestamp")),
+        width = 2.0), q = 0.5, width = 2.0)
+    assert(quantiles(daily) == quantiles(direct),
+      "bucket-count merge must be exactly lossless")
+  }
+
+  test("hist quantile brackets the exact ceil-rank quantile within one width") {
+    val ev = Tables.load(spark, sf, "events")
+    val width = 2.0
+    val out = quantiles(Agg.histQuantile(Agg.dailyValueHist(ev, width),
+      q = 0.5, width = width))
+    val exact = ev.select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        k -> sorted(math.ceil(0.5 * sorted.length).toInt - 1)
+      }
+    exact.foreach { case (k, v) =>
+      val (_, _, lo, hi) = out(k)
+      assert(lo <= v && v < hi, s"$k: exact p50 $v outside [$lo, $hi)")
+    }
+  }
+
+  test("daily histograms survive a parquet round-trip (persistable state)") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    Agg.dailyValueHist(ev, width = 1.0).write.mode("overwrite").parquet(dir)
+    val fromDisk = Agg.histQuantile(spark.read.parquet(dir), q = 0.9)
+    val inMemory = Agg.histQuantile(Agg.dailyValueHist(ev, width = 1.0), q = 0.9)
+    assert(quantiles(fromDisk) == quantiles(inMemory))
+  }
 }

@@ -516,4 +516,52 @@ class TextSpec extends SparkSpec {
     // every document lands in exactly one shard/pack
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
+
+  test("mixtureSample: explicit weights, rate cap at 1, unlisted strata dropped") {
+    val d = (1L to 3000L).map(i =>
+      (i, "text", if (i <= 10) "tiny" else if (i % 2 == 0) "big" else "xx"))
+      .toDF("doc_id", "text", "source")
+    // tiny: w·budget/n = 0.5·100/10 = 5 → capped at rate 1, all 10 kept;
+    // big: 0.5·100/1495 ≈ 0.033; xx: no weight → dropped entirely
+    val out = Corpus.mixtureSample(d,
+      weights = Map("tiny" -> 0.5, "big" -> 0.5), budget = 100)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("tiny", 0L) == 10L, s"rate cap at 1 keeps all: $bySrc")
+    assert(!bySrc.contains("xx"), "strata without a weight are dropped")
+    assert(bySrc("big") > 20 && bySrc("big") < 80, s"≈0.033·1495≈50: $bySrc")
+    // deterministic under re-execution
+    val again = Corpus.mixtureSample(d,
+      weights = Map("tiny" -> 0.5, "big" -> 0.5), budget = 100)
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("sourceOverlap: exact vocab Jaccard; within-source duplicates don't inflate") {
+    val d = Seq(
+      (1L, "a b c", "A"), (2L, "a a b", "A"), // A vocab {a,b,c}, dup 'a'
+      (3L, "b c d", "B"),                     // B vocab {b,c,d}
+      (4L, "x y", "C"))                       // C disjoint
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlap(d)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("B", "A", 3L, 3L, 2L, 0.5)) ||
+      out.toSeq == Seq(("A", "B", 3L, 3L, 2L, 0.5)),
+      s"only the A-B pair shares tokens: ${out.toSeq}")
+  }
+
+  test("redact: emails, IPs, digit runs; order-stable; null propagates") {
+    val d = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 x42"),
+      (2L, "a1b2@x.co wrote"), // digits inside an email must not pre-split it
+      (3L, "1.2.3.4 then 12345"),
+      (4L, "no pii here")).toDF("id", "s")
+      .union(Seq((5L, null: String)).toDF("id", "s"))
+    val out = d.select(col("id"), TextAnalysis.redact(col("s")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or <IP> x<NUM>")
+    assert(out(2L) == "<EMAIL> wrote")
+    assert(out(3L) == "<IP> then <NUM>")
+    assert(out(4L) == "no pii here")
+    assert(out(5L) == null)
+  }
 }
