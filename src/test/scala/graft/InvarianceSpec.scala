@@ -165,4 +165,30 @@ class InvarianceSpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSet
     assert(boiler(docs.repartition(6)) == boiler(docs))
   }
+
+  test("mixture sampling and source overlap are invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1)
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.mixtureSample(df, w, budget = 100)
+        .as[(Long, String, String)].collect().toSet
+    val base = mix(docs)
+    assert(base.nonEmpty)
+    assert(mix(docs.repartition(7)) == base)
+    def overlap(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.sourceOverlap(
+        df.filter(col("source").isin("src0", "src1", "src2")))
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(overlap(docs.repartition(5)) == overlap(docs))
+  }
+
+  test("histogram quantile state is invariant under repartitioning") {
+    // bucket counts merge associatively — partial-merge order and the
+    // per-day grouping must not leak into the rolled-up quantile
+    val ev = Tables.load(spark, sf, "events")
+    def p50(df: org.apache.spark.sql.DataFrame) =
+      Agg.histQuantile(Agg.dailyValueHist(df, width = 1.0), q = 0.5)
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(p50(ev.repartition(9)) == p50(ev))
+  }
 }

@@ -129,6 +129,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q95 mixture sample: rate table broadcasts, the corpus never shuffles") {
+    // The 100 TB contract shared by the whole sampling family: the only
+    // shuffle is the stratum-count aggregate; the corpus side of the rate
+    // join is map-side. A silent sort-merge fallback would shuffle the
+    // corpus to sample it.
+    val p = plan("q95_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the stratum-row rate table must broadcast into the corpus scan:\n" +
+        p.take(800))
+  }
+
+  test("q96 redact: one codegen'd projection — no exchange, no join") {
+    val p = plan("q96_redact")
+    assert(!p.contains("Exchange"),
+      "the PII scrub must stay a row-wise map:\n" + p.take(800))
+    // "*(n)" is the whole-stage-codegen stage marker in the plan string
+    assert(p.contains("*(1) Project"),
+      "chained regexp_replace must stay inside codegen:\n" + p.take(800))
+  }
+
+  test("q98 hist quantile: window ranks buckets above a partial+final aggregate") {
+    // The cumulative window must consume pre-aggregated bucket counts —
+    // bounded by value-range/width — never event rows.
+    val p = plan("q98_hist_quantile")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final bucket-count aggregates:\n" + p.take(1200))
+    val win = p.indexOf("Window")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(win >= 0 && win < lastAgg,
+      "the window must sit above the bucket aggregate, not on raw events:\n" +
+        p.take(1200))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
