@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.schema.Schemas
@@ -72,4 +73,40 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Quantile state as a continuously maintained table (the q98 pattern
+    * fed by a stream): each micro-batch appends its OWN per-(key, day)
+    * partial histograms to `stateDir`; because bucket-count merge is
+    * exactly lossless, [[graft.ops.Agg.histQuantile]] over the
+    * accumulated rows answers any percentile identically to one batch
+    * pass over all events, no matter how the stream was chopped into
+    * micro-batches (StreamingSpec asserts the equality). State growth is
+    * one row per (key, day, batch) — compact away with a periodic
+    * re-aggregation if batch cadence is high; estimates are unaffected
+    * at any compaction granularity, merge being lossless.
+    *
+    * Exactly-once: foreachBatch is at-least-once, and a replayed partial
+    * histogram would DOUBLE-COUNT its events — so a batch whose
+    * `batch_id` already exists in the state is skipped (one pushed-down
+    * probe of the state table per trigger; same recognition pattern as
+    * MedallionStream's quarantine sink). `stateDir` is therefore owned
+    * by one checkpoint lineage: batch ids restart at 0 under a fresh
+    * checkpoint, so never point a new checkpoint at old state.
+    */
+  def histStateQuery(spark: SparkSession, events: DataFrame,
+                     stateDir: String, checkpointDir: String,
+                     width: Double = 1.0): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
+          !spark.read.parquet(stateDir)
+            .filter(col("batch_id") === batchId).isEmpty
+        if (!replay)
+          graft.ops.Agg.dailyValueHist(batch, width)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -116,6 +116,37 @@ class StreamingSpec extends SparkSpec {
     assert(out2.count() == graft.text.TextDedup.exactDedup(all).count())
   }
 
+  test("streaming hist state: quantile is batch-chop-invariant and replay-safe") {
+    import graft.ops.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft-hstream").toString
+    val ev = Tables.load(spark, sf, "events")
+    // chop the table into 3 files → 3 micro-batches via maxFilesPerTrigger
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.histStateQuery(spark, stream,
+        s"$root/state", s"$root/cp", width = 2.0)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val state = spark.read.parquet(s"$root/state")
+    assert(state.select("batch_id").distinct().count() >= 3,
+      "expected one partial-histogram batch per source file")
+    // lossless merge: quantile over chopped streaming state == one batch pass
+    def q50(df: org.apache.spark.sql.DataFrame) =
+      Agg.histQuantile(df, q = 0.5, width = 2.0)
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(q50(state) == q50(Agg.dailyValueHist(ev, width = 2.0)),
+      "streaming state must answer identically to a batch pass")
+    // replay safety: re-running over the same checkpoint appends nothing
+    run()
+    assert(spark.read.parquet(s"$root/state").count() == state.count(),
+      "a replayed/no-op trigger must not double-count partial histograms")
+  }
+
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
