@@ -477,6 +477,11 @@ object SparkEntry {
     "q98_hist_quantile" -> ((s, dir) =>
       Agg.histQuantile(
         Agg.dailyValueHist(t(s, dir, "events"), width = 1.0), q = 0.5)),
+    // A9 training-order prep: deterministic corpus shuffle — round-robin
+    // shards + salted-md5 rank inside each (windows run per shard, in
+    // parallel; no global total order by design).
+    "q99_global_shuffle" -> ((s, dir) =>
+      graft.text.Corpus.globalShuffle(t(s, dir, "documents"), numShards = 8)),
     // S8/O3 layout: two-column slice of a z-ordered events copy — the
     // multi-column file-skipping layout (ZOrder). The ensure-once write
     // is maintenance work; repeat executions measure the pruned read
@@ -901,6 +906,12 @@ object SparkEntry {
         |FROM c
         |WHERE cum >= CEIL(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
         |GROUP BY event_type, total""".stripMargin,
+    "q99_global_shuffle" ->
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft') ASC,
+        |             doc_id ASC) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

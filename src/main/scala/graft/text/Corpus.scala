@@ -426,6 +426,40 @@ object Corpus {
       .select(col("doc_id"), col(stratumCol), col("_bucket").as("bucket_hex"))
   }
 
+  /** Deterministic corpus shuffle (the training-order step after packing:
+    * break source/time locality so consecutive training examples are not
+    * corpus neighbors): round-robin shard assignment (`doc_id % N`
+    * scatters id-adjacent documents across shards) plus a contiguous
+    * position inside each shard obtained by ranking `md5(doc_id ':'
+    * salt)` (doc_id breaks the astronomically-unlikely hash tie, and the
+    * hash ORDER is what randomizes within-shard sequence). Re-running
+    * reproduces the permutation; re-salting re-rolls it — the same
+    * resumability contract as [[deterministicSplit]]. Hash-derived shard
+    * ids were considered and rejected: hex-to-int spelling is
+    * SQL-dialect-specific (the [[deterministicSplit]] trade), and
+    * modulo on ids gives the same interleave with exact balance.
+    *
+    * Scale: one hash projection plus one window PER SHARD — shards rank
+    * in parallel and the largest partition is corpus/numShards, so size
+    * numShards to the cluster exactly as [[packSequences]] does. A single
+    * global permutation (one total order) is deliberately not offered:
+    * it would serialize the corpus through one reducer, and shard-local
+    * order + shard-level interleave by the loader is the standard
+    * contract.
+    */
+  def globalShuffle(docs: DataFrame, numShards: Int = 8,
+                    salt: String = "graft"): DataFrame = {
+    require(numShards > 0)
+    val h = md5(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), h.as("_h"),
+        (col("doc_id") % numShards).cast("int").as("shard"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Explicit-weight dataset mixing (the Pile/Dolma-style "mixture table"
     * step, the complement of [[temperatureSample]]'s implicit ∝n^α rule):
     * given a target weight per stratum and a total document budget, keep

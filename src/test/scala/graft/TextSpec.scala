@@ -549,6 +549,28 @@ class TextSpec extends SparkSpec {
       s"only the A-B pair shares tokens: ${out.toSeq}")
   }
 
+  test("globalShuffle: per-shard positions contiguous; salt re-rolls the order") {
+    val d = (0L until 200L).map(i => (i, "text")).toDF("doc_id", "text")
+    val out = Corpus.globalShuffle(d, numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length),
+        s"shard $shard positions must be contiguous from 0")
+      rows.foreach { case (id, s, _) => assert(s == (id % 4).toInt) }
+    }
+    // deterministic under re-execution; re-salting re-rolls within-shard order
+    val again = Corpus.globalShuffle(d, numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val resalted = Corpus.globalShuffle(d, numShards = 4, salt = "other")
+      .as[(Long, Int, Long)].collect()
+    assert(resalted.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    // the hash order actually permutes: positions differ from id order
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted, "within-shard order must not be id order")
+  }
+
   test("redact: emails, IPs, digit runs; order-stable; null propagates") {
     val d = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 x42"),
