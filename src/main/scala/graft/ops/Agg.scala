@@ -155,6 +155,26 @@ object Agg {
         sum(col("_n")).as("n_events"))
   }
 
+  /** State maintenance for [[dailyValueHist]]-shaped tables: re-aggregate
+    * any number of PARTIAL histogram rows per (event_type, dt) — e.g. the
+    * one-row-per-micro-batch appends of
+    * [[graft.streaming.EventsStream.histStateQuery]] — into exactly one
+    * row per key and day. Quantiles are unchanged at any compaction
+    * granularity (merge is lossless; asserted in StreamingSpec), so this
+    * is pure file hygiene: run it when batch cadence has made the state
+    * table wide, exactly like parquet small-file compaction.
+    */
+  def compactHists(daily: DataFrame): DataFrame =
+    daily
+      .select(col("event_type"), col("dt"), explode(col("hist")).as("_h"))
+      .groupBy(col("event_type"), col("dt"), col("_h.bucket").as("_b"))
+      .agg(sum(col("_h.n")).as("_n"))
+      .groupBy(col("event_type"), col("dt"))
+      .agg(
+        sort_array(collect_list(struct(col("_b").as("bucket"),
+          col("_n").as("n")))).as("hist"),
+        sum(col("_n")).as("n_events"))
+
   /** Consume side of [[dailyValueHist]]: merge persisted per-day
     * histograms per event_type and read off the q-quantile bucket — the
     * smallest bucket whose cumulative count reaches `ceil(q · total)`.

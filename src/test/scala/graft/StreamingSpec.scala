@@ -145,6 +145,12 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(s"$root/state").count() == state.count(),
       "a replayed/no-op trigger must not double-count partial histograms")
+    // compaction: one row per (key, day), quantiles bit-identical
+    val compacted = Agg.compactHists(state)
+    assert(compacted.count() ==
+      state.select("event_type", "dt").distinct().count())
+    assert(q50(compacted) == q50(state),
+      "compaction must not move any quantile")
   }
 
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
