@@ -182,6 +182,16 @@ class InvarianceSpec extends SparkSpec {
     assert(overlap(docs.repartition(5)) == overlap(docs))
   }
 
+  test("global shuffle is invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def shuf(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.globalShuffle(df, numShards = 4)
+        .as[(Long, Int, Long)].collect().toSet
+    val base = shuf(docs)
+    assert(shuf(docs.repartition(7)) == base)
+    assert(shuf(docs.repartition(3, col("doc_id"))) == base)
+  }
+
   test("histogram quantile state is invariant under repartitioning") {
     // bucket counts merge associatively — partial-merge order and the
     // per-day grouping must not leak into the rolled-up quantile
