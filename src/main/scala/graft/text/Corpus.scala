@@ -516,17 +516,24 @@ object Corpus {
     *
     * Scale: the distinct (stratum, token) set is bounded by
     * strata × vocabulary, not by corpus rows — the only corpus-sized step
-    * is the dedup of exploded tokens, one 2-column shuffle. The pair join
-    * is keyed by token; a token shared by k strata expands to k² pair
-    * rows, so the join output is vocab × strata², far below all-pairs of
-    * documents. Strata counts are assumed small (sources, languages);
-    * this is a diagnostic over the catalog, not a per-document operator.
+    * is the dedup of exploded tokens, one 2-column shuffle. That set
+    * feeds THREE consumers (per-stratum sizes, both sides of the pair
+    * join), so it is materialized ONCE via `localCheckpoint` — the q86
+    * lesson holds here verbatim: exchange reuse does not unify the
+    * consumers, and the declarative form re-scanned and re-exploded the
+    * corpus four times (measured; PlanSpec pins the zero-rescan shape).
+    * The pair join is keyed by token; a token shared by k strata expands
+    * to k² pair rows, so the join output is vocab × strata², far below
+    * all-pairs of documents. Strata counts are assumed small (sources,
+    * languages); this is a diagnostic over the catalog, not a
+    * per-document operator.
     */
   def sourceOverlap(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
     val st = docs
       .select(col(stratumCol).as("stratum"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .distinct()
+      .localCheckpoint()
     val sizes = st.groupBy(col("stratum")).agg(count(lit(1)).as("_n"))
     val pairs = st.select(col("stratum").as("stratum_a"), col("token"))
       .join(st.select(col("stratum").as("stratum_b"), col("token")), Seq("token"))

@@ -150,6 +150,15 @@ class PlanSpec extends SparkSpec {
       "chained regexp_replace must stay inside codegen:\n" + p.take(800))
   }
 
+  test("q97 source overlap: all three consumers read the materialized token set") {
+    // sizes + both pair-join sides must read the checkpointed distinct
+    // (stratum, token) set — without it the corpus was scanned and
+    // re-exploded four times (measured; the q86 lesson).
+    val p = plan("q97_source_overlap")
+    assert(!p.contains("FileScan"),
+      "no consumer may re-scan the corpus:\n" + p.take(1200))
+  }
+
   test("q98 hist quantile: window ranks buckets above a partial+final aggregate") {
     // The cumulative window must consume pre-aggregated bucket counts —
     // bounded by value-range/width — never event rows.
