@@ -131,9 +131,12 @@ object TextAnalysis {
     * corpus size, and the score `tf · ln(n_docs / df)`. Two partial+final
     * hash aggregates (token explode → (doc,token) counts → token df) plus
     * a broadcast of the 1-row corpus count — no window, no driver-side
-    * count, so the plan composes into pipelines unchanged at any corpus
-    * size. The df side joins on the token key (broadcast when small,
-    * shuffled hash join at vocabulary scale).
+    * count. The (doc, token) counts feed both the df aggregate and the
+    * final join, so they are materialized once (`localCheckpoint`, eager
+    * — the q86/q97 multi-consumer pattern); the corpus itself is read
+    * once for the explode plus one column-pruned count scan. The df side
+    * joins on the token key (broadcast when small, shuffled hash join at
+    * vocabulary scale).
     *
     * Oracle note: `ln` is NOT bit-identical between Java and libm (~0.1%
     * of inputs differ in the last ulp — measured, see BASELINE round 5),
@@ -142,9 +145,15 @@ object TextAnalysis {
     * xxhash64 columns.
     */
   def tfIdf(docs: DataFrame): DataFrame = {
+    // tf feeds both the df aggregate and the final join; exchange reuse
+    // does not unify them (measured: the corpus was scanned and exploded
+    // twice), so materialize the (doc, token) counts once — the q86/q97
+    // checkpoint pattern. The remaining second scan is the column-pruned
+    // corpus count.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("token"))
