@@ -46,6 +46,16 @@ object Windows {
   private def yearBucketed(daily: DataFrame, dateCol: String, carry: Int)(
       eval: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
         => DataFrame): DataFrame = {
+    // CONSUMER-COUNT CONTRACT: `daily` is evaluated three times (the
+    // years collect, the base rows, the carry rows). Both materialization
+    // forms were measured at sf0.1 and REJECTED: localCheckpoint's eager
+    // job costs +0.2 s of pure scheduling and persist's cache boundary
+    // +0.12 s of columnar round-trip — more than the re-run of a daily
+    // aggregate at any tested SF. At cluster scale the input to this
+    // family is an at-rest gold daily table (the medallion design), so
+    // the three evaluations are three reads of ~1 row/day parquet, not
+    // three corpus scans; a caller windowing over an EXPENSIVE lazy
+    // upstream should persist it first.
     val years = daily.select(year(col(dateCol)).as("_yr")).distinct()
       .collect().map(_.getInt(0)).sorted
     val succ: Map[Int, Int] = years.zip(years.drop(1)).toMap
