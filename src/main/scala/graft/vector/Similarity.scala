@@ -148,10 +148,27 @@ object Similarity {
     */
   def lshCandidatePairsMulti(corpus: DataFrame, bits: Int = 8,
                              tables: Int = 4, dims: Int = 64): DataFrame = {
-    val idPairs = (0 until tables).map { t =>
-      lshCandidateIds(corpus, bits, planeOffset = t * bits, dims = dims)
-        .select(col("vec_a"), col("vec_b"))
-    }.reduce(_.unionByName(_)).distinct()
+    // All T bucket ids come from ONE corpus pass (each table is just a
+    // different hyperplane family over the same vector), exploded to a
+    // skinny (table, bucket, vec_id) frame and materialized once — the
+    // per-table form re-scanned and re-projected the corpus 2T times
+    // (measured: 10 FileScans at T=4, vs 3 now: bucketing once, the two
+    // verify sides). Keying the self-join by (table, bucket) also widens
+    // the key space T× over a per-table bucket join — at 8 bits a single
+    // table has only 256 reducer keys.
+    val tb = corpus.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket("embedding", bits, dims, planeOffset = t * bits)
+            .as("bucket"))): _*)).as("_tb"))
+      .select(col("_tb.t").as("t"), col("_tb.bucket").as("bucket"),
+        col("vec_id"))
+      .localCheckpoint()
+    val a = tb.select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = tb.select(col("t"), col("bucket"), col("vec_id").as("vec_b"))
+    val idPairs = a.join(b, Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
     verifyPairs(corpus, idPairs)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
