@@ -102,14 +102,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
-  test("q86 boilerplate fraction: one corpus scan, checkpointed shingles") {
+  test("q86 boilerplate fraction: one corpus scan, cached shingles") {
     // The shingle set feeds three consumers; without the checkpoint the
     // corpus was scanned and re-shingled three times (exchange reuse does
     // not fire across them — measured, not assumed).
     val p = plan("q86_boilerplate_fraction")
-    assert(!p.contains("FileScan"),
-      "all three consumers must read the materialized shingle set, not " +
-        "re-scan the corpus:\n" + p.take(1200))
+    // every FileScan in the string is the reprinted child of the ONE
+    // shared InMemoryRelation — consumers execute InMemoryTableScan and
+    // the corpus scan runs once, on the cache fill
+    assert("FileScan".r.findAllIn(p).size ==
+      "InMemoryRelation".r.findAllIn(p).size,
+      "a consumer re-scans the corpus outside the shared cache:\n" +
+        p.take(1200))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "all three consumers must read the materialized shingle set:\n" +
+        p.take(1200))
   }
 
   test("q88 bucketed fact-fact join: zero exchange on either side") {
@@ -155,8 +162,13 @@ class PlanSpec extends SparkSpec {
     // (stratum, token) set — without it the corpus was scanned and
     // re-exploded four times (measured; the q86 lesson).
     val p = plan("q97_source_overlap")
-    assert(!p.contains("FileScan"),
-      "no consumer may re-scan the corpus:\n" + p.take(1200))
+    assert("FileScan".r.findAllIn(p).size ==
+      "InMemoryRelation".r.findAllIn(p).size,
+      "a consumer re-scans the corpus outside the shared cache:\n" +
+        p.take(1200))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "sizes and both pair-join sides must read the cached token set:\n" +
+        p.take(1200))
   }
 
   test("q98 hist quantile: window ranks buckets above a partial+final aggregate") {
