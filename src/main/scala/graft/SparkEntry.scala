@@ -477,6 +477,17 @@ object SparkEntry {
     "q98_hist_quantile" -> ((s, dir) =>
       Agg.histQuantile(
         Agg.dailyValueHist(t(s, dir, "events"), width = 1.0), q = 0.5)),
+    // A4 cohort overlap (exact twin): distinct visitors doing BOTH event
+    // types, per type pair — user-keyed pair join over the distinct
+    // (type, user) set, shared via one lazy persist.
+    "q100_visitor_overlap" -> ((s, dir) =>
+      Agg.typeOverlapExact(t(s, dir, "events"))),
+    // A4 cohort overlap from sketch STATE (rows-only: Datasketches
+    // binaries are engine-internal; q100 is the exact oracle twin and
+    // SketchSpec pins the inclusion-exclusion error bound): no event
+    // rescan — per-type unions of the per-day HLL state.
+    "q101_overlap_sketch" -> ((s, dir) =>
+      Agg.typeOverlapSketch(Agg.dailySketches(t(s, dir, "events")))),
     // A9 training-order prep: deterministic corpus shuffle — round-robin
     // shards + salted-md5 rank inside each (windows run per shard, in
     // parallel; no global total order by design).
@@ -906,6 +917,17 @@ object SparkEntry {
         |FROM c
         |WHERE cum >= CEIL(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
         |GROUP BY event_type, total""".stripMargin,
+    "q100_visitor_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+        |sz AS (SELECT et, COUNT(*) AS n FROM tu GROUP BY et),
+        |p AS (
+        |  SELECT a.et AS type_a, b.et AS type_b, COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both
+        |FROM p
+        |JOIN sz sa ON sa.et = p.type_a
+        |JOIN sz sb ON sb.et = p.type_b""".stripMargin,
     "q99_global_shuffle" ->
       """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8

@@ -126,6 +126,56 @@ object Agg {
         sum(col("load_count")).as("load_count"),
         count(lit(1)).as("n_days"))
 
+  /** Exact distinct-visitor overlap between every pair of event types —
+    * the cohort question "how many users did BOTH A and B", and the
+    * oracle twin of [[typeOverlapSketch]]. Same shape as
+    * [[graft.text.Corpus.sourceOverlap]] on a bigger key: the distinct
+    * (type, user) set is one corpus-sized shuffle, shared across its
+    * three consumers by one lazy persist; the pair join is keyed by
+    * user, so output is bounded by users × types², never events².
+    */
+  def typeOverlapExact(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type").as("et"), col("user_id"))
+      .distinct().persist()
+    val sizes = tu.groupBy(col("et")).agg(count(lit(1)).as("_n"))
+    val pairs = tu.select(col("et").as("type_a"), col("user_id"))
+      .join(tu.select(col("et").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("et").as("type_a"),
+        col("_n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("et").as("type_b"),
+        col("_n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"))
+  }
+
+  /** Cohort overlap from [[dailySketches]] STATE alone — no event
+    * rescan: |A∩B| ≈ |A| + |B| − |A∪B| by inclusion–exclusion, union
+    * being the one set operation HLL supports losslessly. The per-type
+    * sketches (one union over that type's daily rows) are types-count
+    * rows, so the pair cross join is trivially small at any history
+    * length. Error is ~3 sketch-rsds on the intersection (three
+    * estimates subtract), the classic HLL-intersection trade — bounded
+    * in SketchSpec against [[typeOverlapExact]]; fine for "is the
+    * overlap 5% or 50%", not for billing.
+    */
+  def typeOverlapSketch(daily: DataFrame): DataFrame = {
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_union_agg(col("visitor_sketch")).as("_sk")).persist()
+    val a = merged.select(col("event_type").as("type_a"), col("_sk").as("_sk_a"))
+    val b = merged.select(col("event_type").as("type_b"), col("_sk").as("_sk_b"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("_sk_a")).as("est_a"),
+        hll_sketch_estimate(col("_sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("_sk_a"), col("_sk_b")))
+          .as("est_union"))
+      .withColumn("est_both",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** The quantile twin of [[dailySketches]]: a fixed-width value histogram
     * per (event_type, day), persisted as an `array<struct<bucket,n>>`
     * column — mergeable STATE for percentile queries, so any rollup

@@ -16,6 +16,35 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Uncached FileScan nodes in the executed tree. Scans INSIDE an
+    * InMemoryRelation are not children of the main plan (the cache
+    * node owns them), so a zero count proves every consumer reads the
+    * shared cache — robust to whether an earlier test already
+    * materialized it (the plan STRING reprints cached subplans, with
+    * extra AQE detail once final, so string counts are order-brittle).
+    */
+  private def uncachedScans(q: String): Int = {
+    val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          count(a.inputPlan)
+      }.sum
+    count(exec)
+  }
+
+  private def cacheReads(q: String): Int = {
+    val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          count(a.inputPlan)
+      }.sum
+    count(exec)
+  }
+
   test("q09 star join: dims broadcast, fact never sort-merge joined") {
     val p = plan("q09_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -106,17 +135,12 @@ class PlanSpec extends SparkSpec {
     // The shingle set feeds three consumers; without the checkpoint the
     // corpus was scanned and re-shingled three times (exchange reuse does
     // not fire across them — measured, not assumed).
-    val p = plan("q86_boilerplate_fraction")
-    // every FileScan in the string is the reprinted child of the ONE
-    // shared InMemoryRelation — consumers execute InMemoryTableScan and
-    // the corpus scan runs once, on the cache fill
-    assert("FileScan".r.findAllIn(p).size ==
-      "InMemoryRelation".r.findAllIn(p).size,
+    assert(uncachedScans("q86_boilerplate_fraction") == 0,
       "a consumer re-scans the corpus outside the shared cache:\n" +
-        p.take(1200))
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        plan("q86_boilerplate_fraction").take(1200))
+    assert(cacheReads("q86_boilerplate_fraction") >= 3,
       "all three consumers must read the materialized shingle set:\n" +
-        p.take(1200))
+        plan("q86_boilerplate_fraction").take(1200))
   }
 
   test("q88 bucketed fact-fact join: zero exchange on either side") {
@@ -161,14 +185,12 @@ class PlanSpec extends SparkSpec {
     // sizes + both pair-join sides must read the checkpointed distinct
     // (stratum, token) set — without it the corpus was scanned and
     // re-exploded four times (measured; the q86 lesson).
-    val p = plan("q97_source_overlap")
-    assert("FileScan".r.findAllIn(p).size ==
-      "InMemoryRelation".r.findAllIn(p).size,
+    assert(uncachedScans("q97_source_overlap") == 0,
       "a consumer re-scans the corpus outside the shared cache:\n" +
-        p.take(1200))
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        plan("q97_source_overlap").take(1200))
+    assert(cacheReads("q97_source_overlap") >= 3,
       "sizes and both pair-join sides must read the cached token set:\n" +
-        p.take(1200))
+        plan("q97_source_overlap").take(1200))
   }
 
   test("q98 hist quantile: window ranks buckets above a partial+final aggregate") {

@@ -93,6 +93,25 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch cohort overlap lands within inclusion-exclusion error of exact") {
+    val ev = Tables.load(spark, sf, "events")
+    val est = Agg.typeOverlapSketch(Agg.dailySketches(ev))
+      .select(col("type_a"), col("type_b"), col("est_both"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val exact = Agg.typeOverlapExact(ev)
+      .select(col("type_a"), col("type_b"), col("n_both"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(est.keySet == exact.keySet, "every type pair must appear in both")
+    exact.foreach { case (k, n) =>
+      // three estimates subtract: allow ~3 sketch-rsds (plus a small-count
+      // floor) around the exact intersection
+      assert(math.abs(est(k) - n) <= math.max(5.0, 0.15 * n),
+        s"$k: est=${est(k)} exact=$n")
+    }
+  }
+
   test("daily histograms survive a parquet round-trip (persistable state)") {
     val ev = Tables.load(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
