@@ -52,6 +52,7 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
 
     // A failed query must NOT masquerade as a fast one: its time is
     // reported as -1 and its name lands in "errors", so a regression reads
@@ -72,6 +73,12 @@ object Bench {
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
     val p1 = timedPass()
+    // Drop every persisted intermediate between passes: CacheManager
+    // dedups by canonical plan, so without this a query whose operator
+    // shares a frame via persist() would find pass 1's cache ALIVE in
+    // pass 2 and min-of-2 would time a warm-state re-query, not the
+    // query. Each timed pass must pay its own cache fills.
+    spark.catalog.clearCache()
     System.gc()
     val p2 = timedPass()
     val results = p1.zip(p2).map { case ((name, t1, ok1), (_, t2, ok2)) =>

@@ -303,14 +303,15 @@ object Corpus {
     *
     * Rides the same 8-byte keys as [[boilerplateNgrams]]: the distinct
     * (doc_id, _h) set is consumed three times (the hotlist build, the
-    * per-doc sizes, the hit count), so it is shared through ONE lazy
-    * persist — measured, Spark's exchange reuse does NOT unify the three
-    * consumers and the declarative form scanned and re-shingled the
-    * corpus three times; an eager localCheckpoint costs an extra
-    * scheduling job on top (0.82 s → 0.50 s persisted at sf0.1; PlanSpec
-    * pins the single-scan shape). Every downstream aggregate
-    * carries counts only, and the hotlist side of the semi-join is
-    * df-filtered and broadcast.
+    * per-doc sizes, the hit count), so it is materialized ONCE via
+    * `localCheckpoint` — measured, Spark's exchange reuse does NOT unify
+    * the three consumers and the declarative form scanned and
+    * re-shingled the corpus three times (PlanSpec pins the single-scan
+    * shape; persist-vs-checkpoint is cost-neutral here under honest
+    * per-pass-cold timing — an apparent persist win to 0.50 s was a
+    * cross-pass cache-reuse artifact, see Bench's clearCache note).
+    * Every downstream aggregate carries counts only, and the hotlist
+    * side of the semi-join is df-filtered and broadcast.
     *
     * Exactness bound: a 64-bit collision between two distinct shingles in
     * the SAME document undercounts that doc's n_shingles by 1, and a
@@ -323,10 +324,7 @@ object Corpus {
     */
   def boilerplateFraction(docs: DataFrame, minDocs: Int = 3,
                           n: Int = 3): DataFrame = {
-    // lazy persist, not eager checkpoint: no action precedes this frame,
-    // so the cache fills during the first consumer's own evaluation
-    // (the q74/q38 measurement; checkpoint's extra job cost ~0.2 s here)
-    val sh = hashedShingles(docs, n).persist()
+    val sh = hashedShingles(docs, n).localCheckpoint()
     val hot = hotHashes(sh, minDocs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(hot), Seq("_h"), "left_semi")
@@ -522,10 +520,10 @@ object Corpus {
     * strata × vocabulary, not by corpus rows — the only corpus-sized step
     * is the dedup of exploded tokens, one 2-column shuffle. That set
     * feeds THREE consumers (per-stratum sizes, both sides of the pair
-    * join), so it is shared through ONE lazy persist — the q86 lesson
-    * holds here verbatim: exchange reuse does not unify the consumers,
-    * and the declarative form re-scanned and re-exploded the corpus four
-    * times (measured; PlanSpec pins the zero-rescan shape).
+    * join), so it is materialized ONCE via `localCheckpoint` — the q86
+    * lesson holds here verbatim: exchange reuse does not unify the
+    * consumers, and the declarative form re-scanned and re-exploded the
+    * corpus four times (measured; PlanSpec pins the zero-rescan shape).
     * The pair join is keyed by token; a token shared by k strata expands
     * to k² pair rows, so the join output is vocab × strata², far below
     * all-pairs of documents. Strata counts are assumed small (sources,
@@ -537,7 +535,7 @@ object Corpus {
       .select(col(stratumCol).as("stratum"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val sizes = st.groupBy(col("stratum")).agg(count(lit(1)).as("_n"))
     val pairs = st.select(col("stratum").as("stratum_a"), col("token"))
       .join(st.select(col("stratum").as("stratum_b"), col("token")), Seq("token"))

@@ -132,13 +132,15 @@ object TextAnalysis {
     * hash aggregates (token explode → (doc,token) counts → token df) plus
     * a broadcast of the 1-row corpus count — no window, no driver-side
     * count. The (doc, token) counts feed both the df aggregate and the
-    * final join, so they are shared through a LAZY persist (the cache
-    * fills as a side effect of the plan's own first evaluation; an eager
-    * localCheckpoint measured +0.2 s of added scheduling at sf0.1 —
-    * 0.75 s unshared → 0.68 s checkpointed → 0.46 s persisted); the
-    * corpus itself is read once for the explode plus one column-pruned
-    * count scan. The df side joins on the token key (broadcast when
-    * small, shuffled hash join at vocabulary scale).
+    * final join, so they are materialized once (`localCheckpoint`) and
+    * the corpus is read once for the explode plus one column-pruned
+    * count scan. At sf0.1 the sharing is cost-neutral (~0.75 s either
+    * way, honest per-pass-cold measurement; an early persist "win" to
+    * 0.46 s was a cross-pass cache-reuse artifact — see Bench's
+    * clearCache note); the structure is chosen for the 100 TB shape,
+    * where re-exploding the corpus dwarfs materializing the aggregated
+    * counts. The df side joins on the token key (broadcast when small,
+    * shuffled hash join at vocabulary scale).
     *
     * Oracle note: `ln` is NOT bit-identical between Java and libm (~0.1%
     * of inputs differ in the last ulp — measured, see BASELINE round 5),
@@ -149,12 +151,12 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame): DataFrame = {
     // tf feeds both the df aggregate and the final join; exchange reuse
     // does not unify them (measured: the corpus was scanned and exploded
-    // twice), so the counts are shared lazily — see the scaladoc for the
-    // persist-vs-checkpoint measurement.
+    // twice), so the counts are materialized once — see the scaladoc for
+    // the measurement.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("token"))

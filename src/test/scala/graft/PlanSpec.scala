@@ -34,11 +34,15 @@ class PlanSpec extends SparkSpec {
     count(exec)
   }
 
-  private def cacheReads(q: String): Int = {
+  /** Reads of a shared materialized frame, whatever the mechanism:
+    * InMemoryTableScan (persist) or RDD scan (localCheckpoint).
+    */
+  private def sharedReads(q: String): Int = {
     val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
     def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
       p.collect {
         case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 1
+        case _: org.apache.spark.sql.execution.RDDScanExec => 1
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           count(a.inputPlan)
       }.sum
@@ -138,7 +142,7 @@ class PlanSpec extends SparkSpec {
     assert(uncachedScans("q86_boilerplate_fraction") == 0,
       "a consumer re-scans the corpus outside the shared cache:\n" +
         plan("q86_boilerplate_fraction").take(1200))
-    assert(cacheReads("q86_boilerplate_fraction") >= 3,
+    assert(sharedReads("q86_boilerplate_fraction") >= 3,
       "all three consumers must read the materialized shingle set:\n" +
         plan("q86_boilerplate_fraction").take(1200))
   }
@@ -188,7 +192,7 @@ class PlanSpec extends SparkSpec {
     assert(uncachedScans("q97_source_overlap") == 0,
       "a consumer re-scans the corpus outside the shared cache:\n" +
         plan("q97_source_overlap").take(1200))
-    assert(cacheReads("q97_source_overlap") >= 3,
+    assert(sharedReads("q97_source_overlap") >= 3,
       "sizes and both pair-join sides must read the cached token set:\n" +
         plan("q97_source_overlap").take(1200))
   }
