@@ -422,6 +422,18 @@ object SparkEntry {
       graft.text.Corpus.contaminationBloom(
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
     }),
+    // A8 passage-level dedup: maximal token spans covered by cross-doc
+    // repeated n-grams (the substring complement of doc-level near-dup —
+    // a pasted license header surfaces here, not in q30/q64). Hotlist
+    // and hit probe keyed by xxhash64(shingle); spans ≥ 6 tokens.
+    "q102_repeated_spans" -> ((s, dir) =>
+      TextDedup.repeatedSpans(t(s, dir, "documents"),
+        n = 3, minDocs = 2, minSpanTokens = 6)),
+    // A8/A9 passage cleaning: the corpus with every repeated-span token
+    // removed, text rebuilt from survivors (n_removed = covered tokens).
+    "q103_scrub_spans" -> ((s, dir) =>
+      TextDedup.scrubRepeatedSpans(t(s, dir, "documents"),
+        n = 3, minDocs = 2)),
     // S8 extended as a registered query: fact⋈fact through same-spec
     // bucketed catalog tables — the orderkey shuffle is paid ONCE at
     // write time; the join AND the aggregate keyed on the same column
@@ -1391,6 +1403,64 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / z.n_shingles
         |    AS boilerplate_frac
         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    // positions are 1-based n-gram starts; spans merge while the gap
+    // between consecutive hot positions is <= n (interval union)
+    "q102_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN hot h ON s.shingle = h.shingle),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > LAG(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) + 3 THEN 1 ELSE 0 END
+        |      AS newspan
+        |  FROM hits),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM flagged)
+        |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 2 AS end_pos,
+        |  MAX(pos) + 2 - MIN(pos) + 1 AS n_span_tokens
+        |FROM sp GROUP BY doc_id, span
+        |HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6""".stripMargin,
+    "q103_scrub_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN hot h ON s.shingle = h.shingle),
+        |flagtok AS (
+        |  SELECT DISTINCT h.doc_id, h.pos + u.k AS p
+        |  FROM hits h CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) u),
+        |alltok AS (
+        |  SELECT doc_id, i AS p, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT a.doc_id, a.p, a.tok FROM alltok a
+        |  WHERE NOT EXISTS (SELECT 1 FROM flagtok f
+        |                    WHERE f.doc_id = a.doc_id AND f.p = a.p))
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.t) - COUNT(k.p) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+        |FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |GROUP BY d.doc_id, len(d.t)""".stripMargin,
     "q88_bucketed_join" ->
       """SELECT l_orderkey, o_totalprice, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

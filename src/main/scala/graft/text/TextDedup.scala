@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication family (SURVEY.md §2.4 A8 + north star):
@@ -36,7 +37,16 @@ object TextDedup {
     * saves the (doc_id, shingle) exchange on the pipeline's longest chain;
     * set-semantics steps (sizes, intersection) need [[shingles]].
     */
-  private[text] def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[text] def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesWithPos(docs, n).select(col("doc_id"), col("shingle"))
+
+  /** [[shinglesRaw]] keeping the 1-based token START position of each
+    * n-gram (`pos` ∈ [1, n_tokens − n + 1]) — the input to position-aware
+    * consumers ([[repeatedSpans]]). Column pruning drops `pos` for
+    * consumers that don't read it, so [[shinglesRaw]] costs nothing extra
+    * by delegating here.
+    */
+  private[text] def shinglesWithPos(docs: DataFrame, n: Int = 3): DataFrame = {
     // Explode the window-start INDEX and project the n-gram with plain
     // element_at, rather than explode(transform(..., i -> concat_ws(...))):
     // lambda (HOF) expressions are interpreted, not codegen'd, so the
@@ -48,7 +58,8 @@ object TextDedup {
       .withColumn("_toks", split(col("text"), "\\s+"))
       .filter(size(col("_toks")) >= n)
       .withColumn("_i", explode(expr(s"sequence(1, size(_toks) - ${n - 1})")))
-      .select(col("doc_id"), gram.as("shingle"))
+      .select(col("doc_id"), col("_i").cast("long").as("pos"),
+        gram.as("shingle"))
   }
 
   /** MinHash signature: `numHashes` per-doc minima of seeded md5 prefixes.
@@ -503,5 +514,107 @@ object TextDedup {
         col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Passage-level (repeated-span) duplicate detection — the substring
+    * complement of the document-level dedup family: maximal contiguous
+    * token intervals of each document in which EVERY token is covered by
+    * some word n-gram occurring in at least `minDocs` DISTINCT documents.
+    * Doc-level near-dup misses a license header pasted into a thousand
+    * otherwise-unique files; this finds exactly those passages (the
+    * repeated-substring dedup of training-data pipelines, at n-gram
+    * resolution instead of a suffix array — n is the minimum match
+    * length). Output: (doc_id, start_pos, end_pos, n_span_tokens), token
+    * positions 1-based inclusive, spans of fewer than `minSpanTokens`
+    * tokens dropped.
+    *
+    * Shape: one corpus scan feeds the position-keyed shingle stream,
+    * persisted once for its two consumers (the cross-doc df aggregate and
+    * the hit probe — exchange reuse does not unify them, the q86 lesson);
+    * both the df aggregate and the semi-join are keyed by
+    * `xxhash64(shingle)` — 8-byte exchanges, never n-gram text (the
+    * q64/q85 re-keying). Hits then chain per document: a window over
+    * (doc_id, pos) marks a new span when the gap exceeds n (token ranges
+    * [p, p+n−1] disjoint and non-adjacent — i.e. interval UNION, so
+    * overlapping n-grams merge into one maximal span), and one aggregate
+    * per (doc, span) emits the interval. The windows partition by doc_id:
+    * bounded by tokens-per-doc, never corpus-wide.
+    *
+    * Exactness bound: same 64-bit-collision argument as
+    * [[graft.text.Corpus.boilerplateNgrams]] — a collision can flag one
+    * spurious n-gram; zero collisions on every test corpus (SpanSpec pins
+    * bit-identity against a text-keyed build), expected affected rows
+    * ~10⁴ of 10¹² at corpus scale.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+                    minSpanTokens: Int = 3): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val sh = shinglesWithPos(docs, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("_h"))
+      .persist()
+    val hot = sh.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(hot, Seq("_h"), "left_semi")
+      .withColumn("_newspan",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("_span", sum(col("_newspan")).over(w))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_span_tokens"))
+      .filter(col("n_span_tokens") >= minSpanTokens)
+  }
+
+  /** Passage-level cleaning: each document with every token covered by a
+    * cross-doc-repeated n-gram ([[repeatedSpans]] with no span-length
+    * floor) REMOVED, the text rebuilt from the surviving tokens —
+    * (doc_id, n_tokens, n_removed, clean_text). Documents with nothing
+    * to remove pass through with n_removed = 0; whitespace is normalized
+    * to single spaces on ALL rows (the output is token-joined, the same
+    * normalization the tokenizer applies anyway).
+    *
+    * Shape: the span table aggregates to one (doc_id, ranges[]) row per
+    * AFFECTED document — a table bounded by the affected-doc count, far
+    * under the corpus — and 1:1-joins back to the corpus on doc_id. The
+    * rebuild works on the GAPS between spans: the sorted disjoint ranges
+    * fold into kept-intervals, each sliced out of the token array whole —
+    * interpreted-lambda evaluations per document scale with the SPAN
+    * count (a handful), not the token count (a per-token position-probe
+    * HOF was measured 2.7 s slower at sf0.1 — lambdas are interpreted,
+    * the q30-note pitfall, so the rebuild keeps them off the per-token
+    * path).
+    */
+  def scrubRepeatedSpans(docs: DataFrame, n: Int = 3,
+                         minDocs: Int = 2): DataFrame = {
+    val ranges = repeatedSpans(docs, n, minDocs, minSpanTokens = n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("start_pos").as("s"), col("end_pos").as("e"))))
+        .as("_ranges"))
+    // kept-intervals = [prev_end+1, next_start-1] between consecutive
+    // spans, plus the tail; zero-length gaps (adjacent spans) slice to
+    // empty via greatest(0, ...)
+    val keptToks =
+      """flatten(transform(
+        |  aggregate(_ranges,
+        |    named_struct('p', CAST(1 AS BIGINT), 'ks', CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)),
+        |    (acc, r) -> named_struct('p', r.e + 1,
+        |      'ks', concat(acc.ks, array(named_struct('s', acc.p, 'e', r.s - 1)))),
+        |    acc -> concat(acc.ks,
+        |      array(named_struct('s', acc.p, 'e', CAST(size(_toks) AS BIGINT))))),
+        |  g -> slice(_toks, CAST(g.s AS INT), CAST(greatest(0, g.e - g.s + 1) AS INT))))""".stripMargin
+    docs.join(ranges, Seq("doc_id"), "left")
+      .withColumn("_toks", split(col("text"), "\\s+"))
+      .withColumn("_kept",
+        when(col("_ranges").isNull, col("_toks")).otherwise(expr(keptToks)))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
   }
 }
