@@ -26,6 +26,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** price·(1−discount) as exact integer 10^-4 dollar units — the shared
+    * revenue measure of the TPC-H-shaped queries, aggregated through
+    * [[Agg.unitsSum]]'s long partials (bit-identical to the decimal form,
+    * none of its per-row BigDecimal aggregation cost).
+    */
+  private def discountedUnits: org.apache.spark.sql.Column =
+    Agg.cents(col("l_extendedprice")) *
+      (lit(100L) - (Agg.rate(col("l_discount")) * 100).cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Agg.dailyEngagement(t(spark, "/root/testdata/sf0.001", "events"))
@@ -213,14 +222,12 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").filter(
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      val disc = Agg.money(col("l_extendedprice")) *
-        (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
-          - Agg.rate(col("l_discount")))
       li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
         .agg(
-          (sum(when(col("p_type") === "PROMO", disc)).cast("double") * 100.0 /
-            sum(disc).cast("double")).as("promo_share"),
+          (Agg.unitsSum(when(col("p_type") === "PROMO", discountedUnits), 4)
+            .cast("double") * 100.0 /
+            Agg.unitsSum(discountedUnits, 4).cast("double")).as("promo_share"),
           count(lit(1)).as("n_items"))
     }),
     // J6: range join — lineitems shipped within 90 days of their order date.
@@ -451,14 +458,10 @@ object SparkEntry {
       graft.sources.Tables.ensureBucketed(s,
         t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         ordT, "l_orderkey", 8)
-      val one = lit(BigDecimal("1.00"))
-        .cast(org.apache.spark.sql.types.DecimalType(4, 2))
       s.table(liT).join(s.table(ordT), Seq("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_totalprice"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(Agg.money(col("l_extendedprice")) *
-            (one - Agg.rate(col("l_discount"))))
-            .cast("double").as("revenue"))
+          Agg.unitsSum(discountedUnits, 4).cast("double").as("revenue"))
     }),
     // A9 explicit-weight dataset mixing: per-source keep rate
     // min(1, w·budget/n) from a target mixture table — the complement of
@@ -752,9 +755,7 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > cutoff)
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(Agg.money(col("l_extendedprice")) *
-          (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
-            - Agg.rate(col("l_discount")))).cast("double").as("revenue"))
+        .agg(Agg.unitsSum(discountedUnits, 4).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(20)
     }),
@@ -804,9 +805,7 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(Agg.money(col("l_extendedprice")) *
-          (lit(BigDecimal("1.00")).cast(org.apache.spark.sql.types.DecimalType(4, 2))
-            - Agg.rate(col("l_discount")))).cast("double").as("revenue"),
+        .agg(Agg.unitsSum(discountedUnits, 4).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20))

@@ -22,8 +22,51 @@ object Agg {
   /** Exact 2-decimal rate in [0, 1] (discount/tax). */
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
 
+  /** Exact integer CENTS of a money value. The decimal cast fixes the
+    * rounding (HALF_UP at 2 decimals, same as the oracle's CAST), the
+    * ×100 stays on Spark's compact-long decimal representation
+    * (precision 15 < 18), and everything downstream is plain longs.
+    */
+  private[graft] def cents(c: Column): Column = (money(c) * 100).cast("long")
+
+  /** Exact money aggregation WITHOUT decimal aggregation buffers.
+    *
+    * SUM over DECIMAL(12,2) widens its result past 18 digits, which
+    * pushes every aggregation-buffer update off Spark's compact-long
+    * decimal representation onto per-row java.math.BigDecimal allocation
+    * — measured 3-5× of the whole query on every money rollup once the
+    * bench forced real aggregation (q01 0.26→0.87 s, q50 at 78× of
+    * DuckDB). Here the measure is scaled to integer units of 10^-scale
+    * once per row, and the aggregation itself is two primitive LONG sums
+    * — the units' quotient and remainder by 10^scale — recombined
+    * exactly ONCE per group: q·10^scale + r reassembles the exact unit
+    * total (the truncating-division identity holds for negative units
+    * too), so the result is bit-identical to the decimal form.
+    *
+    * Bounds, documented not checked: row-level units must stay under
+    * 2^53 (the quotient computes through one exact double division —
+    * money below ~10^7 dollars for scale-6 measures, 10^10 for cents);
+    * partial sums stay exact to ~10^12 rows per group at scale 6 and
+    * ~10^16 at scale 2 — 100 TB headroom (TPC-H SF 100k is ~6·10^11
+    * lineitems TOTAL).
+    */
+  private[graft] def unitsQuot(u: Column, scale: Int): Column = {
+    val k = math.pow(10, scale).toLong
+    ((u - (u % k)) / k).cast("long")
+  }
+  private[graft] def unitsRem(u: Column, scale: Int): Column =
+    u % math.pow(10, scale).toLong
+  private[graft] def unitsValue(sumQ: Column, sumR: Column, scale: Int): Column = {
+    val k = math.pow(10, scale).toLong
+    (sumQ.cast(DecimalType(38, 0)) * k + sumR.cast(DecimalType(38, 0))) / k
+  }
+
+  /** Exact sum of integer 10^-scale units as the decimal units/10^scale. */
+  private[graft] def unitsSum(u: Column, scale: Int): Column =
+    unitsValue(sum(unitsQuot(u, scale)), sum(unitsRem(u, scale)), scale)
+
   /** Exact decimal sum surfaced as double (deterministic across engines). */
-  def dsum(c: Column): Column = sum(money(c)).cast("double")
+  def dsum(c: Column): Column = unitsSum(cents(c), 2).cast("double")
 
   /** Daily engagement rollup (A3–A5; REF wistia_redshift_schemas.py:43-52 —
     * the declared-but-never-implemented gold job, docx FR4). Mapped onto the
@@ -63,19 +106,24 @@ object Agg {
         approx_count_distinct(col("user_id")).as("visitors_approx"))
 
   /** Pricing summary (A6 partial+final hash agg; TPC-H Q1 shape on lineitem).
-    * Every measure is decimal-exact internally, surfaced as double.
+    * Every measure is exact internally (integer units — price·(1−d) in
+    * 10^-4 units, ·(1+t) in 10^-6 units, see [[unitsSum]]), surfaced as
+    * double; bit-identical to the all-decimal form at a fraction of the
+    * aggregation cost.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
-    val one = lit(BigDecimal("1.00")).cast(DecimalType(4, 2))
-    val disc = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
-    val charge = disc * (one + rate(col("l_tax")))
+    val pc = cents(col("l_extendedprice"))
+    val dk = (rate(col("l_discount")) * 100).cast("long")
+    val tk = (rate(col("l_tax")) * 100).cast("long")
+    val discU = pc * (lit(100L) - dk)      // 10^-4 dollar units
+    val chargeU = discU * (lit(100L) + tk) // 10^-6 dollar units
     lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(disc).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        unitsSum(discU, 4).cast("double").as("sum_disc_price"),
+        unitsSum(chargeU, 6).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"), col("sum_qty"),

@@ -27,26 +27,42 @@ object Skew {
     * rand) is NOT retry-safe on shuffle-derived input — a re-attempted map
     * task can emit different salts and partial-stage retry then double-
     * counts or drops rows (the SPARK-23207 class of bug). Instead:
-    *  1. pre-aggregate by the FULL row (map-side combine collapses the
-    *     worst case, a hot key of identical rows, before any reducer
-    *     sees it);
+    *  1. pre-aggregate by the full PROJECTED row — keys + value, the only
+    *     columns the output reads (map-side combine collapses the worst
+    *     case, a hot key of identical values, before any reducer sees
+    *     it);
     *  2. salt the now-distinct rows by content hash (deterministic, and
     *     distinct rows spread);
     *  3. weighted two-phase aggregation.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
-    val weighted = df.groupBy(df.columns.map(col): _*)
+    // the output reads only keys + value, so the row-content pre-agg and
+    // the content-hash salt work on exactly those columns — any other
+    // column would widen the first shuffle for nothing (and LESS content
+    // collapses MORE: rows differing only in dropped columns merge into
+    // one weighted row here instead of surviving to the salted stage)
+    val proj = (keys :+ valueCol).distinct
+    val slim = df.select(proj.map(col): _*)
+    val weighted = slim.groupBy(proj.map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
     val salted = weighted.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(proj.map(col): _*), lit(salts)))
+    // money flows as integer cents split into quotient/remainder long
+    // partials (the Agg.unitsSum shape stretched across the two salted
+    // stages — the per-salt partials carry (_pq, _pr) longs and the final
+    // stage recombines once per key; decimal aggregation buffers would
+    // pay per-row BigDecimal on BOTH stages)
+    val u = Agg.cents(col(valueCol)) * col("_cnt")
     val partial = salted
       .groupBy((keys :+ "_salt").map(col): _*)
-      .agg(sum(Agg.money(col(valueCol)) * col("_cnt")).as("_psum"),
+      .agg(sum(Agg.unitsQuot(u, 2)).as("_pq"),
+        sum(Agg.unitsRem(u, 2)).as("_pr"),
         sum(col("_cnt")).as("_pn"))
     partial
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
+      .agg(Agg.unitsValue(sum(col("_pq")), sum(col("_pr")), 2)
+        .cast("double").as(s"sum_$valueCol"),
         sum(col("_pn")).as("n"))
   }
 

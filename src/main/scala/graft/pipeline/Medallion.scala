@@ -163,7 +163,7 @@ object Medallion {
       .agg(
         count(lit(1)).as("load_count"),
         count(when(col("percent_viewed") > 0.0, 1)).as("play_count"),
-        sum(Agg.money(col("percent_viewed"))).cast("double").as("sum_viewed"),
+        Agg.dsum(col("percent_viewed")).as("sum_viewed"),
         countDistinct(col("visitor_key")).as("visitors"))
       .select(col("media_id"), col("dt"), col("load_count"), col("play_count"),
         (col("play_count").cast("double") / col("load_count")).as("play_rate"),
