@@ -187,23 +187,25 @@ object Corpus {
     * contamination), zero-overlap docs included.
     *
     * Shape: the train side — the 100 TB side — collapses to distinct
-    * shingles and is consumed ONCE by a left-semi join (shuffle on the
-    * shingle key; Spark's semi-join inserts a bloom/runtime filter under
-    * AQE when the eval side is small, which it is by construction). The
-    * eval subtree is consumed twice (sizes + hits) — the acceptable side
-    * to re-execute.
+    * shingles and is consumed ONCE as the membership tag of a left join
+    * (unique keys, so no row multiplication; shuffle on the shingle
+    * key). The eval subtree is consumed once too: sizes and hits are two
+    * counts of the SAME grouped pass over the tagged rows.
     */
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
                     n: Int = 3): DataFrame = {
     val evalSh = TextDedup.shingles(evalDocs, n)
     val trainSh = TextDedup.shingles(trainDocs, n).select(col("shingle")).distinct()
-    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+    // one aggregate serves sizes AND hits: the distinct train set joins
+    // as a membership tag (unique keys — no row multiplication), so the
+    // eval subtree is consumed once and the sizes/hits/outer-join trio
+    // collapses to join + groupBy (the q86 single-aggregate shape)
+    evalSh.join(trainSh.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
           col("n_shingles")).as("contamination"))
   }
 
@@ -302,16 +304,16 @@ object Corpus {
     * per-doc filter signal ("drop documents that are mostly chrome").
     *
     * Rides the same 8-byte keys as [[boilerplateNgrams]]: the distinct
-    * (doc_id, _h) set is consumed three times (the hotlist build, the
-    * per-doc sizes, the hit count), so it is materialized ONCE via
-    * `localCheckpoint` — measured, Spark's exchange reuse does NOT unify
-    * the three consumers and the declarative form scanned and
-    * re-shingled the corpus three times (PlanSpec pins the single-scan
-    * shape; persist-vs-checkpoint is cost-neutral here under honest
-    * per-pass-cold timing — an apparent persist win to 0.50 s was a
-    * cross-pass cache-reuse artifact, see Bench's clearCache note).
-    * Every downstream aggregate carries counts only, and the hotlist
-    * side of the semi-join is df-filtered and broadcast.
+    * (doc_id, _h) set is consumed twice (the hotlist build and the
+    * flag-join), so it is materialized ONCE via `localCheckpoint` —
+    * measured, Spark's exchange reuse does NOT unify the consumers and
+    * the declarative form scanned and re-shingled the corpus per
+    * consumer (PlanSpec pins the single-scan shape; persist-vs-checkpoint
+    * is cost-neutral here under honest per-pass-cold timing — an
+    * apparent persist win to 0.50 s was a cross-pass cache-reuse
+    * artifact, see Bench's clearCache note). Every downstream aggregate
+    * carries counts only, and the hotlist side of the flag join is
+    * df-filtered and broadcast.
     *
     * Exactness bound: a 64-bit collision between two distinct shingles in
     * the SAME document undercounts that doc's n_shingles by 1, and a
@@ -326,13 +328,17 @@ object Corpus {
                           n: Int = 3): DataFrame = {
     val sh = hashedShingles(docs, n).localCheckpoint()
     val hot = hotHashes(sh, minDocs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = sh.join(broadcast(hot), Seq("_h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+    // ONE aggregate serves both measures: the broadcast LEFT join tags
+    // each (doc, hash) row with hot membership, and n_boiler is just
+    // count(tag) in the same groupBy that counts n_shingles — the earlier
+    // sizes-agg + semi-join-agg + outer-join form paid two extra stages
+    // over the same rows for the same answer (measured 1.32 → 0.86 s at
+    // sf0.1 once the bench forced the full result).
+    sh.join(broadcast(hot.withColumn("_hot", lit(1))), Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hot")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") /
           col("n_shingles")).as("boilerplate_frac"))
   }
 
@@ -384,13 +390,13 @@ object Corpus {
       .select(col("shingle"))
       .join(broadcast(evalKeys), Seq("shingle"), "left_semi")
       .distinct()
-    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = evalSh.join(broadcast(present), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+    evalSh.join(broadcast(present.withColumn("_hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
           col("n_shingles")).as("contamination"))
   }
 

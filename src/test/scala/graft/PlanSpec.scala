@@ -136,14 +136,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q86 boilerplate fraction: one corpus scan, cached shingles") {
-    // The shingle set feeds three consumers; without the checkpoint the
-    // corpus was scanned and re-shingled three times (exchange reuse does
-    // not fire across them — measured, not assumed).
+    // The shingle set feeds two consumers (the hotlist aggregate and the
+    // membership-flag join whose single groupBy emits both counts);
+    // without the checkpoint the corpus was scanned and re-shingled per
+    // consumer (exchange reuse does not fire across them — measured, not
+    // assumed).
     assert(uncachedScans("q86_boilerplate_fraction") == 0,
       "a consumer re-scans the corpus outside the shared cache:\n" +
         plan("q86_boilerplate_fraction").take(1200))
-    assert(sharedReads("q86_boilerplate_fraction") >= 3,
-      "all three consumers must read the materialized shingle set:\n" +
+    assert(sharedReads("q86_boilerplate_fraction") >= 2,
+      "both consumers must read the materialized shingle set:\n" +
         plan("q86_boilerplate_fraction").take(1200))
   }
 
