@@ -26,6 +26,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The q104/q105 hotlist state: built once per (JVM, sfDir) from the
+    * non-delta 90% of documents (doc_id % 10 != 0 — the q83/q93 split),
+    * then probed by both incremental queries. The write is maintenance
+    * work, like ensureBucketed / the IVF index dirs.
+    */
+  private def ensureHotlist(s: SparkSession, dir: String,
+                            docs: DataFrame): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val hotDir = s"${System.getProperty("java.io.tmpdir")}/graft_hotlist_$tag"
+    if (!Tables.pathExists(s, hotDir))
+      graft.text.Corpus.writeHotlist(
+        docs.filter(col("doc_id") % 10 =!= 0), hotDir, minDocs = 2)
+    hotDir
+  }
+
   /** price·(1−discount) as exact integer 10^-4 dollar units — the shared
     * revenue measure of the TPC-H-shaped queries, aggregated through
     * [[Agg.unitsSum]]'s long partials (bit-identical to the decimal form,
@@ -441,6 +456,23 @@ object SparkEntry {
     "q103_scrub_spans" -> ((s, dir) =>
       TextDedup.scrubRepeatedSpans(t(s, dir, "documents"),
         n = 3, minDocs = 2)),
+    // A9 incremental passage cleaning, state half shared by q104/q105:
+    // the boilerplate hotlist persists once (maintenance, like q83's
+    // signature index); each daily delta probes it broadcast — the
+    // corpus never re-aggregates per batch.
+    "q104_boilerplate_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.boilerplateAgainstHotlist(s,
+        ensureHotlist(s, dir, d), d.filter(col("doc_id") % 10 === 0))
+    }),
+    // A8 incremental spans: the delta's repeated-span intervals against
+    // the same persisted hotlist (the streaming scrub's detection half).
+    "q105_spans_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.spansAgainstHotlist(s,
+        ensureHotlist(s, dir, d), d.filter(col("doc_id") % 10 === 0),
+        minSpanTokens = 6)
+    }),
     // S8 extended as a registered query: fact⋈fact through same-spec
     // bucketed catalog tables — the orderkey shuffle is paid ONCE at
     // write time; the join AND the aggregate keyed on the same column
@@ -1460,6 +1492,67 @@ object SparkEntry {
         |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
         |FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
         |GROUP BY d.doc_id, len(d.t)""".stripMargin,
+    // the hotlist state is built from the non-delta 90% (doc_id%10<>0),
+    // probed by the doc_id%10=0 delta — the q83 split
+    "q104_boilerplate_incremental" ->
+      """WITH ttoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM ttoks WHERE len(t) >= 3)),
+        |hot AS (
+        |  SELECT shingle FROM tsh GROUP BY shingle HAVING COUNT(*) >= 2),
+        |dtoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM dtoks WHERE len(t) >= 3))
+        |SELECT d.doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(h.shingle) AS n_boiler,
+        |  CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*) AS boilerplate_frac
+        |FROM dsh d LEFT JOIN hot h ON d.shingle = h.shingle
+        |GROUP BY d.doc_id""".stripMargin,
+    "q105_spans_incremental" ->
+      """WITH ttoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM ttoks WHERE len(t) >= 3)),
+        |hot AS (
+        |  SELECT shingle FROM tsh GROUP BY shingle HAVING COUNT(*) >= 2),
+        |dtoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dsh AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM dtoks WHERE len(t) >= 3)),
+        |hits AS (
+        |  SELECT s.doc_id, s.pos FROM dsh s JOIN hot h ON s.shingle = h.shingle),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > LAG(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) + 3 THEN 1 ELSE 0 END
+        |      AS newspan
+        |  FROM hits),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM flagged)
+        |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 2 AS end_pos,
+        |  MAX(pos) + 2 - MIN(pos) + 1 AS n_span_tokens
+        |FROM sp GROUP BY doc_id, span
+        |HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6""".stripMargin,
     "q88_bucketed_join" ->
       """SELECT l_orderkey, o_totalprice, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -342,6 +342,73 @@ object Corpus {
           col("n_shingles")).as("boilerplate_frac"))
   }
 
+  /** Persist the boilerplate hotlist as reusable state: every
+    * `xxhash64(shingle)` whose document frequency reaches `minDocs`,
+    * with its df — the maintenance half of the incremental passage-
+    * cleaning pattern (the text-domain analogue of the q83 signature
+    * index and the IVF centroid table: corpus-wide state is built once,
+    * then daily batches probe it). One corpus scan, one 8-byte-keyed
+    * aggregate, hotlist-sized output.
+    */
+  def writeHotlist(docs: DataFrame, dir: String, minDocs: Int = 3,
+                   n: Int = 3): Unit =
+    hashedShingles(docs, n)
+      .groupBy(col("_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-doc boilerplate fraction of a DELTA against a persisted
+    * [[writeHotlist]] hotlist — the incremental form of
+    * [[boilerplateFraction]]: the corpus never re-aggregates; each batch
+    * is one shingle pass over the delta plus a broadcast membership
+    * probe (the q86 single-aggregate shape). Same freshness trade as
+    * every index-probe operator here (q83 signatures, IVF centroids):
+    * n-grams that become hot only BECAUSE of recent deltas are missed
+    * until the next hotlist rebuild; flagged fractions are exact with
+    * respect to the state as written.
+    */
+  def boilerplateAgainstHotlist(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, delta: DataFrame,
+                                n: Int = 3): DataFrame = {
+    val hot = spark.read.parquet(dir).select(col("_h"), lit(1).as("_hot"))
+    hashedShingles(delta, n)
+      .join(broadcast(hot), Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hot")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") /
+          col("n_shingles")).as("boilerplate_frac"))
+  }
+
+  /** Repeated spans of a DELTA against a persisted [[writeHotlist]]
+    * hotlist — incremental [[TextDedup.repeatedSpans]]: positions whose
+    * n-gram is hot IN THE STATE chain into maximal intervals exactly as
+    * the batch form does, but the corpus-side df aggregate is replaced
+    * by the broadcast probe, so per-batch cost is one delta scan + a
+    * delta-bounded window. Combined with [[TextDedup.scrubRepeatedSpans]]'s
+    * rebuild this is the production shape of streaming passage cleaning:
+    * scrub each arriving batch against last night's hotlist.
+    */
+  def spansAgainstHotlist(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, delta: DataFrame, n: Int = 3,
+                          minSpanTokens: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hot = spark.read.parquet(dir).select(col("_h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    TextDedup.shinglesWithPos(delta, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("_h"))
+      .join(broadcast(hot), Seq("_h"), "left_semi")
+      .withColumn("_newspan",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("_span", sum(col("_newspan")).over(w))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_span_tokens"))
+      .filter(col("n_span_tokens") >= minSpanTokens)
+  }
+
   /** Overlapping token-window chunking (the RAG/context-window prep step):
     * one row per chunk of `chunkSize` tokens, windows starting every
     * `chunkSize - overlap` tokens, the final window short if the document

@@ -129,4 +129,30 @@ class SpanSpec extends SparkSpec {
       (3L, "A B C D E"))
     assert(gotSpans(d.repartition(7), 3, 2, 3) == gotSpans(d, 3, 2, 3))
   }
+
+  test("hotlist state: delta probes flag exactly the state's hot passages") {
+    import graft.text.Corpus
+    val hotDir = java.nio.file.Files
+      .createTempDirectory("graft-hotlist").toString + "/state"
+    // the index corpus: two docs share A B C D E, so its trigrams are hot
+    Corpus.writeHotlist(docs(
+      (1L, "u1 u2 A B C D E u3"),
+      (2L, "v1 A B C D E v2"),
+      (3L, "w1 w2 w3 w4 w5")), hotDir, minDocs = 2)
+    // the delta: doc 10 carries the passage (plus unique text), doc 11
+    // does not — and doc 11's OWN repetition of "x y z" must NOT flag
+    // (hotness is state-frozen, the q83 freshness trade)
+    val delta = docs(
+      (10L, "d1 A B C D E d2 d3"),
+      (11L, "x y z q x y z"))
+    val frac = Corpus.boilerplateAgainstHotlist(spark, hotDir, delta)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 10: 6 distinct trigrams, 3 hot (A B C / B C D / C D E)
+    assert(frac(10L) == ((6L, 3L)))
+    assert(frac(11L)._2 == 0L, "delta-local repeats must not flag")
+    val spans = Corpus.spansAgainstHotlist(spark, hotDir, delta)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((10L, 2L, 6L, 5L)))
+  }
 }
