@@ -409,6 +409,19 @@ object Corpus {
       .filter(col("n_span_tokens") >= minSpanTokens)
   }
 
+  /** Incremental passage SCRUB: each delta document rebuilt without its
+    * state-hot spans — [[spansAgainstHotlist]] detection +
+    * [[TextDedup.scrubRepeatedSpans]]'s gap-slicing rebuild, composed.
+    * This is the per-batch body of streaming passage cleaning: scrub
+    * every arriving batch against last night's hotlist, rebuild the
+    * hotlist on the maintenance cadence.
+    */
+  def scrubAgainstHotlist(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, delta: DataFrame,
+                          n: Int = 3): DataFrame =
+    TextDedup.scrubSpans(delta,
+      spansAgainstHotlist(spark, dir, delta, n, minSpanTokens = n))
+
   /** Overlapping token-window chunking (the RAG/context-window prep step):
     * one row per chunk of `chunkSize` tokens, windows starting every
     * `chunkSize - overlap` tokens, the final window short if the document

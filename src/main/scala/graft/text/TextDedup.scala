@@ -590,8 +590,17 @@ object TextDedup {
     * path).
     */
   def scrubRepeatedSpans(docs: DataFrame, n: Int = 3,
-                         minDocs: Int = 2): DataFrame = {
-    val ranges = repeatedSpans(docs, n, minDocs, minSpanTokens = n)
+                         minDocs: Int = 2): DataFrame =
+    scrubSpans(docs, repeatedSpans(docs, n, minDocs, minSpanTokens = n))
+
+  /** The rebuild half of passage cleaning, reusable against ANY span
+    * table with (doc_id, start_pos, end_pos) — [[scrubRepeatedSpans]]
+    * feeds it the batch spans, [[graft.text.Corpus.scrubAgainstHotlist]]
+    * the incremental (state-probed) ones. Spans must be disjoint per
+    * document (both generators emit maximal intervals, which are).
+    */
+  private[text] def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val ranges = spans
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("start_pos").as("s"), col("end_pos").as("e"))))

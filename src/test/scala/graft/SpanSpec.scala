@@ -154,5 +154,11 @@ class SpanSpec extends SparkSpec {
     val spans = Corpus.spansAgainstHotlist(spark, hotDir, delta)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(spans == Set((10L, 2L, 6L, 5L)))
+    // incremental scrub = detection against state + the shared rebuild
+    val scrubbed = Corpus.scrubAgainstHotlist(spark, hotDir, delta)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(scrubbed == Seq(
+      (10L, 8L, 5L, "d1 d2 d3"),
+      (11L, 7L, 0L, "x y z q x y z")))
   }
 }
