@@ -84,6 +84,32 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming passage cleaning: every arriving document batch scrubbed
+    * against the persisted boilerplate hotlist
+    * ([[graft.text.Corpus.writeHotlist]]) before it lands — the streaming
+    * twin of [[graft.text.Corpus.scrubAgainstHotlist]], via
+    * `foreachBatch` (the scrub's per-doc range aggregation and 1:1 join
+    * are batch relational ops, not streaming-plan operators). The
+    * hotlist is state built on the maintenance cadence, so each trigger
+    * is one delta scan + a broadcast probe; exactly-once lands on the
+    * checkpoint's batch replay being deterministic (same batch → same
+    * scrub — spans depend only on the frozen hotlist) plus idempotent
+    * appends keyed by doc_id downstream if the sink is ever swapped for
+    * one without a commit log.
+    */
+  def scrubStreamQuery(spark: SparkSession, srcDir: String, outDir: String,
+                       checkpointDir: String, schema: StructType,
+                       hotlistDir: String, n: Int = 3): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.Corpus.scrubAgainstHotlist(spark, hotlistDir, batch, n)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates
     * `outDir` on its first write).

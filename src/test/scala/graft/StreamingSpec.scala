@@ -88,6 +88,40 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == 250, s"expected 250 (100 + 150), got $n2 — checkpoint replayed or skipped data")
   }
 
+  test("streaming passage scrub: batches cleaned against the hotlist, replay-safe") {
+    import graft.streaming.CorpusStream
+    val root = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+    val (src, out, cp, hot) =
+      (s"$root/src", s"$root/out", s"$root/cp", s"$root/hot")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    // hotlist state: two index docs share the A..E passage
+    graft.text.Corpus.writeHotlist(
+      Seq((1L, "u1 A B C D E u2"), (2L, "v1 A B C D E")).toDF("doc_id", "text"),
+      hot, minDocs = 2)
+    def run(): Unit = {
+      val q = CorpusStream.scrubStreamQuery(spark, src, out, cp, schema, hot)
+      q.processAllAvailable(); q.stop()
+    }
+    // trigger 1: passage carrier gets scrubbed
+    Seq((10L, "d1 A B C D E d2")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    run()
+    val r1 = spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(r1 == Set((10L, 7L, 5L, "d1 d2")))
+    // trigger 2 (restart from checkpoint): only the NEW batch processes —
+    // a replayed doc 10 would append a second scrubbed copy
+    Seq((11L, "x A B C D E y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    run()
+    val r2 = spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(r2 == Set((10L, 7L, 5L, "d1 d2"), (11L, 7L, 5L, "x y")),
+      "restart must process exactly the unseen batch")
+  }
+
   test("streaming corpus dedup: exact dups dropped across triggers and restarts") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-cstream").toString
