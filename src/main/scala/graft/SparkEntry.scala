@@ -473,6 +473,14 @@ object SparkEntry {
         ensureHotlist(s, dir, d), d.filter(col("doc_id") % 10 === 0),
         minSpanTokens = 6)
     }),
+    // U1 extended: TYPE-2 history from the event change stream — one
+    // validity interval per run of equal event_type per user (the
+    // history-preserving complement of the reference's delete+insert
+    // dims; ties broken by event_id, the q28 convention).
+    "q106_scd2_history" -> ((s, dir) =>
+      Upsert.scd2FromChanges(t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        Seq("user_id"), "event_type", "ts", tieCols = Seq("event_id"))),
     // S8 extended as a registered query: fact⋈fact through same-spec
     // bucketed catalog tables — the orderkey shuffle is paid ONCE at
     // write time; the join AND the aggregate keyed on the same column
@@ -1553,6 +1561,31 @@ object SparkEntry {
         |  MAX(pos) + 2 - MIN(pos) + 1 AS n_span_tokens
         |FROM sp GROUP BY doc_id, span
         |HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6""".stripMargin,
+    "q106_scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_changes
+        |  FROM ver GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  LEAD(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  n_changes,
+        |  CAST(CASE WHEN LEAD(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY version) IS NULL
+        |    THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM runs""".stripMargin,
     "q88_bucketed_join" ->
       """SELECT l_orderkey, o_totalprice, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -108,4 +108,80 @@ object Upsert {
         .write.parquet(tablePath)
     }
   }
+
+  /** Type-2 (history-preserving) dimension from a change STREAM: one
+    * validity interval per maximal run of equal `stateCol` per key —
+    * (keys..., version, state, valid_from, valid_to, n_changes,
+    * is_current), versions numbered 1.. per key, the open version's
+    * valid_to NULL. The reference's dims are type-1 (delete+insert,
+    * [[merge]] — history lost); this is the standard history-keeping
+    * complement, derived from raw changes in one pass.
+    *
+    * Determinism: rows order by (ts, tieCols...) inside each key — pass a
+    * unique tiebreaker (an event id) or equal-timestamp flips are
+    * partition-order dependent. Two same-timestamp versions produce a
+    * zero-duration interval, closed by its successor, never dropped.
+    *
+    * Scale shape: two windows and one aggregate, all partitioned by the
+    * dimension key — per-partition work is bounded by changes-per-key,
+    * never corpus-wide; the version lead runs over RUNS (post-collapse),
+    * not raw changes.
+    */
+  def scd2FromChanges(changes: DataFrame, keys: Seq[String], stateCol: String,
+                      tsCol: String, tieCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy(keys.map(col): _*).orderBy(col("version"))
+    changes
+      .withColumn("_chg",
+        when(lag(col(stateCol), 1).over(w).isNull ||
+          lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
+      .withColumn("version", sum(col("_chg")).over(wRows))
+      .groupBy((keys.map(col) :+ col("version")): _*)
+      .agg(min(col(stateCol)).as(stateCol), // constant within a run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_changes"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
+  }
+
+  /** Merge a full dimension SNAPSHOT into an SCD2 history as of `asOf`:
+    * current rows whose attributes changed (or whose key vanished from
+    * the snapshot) close with valid_to = asOf; changed and brand-new keys
+    * open a version with valid_from = asOf; unchanged current rows and
+    * all already-closed history pass through untouched. History schema:
+    * key, attrs..., valid_from, valid_to (NULL = current).
+    *
+    * Same merge algebra as [[merge]] (anti-join + union), applied to the
+    * CURRENT slice only — closed history never shuffles more than its
+    * pass-through union. Snapshot-vs-current comparison is null-safe per
+    * attribute.
+    */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame, key: String,
+                attrs: Seq[String],
+                asOf: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val closed = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+    val snap = snapshot.select((key +: attrs).map(col): _*)
+    val cur = current.select((key +: attrs).map(col): _*)
+    // keys whose current attributes match the snapshot exactly (null-safe)
+    val unchangedKeys = cur.intersect(snap).select(col(key))
+    val stillCurrent = current.join(unchangedKeys, Seq(key), "left_semi")
+    val toClose = current.join(unchangedKeys, Seq(key), "left_anti")
+      .withColumn("valid_to", lit(asOf))
+    val opened = snap.join(unchangedKeys, Seq(key), "left_anti")
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val cols = history.columns.map(col(_)).toSeq
+    closed.select(cols: _*)
+      .unionByName(stillCurrent.select(cols: _*))
+      .unionByName(toClose.select(cols: _*))
+      .unionByName(opened.select(cols: _*))
+  }
 }

@@ -157,4 +157,76 @@ class DedupUpsertSpec extends SparkSpec {
       .map { case (n, dt) => (dt, n) }.toSet
     assert(out == Set(("2025-01-01", 1L), ("2025-01-02", 99L)))
   }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("scd2FromChanges: runs collapse, versions chain, open tail (U1 type-2)") {
+    // user 1: A A B A — four events, three versions; user 2: one event
+    val changes = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00"), 1L),
+      (1L, "A", ts("2025-01-02 00:00:00"), 2L),
+      (1L, "B", ts("2025-01-03 00:00:00"), 3L),
+      (1L, "A", ts("2025-01-04 00:00:00"), 4L),
+      (2L, "X", ts("2025-01-01 00:00:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
+      "ts", tieCols = Seq("event_id"))
+      .as[(Long, Long, String, java.sql.Timestamp, Long,
+        Option[java.sql.Timestamp], Int)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 2L,
+        Some(ts("2025-01-03 00:00:00")), 0),
+      (1L, 2L, "B", ts("2025-01-03 00:00:00"), 1L,
+        Some(ts("2025-01-04 00:00:00")), 0),
+      (1L, 3L, "A", ts("2025-01-04 00:00:00"), 1L, None, 1),
+      (2L, 1L, "X", ts("2025-01-01 00:00:00"), 1L, None, 1)))
+  }
+
+  test("scd2FromChanges: same-timestamp flip yields a zero-duration version") {
+    val changes = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2025-01-01 00:00:00"), 2L) // same ts, later event_id
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
+      "ts", tieCols = Seq("event_id"))
+      .orderBy("version")
+      .as[(Long, Long, String, java.sql.Timestamp, Long,
+        Option[java.sql.Timestamp], Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 1L,
+        Some(ts("2025-01-01 00:00:00")), 0),
+      (1L, 2L, "B", ts("2025-01-01 00:00:00"), 1L, None, 1)))
+  }
+
+  test("scd2Merge: unchanged passes, changed closes+opens, vanished closes, new opens") {
+    val history = Seq(
+      // k1: one closed + one current (will be UNCHANGED)
+      ("k1", "v0", ts("2025-01-01 00:00:00"), Some(ts("2025-02-01 00:00:00"))),
+      ("k1", "v1", ts("2025-02-01 00:00:00"), None),
+      // k2: current, attribute CHANGES in the snapshot
+      ("k2", "w1", ts("2025-01-15 00:00:00"), None),
+      // k3: current, VANISHES from the snapshot
+      ("k3", "x1", ts("2025-01-20 00:00:00"), None)
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val snapshot = Seq(
+      ("k1", "v1"), ("k2", "w2"), ("k4", "z1")).toDF("k", "attr")
+    val asOf = ts("2025-03-01 00:00:00")
+    val out = Upsert.scd2Merge(history, snapshot, "k", Seq("attr"), asOf)
+      .as[(String, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(out == Set(
+      ("k1", "v0", ts("2025-01-01 00:00:00"), Some(ts("2025-02-01 00:00:00"))),
+      ("k1", "v1", ts("2025-02-01 00:00:00"), None),          // unchanged
+      ("k2", "w1", ts("2025-01-15 00:00:00"), Some(asOf)),    // closed
+      ("k2", "w2", asOf, None),                               // re-opened
+      ("k3", "x1", ts("2025-01-20 00:00:00"), Some(asOf)),    // vanished
+      ("k4", "z1", asOf, None)))                              // brand new
+    // idempotence: merging the same snapshot again changes nothing
+    val again = Upsert.scd2Merge(
+      Upsert.scd2Merge(history, snapshot, "k", Seq("attr"), asOf),
+      snapshot, "k", Seq("attr"), asOf)
+      .as[(String, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(again == out, "re-merging an identical snapshot must be a no-op")
+  }
 }
