@@ -292,6 +292,12 @@ object Corpus {
     */
   def boilerplateNgrams(docs: DataFrame, minDocs: Int = 3,
                         n: Int = 3): DataFrame =
+    // countDistinct-next-to-min was A/B'd against an explicit two-phase
+    // form (distinct (hash, doc) pairs with a text witness, then count):
+    // the two-phase variant exchanges the shingle TEXT through the wider
+    // (hash, doc)-keyed first shuffle and measured 1.25 s vs 1.03 s at
+    // sf0.1 — the mixed-distinct plan's partial aggregation dedups
+    // before exchanging and wins despite its Expand.
     TextDedup.shinglesRaw(docs, n)
       .groupBy(xxhash64(col("shingle")).as("_h"))
       .agg(countDistinct(col("doc_id")).as("df"),

@@ -168,15 +168,17 @@ object TextAnalysis {
 
   /** Document fingerprints. `prefix_fp` (md5 of the head) is cross-engine
     * and oracle-checked; `kgram_fp` is a winnowing-style min over char
-    * k-gram xxhash64 values (engine-internal, used for fast clustering).
+    * k-gram xxhash64 values (engine-internal, used for fast clustering) —
+    * the codegen'd [[graft.functions.KgramMinHash]], bit-identical to the
+    * interpreted HOF form it replaced (q36 1.48 → 0.16 s at sf0.1:
+    * ~chars-per-doc lambda evaluations and a per-row array, fused into
+    * one zero-copy loop).
     */
   def fingerprints(docs: DataFrame, prefixLen: Int = 80, k: Int = 8): DataFrame =
     docs.select(
       col("doc_id"),
       md5(substring(col("text"), 1, prefixLen)).as("prefix_fp"),
-      expr(
-        s"""array_min(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
-           |  i -> xxhash64(substring(text, i, $k))))""".stripMargin)
+      graft.functions.KgramMinHashMath.kgramMinHashCol(col("text"), k)
         .as("kgram_fp"))
 
   /** Default PII redaction rules, applied in declaration order (emails

@@ -239,4 +239,59 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("seeded_md5") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("KgramMinHash is bit-identical to the HOF form (ASCII, multi-byte, short, empty, null)") {
+    import graft.functions.KgramMinHashMath
+    val k = 8
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "naïve café — δοκιμή многобайтовый 試験テキスト",   // multi-byte chars
+      "short",                                            // shorter than k
+      "exactly8",                                         // exactly k chars
+      "",                                                 // empty
+      null.asInstanceOf[String])
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hof = expr(
+      s"""array_min(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+         |  i -> xxhash64(substring(text, i, $k))))""".stripMargin)
+    val out = texts.select(
+      col("doc_id"),
+      hof.as("hof_fp"),
+      KgramMinHashMath.kgramMinHashCol(col("text"), k).as("expr_fp"),
+      col("text").isNull.as("is_null_text"))
+      .collect()
+    out.foreach { r =>
+      if (r.getBoolean(3)) {
+        // deliberate difference: the HOF chain maps NULL text to the seed
+        // (greatest(null,1)=1 → xxhash64(NULL)=42); the expression
+        // propagates NULL — a NULL document has no fingerprint
+        assert(r.isNullAt(2), "expression must propagate NULL text")
+        assert(!r.isNullAt(1) && r.getLong(1) == 42L,
+          "HOF null-to-seed behavior changed — revisit the documented difference")
+      } else {
+        assert(r.getLong(1) == r.getLong(2),
+          s"fingerprint mismatch for doc ${r.getLong(0)}")
+      }
+    }
+    // and across the real corpus
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val mism = docs.select(
+      hof.as("a"),
+      KgramMinHashMath.kgramMinHashCol(col("text"), k).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mism == 0, s"$mism corpus fingerprints differ from the HOF form")
+  }
+
+  test("KgramMinHash participates in whole-stage codegen (no fallback)") {
+    import graft.functions.KgramMinHashMath
+    // project over a parquet scan — a local Seq would constant-fold via
+    // ConvertToLocalRelation and never reach codegen
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(KgramMinHashMath.kgramMinHashCol(col("text"), 8).as("fp"))
+    val p = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project [kgram_min_hash"), p.take(500))
+    df.collect() // force actual codegen compilation, not just planning
+  }
 }
