@@ -149,6 +149,28 @@ class PlanSpec extends SparkSpec {
         plan("q86_boilerplate_fraction").take(1200))
   }
 
+  test("q102 repeated spans: one corpus scan, cached shingle stream") {
+    // the position-keyed shingle stream feeds the df aggregate and the
+    // hit probe; without the persist each consumer re-scans and
+    // re-shingles the corpus (the q86 lesson, same mechanism)
+    assert(uncachedScans("q102_repeated_spans") == 0,
+      "a span consumer re-scans the corpus outside the shared cache:\n" +
+        plan("q102_repeated_spans").take(1200))
+    assert(sharedReads("q102_repeated_spans") >= 2,
+      "both consumers must read the materialized shingle stream:\n" +
+        plan("q102_repeated_spans").take(1200))
+  }
+
+  test("q104/q105 hotlist probes broadcast the state (no per-batch shuffle)") {
+    // the persisted hotlist must reach the delta as a broadcast: a silent
+    // sort-merge fallback would shuffle the delta's shingle stream on
+    // every batch — the cost the incremental form exists to avoid
+    val p4 = plan("q104_boilerplate_incremental")
+    assert(p4.contains("BroadcastHashJoin"), p4.take(1000))
+    val p5 = plan("q105_spans_incremental")
+    assert(p5.contains("BroadcastHashJoin"), p5.take(1000))
+  }
+
   test("q88 bucketed fact-fact join: zero exchange on either side") {
     // With broadcast disabled the join MUST be a bucket-aligned sort-merge
     // with no hashpartitioning Exchange anywhere — the shuffle was paid at
