@@ -473,6 +473,19 @@ object SparkEntry {
         ensureHotlist(s, dir, d), d.filter(col("doc_id") % 10 === 0),
         minSpanTokens = 6)
     }),
+    // A9 dataset versioning: what changed between two corpus snapshots —
+    // v1 drops doc_id%10==0, v2 drops %10==1 and rewrites %7==0 texts,
+    // so all three statuses appear; output is delta-sized (unchanged
+    // docs emit nothing), hashes compare map-side, text never shuffles.
+    "q107_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 10 =!= 0)
+      val v2 = d.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      graft.text.Corpus.corpusDiff(v1, v2)
+    }),
     // U1 extended: TYPE-2 history from the event change stream — one
     // validity interval per run of equal event_type per user (the
     // history-preserving complement of the reference's delete+insert
@@ -1561,6 +1574,22 @@ object SparkEntry {
         |  MAX(pos) + 2 - MIN(pos) + 1 AS n_span_tokens
         |FROM sp GROUP BY doc_id, span
         |HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6""".stripMargin,
+    "q107_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1 FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 10 <> 1)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h1 IS NULL THEN 'added'
+        |       WHEN v2.h2 IS NULL THEN 'removed'
+        |       WHEN v1.h1 <> v2.h2 THEN 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (CASE WHEN v1.h1 IS NULL THEN 'added'
+        |            WHEN v2.h2 IS NULL THEN 'removed'
+        |            WHEN v1.h1 <> v2.h2 THEN 'changed' END) IS NOT NULL""".stripMargin,
     "q106_scd2_history" ->
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -428,6 +428,32 @@ object Corpus {
     TextDedup.scrubSpans(delta,
       spansAgainstHotlist(spark, dir, delta, n, minSpanTokens = n))
 
+  /** Corpus version diff (the dataset-versioning primitive: what changed
+    * between snapshot v1 and snapshot v2): one row per doc_id present in
+    * either version with a different state — `added` (v2 only),
+    * `removed` (v1 only), `changed` (both, text differs by md5).
+    * Unchanged documents produce NO row, so the output is
+    * delta-sized — the property that makes the diff usable as a change
+    * feed (feed `added`+`changed` to the incremental probes, `removed`
+    * to downstream retractions).
+    *
+    * Shape: each side collapses to (doc_id, md5(text)) map-side — 48-byte
+    * rows, never text — then ONE full outer join on doc_id classifies
+    * every id. At 100 TB both sides shuffle once on the key; text never
+    * moves.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("_h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("_h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") =!= col("_h2"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Overlapping token-window chunking (the RAG/context-window prep step):
     * one row per chunk of `chunkSize` tokens, windows starting every
     * `chunkSize - overlap` tokens, the final window short if the document

@@ -161,4 +161,13 @@ class SpanSpec extends SparkSpec {
       (10L, 8L, 5L, "d1 d2 d3"),
       (11L, 7L, 0L, "x y z q x y z")))
   }
+
+  test("corpusDiff classifies added/removed/changed; unchanged emits nothing") {
+    import graft.text.Corpus
+    val v1 = docs((1L, "same text"), (2L, "old text"), (3L, "going away"))
+    val v2 = docs((1L, "same text"), (2L, "new text"), (4L, "brand new"))
+    val out = Corpus.corpusDiff(v1, v2)
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
 }
