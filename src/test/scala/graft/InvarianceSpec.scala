@@ -201,4 +201,34 @@ class InvarianceSpec extends SparkSpec {
         .as[(String, Long, Long, Double, Double)].collect().toSet
     assert(p50(ev.repartition(9)) == p50(ev))
   }
+
+  test("repeated spans and scrub are invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextDedup.repeatedSpans(df, 3, 2, 6)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextDedup.scrubRepeatedSpans(df)
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(spans(docs.repartition(7)) == spans(docs))
+    assert(scrub(docs.repartition(5, col("doc_id"))) == scrub(docs))
+  }
+
+  test("scd2 history and corpus diff are invariant under repartitioning") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Upsert.scd2FromChanges(df, Seq("user_id"), "event_type",
+        "ts", tieCols = Seq("event_id"))
+        .as[(Long, Long, String, java.sql.Timestamp,
+          Long, Option[java.sql.Timestamp], Int)].collect().toSet
+    assert(hist(ev.repartition(9)) == hist(ev))
+    val docs = Tables.load(spark, sf, "documents")
+    val v2 = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+    def diff(a: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.corpusDiff(a, v2)
+        .as[(Long, String)].collect().toSet
+    assert(diff(docs.repartition(6)) == diff(docs))
+  }
 }
