@@ -173,6 +173,11 @@ object GraftFunctions {
       if (exprs.size > 3) litInt(exprs(3), "lsh_bucket: planeOffset") else 0)
   }
 
+  private[functions] def kgramMinHashFromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "kgram_min_hash(text, k)")
+    KgramMinHash(exprs(0), litInt(exprs(1), "kgram_min_hash: k"))
+  }
+
   /** Register custom functions on an EXISTING session (tests, notebooks). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -183,5 +188,7 @@ object GraftFunctions {
       "lsh_bucket", lshBucketFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seeded_md5", seededMd5FromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kgram_min_hash", kgramMinHashFromSql, "built-in")
   }
 }

@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("seeded_md5"),
       new ExpressionInfo(classOf[SeededMd5].getName, "seeded_md5"),
       GraftFunctions.seededMd5FromSql _))
+    ext.injectFunction((
+      FunctionIdentifier("kgram_min_hash"),
+      new ExpressionInfo(classOf[KgramMinHash].getName, "kgram_min_hash"),
+      GraftFunctions.kgramMinHashFromSql _))
   }
 }

@@ -283,6 +283,15 @@ class FunctionsSpec extends SparkSpec {
     assert(mism == 0, s"$mism corpus fingerprints differ from the HOF form")
   }
 
+  test("kgram_min_hash is callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT kgram_min_hash('the quick brown fox', 8) AS fp").collect().head
+    val direct = graft.functions.KgramMinHashMath.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox"), 8)
+    assert(r.getLong(0) == direct)
+  }
+
   test("KgramMinHash participates in whole-stage codegen (no fallback)") {
     import graft.functions.KgramMinHashMath
     // project over a parquet scan — a local Seq would constant-fold via
