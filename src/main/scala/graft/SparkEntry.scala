@@ -473,6 +473,12 @@ object SparkEntry {
         ensureHotlist(s, dir, d), d.filter(col("doc_id") % 10 === 0),
         minSpanTokens = 6)
     }),
+    // A9 relative curation: keep each source's top quality quarter —
+    // percent_rank per stratum (distribution-robust, unlike q72's
+    // absolute threshold), deterministic ties by doc_id.
+    "q108_quality_filter" -> ((s, dir) =>
+      graft.text.Corpus.qualityQuantileFilter(t(s, dir, "documents"),
+        keepFrac = 0.25)),
     // A9 dataset versioning: what changed between two corpus snapshots —
     // v1 drops doc_id%10==0, v2 drops %10==1 and rewrites %7==0 texts,
     // so all three statuses appear; output is delta-sized (unchanged
@@ -1574,6 +1580,23 @@ object SparkEntry {
         |  MAX(pos) + 2 - MIN(pos) + 1 AS n_span_tokens
         |FROM sp GROUP BY doc_id, span
         |HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 6""".stripMargin,
+    "q108_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 2.0
+        |      + (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x)))
+        |          AS DOUBLE) / len(t))
+        |      - (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |          AS DOUBLE) / length(text)) AS quality
+        |  FROM (SELECT doc_id, source, text,
+        |          string_split_regex(text, '\s+') AS t FROM documents)),
+        |ranked AS (
+        |  SELECT doc_id, source, quality,
+        |    PERCENT_RANK() OVER
+        |      (PARTITION BY source ORDER BY quality, doc_id) AS q_rank
+        |  FROM scored)
+        |SELECT doc_id, source, quality, q_rank
+        |FROM ranked WHERE q_rank >= 0.75""".stripMargin,
     "q107_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, md5(text) AS h1 FROM documents

@@ -428,6 +428,32 @@ object Corpus {
     TextDedup.scrubSpans(delta,
       spansAgainstHotlist(spark, dir, delta, n, minSpanTokens = n))
 
+  /** Relative quality filtering (the complement of [[curate]]'s absolute
+    * threshold: "keep each source's best quarter", robust to sources
+    * whose score DISTRIBUTIONS differ — an absolute cutoff keeps
+    * everything from an easy domain and nothing from a hard one). Keeps
+    * the top `keepFrac` of each stratum by quality percent_rank, ties
+    * broken by doc_id so the kept set is fully deterministic.
+    *
+    * Cross-engine exactness: quality is the q33 integer-ratio score and
+    * percent_rank is (rank−1)/(n−1) of exact integers — both
+    * correctly-rounded single divisions, bit-identical in any engine.
+    * Scale: one window per stratum (the [[capPerStratum]] shape) —
+    * partition count scales with stratum cardinality, each ranks only
+    * its own stratum. Single-doc strata have percent_rank 0 and drop
+    * (no "best quarter" of one document).
+    */
+  def qualityQuantileFilter(docs: DataFrame, keepFrac: Double = 0.25,
+                            stratumCol: String = "source"): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1], got $keepFrac")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(stratumCol),
+        TextAnalysis.qualityExpr(col("text")).as("quality"))
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= 1.0 - keepFrac)
+  }
+
   /** Corpus version diff (the dataset-versioning primitive: what changed
     * between snapshot v1 and snapshot v2): one row per doc_id present in
     * either version with a different state — `added` (v2 only),
