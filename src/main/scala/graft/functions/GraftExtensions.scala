@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     .withExtensions(new GraftExtensions)            // programmatic, or
   *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   *
-  * so `SELECT cosine_similarity(a, b)` works in plain SQL. Planner
-  * strategies / optimizer rules would be injected here too; reference
-  * parity needs none (§4.3), so the function injection is the whole
-  * surface for now.
+  * so `SELECT cosine_similarity(a, b)` works in plain SQL, plus one
+  * optimizer rule: [[RewriteHofCosine]] turns the hand-written HOF
+  * cosine shape into the codegen'd expression (a user writing the
+  * natural `aggregate(zip_with(...))` spelling gets the fused loop
+  * transparently). Planner strategies aren't needed — reference parity
+  * composes from built-in operators (§4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -35,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kgram_min_hash"),
       new ExpressionInfo(classOf[KgramMinHash].getName, "kgram_min_hash"),
       GraftFunctions.kgramMinHashFromSql _))
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

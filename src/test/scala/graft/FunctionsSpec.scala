@@ -283,6 +283,31 @@ class FunctionsSpec extends SparkSpec {
     assert(mism == 0, s"$mism corpus fingerprints differ from the HOF form")
   }
 
+  test("RewriteHofCosine turns the HOF cosine shape into the expression") {
+    import graft.functions.RewriteHofCosine
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val hofCosine = Similarity.cosineHof(col("embedding"), col("embedding"))
+    val hofDot = Similarity.dot(col("embedding"), col("embedding"))
+    val before = emb.select(hofCosine.as("c"), hofDot.as("d"))
+    spark.experimental.extraOptimizations = Seq(RewriteHofCosine)
+    try {
+      val after = emb.select(hofCosine.as("c"), hofDot.as("d"))
+      val opt = after.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cosine_similarity"),
+        "the full cosine shape must rewrite:\n" + opt.take(600))
+      // the bare dot product is NOT the cosine shape — it must survive
+      assert(opt.contains("aggregate(zip_with"),
+        "a lone dot product must not be rewritten:\n" + opt.take(600))
+      // results bit-identical to the un-rewritten plan
+      spark.experimental.extraOptimizations = Nil
+      val base = before.as[(Double, Double)].collect().toSeq
+      spark.experimental.extraOptimizations = Seq(RewriteHofCosine)
+      assert(after.as[(Double, Double)].collect().toSeq == base)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("kgram_min_hash is callable from SQL after registration") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
