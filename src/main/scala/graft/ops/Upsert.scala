@@ -150,6 +150,73 @@ object Upsert {
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }
 
+  /** Incremental SCD2 maintenance: fold a BATCH of change events into an
+    * existing [[scd2FromChanges]] history. Affected keys (only) are
+    * recomputed from their own reconstructed change log — each history
+    * version becomes one synthetic change at its valid_from carrying its
+    * n_changes as a WEIGHT, so counts survive the round trip — unioned
+    * with the new events (weight 1); untouched keys pass through. The
+    * result equals [[scd2FromChanges]] over the full concatenated log
+    * (spec-asserted). Replay: interval boundaries, states, and versions
+    * are replay-STABLE (a re-delivered event folds into the run it
+    * already created); n_changes counts every delivery, so exactly-once
+    * counts need upstream delivery dedup — the MedallionStream anti-join
+    * pattern — exactly as the batch form needs a deduplicated log.
+    *
+    * Ordering bound, documented not checked: the recompute orders by
+    * (ts, state), so change logs must not carry two DIFFERENT states for
+    * one key at one timestamp unless that order is acceptable — the raw
+    * tiebreak column is consumed by the first fold and cannot be
+    * reconstructed. Late (out-of-order) events are handled exactly: the
+    * affected key's whole log re-folds, so an event older than the
+    * current version splits/merges intervals as the batch form would.
+    *
+    * Scale: per batch, work is proportional to the AFFECTED keys'
+    * history + the batch — never the dimension (semi/anti joins on the
+    * key; the window partitions by key).
+    */
+  def scd2ApplyChanges(history: DataFrame, changes: DataFrame, key: String,
+                       stateCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val affected = changes.select(col(key)).distinct()
+    val untouched = history.join(affected, Seq(key), "left_anti")
+    val oldLog = history.join(affected, Seq(key), "left_semi")
+      .select(col(key), col(stateCol), col("valid_from").as(tsCol),
+        col("n_changes").as("_w"))
+    val newLog = changes.select(col(key), col(stateCol), col(tsCol))
+      .withColumn("_w", lit(1L))
+    val refolded = scd2FromWeightedChanges(
+      oldLog.unionByName(newLog), Seq(key), stateCol, tsCol)
+    untouched.unionByName(refolded.select(history.columns.map(col(_)): _*))
+  }
+
+  /** [[scd2FromChanges]] over a weighted log (each row counts `_w`
+    * changes) — the recompute body of [[scd2ApplyChanges]]; ordering by
+    * (ts, state) since the original tiebreak is gone.
+    */
+  private def scd2FromWeightedChanges(changes: DataFrame, keys: Seq[String],
+                                      stateCol: String, tsCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(stateCol).asc)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy(keys.map(col): _*).orderBy(col("version"))
+    changes
+      .withColumn("_chg",
+        when(lag(col(stateCol), 1).over(w).isNull ||
+          lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
+      .withColumn("version", sum(col("_chg")).over(wRows))
+      .groupBy((keys.map(col) :+ col("version")): _*)
+      .agg(min(col(stateCol)).as(stateCol),
+        min(col(tsCol)).as("valid_from"),
+        sum(col("_w")).as("n_changes"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
+  }
+
   /** Merge a full dimension SNAPSHOT into an SCD2 history as of `asOf`:
     * current rows whose attributes changed (or whose key vanished from
     * the snapshot) close with valid_to = asOf; changed and brand-new keys

@@ -198,6 +198,65 @@ class DedupUpsertSpec extends SparkSpec {
       (1L, 2L, "B", ts("2025-01-01 00:00:00"), 1L, None, 1)))
   }
 
+  test("scd2ApplyChanges: incremental fold equals the batch form, late events included") {
+    val b1 = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00")),
+      (1L, "B", ts("2025-01-05 00:00:00")),
+      (2L, "X", ts("2025-01-02 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    // batch 2 carries a LATE event (1, C, Jan 3) that splits 1's first run
+    val b2 = Seq(
+      (1L, "C", ts("2025-01-03 00:00:00")),
+      (2L, "X", ts("2025-01-06 00:00:00")), // same state: extends the run
+      (3L, "N", ts("2025-01-04 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val h1 = Upsert.scd2FromChanges(b1, Seq("user_id"), "event_type", "ts")
+    val inc = Upsert.scd2ApplyChanges(h1, b2, "user_id", "event_type", "ts")
+    val full = Upsert.scd2FromChanges(b1.unionByName(b2), Seq("user_id"),
+      "event_type", "ts", tieCols = Seq("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          Option[java.sql.Timestamp], Int)].collect().toSet
+    assert(canon(inc) == canon(full),
+      "incremental fold must equal the batch recompute over the full log")
+    // the late event really split the interval
+    assert(canon(inc).exists(r => r._1 == 1L && r._3 == "C"))
+  }
+
+  test("scd2 streaming maintenance: history converges trigger by trigger") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2s").toString
+    val (src, hist, cp) = (s"$root/src", s"$root/hist", s"$root/cp")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val b1 = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00")),
+      (1L, "B", ts("2025-01-05 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "C", ts("2025-01-03 00:00:00")), // late: splits the A run
+      (2L, "X", ts("2025-01-02 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    b1.write.mode("append").parquet(src)
+    graft.streaming.Scd2Stream.runOnce(spark, src, hist, cp, schema,
+      "user_id", "event_type", "ts")
+    b2.write.mode("append").parquet(src)
+    val out = graft.streaming.Scd2Stream.runOnce(spark, src, hist, cp, schema,
+      "user_id", "event_type", "ts")
+    val full = Upsert.scd2FromChanges(b1.unionByName(b2), Seq("user_id"),
+      "event_type", "ts", tieCols = Seq("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          Option[java.sql.Timestamp], Int)].collect().toSet
+    assert(canon(out) == canon(full),
+      "streamed history must equal the batch recompute over all changes")
+  }
+
   test("scd2Merge: unchanged passes, changed closes+opens, vanished closes, new opens") {
     val history = Seq(
       // k1: one closed + one current (will be UNCHANGED)
