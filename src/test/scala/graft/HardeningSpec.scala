@@ -166,6 +166,28 @@ class HardeningSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 0)
   }
 
+  test("span/hotlist/diff degenerate inputs: empty corpora and states are no-ops") {
+    import graft.text.{Corpus, TextDedup}
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    // no docs -> no spans; scrub of nothing is nothing
+    assert(TextDedup.repeatedSpans(emptyDocs).count() == 0)
+    assert(TextDedup.scrubRepeatedSpans(emptyDocs).count() == 0)
+    // hotlist built from an empty corpus: probes flag nothing, scrub is
+    // identity (modulo whitespace normalization)
+    val hotDir = java.nio.file.Files
+      .createTempDirectory("graft-hot-empty").toString + "/state"
+    Corpus.writeHotlist(emptyDocs, hotDir)
+    val delta = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    assert(Corpus.boilerplateAgainstHotlist(spark, hotDir, delta)
+      .select("n_boiler").as[Long].head() == 0L)
+    assert(Corpus.spansAgainstHotlist(spark, hotDir, delta).count() == 0)
+    assert(Corpus.scrubAgainstHotlist(spark, hotDir, delta)
+      .select("clean_text").as[String].head() == "a a a b")
+    // corpus diff against an identical snapshot is empty
+    val d = Seq((1L, "same"), (2L, "rows")).toDF("doc_id", "text")
+    assert(Corpus.corpusDiff(d, d).count() == 0)
+  }
+
   test("GraftSession.build configures UTC/AQE and registers SQL functions") {
     // getOrCreate returns the already-running test session but must still
     // register the functions on it.
