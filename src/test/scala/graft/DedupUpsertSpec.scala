@@ -257,6 +257,45 @@ class DedupUpsertSpec extends SparkSpec {
       "streamed history must equal the batch recompute over all changes")
   }
 
+  test("property: scd2 invariants hold on random change streams") {
+    // deterministic pseudo-random stream: keys x states x minute offsets
+    val rnd = new scala.util.Random(7)
+    val changes = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong,                       // user_id
+        ("S" + rnd.nextInt(4)),                      // event_type
+        ts(f"2025-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        i.toLong)                                    // unique tiebreak
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val h = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
+      "ts", tieCols = Seq("event_id"))
+      .as[(Long, Long, String, java.sql.Timestamp, Long,
+        Option[java.sql.Timestamp], Int)].collect()
+    val byKey = h.groupBy(_._1)
+    // every event lands in exactly one interval
+    assert(h.map(_._5).sum == 400L, "n_changes must partition the events")
+    byKey.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      // versions are 1..n contiguous
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"key $k versions not contiguous")
+      // exactly one open interval, and it is the last version
+      assert(sorted.count(_._6.isEmpty) == 1 && sorted.last._6.isEmpty,
+        s"key $k open-interval shape broken")
+      // intervals chain: valid_to == next valid_from; valid_from monotone
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._6.contains(b._4), s"key $k intervals don't chain")
+          assert(!b._4.before(a._4), s"key $k valid_from not monotone")
+        case _ =>
+      }
+      // adjacent versions always change state (runs are maximal)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 != b._3, s"key $k run not maximal")
+        case _ =>
+      }
+    }
+  }
+
   test("scd2Merge: unchanged passes, changed closes+opens, vanished closes, new opens") {
     val history = Seq(
       // k1: one closed + one current (will be UNCHANGED)
