@@ -436,6 +436,12 @@ object SparkEntry {
     "q86_boilerplate_fraction" -> ((s, dir) =>
       graft.text.Corpus.boilerplateFraction(t(s, dir, "documents"),
         minDocs = 2)),
+    // A9 production hotlist (rows-only; q85 is the text-carrying exact
+    // twin): 8-byte rows end to end — every in-engine consumer probes by
+    // hash identity, so the n-gram text never exists on this path.
+    "q109_hot_hashes" -> ((s, dir) =>
+      graft.text.Corpus.boilerplateHotHashes(t(s, dir, "documents"),
+        minDocs = 2)),
     // A9 decontamination at fixed memory: the train side folds into one
     // bloom filter (engine-internal hashes — rows-only; q68/q79 are the
     // exact oracle twins, and TextSpec pins the no-false-negative bound).

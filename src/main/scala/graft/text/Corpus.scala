@@ -260,11 +260,28 @@ object Corpus {
 
   /** Hash values whose document frequency reaches `minDocs`, from the
     * distinct (doc_id, _h) pairs — the hotlist side of
-    * [[boilerplateFraction]]'s semi-join.
+    * [[boilerplateFraction]]'s flag join, and the PRODUCTION form of
+    * [[boilerplateNgrams]] (q64-to-q30 twin relation): every consumer in
+    * this engine probes the hotlist by hash identity, so the n-gram TEXT
+    * — the one payload that makes q85 carry strings through its
+    * aggregate — never needs to exist. 8-byte rows end to end.
     */
-  private def hotHashes(hashed: DataFrame, minDocs: Int): DataFrame =
+  private[text] def hotHashes(hashed: DataFrame, minDocs: Int): DataFrame =
     hashed.groupBy(col("_h")).agg(count(lit(1)).as("_dfh"))
       .filter(col("_dfh") >= minDocs).select(col("_h"))
+
+  /** The text-free boilerplate hotlist — (hot_hash, df) — for consumers
+    * that probe by identity (all of them: [[boilerplateFraction]],
+    * [[writeHotlist]]'s probes, the streaming scrub). The oracle-checked
+    * text form [[boilerplateNgrams]] (q85) is this query's md5-style
+    * exact twin; hashes are engine-internal, so this path is rows-only
+    * checked (TextSpec pins row parity between the two).
+    */
+  def boilerplateHotHashes(docs: DataFrame, minDocs: Int = 3,
+                           n: Int = 3): DataFrame =
+    hashedShingles(docs, n)
+      .groupBy(col("_h").as("hot_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
 
   /** Cross-corpus repeated n-grams (the "boilerplate" signal of C4-style
     * line dedup, at n-gram granularity): every word n-gram appearing in

@@ -210,6 +210,16 @@ class TextSpec extends SparkSpec {
       .as[(String, Long)].collect().isEmpty)
   }
 
+  test("boilerplateHotHashes is df-parallel to the text hotlist (q85/q109 twins)") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val text = Corpus.boilerplateNgrams(d, minDocs = 2)
+      .select("df").as[Long].collect().sorted.toSeq
+    val hashes = Corpus.boilerplateHotHashes(d, minDocs = 2)
+      .select("df").as[Long].collect().sorted.toSeq
+    assert(hashes == text,
+      "the hash path must find exactly the text path's hot set (df multiset)")
+  }
+
   test("boilerplateFraction: exact shares; clean docs score zero") {
     val d = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
     val out = Corpus.boilerplateFraction(d, minDocs = 2)
