@@ -1634,12 +1634,13 @@ object SparkEntry {
         |  FROM marked),
         |runs AS (
         |  SELECT user_id, version, MIN(event_type) AS event_type,
-        |    MIN(ts) AS valid_from, COUNT(*) AS n_changes
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_changes,
+        |    MAX(ts) AS last_ts
         |  FROM ver GROUP BY user_id, version)
         |SELECT user_id, version, event_type, valid_from,
         |  LEAD(valid_from) OVER
         |    (PARTITION BY user_id ORDER BY version) AS valid_to,
-        |  n_changes,
+        |  n_changes, last_ts,
         |  CAST(CASE WHEN LEAD(valid_from) OVER
         |    (PARTITION BY user_id ORDER BY version) IS NULL
         |    THEN 1 ELSE 0 END AS INT) AS is_current

@@ -111,11 +111,12 @@ object Upsert {
 
   /** Type-2 (history-preserving) dimension from a change STREAM: one
     * validity interval per maximal run of equal `stateCol` per key —
-    * (keys..., version, state, valid_from, valid_to, n_changes,
+    * (keys..., version, state, valid_from, n_changes, last_ts, valid_to,
     * is_current), versions numbered 1.. per key, the open version's
-    * valid_to NULL. The reference's dims are type-1 (delete+insert,
-    * [[merge]] — history lost); this is the standard history-keeping
-    * complement, derived from raw changes in one pass.
+    * valid_to NULL, `last_ts` the newest event timestamp inside the run.
+    * The reference's dims are type-1 (delete+insert, [[merge]] — history
+    * lost); this is the standard history-keeping complement, derived from
+    * raw changes in one pass.
     *
     * Determinism: rows order by (ts, tieCols...) inside each key — pass a
     * unique tiebreaker (an event id) or equal-timestamp flips are
@@ -144,32 +145,49 @@ object Upsert {
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol), // constant within a run
         min(col(tsCol)).as("valid_from"),
-        count(lit(1)).as("n_changes"))
+        count(lit(1)).as("n_changes"),
+        max(col(tsCol)).as("last_ts"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }
 
-  /** Incremental SCD2 maintenance: fold a BATCH of change events into an
-    * existing [[scd2FromChanges]] history. Affected keys (only) are
-    * recomputed from their own reconstructed change log — each history
-    * version becomes one synthetic change at its valid_from carrying its
-    * n_changes as a WEIGHT, so counts survive the round trip — unioned
-    * with the new events (weight 1); untouched keys pass through. The
-    * result equals [[scd2FromChanges]] over the full concatenated log
-    * (spec-asserted). Replay: interval boundaries, states, and versions
-    * are replay-STABLE (a re-delivered event folds into the run it
-    * already created); n_changes counts every delivery, so exactly-once
-    * counts need upstream delivery dedup — the MedallionStream anti-join
-    * pattern — exactly as the batch form needs a deduplicated log.
+  /** Incremental SCD2 maintenance WITHOUT a raw change log: fold a BATCH
+    * of change events into an existing [[scd2FromChanges]] history.
+    * Affected keys (only) are recomputed from their own reconstructed
+    * change log — each history version becomes TWO synthetic changes, one
+    * at `valid_from` (weight n_changes−1) and one at `last_ts` (weight 1)
+    * — unioned with the new events (weight 1); untouched keys pass
+    * through. Interior event timestamps between those two endpoints are
+    * NOT recoverable from the history, which bounds the exactness
+    * contract (spec-asserted both ways):
+    *
+    *  - EXACT (equals [[scd2FromChanges]] over the full concatenated
+    *    log, `last_ts` included) whenever no batch event with a state
+    *    different from a run's lands STRICTLY inside that run's
+    *    (valid_from, last_ts) while the run has ≥3 changes. In
+    *    particular all in-order appends, new keys, late events between
+    *    runs, late events inside 1- or 2-event runs, and late events at
+    *    or after a run's last_ts are exact.
+    *  - INEXACT otherwise: a state-differing event strictly between a
+    *    ≥3-change run's endpoints re-opens the old state at `last_ts`
+    *    rather than at the (unrecorded) first interior event after the
+    *    intruder, shifting that boundary and its n_changes/last_ts.
+    *    [[scd2LateConflicts]] detects exactly these rows; route those
+    *    keys through [[scd2ApplyChangesExact]] (which refolds from the
+    *    persisted raw log) when the log is retained.
+    *
+    * Replay: interval boundaries, states, and versions are replay-STABLE
+    * (a re-delivered event folds into the run it already created);
+    * n_changes counts every delivery, so exactly-once counts need
+    * upstream delivery dedup — the MedallionStream anti-join pattern —
+    * exactly as the batch form needs a deduplicated log.
     *
     * Ordering bound, documented not checked: the recompute orders by
     * (ts, state), so change logs must not carry two DIFFERENT states for
     * one key at one timestamp unless that order is acceptable — the raw
     * tiebreak column is consumed by the first fold and cannot be
-    * reconstructed. Late (out-of-order) events are handled exactly: the
-    * affected key's whole log re-folds, so an event older than the
-    * current version splits/merges intervals as the batch form would.
+    * reconstructed.
     *
     * Scale: per batch, work is proportional to the AFFECTED keys'
     * history + the batch — never the dimension (semi/anti joins on the
@@ -180,13 +198,76 @@ object Upsert {
     import org.apache.spark.sql.functions._
     val affected = changes.select(col(key)).distinct()
     val untouched = history.join(affected, Seq(key), "left_anti")
-    val oldLog = history.join(affected, Seq(key), "left_semi")
-      .select(col(key), col(stateCol), col("valid_from").as(tsCol),
-        col("n_changes").as("_w"))
+    val base = history.join(affected, Seq(key), "left_semi")
+    // two-point reconstruction: the run's first and last REAL event
+    // timestamps are known; weights preserve the total change count
+    val headLog = base.select(col(key), col(stateCol),
+      col("valid_from").as(tsCol),
+      when(col("last_ts") > col("valid_from"), col("n_changes") - 1)
+        .otherwise(col("n_changes")).as("_w"))
+    val tailLog = base.filter(col("last_ts") > col("valid_from"))
+      .select(col(key), col(stateCol), col("last_ts").as(tsCol),
+        lit(1L).as("_w"))
     val newLog = changes.select(col(key), col(stateCol), col(tsCol))
       .withColumn("_w", lit(1L))
     val refolded = scd2FromWeightedChanges(
-      oldLog.unionByName(newLog), Seq(key), stateCol, tsCol)
+      headLog.unionByName(tailLog).unionByName(newLog), Seq(key), stateCol,
+      tsCol)
+    untouched.unionByName(refolded.select(history.columns.map(col(_)): _*))
+  }
+
+  /** Detector for the one case [[scd2ApplyChanges]] cannot refold exactly:
+    * batch rows whose state differs from a history run of the same key
+    * with ≥3 changes and whose timestamp lands STRICTLY inside that run's
+    * (valid_from, last_ts) — the interior event times needed to place the
+    * re-opened boundary are not in the history. Returns the offending
+    * change rows joined with the conflicting run's version. Empty result
+    * ⇒ [[scd2ApplyChanges]] is exact for this batch. Route non-empty keys
+    * through [[scd2ApplyChangesExact]].
+    *
+    * Scale: semi-filtered history ⋈ changes on the key only — per-key
+    * work is runs × batch-rows for that key, never corpus-wide.
+    */
+  def scd2LateConflicts(history: DataFrame, changes: DataFrame, key: String,
+                        stateCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val runs = history.filter(col("n_changes") >= 3)
+      .select(col(key), col(stateCol).as("_run_state"),
+        col("valid_from"), col("last_ts"), col("version"))
+    changes.join(runs, Seq(key))
+      .filter(col(stateCol) =!= col("_run_state") &&
+        col(tsCol) > col("valid_from") && col(tsCol) < col("last_ts"))
+      .select(col(key), col(stateCol), col(tsCol), col("version"))
+  }
+
+  /** Exact incremental SCD2 maintenance from a PERSISTED raw change log:
+    * affected keys refold from their real events (`rawLog` ∪ `changes`),
+    * so every late event — including state-differing events strictly
+    * inside multi-event runs, where [[scd2ApplyChanges]] is documented
+    * inexact — lands exactly where the batch fold would put it. The
+    * result equals [[scd2FromChanges]] over `rawLog ∪ changes`
+    * (spec-asserted on random late-event streams). `rawLog` must hold
+    * every event already folded into `history` (and may hold more — extra
+    * keys are ignored via the semi-join); the caller appends `changes` to
+    * the log after (or atomically with) this call.
+    *
+    * Scale: the refold reads only the affected keys' slice of the log
+    * (key semi-join — partition/bucket the log by key so the probe
+    * prunes), and window work partitions by key. Storage trades against
+    * [[scd2ApplyChanges]]: the log is O(events), the history O(runs).
+    */
+  def scd2ApplyChangesExact(history: DataFrame, rawLog: DataFrame,
+                            changes: DataFrame, key: String, stateCol: String,
+                            tsCol: String, tieCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val affected = changes.select(col(key)).distinct()
+    val untouched = history.join(affected, Seq(key), "left_anti")
+    val logCols = (Seq(key, stateCol, tsCol) ++ tieCols).map(col(_))
+    val fullLog = rawLog.select(logCols: _*)
+      .join(affected, Seq(key), "left_semi")
+      .unionByName(changes.select(logCols: _*))
+    val refolded = scd2FromChanges(fullLog, Seq(key), stateCol, tsCol, tieCols)
     untouched.unionByName(refolded.select(history.columns.map(col(_)): _*))
   }
 
@@ -211,7 +292,8 @@ object Upsert {
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol),
         min(col(tsCol)).as("valid_from"),
-        sum(col("_w")).as("n_changes"))
+        sum(col("_w")).as("n_changes"),
+        max(col(tsCol)).as("last_ts"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))

@@ -171,15 +171,17 @@ class DedupUpsertSpec extends SparkSpec {
     ).toDF("user_id", "event_type", "ts", "event_id")
     val out = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
       "ts", tieCols = Seq("event_id"))
-      .as[(Long, Long, String, java.sql.Timestamp, Long,
+      .as[(Long, Long, String, java.sql.Timestamp, Long, java.sql.Timestamp,
         Option[java.sql.Timestamp], Int)].collect().toSet
     assert(out == Set(
-      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 2L,
+      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 2L, ts("2025-01-02 00:00:00"),
         Some(ts("2025-01-03 00:00:00")), 0),
-      (1L, 2L, "B", ts("2025-01-03 00:00:00"), 1L,
+      (1L, 2L, "B", ts("2025-01-03 00:00:00"), 1L, ts("2025-01-03 00:00:00"),
         Some(ts("2025-01-04 00:00:00")), 0),
-      (1L, 3L, "A", ts("2025-01-04 00:00:00"), 1L, None, 1),
-      (2L, 1L, "X", ts("2025-01-01 00:00:00"), 1L, None, 1)))
+      (1L, 3L, "A", ts("2025-01-04 00:00:00"), 1L, ts("2025-01-04 00:00:00"),
+        None, 1),
+      (2L, 1L, "X", ts("2025-01-01 00:00:00"), 1L, ts("2025-01-01 00:00:00"),
+        None, 1)))
   }
 
   test("scd2FromChanges: same-timestamp flip yields a zero-duration version") {
@@ -190,12 +192,13 @@ class DedupUpsertSpec extends SparkSpec {
     val out = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
       "ts", tieCols = Seq("event_id"))
       .orderBy("version")
-      .as[(Long, Long, String, java.sql.Timestamp, Long,
+      .as[(Long, Long, String, java.sql.Timestamp, Long, java.sql.Timestamp,
         Option[java.sql.Timestamp], Int)].collect().toSeq
     assert(out == Seq(
-      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 1L,
+      (1L, 1L, "A", ts("2025-01-01 00:00:00"), 1L, ts("2025-01-01 00:00:00"),
         Some(ts("2025-01-01 00:00:00")), 0),
-      (1L, 2L, "B", ts("2025-01-01 00:00:00"), 1L, None, 1)))
+      (1L, 2L, "B", ts("2025-01-01 00:00:00"), 1L, ts("2025-01-01 00:00:00"),
+        None, 1)))
   }
 
   test("scd2ApplyChanges: incremental fold equals the batch form, late events included") {
@@ -216,13 +219,116 @@ class DedupUpsertSpec extends SparkSpec {
       "event_type", "ts", tieCols = Seq("event_type"))
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("user_id", "version", "event_type", "valid_from",
-        "n_changes", "valid_to", "is_current")
+        "n_changes", "last_ts", "valid_to", "is_current")
         .as[(Long, Long, String, java.sql.Timestamp, Long,
-          Option[java.sql.Timestamp], Int)].collect().toSet
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+    // no batch event lands strictly inside a >=3-change run, so the
+    // no-log fold is in its EXACT regime — last_ts included
+    assert(Upsert.scd2LateConflicts(h1, b2, "user_id", "event_type", "ts")
+      .isEmpty, "detector must be empty in the exact regime")
     assert(canon(inc) == canon(full),
       "incremental fold must equal the batch recompute over the full log")
     // the late event really split the interval
     assert(canon(inc).exists(r => r._1 == 1L && r._3 == "C"))
+  }
+
+  test("scd2ApplyChanges: late event inside a 2-event run is exact (two-point)") {
+    // run A holds events at Jan 1 and Jan 3; the late B lands STRICTLY
+    // between them. One-point reconstruction (pre-round-8) lost the Jan 3
+    // event and ended the history on B; both endpoints are stored, so the
+    // refold re-opens A at Jan 3 exactly as the batch fold does.
+    val b1 = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00")),
+      (1L, "A", ts("2025-01-03 00:00:00"))).toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "B", ts("2025-01-02 00:00:00"))).toDF("user_id", "event_type", "ts")
+    val h1 = Upsert.scd2FromChanges(b1, Seq("user_id"), "event_type", "ts")
+    assert(Upsert.scd2LateConflicts(h1, b2, "user_id", "event_type", "ts")
+      .isEmpty, "2-event runs are fully reconstructable — no conflict")
+    val inc = Upsert.scd2ApplyChanges(h1, b2, "user_id", "event_type", "ts")
+    val full = Upsert.scd2FromChanges(b1.unionByName(b2), Seq("user_id"),
+      "event_type", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "last_ts", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+    assert(canon(inc) == canon(full))
+    // current state must be A again (the bug fixed in round 8: one-point
+    // reconstruction left B current)
+    assert(canon(inc).collect { case r if r._8 == 1 => r._3 } == Set("A"))
+  }
+
+  test("scd2LateConflicts detects the inexact case; scd2ApplyChangesExact fixes it") {
+    // >=3-change run A(Jan1, Jan3, Jan5); late B at Jan 2 lands strictly
+    // inside — the interior Jan 3 event is unrecoverable from history
+    // alone, so the no-log fold diverges, the detector flags the row, and
+    // the raw-log refold equals the batch fold exactly.
+    val b1 = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00")),
+      (1L, "A", ts("2025-01-03 00:00:00")),
+      (1L, "A", ts("2025-01-05 00:00:00"))).toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "B", ts("2025-01-02 00:00:00")),
+      (2L, "X", ts("2025-01-04 00:00:00"))).toDF("user_id", "event_type", "ts")
+    val h1 = Upsert.scd2FromChanges(b1, Seq("user_id"), "event_type", "ts")
+    val conflicts = Upsert.scd2LateConflicts(
+      h1, b2, "user_id", "event_type", "ts").collect()
+    assert(conflicts.length == 1 && conflicts.head.getLong(0) == 1L,
+      "exactly the interior state-flip must be flagged")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "last_ts", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+    val full = Upsert.scd2FromChanges(b1.unionByName(b2), Seq("user_id"),
+      "event_type", "ts")
+    val exact = Upsert.scd2ApplyChangesExact(
+      h1, b1, b2, "user_id", "event_type", "ts")
+    assert(canon(exact) == canon(full),
+      "raw-log refold must equal the batch fold on the conflicted key")
+    // and the documented inexactness is REAL: the no-log fold re-opens A
+    // at last_ts (Jan 5) instead of the true interior boundary (Jan 3)
+    val inc = Upsert.scd2ApplyChanges(h1, b2, "user_id", "event_type", "ts")
+    assert(canon(inc) != canon(full),
+      "without the raw log this case is approximate by design")
+  }
+
+  test("property: exact incremental chain equals batch fold on random late streams") {
+    val rnd = new scala.util.Random(13)
+    val all = (0 until 300).map { i =>
+      (rnd.nextInt(8).toLong, "S" + rnd.nextInt(3),
+        ts(f"2025-01-${1 + rnd.nextInt(27)}%02d 00:00:00"), i.toLong)
+    }
+    // three shuffled batches — late events across batches guaranteed
+    val batches = rnd.shuffle(all).grouped(100).toSeq
+      .map(_.toDF("user_id", "event_type", "ts", "event_id"))
+    var hist = Upsert.scd2FromChanges(
+      batches.head.limit(0), Seq("user_id"), "event_type", "ts",
+      tieCols = Seq("event_id"))
+    var log = batches.head.limit(0)
+    for (b <- batches) {
+      hist = Upsert.scd2ApplyChangesExact(hist, log, b, "user_id",
+        "event_type", "ts", tieCols = Seq("event_id"))
+      log = log.unionByName(b)
+      // materialize to keep the plan chain short across iterations
+      hist = hist.localCheckpoint(true)
+      log = log.localCheckpoint(true)
+    }
+    val full = Upsert.scd2FromChanges(all.toDF("user_id", "event_type", "ts",
+      "event_id"), Seq("user_id"), "event_type", "ts",
+      tieCols = Seq("event_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "last_ts", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+    assert(canon(hist) == canon(full),
+      "exact chain must reproduce the batch fold, late events and all")
   }
 
   test("scd2 streaming maintenance: history converges trigger by trigger") {
@@ -257,6 +363,43 @@ class DedupUpsertSpec extends SparkSpec {
       "streamed history must equal the batch recompute over all changes")
   }
 
+  test("scd2ExactQuery: raw-log stream is exact through an interior state flip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2x").toString
+    val (src, hist, rawLog, cp) =
+      (s"$root/src", s"$root/hist", s"$root/log", s"$root/cp")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    // batch 1 builds a 3-event A run; batch 2's late B lands strictly
+    // inside it — the no-log stream is documented-approximate here, the
+    // raw-log stream must match the batch fold
+    val b1 = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00")),
+      (1L, "A", ts("2025-01-03 00:00:00")),
+      (1L, "A", ts("2025-01-05 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "B", ts("2025-01-02 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    b1.write.mode("append").parquet(src)
+    graft.streaming.Scd2Stream.runOnceExact(spark, src, hist, rawLog, cp,
+      schema, "user_id", "event_type", "ts")
+    b2.write.mode("append").parquet(src)
+    val out = graft.streaming.Scd2Stream.runOnceExact(spark, src, hist,
+      rawLog, cp, schema, "user_id", "event_type", "ts")
+    val full = Upsert.scd2FromChanges(b1.unionByName(b2), Seq("user_id"),
+      "event_type", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "event_type", "valid_from",
+        "n_changes", "last_ts", "valid_to", "is_current")
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+    assert(canon(out) == canon(full),
+      "exact stream must reproduce the batch fold through the conflict")
+  }
+
   test("property: scd2 invariants hold on random change streams") {
     // deterministic pseudo-random stream: keys x states x minute offsets
     val rnd = new scala.util.Random(7)
@@ -268,23 +411,28 @@ class DedupUpsertSpec extends SparkSpec {
     }.toDF("user_id", "event_type", "ts", "event_id")
     val h = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
       "ts", tieCols = Seq("event_id"))
-      .as[(Long, Long, String, java.sql.Timestamp, Long,
+      .as[(Long, Long, String, java.sql.Timestamp, Long, java.sql.Timestamp,
         Option[java.sql.Timestamp], Int)].collect()
     val byKey = h.groupBy(_._1)
     // every event lands in exactly one interval
     assert(h.map(_._5).sum == 400L, "n_changes must partition the events")
+    // last event of a run is bracketed by its interval
+    h.foreach { r =>
+      assert(!r._6.before(r._4), "last_ts must be >= valid_from")
+      r._7.foreach(vt => assert(!r._6.after(vt), "last_ts must be <= valid_to"))
+    }
     byKey.foreach { case (k, rows) =>
       val sorted = rows.sortBy(_._2).toSeq
       // versions are 1..n contiguous
       assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
         s"key $k versions not contiguous")
       // exactly one open interval, and it is the last version
-      assert(sorted.count(_._6.isEmpty) == 1 && sorted.last._6.isEmpty,
+      assert(sorted.count(_._7.isEmpty) == 1 && sorted.last._7.isEmpty,
         s"key $k open-interval shape broken")
       // intervals chain: valid_to == next valid_from; valid_from monotone
       sorted.sliding(2).foreach {
         case Seq(a, b) =>
-          assert(a._6.contains(b._4), s"key $k intervals don't chain")
+          assert(a._7.contains(b._4), s"key $k intervals don't chain")
           assert(!b._4.before(a._4), s"key $k valid_from not monotone")
         case _ =>
       }

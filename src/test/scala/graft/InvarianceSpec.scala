@@ -220,8 +220,9 @@ class InvarianceSpec extends SparkSpec {
     def hist(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Upsert.scd2FromChanges(df, Seq("user_id"), "event_type",
         "ts", tieCols = Seq("event_id"))
-        .as[(Long, Long, String, java.sql.Timestamp,
-          Long, Option[java.sql.Timestamp], Int)].collect().toSet
+        .as[(Long, Long, String, java.sql.Timestamp, Long,
+          java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
     assert(hist(ev.repartition(9)) == hist(ev))
     val docs = Tables.load(spark, sf, "documents")
     val v2 = docs.withColumn("text",
