@@ -21,8 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * 0.0 and yield a silently wrong similarity. Length mismatch throws:
   * truncating to min(n) would compare different vectors than the caller
   * thinks (same fail-loudly contract as [[LshBucket]]).
+  *
+  * Zero-norm (or empty) vectors follow DIVISION semantics, mirroring the
+  * HOF form's `Divide` exactly: NULL when ANSI is off, the standard
+  * DIVIDE_BY_ZERO error when ANSI is on (`failOnError` captured from
+  * SQLConf at construction, the `Divide` convention). Returning NaN here
+  * — the naive 0/0 — would be a trap: Spark orders NaN ABOVE every
+  * double, so a single zero-norm embedding would silently win every
+  * descending top-k similarity search.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -43,14 +52,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSimilarityMath.compute(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], failOnError)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("cosRes")
       s"""
          |java.lang.Double $r =
-         |  graft.functions.CosineSimilarityMath.compute($a, $b);
+         |  graft.functions.CosineSimilarityMath.compute($a, $b, $failOnError);
          |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -71,7 +80,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object CosineSimilarityMath {
 
-  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+  // QueryExecutionErrors.divideByZeroError is private[sql] at the Scala
+  // level but bytecode-public — one reflective lookup at classload (the
+  // GraftFunctions/ExpressionUtils pattern) yields the exact ANSI error
+  // (class, SQLSTATE, message) the HOF form's Divide raises.
+  private val divideByZeroError: java.lang.reflect.Method = {
+    val cls = Class.forName("org.apache.spark.sql.errors.QueryExecutionErrors$")
+    cls.getMethod("divideByZeroError", classOf[org.apache.spark.QueryContext])
+  }
+  private val queryExecutionErrors: AnyRef =
+    Class.forName("org.apache.spark.sql.errors.QueryExecutionErrors$")
+      .getField("MODULE$").get(null)
+
+  def compute(x: ArrayData, y: ArrayData, failOnError: Boolean)
+      : java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) {
       throw new IllegalArgumentException(
@@ -91,6 +113,16 @@ object CosineSimilarityMath {
       na += xi * xi
       nb += yi * yi
       i += 1
+    }
+    if (na == 0.0 || nb == 0.0) {
+      // division semantics, matching the HOF `Divide` the rewrite replaces:
+      // ANSI throws DIVIDE_BY_ZERO, non-ANSI yields NULL — never NaN, which
+      // would sort above every real similarity in a descending top-k
+      if (failOnError) {
+        throw divideByZeroError.invoke(queryExecutionErrors, null)
+          .asInstanceOf[ArithmeticException]
+      }
+      return null
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }

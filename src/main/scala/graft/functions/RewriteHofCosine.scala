@@ -21,10 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * children deterministic float arrays (checked semantically, so
   * aliased subtrees match). [[CosineSimilarity]] is spec-pinned
   * bit-identical to the HOF chain on well-formed input, including NULL
-  * propagation for null elements; on MALFORMED input (length-mismatched
-  * arrays) the expression throws where the HOF form silently returned
-  * NULL — the engine's fail-loudly contract (the LshBucket precedent),
-  * documented here because the rewrite widens it to HOF spellings.
+  * propagation for null elements AND the zero-norm/empty-array case,
+  * which follows the HOF form's `Divide` semantics exactly (NULL when
+  * ANSI is off, DIVIDE_BY_ZERO when ANSI is on — spec-pinned both
+  * modes). The one remaining divergence is MALFORMED input
+  * (length-mismatched arrays), where the expression throws where the HOF
+  * form silently returned NULL — the engine's fail-loudly contract (the
+  * LshBucket precedent), documented here because the rewrite widens it
+  * to HOF spellings.
   *
   * Injected by [[GraftExtensions]] (`injectOptimizerRule`); tests apply
   * it to an existing session via `spark.experimental.extraOptimizations`.

@@ -110,7 +110,8 @@ class FunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val nullArr = ArrayData.toArrayData(Array[Any](1.0f, null, 3.0f))
     val okArr = ArrayData.toArrayData(Array[Any](1.0f, 2.0f, 3.0f))
-    assert(graft.functions.CosineSimilarityMath.compute(nullArr, okArr) == null)
+    assert(graft.functions.CosineSimilarityMath.compute(nullArr, okArr,
+      failOnError = false) == null)
   }
 
   test("cosine_similarity throws on a length mismatch (no silent truncation)") {
@@ -306,6 +307,52 @@ class FunctionsSpec extends SparkSpec {
     } finally {
       spark.experimental.extraOptimizations = Nil
     }
+  }
+
+  test("CosineSimilarity zero-norm follows Divide semantics in both ANSI modes") {
+    import graft.functions.RewriteHofCosine
+    val df = Seq((Array(0f, 0f), Array(1f, 2f)),
+      (Array.empty[Float], Array.empty[Float])).toDF("ea", "eb")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      // ANSI on (the Spark 4 default): the HOF form's Divide throws
+      // DIVIDE_BY_ZERO — the expression must throw the same error
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      def msgOf(t: Throwable): String = {
+        val sw = new java.io.StringWriter()
+        t.printStackTrace(new java.io.PrintWriter(sw)); sw.toString
+      }
+      val exprT = intercept[Exception] {
+        df.select(Similarity.cosine(col("ea"), col("eb"))).collect()
+      }
+      assert(msgOf(exprT).contains("DIVIDE_BY_ZERO"), msgOf(exprT).take(300))
+      val hofT = intercept[Exception] {
+        df.select(Similarity.cosineHof(col("ea"), col("eb"))).collect()
+      }
+      assert(msgOf(hofT).contains("DIVIDE_BY_ZERO"), msgOf(hofT).take(300))
+      // ANSI off: both yield NULL — and never NaN, which would sort above
+      // every real similarity in a descending top-k
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val rows = df.select(Similarity.cosine(col("ea"), col("eb")).as("c"),
+        Similarity.cosineHof(col("ea"), col("eb")).as("h")).collect()
+      assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+        "zero-norm cosine must be NULL under non-ANSI, matching the HOF form")
+      // and the rewrite preserves that NULL (the round-7 rule used to turn
+      // these rows into NaN) — via parquet so ConvertToLocalRelation can't
+      // collapse the plan before the assertion reads it
+      val zdir = java.nio.file.Files.createTempDirectory("graft-zn").toString
+      df.write.mode("overwrite").parquet(zdir)
+      spark.experimental.extraOptimizations = Seq(RewriteHofCosine)
+      try {
+        val zdf = spark.read.parquet(zdir)
+        val rewritten =
+          zdf.select(Similarity.cosineHof(col("ea"), col("eb")).as("h"))
+        assert(rewritten.queryExecution.optimizedPlan.toString
+          .contains("cosine_similarity"), "rewrite must still fire")
+        assert(rewritten.collect().forall(_.isNullAt(0)),
+          "rewritten zero-norm cosine must stay NULL")
+      } finally spark.experimental.extraOptimizations = Nil
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
   test("kgram_min_hash is callable from SQL after registration") {
