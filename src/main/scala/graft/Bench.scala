@@ -62,11 +62,18 @@ object Bench {
     // Warm-up: exercise codegen, shuffle machinery, and every table's
     // parquet footer once, on the smallest SF — with the SAME forcing as
     // the timed passes, so the timed run never pays first-JIT for code
-    // paths the warm-up would have pruned.
+    // paths the warm-up would have pruned. The warm-up is also TIMED
+    // (post-JIT it is dominated by per-query fixed overhead, not data),
+    // giving each query a same-process reference point for the outlier
+    // guard below.
     val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (_, fn) =>
-      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
-    }
+    val warmTimes: Map[String, Double] = queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     spark.catalog.clearCache()
 
     // A failed query must NOT masquerade as a fast one: its time is
@@ -101,9 +108,47 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((name, t1, ok1), (_, t2, ok2)) =>
+    val min2 = p1.zip(p2).map { case ((name, t1, ok1), (_, t2, ok2)) =>
       // Both passes must succeed for the query to count as ok.
       (name, if (ok1 && ok2) math.min(t1, t2) else -1.0, ok1 && ok2)
+    }
+    // Outlier guard: min-of-2 is still hostage to a CORRELATED transient —
+    // round 7's driver run recorded q47 at 6.95 s (both passes slow) that
+    // three clean re-runs measured at 0.73 s, inflating the round headline
+    // from 1.66x to 2.04x. A query is an outlier candidate when its
+    // min-of-2 exceeds max(3x its same-process warm-up time, 0.75 s):
+    // post-JIT the sf0.001 warm-up is per-query fixed overhead plus JIT (an
+    // over-estimate of overhead, so 3x is a conservative bar), and the
+    // absolute floor keeps sub-second scheduling noise from triggering
+    // re-times. Candidates get up to 2 extra timed runs (stopping early
+    // once a run lands under the bar); the reported time is the min over
+    // every run, and every re-time lands in the JSON so a transient is
+    // diagnosable from the artifact alone.
+    val fnByName = queries
+    val retimed = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val results = min2.map { case (name, t, ok) =>
+      val bar = math.max(3 * warmTimes.getOrElse(name, 0.0), 0.75)
+      if (!ok || t <= bar) (name, t, ok)
+      else {
+        var best = t
+        var extras = List.empty[Double]
+        var attempts = 0
+        while (attempts < 2 && best > bar) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val okN = try { force(fnByName(name)(spark, sfDir)); true } catch {
+            case _: Throwable => false
+          }
+          if (okN) {
+            val tN = (System.nanoTime() - t0) / 1e9
+            extras = extras :+ tN
+            best = math.min(best, tN)
+          }
+          attempts += 1
+        }
+        if (extras.nonEmpty) retimed(name) = extras
+        (name, best, ok)
+      }
     }
     // The driver captures only a bounded tail of stdout and JSON-parses the
     // bench line from it; with 80+ queries the full-name, full-precision
@@ -124,7 +169,16 @@ object Bench {
     // cross-round comparison can see exactly what was measured.
     val passTotal1 = p1.filter(_._3).map(_._2).sum
     val passTotal2 = p2.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes","passes":2,"forcing":"full_materialization","pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Per-pass per-query times, as bare arrays in the same sorted-key order
+    // as "queries" (compact — the driver JSON-parses a bounded stdout
+    // tail). "retimed" maps qNN -> extra-run times for outlier candidates;
+    // an empty object means no query tripped the guard.
+    val passQ = List(p1, p2).map(p =>
+      p.map(r => fmt(r._2)).mkString("[", ",", "]")).mkString("[", ",", "]")
+    val retimedJson = retimed.map { case (k, vs) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + vs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes_with_outlier_retime","passes":2,"forcing":"full_materialization","pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"pass_q":$passQ,"retimed":$retimedJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
