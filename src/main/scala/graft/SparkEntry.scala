@@ -26,20 +26,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The q104/q105 hotlist state: built once per (JVM, sfDir) from the
-    * non-delta 90% of documents (doc_id % 10 != 0 — the q83/q93 split),
-    * then probed by both incremental queries. The write is maintenance
-    * work, like ensureBucketed / the IVF index dirs.
+  /** The q104/q105 hotlist state: built once per (source fingerprint,
+    * format version) from the non-delta 90% of documents (doc_id % 10 != 0
+    * — the q83/q93 split), then probed by both incremental queries. The
+    * write is maintenance work, like ensureBucketed / the IVF index dirs;
+    * [[graft.sources.StateCache]] rebuilds it when the source data is
+    * regenerated or the hotlist key format changes (v2 = WordNgramHashes
+    * identity keys — a v1 `xxhash64(shingle)` hotlist would silently
+    * match NOTHING under the new probes).
     */
   private def ensureHotlist(s: SparkSession, dir: String,
-                            docs: DataFrame): String = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val hotDir = s"${System.getProperty("java.io.tmpdir")}/graft_hotlist_$tag"
-    if (!Tables.pathExists(s, hotDir))
+                            docs: DataFrame): String =
+    graft.sources.StateCache.ensure(s, s"$dir/documents.parquet",
+      "hotlist", "v2") { hotDir =>
       graft.text.Corpus.writeHotlist(
         docs.filter(col("doc_id") % 10 =!= 0), hotDir, minDocs = 2)
-    hotDir
-  }
+    }
 
   /** price·(1−discount) as exact integer 10^-4 dollar units — the shared
     * revenue measure of the TPC-H-shaped queries, aggregated through
@@ -579,10 +581,11 @@ object SparkEntry {
     // (ZOrderSpec pins the row-group skipping; this row pins read-back
     // correctness against the plain table).
     "q92_zorder_slice" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
-      graft.maintenance.ZOrder.ensureLayout(s, t(s, dir, "events"), zDir,
-        Seq("user_id", "ts"), numFiles = 16)
+      val zDir = graft.sources.StateCache.ensure(s, s"$dir/events.parquet",
+        "zorder", "v1") { z =>
+        graft.maintenance.ZOrder.write(t(s, dir, "events"), z,
+          Seq("user_id", "ts"), numFiles = 16)
+      }
       s.read.parquet(zDir).filter(
         col("user_id").between(10, 19) &&
           col("ts").between(lit("2024-01-10").cast("timestamp"),
@@ -593,13 +596,17 @@ object SparkEntry {
     // files; ZOrderSpec pins the pruned file count). Same oracle
     // semantics as q92: the manifest path must change nothing.
     "q94_manifest_slice" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
-      val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_zmanifest_$tag"
-      graft.maintenance.ZOrder.ensureLayout(s, t(s, dir, "events"), zDir,
-        Seq("user_id", "ts"), numFiles = 16)
-      if (!graft.sources.Tables.pathExists(s, mDir))
-        graft.maintenance.SkipIndex.write(s, zDir, mDir, Seq("user_id", "ts"))
+      val zDir = graft.sources.StateCache.ensure(s, s"$dir/events.parquet",
+        "zorder", "v1") { z =>
+        graft.maintenance.ZOrder.write(t(s, dir, "events"), z,
+          Seq("user_id", "ts"), numFiles = 16)
+      }
+      // the manifest's source is the z-ordered COPY: a zorder rebuild
+      // (new mtimes) invalidates the manifest transitively
+      val mDir = graft.sources.StateCache.ensure(s, zDir,
+        "zmanifest", "v1") { m =>
+        graft.maintenance.SkipIndex.write(s, zDir, m, Seq("user_id", "ts"))
+      }
       graft.maintenance.SkipIndex.scanRanges(s, zDir, mDir,
         Map[String, (Any, Any)](
           "user_id" -> ((10L, 19L)),
@@ -645,12 +652,12 @@ object SparkEntry {
     // domain) — the corpus is never re-paired; only probed list
     // directories are read (PartitionFilters, spec-pinned).
     "q93_semantic_dedup_delta" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdd_$tag"
       val emb = t(s, dir, "embeddings")
-      if (!graft.sources.Tables.pathExists(s, s"$ivfDir/lists"))
-        Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 50), ivfDir,
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfdd", "v1") { d =>
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 50), d,
           nCentroids = 16)
+      }
       Similarity.nearDupAgainstIvfIndex(s, ivfDir,
         emb.filter(col("vec_id") < 50), threshold = 0.3, nProbe = 4)
     }),
@@ -659,13 +666,13 @@ object SparkEntry {
     // (engine-internal Lloyd centroids — no SQL oracle, rows-only; recall
     // vs the exact pair set is measured in VectorSpec).
     "q91_semantic_dedup_ivf" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivftr_$tag"
       val emb = t(s, dir, "embeddings")
       // centroid training is maintenance work — persist once (the
       // writeIvfIndex production split), apply on every execution
-      if (!graft.sources.Tables.pathExists(s, s"$ivfDir/centroids"))
-        Similarity.writeIvfIndex(emb, ivfDir, nCentroids = 16, trainIters = 3)
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivftr", "v1") { d =>
+        Similarity.writeIvfIndex(emb, d, nCentroids = 16, trainIters = 3)
+      }
       Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
         Similarity.ivfCandidatePairsWithCentroids(emb,
           s.read.parquet(s"$ivfDir/centroids"), threshold = 0.3))

@@ -210,6 +210,12 @@ object GraftFunctions {
     KgramMinHash(exprs(0), litInt(exprs(1), "kgram_min_hash: k"))
   }
 
+  private[functions] def wordNgramHashesFromSql(
+      exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "word_ngram_hashes(text, n)")
+    WordNgramHashes(exprs(0), litInt(exprs(1), "word_ngram_hashes: n"))
+  }
+
   /** Register custom functions on an EXISTING session (tests, notebooks). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -222,5 +228,7 @@ object GraftFunctions {
       "seeded_md5", seededMd5FromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_min_hash", kgramMinHashFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngram_hashes", wordNgramHashesFromSql, "built-in")
   }
 }

@@ -245,18 +245,30 @@ object Corpus {
           .as("flagged_frac"))
   }
 
-  /** Distinct `(doc_id, xxhash64(shingle))` pairs — the 8-byte shuffle
+  /** Distinct `(doc_id, hash)` shingle-identity pairs — the 8-byte shuffle
     * twin of [[TextDedup.shingles]], for consumers that only need shingle
     * IDENTITY, not text. The distinct and every aggregate downstream
     * exchange 16-byte rows instead of n-gram strings; at corpus scale the
     * shuffle volume drops by the mean shingle width (~50 bytes for word
-    * 3-grams). Same re-keying that took the MinHash path (q30 → q64) from
-    * md5 strings to codegen'd longs.
+    * 3-grams). Since round 8 the hashes come from the codegen'd
+    * [[graft.functions.WordNgramHashes]] byte walk — the shingle STRING
+    * production (regex split + explode + concat_ws) that used to feed
+    * `xxhash64(shingle)` was the family's dominant data-path cost, not
+    * the shuffle width. Hash values are engine-internal identity; the
+    * persisted-hotlist state format is versioned accordingly
+    * ([[writeHotlist]]).
     */
   private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    TextDedup.shinglesRaw(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("_h"))
-      .distinct()
+    // array_distinct BEFORE the explode: distinct (doc_id, _h) pairs ≡
+    // per-document distinct hashes, so deduping inside the array — one
+    // codegen'd pass over each doc's hash array — replaces what used to
+    // be a corpus-sized distinct EXCHANGE. Downstream aggregates then
+    // start from already-distinct pairs and partial-aggregate map-side;
+    // the only corpus-wide shuffles left in this family are the
+    // small-output hot aggregate and the per-doc count.
+    docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.WordNgramHashesMath
+        .wordNgramHashesCol(col("text"), n))).as("_h"))
 
   /** Hash values whose document frequency reaches `minDocs`, from the
     * distinct (doc_id, _h) pairs — the hotlist side of
@@ -328,15 +340,13 @@ object Corpus {
     *
     * Rides the same 8-byte keys as [[boilerplateNgrams]]: the distinct
     * (doc_id, _h) set is consumed twice (the hotlist build and the
-    * flag-join), so it is materialized ONCE via `localCheckpoint` —
-    * measured, Spark's exchange reuse does NOT unify the consumers and
-    * the declarative form scanned and re-shingled the corpus per
-    * consumer (PlanSpec pins the single-scan shape; persist-vs-checkpoint
-    * is cost-neutral here under honest per-pass-cold timing — an
-    * apparent persist win to 0.50 s was a cross-pass cache-reuse
-    * artifact, see Bench's clearCache note). Every downstream aggregate
-    * carries counts only, and the hotlist side of the flag join is
-    * df-filtered and broadcast.
+    * flag-join) and each consumer RECOMPUTES it from the scan — with
+    * [[hashedShingles]]' array-level dedup the recompute is one cheap
+    * codegen'd pass (measured ≤ the round-7 localCheckpoint
+    * materialization at sf0.1), and at 100 TB re-reading the scan beats
+    * materializing a corpus-sized intermediate that no executor's
+    * storage holds. Every downstream aggregate carries counts only, and
+    * the hotlist side of the flag join is df-filtered and broadcast.
     *
     * Exactness bound: a 64-bit collision between two distinct shingles in
     * the SAME document undercounts that doc's n_shingles by 1, and a
@@ -349,7 +359,7 @@ object Corpus {
     */
   def boilerplateFraction(docs: DataFrame, minDocs: Int = 3,
                           n: Int = 3): DataFrame = {
-    val sh = hashedShingles(docs, n).localCheckpoint()
+    val sh = hashedShingles(docs, n)
     val hot = hotHashes(sh, minDocs)
     // ONE aggregate serves both measures: the broadcast LEFT join tags
     // each (doc, hash) row with hot membership, and n_boiler is just
@@ -414,22 +424,21 @@ object Corpus {
     */
   def spansAgainstHotlist(spark: org.apache.spark.sql.SparkSession,
                           dir: String, delta: DataFrame, n: Int = 3,
-                          minSpanTokens: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                          minSpanTokens: Int = 3): DataFrame =
+    TextDedup.explodeRanges(
+      hotlistRanges(spark, dir, delta, n, minSpanTokens))
+
+  /** The incremental detector in array form ([[TextDedup.chainSpanRanges]]
+    * over the state-probed hits) — the per-batch twin of the batch
+    * pipeline's spanRangesOf.
+    */
+  private def hotlistRanges(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, delta: DataFrame, n: Int,
+                            minSpanTokens: Int): DataFrame = {
     val hot = spark.read.parquet(dir).select(col("_h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    TextDedup.shinglesWithPos(delta, n)
-      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("_h"))
-      .join(broadcast(hot), Seq("_h"), "left_semi")
-      .withColumn("_newspan",
-        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
-      .withColumn("_span", sum(col("_newspan")).over(w))
-      .groupBy(col("doc_id"), col("_span"))
-      .agg(min(col("pos")).as("start_pos"),
-        (max(col("pos")) + lit(n - 1).cast("long")).as("end_pos"))
-      .select(col("doc_id"), col("start_pos"), col("end_pos"),
-        (col("end_pos") - col("start_pos") + 1).as("n_span_tokens"))
-      .filter(col("n_span_tokens") >= minSpanTokens)
+    TextDedup.chainSpanRanges(
+      TextDedup.hashedShinglesWithPos(delta, n)
+        .join(broadcast(hot), Seq("_h"), "left_semi"), n, minSpanTokens)
   }
 
   /** Incremental passage SCRUB: each delta document rebuilt without its
@@ -442,8 +451,8 @@ object Corpus {
   def scrubAgainstHotlist(spark: org.apache.spark.sql.SparkSession,
                           dir: String, delta: DataFrame,
                           n: Int = 3): DataFrame =
-    TextDedup.scrubSpans(delta,
-      spansAgainstHotlist(spark, dir, delta, n, minSpanTokens = n))
+    TextDedup.scrubRanges(delta,
+      hotlistRanges(spark, dir, delta, n, minSpanTokens = n))
 
   /** Relative quality filtering (the complement of [[curate]]'s absolute
     * threshold: "keep each source's best quarter", robust to sources

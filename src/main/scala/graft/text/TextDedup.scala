@@ -62,6 +62,21 @@ object TextDedup {
         gram.as("shingle"))
   }
 
+  /** The production hash-identity form of [[shinglesWithPos]]:
+    * (doc_id, pos, _h) where `_h` is the [[graft.functions.WordNgramHashes]]
+    * identity of the n-gram at 1-based token position `pos`. One codegen'd
+    * byte walk per document — no regex split, no per-window string. Hash
+    * values are engine-internal identity (NOT `xxhash64(shingle)`);
+    * consumers that need the n-gram TEXT use [[shinglesWithPos]].
+    */
+  private[text] def hashedShinglesWithPos(docs: DataFrame,
+                                          n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.WordNgramHashesMath
+          .wordNgramHashesCol(col("text"), n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("_h"))
+
   /** MinHash signature: `numHashes` per-doc minima of seeded md5 prefixes.
     * One hash-aggregate on doc_id; signature columns are m0..m{k-1}.
     * This is the ORACLE twin (bit-identical in DuckDB SQL); production
@@ -528,17 +543,29 @@ object TextDedup {
     * positions 1-based inclusive, spans of fewer than `minSpanTokens`
     * tokens dropped.
     *
-    * Shape: one corpus scan feeds the position-keyed shingle stream,
-    * persisted once for its two consumers (the cross-doc df aggregate and
-    * the hit probe — exchange reuse does not unify them, the q86 lesson);
-    * both the df aggregate and the semi-join are keyed by
-    * `xxhash64(shingle)` — 8-byte exchanges, never n-gram text (the
-    * q64/q85 re-keying). Hits then chain per document: a window over
-    * (doc_id, pos) marks a new span when the gap exceeds n (token ranges
-    * [p, p+n−1] disjoint and non-adjacent — i.e. interval UNION, so
-    * overlapping n-grams merge into one maximal span), and one aggregate
-    * per (doc, span) emits the interval. The windows partition by doc_id:
-    * bounded by tokens-per-doc, never corpus-wide.
+    * Shape: one corpus scan feeds the position-keyed hash stream —
+    * [[graft.functions.WordNgramHashes]] emits each document's n-gram
+    * hashes in ONE codegen'd byte walk (the shingle string never exists;
+    * the earlier explode + concat_ws + xxhash64(text) chain was the
+    * family's dominant bench cost), so the exploded rows are
+    * (doc_id, pos, int64) — 8-byte exchanges end to end. The stream's two
+    * consumers (the cross-doc df aggregate and the hit probe) each
+    * RECOMPUTE it from the scan: with the codegen'd hash walk the
+    * recompute costs under 0.2 s at sf0.1 while a persist fill measured
+    * 1.1 s of pure cache-write overhead — and at 100 TB caching a
+    * corpus-sized frame is exactly the thing an executor's storage memory
+    * cannot hold (the round-7 persist also leaked until session end,
+    * ADVICE r7). For minDocs = 2 (the passage-dedup default) the hot
+    * aggregate is `min(doc_id) ≠ max(doc_id)` — one plain agg, no
+    * count-distinct Expand; the general case keeps countDistinct. Hits
+    * then chain per document in ONE keyed aggregate
+    * ([[chainSpanRanges]]): each doc's hit positions collect into a
+    * sorted array and fold to maximal intervals (a new span starts when
+    * the position gap exceeds n; token ranges [p, p+n−1] merge by
+    * interval UNION) — the earlier lag/sum window chain paid a sort plus
+    * a SECOND (doc, span)-keyed exchange for the same answer. The fold's
+    * interpreted lambda runs once per HIT (hits are the hot-covered
+    * positions — a sliver of the corpus), never per token.
     *
     * Exactness bound: same 64-bit-collision argument as
     * [[graft.text.Corpus.boilerplateNgrams]] — a collision can flag one
@@ -547,28 +574,70 @@ object TextDedup {
     * ~10⁴ of 10¹² at corpus scale.
     */
   def repeatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
-                    minSpanTokens: Int = 3): DataFrame = {
+                    minSpanTokens: Int = 3): DataFrame =
+    explodeRanges(spanRangesOf(docs, n, minDocs, minSpanTokens))
+
+  /** The detection pipeline in array form — shared by [[repeatedSpans]]
+    * (explodes to the flat table) and [[scrubRepeatedSpans]] (feeds the
+    * rebuild directly).
+    */
+  private def spanRangesOf(docs: DataFrame, n: Int, minDocs: Int,
+                           minSpanTokens: Int): DataFrame = {
     require(n >= 1 && minDocs >= 2,
       s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
-    val sh = shinglesWithPos(docs, n)
-      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("_h"))
-      .persist()
-    val hot = sh.groupBy(col("_h"))
-      .agg(countDistinct(col("doc_id")).as("_df"))
-      .filter(col("_df") >= minDocs)
-      .select(col("_h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    sh.join(hot, Seq("_h"), "left_semi")
-      .withColumn("_newspan",
-        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
-      .withColumn("_span", sum(col("_newspan")).over(w))
-      .groupBy(col("doc_id"), col("_span"))
-      .agg(min(col("pos")).as("start_pos"),
-        (max(col("pos")) + lit(n - 1).cast("long")).as("end_pos"))
-      .select(col("doc_id"), col("start_pos"), col("end_pos"),
-        (col("end_pos") - col("start_pos") + 1).as("n_span_tokens"))
-      .filter(col("n_span_tokens") >= minSpanTokens)
+    val sh = hashedShinglesWithPos(docs, n)
+    val hot =
+      if (minDocs == 2)
+        sh.groupBy(col("_h"))
+          .agg(min(col("doc_id")).as("_dmin"), max(col("doc_id")).as("_dmax"))
+          .filter(col("_dmin") =!= col("_dmax"))
+          .select(col("_h"))
+      else
+        sh.groupBy(col("_h"))
+          .agg(countDistinct(col("doc_id")).as("_df"))
+          .filter(col("_df") >= minDocs)
+          .select(col("_h"))
+    chainSpanRanges(sh.join(hot, Seq("_h"), "left_semi"), n, minSpanTokens)
   }
+
+  /** Chain hit positions (doc_id, pos) into maximal span intervals, one
+    * row per doc: (doc_id, _ranges ARRAY<STRUCT<s, e>>), ranges sorted,
+    * disjoint, length-filtered — `s`/`e` are 1-based inclusive TOKEN
+    * bounds (e = last hit + n − 1). Shared by the batch
+    * ([[repeatedSpans]]) and incremental
+    * ([[graft.text.Corpus.spansAgainstHotlist]]) detectors; the rebuild
+    * ([[scrubRanges]]) consumes the array form directly, so the
+    * explode → re-collect round trip only happens when a caller wants
+    * the flat span TABLE.
+    */
+  private[text] def chainSpanRanges(hits: DataFrame, n: Int,
+                                    minSpanTokens: Int): DataFrame = {
+    val fold =
+      s"""filter(
+         |  aggregate(_ps,
+         |    named_struct('s', CAST(NULL AS BIGINT), 'p', CAST(NULL AS BIGINT),
+         |      'acc', CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)),
+         |    (st, x) -> CASE
+         |      WHEN st.s IS NULL THEN named_struct('s', x, 'p', x, 'acc', st.acc)
+         |      WHEN x <= st.p + $n THEN named_struct('s', st.s, 'p', x, 'acc', st.acc)
+         |      ELSE named_struct('s', x, 'p', x, 'acc', concat(st.acc,
+         |        array(named_struct('s', st.s, 'e', st.p + ${n - 1})))) END,
+         |    st -> CASE WHEN st.s IS NULL THEN st.acc
+         |      ELSE concat(st.acc,
+         |        array(named_struct('s', st.s, 'e', st.p + ${n - 1}))) END),
+         |  r -> r.e - r.s + 1 >= $minSpanTokens)""".stripMargin
+    hits.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .select(col("doc_id"), expr(fold).as("_ranges"))
+      .filter(size(col("_ranges")) > 0)
+  }
+
+  /** Flatten [[chainSpanRanges]] output to the public span table shape. */
+  private[text] def explodeRanges(ranges: DataFrame): DataFrame =
+    ranges.select(col("doc_id"), explode(col("_ranges")).as("_r"))
+      .select(col("doc_id"), col("_r.s").as("start_pos"),
+        col("_r.e").as("end_pos"),
+        (col("_r.e") - col("_r.s") + 1).as("n_span_tokens"))
 
   /** Passage-level cleaning: each document with every token covered by a
     * cross-doc-repeated n-gram ([[repeatedSpans]] with no span-length
@@ -591,20 +660,26 @@ object TextDedup {
     */
   def scrubRepeatedSpans(docs: DataFrame, n: Int = 3,
                          minDocs: Int = 2): DataFrame =
-    scrubSpans(docs, repeatedSpans(docs, n, minDocs, minSpanTokens = n))
+    scrubRanges(docs, spanRangesOf(docs, n, minDocs, minSpanTokens = n))
 
   /** The rebuild half of passage cleaning, reusable against ANY span
     * table with (doc_id, start_pos, end_pos) — [[scrubRepeatedSpans]]
-    * feeds it the batch spans, [[graft.text.Corpus.scrubAgainstHotlist]]
-    * the incremental (state-probed) ones. Spans must be disjoint per
-    * document (both generators emit maximal intervals, which are).
+    * feeds the array form straight through ([[scrubRanges]]);
+    * [[graft.text.Corpus.scrubAgainstHotlist]] hands the incremental
+    * (state-probed) flat spans here. Spans must be disjoint per document
+    * (both generators emit maximal intervals, which are).
     */
-  private[text] def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
-    val ranges = spans
+  private[text] def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame =
+    scrubRanges(docs, spans
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("start_pos").as("s"), col("end_pos").as("e"))))
-        .as("_ranges"))
+        .as("_ranges")))
+
+  /** The rebuild against per-doc sorted disjoint ranges
+    * (doc_id, _ranges ARRAY<STRUCT<s, e>>) — [[chainSpanRanges]]' shape.
+    */
+  private[text] def scrubRanges(docs: DataFrame, ranges: DataFrame): DataFrame = {
     // kept-intervals = [prev_end+1, next_start-1] between consecutive
     // spans, plus the tail; zero-length gaps (adjacent spans) slice to
     // empty via greatest(0, ...)

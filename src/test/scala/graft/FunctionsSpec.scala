@@ -364,6 +364,78 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == direct)
   }
 
+  test("WordNgramHashes matches the split-based shingle pipeline's structure") {
+    import graft.functions.WordNgramHashesMath
+    val n = 3
+    // edge shapes: leading/trailing/mixed whitespace (split keeps the
+    // empty boundary tokens under limit -1), tabs/newlines, multi-byte,
+    // short, empty, all-whitespace, null
+    val texts = Seq(
+      "a b c d e", "  leading ws here", "trailing ws here  ",
+      "tab\tand\nnewline\rmixed tokens", "multi  space   runs between",
+      "naïve café δοκιμή 試験 многобайтовый текст здесь",
+      "a b", "", "   ", null.asInstanceOf[String],
+      "rep rep rep rep rep")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val gram = concat_ws(" ",
+      (0 until n).map(k => expr(s"element_at(_toks, CAST(_i + $k AS INT))")): _*)
+    val sqlGrams = texts
+      .withColumn("_toks", split(col("text"), "\\s+"))
+      .withColumn("_grams", when(size(col("_toks")) >= n,
+        expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+          "i -> concat_ws(' ', slice(_toks, i, " + n + ")))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), col("_grams"))
+      .as[(Long, Seq[String])].collect().toMap
+    val exprHashes = texts.select(col("doc_id"),
+        WordNgramHashesMath.wordNgramHashesCol(col("text"), n).as("h"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    // NULL text -> NULL array (split of NULL is NULL too: no grams)
+    assert(exprHashes(9L).isEmpty, "NULL text must yield NULL")
+    val pairs = for {
+      id <- sqlGrams.keys.toSeq if id != 9L
+      (g, h) <- sqlGrams(id).zip(exprHashes(id).get)
+    } yield (g, h)
+    sqlGrams.filterNot(_._1 == 9L).foreach { case (id, gs) =>
+      assert(gs.size == exprHashes(id).get.size,
+        s"window count mismatch for doc $id")
+    }
+    // equal grams hash equal; distinct grams hash distinct (no collisions
+    // in test data) — hash VALUES are engine-internal, only the induced
+    // identity matters
+    val byGram = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byGram.values.forall(_.size == 1), "same n-gram, different hash")
+    val byHash = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byHash.values.forall(_.size == 1), "hash collision in test data")
+    // and across the real corpus: window counts line up everywhere
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val mism = docs.select(
+        size(WordNgramHashesMath.wordNgramHashesCol(col("text"), n)).as("a"),
+        greatest(size(split(col("text"), "\\s+")) - lit(n - 1), lit(0)).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mism == 0, s"$mism corpus docs disagree on window count")
+  }
+
+  test("word_ngram_hashes is callable from SQL and matches the column API") {
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT word_ngram_hashes('a b c d', 3) AS h").as[Seq[Long]].head
+    val direct = spark.range(1).select(
+      graft.functions.WordNgramHashesMath
+        .wordNgramHashesCol(lit("a b c d"), 3).as("h")).as[Seq[Long]].head
+    assert(viaSql == direct && viaSql.size == 2)
+  }
+
+  test("WordNgramHashes participates in whole-stage codegen (no fallback)") {
+    import graft.functions.WordNgramHashesMath
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(WordNgramHashesMath.wordNgramHashesCol(col("text"), 3).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [word_ngram_hashes"), p.take(500))
+    df.collect()
+  }
+
   test("KgramMinHash participates in whole-stage codegen (no fallback)") {
     import graft.functions.KgramMinHashMath
     // project over a parquet scan — a local Seq would constant-fold via

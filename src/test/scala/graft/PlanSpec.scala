@@ -135,29 +135,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
-  test("q86 boilerplate fraction: one corpus scan, cached shingles") {
-    // The shingle set feeds two consumers (the hotlist aggregate and the
-    // membership-flag join whose single groupBy emits both counts);
-    // without the checkpoint the corpus was scanned and re-shingled per
-    // consumer (exchange reuse does not fire across them — measured, not
-    // assumed).
-    assert(uncachedScans("q86_boilerplate_fraction") == 0,
-      "a consumer re-scans the corpus outside the shared cache:\n" +
+  test("q86 boilerplate fraction: per-consumer recompute, nothing materialized") {
+    // Round 8 inverted the round-7 contract: with the codegen'd
+    // WordNgramHashes walk (and array_distinct replacing the corpus-wide
+    // distinct exchange), RECOMPUTING the shingle set per consumer beats
+    // materializing it — and at 100 TB a corpus-sized cached intermediate
+    // is exactly what executor storage cannot hold. The pin is now: two
+    // plain scans (one per consumer), ZERO cache/checkpoint reads, and
+    // the hotlist reaches the flag join as a broadcast.
+    assert(uncachedScans("q86_boilerplate_fraction") == 2,
+      "expected one plain corpus scan per consumer:\n" +
         plan("q86_boilerplate_fraction").take(1200))
-    assert(sharedReads("q86_boilerplate_fraction") >= 2,
-      "both consumers must read the materialized shingle set:\n" +
+    assert(sharedReads("q86_boilerplate_fraction") == 0,
+      "no consumer may read a materialized intermediate:\n" +
         plan("q86_boilerplate_fraction").take(1200))
+    assert(plan("q86_boilerplate_fraction").contains("BroadcastHashJoin"),
+      plan("q86_boilerplate_fraction").take(1200))
   }
 
-  test("q102 repeated spans: one corpus scan, cached shingle stream") {
-    // the position-keyed shingle stream feeds the df aggregate and the
-    // hit probe; without the persist each consumer re-scans and
-    // re-shingles the corpus (the q86 lesson, same mechanism)
-    assert(uncachedScans("q102_repeated_spans") == 0,
-      "a span consumer re-scans the corpus outside the shared cache:\n" +
+  test("q102 repeated spans: per-consumer recompute, nothing materialized") {
+    // same round-8 inversion as q86: the hash stream is cheap enough to
+    // recompute per consumer (df aggregate + hit probe), and the round-7
+    // persist leaked executor storage until session end (ADVICE r7)
+    assert(uncachedScans("q102_repeated_spans") == 2,
+      "expected one plain corpus scan per consumer:\n" +
         plan("q102_repeated_spans").take(1200))
-    assert(sharedReads("q102_repeated_spans") >= 2,
-      "both consumers must read the materialized shingle stream:\n" +
+    assert(sharedReads("q102_repeated_spans") == 0,
+      "no consumer may read a materialized intermediate:\n" +
         plan("q102_repeated_spans").take(1200))
   }
 
