@@ -366,6 +366,13 @@ object Similarity {
       array_min(centStructs(cents)(col("embedding"))).getField("c_id")
         .as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+    // seed the per-list stats from the freshly written lists (one
+    // metadata-cheap aggregate at build time; appends then extend it
+    // delta-sized — the asOfAuto appendKeyStats pattern)
+    corpus.sparkSession.read.parquet(s"$dir/lists")
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/list_stats")
   }
 
   /** Append a vector delta to a [[writeIvfIndex]] index without touching
@@ -376,18 +383,84 @@ object Similarity {
     * have produced (spec-asserted row identity), and each day's append
     * writes only delta-sized files into the affected list directories.
     * The trade is the standard IVF one: centroids drift from the true
-    * data distribution as the corpus grows, degrading recall-per-probe —
-    * re-cluster (rebuild) when the delta volume dwarfs the build corpus;
-    * searches stay correct-as-ranked regardless.
+    * data distribution as the corpus grows, so drifted vectors pile into
+    * whichever frozen lists happen to be nearest — list sizes skew, a
+    * probe of a bloated list scans ever more candidates for the same
+    * recall, and nothing about the SEARCH results signals it (ranks stay
+    * exact). Every append therefore extends `list_stats` with the
+    * delta's per-list counts; [[ivfNeedsRetrain]] turns those into the
+    * rebuild trigger, and [[rebuildIvfIndex]] restores the
+    * recall-per-candidate economics (spec-driven on a drifted stream in
+    * VectorSpec). Searches stay correct-as-ranked regardless.
     */
   def appendIvfIndex(delta: DataFrame, dir: String): Unit = {
     val cents = collectCentroids(
       delta.sparkSession.read.parquet(s"$dir/centroids"))
-    delta.select(col("vec_id"), col("embedding"),
+    def assigned = delta.select(col("vec_id"), col("embedding"),
       array_min(centStructs(cents)(col("embedding"))).getField("c_id")
         .as("list_id"))
+    assigned
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+    assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$dir/list_stats")
   }
+
+  /** Per-list vector counts of an at-rest index, folded from the
+    * build-time seed plus every append's delta rows — stats-table-sized
+    * reads, the index itself is never scanned. Lists no append ever
+    * touched report their build-time count; centroid ids with no vectors
+    * at all report 0.
+    */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val centIds = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id").as("list_id"))
+    spark.read.parquet(s"$dir/list_stats")
+      .groupBy(col("list_id")).agg(sum(col("n")).as("n"))
+      .join(centIds, Seq("list_id"), "right")
+      .select(col("list_id"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+  }
+
+  /** The drift signal: max/mean list occupancy over the index's centroid
+    * set (1.0 = perfectly balanced; an all-in-one-list index with k lists
+    * scores k). Probe cost scales with the PROBED lists' sizes, so at
+    * equal recall a skewed index scans `imbalance`× the candidates of a
+    * balanced one — this ratio IS the recall-per-candidate economics the
+    * index sells, which is why it (not recall, which stays exact-as-
+    * ranked) is the trigger.
+    */
+  def ivfImbalance(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Double = {
+    val r = ivfListStats(spark, dir)
+      .agg(max(col("n_vectors")).cast("double").as("mx"),
+        avg(col("n_vectors")).as("mean"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** The documented rebuild rule (SCALE.md): retrain when appends have
+    * skewed list occupancy past `maxImbalance` (default 3× — a probed
+    * hot list then costs ~3 balanced lists per query, the point where
+    * one nightly re-cluster amortizes against every search paying the
+    * skew). Stats-only — O(lists) driver work.
+    */
+  def ivfNeedsRetrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxImbalance: Double = 3.0): Boolean =
+    ivfImbalance(spark, dir) >= maxImbalance
+
+  /** Re-cluster an index from its OWN vectors into `destDir`: fresh Lloyd
+    * centroids over the accumulated corpus (base + every appended delta),
+    * fresh balanced lists, fresh stats. Writes a NEW directory — the live
+    * index stays searchable during the rebuild; callers swap paths when
+    * it lands (the z-order/compaction maintenance convention).
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      srcDir: String, destDir: String,
+                      nCentroids: Int = 16, trainIters: Int = 5): Unit =
+    writeIvfIndex(
+      spark.read.parquet(s"$srcDir/lists").select(col("vec_id"), col("embedding")),
+      destDir, nCentroids, trainIters)
 
   /** Top-k search against a [[writeIvfIndex]] index. Row-identical to
     * [[ivfTopK]] over the same corpus/parameters (spec-asserted); the

@@ -156,6 +156,60 @@ class VectorSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("IVF drift: appends skew lists, the trigger fires, rebuild restores the economics") {
+    // base: one tight cluster around 0° the index is trained on; drift:
+    // 3+ base-volumes spread over a WIDE 30°–150° arc training never
+    // saw. Drift ids are the LOW ids (0–259) so the rebuild's first-N
+    // Lloyd seed lands inside the drifted mass — seeding is arbitrary by
+    // contract, and the angle scatter (37° stride) spreads consecutive
+    // ids across the arc. Deterministic index math, no RNG.
+    def unit(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val drift = vecs((0 until 260).map(i =>
+      (i.toLong, unit(30 + (i * 37) % 120), 0)): _*)
+    val base = vecs((260 until 340).map(i =>
+      (i.toLong, unit((i % 17) * 0.2 - 1.6), 0)): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-rebuilt").toString
+    Similarity.writeIvfIndex(base, dir, nCentroids = 4, trainIters = 3)
+    assert(!Similarity.ivfNeedsRetrain(spark, dir),
+      s"balanced base build must not trigger: ${Similarity.ivfImbalance(spark, dir)}")
+    // three daily appends of the drifted stream
+    for (b <- 0 until 3)
+      Similarity.appendIvfIndex(
+        drift.filter($"vec_id" % 3 === b), dir)
+    // stats stay exact under appends: folded counts == every indexed row
+    val statTotal = Similarity.ivfListStats(spark, dir)
+      .agg(sum($"n_vectors")).as[Long].head
+    assert(statTotal == 340L,
+      s"folded list_stats must count every indexed vector, got $statTotal")
+    // the whole arc piles into the nearest frozen base centroid:
+    // occupancy skews past the documented 3x rule
+    val imb = Similarity.ivfImbalance(spark, dir)
+    assert(Similarity.ivfNeedsRetrain(spark, dir),
+      s"drifted appends must trip the rebuild trigger, imbalance=$imb")
+    // rebuild re-clusters from the index's own vectors into a NEW dir
+    Similarity.rebuildIvfIndex(spark, dir, dir2, nCentroids = 4, trainIters = 3)
+    assert(!Similarity.ivfNeedsRetrain(spark, dir2),
+      s"rebuilt index must be balanced again: ${Similarity.ivfImbalance(spark, dir2)}")
+    // the economics the index sells (recall per scanned candidate): for
+    // drifted probes at nProbe=1 the frozen index serves the whole arc
+    // as ONE hot list — recall is cheap-but-bloated; the rebuilt index
+    // must hold ~that recall while its hottest list shrinks
+    val probes = drift.filter($"vec_id" % 40 === 0)
+    val all = base.union(drift)
+    val exact = Similarity.bruteForceTopK(all, probes, 5)
+    def recallOf(d: String) = Similarity.recallAtK(
+      Similarity.searchIvfIndex(spark, d, probes, 5, nProbe = 1), exact)
+    def hotListSize(d: String) = Similarity.ivfListStats(spark, d)
+      .agg(max($"n_vectors")).as[Long].head
+    assert(recallOf(dir2) >= 0.85 * recallOf(dir),
+      s"rebuilt recall ${recallOf(dir2)} fell below frozen ${recallOf(dir)}")
+    assert(hotListSize(dir2) < hotListSize(dir),
+      s"rebuilt hot list ${hotListSize(dir2)} must shrink vs frozen ${hotListSize(dir)}")
+  }
+
   test("IVF at-rest index: probing an empty (never-written) list is safe") {
     // Two identical seed centroids: the assignment tie-break (struct min on
     // (-cosine, c_id)) sends every vector to list 0, so list 1 exists as a
