@@ -604,7 +604,7 @@ object SparkEntry {
       // the manifest's source is the z-ordered COPY: a zorder rebuild
       // (new mtimes) invalidates the manifest transitively
       val mDir = graft.sources.StateCache.ensure(s, zDir,
-        "zmanifest", "v1") { m =>
+        "zmanifest", "v2") { m =>
         graft.maintenance.SkipIndex.write(s, zDir, m, Seq("user_id", "ts"))
       }
       graft.maintenance.SkipIndex.scanRanges(s, zDir, mDir,

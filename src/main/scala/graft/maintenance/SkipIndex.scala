@@ -1,7 +1,15 @@
 package graft.maintenance
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Per-file min/max manifest for PLANNING-TIME file skipping — the
   * driver-side complement to parquet's runtime row-group pruning, and
@@ -9,10 +17,21 @@ import org.apache.spark.sql.functions._
   * row-group pruning still lists and SCHEDULES a task per file (each
   * task opens the footer just to discover it can skip everything);
   * with 100k+ files the scheduling itself is the cost. A manifest query
-  * reads a kilobyte-scale table, prunes the file LIST on the driver,
-  * and hands Spark only the overlapping files — the open-table-format
-  * data-skipping statistics (Delta/Iceberg min-max) expressed over
-  * plain parquet, no format migration, no reader cooperation.
+  * reads a kilobyte-scale table, prunes the file LIST, and hands Spark
+  * only the overlapping files — the open-table-format data-skipping
+  * statistics (Delta/Iceberg min-max) expressed over plain parquet, no
+  * format migration, no reader cooperation.
+  *
+  * The manifest IS the file index (round 8): [[write]] records each
+  * file's byte size and the table schema alongside its min/max box, and
+  * [[scanRanges]] plans the scan through a [[ManifestFileIndex]] built
+  * straight from the surviving manifest rows — no directory listing, no
+  * per-file getFileStatus RPCs, no collected path array re-fed to
+  * `spark.read` (which would re-list every path). Driver memory during
+  * planning is exactly the FileStatus set any Spark scan of those files
+  * holds — nothing extra — and files the box-filter pruned are never
+  * touched by ANY filesystem call (spec-pinned with a synthetic
+  * 10⁵-file manifest of nonexistent paths).
   *
   * Correctness contract: the manifest pre-filter selects a SUPERSET of
   * matching files (closed-interval overlap), and [[scanRanges]] re-applies
@@ -25,24 +44,57 @@ import org.apache.spark.sql.functions._
 object SkipIndex {
 
   /** Write the manifest: one row per data file with min/max of each of
-    * `cols` — one distributed scan, aggregated by `input_file_name()`
-    * (partial+final, |files| × |cols| output rows).
+    * `cols`, the file's byte size (joined from one maintenance-cadence
+    * listing — the same listLeafFiles any scan of the table performs),
+    * and the table schema as a `_schema.json` sidecar (underscore-named:
+    * parquet readers of the manifest dir ignore it). One distributed
+    * scan, aggregated by `input_file_name()` (partial+final,
+    * |files| × |cols| output rows).
     */
   def write(spark: SparkSession, tableDir: String, manifestDir: String,
             cols: Seq[String]): Unit = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(tableDir)
+    val table = spark.read.parquet(tableDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tPath = new Path(tableDir)
+    val fs = tPath.getFileSystem(conf)
+    val sizes = ArrayBuffer[(String, Long)]()
+    // globStatus resolves `dir/*`-style table paths (Tables.load accepts
+    // them) and degenerates to the single dir for plain paths
+    for (root <- Option(fs.globStatus(tPath)).getOrElse(Array.empty)) {
+      if (root.isDirectory) {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith("_"))
+            sizes += ((f.getPath.getName, f.getLen))
+        }
+      } else if (!root.getPath.getName.startsWith("_"))
+        sizes += ((root.getPath.getName, root.getLen))
+    }
+    import spark.implicits._
+    // join key = file NAME (unique within one table dir — Spark part
+    // files carry task UUIDs); input_file_name()'s URI encoding and the
+    // listing's Path rendering differ in scheme slashes, the name tail
+    // does not
+    table
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_name", substring_index(col("file"), "/", -1))
+      .join(broadcast(sizes.toSeq.toDF("_name", "bytes")), Seq("_name"))
+      .drop("_name")
       .write.mode("overwrite").parquet(manifestDir)
+    val sPath = new Path(manifestDir, "_schema.json")
+    val out = sPath.getFileSystem(conf).create(sPath, true)
+    try out.write(table.schema.json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Scan `tableDir` reading ONLY the files whose manifest box overlaps
     * every closed range in `ranges` (col → (lo, hi)), then re-apply the
-    * ranges as row filters. The manifest read + driver file list are
-    * bounded by the file count — the same object the driver already
-    * materializes to plan any scan.
+    * ranges as row filters. Planning streams the surviving manifest rows
+    * into a [[ManifestFileIndex]] — by-size-accurate FileStatus entries
+    * with zero filesystem calls.
     */
   def scanRanges(spark: SparkSession, tableDir: String, manifestDir: String,
                  ranges: Map[String, (Any, Any)]): DataFrame = {
@@ -53,12 +105,50 @@ object SkipIndex {
       df.filter(col(s"max_$c").isNull ||
         (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
     }
-    val files = keep.select(col("file")).collect().map(_.getString(0))
-    val base =
-      if (files.isEmpty) spark.read.parquet(tableDir).filter(lit(false))
-      else spark.read.parquet(files.toSeq: _*)
+    val statuses = ArrayBuffer[FileStatus]()
+    keep.select(col("file"), col("bytes")).toLocalIterator()
+      .forEachRemaining { r =>
+        statuses += new FileStatus(r.getLong(1), false, 1, 0, 0,
+          new Path(new java.net.URI(r.getString(0))))
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mPath = new Path(manifestDir, "_schema.json")
+    val fs = mPath.getFileSystem(conf)
+    val in = fs.open(mPath)
+    val schemaJson =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = HadoopFsRelation(
+      new ManifestFileIndex(new Path(tableDir), statuses.toSeq),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(classic)
+    val base = classic.baseRelationToDataFrame(relation)
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
+}
+
+/** A [[FileIndex]] whose file listing comes from manifest rows instead of
+  * the filesystem — the SkipIndex equivalent of a table format's snapshot
+  * file list. Unpartitioned by construction ([[ZOrder]] writes flat
+  * layouts; partition-valued layouts prune by directory before a manifest
+  * is worth building).
+  */
+private[maintenance] class ManifestFileIndex(
+    root: Path, files: Seq[FileStatus]) extends FileIndex {
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def partitionSchema: StructType = StructType(Nil)
 }

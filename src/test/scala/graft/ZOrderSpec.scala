@@ -113,6 +113,50 @@ class ZOrderSpec extends SparkSpec {
     assert(all.count() == events.count())
   }
 
+  test("manifest IS the file index: 10⁵-file manifest plans without touching pruned files") {
+    // A 100k-row manifest in which all but 2 entries point at files that
+    // DO NOT EXIST. If planning listed the table dir, stat'ed pruned
+    // files, or re-listed a collected path array, the phantom paths would
+    // throw FileNotFoundException — completing the scan at all proves
+    // pruned files are never touched by any filesystem call, and the
+    // driver holds only the surviving FileStatus set.
+    val dir = tmp("graft-skip-big")
+    val mDir = s"$dir/manifest"
+    Seq((1L, 12L)).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$dir/real1")
+    Seq((2L, 15L)).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$dir/real2")
+    val realStats = Seq("real1", "real2").map { d =>
+      val f = new java.io.File(s"$dir/$d").listFiles()
+        .filter(f => f.getName.startsWith("part-")).head
+      (f.toURI.toString, f.length())
+    }
+    val phantoms = spark.range(99998).select(
+      concat(lit("file:/nonexistent/graft-skip/part-"), col("id"),
+        lit(".parquet")).as("file"),
+      (col("id") % 100 + 1000L).as("min_user_id"),
+      (col("id") % 100 + 1001L).as("max_user_id"),
+      lit(1024L).as("bytes"))
+    val real = realStats.zipWithIndex.map { case ((uri, len), i) =>
+      (uri, 12L + 3 * i, 12L + 3 * i, len)
+    }.toDF("file", "min_user_id", "max_user_id", "bytes")
+    phantoms.union(real).write.parquet(mDir)
+    val schema = spark.read.parquet(s"$dir/real1").schema
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mDir, "_schema.json"),
+      schema.json.getBytes("UTF-8"))
+
+    val out = graft.maintenance.SkipIndex.scanRanges(
+      spark, s"$dir/real*", mDir, Map("user_id" -> ((10L, 20L))))
+    assert(out.select($"event_id").as[Long].collect().toSet == Set(1L, 2L))
+    // the planned scan holds exactly the 2 surviving files
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.map(_.relation.location.inputFiles.length).sum == 2,
+      "file index must contain only the manifest-surviving files")
+  }
+
   test("zValue: null and constant columns quantize without error") {
     val d = Seq((1L, Option(5L)), (2L, None), (3L, Option(5L)))
       .toDF("a", "b")
