@@ -43,16 +43,19 @@ object Agg {
     * total (the truncating-division identity holds for negative units
     * too), so the result is bit-identical to the decimal form.
     *
-    * Bounds, documented not checked: row-level units must stay under
-    * 2^53 (the quotient computes through one exact double division —
-    * money below ~10^7 dollars for scale-6 measures, 10^10 for cents);
+    * Bounds, documented not checked: the quotient is integral `div` —
+    * exact over the FULL long range, so row-level units carry no bound
+    * of their own (this matters for [[graft.ops.Skew.saltedAgg]], whose
+    * pre-aggregated units scale with the hot key's duplicate count);
     * partial sums stay exact to ~10^12 rows per group at scale 6 and
     * ~10^16 at scale 2 — 100 TB headroom (TPC-H SF 100k is ~6·10^11
     * lineitems TOTAL).
     */
   private[graft] def unitsQuot(u: Column, scale: Int): Column = {
     val k = math.pow(10, scale).toLong
-    ((u - (u % k)) / k).cast("long")
+    // SQL `div` (IntegralDivide): truncation toward zero, matching the
+    // sign convention of `%` below, with no double-precision detour
+    call_function("div", u, lit(k))
   }
   private[graft] def unitsRem(u: Column, scale: Int): Column =
     u % math.pow(10, scale).toLong
