@@ -123,10 +123,16 @@ object Upsert {
     * partition-order dependent. Two same-timestamp versions produce a
     * zero-duration interval, closed by its successor, never dropped.
     *
-    * Scale shape: two windows and one aggregate, all partitioned by the
-    * dimension key — per-partition work is bounded by changes-per-key,
-    * never corpus-wide; the version lead runs over RUNS (post-collapse),
-    * not raw changes.
+    * Scale shape: exactly two window passes and one aggregate, all
+    * partitioned by the dimension key — per-partition work is bounded by
+    * changes-per-key, never corpus-wide. `valid_to` does NOT take a
+    * post-aggregation lead over runs: the next run's `valid_from` is
+    * already visible from every event row as the first change-flagged
+    * timestamp among the rows that FOLLOW it (constant within a run), so
+    * it computes in the SAME window pass as the running version sum
+    * (CollapseWindow merges the two frames into one WindowExec) and rides
+    * the run aggregate — one fewer Window node and one fewer sort than
+    * the lead-over-runs form (plan shape spec-asserted).
     */
   def scd2FromChanges(changes: DataFrame, keys: Seq[String], stateCol: String,
                       tsCol: String, tieCols: Seq[String] = Seq.empty)
@@ -136,18 +142,26 @@ object Upsert {
     val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wVer = Window.partitionBy(keys.map(col): _*).orderBy(col("version"))
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
     changes
       .withColumn("_chg",
         when(lag(col(stateCol), 1).over(w).isNull ||
           lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
-      .withColumn("version", sum(col("_chg")).over(wRows))
+      // one select so BOTH window expressions extract into ONE Window
+      // node (same partition+order; a withColumn chain would interpose a
+      // Project that blocks CollapseWindow). Rows are ts-nondecreasing,
+      // so the min change-flagged ts strictly after this row IS the next
+      // run's valid_from (null in the last run).
+      .select(col("*"),
+        sum(col("_chg")).over(wRows).as("version"),
+        min(when(col("_chg") === 1, col(tsCol))).over(wNext)
+          .as("_next_from"))
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol), // constant within a run
         min(col(tsCol)).as("valid_from"),
         count(lit(1)).as("n_changes"),
-        max(col(tsCol)).as("last_ts"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        max(col(tsCol)).as("last_ts"),
+        min(col("_next_from")).as("valid_to")) // constant within a run
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }
@@ -273,7 +287,8 @@ object Upsert {
 
   /** [[scd2FromChanges]] over a weighted log (each row counts `_w`
     * changes) — the recompute body of [[scd2ApplyChanges]]; ordering by
-    * (ts, state) since the original tiebreak is gone.
+    * (ts, state) since the original tiebreak is gone. Same fused
+    * two-window shape as [[scd2FromChanges]].
     */
   private def scd2FromWeightedChanges(changes: DataFrame, keys: Seq[String],
                                       stateCol: String, tsCol: String)
@@ -283,18 +298,21 @@ object Upsert {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(stateCol).asc)
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wVer = Window.partitionBy(keys.map(col): _*).orderBy(col("version"))
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
     changes
       .withColumn("_chg",
         when(lag(col(stateCol), 1).over(w).isNull ||
           lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
-      .withColumn("version", sum(col("_chg")).over(wRows))
+      .select(col("*"),
+        sum(col("_chg")).over(wRows).as("version"),
+        min(when(col("_chg") === 1, col(tsCol))).over(wNext)
+          .as("_next_from"))
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol),
         min(col(tsCol)).as("valid_from"),
         sum(col("_w")).as("n_changes"),
-        max(col(tsCol)).as("last_ts"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        max(col(tsCol)).as("last_ts"),
+        min(col("_next_from")).as("valid_to"))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }

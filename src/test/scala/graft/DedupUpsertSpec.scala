@@ -201,6 +201,25 @@ class DedupUpsertSpec extends SparkSpec {
         None, 1)))
   }
 
+  test("scd2FromChanges plans exactly two window passes and two sorts (fused valid_to)") {
+    // valid_to folds into the same window layer as the running version
+    // sum (min change-flagged ts over the following rows), so the plan
+    // carries two Window nodes (lag, then sum+min in one) and two sorts
+    // (events by ts for the windows, runs by version for the aggregate) —
+    // the lead-over-runs form needs three of each
+    val changes = Seq(
+      (1L, "A", ts("2025-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2025-01-02 00:00:00"), 2L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val p = Upsert.scd2FromChanges(changes, Seq("user_id"), "event_type",
+      "ts", tieCols = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(p).size
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window nodes, got $windows:\n$p")
+    assert(sorts == 2, s"expected 2 Sort nodes, got $sorts:\n$p")
+  }
+
   test("scd2ApplyChanges: incremental fold equals the batch form, late events included") {
     val b1 = Seq(
       (1L, "A", ts("2025-01-01 00:00:00")),
