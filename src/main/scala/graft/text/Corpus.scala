@@ -129,21 +129,32 @@ object Corpus {
     * the truncation plans as TakeOrderedAndProject (no global sort of the
     * full token set); only the V surviving rows pass through the global
     * row_number window, so the single-partition window is bounded by V,
-    * never by the corpus. The `_p` marker column states that bound in the
-    * plan — WindowExec's "No Partition Defined" warning is reserved for
-    * windows whose single partition could BE the corpus.
+    * never by the corpus. The [[onePartitionKey]] marker states that
+    * bound in the plan — WindowExec's "No Partition Defined" warning is
+    * reserved for windows whose single partition could BE the corpus.
     */
   def buildVocab(docs: DataFrame, topV: Int = 256): DataFrame = {
     require(topV > 0)
     val w = Window.partitionBy(col("_p"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
-    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("token").asc).limit(topV)
-      .withColumn("_p", lit(0))
+    onePartitionKey(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token").asc).limit(topV))
       .withColumn("token_id", row_number().over(w).cast("int"))
       .drop("_p")
   }
+
+  /** A single-partition window key that SURVIVES optimization: a LITERAL
+    * marker gets stripped by Spark's EliminateWindowPartitions rule,
+    * putting a bounded V-row window right back on the partition-less
+    * warning path. An attribute sourced from a 1-row range scan is
+    * semantically the same constant, but no rule can prove it foldable —
+    * the broadcast nested-loop join it rides is one row against V.
+    */
+  private def onePartitionKey(df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(
+      df.sparkSession.range(1).select(col("id").cast("int").as("_p"))))
 
   /** Tokenizer application (the encode step after [[buildVocab]]): one row
     * per token POSITION — (doc_id, pos, token_id), OOV mapped to the
@@ -593,10 +604,10 @@ object Corpus {
       floor(lit(65536) * (sqrt(col("_n").cast("double")) /
         sqrt(col("_nmax").cast("double")))).cast("bigint"))
     // `_nmax` windows over the V-row rate table, never the corpus; the
-    // `_p` marker makes the bounded single partition explicit (no
-    // WindowExec partition warning)
-    val rates = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
-      .withColumn("_p", lit(0))
+    // onePartitionKey marker makes the bounded single partition explicit
+    // (no WindowExec partition warning)
+    val rates = onePartitionKey(
+      docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n")))
       .withColumn("_nmax", max(col("_n")).over(Window.partitionBy(col("_p"))))
       .select(col(stratumCol), thr.as("_thr"))
     val bucket = substring(

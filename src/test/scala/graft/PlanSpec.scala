@@ -109,6 +109,27 @@ class PlanSpec extends SparkSpec {
       "the V-row vocab must broadcast into the corpus scan:\n" + p.take(800))
   }
 
+  test("q70/q76/q80 bounded windows keep a partition key (no partition-less WindowExec)") {
+    // These three run a window over at most V rows (truncated vocab /
+    // per-stratum rates). The single-partition bound is stated with a
+    // 1-row-scan marker key because a LITERAL marker gets stripped by
+    // EliminateWindowPartitions — if that key ever folds away again, the
+    // bench tail re-fills with "No Partition Defined" warnings that bury
+    // real regressions.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def empties(p: SparkPlan): Int = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => 1
+      case a: AdaptiveSparkPlanExec => empties(a.inputPlan)
+    }.sum
+    for (q <- Seq("q70_vocab", "q76_encode", "q80_temperature_sample")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      assert(empties(exec) == 0,
+        s"$q plans a partition-less WindowExec:\n$exec")
+    }
+  }
+
   test("q77 quota cap: map-side partial WindowGroupLimit bounds the stratum reducers") {
     // lang is a 5-value key; without the partial group-limit every map
     // task would ship its whole stratum slice to 5 reducers. With it,
