@@ -26,39 +26,41 @@ object Skew {
     * Determinism design: a row-position salt (monotonically_increasing_id,
     * rand) is NOT retry-safe on shuffle-derived input — a re-attempted map
     * task can emit different salts and partial-stage retry then double-
-    * counts or drops rows (the SPARK-23207 class of bug). Instead:
-    *  1. pre-aggregate by the full PROJECTED row — keys + value, the only
-    *     columns the output reads (map-side combine collapses the worst
-    *     case, a hot key of identical values, before any reducer sees
-    *     it);
-    *  2. salt the now-distinct rows by content hash (deterministic, and
-    *     distinct rows spread);
-    *  3. weighted two-phase aggregation.
+    * counts or drops rows (the SPARK-23207 class of bug). The salt is a
+    * content hash of the projected row instead: deterministic under
+    * retry, and a hot key's DISTINCT rows spread across `salts` reducers.
+    * Its one apparent weakness — byte-identical duplicate rows share a
+    * salt — is no weakness at all: the salted stage's own MAP-SIDE
+    * partial aggregation collapses identical rows to one partial per
+    * (key, salt) before anything shuffles, so no reducer ever sees the
+    * hot key's row count. An earlier form pre-aggregated by the full
+    * projected row for exactly that duplicate-collapse, which shipped
+    * |distinct (key, value)| rows through an EXTRA exchange — with a
+    * high-cardinality value column that first shuffle was as wide as the
+    * data and collapsed nothing (measured 4× of the whole query at
+    * sf0.1). Two exchanges total, both carrying at most
+    * tasks × |keys| × salts partial rows.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
-    // the output reads only keys + value, so the row-content pre-agg and
-    // the content-hash salt work on exactly those columns — any other
-    // column would widen the first shuffle for nothing (and LESS content
-    // collapses MORE: rows differing only in dropped columns merge into
-    // one weighted row here instead of surviving to the salted stage)
+    // the output reads only keys + value, so the content-hash salt works
+    // on exactly those columns — any other column would spread rows that
+    // the map-side partial could otherwise collapse
     val proj = (keys :+ valueCol).distinct
     val slim = df.select(proj.map(col): _*)
-    val weighted = slim.groupBy(proj.map(col): _*)
-      .agg(count(lit(1)).as("_cnt"))
-    val salted = weighted.withColumn("_salt",
+    val salted = slim.withColumn("_salt",
       pmod(xxhash64(proj.map(col): _*), lit(salts)))
     // money flows as integer cents split into quotient/remainder long
     // partials (the Agg.unitsSum shape stretched across the two salted
     // stages — the per-salt partials carry (_pq, _pr) longs and the final
     // stage recombines once per key; decimal aggregation buffers would
     // pay per-row BigDecimal on BOTH stages)
-    val u = Agg.cents(col(valueCol)) * col("_cnt")
+    val u = Agg.cents(col(valueCol))
     val partial = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(Agg.unitsQuot(u, 2)).as("_pq"),
         sum(Agg.unitsRem(u, 2)).as("_pr"),
-        sum(col("_cnt")).as("_pn"))
+        count(lit(1)).as("_pn"))
     partial
       .groupBy(keys.map(col): _*)
       .agg(Agg.unitsValue(sum(col("_pq")), sum(col("_pr")), 2)

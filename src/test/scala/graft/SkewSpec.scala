@@ -34,10 +34,10 @@ class SkewSpec extends SparkSpec {
     assert(salted.size == 1000)
   }
 
-  test("saltedAgg neutralizes a hot key of IDENTICAL rows via full-row pre-agg") {
-    // the worst case: byte-identical duplicate rows (a content-hash salt
-    // alone would send them all to one reducer) — the full-row pre-agg
-    // collapses them map-side into one weighted row before salting
+  test("saltedAgg neutralizes a hot key of IDENTICAL rows via map-side partials") {
+    // the worst case: byte-identical duplicate rows share a content-hash
+    // salt, but the salted stage's map-side partial aggregation collapses
+    // them to one partial per (key, salt) before anything shuffles
     val hot = Seq.fill(500)(("HOT", 1.0)).toDF("k", "v").repartition(4)
     val agg = Skew.saltedAgg(hot, Seq("k"), "v", 8)
     assert(agg.as[(String, Double, Long)].head() == (("HOT", 500.0, 500L)))
