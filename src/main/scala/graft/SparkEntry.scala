@@ -345,6 +345,11 @@ object SparkEntry {
     // A9 tokenizer prep: top-V token vocabulary with deterministic ids.
     "q70_vocab" -> ((s, dir) =>
       graft.text.Corpus.buildVocab(t(s, dir, "documents"), topV = 256)),
+    // A9 extended: tokenizer TRAINING — one BPE iteration's adjacent-pair
+    // counts (argmax = the next merge); pairs emitted map-side from the
+    // token array, the only shuffle is the pair-count aggregate.
+    "q110_bpe_pairs" -> ((s, dir) =>
+      graft.text.Corpus.bpePairCounts(t(s, dir, "documents"), minCount = 2)),
     // F8 scoring: TF-IDF sufficient statistics (the ln-scored column is
     // engine-internal — ln differs from libm in the last ulp; see scaladoc).
     "q74_tfidf" -> ((s, dir) =>
@@ -538,6 +543,13 @@ object SparkEntry {
         weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1,
           "src3" -> 0.05, "src4" -> 0.025),
         budget = 200)),
+    // A9 extended: the q95 mixture solved at TOKEN granularity — rates
+    // from per-stratum token mass, the unit a trainer actually consumes.
+    "q111_token_mixture" -> ((s, dir) =>
+      graft.text.Corpus.tokenMixtureSample(t(s, dir, "documents"),
+        weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1,
+          "src3" -> 0.05, "src4" -> 0.025),
+        tokenBudget = 20000)),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
@@ -1841,6 +1853,34 @@ object SparkEntry {
         |JOIN qual q ON q.doc_id = l.doc_id
         |JOIN rep r ON r.doc_id = l.doc_id
         |WHERE l.pred_lang = 'en' AND q.quality >= 1.0 AND r.repetition <= 0.2""".stripMargin,
+    "q111_token_mixture" ->
+      """WITH c AS (
+        |  SELECT source, SUM(len(string_split_regex(text, '\s+'))) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, printf('%05x', CAST(FLOOR(65536 * LEAST(
+        |    CAST(1.0 AS DOUBLE),
+        |    (CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+        |                 WHEN 'src2' THEN CAST(0.1 AS DOUBLE)
+        |                 WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+        |                 WHEN 'src4' THEN CAST(0.025 AS DOUBLE) END)
+        |      * CAST(20000 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS thr
+        |  FROM c
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+        |SELECT d.doc_id, d.source,
+        |  substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4) AS bucket_hex
+        |FROM documents d JOIN t ON t.source = d.source
+        |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
+        |      < t.thr""".stripMargin,
+    "q110_bpe_pairs" ->
+      """WITH pairs AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT string_split_regex(text, '\s+') AS t
+        |              FROM documents)))
+        |SELECT a, b, COUNT(*) AS n_pairs
+        |FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2""".stripMargin,
     "q70_vocab" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),

@@ -167,6 +167,37 @@ object Corpus {
     * key; the vocab is V rows — broadcast by size estimation for any
     * realistic V, so the corpus never shuffles.
     */
+  /** One BPE-training iteration's pair statistics (the tokenizer-TRAINING
+    * counterpart of [[buildVocab]]/[[encode]]): corpus-wide counts of
+    * ADJACENT token pairs — the argmax is the merge a byte-pair-encoding
+    * trainer applies next, and the full ranked table is the iteration's
+    * merge candidate list. `minCount` prunes the long tail (the standard
+    * BPE frequency floor).
+    *
+    * Scale: pairs are emitted MAP-SIDE from each document's token array —
+    * slice + zip_with inside one codegen'd projection, no per-position
+    * explode-then-self-join on pos+1, no window over positions — so the
+    * only shuffle is the (a, b) count aggregate (partial+final on the
+    * pair key). The pair key space is bounded by vocabulary², hash-
+    * aggregable; the corpus itself never shuffles. Each BPE round is one
+    * such aggregate over the re-tokenized corpus — the canonical
+    * train-loop shape.
+    */
+  def bpePairCounts(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    // both slices have length n-1 (greatest guards size-0 arrays, where
+    // a negative slice length would throw); zip_with pairs element i
+    // with element i+1
+    val n1 = greatest(size(toks) - 1, lit(0))
+    docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("_pair"))
+      .groupBy(col("_pair.a").as("a"), col("_pair.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   def encode(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
@@ -673,7 +704,32 @@ object Corpus {
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
                     budget: Long, stratumCol: String = "source",
-                    salt: String = "graft"): DataFrame = {
+                    salt: String = "graft"): DataFrame =
+    mixtureByMeasure(docs, weights, budget, stratumCol, salt, count(lit(1)))
+
+  /** [[mixtureSample]] at TOKEN granularity: the same
+    * `min(1, w_s · budget / m_s)` rate equation with `m_s` the stratum's
+    * total whitespace-token count and `budget` a TOKEN budget. A trainer
+    * consumes tokens, not documents — under per-stratum length skew
+    * (code vs chat, books vs tweets) a document-budget mixture misses
+    * the token target by exactly the mean-length ratio. The keep
+    * decision stays per-DOCUMENT (the atomic sampling unit); the sampled
+    * stratum's expected token mass is rate · m_s.
+    *
+    * Determinism: the token count is an exact long over the same split
+    * both engines tokenize with; the rate chain is [[mixtureSample]]'s
+    * chain. Scale: identical shape — one count aggregate, a broadcast
+    * rate table, a map-side filter; the corpus never shuffles.
+    */
+  def tokenMixtureSample(docs: DataFrame, weights: Map[String, Double],
+                         tokenBudget: Long, stratumCol: String = "source",
+                         salt: String = "graft"): DataFrame =
+    mixtureByMeasure(docs, weights, tokenBudget, stratumCol, salt,
+      sum(size(TextAnalysis.tokens(col("text")))))
+
+  private def mixtureByMeasure(docs: DataFrame, weights: Map[String, Double],
+                               budget: Long, stratumCol: String, salt: String,
+                               measure: Column): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0) && budget > 0,
       s"need non-negative weights and budget > 0: $weights, $budget")
     val wcol = weights.foldLeft(lit(null).cast("double")) {
@@ -686,7 +742,7 @@ object Corpus {
       floor(lit(65536) * least(lit(1.0),
         col("_w") * lit(budget.toDouble) / col("_n").cast("double")))
         .cast("bigint"))
-    val rates = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val rates = docs.groupBy(col(stratumCol)).agg(measure.as("_n"))
       .withColumn("_w", wcol)
       .filter(col("_w").isNotNull)
       .select(col(stratumCol), thr.as("_thr"))

@@ -386,6 +386,51 @@ class TextSpec extends SparkSpec {
       Corpus.buildVocab(d, topV = 3).collect().toSeq)
   }
 
+  test("bpePairCounts: exact adjacent-pair counts, minCount floor, degenerate docs") {
+    val d = docs(
+      (1L, "a b a b c"),  // pairs: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b"),        // pair: (a,b)
+      (3L, "solo"),       // 1 token -> no pairs
+      (4L, ""))           // splits to [""] -> no pairs
+    val all = Corpus.bpePairCounts(d, minCount = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(all == Set(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+    // the argmax pair is the BPE merge; the floor prunes the tail
+    val floored = Corpus.bpePairCounts(d, minCount = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(floored == Set(("a", "b", 3L)))
+    // null text contributes nothing
+    val withNull = d.unionByName(
+      docs((5L, null: String)).withColumn("n_chars", lit(0)))
+    assert(Corpus.bpePairCounts(withNull, minCount = 1)
+      .as[(String, String, Long)].collect().toSet == all)
+  }
+
+  test("tokenMixtureSample: rates follow token mass, not doc counts") {
+    // stratum A: 10 docs x 100 tokens; stratum B: 10 docs x 1 token.
+    // weights 0.5/0.5, token budget 20 -> rate_A = 0.01, rate_B = 1.0:
+    // every B doc survives, A thins to ~1% — a DOC-budget mixture with
+    // the same weights would keep A and B at the same rate.
+    val rows =
+      (1L to 10L).map(i => (i, Seq.fill(100)("tok").mkString(" "), "A")) ++
+      (11L to 20L).map(i => (i, "tok", "B"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = Corpus.tokenMixtureSample(d,
+      Map("A" -> 0.5, "B" -> 0.5), tokenBudget = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert((11L to 20L).forall(out.contains), "rate-1 stratum must keep all")
+    // full cross-check against a plain-Scala reference of the md5
+    // threshold chain (same IEEE ops, same hex compare)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mass = Map("A" -> 1000L, "B" -> 10L)
+    def thr(src: String) = "%05x".format(
+      math.floor(65536 * math.min(1.0, 0.5 * 20.0 / mass(src))).toLong)
+    val expect = rows.collect { case (id, _, src)
+      if "0" + md5hex(s"$id:graft").take(4) < thr(src) => id }.toSet
+    assert(out == expect)
+  }
+
   test("repetition: exact duplicate-shingle fraction; short docs excluded") {
     val d = docs(
       (1L, "aaa bbb aaa bbb aaa"), // 3 shingle occurrences, 2 distinct
