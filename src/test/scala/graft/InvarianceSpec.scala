@@ -182,6 +182,23 @@ class InvarianceSpec extends SparkSpec {
     assert(overlap(docs.repartition(5)) == overlap(docs))
   }
 
+  test("bpe pair counts and token mixture are invariant under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.bpePairCounts(df, minCount = 2)
+        .as[(String, String, Long)].collect().toSet
+    val base = pairs(docs)
+    assert(base.nonEmpty)
+    assert(pairs(docs.repartition(7)) == base)
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.tokenMixtureSample(df,
+        Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1), tokenBudget = 5000)
+        .as[(Long, String, String)].collect().toSet
+    val mbase = mix(docs)
+    assert(mbase.nonEmpty)
+    assert(mix(docs.repartition(5, col("source"))) == mbase)
+  }
+
   test("global shuffle is invariant under repartitioning") {
     val docs = Tables.load(spark, sf, "documents")
     def shuf(df: org.apache.spark.sql.DataFrame) =
