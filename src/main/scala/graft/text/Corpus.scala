@@ -234,20 +234,25 @@ object Corpus {
     * contamination), zero-overlap docs included.
     *
     * Shape: the train side — the 100 TB side — collapses to distinct
-    * shingles and is consumed ONCE as the membership tag of a left join
-    * (unique keys, so no row multiplication; shuffle on the shingle
-    * key). The eval subtree is consumed once too: sizes and hits are two
-    * counts of the SAME grouped pass over the tagged rows.
+    * shingle HASHES and is consumed ONCE as the membership tag of a left
+    * join (unique keys, so no row multiplication; shuffle on the 8-byte
+    * hash key). The eval subtree is consumed once too: sizes and hits are
+    * two counts of the SAME grouped pass over the tagged rows. Since
+    * round 8 both sides ride [[hashedShingles]] (the codegen'd
+    * [[graft.functions.WordNgramHashes]] walk): matching is on n-gram
+    * identity, so the counts the oracle checks are unchanged while the
+    * shingle STRING — whose production dominated the data path — never
+    * exists (the q102-q105 re-key applied to this family).
     */
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
                     n: Int = 3): DataFrame = {
-    val evalSh = TextDedup.shingles(evalDocs, n)
-    val trainSh = TextDedup.shingles(trainDocs, n).select(col("shingle")).distinct()
+    val evalSh = hashedShingles(evalDocs, n)
+    val trainSh = hashedShingles(trainDocs, n).select(col("_h")).distinct()
     // one aggregate serves sizes AND hits: the distinct train set joins
     // as a membership tag (unique keys — no row multiplication), so the
     // eval subtree is consumed once and the sizes/hits/outer-join trio
     // collapses to join + groupBy (the q86 single-aggregate shape)
-    evalSh.join(trainSh.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+    evalSh.join(trainSh.withColumn("_hit", lit(1)), Seq("_h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("_hit")).as("n_contaminated"))
@@ -275,15 +280,19 @@ object Corpus {
                          n: Int = 3, estimatedItems: Long = 1L << 20,
                          numBits: Long = 1L << 23): DataFrame = {
     import graft.functions.GraftFunctions.{bloom_filter_agg, might_contain}
-    // Bloom insertion is duplicate-invariant: the raw shingle stream
-    // feeds the aggregate straight off the scan — no distinct shuffle on
-    // the train side at all (cheaper than even the broadcast form).
-    val filterBytes = TextDedup.shinglesRaw(trainDocs, n)
-      .agg(bloom_filter_agg(xxhash64(col("shingle")), estimatedItems,
+    // Bloom insertion is duplicate-invariant: the raw per-occurrence
+    // hash stream feeds the aggregate straight off the scan — no
+    // distinct shuffle on the train side at all (cheaper than even the
+    // broadcast form), and since round 8 the n-gram identity comes from
+    // the codegen'd WordNgramHashes walk, so no shingle string exists.
+    val filterBytes = trainDocs
+      .select(explode(graft.functions.WordNgramHashesMath
+        .wordNgramHashesCol(col("text"), n)).as("_h"))
+      .agg(bloom_filter_agg(col("_h"), estimatedItems,
         numBits).as("f"))
       .head.getAs[Array[Byte]]("f")
-    val evalSh = TextDedup.shingles(evalDocs, n)
-    val hit = might_contain(lit(filterBytes), xxhash64(col("shingle")))
+    val evalSh = hashedShingles(evalDocs, n)
+    val hit = might_contain(lit(filterBytes), col("_h"))
     evalSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(hit, 1)).as("n_flagged"))
@@ -592,17 +601,20 @@ object Corpus {
     */
   def contaminationBroadcast(evalDocs: DataFrame, trainDocs: DataFrame,
                              n: Int = 3): DataFrame = {
-    val evalSh = TextDedup.shingles(evalDocs, n)
-    val evalKeys = evalSh.select(col("shingle")).distinct()
-    // Which eval shingles appear in train — computed FROM the train scan
-    // (raw shingles: the broadcast semi-join is duplicate-invariant, so
-    // the train side skips its distinct shuffle as well).
-    val present = TextDedup.shinglesRaw(trainDocs, n)
-      .select(col("shingle"))
-      .join(broadcast(evalKeys), Seq("shingle"), "left_semi")
+    val evalSh = hashedShingles(evalDocs, n)
+    val evalKeys = evalSh.select(col("_h")).distinct()
+    // Which eval n-grams appear in train — computed FROM the train scan
+    // (raw per-occurrence hashes: the broadcast semi-join is
+    // duplicate-invariant, so the train side skips its distinct shuffle
+    // as well, and the codegen'd hash walk means the train corpus never
+    // materializes a shingle string — the round-8 re-key).
+    val present = trainDocs
+      .select(explode(graft.functions.WordNgramHashesMath
+        .wordNgramHashesCol(col("text"), n)).as("_h"))
+      .join(broadcast(evalKeys), Seq("_h"), "left_semi")
       .distinct()
     evalSh.join(broadcast(present.withColumn("_hit", lit(1))),
-        Seq("shingle"), "left")
+        Seq("_h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("_hit")).as("n_contaminated"))

@@ -406,6 +406,22 @@ class TextSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet == all)
   }
 
+  test("bpePairCounts matches a sliding-window reference on random corpora") {
+    val gen = new scala.util.Random(41)
+    val alphabet = Vector("aa", "bb", "cc", "dd")
+    val rows = (1L to 40L).map { i =>
+      val n = gen.nextInt(8) // 0..7 tokens
+      (i, Seq.fill(n)(alphabet(gen.nextInt(alphabet.size))).mkString(" "))
+    }
+    val expect = rows.flatMap { case (_, text) =>
+      val t = text.split("\\s+", -1).toSeq
+      if (t.length < 2) Seq.empty else t.sliding(2).map(p => (p(0), p(1))).toSeq
+    }.groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }.toSet
+    val got = Corpus.bpePairCounts(docs(rows: _*), minCount = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("tokenMixtureSample: rates follow token mass, not doc counts") {
     // stratum A: 10 docs x 100 tokens; stratum B: 10 docs x 1 token.
     // weights 0.5/0.5, token budget 20 -> rate_A = 0.01, rate_B = 1.0:
