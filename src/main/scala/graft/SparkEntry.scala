@@ -350,6 +350,19 @@ object SparkEntry {
     // token array, the only shuffle is the pair-count aggregate.
     "q110_bpe_pairs" -> ((s, dir) =>
       graft.text.Corpus.bpePairCounts(t(s, dir, "documents"), minCount = 2)),
+    // A9 extended: one BPE merge APPLIED (the codegen'd greedy byte walk)
+    // — per-doc token counts before/after merging the corpus's top pair;
+    // exact because a != b makes occurrences non-overlapping, so
+    // n_after = n_before - adjacent occurrences (the oracle's algebra).
+    "q112_bpe_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_before"),
+        size(graft.text.TextAnalysis.tokens(
+          graft.functions.BpeMergeTextMath.bpeMergeTextCol(
+            col("text"), "table", "hash"))).cast("long").as("n_after"))
+    }),
     // F8 scoring: TF-IDF sufficient statistics (the ln-scored column is
     // engine-internal — ln differs from libm in the last ulp; see scaladoc).
     "q74_tfidf" -> ((s, dir) =>
@@ -1853,6 +1866,17 @@ object SparkEntry {
         |JOIN qual q ON q.doc_id = l.doc_id
         |JOIN rep r ON r.doc_id = l.doc_id
         |WHERE l.pred_lang = 'en' AND q.quality >= 1.0 AND r.repetition <= 0.2""".stripMargin,
+    "q112_bpe_merge" ->
+      """WITH arr AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, COUNT(*) AS n_occ
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM arr)
+        |  WHERE t[i] = 'table' AND t[i + 1] = 'hash'
+        |  GROUP BY doc_id)
+        |SELECT arr.doc_id, CAST(len(arr.t) AS BIGINT) AS n_before,
+        |  CAST(len(arr.t) - COALESCE(o.n_occ, 0) AS BIGINT) AS n_after
+        |FROM arr LEFT JOIN occ o ON o.doc_id = arr.doc_id""".stripMargin,
     "q111_token_mixture" ->
       """WITH c AS (
         |  SELECT source, SUM(len(string_split_regex(text, '\s+'))) AS n

@@ -216,6 +216,28 @@ object GraftFunctions {
     WordNgramHashes(exprs(0), litInt(exprs(1), "word_ngram_hashes: n"))
   }
 
+  /** Evaluate a foldable string argument of a SQL function call (the
+    * [[litInt]] counterpart for token literals).
+    */
+  private[functions] def litString(e: Expression, name: String): String = {
+    require(e.foldable, s"$name must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$name must be a non-null literal string, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+  }
+
+  private[functions] def bpeMergeTextFromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.size >= 3 && exprs.size <= 4,
+      "bpe_merge_text(text, a, b[, joiner])")
+    BpeMergeText(exprs(0), litString(exprs(1), "bpe_merge_text: a"),
+      litString(exprs(2), "bpe_merge_text: b"),
+      if (exprs.size > 3) litString(exprs(3), "bpe_merge_text: joiner")
+      else "▁")
+  }
+
   /** Register custom functions on an EXISTING session (tests, notebooks). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -230,5 +252,7 @@ object GraftFunctions {
       "kgram_min_hash", kgramMinHashFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_merge_text", bpeMergeTextFromSql, "built-in")
   }
 }

@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kgram_min_hash"),
       new ExpressionInfo(classOf[KgramMinHash].getName, "kgram_min_hash"),
       GraftFunctions.kgramMinHashFromSql _))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName, "word_ngram_hashes"),
+      GraftFunctions.wordNgramHashesFromSql _))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_merge_text"),
+      new ExpressionInfo(classOf[BpeMergeText].getName, "bpe_merge_text"),
+      GraftFunctions.bpeMergeTextFromSql _))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

@@ -198,6 +198,60 @@ object Corpus {
       .filter(col("n_pairs") >= minCount)
   }
 
+  /** One BPE merge applied to the corpus: every greedy left-to-right
+    * adjacent occurrence of tokens `(a, b)` becomes the single token
+    * `a + joiner + b` ([[graft.functions.BpeMergeText]] — one codegen'd
+    * byte walk per document, no regex, no per-token allocation). The
+    * `text` column is replaced; all other columns pass through.
+    */
+  def applyBpeMerge(docs: DataFrame, a: String, b: String,
+                    joiner: String = "▁"): DataFrame =
+    docs.withColumn("text",
+      graft.functions.BpeMergeTextMath.bpeMergeTextCol(col("text"), a, b,
+        joiner))
+
+  /** Greedy BPE training over the whitespace token stream: up to
+    * `nMerges` rounds of [[bpePairCounts]]-argmax → [[applyBpeMerge]],
+    * returning the merge table (step, a, b, n_pairs) a tokenizer builds
+    * its merge ranks from. Deterministic: the argmax tie-breaks
+    * (n_pairs desc, a asc, b asc); training stops early when no pair
+    * reaches `minCount`. Boundary empty tokens (leading/trailing
+    * whitespace artifacts) are never selected as merge halves.
+    *
+    * Scale: each round is one pair-count aggregate (map-side pair
+    * emission off the corpus scan), ONE bounded driver collect (the
+    * single argmax row — the centroid-collect precedent), and a
+    * codegen'd merge projection. The corpus re-materializes per round
+    * via `localCheckpoint`, so round k+1 scans the merged corpus once
+    * instead of re-running a k-deep merge lineage — the same
+    * round-truncation contract as [[TextDedup.dedupClusters]].
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int, minCount: Long = 2,
+               joiner: String = "▁"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(col("doc_id"), col("text"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (!exhausted && step <= nMerges) {
+      val top = bpePairCounts(cur, minCount)
+        .filter(col("a") =!= "" && col("b") =!= "")
+        .orderBy(col("n_pairs").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        merges += ((step, r.getString(0), r.getString(1), r.getLong(2)))
+        cur = applyBpeMerge(cur, r.getString(0), r.getString(1), joiner)
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "a", "b", "n_pairs")
+  }
+
   def encode(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),

@@ -406,6 +406,58 @@ class TextSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet == all)
   }
 
+  test("applyBpeMerge: greedy left-to-right semantics, chains, boundaries, null") {
+    import org.apache.spark.sql.DataFrame
+    def merge(df: DataFrame, a: String, b: String) =
+      Corpus.applyBpeMerge(df, a, b, joiner = "+")
+        .select("text").as[String].collect().toSeq
+    val d = Seq(
+      (1L, "x table hash y"),
+      (2L, "table hash table hash"),
+      (3L, "table table hash"), // greedy: second 'table' starts the pair
+      (4L, "hash table"),       // reversed order: no merge
+      (5L, " table hash ")      // boundary whitespace tokens survive
+    ).toDF("doc_id", "text")
+    assert(merge(d, "table", "hash") == Seq(
+      "x table+hash y",
+      "table+hash table+hash",
+      "table table+hash",
+      "hash table",
+      " table+hash "))
+    // a == b chains greedily: a consumed token cannot start the next pair
+    val c = Seq((1L, "x x x"), (2L, "x x x x")).toDF("doc_id", "text")
+    assert(merge(c, "x", "x") == Seq("x+x x", "x+x x+x"))
+    // null text stays null
+    val n = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(Corpus.applyBpeMerge(n, "a", "b").select("text")
+      .as[String].collect().toSeq == Seq(null))
+    // re-splitting the merged text yields the merged token stream exactly
+    // (doc5's boundary empties survive: "", table+hash, "")
+    val rt = Corpus.applyBpeMerge(d, "table", "hash", joiner = "+")
+      .select(size(graft.text.TextAnalysis.tokens(col("text"))))
+      .as[Int].collect().toSeq
+    assert(rt == Seq(3, 2, 2, 2, 3))
+  }
+
+  test("bpeTrain: argmax merges chain, floor stops training, table is exact") {
+    val d = docs((1L, "a b a b c"), (2L, "a b"))
+    // round 1: (a,b) x3 wins; round 2: no pair reaches minCount=2 -> stop
+    val merges = Corpus.bpeTrain(d, nMerges = 3, minCount = 2, joiner = "+")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "b", 3L)))
+    // applying the learned merge reproduces the trained corpus
+    val after = Corpus.applyBpeMerge(d, "a", "b", joiner = "+")
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(after == Seq("a+b a+b c", "a+b"))
+    // multi-round: (p,q) x3 merges first; the merged corpus
+    // "p+q p+q p+q r" then yields (p+q,p+q) x2, which clears the floor
+    // and merges greedily in round 2
+    val d2 = docs((1L, "p q p q p q r"))
+    val m2 = Corpus.bpeTrain(d2, nMerges = 3, minCount = 2, joiner = "+")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1, "p", "q", 3L), (2, "p+q", "p+q", 2L)))
+  }
+
   test("bpePairCounts matches a sliding-window reference on random corpora") {
     val gen = new scala.util.Random(41)
     val alphabet = Vector("aa", "bb", "cc", "dd")
