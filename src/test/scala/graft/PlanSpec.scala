@@ -213,6 +213,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q110 bpe pairs: map-side pair emission, one aggregate exchange, no join") {
+    // Pairs come off the token array inside the scan projection — a
+    // per-position explode + self-join on pos+1 would shuffle the corpus
+    // twice; the contract is ONE exchange (the pair-count aggregate).
+    val p = plan("q110_bpe_pairs")
+    assert(!p.contains("Join"), "pair emission must not join:\n" + p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly one exchange (the pair-count aggregate):\n" +
+        p.take(800))
+  }
+
+  test("q111 token mixture: rate table broadcasts, the corpus never shuffles") {
+    // Same 100 TB contract as q95 — the token-mass aggregate is the only
+    // shuffle; the corpus side of the rate join stays map-side.
+    val p = plan("q111_token_mixture")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the stratum-row rate table must broadcast into the corpus scan:\n" +
+        p.take(800))
+  }
+
+  test("q112 bpe merge: pure projection — zero exchanges, zero joins") {
+    // The merge walk and both token counts are one codegen'd projection
+    // over the scan; any Exchange here means the merge stopped being
+    // map-side.
+    val p = plan("q112_bpe_merge")
+    assert(!p.contains("Exchange"), "merge must be map-side:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("q95 mixture sample: rate table broadcasts, the corpus never shuffles") {
     // The 100 TB contract shared by the whole sampling family: the only
     // shuffle is the stratum-count aggregate; the corpus side of the rate
