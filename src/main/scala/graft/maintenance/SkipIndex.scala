@@ -53,41 +53,90 @@ object SkipIndex {
     */
   def write(spark: SparkSession, tableDir: String, manifestDir: String,
             cols: Seq[String]): Unit = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val table = spark.read.parquet(tableDir)
+    val sizes = listDataFiles(spark, tableDir).map(f =>
+      (f.getPath.getName, f.getLen))
+    statsOf(spark, table, cols, sizes)
+      .write.mode("overwrite").parquet(manifestDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sPath = new Path(manifestDir, "_schema.json")
+    val out = sPath.getFileSystem(conf).create(sPath, true)
+    try out.write(table.schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fold the table's files ADDED since the last [[write]]/[[append]]
+    * into the manifest without rescanning indexed data — the daily
+    * maintenance form: at 100 TB a full [[write]] rescans the table to
+    * re-derive statistics that didn't change. New files are the
+    * maintenance listing minus the manifest's name set (both driver
+    * objects bounded by the file count — the same object any scan's
+    * planning holds); ONLY those files are scanned, through the same
+    * listing-backed FileIndex the reader uses, so already-indexed files
+    * see no filesystem call and no read. Appended files must carry the
+    * table schema (the `_schema.json` contract). No-op when nothing is
+    * new. Returns the number of files indexed.
+    *
+    * Append ≡ full rebuild (spec-asserted): the manifest row set equals
+    * [[write]]'s over the grown table, so [[scanRanges]] answers
+    * identically — compaction or rewrite of EXISTING files still needs
+    * the full [[write]] (StateCache's fingerprint forces that rebuild
+    * for the cached-manifest paths).
+    */
+  def append(spark: SparkSession, tableDir: String, manifestDir: String,
+             cols: Seq[String]): Int = {
+    val listed = listDataFiles(spark, tableDir)
+    val indexed = spark.read.parquet(manifestDir)
+      .select(substring_index(col("file"), "/", -1))
+      .collect().map(_.getString(0)).toSet
+    val fresh = listed.filterNot(f => indexed.contains(f.getPath.getName))
+    if (fresh.isEmpty) return 0
+    val schema = sidecarSchema(spark, manifestDir)
+    val newData = relationFor(spark, tableDir, schema, fresh)
+    statsOf(spark, newData, cols, fresh.map(f => (f.getPath.getName, f.getLen)))
+      .write.mode("append").parquet(manifestDir)
+    fresh.length
+  }
+
+  /** One maintenance-cadence listing — the same listLeafFiles any scan of
+    * the table performs. globStatus resolves star-glob table paths
+    * (Tables.load accepts them) and degenerates to the single dir for
+    * plain paths; underscore-prefixed sidecars are skipped.
+    */
+  private def listDataFiles(spark: SparkSession,
+                            tableDir: String): Seq[FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tPath = new Path(tableDir)
     val fs = tPath.getFileSystem(conf)
-    val sizes = ArrayBuffer[(String, Long)]()
-    // globStatus resolves `dir/*`-style table paths (Tables.load accepts
-    // them) and degenerates to the single dir for plain paths
+    val files = ArrayBuffer[FileStatus]()
     for (root <- Option(fs.globStatus(tPath)).getOrElse(Array.empty)) {
       if (root.isDirectory) {
         val it = fs.listFiles(root.getPath, true)
         while (it.hasNext) {
           val f = it.next()
-          if (!f.getPath.getName.startsWith("_"))
-            sizes += ((f.getPath.getName, f.getLen))
+          if (!f.getPath.getName.startsWith("_")) files += f
         }
-      } else if (!root.getPath.getName.startsWith("_"))
-        sizes += ((root.getPath.getName, root.getLen))
+      } else if (!root.getPath.getName.startsWith("_")) files += root
     }
+    files.toSeq
+  }
+
+  /** Per-file min/max stats of `data` joined with the listing's sizes.
+    * Join key = file NAME (unique within one table dir — Spark part
+    * files carry task UUIDs); input_file_name()'s URI encoding and the
+    * listing's Path rendering differ in scheme slashes, the name tail
+    * does not.
+    */
+  private def statsOf(spark: SparkSession, data: DataFrame, cols: Seq[String],
+                      sizes: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
-    // join key = file NAME (unique within one table dir — Spark part
-    // files carry task UUIDs); input_file_name()'s URI encoding and the
-    // listing's Path rendering differ in scheme slashes, the name tail
-    // does not
-    table
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("_name", substring_index(col("file"), "/", -1))
-      .join(broadcast(sizes.toSeq.toDF("_name", "bytes")), Seq("_name"))
+      .join(broadcast(sizes.toDF("_name", "bytes")), Seq("_name"))
       .drop("_name")
-      .write.mode("overwrite").parquet(manifestDir)
-    val sPath = new Path(manifestDir, "_schema.json")
-    val out = sPath.getFileSystem(conf).create(sPath, true)
-    try out.write(table.schema.json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Scan `tableDir` reading ONLY the files whose manifest box overlaps
@@ -111,6 +160,18 @@ object SkipIndex {
         statuses += new FileStatus(r.getLong(1), false, 1, 0, 0,
           new Path(new java.net.URI(r.getString(0))))
       }
+    val base = relationFor(spark, tableDir,
+      sidecarSchema(spark, manifestDir), statuses.toSeq)
+    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
+  /** The table schema recorded by [[write]] — read from the manifest's
+    * `_schema.json` sidecar, never inferred from data files.
+    */
+  private def sidecarSchema(spark: SparkSession,
+                            manifestDir: String): StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
     val mPath = new Path(manifestDir, "_schema.json")
     val fs = mPath.getFileSystem(conf)
@@ -119,19 +180,25 @@ object SkipIndex {
       try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** A DataFrame over exactly `statuses` — planned through a
+    * [[ManifestFileIndex]], so no directory listing and no per-file stat
+    * RPCs happen at planning time.
+    */
+  private def relationFor(spark: SparkSession, tableDir: String,
+                          schema: StructType,
+                          statuses: Seq[FileStatus]): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val relation = HadoopFsRelation(
-      new ManifestFileIndex(new Path(tableDir), statuses.toSeq),
+      new ManifestFileIndex(new Path(tableDir), statuses),
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(classic)
-    val base = classic.baseRelationToDataFrame(relation)
-    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
-    }
+    classic.baseRelationToDataFrame(relation)
   }
 }
 

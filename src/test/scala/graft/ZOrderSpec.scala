@@ -113,6 +113,37 @@ class ZOrderSpec extends SparkSpec {
     assert(all.count() == events.count())
   }
 
+  test("manifest append indexes only new files and equals a full rebuild") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = tmp("graft-skip-append")
+    val tDir = s"$dir/table"
+    val mDir = s"$dir/manifest"
+    val old = events.filter(col("user_id") % 2 === 0)
+    val fresh = events.filter(col("user_id") % 2 === 1)
+    old.repartition(4).write.parquet(tDir)
+    graft.maintenance.SkipIndex.write(spark, tDir, mDir, Seq("user_id"))
+    assert(spark.read.parquet(mDir).count() == 4)
+    // nothing new -> no-op
+    assert(graft.maintenance.SkipIndex.append(
+      spark, tDir, mDir, Seq("user_id")) == 0)
+    // grow the table; append must index exactly the new files
+    fresh.repartition(3).write.mode("append").parquet(tDir)
+    assert(graft.maintenance.SkipIndex.append(
+      spark, tDir, mDir, Seq("user_id")) == 3)
+    val appended = spark.read.parquet(mDir)
+    assert(appended.count() == 7)
+    // row-set parity with a full rebuild over the grown table
+    val m2 = s"$dir/manifest_full"
+    graft.maintenance.SkipIndex.write(spark, tDir, m2, Seq("user_id"))
+    val full = spark.read.parquet(m2)
+    assert(appended.exceptAll(full).isEmpty && full.exceptAll(appended).isEmpty)
+    // and scanRanges answers identically through the appended manifest
+    val viaAppend = graft.maintenance.SkipIndex.scanRanges(
+      spark, tDir, mDir, Map("user_id" -> (3L, 9L)))
+    val expected = events.filter(col("user_id").between(3, 9))
+    assert(viaAppend.count() == expected.count() && expected.count() > 0)
+  }
+
   test("manifest IS the file index: 10⁵-file manifest plans without touching pruned files") {
     // A 100k-row manifest in which all but 2 entries point at files that
     // DO NOT EXIST. If planning listed the table dir, stat'ed pruned
