@@ -144,6 +144,17 @@ object SkipIndex {
     * ranges as row filters. Planning streams the surviving manifest rows
     * into a [[ManifestFileIndex]] — by-size-accurate FileStatus entries
     * with zero filesystem calls.
+    *
+    * Staleness contract, asymmetric by direction: files ADDED since the
+    * manifest are silently not read (fold them in with [[append]] at the
+    * maintenance cadence), but a manifest row whose file was REMOVED —
+    * compaction, re-z-ordering, any rewrite — fails the scan at read
+    * time (the superset-degrades-gracefully guarantee covers extra
+    * surviving rows, not vanished files; validating liveness here would
+    * reintroduce the per-file stat RPCs this index exists to avoid).
+    * Rebuild with [[write]] after any file removal — the engine's own
+    * cached-manifest paths get exactly that via the StateCache source
+    * fingerprint.
     */
   def scanRanges(spark: SparkSession, tableDir: String, manifestDir: String,
                  ranges: Map[String, (Any, Any)]): DataFrame = {
