@@ -2,10 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.schema.Schemas
+
+/** State row for [[EventsStream.sessionsStateful]]: one user's still-open
+  * sessions as (startUs, lastEventUs, nEvents), epoch micros. Bounded by the
+  * watermark: a session leaves the state the moment no in-watermark event can
+  * extend it, so per-key state is O(open sessions), not O(events).
+  */
+case class OpenSessions(open: Seq[(Long, Long, Long)])
 
 /** Structured-Streaming twin of the events path (SURVEY.md §2.10: T3, T5,
   * T7, T8). The reference implements watermarks, checkpoints, and daily
@@ -64,6 +71,75 @@ object EventsStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** T8 extension surface: the [[sessions]] semantics rebuilt as a custom
+    * state machine on `flatMapGroupsWithState` + `EventTimeTimeout`. Output
+    * set is EXACTLY `session_window(ts, gap)` per user (spec-asserted), but
+    * unlike the built-in the fold owns the per-session state row, so a user
+    * can carry arbitrary payload (last event type, a value decay, an abandon
+    * flag) that windowed aggs can't express — this function is the template
+    * for that, kept payload-free so the parity contract stays checkable.
+    *
+    * Mechanics: state holds the open sessions as [start, last+gap) intervals;
+    * each invocation merges the batch's events (interval union under the
+    * strict `ts < last + gap` linking rule — `ts == last + gap` starts a new
+    * session, matching `session_window`), emits every session whose end has
+    * passed the watermark, and re-arms an event-time timeout at the earliest
+    * surviving end so closure fires even when the key goes quiet. Closure is
+    * safe, not just timely: `EventTimeTimeout` drops rows older than the
+    * watermark before the fold runs, so a session emitted at `end <= wm` can
+    * never be extended by a later row (which must have `ts >= wm >= end` —
+    * and `ts == end` starts a new session even in batch).
+    *
+    * 100 TB posture: one shuffle on user_id; state is per-key open sessions
+    * only (watermark-bounded), no event retention; emission is append-mode,
+    * so downstream sinks see each closed session exactly once.
+    */
+  def sessionsStateful(events: DataFrame, gapMinutes: Long = 30,
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+             state: GroupState[OpenSessions]): Iterator[(Long, Long, Long, Long)] = {
+      val incoming = rows.map { case (_, _, ts) => (ts, ts, 1L) }.toSeq
+      val all = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ incoming)
+        .sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for (s <- all) {
+        if (merged.nonEmpty && s._1 < merged.last._2 + gapUs) {
+          val p = merged.last
+          merged(merged.size - 1) = (p._1, math.max(p._2, s._2), p._3 + s._3)
+        } else merged += s
+      }
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val (closed, open) = merged.toSeq.partition(_._2 + gapUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        // Timeout is ms-granular; a 1-ms-early firing just re-arms (the
+        // closure test above is exact micros). Must stay > watermark.
+        val minEndMs = open.map(s => (s._2 + gapUs) / 1000L).min
+        state.setTimeoutTimestamp(math.max(minEndMs, state.getCurrentWatermarkMs + 1))
+      }
+      closed.iterator.map(s => (s._1, s._2 + gapUs, user, s._3))
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      // ts rides along untouched: the analyzer requires the watermarked
+      // event-time attribute in the stateful operator's input; the fold
+      // reads the exact micros from the third column.
+      .select(col("user_id").cast(LongType), col("ts"), unix_micros(col("ts")))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+      .select(timestamp_micros(col("_1")).as("session_start"),
+        timestamp_micros(col("_2")).as("session_end"),
+        col("_3").as("user_id"), col("_4").as("n_events"))
+  }
 
   /** T5: keyed dedup bounded by the watermark — the streaming analog of the
     * silver job's dropDuplicates(event_key).

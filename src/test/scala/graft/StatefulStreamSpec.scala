@@ -60,4 +60,57 @@ class StatefulStreamSpec extends SparkSpec {
     val total = latest.agg(sum("n")).as[Long].head()
     assert(total == 700, s"state must accumulate 200 + 500 rows, got $total")
   }
+
+  test("sessionsStateful emits exactly the batch session_window set (T8, EventTimeTimeout)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val src = s"$root/src"
+    val cp = s"$root/cp"
+    val out = s"$root/out"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+    // Chronological halves -> two micro-batches whose watermark never drops
+    // a later row (each file's events are newer than the prior file's
+    // watermark); an id-based split would silently lose most of batch 2.
+    val midUs = ev.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    ev.filter(unix_micros(col("ts")) < midUs).coalesce(1).write.parquet(s"$src/b1")
+    ev.filter(unix_micros(col("ts")) >= midUs).coalesce(1).write.parquet(s"$src/b2")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = graft.streaming.EventsStream.sessionsStateful(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+
+    // Two sentinel rounds (user -1) ratchet the watermark past every real
+    // session end: round 1 raises the watermark to maxTs+2h only AFTER its
+    // batch, so round 2 is what fires the remaining event-time timeouts.
+    val maxTs = ev.agg(max("ts")).as[java.sql.Timestamp].head()
+    def sentinel(id: Long, hoursAhead: Long): Unit = {
+      Seq((id, new java.sql.Timestamp(maxTs.getTime + hoursAhead * 3600 * 1000L),
+        -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$src/s$id")
+      run()
+    }
+    sentinel(9000001L, 3)
+    sentinel(9000002L, 10)
+
+    val got = spark.read.parquet(out).filter(col("user_id") >= 0)
+    val want = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+    assert(got.count() == want.count(),
+      s"every real session must close exactly once: got ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "custom state machine must reproduce session_window exactly")
+  }
 }
