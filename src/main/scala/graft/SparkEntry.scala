@@ -595,6 +595,27 @@ object SparkEntry {
     // rescan — per-type unions of the per-day HLL state.
     "q101_overlap_sketch" -> ((s, dir) =>
       Agg.typeOverlapSketch(Agg.dailySketches(t(s, dir, "events")))),
+    // J6 interval self-join: ALL view→purchase pairs of the same user
+    // within one hour — the funnel/attribution question (nearest-match is
+    // AsOfJoin's contract, this is the window's full pair set). The same
+    // plan builder runs as a watermarked stream-stream join
+    // (EventsStream.funnelPairsStream; replay parity spec-pinned).
+    "q113_funnel_join" -> ((s, dir) =>
+      graft.ops.Joins.funnelPairs(t(s, dir, "events"),
+        "view", "purchase", "1 hour")),
+    // A4 heavy hitters (exact twin): top-10 users per event_type by event
+    // count, ties by user_id — the groupBy bounds window input to
+    // distinct (type, user) pairs.
+    "q114_heavy_hitters" -> ((s, dir) =>
+      Agg.heavyHittersExact(t(s, dir, "events"), k = 10)),
+    // A4 heavy hitters from sketch STATE (rows-only: Datasketches
+    // binaries are engine-internal; q114 is the exact oracle twin and
+    // SketchSpec pins the no-false-negative + bracket bounds): per-day
+    // LongsSketch rows unioned per event_type, top-10 by estimate.
+    "q115_heavy_sketch" -> ((s, dir) =>
+      Agg.heavyHittersFromState(
+        Agg.dailyTopSketches(t(s, dir, "events"), maxMapSize = 64),
+        k = 10)),
     // A9 training-order prep: deterministic corpus shuffle — round-robin
     // shards + salted-md5 rank inside each (windows run per shard, in
     // parallel; no global total order by design).
@@ -1897,6 +1918,23 @@ object SparkEntry {
         |FROM documents d JOIN t ON t.source = d.source
         |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
         |      < t.thr""".stripMargin,
+    "q113_funnel_join" ->
+      """SELECT a.user_id, a.ts AS from_ts, b.ts AS to_ts
+        |FROM events a
+        |JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'""".stripMargin,
+    "q114_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n_events,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n_events DESC, user_id) AS INT) AS rnk
+        |  FROM c)
+        |SELECT event_type, user_id, n_events, rnk FROM r
+        |WHERE rnk <= 10""".stripMargin,
     "q110_bpe_pairs" ->
       """WITH pairs AS (
         |  SELECT t[i] AS a, t[i + 1] AS b

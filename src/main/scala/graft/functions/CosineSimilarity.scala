@@ -254,5 +254,13 @@ object GraftFunctions {
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_merge_text", bpeMergeTextFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch_agg", FreqSketch.freqSketchAggFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_union_agg", FreqSketch.freqUnionAggFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch_items", FreqSketch.freqSketchItemsFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch_max_error", FreqSketch.freqSketchMaxErrorFromSql, "built-in")
   }
 }

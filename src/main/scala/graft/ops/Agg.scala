@@ -227,6 +227,66 @@ object Agg {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
+  /** The frequency twin of [[dailySketches]]: a mergeable heavy-hitters
+    * sketch ([[graft.functions.FreqSketchAgg]], Datasketches LongsSketch)
+    * of `user_id` per (event_type, day) — persisted STATE, so "who are
+    * the top users over any window" is answered from per-day rows alone,
+    * never rescanning event history. `maxMapSize` fixes both memory
+    * (~0.75·m counters per sketch) and error (≤ 3.5·n/m): every user
+    * with true count above that line is retained across any merge order
+    * (no false negatives — the property SketchSpec pins against
+    * [[heavyHittersExact]]).
+    */
+  def dailyTopSketches(events: DataFrame, maxMapSize: Int = 64): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(graft.functions.FreqSketch
+        .freq_sketch_agg(col("user_id"), maxMapSize).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Consume side of [[dailyTopSketches]]: union each event_type's daily
+    * sketches and report its top-`k` users by estimated count, with the
+    * (lb, ub) bracket and the merged sketch's error line. Ties broken by
+    * user_id so the output is deterministic given the state. The union
+    * shuffle carries one partial sketch per (key, partition) — state
+    * rows, never events.
+    */
+  def heavyHittersFromState(daily: DataFrame, k: Int = 10,
+                            maxMapSize: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("est").desc, col("user_id").asc)
+    daily
+      .groupBy(col("event_type"))
+      .agg(graft.functions.FreqSketch
+        .freq_union_agg(col("user_sketch"), maxMapSize).as("_sk"))
+      .select(col("event_type"),
+        graft.functions.FreqSketch.freq_sketch_max_error(col("_sk"))
+          .as("max_err"),
+        explode(graft.functions.FreqSketch.freq_sketch_items(col("_sk")))
+          .as("_it"))
+      .select(col("event_type"), col("_it.item").as("user_id"),
+        col("_it.est").as("est"), col("_it.lb").as("lb"),
+        col("_it.ub").as("ub"), col("max_err"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Exact oracle twin of [[heavyHittersFromState]]: top-`k` users per
+    * event_type by event count, ties broken by user_id. The groupBy
+    * bounds window input to distinct (type, user) pairs; at 100 TB the
+    * per-type sort over all users is the price of exactness — the sketch
+    * path is the scale path, this form is its verification.
+    */
+  def heavyHittersExact(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** The quantile twin of [[dailySketches]]: a fixed-width value histogram
     * per (event_type, day), persisted as an `array<struct<bucket,n>>`
     * column — mergeable STATE for percentile queries, so any rollup

@@ -77,4 +77,31 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, equiCond: Column,
                 rangeCond: Column): DataFrame =
     left.join(right, equiCond && rangeCond)
+
+  /** J6 interval self-join (funnel/attribution): every (fromType → toType)
+    * event pair of the same user with `to_ts` inside `[from_ts, from_ts +
+    * horizon]` — ALL pairs in the window, not the single nearest match
+    * (that is [[graft.ops.AsOfJoin]]'s contract). The equality conjunct on
+    * user_id keeps this a hash join with the interval as a post-join
+    * filter (the [[rangeJoin]] rule); output is bounded by per-user
+    * in-window pair counts, never a cross product.
+    *
+    * The same plan shape runs unchanged as a watermarked stream-stream
+    * join — see [[graft.streaming.EventsStream.funnelPairsStream]], whose
+    * full-replay parity with this batch form is spec-pinned. The interval
+    * bound on both event-time columns is what lets streaming state expire:
+    * an unbounded funnel would accumulate every `fromType` event forever.
+    */
+  def funnelPairs(events: DataFrame, fromType: String, toType: String,
+                  horizon: String = "1 hour"): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("ts").as("from_ts"))
+    val to = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("_to_uid"), col("ts").as("to_ts"))
+    from.join(to,
+        col("user_id") === col("_to_uid") &&
+        col("to_ts") >= col("from_ts") &&
+        col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("from_ts"), col("to_ts"))
+  }
 }

@@ -48,6 +48,24 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** T8/J6 stream-stream interval join: the batch funnel
+    * ([[graft.ops.Joins.funnelPairs]]) run as a watermarked self-join —
+    * literally the same plan builder; only the watermark is added, which
+    * survives the builder's aliased selects via column metadata. Both
+    * sides derive from ONE streaming source (scanned once per
+    * micro-batch), and the two-sided event-time bound in the join
+    * condition is what lets Spark expire join state: a buffered fromType
+    * row can be dropped once the watermark passes `from_ts + horizon`,
+    * a toType row once it passes `to_ts`. Full-replay parity with the
+    * batch form is spec-pinned (StreamingSpec).
+    */
+  def funnelPairsStream(events: DataFrame, fromType: String = "view",
+                        toType: String = "purchase",
+                        horizon: String = "1 hour",
+                        watermarkDelay: String = "1 hour"): DataFrame =
+    graft.ops.Joins.funnelPairs(
+      events.withWatermark("ts", watermarkDelay), fromType, toType, horizon)
+
   /** T7: tumbling daily engagement counts with a 1-day watermark.
     * `approx_count_distinct` keeps per-window state mergeable and bounded —
     * exact distinct in streaming state grows with cardinality.

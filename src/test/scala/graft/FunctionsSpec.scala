@@ -36,6 +36,26 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("freq sketch family is callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_freq_test")
+    val r = spark.sql(
+      """SELECT it.item, it.est, it.lb, it.ub,
+        |  freq_sketch_max_error(sk) AS max_err
+        |FROM (SELECT freq_union_agg(sk, 64) AS sk
+        |      FROM (SELECT freq_sketch_agg(user_id, 64) AS sk
+        |            FROM ev_freq_test GROUP BY event_type))
+        |LATERAL VIEW explode(freq_sketch_items(sk)) AS it""".stripMargin)
+      .collect()
+    assert(r.nonEmpty)
+    // sf0.001 has 15 users over 1000 events in a m=64 sketch: everything
+    // fits exactly, so brackets collapse and counts sum to the row count
+    assert(r.forall(row => row.getLong(1) == row.getLong(2) &&
+      row.getLong(1) == row.getLong(3)))
+    assert(r.map(_.getLong(1)).sum == 1000L)
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

@@ -255,6 +255,27 @@ class PlanSpec extends SparkSpec {
         p.take(800))
   }
 
+  test("q113 funnel join: hash-family join on user_id, never nested-loop") {
+    // The equality conjunct is load-bearing: without it the interval
+    // condition degenerates to BroadcastNestedLoopJoin — events × events.
+    val p = plan("q113_funnel_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "interval join must key on user_id:\n" + p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
+  test("q115 heavy-hitter sketch: object-hash aggregates, window only on state rows") {
+    // The TypedImperativeAggregate folds must plan as partial+final
+    // ObjectHashAggregate (live sketch objects in the buffer, serialized
+    // only at the exchange); a SortAggregate fallback would sort events
+    // to sketch them.
+    val p = plan("q115_heavy_sketch")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(!p.contains("SortAggregate"),
+      "sketch folds must not fall back to SortAggregate:\n" + p.take(800))
+  }
+
   test("q96 redact: one codegen'd projection — no exchange, no join") {
     val p = plan("q96_redact")
     assert(!p.contains("Exchange"),

@@ -120,4 +120,98 @@ class SketchSpec extends SparkSpec {
     val inMemory = Agg.histQuantile(Agg.dailyValueHist(ev, width = 1.0), q = 0.9)
     assert(quantiles(fromDisk) == quantiles(inMemory))
   }
+
+  // --- frequent-items (heavy hitters) sketch state ---
+
+  /** Skewed synthetic events: per event_type, 3 heavy users (1000 events
+    * each) over a 301-user tail (3 each) — far more keys than the m=32
+    * sketch holds, so counter purges (the approximate regime) are
+    * exercised; each user's events split across two days so the rollup
+    * merges real per-day partials.
+    */
+  private def skewedEvents: org.apache.spark.sql.DataFrame = {
+    val rows = for {
+      et <- Seq("view", "purchase")
+      (u, n) <- (1L to 3L).map(_ -> 1000) ++ (100L to 400L).map(_ -> 3)
+      i <- 1 to n
+    } yield (et, u, if (i % 2 == 0) "2024-01-01" else "2024-01-02")
+    rows.toDF("event_type", "user_id", "d")
+      .withColumn("ts", col("d").cast("timestamp")).drop("d")
+  }
+
+  private def exactCounts(ev: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+    ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (et, u, n) => (et, u) -> n }.toMap
+
+  test("freq sketch retains everything above the error line, with true counts bracketed") {
+    val ev = skewedEvents
+    val exact = exactCounts(ev)
+    val got = Agg.heavyHittersFromState(
+      Agg.dailyTopSketches(ev, maxMapSize = 32), k = 1000, maxMapSize = 32)
+      .select(col("event_type"), col("user_id"), col("est"), col("lb"),
+        col("ub"), col("max_err"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val retained = got.map(r => (r._1, r._2)).toSet
+    val maxErr = got.map(r => r._1 -> r._6).toMap
+    got.foreach { case (et, u, _, lb, ub, _) =>
+      val n = exact((et, u))
+      assert(lb <= n && n <= ub, s"($et,$u): true=$n outside [$lb,$ub]")
+    }
+    // NO_FALSE_NEGATIVES: a key whose true count exceeds the merged
+    // sketch's a-posteriori error bound cannot have been purged
+    exact.foreach { case ((et, u), n) =>
+      if (n > maxErr(et)) {
+        assert(retained.contains((et, u)),
+          s"($et,$u): true=$n > maxErr=${maxErr(et)} but missing")
+      }
+    }
+  }
+
+  test("freq sketch top-k separates heavy users from the tail") {
+    val ev = skewedEvents
+    val top = Agg.heavyHittersFromState(
+      Agg.dailyTopSketches(ev, maxMapSize = 32), k = 3, maxMapSize = 32)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // est(heavy) >= 1000 > ub(tail) <= 3 + maxErr (<= 3.5·n/m ≈ 430), so
+    // the sketch top-3 must be exactly the true heavy users of each type
+    Seq("view", "purchase").foreach { et =>
+      assert(top(et) == Set(1L, 2L, 3L), s"$et: got ${top(et)}")
+    }
+  }
+
+  test("freq sketch contract holds under any input partitioning") {
+    // sketch CONTENT is order-dependent (unlike HLL union, the merge is
+    // not lossless), so the pinned property is the CONTRACT, not byte
+    // equality: bounds bracket the truth at every partition count
+    val exact = exactCounts(skewedEvents)
+    Seq(1, 7, 32).foreach { p =>
+      val ev = skewedEvents.repartition(p, col("user_id"))
+      val got = Agg.heavyHittersFromState(
+        Agg.dailyTopSketches(ev, maxMapSize = 32), k = 1000, maxMapSize = 32)
+        .select(col("event_type"), col("user_id"), col("lb"), col("ub"))
+        .as[(String, Long, Long, Long)].collect()
+      got.foreach { case (et, u, lb, ub) =>
+        val n = exact((et, u))
+        assert(lb <= n && n <= ub, s"p=$p ($et,$u): true=$n outside [$lb,$ub]")
+      }
+    }
+  }
+
+  test("freq sketch daily state survives a parquet round-trip") {
+    val ev = skewedEvents
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq").toString
+    Agg.dailyTopSketches(ev, maxMapSize = 32).write.mode("overwrite").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Agg.heavyHittersFromState(df, k = 10, maxMapSize = 32)
+        .select(col("event_type"), col("user_id"), col("est"), col("rnk"))
+        .as[(String, Long, Long, Int)].collect().toSet
+    // same persisted state bytes ⇒ identical consume-side result
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(Agg.dailyTopSketches(ev, maxMapSize = 32)))
+  }
 }

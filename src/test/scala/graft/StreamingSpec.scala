@@ -52,6 +52,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming funnel join matches the batch interval join (T8/J6)") {
+    val stream = EventsStream.readEvents(spark, sf)
+    // inner stream-stream joins emit on match, so append mode withholds
+    // nothing at end-of-stream — full-replay output IS the batch result
+    val got = runStream(
+      EventsStream.funnelPairsStream(stream), "funnel_out", "append")
+    val want = graft.ops.Joins.funnelPairs(
+      Tables.load(spark, sf, "events"), "view", "purchase", "1 hour")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("dedupWithinWatermark emits each event_id once (T5)") {
     val stream = EventsStream.readEvents(spark, sf)
     val got = runStream(EventsStream.dedupWithinWatermark(stream), "dedup_out", "append")
