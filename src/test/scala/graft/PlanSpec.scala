@@ -265,6 +265,19 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q114 heavy hitters: partial WindowGroupLimit bounds the per-type sort") {
+    // At 100 TB the exact twin survives because each map task keeps only
+    // its own top-10 per event_type BEFORE the exchange; losing the
+    // Partial node would ship every distinct (type, user) count into one
+    // per-type sort.
+    val p = plan("q114_heavy_hitters")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "expected a map-side partial WindowGroupLimit:\n" + p.take(800))
+    // and the scan reads only the two columns the query needs
+    assert(p.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      p.take(1200))
+  }
+
   test("q115 heavy-hitter sketch: object-hash aggregates, window only on state rows") {
     // The TypedImperativeAggregate folds must plan as partial+final
     // ObjectHashAggregate (live sketch objects in the buffer, serialized
