@@ -203,4 +203,34 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The frequency twin of [[histStateQuery]]: per-micro-batch
+    * heavy-hitters sketch rows ([[graft.ops.Agg.dailyTopSketches]])
+    * appended to a parquet state table, batch-id-guarded so a replayed
+    * trigger is a no-op instead of double-counting its events. Unlike
+    * the histogram (whose merge is lossless at any batch granularity),
+    * per-batch sketch partials carry per-batch error — the union's error
+    * bound is the SUM of the partials' bounds, so the no-false-negative
+    * contract survives replay/compaction but the bound is looser than
+    * one sketch over the same events (StreamingSpec pins both: the
+    * contract, and that replay does not widen it). Rollup/compaction is
+    * the batch consume side, [[graft.ops.Agg.heavyHittersFromState]] —
+    * the state table IS the interface between the two engines.
+    */
+  def freqStateQuery(spark: SparkSession, events: DataFrame,
+                     stateDir: String, checkpointDir: String,
+                     maxMapSize: Int = 64): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
+          !spark.read.parquet(stateDir)
+            .filter(col("batch_id") === batchId).isEmpty
+        if (!replay)
+          graft.ops.Agg.dailyTopSketches(batch, maxMapSize)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

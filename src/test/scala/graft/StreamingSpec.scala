@@ -199,6 +199,54 @@ class StreamingSpec extends SparkSpec {
       "compaction must not move any quantile")
   }
 
+  test("streaming freq state: heavy hitters hold their bounds and replay is a no-op") {
+    import graft.ops.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft-fstream").toString
+    // skewed synthetic events: 3 heavy users (300 events) over a 151-user
+    // tail (2 each) — the m=32 union's error (≤ 3.5·n/m ≈ 131, summed
+    // over batches) stays below the heavy counts, so the top-3 is provable
+    val rows = for {
+      (u, n) <- (1L to 3L).map(_ -> 300) ++ (100L to 250L).map(_ -> 2)
+      i <- 1 to n
+    } yield (i.toLong, u, "view")
+    val ev = rows.toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", lit("2024-01-01").cast("timestamp"))
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.freqStateQuery(spark, stream,
+        s"$root/state", s"$root/cp", maxMapSize = 32)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val state = spark.read.parquet(s"$root/state")
+    assert(state.select("batch_id").distinct().count() >= 3,
+      "expected one partial-sketch batch per source file")
+    def consume(df: org.apache.spark.sql.DataFrame) =
+      Agg.heavyHittersFromState(df, k = 1000, maxMapSize = 32)
+        .select(col("user_id"), col("est"), col("lb"), col("ub"), col("rnk"))
+        .as[(Long, Long, Long, Long, Int)].collect()
+    val nStateRows = state.count()
+    val got = consume(state)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (u, _, lb, ub, _) =>
+      assert(lb <= exact(u) && exact(u) <= ub,
+        s"user $u: true=${exact(u)} outside [$lb,$ub]")
+    }
+    assert(got.filter(_._5 <= 3).map(_._1).toSet == Set(1L, 2L, 3L),
+      "the provably-heavy users must rank first from streaming state")
+    // replay safety: same checkpoint appends nothing, bounds don't widen
+    run()
+    val replayed = spark.read.parquet(s"$root/state")
+    assert(replayed.count() == nStateRows,
+      "a replayed/no-op trigger must not double-count sketch partials")
+    assert(consume(replayed).toSet == got.toSet)
+  }
+
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
