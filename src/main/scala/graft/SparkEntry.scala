@@ -674,6 +674,22 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
         nCentroids = 16, nProbe = 4)
     }),
+    // J7 quantized ANN (rows-only: ranking rides the engine-internal
+    // int8 codes; VectorSpec pins the recall floor vs the float path and
+    // bit-identity of the refined cosines — q65 is the float twin). The
+    // probed scan reads the codes column only: 1/4 the vector bytes of
+    // q65's at-rest search at the same partition pruning; the refine
+    // step touches full precision for candidates only.
+    "q116_ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfsq8", "v1") { d =>
+        Similarity.writeIvfIndex(emb, d, nCentroids = 16, trainIters = 5,
+          sq8 = true)
+      }
+      Similarity.searchIvfIndexSq8(s, ivfDir,
+        emb.filter(col("vec_id") < 10), 5, nProbe = 4, refine = 20)
+    }),
     // J7 north star: embedding-cosine near-dup within a blocking key.
     "q39_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),

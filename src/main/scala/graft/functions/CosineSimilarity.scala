@@ -126,6 +126,11 @@ object CosineSimilarityMath {
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** The exact ANSI DIVIDE_BY_ZERO error, shared with [[Sq8Math]]. */
+  private[functions] def raiseDivideByZero(): ArithmeticException =
+    divideByZeroError.invoke(queryExecutionErrors, null)
+      .asInstanceOf[ArithmeticException]
 }
 
 /** Column-API and SQL-registry surface for the engine's custom expressions. */
@@ -262,5 +267,12 @@ object GraftFunctions {
       "freq_sketch_items", FreqSketch.freqSketchItemsFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch_max_error", FreqSketch.freqSketchMaxErrorFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_encode", { exprs: Seq[Expression] => Sq8Encode(exprs.head) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_cosine",
+      { exprs: Seq[Expression] => Sq8Cosine(exprs(0), exprs(1)) },
+      "built-in")
   }
 }

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
+
+/** Symmetric int8 scalar quantization of a float embedding (the ANN
+  * memory/scan-cost leg): `code_i = round(v_i / max|v| · 127)`, one byte
+  * per dimension — 4× fewer bytes than float32 in the scan that dominates
+  * IVF search cost at 100 TB. The per-vector scale is deliberately NOT
+  * stored: cosine is scale-invariant in each argument, so ranking against
+  * the raw codes loses only the ~7-bit rounding of the DIRECTION, never
+  * the magnitude (which is why this works for cosine search and would be
+  * wrong for L2). NULL element → NULL codes (a vector with unknown slots
+  * has no faithful quantization — the [[CosineSimilarity]] contract);
+  * empty array → empty codes; zero vector → all-zero codes (its cosine
+  * is NULL/error downstream either way, matching the float path).
+  */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode: input must be array<float>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sq8Math.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sq8Res")
+      s"""
+         |byte[] $r = graft.functions.Sq8Math.encode($a);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between a float-array probe and [[Sq8Encode]] codes —
+  * the ranking expression of the quantized IVF scan. Numerically this IS
+  * [[CosineSimilarity]] over (probe, dequantized codes) because the
+  * dropped per-vector scale cancels in cosine; same left-to-right double
+  * accumulation, same length-mismatch throw, same zero-norm Divide
+  * semantics (NULL under non-ANSI, DIVIDE_BY_ZERO under ANSI — NaN would
+  * sort above every real similarity in a descending top-k).
+  */
+case class Sq8Cosine(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_cosine: inputs must be (array<float>, binary), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Math.cosine(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Array[Byte]], failOnError)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sq8Cos")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.Sq8Math.cosine($a, $b, $failOnError);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Cosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static loops for generated Java (the [[CosineSimilarityMath]] pattern). */
+object Sq8Math {
+
+  def encode(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var mx = 0.0f
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getFloat(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    if (mx == 0.0f) return out // zero vector → all-zero codes
+    i = 0
+    while (i < n) {
+      out(i) = math.round(v.getFloat(i) / mx * 127.0f).toByte
+      i += 1
+    }
+    out
+  }
+
+  def cosine(p: ArrayData, codes: Array[Byte], failOnError: Boolean)
+      : java.lang.Double = {
+    val n = p.numElements()
+    if (codes.length != n) {
+      throw new IllegalArgumentException(
+        s"sq8_cosine: probe has $n dims but codes have ${codes.length} — " +
+          "truncating would silently compare the wrong vectors; fix the " +
+          "embedding dims (or the index).")
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (p.isNullAt(i)) return null
+      val xi = p.getFloat(i).toDouble
+      val yi = codes(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) {
+      if (failOnError) {
+        throw CosineSimilarityMath.raiseDivideByZero()
+      }
+      return null
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}

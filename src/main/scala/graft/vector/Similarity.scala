@@ -41,6 +41,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_similarity(a, b)
 
+  /** Int8 codes of a float embedding ([[graft.functions.Sq8Encode]]) —
+    * 1 byte/dim vs float32's 4, the scan-cost lever of [[searchIvfIndexSq8]].
+    */
+  def sq8Encode(emb: Column): Column =
+    graft.functions.GraftFunctions.column(
+      graft.functions.Sq8Encode(graft.functions.GraftFunctions.expr(emb)))
+
+  /** Cosine of a float probe against [[sq8Encode]] codes — exact up to the
+    * codes' ~7-bit direction rounding (the per-vector scale cancels).
+    */
+  def sq8Cosine(probe: Column, codes: Column): Column =
+    graft.functions.GraftFunctions.column(
+      graft.functions.Sq8Cosine(graft.functions.GraftFunctions.expr(probe),
+        graft.functions.GraftFunctions.expr(codes)))
+
   /** Brute-force exact top-k cosine neighbors for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
@@ -352,7 +367,8 @@ object Similarity {
     * deterministic first-N seed (the pre-round-7 behavior).
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
-                    nCentroids: Int = 16, trainIters: Int = 0): Unit = {
+                    nCentroids: Int = 16, trainIters: Int = 0,
+                    sq8: Boolean = false): Unit = {
     val centDf =
       if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters)
       else corpus.orderBy(col("vec_id")).limit(nCentroids)
@@ -362,9 +378,15 @@ object Similarity {
     // full-corpus top-k subquery a second time
     val cents = collectCentroids(
       corpus.sparkSession.read.parquet(s"$dir/centroids"))
-    corpus.select(col("vec_id"), col("embedding"),
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
       array_min(centStructs(cents)(col("embedding"))).getField("c_id")
         .as("list_id"))
+    // sq8: the codes column rides next to the full-precision one —
+    // parquet column pruning means the quantized scan reads only 1/4 the
+    // vector bytes while the refine step (and searchIvfIndex) still has
+    // the float column, at +25% storage
+    (if (sq8) assigned.withColumn("codes", sq8Encode(col("embedding")))
+     else assigned)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
     // seed the per-list stats from the freshly written lists (one
     // metadata-cheap aggregate at build time; appends then extend it
@@ -394,11 +416,19 @@ object Similarity {
     * VectorSpec). Searches stay correct-as-ranked regardless.
     */
   def appendIvfIndex(delta: DataFrame, dir: String): Unit = {
-    val cents = collectCentroids(
-      delta.sparkSession.read.parquet(s"$dir/centroids"))
-    def assigned = delta.select(col("vec_id"), col("embedding"),
-      array_min(centStructs(cents)(col("embedding"))).getField("c_id")
-        .as("list_id"))
+    val spark = delta.sparkSession
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    // match the at-rest format: an sq8 index gets sq8 appends (codes are
+    // deterministic per vector, so append ≡ full-build holds per-variant)
+    val hasCodes = spark.read.parquet(s"$dir/lists")
+      .schema.fieldNames.contains("codes")
+    def assigned = {
+      val base = delta.select(col("vec_id"), col("embedding"),
+        array_min(centStructs(cents)(col("embedding"))).getField("c_id")
+          .as("list_id"))
+      if (hasCodes) base.withColumn("codes", sq8Encode(col("embedding")))
+      else base
+    }
     assigned
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
     assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
@@ -484,6 +514,61 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("list_id").cast("long").as("list_id"))
     ivfSearch(assigned, probeLists, k)
+  }
+
+  /** Top-k search against a `writeIvfIndex(..., sq8 = true)` index,
+    * ranking on the int8 codes — the probed scan reads the `codes`
+    * column only (parquet column pruning), 1/4 the vector bytes of
+    * [[searchIvfIndex]] at the same partition pruning. With `refine = 0`
+    * the returned cosines are the quantized ones (exact up to the codes'
+    * ~7-bit direction rounding). With `refine = R >= k`, the quantized
+    * pass keeps R candidates per probe and a second, candidate-filtered
+    * read of the probed lists recomputes EXACT cosines for the final
+    * top-k — the standard ANN rescoring step: the full-precision column
+    * is touched only for probes × R rows, so refine cost is
+    * candidate-sized, not list-sized. Recall vs the float path is
+    * spec-measured in VectorSpec; ranks-of-returned-rows are exact under
+    * refine, approximate without.
+    */
+  def searchIvfIndexSq8(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        probes: DataFrame, k: Int, nProbe: Int = 4,
+                        refine: Int = 0): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val pl = probeListsFor(probes, cents, nProbe)
+    val plRows = pl.collect()
+    val probeLists = spark.createDataFrame(
+      java.util.Arrays.asList(plRows: _*), pl.schema)
+    val wanted = plRows.map(_.getAs[Long]("list_id")).distinct
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted.toSeq: _*))
+    val coded = lists
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        col("list_id").cast("long").as("list_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = coded.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", sq8Cosine(col("p_emb"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, refine))
+      .select(col("probe_id"), col("p_emb"), col("neighbor_id"),
+        col("rank"), col("cosine"))
+    if (refine <= 0) {
+      approx.select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+    } else {
+      // candidate-filtered full-precision rescore: probes × R rows
+      val cand = approx.select(col("probe_id"), col("p_emb"),
+        col("neighbor_id"))
+      lists.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("cosine"))
+    }
   }
 
   /** Embedding-cosine near-duplicates within a blocking key (here: label).

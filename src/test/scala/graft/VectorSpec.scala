@@ -358,4 +358,96 @@ class VectorSpec extends SparkSpec {
       s"recall too low: ${multi.size}/${truth.size}")
     assert(multi.size >= single.size)
   }
+
+  // --- int8 scalar quantization (SQ8) ---
+
+  test("sq8Cosine is bit-identical to a plain-Scala dequantized cosine") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    def enc(v: Seq[Float]): Array[Byte] = {
+      val mx = v.map(math.abs).max
+      if (mx == 0f) new Array[Byte](v.size)
+      else v.map(x => math.round(x / mx * 127.0f).toByte).toArray
+    }
+    def cosD(p: Seq[Float], c: Array[Byte]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < p.size) {
+        val x = p(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = emb.filter($"vec_id" < 50)
+      .select($"vec_id",
+        Similarity.sq8Cosine(typedLit(probe),
+          Similarity.sq8Encode($"embedding")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val want = emb.filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> cosD(probe, enc(v)) }.toMap
+    assert(got == want,
+      "codegen'd sq8 path must match the plain-Scala twin bit-for-bit")
+    // and quantization error on the real embeddings is ~7-bit small
+    val full = emb.filter($"vec_id" < 50)
+      .select($"vec_id",
+        Similarity.cosine(typedLit(probe), $"embedding").as("c"))
+      .as[(Long, Double)].collect().toMap
+    full.foreach { case (id, c) =>
+      assert(math.abs(got(id) - c) < 0.02, s"vec $id: sq8=${got(id)} full=$c")
+    }
+  }
+
+  test("sq8 index: pruned quantized scan, recall floor, and exact refine") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 16, sq8 = true)
+    // the float path is untouched by the extra codes column
+    val full = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = 4)
+    val raw = Similarity.searchIvfIndexSq8(spark, dir, probes, 5, nProbe = 4)
+    val refined = Similarity.searchIvfIndexSq8(spark, dir, probes, 5,
+      nProbe = 4, refine = 20)
+    val rRaw = Similarity.recallAtK(raw, full)
+    val rRef = Similarity.recallAtK(refined, full)
+    assert(rRaw >= 0.9, s"quantized-rank recall too low: $rRaw")
+    // rescoring ranks the candidate pool by EXACT cosine, so every float-
+    // path neighbor the pool contains is recovered — never worse than raw
+    assert(rRef >= rRaw, s"refine must not lose recall: $rRef < $rRaw")
+    // refined cosines are full-precision: any (probe, neighbor) shared
+    // with the float path carries the identical double
+    val joined = refined.as("r").join(full.as("f"),
+      Seq("probe_id", "neighbor_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("r.cosine") =!= col("f.cosine")).count() == 0,
+      "refined cosines must be bit-identical to the float path")
+    // the quantized scan reads codes, never the float column
+    val scan = raw.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("codes:binary") && !scan.contains("embedding"),
+      s"quantized scan must prune the float column:\n$scan")
+  }
+
+  test("sq8 append-built index is row-identical to the sq8 full build") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter($"vec_id" % 2 === 0 || $"vec_id" < 32)
+    val delta = emb.exceptAll(base)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-sq8-f").toString
+    val dirIncr = java.nio.file.Files.createTempDirectory("graft-sq8-i").toString
+    Similarity.writeIvfIndex(emb, dirFull, nCentroids = 16, sq8 = true)
+    Similarity.writeIvfIndex(base, dirIncr, nCentroids = 16, sq8 = true)
+    Similarity.appendIvfIndex(delta, dirIncr)
+    // appends detect the at-rest sq8 format: codes included, bit-identical
+    val lf = spark.read.parquet(s"$dirFull/lists")
+    val li = spark.read.parquet(s"$dirIncr/lists")
+    assert(lf.schema.fieldNames.contains("codes") &&
+      li.schema.fieldNames.contains("codes"))
+    assert(lf.exceptAll(li).isEmpty && li.exceptAll(lf).isEmpty,
+      "sq8 append-built lists must equal the sq8 full build's lists")
+    val sf = Similarity.searchIvfIndexSq8(spark, dirFull,
+      emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
+    val si = Similarity.searchIvfIndexSq8(spark, dirIncr,
+      emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
+    assert(sf.exceptAll(si).isEmpty && si.exceptAll(sf).isEmpty)
+  }
 }
