@@ -603,6 +603,12 @@ object SparkEntry {
     "q113_funnel_join" -> ((s, dir) =>
       graft.ops.Joins.funnelPairs(t(s, dir, "events"),
         "view", "purchase", "1 hour")),
+    // J6/W composed: ordered 3-step funnel conversion — earliest
+    // strictly-increasing view→click→purchase chain per user (greedy
+    // earliest is complete for existence; every shuffle user-keyed).
+    "q117_funnel_conversion" -> ((s, dir) =>
+      graft.ops.Joins.funnelConversion(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
     // A4 heavy hitters (exact twin): top-10 users per event_type by event
     // count, ties by user_id — the groupBy bounds window input to
     // distinct (type, user) pairs.
@@ -1940,6 +1946,21 @@ object SparkEntry {
         |JOIN events b ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'view' AND b.event_type = 'purchase'""".stripMargin,
+    "q117_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin,
     "q114_heavy_hitters" ->
       """WITH c AS (
         |  SELECT event_type, user_id, COUNT(*) AS n_events

@@ -92,6 +92,44 @@ object Joins {
     * bound on both event-time columns is what lets streaming state expire:
     * an unbounded funnel would accumulate every `fromType` event forever.
     */
+  /** Ordered funnel conversion: for each user, the earliest completion of
+    * `steps` as a strictly-increasing event-time chain — t1 = first
+    * steps(0), t_k = first steps(k−1) AFTER t_{k−1}. Greedy-earliest is
+    * COMPLETE for existence: if any ordered chain exists, the earliest
+    * one does (each stage's min is ≤ the corresponding event of any
+    * witness chain), so the output holds exactly the users who performed
+    * the whole sequence in order, with the canonical earliest timestamps.
+    *
+    * Scale: stage k joins the (filter-pushed) step-k events against the
+    * prior stage on user_id and re-aggregates — every shuffle is
+    * user-keyed, so the partitioning is reused stage to stage, and the
+    * prior-stage side only narrows (funnels converge); when it drops
+    * under the broadcast threshold AQE turns the remaining stages into
+    * broadcast joins. Cost is one filtered pass over events per step —
+    * at 100 TB with `event_type`-partitioned data each pass prunes to
+    * its step's partitions.
+    */
+  def funnelConversion(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelConversion needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (st, i)) =>
+      // group on user_id ALONE so every stage reuses the same hash
+      // partitioning; the earlier stage timestamps are constant within a
+      // user group (prev holds one row per user), so max() carries the
+      // value — grouping by (user, t1..ti) instead would re-shuffle on a
+      // different composite key at every stage
+      val carried = (1 to i).map(j => max(col(s"t$j")).as(s"t$j"))
+      events.filter(col("event_type") === st)
+        .select(col("user_id"), col("ts"))
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(s"t$i"))
+        .groupBy(col("user_id"))
+        .agg(carried.head,
+          carried.tail :+ min(col("ts")).as(s"t${i + 1}"): _*)
+    }
+  }
+
   def funnelPairs(events: DataFrame, fromType: String, toType: String,
                   horizon: String = "1 hour"): DataFrame = {
     val from = events.filter(col("event_type") === fromType)

@@ -55,4 +55,30 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("revenue") > 0))
   }
+
+  test("funnelConversion: strict order, greedy-earliest chain, dropouts excluded") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val ev = Seq(
+      // u1: clean chain
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),
+      // u2: click precedes first view — no click after t1, excluded
+      (2L, "click", 1), (2L, "view", 2), (2L, "purchase", 3),
+      // u3: no purchase, excluded
+      (3L, "view", 1), (3L, "click", 2),
+      // u4: same-timestamp step — strict > excludes it
+      (4L, "view", 1), (4L, "click", 1), (4L, "purchase", 2),
+      // u5: greedy earliest — t1=1, earliest later click=3 (not 10),
+      // earliest purchase after 3 is 4
+      (5L, "view", 1), (5L, "click", 10), (5L, "view", 2),
+      (5L, "click", 3), (5L, "purchase", 4))
+      .map { case (u, et, m) => (u, et, ts(m)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Joins.funnelConversion(ev, Seq("view", "click", "purchase"))
+      .select($"user_id", $"t1", $"t2", $"t3")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set(1L, 5L), s"got ${got.keySet}")
+    assert(got(1L) == ((ts(1), ts(2), ts(3))))
+    assert(got(5L) == ((ts(1), ts(3), ts(4))))
+  }
 }
