@@ -609,6 +609,11 @@ object SparkEntry {
     "q117_funnel_conversion" -> ((s, dir) =>
       graft.ops.Joins.funnelConversion(t(s, dir, "events"),
         Seq("view", "click", "purchase"))),
+    // A3/A4 composed: weekly retention cohorts — the (first-activity
+    // week × week-offset) matrix with exact retention rates; two
+    // user-keyed shuffles, cohort sizes broadcast.
+    "q118_retention_cohorts" -> ((s, dir) =>
+      Agg.retentionCohorts(t(s, dir, "events"))),
     // A4 heavy hitters (exact twin): top-10 users per event_type by event
     // count, ties by user_id — the groupBy bounds window input to
     // distinct (type, user) pairs.
@@ -1961,6 +1966,27 @@ object SparkEntry {
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
         |  GROUP BY e.user_id, s2.t1, s2.t2)
         |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin,
+    "q118_retention_cohorts" ->
+      """WITH fw AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |aw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |m AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.week) / 7
+        |      AS BIGINT) AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM aw a JOIN fw f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_week, COUNT(*) AS cohort_size FROM fw GROUP BY 1)
+        |SELECT m.cohort_week, m.week_offset, sz.cohort_size, m.n_active,
+        |  CAST(m.n_active AS DOUBLE) / sz.cohort_size AS retention
+        |FROM m JOIN sz ON m.cohort_week = sz.cohort_week""".stripMargin,
     "q114_heavy_hitters" ->
       """WITH c AS (
         |  SELECT event_type, user_id, COUNT(*) AS n_events

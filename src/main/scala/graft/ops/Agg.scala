@@ -227,6 +227,40 @@ object Agg {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
+  /** Weekly retention cohorts: users grouped by first-activity week, the
+    * classic (cohort_week, week_offset) activity matrix with retention
+    * rate against cohort size. All exact: week_offset is a day-diff of
+    * two week-truncated timestamps over 7 (always integral), and the
+    * rate divides two exact longs (IEEE division — bit-stable across
+    * engines).
+    *
+    * Scale: one per-user aggregate (first week), one distinct over
+    * (user, week) — both user-keyed shuffles — then the matrix aggregate
+    * groups (cohort, offset) rows bounded by users × active-weeks, and
+    * the cohort-size join broadcasts (weeks-count rows). No window, no
+    * event re-scan per cohort.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstWeek = events.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val activeWeeks = events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val sizes = firstWeek.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activeWeeks.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+  }
+
   /** The frequency twin of [[dailySketches]]: a mergeable heavy-hitters
     * sketch ([[graft.functions.FreqSketchAgg]], Datasketches LongsSketch)
     * of `user_id` per (event_type, day) — persisted STATE, so "who are

@@ -249,4 +249,17 @@ class InvarianceSpec extends SparkSpec {
         .as[(Long, String)].collect().toSet
     assert(diff(docs.repartition(6)) == diff(docs))
   }
+
+  test("funnel conversion and retention cohorts are invariant under repartitioning") {
+    val ev = Tables.load(spark, sf, "events")
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Joins.funnelConversion(df, Seq("view", "click", "purchase"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp,
+          java.sql.Timestamp)].collect().toSet
+    assert(funnel(ev.repartition(9)) == funnel(ev))
+    def cohorts(df: org.apache.spark.sql.DataFrame) =
+      Agg.retentionCohorts(df)
+        .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSet
+    assert(cohorts(ev.repartition(7)) == cohorts(ev))
+  }
 }
