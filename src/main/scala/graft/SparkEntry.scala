@@ -767,6 +767,17 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes"),
           col("feature")(0).cast("double").as("f0"))
     }),
+    // A8 on the image modality (rows-only: the pHash rides the
+    // engine-internal hyperplane walk; MultimodalSpec pins banded ==
+    // brute-force hamming pairs — completeness is the 4-band pigeonhole,
+    // precision 1.0 via the exact popcount verify).
+    "q119_image_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
+        .as[Multimodal.Asset]
+      Multimodal.nearDupByPHash(
+        Multimodal.perceptualHashes(s, assets), maxHamming = 2)
+    }),
     // North star multimodal: frame sampling (row explosion before shuffle).
     "q43_frame_sample" -> ((s, dir) => {
       import s.implicits._

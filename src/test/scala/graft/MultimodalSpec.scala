@@ -58,6 +58,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pHash near-dup: banded search equals brute-force hamming pairs") {
+    val hashes = Multimodal.perceptualHashes(
+      spark, assets.as[Multimodal.Asset])
+    // exact-dup texts in the documents table give identical payloads →
+    // identical hashes, so the pair set is non-trivial at hamming 0
+    def pairs(d: Int) = Multimodal.nearDupByPHash(hashes, maxHamming = d)
+      .as[(Long, Long, Int)].collect().toSet
+    def brute(d: Int) = Multimodal.nearDupByPHashExact(hashes, d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs(0).nonEmpty, "expected exact-dup assets at hamming 0")
+    // pigeonhole completeness + popcount-verified precision, at the
+    // boundary (3 = 4 bands − 1) and in the middle
+    Seq(0, 2, 3).foreach { d =>
+      assert(pairs(d) == brute(d), s"banded != brute at maxHamming=$d")
+    }
+    // hashes are deterministic across recompute (stable dedup keys)
+    val again = Multimodal.perceptualHashes(spark, assets.as[Multimodal.Asset])
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == hashes.as[(Long, String, Long)].collect().toSet)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     assets.write.parquet(s"$dir/assets")
