@@ -609,6 +609,23 @@ object SparkEntry {
     "q117_funnel_conversion" -> ((s, dir) =>
       graft.ops.Joins.funnelConversion(t(s, dir, "events"),
         Seq("view", "click", "purchase"))),
+    // Pipeline-ops: declarative data-quality constraint report — every
+    // predicate and uniqueness rule folds into ONE aggregate pass, FK
+    // integrity as a broadcast anti-join count; reports union.
+    "q120_quality_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Constraints.check(ev,
+        predicateRules = Seq(
+          "user_id_not_null" -> col("user_id").isNull,
+          "value_non_negative" -> (col("value") < 0),
+          "ts_in_2024" ->
+            (col("ts") < lit("2024-01-01").cast("timestamp") ||
+              col("ts") >= lit("2025-01-01").cast("timestamp"))),
+        uniqueRules = Seq("event_id_unique" -> Seq("event_id")))
+        .unionAll(graft.ops.Constraints.referencedIn(
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders_custkey_fk"))
+    }),
     // A3/A4 composed: weekly retention cohorts — the (first-activity
     // week × week-offset) matrix with exact retention rates; two
     // user-keyed shuffles, cohort sizes broadcast.
@@ -1977,6 +1994,30 @@ object SparkEntry {
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
         |  GROUP BY e.user_id, s2.t1, s2.t2)
         |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin,
+    "q120_quality_report" ->
+      """WITH ev AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user,
+        |    COUNT(CASE WHEN value < 0 THEN 1 END) AS neg_value,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |           OR ts >= TIMESTAMP '2025-01-01' THEN 1 END) AS bad_ts,
+        |    COUNT(*) - COUNT(DISTINCT event_id) AS dup_event
+        |  FROM events),
+        |fk AS (
+        |  SELECT (SELECT COUNT(*) FROM orders) AS n,
+        |    (SELECT COUNT(*) FROM orders o
+        |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL) AS orphans)
+        |SELECT 'user_id_not_null' AS rule, null_user AS n_violations,
+        |  n AS n_rows, null_user = 0 AS pass FROM ev
+        |UNION ALL
+        |SELECT 'value_non_negative', neg_value, n, neg_value = 0 FROM ev
+        |UNION ALL
+        |SELECT 'ts_in_2024', bad_ts, n, bad_ts = 0 FROM ev
+        |UNION ALL
+        |SELECT 'event_id_unique', dup_event, n, dup_event = 0 FROM ev
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', orphans, n, orphans = 0 FROM fk""".stripMargin,
     "q118_retention_cohorts" ->
       """WITH fw AS (
         |  SELECT user_id,

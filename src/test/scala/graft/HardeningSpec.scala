@@ -196,4 +196,37 @@ class HardeningSpec extends SparkSpec {
       .as[Double].head()
     assert(r == 1.0)
   }
+
+  test("constraint report counts every planted violation exactly once") {
+    import graft.ops.Constraints
+    val df = Seq(
+      (1L, Some(10L), 1.0),  // clean
+      (1L, Some(11L), -2.0), // dup id + negative value
+      (2L, None, 3.0),       // null user
+      (3L, Some(12L), 4.0))
+      .toDF("event_id", "user_id", "value")
+    val report = Constraints.check(df,
+      predicateRules = Seq(
+        "user_not_null" -> col("user_id").isNull,
+        "value_non_negative" -> (col("value") < 0)),
+      uniqueRules = Seq("event_id_unique" -> Seq("event_id")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(report("user_not_null") == ((1L, 4L, false)))
+    assert(report("value_non_negative") == ((1L, 4L, false)))
+    assert(report("event_id_unique") == ((1L, 4L, false)))
+    // one aggregate pass: adding rules must not add exchanges/scans
+    val plan = Constraints.check(df,
+      predicateRules = Seq("a" -> (col("value") < 0),
+        "b" -> col("user_id").isNull))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(600))
+
+    // FK: orphans include NULL keys; clean dims pass
+    val dim = Seq(10L, 11L).toDF("k")
+    val fact = Seq(Some(10L), Some(99L), None).toDF("fk")
+    val fkRep = Constraints.referencedIn(fact, "fk", dim, "k", "fk_check")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(fkRep == (("fk_check", 2L, 3L, false)))
+  }
 }
