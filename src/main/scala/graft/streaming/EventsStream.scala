@@ -14,6 +14,16 @@ import graft.schema.Schemas
   */
 case class OpenSessions(open: Seq[(Long, Long, Long)])
 
+/** State row for [[EventsStream.funnelStateful]]: the greedy chain built
+  * so far from WATERMARK-FINAL events (`chain(j)` = epoch-µs of step j),
+  * the buffered not-yet-final step events, and the emitted flag. `done`
+  * rows are retained forever by design — removing them would let a
+  * post-emission event restart the chain and emit a second, different
+  * conversion for the same user (batch parity allows exactly one).
+  */
+case class FunnelProgress(chain: Seq[Long], pending: Seq[(Long, Int)],
+                          done: Boolean)
+
 /** Structured-Streaming twin of the events path (SURVEY.md §2.10: T3, T5,
   * T7, T8). The reference implements watermarks, checkpoints, and daily
   * windows by hand over a batch loop; Structured Streaming owns all of that
@@ -157,6 +167,89 @@ object EventsStream {
       .select(timestamp_micros(col("_1")).as("session_start"),
         timestamp_micros(col("_2")).as("session_end"),
         col("_3").as("user_id"), col("_4").as("n_events"))
+  }
+
+  /** Streaming twin of [[graft.ops.Joins.funnelConversion]]: the N-step
+    * greedy-earliest conversion chain as a `flatMapGroupsWithState` state
+    * machine, emitting each user's conversion row exactly once, equal to
+    * the batch fold over the full history (spec-asserted,
+    * StatefulStreamSpec).
+    *
+    * Why the incremental greedy fold is exact: events are folded into the
+    * chain only once FINAL (ts below the watermark). Rows surviving the
+    * late-data filter at trigger n all carry ts ≥ the previous trigger's
+    * watermark, and previously-final events all have ts < it — so final
+    * events arrive at the fold in globally non-decreasing event-time
+    * batches and the batch-greedy recurrence (t_j = first step-j event
+    * after t_{j−1}) extends incrementally. A step-j event that arrives
+    * while the chain is shorter than j is discarded SAFELY: t_{j−1}, if
+    * it ever materializes, comes from a pending/future event with
+    * ts ≥ the current watermark > the discarded ts, which could never
+    * have satisfied the strict `> t_{j−1}` anyway. A completed chain
+    * sits entirely below the watermark, so no admissible future event
+    * can undercut any of its minima — emission is final, and the `done`
+    * marker makes replays and post-conversion events no-ops.
+    *
+    * State per user: pending events for still-unreached steps (watermark-
+    * window-bounded, like open sessions) and the chain itself; converted
+    * users keep one tombstone row (see [[FunnelProgress]]). An event-time
+    * timeout re-arms at the earliest pending row so chains complete even
+    * when the user goes quiet.
+    */
+  def funnelStateful(events: DataFrame,
+                     steps: Seq[String] = Seq("view", "click", "purchase"),
+                     watermarkDelay: String = "1 hour"): DataFrame = {
+    require(steps.nonEmpty, "funnelStateful needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Int)],
+             state: GroupState[FunnelProgress]): Iterator[(Long, Seq[Long])] = {
+      val prev = state.getOption
+        .getOrElse(FunnelProgress(Seq.empty, Seq.empty, done = false))
+      if (prev.done) {
+        rows.foreach(_ => ()) // drain replays/post-conversion events
+        return Iterator.empty
+      }
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val (fin, pend0) = (prev.pending ++ rows.map(r => (r._3, r._4)))
+        .partition(_._1 < wmUs)
+      var chain = prev.chain
+      for ((ts, j) <- fin.sorted) {
+        if (j == chain.size && (j == 0 || chain(j - 1) < ts)) chain = chain :+ ts
+      }
+      // pending rows for already-reached steps can never improve the
+      // chain (greedy keeps minima; their ts exceed every final ts)
+      val pend = pend0.filter(_._2 >= chain.size)
+      if (chain.size == k) {
+        state.update(FunnelProgress(chain, Seq.empty, done = true))
+        Iterator.single((user, chain))
+      } else {
+        state.update(FunnelProgress(chain, pend, done = false))
+        if (pend.nonEmpty) {
+          val minMs = pend.map(_._1).min / 1000L
+          state.setTimeoutTimestamp(
+            math.max(minMs + 1, state.getCurrentWatermarkMs + 1))
+        }
+        Iterator.empty
+      }
+    }
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast(LongType), col("ts"), unix_micros(col("ts")),
+        element_at(
+          typedLit(stepIdx), col("event_type")).cast("int"))
+      .as[(Long, java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+    typed.select(col("_1").as("user_id") +:
+      steps.indices.map(i =>
+        timestamp_micros(col("_2")(i)).as(s"t${i + 1}")): _*)
   }
 
   /** T5: keyed dedup bounded by the watermark — the streaming analog of the

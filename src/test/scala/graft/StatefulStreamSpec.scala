@@ -113,4 +113,50 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "custom state machine must reproduce session_window exactly")
   }
+
+  test("funnelStateful emits each conversion once, equal to the batch fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sfun").toString
+    val src = s"$root/src"
+    val cp = s"$root/cp"
+    val out = s"$root/out"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // chronological halves (the sessionsStateful recipe): each file's
+    // events are newer than the prior file's watermark
+    val midUs = ev.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong
+    ev.filter(unix_micros(col("ts")) < midUs).coalesce(1).write.parquet(s"$src/b1")
+    ev.filter(unix_micros(col("ts")) >= midUs).coalesce(1).write.parquet(s"$src/b2")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = graft.streaming.EventsStream.funnelStateful(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    // sentinel rounds ratchet the watermark past every real event so
+    // chains whose tail sat inside the watermark window finalize
+    val maxTs = ev.agg(max("ts")).as[java.sql.Timestamp].head()
+    def sentinel(id: Long, hoursAhead: Long): Unit = {
+      Seq((id, new java.sql.Timestamp(maxTs.getTime + hoursAhead * 3600 * 1000L),
+        -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$src/s$id")
+      run()
+    }
+    sentinel(9000001L, 3)
+    sentinel(9000002L, 10)
+
+    val got = spark.read.parquet(out)
+    val want = graft.ops.Joins.funnelConversion(ev,
+      Seq("view", "click", "purchase"))
+    assert(got.count() == want.count(),
+      s"each conversion exactly once: got ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming funnel must reproduce the batch greedy fold exactly")
+  }
 }
