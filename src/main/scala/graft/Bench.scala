@@ -121,33 +121,40 @@ object Bench {
     // over-estimate of overhead, so 3x is a conservative bar), and the
     // absolute floor keeps sub-second scheduling noise from triggering
     // re-times. Candidates get up to 2 extra timed runs (stopping early
-    // once a run lands under the bar); the reported time is the min over
-    // every run, and every re-time lands in the JSON so a transient is
-    // diagnosable from the artifact alone.
+    // once a run lands under the bar). The reported time for a flagged
+    // query is the MEDIAN of its clean runs (runs under the bar) — a
+    // symmetric statistic, not best-of-N: min-over-all-runs could only
+    // ever LOWER the headline (a correlated fast transient is never
+    // re-examined), which weakens cross-round comparability. If no run
+    // lands under the bar the query genuinely costs that much — report
+    // the min-of-2 like any unflagged query. Every re-time lands in the
+    // JSON so a transient is diagnosable from the artifact alone.
     val fnByName = queries
+    val rawPasses = p1.zip(p2).map { case ((name, t1, _), (_, t2, _)) =>
+      name -> List(t1, t2) }.toMap
     val retimed = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val results = min2.map { case (name, t, ok) =>
       val bar = math.max(3 * warmTimes.getOrElse(name, 0.0), 0.75)
       if (!ok || t <= bar) (name, t, ok)
       else {
-        var best = t
         var extras = List.empty[Double]
         var attempts = 0
-        while (attempts < 2 && best > bar) {
+        while (attempts < 2 && (extras.isEmpty || extras.min > bar)) {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           val okN = try { force(fnByName(name)(spark, sfDir)); true } catch {
             case _: Throwable => false
           }
-          if (okN) {
-            val tN = (System.nanoTime() - t0) / 1e9
-            extras = extras :+ tN
-            best = math.min(best, tN)
-          }
+          if (okN) extras = extras :+ (System.nanoTime() - t0) / 1e9
           attempts += 1
         }
         if (extras.nonEmpty) retimed(name) = extras
-        (name, best, ok)
+        val clean = (rawPasses.getOrElse(name, Nil) ++ extras)
+          .filter(v => v >= 0 && v <= bar).sorted
+        val reported =
+          if (clean.isEmpty) t // no clean run: the cost is real
+          else clean((clean.size - 1) / 2) // lower median, symmetric
+        (name, reported, ok)
       }
     }
     // The driver captures only a bounded tail of stdout and JSON-parses the
@@ -178,7 +185,7 @@ object Bench {
     val retimedJson = retimed.map { case (k, vs) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes_with_outlier_retime","passes":2,"forcing":"full_materialization","pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"pass_q":$passQ,"retimed":$retimedJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes_with_outlier_retime","retimed_stat":"median_of_clean_runs","passes":2,"forcing":"full_materialization","pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"pass_q":$passQ,"retimed":$retimedJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

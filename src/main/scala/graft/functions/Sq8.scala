@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * stored: cosine is scale-invariant in each argument, so ranking against
   * the raw codes loses only the ~7-bit rounding of the DIRECTION, never
   * the magnitude (which is why this works for cosine search and would be
-  * wrong for L2). NULL element → NULL codes (a vector with unknown slots
-  * has no faithful quantization — the [[CosineSimilarity]] contract);
+  * wrong for L2). NULL or NaN element → NULL codes (a vector with
+  * unknown or poisoned slots has no faithful quantization — the
+  * [[CosineSimilarity]] contract; NaN→0 would silently diverge the
+  * quantized ranking from the float path on exactly the bad vectors);
   * empty array → empty codes; zero vector → all-zero codes (its cosine
   * is NULL/error downstream either way, matching the float path).
   */
@@ -108,7 +110,14 @@ object Sq8Math {
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getFloat(i))
+      val f = v.getFloat(i)
+      // NaN has no faithful quantization either — abs(NaN) never updates
+      // mx and round(NaN)==0, so without this guard a NaN dim would
+      // silently quantize to code 0 while the float cosine path
+      // propagates NaN/NULL: quantized and exact rankings would diverge
+      // on exactly the poisoned vectors that should surface as bad input.
+      if (java.lang.Float.isNaN(f)) return null
+      val a = math.abs(f)
       if (a > mx) mx = a
       i += 1
     }

@@ -55,7 +55,7 @@ object SkipIndex {
             cols: Seq[String]): Unit = {
     val table = spark.read.parquet(tableDir)
     val sizes = listDataFiles(spark, tableDir).map(f =>
-      (f.getPath.getName, f.getLen))
+      (f.getPath.getName, f.getPath.toString, f.getLen))
     statsOf(spark, table, cols, sizes)
       .write.mode("overwrite").parquet(manifestDir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -92,7 +92,8 @@ object SkipIndex {
     if (fresh.isEmpty) return 0
     val schema = sidecarSchema(spark, manifestDir)
     val newData = relationFor(spark, tableDir, schema, fresh)
-    statsOf(spark, newData, cols, fresh.map(f => (f.getPath.getName, f.getLen)))
+    statsOf(spark, newData, cols,
+      fresh.map(f => (f.getPath.getName, f.getPath.toString, f.getLen)))
       .write.mode("append").parquet(manifestDir)
     fresh.length
   }
@@ -120,23 +121,34 @@ object SkipIndex {
     files.toSeq
   }
 
-  /** Per-file min/max stats of `data` joined with the listing's sizes.
-    * Join key = file NAME (unique within one table dir — Spark part
-    * files carry task UUIDs); input_file_name()'s URI encoding and the
-    * listing's Path rendering differ in scheme slashes, the name tail
-    * does not.
+  /** Per-file min/max stats of `data` LEFT-joined from the listing's
+    * side, so every LISTED file gets a manifest row — a data file that
+    * contributes zero rows (an empty part file) has no
+    * `input_file_name()` group, and an inner join would drop it:
+    * [[scanRanges]] would then never read it (harmlessly) but [[append]]
+    * would classify it as fresh on every run, rescanning it forever.
+    * A zero-row file's manifest row carries null min/max, which the
+    * overlap filter already treats as cannot-prove-non-overlap
+    * (always read). Join key = file NAME (unique within one table dir —
+    * Spark part files carry task UUIDs); input_file_name()'s URI
+    * encoding and the listing's Path rendering differ in scheme
+    * slashes, the name tail does not, and for rows only the listing
+    * side produced the `file` URI falls back to the listing's Path
+    * rendering (a valid URI for the same file).
     */
   private def statsOf(spark: SparkSession, data: DataFrame, cols: Seq[String],
-                      sizes: Seq[(String, Long)]): DataFrame = {
+                      files: Seq[(String, String, Long)]): DataFrame = {
     import spark.implicits._
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    data
-      .groupBy(input_file_name().as("file"))
+    val stats = data
+      .groupBy(input_file_name().as("_sfile"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("_name", substring_index(col("file"), "/", -1))
-      .join(broadcast(sizes.toDF("_name", "bytes")), Seq("_name"))
-      .drop("_name")
+      .withColumn("_name", substring_index(col("_sfile"), "/", -1))
+    files.toDF("_name", "_path", "bytes")
+      .join(stats, Seq("_name"), "left")
+      .withColumn("file", coalesce(col("_sfile"), col("_path")))
+      .drop("_name", "_sfile", "_path")
   }
 
   /** Scan `tableDir` reading ONLY the files whose manifest box overlaps

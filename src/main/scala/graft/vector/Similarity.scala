@@ -422,13 +422,18 @@ object Similarity {
     // deterministic per vector, so append ≡ full-build holds per-variant)
     val hasCodes = spark.read.parquet(s"$dir/lists")
       .schema.fieldNames.contains("codes")
-    def assigned = {
+    // Materialize the assignment ONCE (delta-sized by contract): the two
+    // writes below must see the SAME rows — a recomputed assignment over a
+    // non-deterministic delta source could make list_stats diverge from
+    // the list rows actually written, and even a deterministic one pays
+    // the centroid-distance scan twice.
+    val assigned = {
       val base = delta.select(col("vec_id"), col("embedding"),
         array_min(centStructs(cents)(col("embedding"))).getField("c_id")
           .as("list_id"))
       if (hasCodes) base.withColumn("codes", sq8Encode(col("embedding")))
       else base
-    }
+    }.localCheckpoint()
     assigned
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
     assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
@@ -487,10 +492,15 @@ object Similarity {
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       srcDir: String, destDir: String,
-                      nCentroids: Int = 16, trainIters: Int = 5): Unit =
-    writeIvfIndex(
-      spark.read.parquet(s"$srcDir/lists").select(col("vec_id"), col("embedding")),
-      destDir, nCentroids, trainIters)
+                      nCentroids: Int = 16, trainIters: Int = 5): Unit = {
+    val lists = spark.read.parquet(s"$srcDir/lists")
+    // Preserve the at-rest variant (the appendIvfIndex hasCodes contract):
+    // rebuilding an sq8 index must re-emit the codes column, or the
+    // documented path swap would break searchIvfIndexSq8 on the new dir.
+    val hasCodes = lists.schema.fieldNames.contains("codes")
+    writeIvfIndex(lists.select(col("vec_id"), col("embedding")),
+      destDir, nCentroids, trainIters, sq8 = hasCodes)
+  }
 
   /** Top-k search against a [[writeIvfIndex]] index. Row-identical to
     * [[ivfTopK]] over the same corpus/parameters (spec-asserted); the

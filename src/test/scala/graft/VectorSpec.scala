@@ -450,4 +450,43 @@ class VectorSpec extends SparkSpec {
       emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
     assert(sf.exceptAll(si).isEmpty && si.exceptAll(sf).isEmpty)
   }
+
+  test("sq8Encode maps NULL and NaN elements to NULL codes, never to 0") {
+    // A NaN dim must NOT silently quantize to code 0 — the float cosine
+    // path propagates NaN/NULL for poisoned vectors, and quantized vs
+    // exact rankings must diverge on NO input. Pinned here per the
+    // CosineSimilarity null-element contract.
+    val rows = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),          // clean
+      (1L, Seq(1.0f, Float.NaN, 3.0f)),     // NaN-poisoned
+      (2L, Seq(0.0f, 0.0f, 0.0f))           // zero vector
+    ).toDF("vec_id", "embedding")
+    val withNull = rows.select($"vec_id",
+      when($"vec_id" === 3L, lit(null)).otherwise($"embedding")
+        .as("embedding"))
+    val got = withNull
+      .select($"vec_id", Similarity.sq8Encode($"embedding").as("codes"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(0L).isDefined, "clean vector must encode")
+    assert(got(1L).isEmpty, "NaN-poisoned vector must encode to NULL")
+    assert(got(2L).isDefined &&
+      got(2L).get.asInstanceOf[Array[Byte]].forall(_ == 0),
+      "zero vector encodes to all-zero codes")
+  }
+
+  test("rebuildIvfIndex preserves the sq8 at-rest variant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("graft-rb-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-rb-dst").toString
+    Similarity.writeIvfIndex(emb, src, nCentroids = 16, sq8 = true)
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16, trainIters = 2)
+    // the rebuilt index must keep the codes column, or the documented
+    // path swap breaks searchIvfIndexSq8 on the new directory
+    assert(spark.read.parquet(s"$dst/lists")
+      .schema.fieldNames.contains("codes"),
+      "rebuilding an sq8 index must re-emit the codes column")
+    val s = Similarity.searchIvfIndexSq8(spark, dst,
+      emb.filter($"vec_id" < 3), 5, nProbe = 4, refine = 20)
+    assert(s.count() > 0)
+  }
 }

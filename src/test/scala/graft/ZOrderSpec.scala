@@ -144,6 +144,37 @@ class ZOrderSpec extends SparkSpec {
     assert(viaAppend.count() == expected.count() && expected.count() > 0)
   }
 
+  test("zero-row part files get manifest rows and append still converges") {
+    // An empty part file has no input_file_name() group, so an inner-join
+    // manifest would drop it and append() would re-scan it as "fresh" on
+    // every maintenance run, never reaching the no-op fixed point.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = tmp("graft-skip-empty")
+    val tDir = s"$dir/table"
+    val mDir = s"$dir/manifest"
+    events.filter(col("user_id") < 10).repartition(2).write.parquet(tDir)
+    // a zero-row data file with the table schema
+    events.limit(0).repartition(1).write.mode("append").parquet(tDir)
+    val nFiles = new java.io.File(tDir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.endsWith(".crc"))
+    graft.maintenance.SkipIndex.write(spark, tDir, mDir, Seq("user_id"))
+    val manifest = spark.read.parquet(mDir)
+    assert(manifest.count() == nFiles,
+      s"every listed data file needs a manifest row: ${manifest.count()} vs $nFiles")
+    assert(manifest.filter(col("min_user_id").isNull).count() >= 1,
+      "the zero-row file's stats are null (always-read)")
+    // converged: nothing is fresh, including the empty file
+    assert(graft.maintenance.SkipIndex.append(
+      spark, tDir, mDir, Seq("user_id")) == 0)
+    // and the scan still answers correctly through the null-stats row
+    val out = graft.maintenance.SkipIndex.scanRanges(
+      spark, tDir, mDir, Map("user_id" -> (0L, 5L)))
+    val expect = events.filter(col("user_id") < 10 &&
+      col("user_id").between(0, 5))
+    assert(out.count() == expect.count() && expect.count() > 0)
+  }
+
   test("manifest IS the file index: 10⁵-file manifest plans without touching pruned files") {
     // A 100k-row manifest in which all but 2 entries point at files that
     // DO NOT EXIST. If planning listed the table dir, stat'ed pruned
