@@ -52,6 +52,48 @@ object SparkEntry {
     Agg.cents(col("l_extendedprice")) *
       (lit(100L) - (Agg.rate(col("l_discount")) * 100).cast("long"))
 
+  /** q121's literal merge table (rank order). Ranks 3-5 consume ranks
+    * 1-2's merged tokens — the compound-merge algebra a trained table
+    * exhibits — and all eight fire on the synthetic corpus. Literal so
+    * the DuckDB oracle can chain the SAME merges.
+    */
+  private val bpeEncodeMerges: Seq[(String, String)] = Seq(
+    ("table", "hash"),
+    ("part", "filter"),
+    ("table▁hash", "join"),
+    ("slow", "table▁hash"),
+    ("part▁filter", "hash"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("big", "order"))
+
+  /** Chained-merge oracle for q121: tokens re-joined single-spaced and
+    * wrapped in sentinel spaces, then each merge applied as TWO
+    * space-delimited replaces — one replace() is left-to-right
+    * non-overlapping and skips an occurrence whose leading space the
+    * previous match consumed ("a b a b"), but pass 1 never leaves two
+    * skipped occurrences adjacent (a skip happens only right after a
+    * consume), so pass 2 catches every survivor: two passes ARE the
+    * greedy left-to-right token merge. Unwrap = drop the two sentinels.
+    */
+  private def bpeEncodeOracle: String = {
+    val steps = bpeEncodeMerges.zipWithIndex.map { case ((a, b), i) =>
+      val pat = s" $a $b "
+      val rep = s" $a▁$b "
+      s"m${i + 1} AS (SELECT doc_id, " +
+        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep') AS s " +
+        s"FROM m$i)"
+    }
+    s"""WITH m0 AS (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(string_split_regex(text, '\\s+'), ' ')
+       |        || ' ' AS s
+       |  FROM documents),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, substr(s, 2, length(s) - 2) AS encoded
+       |FROM m${bpeEncodeMerges.size}""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Agg.dailyEngagement(t(spark, "/root/testdata/sf0.001", "events"))
@@ -363,6 +405,18 @@ object SparkEntry {
           graft.functions.BpeMergeTextMath.bpeMergeTextCol(
             col("text"), "table", "hash"))).cast("long").as("n_after"))
     }),
+    // A9 extended: tokenizer INFERENCE — the FULL rank-ordered merge
+    // table applied in ONE corpus pass (heap-ordered per-doc merge
+    // events; table rides as an expression reference object). The table
+    // is literal so the oracle can chain the same merges; compound
+    // merges (ranks 3-5 consume ranks 1-2's outputs) exercise the
+    // rank-order algebra. Spec pins one-pass ≡ chained for trained
+    // tables; this query pins it cross-engine.
+    "q121_bpe_encode" -> ((s, dir) =>
+      graft.text.Corpus.bpeEncodeLiteral(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        bpeEncodeMerges)
+        .select(col("doc_id"), col("text").as("encoded"))),
     // F8 scoring: TF-IDF sufficient statistics (the ln-scored column is
     // engine-internal — ln differs from libm in the last ulp; see scaladoc).
     "q74_tfidf" -> ((s, dir) =>
@@ -1953,6 +2007,7 @@ object SparkEntry {
         |SELECT arr.doc_id, CAST(len(arr.t) AS BIGINT) AS n_before,
         |  CAST(len(arr.t) - COALESCE(o.n_occ, 0) AS BIGINT) AS n_after
         |FROM arr LEFT JOIN occ o ON o.doc_id = arr.doc_id""".stripMargin,
+    "q121_bpe_encode" -> bpeEncodeOracle,
     "q111_token_mixture" ->
       """WITH c AS (
         |  SELECT source, SUM(len(string_split_regex(text, '\s+'))) AS n

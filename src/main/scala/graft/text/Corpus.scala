@@ -252,6 +252,37 @@ object Corpus {
     merges.toSeq.toDF("step", "a", "b", "n_pairs")
   }
 
+  /** Tokenizer INFERENCE: the full rank-ordered merge table applied to
+    * every document in ONE corpus pass ([[graft.functions.BpeEncodeText]]
+    * — heap-ordered merge events per document, table broadcast as an
+    * expression reference object). Exactly equivalent to folding
+    * [[applyBpeMerge]] over the table in rank order (spec-pinned for
+    * nMerges 1..8 plus the rank-skip divergence case), but the corpus is
+    * scanned once regardless of table size — [[bpeTrain]]'s
+    * one-pass-per-merge chaining is the TRAINING shape and cannot encode
+    * at realistic merge counts (32k merges = 32k corpus scans).
+    *
+    * `merges` is [[bpeTrain]]'s output (or any (step, a, b) frame);
+    * collected to the driver ordered by step — vocab-sized, the
+    * centroid-collect precedent.
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                joiner: String = "▁"): DataFrame = {
+    val table = merges.select(col("step"), col("a"), col("b"))
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeLiteral(docs, table, joiner)
+  }
+
+  /** [[bpeEncode]] with a literal merge table (the cross-engine-checkable
+    * form: literal merges are expressible in the DuckDB oracle).
+    */
+  def bpeEncodeLiteral(docs: DataFrame, merges: Seq[(String, String)],
+                       joiner: String = "▁"): DataFrame =
+    docs.withColumn("text",
+      graft.functions.BpeEncodeTextMath.bpeEncodeTextCol(col("text"),
+        merges, joiner))
+
   def encode(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),

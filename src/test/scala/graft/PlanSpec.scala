@@ -243,6 +243,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q121 bpe encode: pure projection — zero exchanges, zero joins") {
+    // The whole merge TABLE applies inside one codegen'd projection over
+    // the scan (heap-ordered per-doc merge events; the table is an
+    // expression reference object, not a join side). Any Exchange or
+    // Join here means the encode stopped being map-side — the property
+    // that makes 32k-merge inference a single corpus pass.
+    val p = plan("q121_bpe_encode")
+    assert(!p.contains("Exchange"), "encode must be map-side:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("q95 mixture sample: rate table broadcasts, the corpus never shuffles") {
     // The 100 TB contract shared by the whole sampling family: the only
     // shuffle is the stratum-count aggregate; the corpus side of the rate

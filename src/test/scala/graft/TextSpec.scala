@@ -458,6 +458,56 @@ class TextSpec extends SparkSpec {
     assert(m2 == Seq((1, "p", "q", 3L), (2, "p+q", "p+q", 2L)))
   }
 
+  test("bpeEncode: one-pass merge-table encode ≡ chained applyBpeMerge, 1..8 merges") {
+    // real corpus, real trained table: for every prefix length k the
+    // single-pass encoder must reproduce the k-deep chained application
+    // byte-for-byte — the equivalence that makes the encoder a valid
+    // inference twin of the trainer's corpus state
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val merges = Corpus.bpeTrain(d, nMerges = 8, minCount = 2)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    assert(merges.size == 8, s"expected 8 trained merges, got ${merges.size}")
+    for (k <- 1 to merges.size) {
+      val prefix = merges.take(k)
+      val chained = prefix.foldLeft(d) { case (df, (a, b)) =>
+        Corpus.applyBpeMerge(df, a, b) }
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      val onePass = Corpus.bpeEncodeLiteral(d, prefix)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(onePass == chained, s"one-pass != chained at k=$k")
+    }
+  }
+
+  test("bpeEncode: rank-order edge cases the chained form pins down") {
+    def enc(text: String, merges: Seq[(String, String)]): String =
+      Corpus.bpeEncodeLiteral(docs((1L, text)), merges, joiner = "+")
+        .select("text").as[String].head()
+    // a merge creating a HIGHER-rank pair feeds it (chained: later pass)
+    assert(enc("a b c", Seq(("b", "c"), ("a", "b+c"))) == "a+b+c")
+    // a merge creating a LOWER-rank pair must NOT feed it — that pass
+    // already ran in the chained form (the classic BPE implementation
+    // divergence; lowest-rank-first-until-fixpoint would merge it)
+    assert(enc("x b c", Seq(("x", "b+c"), ("b", "c"))) == "x b+c")
+    // greedy left-to-right consumption within one rank (a == b chains)
+    assert(enc("x x x", Seq(("x", "x"))) == "x+x x")
+    assert(enc("x x x x x", Seq(("x", "x"))) == "x+x x+x x")
+    // back-to-back occurrences all merge at one rank
+    assert(enc("a b a b a b", Seq(("a", "b"))) == "a+b a+b a+b")
+    // boundary whitespace tokens survive the round trip
+    assert(enc(" a b ", Seq(("a", "b"))) == " a+b ")
+    // merges stack within one document across many ranks
+    assert(enc("p q p q p q r", Seq(("p", "q"), ("p+q", "p+q"))) ==
+      "p+q+p+q p+q r")
+    // null text stays null; no-merge table is the token-stream identity
+    val n = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(Corpus.bpeEncodeLiteral(n, Seq(("a", "b")), "+")
+      .select("text").as[String].collect().toSeq == Seq(null))
+    assert(enc("a   b  c", Seq(("q", "r"))) == "a b c")
+  }
+
   test("bpePairCounts matches a sliding-window reference on random corpora") {
     val gen = new scala.util.Random(41)
     val alphabet = Vector("aa", "bb", "cc", "dd")
