@@ -123,16 +123,20 @@ object Upsert {
     * partition-order dependent. Two same-timestamp versions produce a
     * zero-duration interval, closed by its successor, never dropped.
     *
-    * Scale shape: exactly two window passes and one aggregate, all
-    * partitioned by the dimension key — per-partition work is bounded by
-    * changes-per-key, never corpus-wide. `valid_to` does NOT take a
-    * post-aggregation lead over runs: the next run's `valid_from` is
-    * already visible from every event row as the first change-flagged
-    * timestamp among the rows that FOLLOW it (constant within a run), so
-    * it computes in the SAME window pass as the running version sum
-    * (CollapseWindow merges the two frames into one WindowExec) and rides
-    * the run aggregate — one fewer Window node and one fewer sort than
-    * the lead-over-runs form (plan shape spec-asserted).
+    * Scale shape: two event-level window passes (lag → change flag, then
+    * the running version sum) and one aggregate, all partitioned by the
+    * dimension key — per-partition work is bounded by changes-per-key,
+    * never corpus-wide. `valid_to` IS a post-aggregation lead over runs,
+    * deliberately: the runs table is orders of magnitude smaller than the
+    * event log, the lead's (key, version) ordering is exactly the
+    * SortAggregate's output ordering (so the extra Window node costs no
+    * sort and no exchange), and the tempting "fused" alternative — a
+    * min-over-following-rows frame in the event-level window pass — hits
+    * Spark's UnboundedFollowingWindowFunctionFrame, which RE-EVALUATES
+    * the frame for every row: O(changes²) per key. Only growing
+    * (unboundedPreceding-lower) frames run in linear time; shrinking
+    * frames do not. Plan shape spec-asserted: no shrinking frame in any
+    * Window node, and the post-agg lead introduces no Sort/Exchange.
     */
   def scd2FromChanges(changes: DataFrame, keys: Seq[String], stateCol: String,
                       tsCol: String, tieCols: Seq[String] = Seq.empty)
@@ -142,26 +146,22 @@ object Upsert {
     val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    // lead over RUNS (ordered by version) — post-aggregation, so it runs
+    // on the collapsed runs table and reuses the aggregate's partitioning
+    // and output ordering. See the scaladoc for why this beats fusing a
+    // shrinking min-frame into the event-level pass.
+    val wRuns = Window.partitionBy(keys.map(col): _*).orderBy(col("version").asc)
     changes
       .withColumn("_chg",
         when(lag(col(stateCol), 1).over(w).isNull ||
           lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
-      // one select so BOTH window expressions extract into ONE Window
-      // node (same partition+order; a withColumn chain would interpose a
-      // Project that blocks CollapseWindow). Rows are ts-nondecreasing,
-      // so the min change-flagged ts strictly after this row IS the next
-      // run's valid_from (null in the last run).
-      .select(col("*"),
-        sum(col("_chg")).over(wRows).as("version"),
-        min(when(col("_chg") === 1, col(tsCol))).over(wNext)
-          .as("_next_from"))
+      .withColumn("version", sum(col("_chg")).over(wRows))
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol), // constant within a run
         min(col(tsCol)).as("valid_from"),
         count(lit(1)).as("n_changes"),
-        max(col(tsCol)).as("last_ts"),
-        min(col("_next_from")).as("valid_to")) // constant within a run
+        max(col(tsCol)).as("last_ts"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRuns))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }
@@ -287,8 +287,8 @@ object Upsert {
 
   /** [[scd2FromChanges]] over a weighted log (each row counts `_w`
     * changes) — the recompute body of [[scd2ApplyChanges]]; ordering by
-    * (ts, state) since the original tiebreak is gone. Same fused
-    * two-window shape as [[scd2FromChanges]].
+    * (ts, state) since the original tiebreak is gone. Same event-level
+    * windows + post-agg lead shape as [[scd2FromChanges]].
     */
   private def scd2FromWeightedChanges(changes: DataFrame, keys: Seq[String],
                                       stateCol: String, tsCol: String)
@@ -298,21 +298,18 @@ object Upsert {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(stateCol).asc)
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val wRuns = Window.partitionBy(keys.map(col): _*).orderBy(col("version").asc)
     changes
       .withColumn("_chg",
         when(lag(col(stateCol), 1).over(w).isNull ||
           lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0))
-      .select(col("*"),
-        sum(col("_chg")).over(wRows).as("version"),
-        min(when(col("_chg") === 1, col(tsCol))).over(wNext)
-          .as("_next_from"))
+      .withColumn("version", sum(col("_chg")).over(wRows))
       .groupBy((keys.map(col) :+ col("version")): _*)
       .agg(min(col(stateCol)).as(stateCol),
         min(col(tsCol)).as("valid_from"),
         sum(col("_w")).as("n_changes"),
-        max(col(tsCol)).as("last_ts"),
-        min(col("_next_from")).as("valid_to"))
+        max(col(tsCol)).as("last_ts"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRuns))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
   }
