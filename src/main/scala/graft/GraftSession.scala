@@ -36,9 +36,11 @@ object GraftSession {
       // INT96). INT64 micros carries full stats and is the modern
       // cross-engine interchange type.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // Session-wide, set ONCE here (never inside a read path): the events
-      // table is TIMESTAMP(NANOS) on disk, which the vectorized reader only
-      // accepts as a raw long. Tables.load converts lossless downstream.
+      // Session-wide, set ONCE here (never inside a read path): an events
+      // table whose ts is TIMESTAMP(NANOS) is only readable as a raw long
+      // under this flag. Tables.load detects the on-disk encoding from the
+      // footer and only takes the raw-long path when it actually sees
+      // NANOS; the flag is harmless for MICROS/MILLIS/INT96 generations.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

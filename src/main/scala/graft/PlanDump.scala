@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      println("usage: sbt \"runMain graft.PlanDump <query> [query...]\"")
+      println("available queries:")
+      SparkEntry.queries.keys.toSeq.sorted.foreach(n => println(s"  $n"))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -22,8 +28,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else Seq.empty
-    names.foreach { n =>
+    args.toSeq.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"===== $n =====")

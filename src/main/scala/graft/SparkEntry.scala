@@ -299,7 +299,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipped_90d"),
           Agg.dsum(col("l_extendedprice")).as("revenue_90d"))),
     // T1/P6: the watermark freshness gate as a pushed-down scan predicate —
-    // applied in the raw nanos domain so parquet row-group stats prune.
+    // applied in the DETECTED on-disk unit so parquet row-group stats prune.
     "q25_watermark_filter" -> ((s, dir) =>
       Tables.loadEventsAfter(s, dir, java.time.Instant.parse("2024-01-20T00:00:00Z"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -709,8 +709,11 @@ object SparkEntry {
     // (ZOrderSpec pins the row-group skipping; this row pins read-back
     // correctness against the plain table).
     "q92_zorder_slice" -> ((s, dir) => {
+      // v2: events loader gained footer-driven ts-unit detection — state
+      // built by the nanos-hard-coded loader from the SAME source files is
+      // wrong, and only the version (not the file fingerprint) can say so.
       val zDir = graft.sources.StateCache.ensure(s, s"$dir/events.parquet",
-        "zorder", "v1") { z =>
+        "zorder", "v2") { z =>
         graft.maintenance.ZOrder.write(t(s, dir, "events"), z,
           Seq("user_id", "ts"), numFiles = 16)
       }
@@ -724,8 +727,9 @@ object SparkEntry {
     // files; ZOrderSpec pins the pruned file count). Same oracle
     // semantics as q92: the manifest path must change nothing.
     "q94_manifest_slice" -> ((s, dir) => {
+      // v2: see q92 — loader-semantics bump.
       val zDir = graft.sources.StateCache.ensure(s, s"$dir/events.parquet",
-        "zorder", "v1") { z =>
+        "zorder", "v2") { z =>
         graft.maintenance.ZOrder.write(t(s, dir, "events"), z,
           Seq("user_id", "ts"), numFiles = 16)
       }

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.schema.Schemas
 
@@ -29,8 +29,61 @@ object Tables {
     "documents" -> Schemas.documents,
     "embeddings" -> Schemas.embeddings)
 
-  /** The events table needs `spark.sql.legacy.parquet.nanosAsLong=true` SET
-    * AT SESSION BUILD TIME (it is read by the parquet converter before any
+  /** Physical encoding of an events-shaped table's `ts` column, detected
+    * from the parquet footer (via schema inference) rather than assumed.
+    * A 100 TB table ingesting third-party parquet sees NANOS, MICROS,
+    * MILLIS, and INT96 over its lifetime — the loader must branch on what
+    * is actually on disk, not on what last round's files happened to use.
+    */
+  sealed trait TsEncoding
+  /** TIMESTAMP(NANOS) (or unannotated INT64 epoch-nanos): Spark only
+    * exposes it as a raw long under the legacy flag; we convert with
+    * integral `div 1000` so no precision is lost (a double division would
+    * corrupt epoch-nanos > 2^53).
+    */
+  case object RawNanos extends TsEncoding
+  /** MICROS / MILLIS / INT96: Spark's vectorized reader decodes these
+    * natively as TimestampType with zero conversion (NTZ-annotated micros
+    * included — under the engine's UTC session the values are identical).
+    */
+  case object NativeTimestamp extends TsEncoding
+
+  /** Footer probes are one file-listing + one footer read; cache per path
+    * so repeat loads (every registered query touches events) pay once.
+    */
+  private val tsEncodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]
+
+  /** Detect how `ts` is encoded at `path` (a parquet file or directory,
+    * optionally glob-filtered). Inference yields LongType for NANOS under
+    * the legacy flag and TimestampType/TimestampNTZType for the native
+    * encodings; a NANOS file WITHOUT the flag makes inference itself throw
+    * Spark's "Illegal Parquet type", which we rewrite into the actionable
+    * session-builder message.
+    */
+  def probeTsEncoding(spark: SparkSession, path: String,
+                      globFilter: Option[String] = None): TsEncoding =
+    tsEncodingCache.computeIfAbsent(path + globFilter.fold("")("#" + _), _ => {
+      val reader = spark.read
+      globFilter.foreach(reader.option("pathGlobFilter", _))
+      val inferred =
+        try reader.parquet(path).schema
+        catch {
+          case e: Throwable
+              if e.getMessage != null && e.getMessage.contains("NANOS") =>
+            requireNanosConf(spark); throw e
+        }
+      inferred.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) => RawNanos
+        case Some(TimestampType) | Some(TimestampNTZType) => NativeTimestamp
+        case other => throw new IllegalStateException(
+          s"events table at $path has unsupported ts type $other — " +
+            "expected TIMESTAMP(NANOS|MICROS|MILLIS)/INT96 or raw INT64")
+      }
+    })
+
+  /** The NANOS leg needs `spark.sql.legacy.parquet.nanosAsLong=true` SET AT
+    * SESSION BUILD TIME (it is read by the parquet converter before any
     * per-query conf is consulted). GraftSession/Bench/Verify all set it; an
     * externally-built session that didn't gets this actionable error
     * instead of Spark's "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))".
@@ -39,30 +92,38 @@ object Tables {
     require(
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"),
-      "reading the events table requires " +
+      "reading a TIMESTAMP(NANOS) events table requires " +
         "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
-        "builder (see graft.GraftSession) — the on-disk ts column is " +
-        "TIMESTAMP(NANOS), which Spark only exposes as raw INT64 nanos")
+        "builder (see graft.GraftSession) — Spark only exposes NANOS " +
+        "columns as raw INT64 nanos")
+
+  /** Events schema with `ts` widened to raw INT64 for the NANOS leg. */
+  private def eventsRawSchema: StructType =
+    StructType(Schemas.events.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+      case f => f
+    })
 
   /** Parquet scan with explicit schema (S12). `sfDir` is a testdata scale
     * directory or any directory laid out the same way.
     *
-    * `events.ts` is TIMESTAMP(NANOS) on disk, which Spark's vectorized
-    * reader refuses as TimestampType; we read it as raw nanos (legacy flag)
-    * and convert with integral division — `ts div 1000` — so no precision is
-    * lost (a double division would corrupt epoch-nanos > 2^53).
+    * `events.ts` has changed physical type across testdata generations
+    * (NANOS → MICROS); [[probeTsEncoding]] reads the footer's logical type
+    * and the loader branches — native TimestampType decode for
+    * MICROS/MILLIS/INT96, lossless raw-long `div 1000` for NANOS.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      requireNanosConf(spark)
-      val rawSchema = StructType(Schemas.events.fields.map {
-        case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-        case f => f
-      })
-      spark.read.schema(rawSchema).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(Schemas.events.fieldNames.map(col): _*)
+      probeTsEncoding(spark, path) match {
+        case NativeTimestamp =>
+          spark.read.schema(Schemas.events).parquet(path)
+        case RawNanos =>
+          requireNanosConf(spark)
+          spark.read.schema(eventsRawSchema).parquet(path)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(Schemas.events.fieldNames.map(col): _*)
+      }
     } else {
       val reader = spark.read
       schemas.get(name).foreach(reader.schema)
@@ -126,29 +187,33 @@ object Tables {
       writeBucketed(df, table, bucketCol, numBuckets)
     }
 
-  /** Events scan with the watermark predicate applied in the RAW nanos
-    * domain, BEFORE the micros conversion. The converted column is wrapped
-    * in `timestamp_micros(ts div 1000)`, which Catalyst cannot push through
-    * — `load(...).filter($"ts" > wm)` therefore reads every row group. This
-    * variant pushes `ts > bound` onto the INT64 parquet column (row-group
-    * statistics pruning), which at 100 TB is the difference between a
-    * pruned incremental read and a full scan.
+  /** Events scan with the watermark predicate pushed to the parquet scan
+    * IN THE DETECTED UNIT (row-group statistics pruning) — at 100 TB the
+    * difference between a pruned incremental read and a full scan.
     *
+    * Native encodings: `ts > T` on the TimestampType column pushes down
+    * directly (`PushedFilters: [GreaterThan(ts,...)]`, plan-pinned).
+    * NANOS: the converted column is wrapped in
+    * `timestamp_micros(ts div 1000)`, which Catalyst cannot push through —
+    * so the bound is applied in the raw nanos domain BEFORE conversion.
     * Bound algebra: micros-truncated ts > T  ⟺  rawNanos >= (T_µs + 1) µs.
     */
   def loadEventsAfter(spark: SparkSession, sfDir: String,
                       after: java.time.Instant): DataFrame = {
-    requireNanosConf(spark)
-    val rawSchema = StructType(Schemas.events.fields.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
-    val afterMicros = after.getEpochSecond * 1000000L + after.getNano / 1000
-    val boundNanos = (afterMicros + 1) * 1000L
-    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= boundNanos)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(Schemas.events.fieldNames.map(col): _*)
+    val path = s"$sfDir/events.parquet"
+    probeTsEncoding(spark, path) match {
+      case NativeTimestamp =>
+        spark.read.schema(Schemas.events).parquet(path)
+          .filter(col("ts") > lit(java.sql.Timestamp.from(after)))
+      case RawNanos =>
+        requireNanosConf(spark)
+        val afterMicros = after.getEpochSecond * 1000000L + after.getNano / 1000
+        val boundNanos = (afterMicros + 1) * 1000L
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .filter(col("ts") >= boundNanos)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(Schemas.events.fieldNames.map(col): _*)
+    }
   }
 
   /** Filesystem-aware existence check: correctness-bearing "does this

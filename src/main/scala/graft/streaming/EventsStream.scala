@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.schema.Schemas
+import graft.sources.Tables
 
 /** State row for [[EventsStream.sessionsStateful]]: one user's still-open
   * sessions as (startUs, lastEventUs, nEvents), epoch micros. Bounded by the
@@ -33,30 +34,34 @@ case class FunnelProgress(chain: Seq[Long], pending: Seq[(Long, Int)],
   */
 object EventsStream {
 
-  /** Streaming read of an events-shaped parquet directory. Same nanos→micros
-    * conversion as the batch loader (Tables.load) — and the same session
-    * requirement: `spark.sql.legacy.parquet.nanosAsLong=true` must be set
-    * at session build time (see graft.GraftSession); asserted here so
-    * external callers get an actionable error.
+  /** Streaming read of an events-shaped parquet directory. A streaming
+    * source needs its schema fixed up front, so the `ts` physical encoding
+    * is detected with ONE batch footer probe of the same path+glob
+    * ([[graft.sources.Tables.probeTsEncoding]], cached) and the stream
+    * branches exactly like the batch loader: native TimestampType decode
+    * for MICROS/MILLIS/INT96, raw-long `div 1000` for TIMESTAMP(NANOS)
+    * (which still requires `spark.sql.legacy.parquet.nanosAsLong=true` at
+    * session build time — see graft.GraftSession).
     */
   def readEvents(spark: SparkSession, dir: String,
-                 globFilter: String = "events.parquet"): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "EventsStream.readEvents requires " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
-        "builder (see graft.GraftSession)")
-    val rawSchema = StructType(Schemas.events.fields.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", globFilter)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+                 globFilter: String = "events.parquet"): DataFrame =
+    Tables.probeTsEncoding(spark, dir, Some(globFilter)) match {
+      case Tables.NativeTimestamp =>
+        spark.readStream
+          .schema(Schemas.events)
+          .option("pathGlobFilter", globFilter)
+          .parquet(dir)
+      case Tables.RawNanos =>
+        val rawSchema = StructType(Schemas.events.fields.map {
+          case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+          case f => f
+        })
+        spark.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", globFilter)
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** T8/J6 stream-stream interval join: the batch funnel
     * ([[graft.ops.Joins.funnelPairs]]) run as a watermarked self-join —

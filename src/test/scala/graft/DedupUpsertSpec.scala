@@ -201,12 +201,16 @@ class DedupUpsertSpec extends SparkSpec {
         None, 1)))
   }
 
-  test("scd2FromChanges plans exactly two window passes and two sorts (fused valid_to)") {
-    // valid_to folds into the same window layer as the running version
-    // sum (min change-flagged ts over the following rows), so the plan
-    // carries two Window nodes (lag, then sum+min in one) and two sorts
-    // (events by ts for the windows, runs by version for the aggregate) —
-    // the lead-over-runs form needs three of each
+  test("scd2FromChanges plan: 3 linear windows, 2 sorts, sort-free post-agg lead") {
+    // The lead-over-runs form: two event-level Window nodes (lag → change
+    // flag, running version sum) plus the post-aggregation lead over runs —
+    // 3 Window nodes but still only 2 sorts, because the lead's
+    // (key, version) ordering is exactly the SortAggregate's output
+    // ordering. Two invariants matter at scale and are pinned here:
+    //   (a) NO shrinking (UnboundedFollowing) frame anywhere — Spark
+    //       re-evaluates those per row, O(changes²) per key;
+    //   (b) NO Sort or Exchange between the aggregate and the lead Window
+    //       — the lead rides the aggregate's partitioning and ordering.
     val changes = Seq(
       (1L, "A", ts("2025-01-01 00:00:00"), 1L),
       (1L, "B", ts("2025-01-02 00:00:00"), 2L)
@@ -216,8 +220,20 @@ class DedupUpsertSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val windows = "Window \\[".r.findAllIn(p).size
     val sorts = "Sort \\[".r.findAllIn(p).size
-    assert(windows == 2, s"expected 2 Window nodes, got $windows:\n$p")
+    assert(windows == 3, s"expected 3 Window nodes, got $windows:\n$p")
     assert(sorts == 2, s"expected 2 Sort nodes, got $sorts:\n$p")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"no Window frame may shrink (quadratic re-evaluation):\n$p")
+    // (b): the lead Window sits directly on the aggregate — nothing but
+    // projections between the topmost Window node and the first aggregate
+    // below it.
+    val leadIdx = p.indexOf("Window [lead(")
+    assert(leadIdx >= 0, s"expected a post-agg lead Window:\n$p")
+    val aggIdx = p.indexOf("Aggregate", leadIdx)
+    assert(aggIdx > leadIdx, s"expected an aggregate below the lead:\n$p")
+    val between = p.substring(leadIdx, aggIdx)
+    assert(!between.contains("Sort [") && !between.contains("Exchange"),
+      s"the post-agg lead must not introduce a Sort/Exchange:\n$p")
   }
 
   test("scd2ApplyChanges: incremental fold equals the batch form, late events included") {

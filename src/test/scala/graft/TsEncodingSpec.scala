@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+
+import graft.sources.Tables
+
+/** Unit-matrix spec for the events-ts physical-encoding detector (the
+  * round-9 lesson: the driver regenerated the testdata as TIMESTAMP(MICROS)
+  * and a nanos-hard-coded loader silently collapsed 30 days into 43 minutes
+  * of January 1970). Writes the SAME logical timestamps as a
+  * TIMESTAMP(MICROS) fixture (Spark writer) and a TIMESTAMP(NANOS) fixture
+  * (parquet-java ExampleParquetWriter — Spark cannot write NANOS), then
+  * asserts Tables.load / loadEventsAfter / EventsStream.readEvents return
+  * identical values from both.
+  */
+class TsEncodingSpec extends SparkSpec {
+
+  // Known instants spanning a leap day and sub-millisecond precision.
+  private val isoTs = Seq(
+    "2024-01-01T00:00:00.000001Z",
+    "2024-02-29T12:34:56.789012Z",
+    "2024-03-15T23:59:59.999999Z",
+    "2024-06-01T06:00:00.500000Z")
+  private def instants = isoTs.map(java.time.Instant.parse)
+
+  private lazy val microsDir = {
+    val dir = Files.createTempDirectory("graft-ts-micros").toFile.getAbsolutePath
+    val rows = instants.zipWithIndex.map { case (i, id) =>
+      Row(id.toLong, java.sql.Timestamp.from(i))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private lazy val nanosDir = {
+    val dir = Files.createTempDirectory("graft-ts-nanos").toFile.getAbsolutePath
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64).named("event_id")
+      .optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val file = new Path(s"$dir/events.parquet/part-00000.parquet")
+    val writer = ExampleParquetWriter.builder(file)
+      .withType(schema).withConf(new Configuration()).build()
+    val factory = new SimpleGroupFactory(schema)
+    instants.zipWithIndex.foreach { case (i, id) =>
+      val g = factory.newGroup()
+      g.add("event_id", id.toLong)
+      g.add("ts", i.getEpochSecond * 1000000000L + i.getNano)
+      writer.write(g)
+    }
+    writer.close()
+    dir
+  }
+
+  private def loadedTs(dir: String): Seq[(Long, java.sql.Timestamp)] =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_._1)
+      .toSeq
+
+  test("probe classifies MICROS as native and NANOS as raw-long") {
+    assert(Tables.probeTsEncoding(spark, s"$microsDir/events.parquet") ==
+      Tables.NativeTimestamp)
+    assert(Tables.probeTsEncoding(spark, s"$nanosDir/events.parquet") ==
+      Tables.RawNanos)
+  }
+
+  test("load returns identical timestamps from MICROS and NANOS fixtures") {
+    val micros = loadedTs(microsDir)
+    val nanos = loadedTs(nanosDir)
+    assert(micros.size == isoTs.size)
+    assert(micros == nanos)
+    // And the values are the declared instants, not a unit-shifted echo.
+    val expected = instants.map(java.sql.Timestamp.from)
+    assert(micros.map(_._2) == expected)
+  }
+
+  test("loadEventsAfter applies the same strict bound in both encodings") {
+    // Bound exactly ON the second instant: strict > must drop rows 0 and 1.
+    val after = java.time.Instant.parse(isoTs(1))
+    def ids(dir: String) =
+      Tables.loadEventsAfter(spark, dir, after)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(microsDir) == Seq(2L, 3L))
+    assert(ids(nanosDir) == Seq(2L, 3L))
+  }
+
+  test("loadEventsAfter pushes the native-unit bound to the parquet scan") {
+    val p = Tables.loadEventsAfter(spark, microsDir,
+        java.time.Instant.parse(isoTs(1)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(ts"),
+      "native TimestampType watermark bound must reach the scan:\n" +
+        p.take(1200))
+  }
+
+  test("streaming read decodes both encodings identically (full replay)") {
+    def replay(dir: String): Seq[(Long, java.sql.Timestamp)] = {
+      val out = Files.createTempDirectory("graft-ts-out").toFile.getAbsolutePath
+      val q = graft.streaming.EventsStream
+        .readEvents(spark, s"$dir/events.parquet", globFilter = "*.parquet")
+        .select(col("event_id"), col("ts"))
+        .writeStream.format("memory")
+        .queryName(s"ts_replay_${dir.hashCode.abs}")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(s"ts_replay_${dir.hashCode.abs}")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        .sortBy(_._1).toSeq
+    }
+    assert(replay(microsDir) == replay(nanosDir))
+  }
+}
