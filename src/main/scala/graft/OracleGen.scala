@@ -1,0 +1,46 @@
+package graft
+
+/** Generates the DuckDB-SQL twin of the integer pHash pipeline
+  * ([[graft.multimodal.Multimodal.phashFromHex]] over
+  * [[graft.functions.LshBucketMath]]): md5 hex pairs → byte-sum fold →
+  * center at 255 → ×1000 quantize → 56 literal-sign dot products → bucket
+  * bits. Every step is integer arithmetic on both engines, so the oracle
+  * match is exact, not approximate — the hyperplane signs are evaluated
+  * HERE (same LCG as LshBucketMath) and embedded as +/- literals in the
+  * generated SQL, which keeps the oracle a pure-SQL artifact DuckDB can
+  * run with no engine code in the loop.
+  */
+private[graft] object OracleGen {
+
+  /** Same sign LCG as LshBucketMath.compute (d is 1-based there). */
+  private def sign(i: Int, d: Int, planeOffset: Int): Int =
+    if ((((i.toLong + planeOffset) * 31L + d) * 1103515245L + 12345L) % 97L < 48L) 1
+    else -1
+
+  /** SQL for byte i (0-based) of the 16-byte value whose lowercase hex is
+    * `h`: two strpos lookups — portable, no hex-cast dialect games.
+    */
+  def hexpair(h: String, i: Int): String =
+    s"((strpos('0123456789abcdef', substr($h, ${2 * i + 1}, 1))-1)*16" +
+      s" + (strpos('0123456789abcdef', substr($h, ${2 * i + 2}, 1))-1))"
+
+  /** The 8 quantized-centered dims of the fold of hex column `h`. */
+  def qExprs(h: String): Seq[String] =
+    (0 until 8).map(d =>
+      s"(${hexpair(h, d)} + ${hexpair(h, d + 8)} - 255) * 1000")
+
+  /** The 56-bit bucket over integer columns `qCols`, signs as literals. */
+  def bucketExpr(qCols: Seq[String], planeOffset: Int): String = {
+    val bits = (0 until 56).map { i =>
+      val dot = qCols.zipWithIndex.map { case (c, d) =>
+        if (sign(i, d + 1, planeOffset) == 1) s"+ $c" else s"- $c"
+      }.mkString(" ")
+      s"CASE WHEN (0 $dot) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    "(" + bits.mkString("\n     + ") + ")"
+  }
+
+  /** `q AS (SELECT <keys>, q0..q7 FROM <from>)` projection list. */
+  def qSelect(h: String): String =
+    qExprs(h).zipWithIndex.map { case (e, d) => s"$e AS q$d" }.mkString(", ")
+}

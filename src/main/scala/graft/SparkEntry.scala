@@ -832,8 +832,9 @@ object SparkEntry {
         length(col("payload")).cast("int").as("n_bytes"),
         hex(expr("substring(payload, 1, 4)")).as("head_hex"),
         col("width"), col("height"), col("duration_ms"))),
-    // North star multimodal: batched mapPartitions decode stub (rows-only —
-    // the feature math is engine-internal Scala, the batching is the point).
+    // North star multimodal: batched mapPartitions decode stub. The stub
+    // features are integer-valued, so the fold is DuckDB-expressible and
+    // this is a HARD oracle row (was rows-only through r9).
     "q42_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
@@ -842,10 +843,11 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes"),
           col("feature")(0).cast("double").as("f0"))
     }),
-    // A8 on the image modality (rows-only: the pHash rides the
-    // engine-internal hyperplane walk; MultimodalSpec pins banded ==
-    // brute-force hamming pairs — completeness is the 4-band pigeonhole,
-    // precision 1.0 via the exact popcount verify).
+    // A8 on the image modality. HARD oracle since r10: the whole pipeline
+    // (byte fold → center → lsh_bucket quantize → banded join → popcount)
+    // is integer arithmetic, reproduced exactly by OracleGen's generated
+    // SQL; MultimodalSpec's banded == brute-force pin stays as
+    // defense-in-depth on the pigeonhole completeness argument.
     "q119_image_near_dup" -> ((s, dir) => {
       import s.implicits._
       val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
@@ -853,6 +855,26 @@ object SparkEntry {
       Multimodal.nearDupByPHash(
         Multimodal.perceptualHashes(s, assets), maxHamming = 2)
     }),
+    // A8 video modality: per-frame identity fingerprints composed into
+    // per-video-pair containment overlap — inverted-index join, stop-hash
+    // guard, never all-pairs. Frames are shingle-synthetic (real overlap
+    // structure from the corpus's near-dup docs).
+    "q122_video_near_dup" -> ((s, dir) =>
+      Multimodal.videoNearDup(
+        Multimodal.frameFingerprints(
+          Multimodal.syntheticVideoFrames(t(s, dir, "documents"))),
+        minOverlap = 0.3, maxAssetsPerHash = 64)),
+    // (q123 minVotes=2: the corpus's near-dup docs share scattered
+    // shingles, so the longest aligned run at sf0.01 is 3 — two windows
+    // agreeing on one offset is already 45-of-1300 selective there.)
+    // A8 audio modality: landmark sub-fingerprints matched through an
+    // inverted index with time-offset voting (best single dt wins) —
+    // detects copies AND shifted clips; stop-fingerprint guard bounds
+    // the hot buckets.
+    "q123_audio_align_dup" -> ((s, dir) =>
+      Multimodal.audioNearDup(
+        Multimodal.syntheticAudioWindows(t(s, dir, "documents")),
+        minVotes = 2, maxAssetsPerFp = 64)),
     // North star multimodal: frame sampling (row explosion before shuffle).
     "q43_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -2370,6 +2392,77 @@ object SparkEntry {
         |  CAST(doc_id % 480 + 1 AS INT) AS height,
         |  n_chars * 100 AS duration_ms
         |FROM documents""".stripMargin,
+    "q42_multimodal_features" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents)
+         |SELECT doc_id AS asset_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |       ELSE 'video' END AS kind,
+         |  CAST(octet_length(unhex(m)) AS INT) AS n_bytes,
+         |  CAST(${OracleGen.hexpair("m", 0)} + ${OracleGen.hexpair("m", 8)}
+         |    AS DOUBLE) AS f0
+         |FROM h""".stripMargin,
+    "q119_image_near_dup" ->
+      s"""WITH h AS (SELECT doc_id AS asset_id, md5(text) AS m FROM documents),
+         |q AS (SELECT asset_id, ${OracleGen.qSelect("m")} FROM h),
+         |ph AS (SELECT asset_id,
+         |  ${OracleGen.bucketExpr((0 until 8).map(d => s"q$d"), 0)} AS phash
+         |  FROM q),
+         |bands AS (SELECT asset_id, phash, band,
+         |    (phash >> (band*14)) & 16383 AS bv
+         |  FROM ph CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+         |cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM bands a JOIN bands b USING (band, bv)
+         |  WHERE a.asset_id < b.asset_id)
+         |SELECT asset_a, asset_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 2""".stripMargin,
+    "q122_video_near_dup" ->
+      """WITH toks AS (
+         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+         |  WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT doc_id AS asset_id,
+         |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |      || ' ' || t[i+4]), 1, 14) AS fhash
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+         |        FROM toks WHERE len(t) >= 5)),
+         |hashes AS (SELECT DISTINCT asset_id, fhash FROM fr),
+         |pa AS (SELECT asset_id, COUNT(*) AS n FROM hashes GROUP BY asset_id),
+         |stop AS (SELECT fhash FROM hashes GROUP BY fhash HAVING COUNT(*) > 64),
+         |pruned AS (SELECT * FROM hashes
+         |           WHERE fhash NOT IN (SELECT fhash FROM stop)),
+         |pairs AS (SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |    COUNT(*) AS n_matched
+         |  FROM pruned a JOIN pruned b USING (fhash)
+         |  WHERE a.asset_id < b.asset_id GROUP BY 1, 2)
+         |SELECT p.asset_a, p.asset_b, p.n_matched,
+         |  CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+         |    AS overlap
+         |FROM pairs p JOIN pa na ON p.asset_a = na.asset_id
+         |JOIN pa nb ON p.asset_b = nb.asset_id
+         |WHERE CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+         |  >= 0.3""".stripMargin,
+    "q123_audio_align_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |w AS (
+        |  SELECT doc_id AS asset_id, i - 1 AS wi,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS fp
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |stop AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT asset_id) AS na
+        |                         FROM w GROUP BY fp) WHERE na > 64),
+        |pruned AS (SELECT DISTINCT asset_id, wi, fp FROM w
+        |           WHERE fp NOT IN (SELECT fp FROM stop)),
+        |votes AS (SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |    a.wi - b.wi AS dt, COUNT(*) AS votes
+        |  FROM pruned a JOIN pruned b USING (fp)
+        |  WHERE a.asset_id < b.asset_id GROUP BY 1, 2, 3)
+        |SELECT asset_a, asset_b, MAX(votes) AS best_votes,
+        |  CAST(SUM(votes) AS BIGINT) AS n_matched
+        |FROM votes GROUP BY 1, 2 HAVING MAX(votes) >= 2""".stripMargin,
     "q43_frame_sample" ->
       """WITH vids AS (
         |  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms

@@ -50,7 +50,11 @@ object Multimodal {
       (col("n_chars") * 100).as("duration_ms"))
 
   /** STUB — stands in for a real codec (libjpeg/ffmpeg/...). Deterministic:
-    * "features" are a fixed-length fold of the payload bytes. Replace the
+    * "features" are a fixed-length byte-sum fold of the payload. The values
+    * are SMALL INTEGERS held in floats (exact up to 2^24), deliberately:
+    * every downstream step — centering, the lsh_bucket ×1000 quantization —
+    * stays exact integer arithmetic, so the DuckDB oracle reproduces the
+    * pHash pipeline bit-for-bit with no float-rounding hazard. Replace the
     * body with the real library call; the batching around it stays.
     */
   private[graft] def decodeBatchStub(batch: Seq[Asset]): Seq[AssetFeatures] =
@@ -59,7 +63,7 @@ object Multimodal {
       val acc = new Array[Float](dim)
       var i = 0
       while (i < a.payload.length) {
-        acc(i % dim) += (a.payload(i) & 0xff) / 255.0f
+        acc(i % dim) += (a.payload(i) & 0xff)
         i += 1
       }
       AssetFeatures(a.asset_id, a.kind, a.payload.length, acc)
@@ -102,17 +106,18 @@ object Multimodal {
     * ~90% across UNRELATED assets — every banded bucket then holds a
     * constant fraction of the corpus and the bucket join degenerates
     * toward all-pairs (measured: 9.5 s at sf0.1). Subtracting the
-    * per-dim expectation (1.0 for the 16-byte/8-dim fold) makes
-    * unrelated bits fair coins, which is what gives banding its
-    * selectivity. A real DCT pHash gets this for free (AC coefficients
-    * are zero-mean); any replacement decode stub must preserve it.
+    * per-dim expectation (255 for the 16-byte/8-dim byte-sum fold — two
+    * uniform bytes of mean 127.5 each) makes unrelated bits fair coins,
+    * which is what gives banding its selectivity. A real DCT pHash gets
+    * this for free (AC coefficients are zero-mean); any replacement
+    * decode stub must preserve it.
     */
   def perceptualHashes(spark: SparkSession, assets: Dataset[Asset],
                        batchSize: Int = 64): DataFrame =
     extractFeatures(spark, assets, batchSize).toDF()
       .select(col("asset_id"), col("kind"),
         graft.functions.LshBucketMath.lshBucketCol(
-          transform(col("feature"), x => (x - lit(1.0f)).cast("float")),
+          transform(col("feature"), x => (x - lit(255.0f)).cast("float")),
           bits = 56, dims = 8, planeOffset = 0).as("phash"))
 
   /** Image near-duplicates by banded hamming search over [[perceptualHashes]]
@@ -166,6 +171,156 @@ object Multimodal {
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("asset_a"), col("asset_b"), col("hamming"))
+
+  // -------------------------------------------------------------------------
+  // Video near-dup: frame-level hashes composed into per-video-pair overlap
+  // -------------------------------------------------------------------------
+
+  /** Synthetic video FRAMES from the documents table: frame i of video
+    * doc d (doc_id % 3 = 2) is the md5 of the word 5-gram starting at
+    * token i. This is the honest stand-in for decoded frames: a video is
+    * a SEQUENCE of mostly-locally-similar content windows, and near-dup
+    * texts (which the corpus really contains) share most of their
+    * shingles — exactly the shared-subsequence structure
+    * [[videoNearDup]] exists to detect, including partial (clip) overlap
+    * and shifted alignment. A real deployment replaces this with
+    * decode + per-frame DCT; everything downstream is unchanged.
+    */
+  def syntheticVideoFrames(docs: DataFrame, gram: Int = 5,
+                           everyMs: Long = 1000L): DataFrame =
+    graft.text.TextDedup
+      .shinglesWithPos(docs.filter(col("doc_id") % 3 === 2), gram)
+      .select(col("doc_id").as("asset_id"),
+        (col("pos") - 1).as("frame_index"),
+        ((col("pos") - 1) * everyMs).as("offset_ms"),
+        md5(col("shingle")).as("fhex"))
+
+  /** Per-frame IDENTITY fingerprints over any (asset_id, frame_index,
+    * fhex) frame table — the input [[videoNearDup]] composes into
+    * per-video-pair overlap: the first `hexChars` chars of the frame's
+    * content hash (14 → 56 bits, collision-negligible at corpus scale).
+    *
+    * Identity, deliberately NOT the 8-dim LSH sign bucket: frame MATCHING
+    * needs a selective join key, and the sign quantization of the 8-dim
+    * stub fold carries ~15 effective bits (measured at sf0.001: 8292
+    * distinct frame contents → 306 distinct buckets — every bucket then
+    * holds ~27 unrelated frames and the inverted-index join degenerates
+    * toward all-pairs). Tolerant matching belongs where the hash has
+    * real dimensionality: [[nearDupByPHash]]'s banded-hamming recipe
+    * drops in here unchanged if the stub is replaced by a ≥64-dim frame
+    * DCT. Scale shape: one codegen'd projection per frame row, in the
+    * same stage as the frame explosion upstream — 100 TB of video
+    * becomes (frames × 7 bytes of key) before anything wide runs.
+    */
+  def frameFingerprints(frames: DataFrame, hexChars: Int = 14): DataFrame =
+    frames.select(col("asset_id"), col("frame_index"),
+      substring(col("fhex"), 1, hexChars).as("fhash"))
+
+  /** Video near-duplicates: compose [[frameHashes]] into per-pair overlap —
+    * two videos are near-dups when ≥ `minOverlap` of the shorter video's
+    * distinct frame hashes also appear in the other (containment, the
+    * right asymmetry for clip-of-a-longer-video detection).
+    *
+    * Scale shape: an INVERTED-INDEX equi-join on the 8-byte frame hash —
+    * cost Σ_hash n², never all-pairs over videos. Two guards keep that
+    * bound honest at 100 TB: (1) per-video hashes are DISTINCT first
+    * (a static logo frame repeated 10⁴ times contributes once, not 10⁸
+    * join rows); (2) hashes shared by > `maxAssetsPerHash` videos are
+    * dropped as stop-hashes before the join (black/blank frames are the
+    * video analog of stopwords — the hot-key lesson from the funnel
+    * pair-join, here capped by construction, and any pair they'd surface
+    * is found by its discriminative frames anyway).
+    */
+  def videoNearDup(frameHashes: DataFrame, minOverlap: Double = 0.5,
+                   maxAssetsPerHash: Int = 64): DataFrame = {
+    val distinctFh = frameHashes.select(col("asset_id"), col("fhash")).distinct()
+    val perAsset = distinctFh.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_hashes"))
+    val stopHashes = distinctFh.groupBy(col("fhash"))
+      .agg(count(lit(1)).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerHash)
+      .select(col("fhash"))
+    val pruned = distinctFh.join(stopHashes, Seq("fhash"), "left_anti")
+    pruned.select(col("fhash"), col("asset_id").as("asset_a"))
+      .join(pruned.select(col("fhash"), col("asset_id").as("asset_b")),
+        Seq("fhash"))
+      .filter(col("asset_a") < col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(perAsset.select(col("asset_id").as("asset_a"),
+        col("n_hashes").as("n_a")), Seq("asset_a"))
+      .join(perAsset.select(col("asset_id").as("asset_b"),
+        col("n_hashes").as("n_b")), Seq("asset_b"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("asset_a"), col("asset_b"), col("n_matched"),
+        col("overlap"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Audio near-dup: sub-fingerprint inverted index + time-offset voting
+  // -------------------------------------------------------------------------
+
+  /** Synthetic sliding-window sub-fingerprints for AUDIO assets — the
+    * landmark-style scheme (Wang 2003): one compact fingerprint per
+    * content window, matched later through an inverted index with
+    * time-offset voting. The spectral-peak extraction is STUBBED as the
+    * md5 of the word 3-gram at window position w of audio doc d
+    * (doc_id % 3 = 1), truncated to 8 hex chars (32 bits — real
+    * deployments use 32-bit spectral landmarks too). Like
+    * [[syntheticVideoFrames]], shingle windows give the stub REAL
+    * overlap-and-shift structure: a near-dup text with an inserted
+    * prefix shifts every shared window by a constant, which is exactly
+    * the one-hot dt histogram [[audioNearDup]]'s voting detects. Swap
+    * the stub for an FFT peak pairer and the index/voting is unchanged.
+    */
+  def syntheticAudioWindows(docs: DataFrame, gram: Int = 3): DataFrame =
+    graft.text.TextDedup
+      .shinglesWithPos(docs.filter(col("doc_id") % 3 === 1), gram)
+      .select(col("doc_id").as("asset_id"),
+        (col("pos") - 1).as("window_index"),
+        substring(md5(col("shingle")), 1, 8).as("fp"))
+
+  /** Audio near-duplicates from [[audioFingerprints]]: pairs of assets
+    * whose fingerprint matches CONCENTRATE at one time offset. Matching
+    * windows vote for their offset `dt = window_a − window_b`; a true
+    * copy (possibly clipped/shifted) piles its votes on a single dt,
+    * while chance collisions scatter — so the score is the best single
+    * offset's votes (`best_votes`), not the raw match count, and a pair
+    * qualifies at `best_votes >= minVotes`.
+    *
+    * Scale shape: identical to [[videoNearDup]] — inverted-index
+    * equi-join on the 32-bit fingerprint with a stop-fingerprint guard
+    * (> `maxAssetsPerFp` assets ⇒ dropped: silence windows are audio's
+    * stopwords), then a two-level aggregate (votes per (pair, dt), max
+    * per pair) that shuffles once on the pair key.
+    */
+  def audioNearDup(fingerprints: DataFrame, minVotes: Int = 4,
+                   maxAssetsPerFp: Int = 64): DataFrame = {
+    val distinctFp = fingerprints
+      .select(col("asset_id"), col("window_index"), col("fp")).distinct()
+    val stopFps = distinctFp.groupBy(col("fp"))
+      .agg(countDistinct(col("asset_id")).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerFp)
+      .select(col("fp"))
+    val pruned = distinctFp.join(stopFps, Seq("fp"), "left_anti")
+    pruned.select(col("fp"), col("asset_id").as("asset_a"),
+        col("window_index").as("w_a"))
+      .join(pruned.select(col("fp"), col("asset_id").as("asset_b"),
+        col("window_index").as("w_b")), Seq("fp"))
+      .filter(col("asset_a") < col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"),
+        (col("w_a") - col("w_b")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(max(col("votes")).as("best_votes"),
+        sum(col("votes")).as("n_matched"))
+      .filter(col("best_votes") >= minVotes)
+      .select(col("asset_a"), col("asset_b"), col("best_votes"),
+        col("n_matched"))
+  }
 
   /** Resize stub: metadata-level resize plan (target dims per asset) — the
     * pixel work happens inside the decode stub in a real deployment.

@@ -46,7 +46,7 @@ object TextDedup {
     * consumers that don't read it, so [[shinglesRaw]] costs nothing extra
     * by delegating here.
     */
-  private[text] def shinglesWithPos(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def shinglesWithPos(docs: DataFrame, n: Int = 3): DataFrame = {
     // Explode the window-start INDEX and project the n-gram with plain
     // element_at, rather than explode(transform(..., i -> concat_ws(...))):
     // lambda (HOF) expressions are interpreted, not codegen'd, so the

@@ -34,7 +34,7 @@ class MultimodalSpec extends SparkSpec {
     val asset = Multimodal.Asset(1L, "image", Array[Byte](0, -1, 16), 1, 1, 0L)
     val f = Multimodal.decodeBatchStub(Seq(asset)).head
     assert(f.n_bytes == 3)
-    assert(f.feature(0) == 0.0f && f.feature(1) == 255.0f / 255.0f && f.feature(2) == 16.0f / 255.0f)
+    assert(f.feature(0) == 0.0f && f.feature(1) == 255.0f && f.feature(2) == 16.0f)
   }
 
   test("sampleFrames explodes only video assets at the sample interval") {
@@ -77,6 +77,58 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.perceptualHashes(spark, assets.as[Multimodal.Asset])
       .as[(Long, String, Long)].collect().toSet
     assert(again == hashes.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("videoNearDup: containment overlap, symmetric-free pairs, self-parity") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fh = Multimodal.frameFingerprints(Multimodal.syntheticVideoFrames(docs))
+    val out = Multimodal.videoNearDup(fh, minOverlap = 0.3)
+      .collect()
+    assert(out.nonEmpty, "corpus near-dup docs must surface video pairs")
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))
+      val ov = r.getAs[Double]("overlap")
+      assert(a < b, "pairs must be canonical (a < b)")
+      assert(ov >= 0.3 && ov <= 1.0, s"overlap out of range: $ov")
+    }
+    // a video duplicated verbatim must match itself with overlap 1.0
+    val twin = fh.union(fh.withColumn("asset_id", col("asset_id") + 1000000L))
+    val self = Multimodal.videoNearDup(twin, minOverlap = 0.99)
+      .filter(col("asset_b") === col("asset_a") + 1000000L)
+    assert(self.count() == fh.select("asset_id").distinct().count(),
+      "every verbatim twin must self-match at overlap 1.0")
+  }
+
+  test("audioNearDup: offset voting finds shifted copies, not scattered noise") {
+    // asset 1: windows 0..9 with unique fingerprints f0..f9;
+    // asset 2: the same content shifted +7 windows (a delayed copy);
+    // asset 3: shares two of asset 1's fingerprints but at INCONSISTENT
+    //          offsets — matches exist, no single dt accumulates 2 votes.
+    val fps = (
+      (0 until 10).map(w => (1L, w.toLong, s"f$w")) ++
+      (0 until 10).map(w => (2L, w.toLong + 7L, s"f$w")) ++
+      Seq((3L, 0L, "f5"), (3L, 9L, "f6"))
+    ).toDF("asset_id", "window_index", "fp")
+    val out = Multimodal.audioNearDup(fps, minVotes = 2)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("best_votes"), r.getAs[Long]("n_matched"))).toSet
+    // (1,2): all 10 windows vote dt = -7 → best_votes 10.
+    // (2,3): same inconsistency as (1,3), shifted — also excluded.
+    assert(out == Set((1L, 2L, 10L, 10L)),
+      s"expected exactly the shifted copy, got $out")
+    // the scattered matches were seen but never concentrated
+    val all = Multimodal.audioNearDup(fps, minVotes = 1)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("best_votes"))).toSet
+    assert(all.contains((1L, 3L, 1L)) && all.contains((2L, 3L, 1L)),
+      s"scattered matches must cap at 1 vote per dt, got $all")
+    // real-corpus smoke: the sf0.001 audio class yields a nonempty,
+    // canonical (a < b) pair set at the q123 setting
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = Multimodal.audioNearDup(
+      Multimodal.syntheticAudioWindows(docs), minVotes = 2).collect()
+    assert(corpus.forall(r =>
+      r.getAs[Long]("asset_a") < r.getAs[Long]("asset_b")))
   }
 
   test("metadata-only query prunes the payload column from the scan") {
