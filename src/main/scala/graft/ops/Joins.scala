@@ -142,4 +142,45 @@ object Joins {
         col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizon"))
       .select(col("user_id"), col("from_ts"), col("to_ts"))
   }
+
+  /** The keys [[funnelPairsCapped]] refuses to pair: users contributing
+    * more than `maxPerSide` events on EITHER side of the funnel, with
+    * their side counts — the investigation/slow-path queue.
+    */
+  def funnelQuarantine(events: DataFrame, fromType: String, toType: String,
+                       maxPerSide: Int): DataFrame =
+    events.filter(col("event_type").isin(fromType, toType))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === fromType, 1L).otherwise(0L))
+          .as("n_from"),
+        sum(when(col("event_type") === toType, 1L).otherwise(0L))
+          .as("n_to"))
+      .filter(col("n_from") > maxPerSide || col("n_to") > maxPerSide)
+
+  /** [[funnelPairs]] with the hot-key quadratic bound CLOSED. Per user
+    * the interval join emits n_from × n_to pairs — one runaway key (a
+    * bot, an instrumentation loop replaying views) makes the join
+    * quadratic while every honest key stays tiny; at 100 TB that single
+    * key is the straggler task that never finishes. Keys over
+    * `maxPerSide` on either side emit NO pairs here and surface in
+    * [[funnelQuarantine]] instead — quarantine-not-sample, because a
+    * capped sample of a bot's pairs is still garbage analytics; the
+    * honest output must be exact and the noise must be visible, not
+    * diluted.
+    *
+    * Cost: one user-keyed count aggregate (pre-aggregated map-side, same
+    * key as the join's own shuffle) and the hot set — tiny by
+    * construction — broadcasts into a left-anti join. No new wide
+    * shuffle.
+    */
+  def funnelPairsCapped(events: DataFrame, fromType: String, toType: String,
+                        horizon: String = "1 hour",
+                        maxPerSide: Int = 1000): DataFrame =
+    funnelPairs(
+      events.join(
+        broadcast(funnelQuarantine(events, fromType, toType, maxPerSide)
+          .select(col("user_id"))),
+        Seq("user_id"), "left_anti"),
+      fromType, toType, horizon)
 }

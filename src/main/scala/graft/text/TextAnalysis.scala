@@ -93,6 +93,115 @@ object TextAnalysis {
         qualityExpr(col("text"), stopwords).as("quality"))
   }
 
+  /** A trained linear quality model, shipped to executors as plan
+    * literals: `score = bias + weights · features` over the deterministic
+    * 7-feature vector [n_tokens, distinct_ratio, avg_token_len,
+    * punct_ratio, stopword_ratio, digit_ratio, caps_ratio], with a keep
+    * threshold per source (absent sources fall back to
+    * `defaultThreshold`). The weights here are a stand-in for an offline
+    * logistic-regression fit (the Gopher-rules successor: rules score
+    * what's MEASURABLE, a fit scores what's PREDICTIVE); swapping in real
+    * coefficients changes no plan shape.
+    *
+    * Every feature is counts and int/int double division and the score
+    * is a fixed-order chain of double multiply-adds — bit-identical
+    * across engines, so the oracle is exact (same discipline as
+    * [[qualityExpr]]).
+    */
+  final case class QualityModel(
+      bias: Double,
+      wNTokens: Double, wDistinctRatio: Double, wAvgTokenLen: Double,
+      wPunctRatio: Double, wStopwordRatio: Double, wDigitRatio: Double,
+      wCapsRatio: Double,
+      defaultThreshold: Double,
+      perSourceThreshold: Map[String, Double])
+
+  /** The default stub fit used by the registered query (see
+    * [[QualityModel]]): rewards lexical diversity and stopword presence
+    * (fluent prose), penalizes punctuation/digit/caps density (boilerplate,
+    * tables, shouting), with per-source gates for the two sources a
+    * hypothetical eval flagged.
+    */
+  val defaultQualityModel: QualityModel = QualityModel(
+    bias = -1.0,
+    wNTokens = 0.002, wDistinctRatio = 1.5, wAvgTokenLen = 0.1,
+    wPunctRatio = -2.0, wStopwordRatio = 1.0, wDigitRatio = -1.5,
+    wCapsRatio = -1.0,
+    defaultThreshold = 0.0,
+    perSourceThreshold = Map("src0" -> 0.25, "src1" -> -0.25))
+
+  /** Learned quality scoring (score + keep flag per document).
+    *
+    * Scale shape: the model is LITERALS in one codegen'd projection — no
+    * shuffle, no UDF, no join; the per-source threshold map is a literal
+    * `map(...)` probed per row (cardinality = #sources, tiny). At 100 TB
+    * the gate runs at scan speed and prunes BEFORE any downstream
+    * shuffle — which is the entire point of scoring first.
+    */
+  private def learnedQualityScoreAll(docs: DataFrame,
+                                     model: QualityModel,
+                                     stopwords: Seq[String]): DataFrame = {
+    val t = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nChars = length(col("text")).cast("double")
+    val scored = docs
+      .withColumn("_nt", size(t))
+      .withColumn("_f_distinct",
+        size(array_distinct(t)).cast("double") / col("_nt"))
+      .withColumn("_f_avg_len",
+        aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
+          .cast("double") / col("_nt"))
+      .withColumn("_f_punct",
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") /
+          nChars)
+      .withColumn("_f_stop",
+        size(filter(t, x => array_contains(stopArr, x))).cast("double") /
+          col("_nt"))
+      .withColumn("_f_digit",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          nChars)
+      .withColumn("_f_caps",
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+          nChars)
+    val score = lit(model.bias) +
+      lit(model.wNTokens) * col("_nt").cast("double") +
+      lit(model.wDistinctRatio) * col("_f_distinct") +
+      lit(model.wAvgTokenLen) * col("_f_avg_len") +
+      lit(model.wPunctRatio) * col("_f_punct") +
+      lit(model.wStopwordRatio) * col("_f_stop") +
+      lit(model.wDigitRatio) * col("_f_digit") +
+      lit(model.wCapsRatio) * col("_f_caps")
+    val thresholdMap =
+      if (model.perSourceThreshold.isEmpty) lit(null).cast("map<string,double>")
+      else map(model.perSourceThreshold.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val threshold = coalesce(element_at(thresholdMap, col("source")),
+      lit(model.defaultThreshold))
+    scored
+      .withColumn("quality_score", score)
+      .withColumn("keep", score >= threshold)
+  }
+
+  /** Learned quality scoring (score + keep flag per document). */
+  def learnedQualityScore(docs: DataFrame, model: QualityModel,
+                          stopwords: Seq[String]): DataFrame =
+    learnedQualityScoreAll(docs, model, stopwords)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("keep"))
+
+  def learnedQualityScore(docs: DataFrame): DataFrame =
+    learnedQualityScore(docs, defaultQualityModel, Seq("the", "a"))
+
+  /** The gate itself: the ORIGINAL rows the model passes, in one pass —
+    * score, threshold, and filter all live in the same scan-side stage
+    * (no self-join, no second read of the corpus).
+    */
+  def learnedQualityFilter(docs: DataFrame,
+                           model: QualityModel = defaultQualityModel)
+      : DataFrame =
+    learnedQualityScoreAll(docs, model, Seq("the", "a"))
+      .filter(col("keep"))
+      .select(docs.columns.map(col): _*)
+
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digit runs | single other chars).
     */
@@ -110,22 +219,30 @@ object TextAnalysis {
     * are repeats of an earlier n-gram in the same document. Docs shorter
     * than n tokens are excluded (no n-grams to judge).
     *
-    * The occurrence total needs no explode — it is `tokens - (n-1)` —
-    * so the only heavy step is the distinct count, one explode +
-    * per-doc aggregate.
+    * ONE map-side projection, no shuffle: the occurrence total is
+    * `tokens - (n-1)` (no explode), and the distinct count is
+    * `array_distinct` over the per-row hash array from the codegen'd
+    * [[graft.functions.WordNgramHashes]] walk — hash identity ≡ n-gram
+    * identity, the same contract the hotlist family keys on
+    * (oracle-exact there). The previous form exploded shingles into a
+    * per-doc aggregate and joined it back: two corpus passes plus a
+    * doc_id exchange for what a per-row expression answers — that join
+    * was the entire 2.7× gap to the DuckDB baseline flagged in r8/r9.
     */
-  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
-    val dst = TextDedup.shingles(docs, n)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_shingles"))
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"),
-        (size(tokens(col("text"))) - (n - 1)).cast("long").as("n_shingles_total"))
+        (size(tokens(col("text"))) - (n - 1)).cast("long")
+          .as("n_shingles_total"),
+        graft.functions.WordNgramHashesMath
+          .wordNgramHashesCol(col("text"), n).as("_h"))
       .filter(col("n_shingles_total") > 0)
-      .join(dst, Seq("doc_id"))
-      .select(col("doc_id"), col("n_shingles_total"), col("n_distinct_shingles"),
+      .withColumn("n_distinct_shingles",
+        size(array_distinct(col("_h"))).cast("long"))
+      .select(col("doc_id"), col("n_shingles_total"),
+        col("n_distinct_shingles"),
         (lit(1.0) - col("n_distinct_shingles").cast("double") /
           col("n_shingles_total")).as("repetition"))
-  }
 
   /** TF-IDF per (document, token): term frequency, document frequency,
     * corpus size, and the score `tf · ln(n_docs / df)`. Two partial+final

@@ -81,4 +81,32 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got(1L) == ((ts(1), ts(2), ts(3))))
     assert(got(5L) == ((ts(1), ts(3), ts(4))))
   }
+
+  test("funnelPairsCapped quarantines the quadratic key, exact elsewhere") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // u1: honest — 2 views × 1 purchase in horizon = 2 pairs
+    // u9: a bot — 5 views and 5 purchases interleaved = 25 pairs uncapped
+    val ev = (
+      Seq((1L, "view", 1), (1L, "view", 2), (1L, "purchase", 3)) ++
+      (0 until 5).flatMap(i =>
+        Seq((9L, "view", 2 * i + 1), (9L, "purchase", 2 * i + 2)))
+    ).map { case (u, et, m) => (u, et, ts(m)) }
+      .toDF("user_id", "event_type", "ts")
+    val uncapped = Joins.funnelPairs(ev, "view", "purchase")
+    assert(uncapped.filter($"user_id" === 9L).count() == 15) // Σ (5-i)
+    val capped = Joins.funnelPairsCapped(ev, "view", "purchase",
+      maxPerSide = 4)
+    // the honest user's pairs are untouched; the bot emits none
+    assert(capped.filter($"user_id" === 1L).count() == 2)
+    assert(capped.filter($"user_id" === 9L).count() == 0)
+    val quarantine = Joins.funnelQuarantine(ev, "view", "purchase",
+      maxPerSide = 4).as[(Long, Long, Long)].collect().toSeq
+    assert(quarantine == Seq((9L, 5L, 5L)))
+    // the guard must be a BROADCAST anti-join — no new wide shuffle
+    val plan = capped.queryExecution.executedPlan
+    val anti = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(anti.nonEmpty, s"expected a broadcast left-anti guard:\n$plan")
+  }
 }

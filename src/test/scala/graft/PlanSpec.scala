@@ -334,6 +334,17 @@ class PlanSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("q69 repetition: one map-side projection — no shuffle, no join") {
+    // The r10 rewrite answers the distinct count from the per-row
+    // WordNgramHashes array; a reappearing Exchange or Join means the
+    // two-scan+join form crept back (the 2.7×-vs-baseline shape).
+    val p = plan("q69_repetition")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"repetition must stay scan-side:\n$p")
+    assert(p.contains("word_ngram_hashes"),
+      s"expected the codegen'd n-gram walk in the projection:\n$p")
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&

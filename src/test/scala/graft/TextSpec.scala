@@ -101,6 +101,44 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Double]("punct_ratio") == 1.0 / 14.0)
   }
 
+  test("learnedQualityScore: literal-weight score, per-source thresholds, one-pass gate") {
+    import spark.implicits._
+    // same text under three sources: the score is source-independent but
+    // the keep gate moves with the per-source threshold
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq((1L, text, "src0"), (2L, text, "src1"), (3L, text, "src9"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.learnedQualityScore(d).orderBy("doc_id").collect()
+    val scores = out.map(_.getAs[Double]("quality_score"))
+    assert(scores.distinct.length == 1, "same text must score identically")
+    val s = scores.head
+    // recompute the score by hand from the model's definition
+    val m = TextAnalysis.defaultQualityModel
+    val toks = text.split("\\s+")
+    val nc = text.length.toDouble
+    val expected = m.bias +
+      m.wNTokens * toks.length +
+      m.wDistinctRatio * (toks.distinct.length.toDouble / toks.length) +
+      m.wAvgTokenLen * (toks.map(_.length).sum.toDouble / toks.length) +
+      m.wPunctRatio * (text.count(".!?,;:".contains(_)) / nc) +
+      m.wStopwordRatio * (toks.count(Set("the", "a")).toDouble / toks.length) +
+      m.wDigitRatio * (text.count(_.isDigit) / nc) +
+      m.wCapsRatio * (text.count(c => c >= 'A' && c <= 'Z') / nc)
+    assert(s == expected, s"score $s != hand-computed $expected")
+    // thresholds: src0 0.25, src1 -0.25, default 0.0
+    val keep = out.map(r => r.getAs[String]("source") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep("src0") == (s >= 0.25))
+    assert(keep("src1") == (s >= -0.25))
+    assert(keep("src9") == (s >= 0.0))
+    // the gate keeps original rows, schema intact, in one pass
+    val kept = TextAnalysis.learnedQualityFilter(d)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(kept.count() == out.count(_.getAs[Boolean]("keep")))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the gate must be scan-side only (no shuffle, no join):\n$plan")
+  }
+
   test("tokenCounts: ws vs BPE-ish segmentation") {
     val d = docs((1L, "ab12 cd!"))
     val r = TextAnalysis.tokenCounts(d).collect().head
