@@ -69,6 +69,21 @@ class TsEncodingSpec extends SparkSpec {
     dir
   }
 
+  private lazy val int96Dir = {
+    val dir = Files.createTempDirectory("graft-ts-int96").toFile.getAbsolutePath
+    val rows = instants.zipWithIndex.map { case (i, id) =>
+      Row(id.toLong, java.sql.Timestamp.from(i))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    dir
+  }
+
   private def loadedTs(dir: String): Seq[(Long, java.sql.Timestamp)] =
     Tables.load(spark, dir, "events")
       .select(col("event_id"), col("ts"))
@@ -84,11 +99,13 @@ class TsEncodingSpec extends SparkSpec {
       Tables.RawNanos)
   }
 
-  test("load returns identical timestamps from MICROS and NANOS fixtures") {
+  test("load returns identical timestamps from MICROS, NANOS, INT96 fixtures") {
     val micros = loadedTs(microsDir)
     val nanos = loadedTs(nanosDir)
+    val int96 = loadedTs(int96Dir)
     assert(micros.size == isoTs.size)
     assert(micros == nanos)
+    assert(micros == int96)
     // And the values are the declared instants, not a unit-shifted echo.
     val expected = instants.map(java.sql.Timestamp.from)
     assert(micros.map(_._2) == expected)
