@@ -183,12 +183,14 @@ object SkipIndex {
       df.filter(col(s"max_$c").isNull ||
         (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
     }
+    // collect(), not toLocalIterator(): the iterator schedules one Spark
+    // job PER manifest partition; the kept set is bounded by file count
+    // (the same driver object scan planning holds), so one job fetches it.
     val statuses = ArrayBuffer[FileStatus]()
-    keep.select(col("file"), col("bytes")).toLocalIterator()
-      .forEachRemaining { r =>
-        statuses += new FileStatus(r.getLong(1), false, 1, 0, 0,
-          new Path(new java.net.URI(r.getString(0))))
-      }
+    keep.select(col("file"), col("bytes")).collect().foreach { r =>
+      statuses += new FileStatus(r.getLong(1), false, 1, 0, 0,
+        new Path(new java.net.URI(r.getString(0))))
+    }
     val base = relationFor(spark, tableDir,
       sidecarSchema(spark, manifestDir), statuses.toSeq)
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>

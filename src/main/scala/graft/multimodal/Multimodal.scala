@@ -233,7 +233,12 @@ object Multimodal {
     */
   def videoNearDup(frameHashes: DataFrame, minOverlap: Double = 0.5,
                    maxAssetsPerHash: Int = 64): DataFrame = {
-    val distinctFh = frameHashes.select(col("asset_id"), col("fhash")).distinct()
+    // The distinct (video, hash) set feeds FIVE consumers (per-asset
+    // counts, the stop-hash scan, both self-join sides via the pruned
+    // view) — materialize it once or the whole upstream frame pipeline
+    // recomputes per consumer (measured 5× the work at sf0.1).
+    val distinctFh = frameHashes.select(col("asset_id"), col("fhash"))
+      .distinct().localCheckpoint()
     val perAsset = distinctFh.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_hashes"))
     val stopHashes = distinctFh.groupBy(col("fhash"))
@@ -299,8 +304,11 @@ object Multimodal {
     */
   def audioNearDup(fingerprints: DataFrame, minVotes: Int = 4,
                    maxAssetsPerFp: Int = 64): DataFrame = {
+    // Same sharing shape as [[videoNearDup]]: materialize the distinct
+    // window set once for its four consumers.
     val distinctFp = fingerprints
       .select(col("asset_id"), col("window_index"), col("fp")).distinct()
+      .localCheckpoint()
     val stopFps = distinctFp.groupBy(col("fp"))
       .agg(countDistinct(col("asset_id")).as("n_assets"))
       .filter(col("n_assets") > maxAssetsPerFp)
