@@ -60,6 +60,13 @@ object Tables {
     * encodings; a NANOS file WITHOUT the flag makes inference itself throw
     * Spark's "Illegal Parquet type", which we rewrite into the actionable
     * session-builder message.
+    *
+    * Contract: ONE encoding per table path — inference reads one footer
+    * (mergeSchema=false), so a directory mixing NANOS and MICROS files
+    * would decode whichever generation the probe missed at the wrong
+    * unit. Regenerations must swap whole directories (the driver's
+    * testdata does); a mixed-generation table needs per-file routing,
+    * which nothing here needs yet.
     */
   def probeTsEncoding(spark: SparkSession, path: String,
                       globFilter: Option[String] = None): TsEncoding =

@@ -81,6 +81,28 @@ object EventsStream {
     graft.ops.Joins.funnelPairs(
       events.withWatermark("ts", watermarkDelay), fromType, toType, horizon)
 
+  /** [[funnelPairsStream]] with the batch quarantine applied as a
+    * STREAM-STATIC left-anti join — the production bot-guard shape: the
+    * quarantine list is maintenance state
+    * ([[graft.ops.Joins.funnelQuarantine]] over history, refreshed on a
+    * batch cadence), broadcast against each micro-batch BEFORE the
+    * stream-stream join, so a quarantined key's events never enter join
+    * state at all (the capped guarantee matters MORE in streaming: an
+    * unguarded bot key doesn't just straggle, it pins buffered rows for
+    * the full horizon in the state store). Computing the cap inside the
+    * stream would need a running per-user count that can never expire —
+    * unbounded state for a signal the batch side already owns.
+    */
+  def funnelPairsStreamCapped(events: DataFrame, quarantine: DataFrame,
+                              fromType: String = "view",
+                              toType: String = "purchase",
+                              horizon: String = "1 hour",
+                              watermarkDelay: String = "1 hour"): DataFrame =
+    funnelPairsStream(
+      events.join(broadcast(quarantine.select(col("user_id"))),
+        Seq("user_id"), "left_anti"),
+      fromType, toType, horizon, watermarkDelay)
+
   /** T7: tumbling daily engagement counts with a 1-day watermark.
     * `approx_count_distinct` keeps per-window state mergeable and bounded —
     * exact distinct in streaming state grows with cardinality.

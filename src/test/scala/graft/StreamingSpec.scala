@@ -64,6 +64,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("capped streaming funnel matches the capped batch join (T8/J6 hardened)") {
+    val batch = Tables.load(spark, sf, "events")
+    val quarantine = graft.ops.Joins.funnelQuarantine(
+      batch, "view", "purchase", maxPerSide = 15)
+    val got = runStream(
+      EventsStream.funnelPairsStreamCapped(
+        EventsStream.readEvents(spark, sf), quarantine),
+      "funnel_capped_out", "append")
+    val want = graft.ops.Joins.funnelPairsCapped(
+      batch, "view", "purchase", "1 hour", maxPerSide = 15)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the quarantine really bit: some user was excluded
+    assert(quarantine.count() > 0)
+  }
+
   test("dedupWithinWatermark emits each event_id once (T5)") {
     val stream = EventsStream.readEvents(spark, sf)
     val got = runStream(EventsStream.dedupWithinWatermark(stream), "dedup_out", "append")
