@@ -2528,10 +2528,15 @@ object SparkEntry {
         |votes AS (SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
         |    a.wi - b.wi AS dt, COUNT(*) AS votes
         |  FROM pruned a JOIN pruned b USING (fp)
-        |  WHERE a.asset_id < b.asset_id GROUP BY 1, 2, 3)
-        |SELECT asset_a, asset_b, MAX(votes) AS best_votes,
-        |  CAST(SUM(votes) AS BIGINT) AS n_matched
-        |FROM votes GROUP BY 1, 2 HAVING MAX(votes) >= 2""".stripMargin,
+        |  WHERE a.asset_id < b.asset_id GROUP BY 1, 2, 3),
+        |best AS (SELECT asset_a, asset_b, MAX(votes) AS best_votes,
+        |    CAST(SUM(votes) AS BIGINT) AS n_matched
+        |  FROM votes GROUP BY 1, 2 HAVING MAX(votes) >= 2)
+        |SELECT b.asset_a, b.asset_b, b.best_votes,
+        |  MIN(v.dt) AS best_dt, b.n_matched
+        |FROM best b JOIN votes v USING (asset_a, asset_b)
+        |WHERE v.votes = b.best_votes
+        |GROUP BY b.asset_a, b.asset_b, b.best_votes, b.n_matched""".stripMargin,
     "q43_frame_sample" ->
       """WITH vids AS (
         |  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms

@@ -324,10 +324,17 @@ object Multimodal {
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("asset_a"), col("asset_b"))
       .agg(max(col("votes")).as("best_votes"),
-        sum(col("votes")).as("n_matched"))
+        sum(col("votes")).as("n_matched"),
+        // the winning alignment itself (b's timeline shifted by best_dt
+        // windows lines up with a's) — what a clip-merge consumer needs;
+        // vote ties break to the SMALLEST dt so the result is
+        // deterministic: max over (votes, -dt) lexicographically.
+        (lit(-1L) * max(struct(col("votes"),
+          (lit(-1L) * col("dt")).as("neg_dt"))).getField("neg_dt"))
+          .as("best_dt"))
       .filter(col("best_votes") >= minVotes)
       .select(col("asset_a"), col("asset_b"), col("best_votes"),
-        col("n_matched"))
+        col("best_dt"), col("n_matched"))
   }
 
   /** Resize stub: metadata-level resize plan (target dims per asset) — the

@@ -111,11 +111,12 @@ class MultimodalSpec extends SparkSpec {
     ).toDF("asset_id", "window_index", "fp")
     val out = Multimodal.audioNearDup(fps, minVotes = 2)
       .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
-        r.getAs[Long]("best_votes"), r.getAs[Long]("n_matched"))).toSet
-    // (1,2): all 10 windows vote dt = -7 → best_votes 10.
+        r.getAs[Long]("best_votes"), r.getAs[Long]("best_dt"),
+        r.getAs[Long]("n_matched"))).toSet
+    // (1,2): all 10 windows vote dt = -7 → best_votes 10, alignment -7.
     // (2,3): same inconsistency as (1,3), shifted — also excluded.
-    assert(out == Set((1L, 2L, 10L, 10L)),
-      s"expected exactly the shifted copy, got $out")
+    assert(out == Set((1L, 2L, 10L, -7L, 10L)),
+      s"expected exactly the shifted copy at dt=-7, got $out")
     // the scattered matches were seen but never concentrated
     val all = Multimodal.audioNearDup(fps, minVotes = 1)
       .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),

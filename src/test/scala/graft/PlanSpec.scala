@@ -345,6 +345,19 @@ class PlanSpec extends SparkSpec {
       s"expected the codegen'd n-gram walk in the projection:\n$p")
   }
 
+  test("q122/q123 near-dup: inverted-index equi-joins, never all-pairs") {
+    // The whole point of the fingerprint index is that pairing is an
+    // equi-join on the hash — a CartesianProduct or nested-loop join
+    // means the key degenerated (the 306-bucket LSH lesson) or a join
+    // condition got lost.
+    Seq("q122_video_near_dup", "q123_audio_align_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must pair through the fingerprint equi-join:\n" + p.take(1200))
+    }
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
