@@ -289,6 +289,27 @@ object SparkEntry {
             Agg.unitsSum(discountedUnits, 4).cast("double")).as("promo_share"),
           count(lit(1)).as("n_items"))
     }),
+    // J7 quantization ladder rung past SQ8: product-quantized ranking scan
+    // (m=8 bytes/vector, 32× under float32) + float refine of the top-R.
+    // The k-means codebook is maintenance state (ensure-once, like the
+    // IVF/zorder rows); rows-only like q116 — recall floor and
+    // pqCosine ≡ reconstructed-cosine bit-identity are spec-pinned
+    // (VectorSpec), q37 is the exact twin.
+    "q127_pq_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cbDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "pqcb", "v1") { out =>
+        val cb = Similarity.trainPqCodebook(emb, m = 8, k = 16, iters = 5)
+        cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+          .toDF("idx", "value").write.parquet(out)
+      }
+      val cbRows = s.read.parquet(cbDir).collect()
+      val cb = new Array[Float](cbRows.length)
+      cbRows.foreach(r => cb(r.getAs[Int]("idx")) = r.getAs[Float]("value"))
+      Similarity.searchPq(emb, emb.filter(col("vec_id") < 10), cb,
+        m = 8, k = 16, topK = 5, refine = 50)
+    }),
     // J6: range join — lineitems shipped within 90 days of their order date.
     "q24_range_join" -> ((s, dir) =>
       Joins.rangeJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),

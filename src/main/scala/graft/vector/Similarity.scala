@@ -56,6 +56,119 @@ object Similarity {
       graft.functions.Sq8Cosine(graft.functions.GraftFunctions.expr(probe),
         graft.functions.GraftFunctions.expr(codes)))
 
+  /** PQ codes of a float embedding ([[graft.functions.PqEncode]]) — `m`
+    * bytes per vector (0.125 byte/dim at the 64-dim/m=8 default) vs
+    * SQ8's 1 byte/dim; the codebook rides inside the plan.
+    */
+  def pqEncode(emb: Column, codebook: Array[Float], m: Int, k: Int): Column =
+    graft.functions.GraftFunctions.column(
+      graft.functions.PqEncode(
+        graft.functions.GraftFunctions.expr(emb), codebook, m, k))
+
+  /** Cosine of a float probe against [[pqEncode]] codes — bit-identical
+    * to cosine(probe, reconstructed vector), spec-pinned.
+    */
+  def pqCosine(probe: Column, codes: Column, codebook: Array[Float],
+               m: Int, k: Int): Column =
+    graft.functions.GraftFunctions.column(
+      graft.functions.PqCosine(
+        graft.functions.GraftFunctions.expr(probe),
+        graft.functions.GraftFunctions.expr(codes), codebook, m, k))
+
+  /** Train a product-quantization codebook: per-subspace k-means over the
+    * corpus (Lloyd iterations), returned as the flat row-major array
+    * [[graft.functions.PqEncode]] consumes — centroid (mi, ki) at
+    * `[(mi·k + ki)·sub, +sub)`.
+    *
+    * Deterministic init: the k lowest-`vec_id` vectors seed every
+    * subspace (the IVF seed-centroid discipline). Each Lloyd round is
+    * TWO distributed passes with nothing corpus-sized on the driver:
+    * assignment happens inside the codegen'd [[graft.functions.PqEncode]]
+    * scan (the codebook is plan state, no join), and the update is one
+    * (mi, code, si)-keyed average — m·k·sub grouped rows (~4k floats at
+    * the defaults) collected per round. Empty clusters keep their
+    * previous centroid. At 100 TB you train on a sample and encode the
+    * full corpus with the frozen codebook — the encode pass is the only
+    * full-data scan, and it is map-side.
+    */
+  def trainPqCodebook(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                      iters: Int = 5): Array[Float] = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"trainPqCodebook: $d dims not divisible by m=$m")
+    val sub = d / m
+    val seed = corpus.orderBy(col("vec_id").asc).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seed.length == k,
+      s"trainPqCodebook: corpus has ${seed.length} vectors, need >= $k seeds")
+    var codebook = new Array[Float](m * k * sub)
+    for (mi <- 0 until m; ki <- 0 until k; si <- 0 until sub)
+      codebook((mi * k + ki) * sub + si) = seed(ki)(mi * sub + si)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(col("vec_id"), col("embedding"),
+          pqEncode(col("embedding"), codebook, m, k).as("codes"))
+        .filter(col("codes").isNotNull)
+        .select(col("embedding"), col("codes"),
+          explode(sequence(lit(0), lit(d - 1))).as("i"))
+        .select(
+          (col("i") / sub).cast("int").as("mi"),
+          conv(hex(expr(s"substr(codes, CAST(i / $sub AS INT) + 1, 1)")),
+            16, 10).cast("int").as("code"),
+          pmod(col("i"), lit(sub)).cast("int").as("si"),
+          element_at(col("embedding"), col("i") + 1).cast("double").as("v"))
+        .groupBy(col("mi"), col("code"), col("si"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = codebook.clone()
+      means.foreach { r =>
+        next((r.getAs[Int]("mi") * k + r.getAs[Int]("code")) * sub +
+          r.getAs[Int]("si")) = r.getAs[Double]("mean").toFloat
+      }
+      codebook = next
+    }
+    codebook
+  }
+
+  /** Top-k cosine neighbors via the PQ ranking scan + full-precision
+    * refinement: rank ALL vectors per probe by [[pqCosine]] (a scan that
+    * reads m bytes/vector — the 100 TB point of PQ), keep the top
+    * `refine` candidates, re-score exactly against the float embeddings
+    * (candidate-bounded read), emit the top `k`. `refine` trades recall
+    * for the width of the exact pass; recall is spec-measured against
+    * [[bruteForceTopK]]. Composes with IVF the same way
+    * [[searchIvfIndexSq8]] does — the codes column simply replaces sq8's.
+    */
+  def searchPq(corpus: DataFrame, probes: DataFrame,
+               codebook: Array[Float], m: Int, k: Int,
+               topK: Int, refine: Int): DataFrame = {
+    val coded = corpus.select(col("vec_id").as("neighbor_id"),
+      pqEncode(col("embedding"), codebook, m, k).as("codes"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = coded
+      .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", pqCosine(col("p_emb"), col("codes"), codebook, m, k))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(topK, refine))
+    if (refine <= 0) {
+      approx.select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+    } else {
+      corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"))
+        .join(broadcast(approx.select(col("probe_id"), col("p_emb"),
+          col("neighbor_id"))), Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("cosine"))
+    }
+  }
+
   /** Brute-force exact top-k cosine neighbors for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),

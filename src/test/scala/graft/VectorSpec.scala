@@ -361,6 +361,111 @@ class VectorSpec extends SparkSpec {
 
   // --- int8 scalar quantization (SQ8) ---
 
+  test("pqCosine is bit-identical to cosine against the reconstructed vector") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (m, k) = (8, 16)
+    val cb = Similarity.trainPqCodebook(emb, m, k, iters = 3)
+    val sub = cb.length / (m * k)
+    // reconstruct each vector from its codes in plain Scala and compare
+    // the codegen'd PqCosine against the engine's exact CosineSimilarity
+    // over (probe, reconstruction) — same accumulation order, same result
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rows = emb.limit(50).select(col("vec_id"),
+        col("embedding"),
+        Similarity.pqEncode(col("embedding"), cb, m, k).as("codes"))
+      .collect()
+    val recon = rows.map { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      val rec = new Array[Float](m * sub)
+      for (i <- rec.indices) {
+        val mi = i / sub
+        rec(i) = cb(((mi * k) + (codes(mi) & 0xff)) * sub + (i % sub))
+      }
+      (r.getAs[Long]("vec_id"), rec.toSeq)
+    }
+    val pqScores = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          (r.getAs[Long]("vec_id"), r.getAs[Array[Byte]]("codes"))).toSeq))
+      .toDF("vec_id", "codes")
+      .select(col("vec_id"),
+        Similarity.pqCosine(typedLit(probe.toSeq), col("codes"), cb, m, k)
+          .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = recon.toSeq.toDF("vec_id", "rec")
+      .select(col("vec_id"),
+        Similarity.cosine(typedLit(probe.toSeq),
+          col("rec").cast("array<float>")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pqScores == exact,
+      "pq_cosine must equal cosine(probe, reconstructed) bit-for-bit")
+  }
+
+  test("pq search: recall floor vs brute force, and training helps") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(emb, probes, 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(cb: Array[Float]): Double = {
+      val got = Similarity.searchPq(emb, probes, cb, 8, 16,
+          topK = 5, refine = 50)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val trainedCb = Similarity.trainPqCodebook(emb, 8, 16, iters = 5)
+    val seedCb = Similarity.trainPqCodebook(emb, 8, 16, iters = 0)
+    val trained = recallWith(trainedCb)
+    assert(trained >= 0.75, s"trained PQ recall@5 too low: $trained")
+    // Lloyd's actual guarantee is DISTORTION (mean squared reconstruction
+    // error) non-increasing — recall@refine is correlated but not
+    // monotone in it, so that is what gets pinned.
+    def distortion(cb: Array[Float]): Double = {
+      val sub = cb.length / (8 * 16)
+      val vs = emb.select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val errs = vs.flatMap { v =>
+        val codes = graft.functions.PqMath.encode(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+          cb, 8, 16)
+        v.indices.map { i =>
+          val mi = i / sub
+          val c = cb(((mi * 16) + (codes(mi) & 0xff)) * sub + (i % sub))
+          val diff = v(i).toDouble - c
+          diff * diff
+        }
+      }
+      errs.sum / errs.length
+    }
+    val dTrained = distortion(trainedCb)
+    val dSeed = distortion(seedCb)
+    assert(dTrained <= dSeed * 1.001,
+      s"Lloyd rounds must not increase distortion: $dTrained > $dSeed")
+  }
+
+  test("pqEncode: deterministic, NULL/NaN -> NULL codes, bad dims throw") {
+    val (m, k) = (2, 2)
+    // codebook: subspace 0 centroids (0,0) and (1,1); subspace 1 (0,0),(2,2)
+    val cb = Array(0f, 0f, 1f, 1f, 0f, 0f, 2f, 2f)
+    val d = Seq(
+      (1L, Seq(0.9f, 0.9f, 0.1f, 0.1f)), // codes (1, 0)
+      (2L, Seq(0.5f, 0.5f, 1.5f, 1.5f)), // sub0 TIE (dist .5 both) -> 0
+      (3L, Seq(Float.NaN, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = d.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb, m, k).as("codes"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).get.asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 0))
+    assert(got(2L).get.asInstanceOf[Array[Byte]].toSeq == Seq[Byte](0, 1),
+      "squared-L2 ties must break to the lowest code")
+    assert(got(3L).isEmpty, "NaN element must yield NULL codes")
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+        .select(Similarity.pqEncode(col("embedding"), cb, m, k)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("sq8Cosine is bit-identical to a plain-Scala dequantized cosine") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probe = emb.filter($"vec_id" === 0)
