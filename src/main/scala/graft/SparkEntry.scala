@@ -824,6 +824,22 @@ object SparkEntry {
       Similarity.searchIvfIndexSq8(s, ivfDir,
         emb.filter(col("vec_id") < 10), 5, nProbe = 4, refine = 20)
     }),
+    // J7 quantization ladder, at rest: IVF + product-quantized codes —
+    // probed-partitions-only read AND an m-byte/vector ranking scan
+    // (1/32 of the float bytes; sq8 is 1/4), float refine of the top-40
+    // (the wider pool PQ's coarser codes need — see VectorSpec). Codebook
+    // + codes persist beside the lists; appends/rebuilds preserve the
+    // variant. Rows-only like q116; q65 is the float twin.
+    "q128_ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfpq", "v1") { d =>
+        Similarity.writeIvfIndex(emb, d, nCentroids = 16, trainIters = 5,
+          pq = Some(Similarity.PqConfig(m = 8, k = 16, trainIters = 5)))
+      }
+      Similarity.searchIvfIndexPq(s, ivfDir,
+        emb.filter(col("vec_id") < 10), 5, nProbe = 4, refine = 40)
+    }),
     // J7 north star: embedding-cosine near-dup within a blocking key.
     "q39_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupWithinLabel(t(s, dir, "embeddings"), threshold = 0.4)),

@@ -56,6 +56,33 @@ object Similarity {
       graft.functions.Sq8Cosine(graft.functions.GraftFunctions.expr(probe),
         graft.functions.GraftFunctions.expr(codes)))
 
+  /** Product-quantization parameters for [[writeIvfIndex]]: `m` subspaces
+    * × `k` centroids each; `codebook` pins a pre-trained codebook (the
+    * append ≡ full-build identity only holds under a FROZEN codebook),
+    * None trains one on the indexed corpus with `trainIters` Lloyd rounds.
+    */
+  final case class PqConfig(m: Int = 8, k: Int = 16, trainIters: Int = 5,
+                            codebook: Option[Array[Float]] = None)
+
+  private def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, cb: Array[Float],
+                              m: Int, k: Int): Unit = {
+    import spark.implicits._
+    cb.toSeq.zipWithIndex.map { case (v, i) => (m, k, i, v) }
+      .toDF("m", "k", "idx", "value")
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+  }
+
+  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Array[Float], Int, Int) = {
+    val rows = spark.read.parquet(s"$dir/pq_codebook").collect()
+    val m = rows.head.getAs[Int]("m")
+    val k = rows.head.getAs[Int]("k")
+    val cb = new Array[Float](rows.length)
+    rows.foreach(r => cb(r.getAs[Int]("idx")) = r.getAs[Float]("value"))
+    (cb, m, k)
+  }
+
   /** PQ codes of a float embedding ([[graft.functions.PqEncode]]) — `m`
     * bytes per vector (0.125 byte/dim at the 64-dim/m=8 default) vs
     * SQ8's 1 byte/dim; the codebook rides inside the plan.
@@ -481,7 +508,8 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
                     nCentroids: Int = 16, trainIters: Int = 0,
-                    sq8: Boolean = false): Unit = {
+                    sq8: Boolean = false,
+                    pq: Option[PqConfig] = None): Unit = {
     val centDf =
       if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters)
       else corpus.orderBy(col("vec_id")).limit(nCentroids)
@@ -498,8 +526,22 @@ object Similarity {
     // parquet column pruning means the quantized scan reads only 1/4 the
     // vector bytes while the refine step (and searchIvfIndex) still has
     // the float column, at +25% storage
-    (if (sq8) assigned.withColumn("codes", sq8Encode(col("embedding")))
-     else assigned)
+    val withSq8 =
+      if (sq8) assigned.withColumn("codes", sq8Encode(col("embedding")))
+      else assigned
+    // pq: m-byte codes (+~3% storage at the defaults) plus the codebook
+    // persisted beside the index — searches and appends read it back, so
+    // the at-rest format is self-describing like the sq8 codes column
+    val withPq = pq match {
+      case Some(cfg) =>
+        val cb = cfg.codebook.getOrElse(
+          trainPqCodebook(corpus, cfg.m, cfg.k, cfg.trainIters))
+        writePqCodebook(corpus.sparkSession, dir, cb, cfg.m, cfg.k)
+        withSq8.withColumn("pq_codes",
+          pqEncode(col("embedding"), cb, cfg.m, cfg.k))
+      case None => withSq8
+    }
+    withPq
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
     // seed the per-list stats from the freshly written lists (one
     // metadata-cheap aggregate at build time; appends then extend it
@@ -532,9 +574,13 @@ object Similarity {
     val spark = delta.sparkSession
     val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
     // match the at-rest format: an sq8 index gets sq8 appends (codes are
-    // deterministic per vector, so append ≡ full-build holds per-variant)
-    val hasCodes = spark.read.parquet(s"$dir/lists")
-      .schema.fieldNames.contains("codes")
+    // deterministic per vector) and a pq index gets pq appends encoded
+    // with the FROZEN persisted codebook — so append ≡ full-build holds
+    // per-variant (for pq, "full build" means full-encode under the same
+    // codebook; retraining is rebuildIvfIndex's job, not an append's)
+    val listFields = spark.read.parquet(s"$dir/lists").schema.fieldNames
+    val hasCodes = listFields.contains("codes")
+    val hasPq = listFields.contains("pq_codes")
     // Materialize the assignment ONCE (delta-sized by contract): the two
     // writes below must see the SAME rows — a recomputed assignment over a
     // non-deterministic delta source could make list_stats diverge from
@@ -544,8 +590,13 @@ object Similarity {
       val base = delta.select(col("vec_id"), col("embedding"),
         array_min(centStructs(cents)(col("embedding"))).getField("c_id")
           .as("list_id"))
-      if (hasCodes) base.withColumn("codes", sq8Encode(col("embedding")))
-      else base
+      val s1 =
+        if (hasCodes) base.withColumn("codes", sq8Encode(col("embedding")))
+        else base
+      if (hasPq) {
+        val (cb, m, k) = readPqCodebook(spark, dir)
+        s1.withColumn("pq_codes", pqEncode(col("embedding"), cb, m, k))
+      } else s1
     }.localCheckpoint()
     assigned
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
@@ -607,12 +658,21 @@ object Similarity {
                       srcDir: String, destDir: String,
                       nCentroids: Int = 16, trainIters: Int = 5): Unit = {
     val lists = spark.read.parquet(s"$srcDir/lists")
-    // Preserve the at-rest variant (the appendIvfIndex hasCodes contract):
-    // rebuilding an sq8 index must re-emit the codes column, or the
-    // documented path swap would break searchIvfIndexSq8 on the new dir.
+    // Preserve the at-rest variant (the appendIvfIndex format contract):
+    // rebuilding an sq8 index must re-emit the codes column and a pq
+    // index its pq_codes + codebook, or the documented path swap would
+    // break the variant searches on the new dir. The pq codebook
+    // RETRAINS on the current corpus (same m/k) — a rebuild exists to
+    // restore quantization economics after drift, and that applies to
+    // the subspace centroids exactly as it does to the coarse ones.
     val hasCodes = lists.schema.fieldNames.contains("codes")
+    val pqCfg =
+      if (lists.schema.fieldNames.contains("pq_codes")) {
+        val (_, m, k) = readPqCodebook(spark, srcDir)
+        Some(PqConfig(m, k, trainIters = 5))
+      } else None
     writeIvfIndex(lists.select(col("vec_id"), col("embedding")),
-      destDir, nCentroids, trainIters, sq8 = hasCodes)
+      destDir, nCentroids, trainIters, sq8 = hasCodes, pq = pqCfg)
   }
 
   /** Top-k search against a [[writeIvfIndex]] index. Row-identical to
@@ -681,6 +741,55 @@ object Similarity {
         col("cosine"))
     } else {
       // candidate-filtered full-precision rescore: probes × R rows
+      val cand = approx.select(col("probe_id"), col("p_emb"),
+        col("neighbor_id"))
+      lists.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("p_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("cosine"))
+    }
+  }
+
+  /** Top-k search against a `writeIvfIndex(..., pq = Some(...))` index,
+    * ranking on the product-quantized codes — the probed scan reads the
+    * `pq_codes` column only (m BYTES per vector: 1/32 of the float bytes
+    * at the defaults, 1/8 of sq8's), at the same partition pruning as
+    * [[searchIvfIndex]]. The persisted codebook is read back (m·k·sub
+    * floats) and inlined into the plan. `refine > 0` re-scores the top
+    * candidates against the float column, candidate-bounded.
+    */
+  def searchIvfIndexPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       probes: DataFrame, k: Int, nProbe: Int = 4,
+                       refine: Int = 0): DataFrame = {
+    val (cb, m, kk) = readPqCodebook(spark, dir)
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val pl = probeListsFor(probes, cents, nProbe)
+    val plRows = pl.collect()
+    val probeLists = spark.createDataFrame(
+      java.util.Arrays.asList(plRows: _*), pl.schema)
+    val wanted = plRows.map(_.getAs[Long]("list_id")).distinct
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted.toSeq: _*))
+    val coded = lists
+      .select(col("vec_id").as("neighbor_id"), col("pq_codes"),
+        col("list_id").cast("long").as("list_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = coded.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", pqCosine(col("p_emb"), col("pq_codes"), cb, m, kk))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, refine))
+      .select(col("probe_id"), col("p_emb"), col("neighbor_id"),
+        col("rank"), col("cosine"))
+    if (refine <= 0) {
+      approx.select(col("probe_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+    } else {
       val cand = approx.select(col("probe_id"), col("p_emb"),
         col("neighbor_id"))
       lists.select(col("vec_id").as("neighbor_id"),

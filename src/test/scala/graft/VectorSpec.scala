@@ -466,6 +466,78 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("pq ivf index: probed scan reads only pq_codes, recall floor, exact refine") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-ivf").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 16,
+      pq = Some(Similarity.PqConfig(8, 16, trainIters = 3)))
+    val full = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = 4)
+    val raw = Similarity.searchIvfIndexPq(spark, dir, probes, 5, nProbe = 4)
+    // PQ at the defaults is 32× compression (4 bits/subspace over 8 dims)
+    // — far coarser than sq8's 8 bits/dim — so the refine pool must be
+    // wider for the same recall: ~refine=40 of the ~125 probed
+    // candidates/probe here, vs sq8's 20. That width is the PQ operating
+    // point, and the exact rescore it pays is still candidate-bounded.
+    val refined = Similarity.searchIvfIndexPq(spark, dir, probes, 5,
+      nProbe = 4, refine = 40)
+    val rRaw = Similarity.recallAtK(raw, full)
+    val rRef = Similarity.recallAtK(refined, full)
+    assert(rRef >= 0.8, s"pq refined recall too low: $rRef")
+    assert(rRef >= rRaw, s"refine must not lose recall: $rRef < $rRaw")
+    // refined cosines are full-precision doubles
+    val joined = refined.as("r").join(full.as("f"),
+      Seq("probe_id", "neighbor_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("r.cosine") =!= col("f.cosine")).count() == 0,
+      "refined cosines must be bit-identical to the float path")
+    // the quantized scan reads pq_codes, never the float column
+    val scan = raw.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("pq_codes:binary") && !scan.contains("embedding"),
+      s"pq scan must prune the float column:\n$scan")
+  }
+
+  test("pq append under the frozen codebook is row-identical to the full encode") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter($"vec_id" % 2 === 0 || $"vec_id" < 32)
+    val delta = emb.exceptAll(base)
+    val cb = Similarity.trainPqCodebook(emb, 8, 16, iters = 3)
+    val cfg = Similarity.PqConfig(8, 16, codebook = Some(cb))
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-pq-f").toString
+    val dirIncr = java.nio.file.Files.createTempDirectory("graft-pq-i").toString
+    Similarity.writeIvfIndex(emb, dirFull, nCentroids = 16, pq = Some(cfg))
+    Similarity.writeIvfIndex(base, dirIncr, nCentroids = 16, pq = Some(cfg))
+    Similarity.appendIvfIndex(delta, dirIncr)
+    val lf = spark.read.parquet(s"$dirFull/lists")
+    val li = spark.read.parquet(s"$dirIncr/lists")
+    assert(lf.schema.fieldNames.contains("pq_codes") &&
+      li.schema.fieldNames.contains("pq_codes"))
+    assert(lf.exceptAll(li).isEmpty && li.exceptAll(lf).isEmpty,
+      "pq append-built lists must equal the full encode under one codebook")
+    val sf = Similarity.searchIvfIndexPq(spark, dirFull,
+      emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
+    val si = Similarity.searchIvfIndexPq(spark, dirIncr,
+      emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
+    assert(sf.exceptAll(si).isEmpty && si.exceptAll(sf).isEmpty)
+  }
+
+  test("rebuildIvfIndex preserves the pq at-rest variant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("graft-pq-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-pq-dst").toString
+    Similarity.writeIvfIndex(emb, src, nCentroids = 16,
+      pq = Some(Similarity.PqConfig(8, 16, trainIters = 2)))
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16,
+      trainIters = 2)
+    val lists = spark.read.parquet(s"$dst/lists")
+    assert(lists.schema.fieldNames.contains("pq_codes"),
+      "rebuild must re-emit the pq variant")
+    val out = Similarity.searchIvfIndexPq(spark, dst,
+      emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
+    assert(out.count() == 25, "pq search on the rebuilt dir must answer")
+  }
+
   test("sq8Cosine is bit-identical to a plain-Scala dequantized cosine") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probe = emb.filter($"vec_id" === 0)
