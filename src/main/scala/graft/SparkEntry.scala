@@ -537,6 +537,15 @@ object SparkEntry {
     // rows-only; q02/q27 are the exact oracle-checked twins).
     "q84_sketch_rollup" -> ((s, dir) =>
       Agg.sketchRollup(Agg.dailySketches(t(s, dir, "events")))),
+    // A4 mergeable-quantile state: per-day KLL value sketches rolled up
+    // per type (rows-only — KLL compaction is randomized so values vary
+    // run to run within the PROVEN rank-error bound, which SketchSpec
+    // pins; q130 is the exact oracle-checked twin).
+    "q129_kll_quantile_rollup" -> ((s, dir) =>
+      Agg.quantileSketchRollup(Agg.dailyQuantileSketches(t(s, dir, "events")))),
+    // A4 exact twin: interpolated per-type percentiles.
+    "q130_exact_quantiles" -> ((s, dir) =>
+      Agg.exactQuantiles(t(s, dir, "events"))),
     // A9/F8 passage cleaning: cross-corpus repeated n-grams (boilerplate
     // hotlist) — one shingle-keyed count, HAVING-filtered.
     "q85_boilerplate_ngrams" -> ((s, dir) =>
@@ -1226,6 +1235,13 @@ object SparkEntry {
         |FROM p
         |JOIN sz sa ON sa.stratum = p.stratum_a
         |JOIN sz sb ON sb.stratum = p.stratum_b""".stripMargin,
+    "q130_exact_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.1) AS p10,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q98_hist_quantile" ->
       """WITH b AS (
         |  SELECT event_type,

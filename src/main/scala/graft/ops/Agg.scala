@@ -177,6 +177,61 @@ object Agg {
         sum(col("load_count")).as("load_count"),
         count(lit(1)).as("n_days"))
 
+  /** Per-day KLL quantile sketches over the event value (A4 mergeable
+    * state, third rung beside the HLL distinct counts and the frequent-
+    * items heavy hitters): what a percentile dashboard persists daily at
+    * 100 TB. Unlike the exact binned histogram (q98), KLL needs no
+    * value-range knowledge and carries a PROVEN normalized rank error
+    * (~1.65% at k = 200, independent of n) through every merge —
+    * SketchSpec pins the bound and the union contract.
+    */
+  def dailyQuantileSketches(events: DataFrame, k: Int = 200): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(graft.functions.KllSketch.kll_sketch_agg(col("value"), k)
+        .as("value_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Roll persisted daily KLL sketches up to per-type quantile estimates
+    * — the consume side of [[dailyQuantileSketches]]: sketches merge
+    * associatively map-side (one partial per key per partition,
+    * independent of history length), and the quantile extraction runs
+    * once per type row.
+    */
+  def quantileSketchRollup(daily: DataFrame,
+                           ranks: Seq[Double] = Seq(0.1, 0.5, 0.9),
+                           k: Int = 200): DataFrame = {
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KllSketch.kll_union_agg(col("value_sketch"), k)
+        .as("_sk"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+    val qs = graft.functions.KllSketch.kll_quantiles(col("_sk"), ranks)
+    merged.select(
+      (Seq(col("event_type")) ++
+        ranks.zipWithIndex.map { case (r, i) =>
+          element_at(qs, i + 1).as(s"p${(r * 100).round}")
+        } ++
+        Seq(graft.functions.KllSketch.kll_sketch_n(col("_sk")).as("n_sketch"),
+          col("n_events"), col("n_days"))): _*)
+  }
+
+  /** Exact per-type quantiles (interpolated percentile) — the
+    * oracle-checked twin [[quantileSketchRollup]]'s estimates are judged
+    * against (SketchSpec), the same exact-vs-sketch pairing as
+    * [[typeOverlapExact]]/[[typeOverlapSketch]].
+    */
+  def exactQuantiles(events: DataFrame,
+                     ranks: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        ranks.map(r =>
+          expr(s"percentile(value, ${r})").as(s"p${(r * 100).round}")): _*)
+      .select((Seq(col("event_type")) ++
+        ranks.map(r => col(s"p${(r * 100).round}")) ++
+        Seq(col("n_events"))): _*)
+
   /** Exact distinct-visitor overlap between every pair of event types —
     * the cohort question "how many users did BOTH A and B", and the
     * oracle twin of [[typeOverlapSketch]]. Same shape as

@@ -214,4 +214,41 @@ class SketchSpec extends SparkSpec {
     assert(rows(spark.read.parquet(dir)) ==
       rows(Agg.dailyTopSketches(ev, maxMapSize = 32)))
   }
+
+  test("kll quantiles: rank error within the proven bound, merged == fresh contract") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    // exact ranks to judge against, per type
+    val exact = ev.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted
+      }
+    // KLL's guarantee: the estimated quantile at rank p is a value whose
+    // TRUE normalized rank is within ±eps of p (eps ~1.65% at k=200; use
+    // 2*eps slack for the inclusive-criterion edge)
+    val eps = 2 * 0.0165
+    def checkRanks(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect().foreach { r =>
+        val t = r.getAs[String]("event_type")
+        val vals = exact(t)
+        Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)).foreach {
+          case (cname, p) =>
+            val est = r.getAs[Double](cname)
+            val trueRank =
+              vals.count(_ <= est).toDouble / vals.length
+            assert(math.abs(trueRank - p) <= eps,
+              s"$t $cname: est $est has true rank $trueRank, " +
+                s"want $p ± $eps")
+        }
+        // the sketch saw every row (n is exact, only VALUES are sampled)
+        assert(r.getAs[Long]("n_sketch") == vals.length.toLong)
+      }
+    }
+    // rolled up from per-day persisted state...
+    val daily = Agg.dailyQuantileSketches(ev)
+    checkRanks(Agg.quantileSketchRollup(daily))
+    // ...and from a parquet round-trip of that state (persistable bytes)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    daily.write.parquet(s"$dir/state")
+    checkRanks(Agg.quantileSketchRollup(spark.read.parquet(s"$dir/state")))
+  }
 }
