@@ -234,6 +234,21 @@ object GraftFunctions {
     }
   }
 
+  /** Foldable numeric literal as Double — for SQL-surface rank args. */
+  private[functions] def litDouble(e: Expression, name: String): Double = {
+    require(e.foldable, s"$name must be a literal, got ${e.sql}")
+    e.eval() match {
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long => l.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name must be a non-null numeric literal, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+  }
+
   private[functions] def bpeMergeTextFromSql(exprs: Seq[Expression]): Expression = {
     require(exprs.size >= 3 && exprs.size <= 4,
       "bpe_merge_text(text, a, b[, joiner])")
@@ -267,6 +282,24 @@ object GraftFunctions {
       "freq_sketch_items", FreqSketch.freqSketchItemsFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch_max_error", FreqSketch.freqSketchMaxErrorFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_sketch_agg",
+      { exprs: Seq[Expression] => KllSketchAgg(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "kll_sketch_agg: k") else 200) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_union_agg",
+      { exprs: Seq[Expression] => KllUnionAgg(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "kll_union_agg: k") else 200) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles",
+      { exprs: Seq[Expression] => KllQuantiles(exprs.head,
+        exprs.tail.map(e => litDouble(e, "kll_quantiles: rank"))) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_sketch_n",
+      { exprs: Seq[Expression] => KllSketchN(exprs.head) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode", { exprs: Seq[Expression] => Sq8Encode(exprs.head) },
       "built-in")

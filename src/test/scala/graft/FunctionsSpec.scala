@@ -56,6 +56,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum == 1000L)
   }
 
+  test("kll sketch family is callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_kll_test")
+    val r = spark.sql(
+      """SELECT kll_quantiles(sk, 0.1, 0.5, 0.9) AS qs, kll_sketch_n(sk) AS n
+        |FROM (SELECT kll_union_agg(sk, 200) AS sk
+        |      FROM (SELECT kll_sketch_agg(value, 200) AS sk
+        |            FROM ev_kll_test GROUP BY event_type))""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 1000L, "n is exact through the union")
+    val qs = r.head.getSeq[Double](0)
+    assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2),
+      s"quantiles must be monotone: $qs")
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
