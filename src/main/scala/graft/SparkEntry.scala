@@ -258,6 +258,17 @@ object SparkEntry {
         .filter(dayofweek(col("qdt")) === 2) // Monday
       AsOfJoin.asOf(probes, quotes, Seq("event_type"), "dt", "qdt")
     }),
+    // J6 forward direction: nearest quote AT OR AFTER the probe —
+    // next-event attribution; the reversed-axis twin of q23's plan.
+    "q131_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("dt"))
+      val quotes = ev.groupBy(col("event_type"), to_date(col("ts")).as("qdt"))
+        .agg(count(lit(1)).as("q_loads"))
+        .filter(dayofweek(col("qdt")) === 2) // Monday
+      AsOfJoin.asOfForward(probes, quotes, Seq("event_type"), "dt", "qdt")
+    }),
     // J6 scale variant: same query as q23 through asOfBucketed — partitions
     // by (key, week-bucket) instead of key alone, so the plan survives low
     // key cardinality at 100 TB (q23's event_type has a handful of values;
@@ -1444,6 +1455,17 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
         |FROM events""".stripMargin,
     "q23_asof_join" -> asofSql,
+    "q131_asof_forward" ->
+      """WITH probes AS (
+        |  SELECT event_id, event_type, CAST(ts AS DATE) AS dt FROM events),
+        |quotes AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, CAST(ts AS DATE) AS qdt, COUNT(*) AS q_loads
+        |    FROM events GROUP BY 1, 2)
+        |  WHERE isodow(qdt) = 1)
+        |SELECT p.event_id, p.event_type, p.dt, q.qdt, q.q_loads
+        |FROM probes p ASOF JOIN quotes q
+        |  ON p.event_type = q.event_type AND p.dt <= q.qdt""".stripMargin,
     // The bucketed form must be row-identical to the plain form — one
     // oracle text proves both (the whole point of the q63 entry).
     "q63_asof_bucketed" -> asofSql,

@@ -61,6 +61,43 @@ object AsOfJoin {
         qOnly.map(c => col(s"_quote.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of: each probe matched to the NEAREST quote at or AFTER
+    * its time (smallest quote.t ≥ probe.t) — next-event attribution: the
+    * campaign a signup is credited to, the next price revision a trade
+    * settles against. Same linear union+window plan as [[asOf]] with the
+    * time axis REVERSED (descending sort, running frame) — deliberately
+    * not a min-over-following frame, which Spark re-evaluates per row
+    * (the quadratic shrinking-frame trap the SCD2 restructure removed).
+    * Quote still sorts before probe at equal time, so "<=" is inclusive.
+    * Same caller contract as [[asOf]].
+    */
+  def asOfForward(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                  probeTime: String, quoteTime: String): DataFrame = {
+    val pOnly = probes.columns.filterNot(keys.contains)
+    val qOnly = quotes.columns.filterNot(keys.contains)
+    val pSide = probes.select(
+      keys.map(col) ++
+        pOnly.map(col) ++
+        qOnly.map(c => lit(null).cast(quotes.schema(c).dataType).as(c)) ++
+        Seq(col(probeTime).as("_t"), lit(1).as("_is_probe")): _*)
+    val qSide = quotes.filter(col(quoteTime).isNotNull).select(
+      keys.map(col) ++
+        pOnly.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        qOnly.map(col) ++
+        Seq(col(quoteTime).as("_t"), lit(0).as("_is_probe")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = pSide.unionByName(qSide)
+      .withColumn("_quote",
+        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+      .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
+    unioned
+      .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
+      .select(keys.map(col) ++ pOnly.map(col) ++
+        qOnly.map(c => col(s"_quote.$c").as(c)): _*)
+  }
+
   /** Scale variant of [[asOf]]: partitions by (key, time-bucket) instead of
     * key alone. The plain form concentrates each key's ENTIRE probe+quote
     * history into one window partition — with low key cardinality (a handful

@@ -29,6 +29,45 @@ class AsOfIncrementalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Double]("v") == 1.0)
   }
 
+  test("asOfForward picks the earliest quote at-or-after, mirror of asOf (J6)") {
+    val probes = Seq(("a", 5L, "p1"), ("a", 10L, "p2"), ("a", 1L, "p0"), ("b", 3L, "p3"))
+      .toDF("k", "pt", "tag")
+    val quotes = Seq(("a", 4L, 100.0), ("a", 9L, 200.0), ("b", 99L, 300.0))
+      .toDF("k", "qt", "v")
+    val out = AsOfJoin.asOfForward(probes, quotes, Seq("k"), "pt", "qt")
+      .select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    // p1(5) -> next quote 9; p0(1) -> 4; p2(10) has none ahead -> dropped;
+    // b's future quote now matches p3
+    assert(out == Set(("p1", 9L, 200.0), ("p0", 4L, 100.0),
+      ("p3", 99L, 300.0)))
+    // "<=" boundary is inclusive
+    val eq = AsOfJoin.asOfForward(
+      Seq(("a", 5L)).toDF("k", "pt"),
+      Seq(("a", 5L, 1.0)).toDF("k", "qt", "v"), Seq("k"), "pt", "qt")
+      .collect()
+    assert(eq.length == 1 && eq.head.getAs[Double]("v") == 1.0)
+    // mirror property on randomized data: forward(t) == backward(-t)
+    val rnd = new scala.util.Random(7)
+    val ps = (1 to 120).map(i =>
+      ("k" + rnd.nextInt(3), rnd.nextInt(200).toLong, s"p$i"))
+      .toDF("k", "pt", "tag")
+    val qs = (1 to 60).map(i =>
+      ("k" + rnd.nextInt(3), rnd.nextInt(200).toLong, rnd.nextDouble()))
+      .toDF("k", "qt", "v")
+    // negate, run backward, un-negate — quotes at EQUAL (k, qt) must first
+    // collapse per the caller's total-order contract; keep the max v so
+    // both directions see the same representative
+    val qsDedup = qs.groupBy("k", "qt").agg(max("v").as("v"))
+    val fwd = AsOfJoin.asOfForward(ps, qsDedup, Seq("k"), "pt", "qt")
+      .select("tag", "qt", "v").as[(String, Long, Double)].collect().toSet
+    val mirrored = AsOfJoin.asOf(
+      ps.withColumn("pt", -col("pt")),
+      qsDedup.withColumn("qt", -col("qt")), Seq("k"), "pt", "qt")
+      .select(col("tag"), (-col("qt")).as("qt"), col("v"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(fwd == mirrored, "forward must equal time-mirrored backward")
+  }
+
   test("asOfBucketed is row-identical to asOf on randomized data, all bucket widths (J6)") {
     // Property check: the bucketed scale variant must agree with the plain
     // form for bucket widths smaller than quote gaps (forces carried-in
