@@ -307,19 +307,17 @@ object SparkEntry {
     // pqCosine ≡ reconstructed-cosine bit-identity are spec-pinned
     // (VectorSpec), q37 is the exact twin.
     "q127_pq_search" -> ((s, dir) => {
-      import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // ONE at-rest codebook format tree-wide: the same
+      // write/readPqCodebook pair the IVF+PQ index uses (q128).
       val cbDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "pqcb", "v1") { out =>
-        val cb = Similarity.trainPqCodebook(emb, m = 8, k = 16, iters = 5)
-        cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
-          .toDF("idx", "value").write.parquet(out)
+        s"$dir/embeddings.parquet", "pqcb", "v2") { out =>
+        Similarity.writePqCodebook(s, out,
+          Similarity.trainPqCodebook(emb, m = 8, k = 16, iters = 5), 8, 16)
       }
-      val cbRows = s.read.parquet(cbDir).collect()
-      val cb = new Array[Float](cbRows.length)
-      cbRows.foreach(r => cb(r.getAs[Int]("idx")) = r.getAs[Float]("value"))
+      val (cb, m, k) = Similarity.readPqCodebook(s, cbDir)
       Similarity.searchPq(emb, emb.filter(col("vec_id") < 10), cb,
-        m = 8, k = 16, topK = 5, refine = 50)
+        m, k, topK = 5, refine = 50)
     }),
     // J6: range join — lineitems shipped within 90 days of their order date.
     "q24_range_join" -> ((s, dir) =>

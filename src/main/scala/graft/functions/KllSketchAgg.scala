@@ -185,7 +185,9 @@ case class KllSketchN(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  // default nullability (child's): a NULL sketch row — keys with no
+  // state, the shape KllUnionAgg explicitly tolerates — must yield NULL,
+  // not an unboxing NPE from a falsely non-nullable slot.
   override def prettyName: String = "kll_sketch_n"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -85,8 +85,13 @@ object AsOfJoin {
         pOnly.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
         qOnly.map(col) ++
         Seq(col(quoteTime).as("_t"), lit(0).as("_is_probe")): _*)
+    // desc_nulls_first, not plain desc: a NULL-time probe must sort to the
+    // FRAME START and see no quote (dropped — NULL <= t is never true),
+    // exactly as asOf's ascending order drops it nulls-first; Spark's
+    // default desc puts NULLs last, where the running frame holds every
+    // quote and the probe would bind to the key's earliest quote.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").desc, col("_is_probe").asc)
+      .orderBy(col("_t").desc_nulls_first, col("_is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = pSide.unionByName(qSide)
       .withColumn("_quote",

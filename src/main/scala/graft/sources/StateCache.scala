@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object StateCache {
 
-  private def fingerprint(s: SparkSession, sourcePath: String): String = {
+  private[sources] def fingerprint(s: SparkSession, sourcePath: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(sourcePath)
     val fs = p.getFileSystem(conf)

@@ -48,8 +48,13 @@ object Tables {
     */
   case object NativeTimestamp extends TsEncoding
 
-  /** Footer probes are one file-listing + one footer read; cache per path
-    * so repeat loads (every registered query touches events) pay once.
+  /** Footer probes are one file-listing + one footer read; cache so
+    * repeat loads (every registered query touches events) pay one
+    * METADATA listing instead. The cache key includes the source's file
+    * listing fingerprint (path, length, mtime — StateCache's discipline),
+    * NOT just the path: an events table regenerated IN PLACE with a
+    * different encoding (exactly the round-9 incident) must re-probe, or
+    * a long-lived session would silently keep decoding at the stale unit.
     */
   private val tsEncodingCache =
     new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]
@@ -69,8 +74,10 @@ object Tables {
     * which nothing here needs yet.
     */
   def probeTsEncoding(spark: SparkSession, path: String,
-                      globFilter: Option[String] = None): TsEncoding =
-    tsEncodingCache.computeIfAbsent(path + globFilter.fold("")("#" + _), _ => {
+                      globFilter: Option[String] = None): TsEncoding = {
+    val key = path + globFilter.fold("")("#" + _) + "@" +
+      StateCache.fingerprint(spark, path)
+    tsEncodingCache.computeIfAbsent(key, _ => {
       val reader = spark.read
       globFilter.foreach(reader.option("pathGlobFilter", _))
       val inferred =
@@ -88,6 +95,7 @@ object Tables {
             "expected TIMESTAMP(NANOS|MICROS|MILLIS)/INT96 or raw INT64")
       }
     })
+  }
 
   /** The NANOS leg needs `spark.sql.legacy.parquet.nanosAsLong=true` SET AT
     * SESSION BUILD TIME (it is read by the parquet converter before any
@@ -104,8 +112,11 @@ object Tables {
         "builder (see graft.GraftSession) — Spark only exposes NANOS " +
         "columns as raw INT64 nanos")
 
-  /** Events schema with `ts` widened to raw INT64 for the NANOS leg. */
-  private def eventsRawSchema: StructType =
+  /** Events schema with `ts` widened to raw INT64 for the NANOS leg
+    * (shared with the streaming reader — batch and stream raw decodes
+    * must never diverge).
+    */
+  private[graft] def eventsRawSchema: StructType =
     StructType(Schemas.events.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f

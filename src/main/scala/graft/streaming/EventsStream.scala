@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 import graft.schema.Schemas
 import graft.sources.Tables
@@ -44,24 +44,32 @@ object EventsStream {
     * session build time — see graft.GraftSession).
     */
   def readEvents(spark: SparkSession, dir: String,
-                 globFilter: String = "events.parquet"): DataFrame =
-    Tables.probeTsEncoding(spark, dir, Some(globFilter)) match {
+                 globFilter: String = "events.parquet"): DataFrame = {
+    // A streaming source dir may be EMPTY at stream definition (producer
+    // writes later); the batch probe cannot infer a schema then. Fall
+    // back to the native TimestampType schema — the current testdata
+    // generation's encoding — rather than failing the stream start; a
+    // legacy NANOS directory must carry a seed file for the probe to see
+    // (it needed one under the old hard-coded reader too, to exist at
+    // all).
+    val encoding =
+      try Tables.probeTsEncoding(spark, dir, Some(globFilter))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Tables.NativeTimestamp }
+    encoding match {
       case Tables.NativeTimestamp =>
         spark.readStream
           .schema(Schemas.events)
           .option("pathGlobFilter", globFilter)
           .parquet(dir)
       case Tables.RawNanos =>
-        val rawSchema = StructType(Schemas.events.fields.map {
-          case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-          case f => f
-        })
         spark.readStream
-          .schema(rawSchema)
+          .schema(Tables.eventsRawSchema)
           .option("pathGlobFilter", globFilter)
           .parquet(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
+  }
 
   /** T8/J6 stream-stream interval join: the batch funnel
     * ([[graft.ops.Joins.funnelPairs]]) run as a watermarked self-join —

@@ -64,7 +64,7 @@ object Similarity {
   final case class PqConfig(m: Int = 8, k: Int = 16, trainIters: Int = 5,
                             codebook: Option[Array[Float]] = None)
 
-  private def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
                               dir: String, cb: Array[Float],
                               m: Int, k: Int): Unit = {
     import spark.implicits._
@@ -73,7 +73,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/pq_codebook")
   }
 
-  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                              dir: String): (Array[Float], Int, Int) = {
     val rows = spark.read.parquet(s"$dir/pq_codebook").collect()
     val m = rows.head.getAs[Int]("m")
@@ -669,7 +669,9 @@ object Similarity {
     val pqCfg =
       if (lists.schema.fieldNames.contains("pq_codes")) {
         val (_, m, k) = readPqCodebook(spark, srcDir)
-        Some(PqConfig(m, k, trainIters = 5))
+        // the caller's trainIters governs BOTH retrains — a seed-only
+        // rebuild request must not silently pay 5 codebook Lloyd passes
+        Some(PqConfig(m, k, trainIters = trainIters))
       } else None
     writeIvfIndex(lists.select(col("vec_id"), col("embedding")),
       destDir, nCentroids, trainIters, sq8 = hasCodes, pq = pqCfg)

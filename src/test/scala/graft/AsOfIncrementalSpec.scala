@@ -46,6 +46,15 @@ class AsOfIncrementalSpec extends SparkSpec {
       Seq(("a", 5L, 1.0)).toDF("k", "qt", "v"), Seq("k"), "pt", "qt")
       .collect()
     assert(eq.length == 1 && eq.head.getAs[Double]("v") == 1.0)
+    // a NULL-time probe matches nothing (NULL <= t is never true) — under
+    // plain desc it would sort to the frame END and bind to the earliest
+    // quote (the nulls-last fallback-match hazard)
+    val nullProbe = AsOfJoin.asOfForward(
+      Seq(("a", Some(5L), "ok"), ("a", None, "nil"))
+        .toDF("k", "pt", "tag"),
+      Seq(("a", 9L, 1.0)).toDF("k", "qt", "v"), Seq("k"), "pt", "qt")
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(nullProbe == Seq("ok"), s"null-time probe must drop: $nullProbe")
     // mirror property on randomized data: forward(t) == backward(-t)
     val rnd = new scala.util.Random(7)
     val ps = (1 to 120).map(i =>

@@ -130,6 +130,54 @@ class TsEncodingSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("streaming read of an EMPTY landing dir starts (native-schema fallback)") {
+    // producer-writes-later deployment: the probe cannot infer a schema
+    // from zero files — the stream must still start, on the modern
+    // (native TimestampType) schema, and pick up files as they arrive
+    val dir = Files.createTempDirectory("graft-ts-empty").toFile.getAbsolutePath
+    val stream = graft.streaming.EventsStream
+      .readEvents(spark, dir, globFilter = "*.parquet")
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("probe re-detects after an in-place regeneration (no stale cache)") {
+    // the round-9 incident shape: same path, new files, different unit —
+    // the cached encoding must not survive the regeneration
+    val dir = Files.createTempDirectory("graft-ts-regen").toFile.getAbsolutePath
+    val sub = s"$dir/events.parquet"
+    def writeNanosFixture(): Unit = {
+      val schema = Types.buildMessage()
+        .optional(PrimitiveTypeName.INT64).named("event_id")
+        .optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+        .named("ts")
+        .named("events")
+      val f = new Path(s"$sub/part-r.parquet")
+      val w = ExampleParquetWriter.builder(f)
+        .withType(schema).withConf(new Configuration()).build()
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.add("event_id", 1L)
+      g.add("ts", 1704067200L * 1000000000L)
+      w.write(g); w.close()
+    }
+    writeNanosFixture()
+    assert(Tables.probeTsEncoding(spark, sub) == Tables.RawNanos)
+    // regenerate IN PLACE as micros (delete + rewrite, like the driver)
+    val fs = new Path(sub).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(sub), true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L,
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")))), 1),
+        StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType))))
+      .write.mode("overwrite").parquet(sub)
+    assert(Tables.probeTsEncoding(spark, sub) == Tables.NativeTimestamp,
+      "the encoding cache must be keyed by the file listing, not the path")
+  }
+
   test("streaming read decodes both encodings identically (full replay)") {
     def replay(dir: String): Seq[(Long, java.sql.Timestamp)] = {
       val out = Files.createTempDirectory("graft-ts-out").toFile.getAbsolutePath
