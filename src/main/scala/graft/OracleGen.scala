@@ -12,10 +12,13 @@ package graft
   */
 private[graft] object OracleGen {
 
-  /** Same sign LCG as LshBucketMath.compute (d is 1-based there). */
-  private def sign(i: Int, d: Int, planeOffset: Int): Int =
-    if ((((i.toLong + planeOffset) * 31L + d) * 1103515245L + 12345L) % 97L < 48L) 1
-    else -1
+  /** Signs come from [[graft.functions.LshBucketMath.sign]] itself — the
+    * oracle evaluates the engine's own LCG at generation time and embeds
+    * the RESULTS as literals, so there is no second copy of the constants
+    * to drift.
+    */
+  private def sign(i: Int, d: Int, planeOffset: Int): Long =
+    graft.functions.LshBucketMath.sign(i, d, planeOffset)
 
   /** SQL for byte i (0-based) of the 16-byte value whose lowercase hex is
     * `h`: two strpos lookups — portable, no hex-cast dialect games.

@@ -89,13 +89,10 @@ object LshBucketMath {
     var bucket = 0L
     var i = 0
     while (i < bits) {
-      val base = (i.toLong + planeOffset) * 31L
       var dot = 0L
       var dd = 1
       while (dd <= dims) {
-        val sign =
-          if (((base + dd) * 1103515245L + 12345L) % 97L < 48L) 1L else -1L
-        dot += q(dd - 1) * sign
+        dot += q(dd - 1) * sign(i, dd, planeOffset)
         dd += 1
       }
       if (dot >= 0L) bucket |= (1L << i)
@@ -103,6 +100,17 @@ object LshBucketMath {
     }
     bucket
   }
+
+  /** The hyperplane-sign LCG, the single source of truth shared with
+    * [[graft.OracleGen]] (which embeds these signs as +/- literals in the
+    * generated DuckDB SQL — a second copy of the constants there could
+    * silently drift the q42/q119 oracles out of bit-identity). `d` is
+    * 1-based, matching [[compute]]'s inner loop; small static method, JIT
+    * inlines it in the per-row path.
+    */
+  def sign(i: Int, d: Int, planeOffset: Int): Long =
+    if ((((i.toLong + planeOffset) * 31L + d) * 1103515245L + 12345L) % 97L < 48L) 1L
+    else -1L
 
   /** Column-API surface (companion to [[GraftFunctions.cosine_similarity]]). */
   def lshBucketCol(embedding: Column, bits: Int, dims: Int,

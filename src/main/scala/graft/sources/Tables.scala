@@ -48,16 +48,18 @@ object Tables {
     */
   case object NativeTimestamp extends TsEncoding
 
-  /** Footer probes are one file-listing + one footer read; cache so
+  /** Footer probes are one file-listing + one schema-merge job; cache so
     * repeat loads (every registered query touches events) pay one
-    * METADATA listing instead. The cache key includes the source's file
-    * listing fingerprint (path, length, mtime — StateCache's discipline),
-    * NOT just the path: an events table regenerated IN PLACE with a
-    * different encoding (exactly the round-9 incident) must re-probe, or
-    * a long-lived session would silently keep decoding at the stale unit.
+    * METADATA listing instead. Keyed by path+glob (at most ONE live entry
+    * per table in a long-lived session — an append-every-minute streaming
+    * landing dir must not grow the map per re-probe); the VALUE carries
+    * the source's file-listing fingerprint (path, length, mtime —
+    * StateCache's discipline), so an events table regenerated IN PLACE
+    * with a different encoding (exactly the round-9 incident) replaces
+    * the stale entry instead of serving it.
     */
   private val tsEncodingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, TsEncoding)]
 
   /** Detect how `ts` is encoded at `path` (a parquet file or directory,
     * optionally glob-filtered). Inference yields LongType for NANOS under
@@ -66,35 +68,70 @@ object Tables {
     * Spark's "Illegal Parquet type", which we rewrite into the actionable
     * session-builder message.
     *
-    * Contract: ONE encoding per table path — inference reads one footer
-    * (mergeSchema=false), so a directory mixing NANOS and MICROS files
-    * would decode whichever generation the probe missed at the wrong
-    * unit. Regenerations must swap whole directories (the driver's
-    * testdata does); a mixed-generation table needs per-file routing,
-    * which nothing here needs yet.
+    * Contract: ONE encoding class per table path — and since round 11 the
+    * probe ENFORCES it instead of trusting the first footer. Inference
+    * runs with `mergeSchema=true`, which reads every footer (distributed
+    * by Spark above its file-count threshold; footers are kilobytes, and
+    * the result is cached against the listing fingerprint). A directory
+    * mixing generations — NANOS files next to MICROS files, the shape a
+    * 100 TB landing dir ingesting third-party parquet eventually
+    * accretes — fails the ts-field merge (LongType vs TimestampType) and
+    * is rewritten into the actionable error below, because decoding the
+    * whole directory at either probed unit would silently corrupt the
+    * files of the other generation (the round-9 failure class, one level
+    * down). Regenerations must still swap whole directories.
     */
   def probeTsEncoding(spark: SparkSession, path: String,
                       globFilter: Option[String] = None): TsEncoding = {
-    val key = path + globFilter.fold("")("#" + _) + "@" +
-      StateCache.fingerprint(spark, path)
-    tsEncodingCache.computeIfAbsent(key, _ => {
-      val reader = spark.read
-      globFilter.foreach(reader.option("pathGlobFilter", _))
-      val inferred =
-        try reader.parquet(path).schema
-        catch {
-          case e: Throwable
-              if e.getMessage != null && e.getMessage.contains("NANOS") =>
-            requireNanosConf(spark); throw e
-        }
-      inferred.find(_.name == "ts").map(_.dataType) match {
-        case Some(LongType) => RawNanos
-        case Some(TimestampType) | Some(TimestampNTZType) => NativeTimestamp
-        case other => throw new IllegalStateException(
-          s"events table at $path has unsupported ts type $other — " +
-            "expected TIMESTAMP(NANOS|MICROS|MILLIS)/INT96 or raw INT64")
+    val key = path + globFilter.fold("")("#" + _)
+    val fp = StateCache.fingerprint(spark, path)
+    tsEncodingCache.get(key) match {
+      case (`fp`, enc) => enc
+      case _ =>
+        val enc = probeUncached(spark, path, globFilter)
+        tsEncodingCache.put(key, (fp, enc))
+        enc
+    }
+  }
+
+  private def probeUncached(spark: SparkSession, path: String,
+                            globFilter: Option[String]): TsEncoding = {
+    val reader = spark.read.option("mergeSchema", true)
+    globFilter.foreach(reader.option("pathGlobFilter", _))
+    val inferred =
+      try reader.parquet(path).schema
+      catch {
+        case e: Throwable if messageChain(e).exists(_.contains("NANOS")) =>
+          requireNanosConf(spark); throw e
+        case e: Throwable
+            if messageChain(e).exists(m =>
+              m.contains("Failed to merge") || m.contains("Failed merging")) =>
+          throw new IllegalStateException(
+            s"events table at $path mixes timestamp encodings across its " +
+              "parquet files (e.g. TIMESTAMP(NANOS) files next to " +
+              "TIMESTAMP(MICROS) files from different generations). The " +
+              "loader decodes a table at ONE unit, so a mixed directory " +
+              "cannot be read safely — rewrite the older generation (or " +
+              "split the directory) so every file shares one ts encoding.",
+            e)
       }
-    })
+    inferred.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => RawNanos
+      case Some(TimestampType) | Some(TimestampNTZType) => NativeTimestamp
+      case other => throw new IllegalStateException(
+        s"events table at $path has unsupported ts type $other — " +
+          "expected TIMESTAMP(NANOS|MICROS|MILLIS)/INT96 or raw INT64")
+    }
+  }
+
+  private def messageChain(e: Throwable): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = e
+    while (cur != null && buf.size < 10) {
+      if (cur.getMessage != null) buf += cur.getMessage
+      cur = cur.getCause
+    }
+    buf.toSeq
   }
 
   /** The NANOS leg needs `spark.sql.legacy.parquet.nanosAsLong=true` SET AT
@@ -232,6 +269,27 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .select(Schemas.events.fieldNames.map(col): _*)
     }
+  }
+
+  /** True iff `path` exists AND contains at least one file matching
+    * `globFilter` (recursively — streaming landing dirs nest part files).
+    * The streaming reader uses this to distinguish the legitimate
+    * empty-landing-dir case (producer writes later; fall back to the
+    * native schema) from a real probe failure on a populated directory,
+    * which must surface, not silently define the stream at the wrong
+    * unit. One metadata listing, no data read.
+    */
+  private[graft] def hasFiles(spark: SparkSession, path: String,
+                              globFilter: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val matcher = new org.apache.hadoop.fs.GlobFilter(globFilter)
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (matcher.accept(it.next().getPath)) return true
+    }
+    false
   }
 
   /** Filesystem-aware existence check: correctness-bearing "does this

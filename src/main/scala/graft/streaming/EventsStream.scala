@@ -51,11 +51,18 @@ object EventsStream {
     // generation's encoding — rather than failing the stream start; a
     // legacy NANOS directory must carry a seed file for the probe to see
     // (it needed one under the old hard-coded reader too, to exist at
-    // all).
+    // all). The fallback is gated on the directory actually being empty
+    // of matching files: a probe failure on a POPULATED directory
+    // (corrupt footer, mixed-generation encodings, transient listing
+    // error) must surface, not silently define the stream at the native
+    // unit and mis-decode every legacy file.
     val encoding =
       try Tables.probeTsEncoding(spark, dir, Some(globFilter))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        Tables.NativeTimestamp }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if !Tables.hasFiles(spark, dir, globFilter) =>
+          Tables.NativeTimestamp
+      }
     encoding match {
       case Tables.NativeTimestamp =>
         spark.readStream
@@ -355,6 +362,43 @@ object EventsStream {
             .filter(col("batch_id") === batchId).isEmpty
         if (!replay)
           graft.ops.Agg.dailyTopSketches(batch, maxMapSize)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The quantile twin of [[freqStateQuery]], completing the streaming
+    * sketch-state family (HLL: medallion dailySketches; heavy hitters:
+    * freqStateQuery; quantiles: here): per-micro-batch KLL daily sketch
+    * rows ([[graft.ops.Agg.dailyQuantileSketches]]) appended to a
+    * parquet state table, batch-id-guarded so a replayed trigger is a
+    * no-op instead of double-counting its events.
+    *
+    * What replay-stability MEANS here is the bound, not the bytes: KLL
+    * compaction is randomized, so the same events re-sketched can yield
+    * different (all individually valid) sketch bytes — but the guard
+    * ensures each batch's events enter the state EXACTLY once, and the
+    * KLL merge guarantee (rank error ≤ ε at fixed k through any merge
+    * tree, no per-batch error summation — tighter than the freq-sketch
+    * union, whose bounds add) makes every replayed run's rollup hold the
+    * same 2ε certificate (StreamingSpec pins exactly that, mirroring
+    * SketchSpec's parquet-round-trip leg). Consume side is SHARED with
+    * batch: [[graft.ops.Agg.quantileSketchRollup]] reads the state rows
+    * directly — the state table is the interface between the engines,
+    * same as heavyHittersFromState.
+    */
+  def kllStateQuery(spark: SparkSession, events: DataFrame,
+                    stateDir: String, checkpointDir: String,
+                    k: Int = 200): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
+          !spark.read.parquet(stateDir)
+            .filter(col("batch_id") === batchId).isEmpty
+        if (!replay)
+          graft.ops.Agg.dailyQuantileSketches(batch, k)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(stateDir)
       }
