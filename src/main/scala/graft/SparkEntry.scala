@@ -957,6 +957,26 @@ object SparkEntry {
       Multimodal.audioNearDup(
         Multimodal.syntheticAudioWindows(t(s, dir, "documents")),
         minVotes = 2, maxAssetsPerFp = 64)),
+    // A8 incremental multimodal: the corpus's frame-fingerprint inverted
+    // index is PERSISTED maintenance state (ensure-once, like the q83
+    // text index); a delta batch of new videos broadcasts against it and
+    // never re-pairs the corpus. Corpus = even video docs (doc_id%6=2),
+    // delta = odd video docs (doc_id%6=5).
+    "q132_video_dup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def idxRows(pred: org.apache.spark.sql.Column) =
+        Multimodal.frameIndexRows(
+          Multimodal.frameFingerprints(
+            Multimodal.syntheticVideoFrames(docs.filter(pred))))
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "frameidx", "v1") { out =>
+        idxRows(col("doc_id") % 6 === 2).write.parquet(out)
+      }
+      Multimodal.videoNearDupAgainstIndex(
+        s.read.parquet(idxDir),
+        idxRows(col("doc_id") % 6 === 5),
+        minOverlap = 0.3, maxAssetsPerHash = 64)
+    }),
     // North star multimodal: frame sampling (row explosion before shuffle).
     "q43_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -2585,6 +2605,33 @@ object SparkEntry {
          |JOIN pa nb ON p.asset_b = nb.asset_id
          |WHERE CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
          |  >= 0.3""".stripMargin,
+    "q132_video_dup_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id AS asset_id,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4]), 1, 14) AS fhash
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |hashes AS (SELECT DISTINCT asset_id, fhash FROM fr),
+        |pa AS (SELECT asset_id, COUNT(*) AS n FROM hashes GROUP BY asset_id),
+        |corpus AS (SELECT * FROM hashes WHERE asset_id % 6 = 2),
+        |delta AS (SELECT * FROM hashes WHERE asset_id % 6 = 5),
+        |stop AS (SELECT fhash FROM corpus GROUP BY fhash HAVING COUNT(*) > 64),
+        |prunedc AS (SELECT * FROM corpus
+        |            WHERE fhash NOT IN (SELECT fhash FROM stop)),
+        |pairs AS (SELECT c.asset_id AS asset_a, d.asset_id AS asset_b,
+        |    COUNT(*) AS n_matched
+        |  FROM prunedc c JOIN delta d USING (fhash) GROUP BY 1, 2)
+        |SELECT p.asset_a, p.asset_b, p.n_matched,
+        |  CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+        |    AS overlap
+        |FROM pairs p JOIN pa na ON p.asset_a = na.asset_id
+        |JOIN pa nb ON p.asset_b = nb.asset_id
+        |WHERE CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+        |  >= 0.3""".stripMargin,
     "q123_audio_align_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents

@@ -232,7 +232,17 @@ object Multimodal {
     * is found by its discriminative frames anyway).
     */
   def videoNearDup(frameHashes: DataFrame, minOverlap: Double = 0.5,
-                   maxAssetsPerHash: Int = 64): DataFrame = {
+                   maxAssetsPerHash: Int = 64, maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded frame matching over 4 bands guarantees hamming <= 3, got $maxHamming")
+    if (maxHamming > 0) {
+      val ft = frameHashes.schema("fhash").dataType
+      require(ft == org.apache.spark.sql.types.LongType,
+        s"tolerant (hamming <= $maxHamming) frame matching needs a wide " +
+          "numeric fingerprint (a 56-bit LongType, e.g. a per-frame DCT " +
+          s"pHash) — got $ft; identity string fingerprints carry no bit " +
+          "geometry to band over, use maxHamming = 0 for them")
+    }
     // The distinct (video, hash) set feeds FIVE consumers (per-asset
     // counts, the stop-hash scan, both self-join sides via the pruned
     // view) — materialize it once or the whole upstream frame pipeline
@@ -246,16 +256,160 @@ object Multimodal {
       .filter(col("n_assets") > maxAssetsPerHash)
       .select(col("fhash"))
     val pruned = distinctFh.join(stopHashes, Seq("fhash"), "left_anti")
-    pruned.select(col("fhash"), col("asset_id").as("asset_a"))
-      .join(pruned.select(col("fhash"), col("asset_id").as("asset_b")),
-        Seq("fhash"))
-      .filter(col("asset_a") < col("asset_b"))
-      .groupBy(col("asset_a"), col("asset_b"))
-      .agg(count(lit(1)).as("n_matched"))
+    // Frame-match relation, then per-pair containment. Identity path:
+    // one equi-join on the hash, n_matched = |A ∩ B|. Banded path (a
+    // real >= 64-bit frame DCT): the q119 recipe — 4 bands of 14 bits,
+    // pigeonhole-complete for hamming <= 3, exact popcount verify — and
+    // n_matched generalizes to least(covered_a, covered_b), the count of
+    // distinct hashes on each side with a tolerant match, which reduces
+    // EXACTLY to |A ∩ B| at maxHamming = 0 (every matched pair is
+    // (h, h)) and stays within [0, least(n_a, n_b)] at any d. The
+    // stop-hash guard applies BEFORE banding, on exact-hash popularity:
+    // a black frame is hot as a value, and dropping it there also keeps
+    // it out of every band bucket.
+    val matched =
+      if (maxHamming == 0)
+        pruned.select(col("fhash"), col("asset_id").as("asset_a"))
+          .join(pruned.select(col("fhash"), col("asset_id").as("asset_b")),
+            Seq("fhash"))
+          .filter(col("asset_a") < col("asset_b"))
+          .groupBy(col("asset_a"), col("asset_b"))
+          .agg(count(lit(1)).as("n_matched"))
+      else {
+        val bandCols = (0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("fhash"), i * 14).bitwiseAND(lit(16383L)).as("bv")))
+        val keyed = pruned
+          .select(col("asset_id"), col("fhash"),
+            explode(array(bandCols: _*)).as("b"))
+          .select(col("asset_id"), col("fhash"), col("b.band").as("band"),
+            col("b.bv").as("bv"))
+        keyed.select(col("band"), col("bv"), col("asset_id").as("asset_a"),
+            col("fhash").as("ph_a"))
+          .join(keyed.select(col("band"), col("bv"),
+            col("asset_id").as("asset_b"), col("fhash").as("ph_b")),
+            Seq("band", "bv"))
+          .filter(col("asset_a") < col("asset_b"))
+          .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"))
+          .distinct()
+          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+          .groupBy(col("asset_a"), col("asset_b"))
+          .agg(least(count_distinct(col("ph_a")),
+            count_distinct(col("ph_b"))).as("n_matched"))
+      }
+    matched
       .join(perAsset.select(col("asset_id").as("asset_a"),
         col("n_hashes").as("n_a")), Seq("asset_a"))
       .join(perAsset.select(col("asset_id").as("asset_b"),
         col("n_hashes").as("n_b")), Seq("asset_b"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("asset_a"), col("asset_b"), col("n_matched"),
+        col("overlap"))
+  }
+
+  /** Brute-force twin of the banded [[videoNearDup]] path — all-pairs
+    * over distinct (asset, hash) rows; the spec oracle for the
+    * pigeonhole-completeness claim at d <= 3. Never point it at a real
+    * corpus.
+    */
+  private[graft] def videoNearDupExact(frameHashes: DataFrame,
+                                       minOverlap: Double,
+                                       maxAssetsPerHash: Int,
+                                       maxHamming: Int): DataFrame = {
+    val distinctFh = frameHashes.select(col("asset_id"), col("fhash"))
+      .distinct().localCheckpoint()
+    val perAsset = distinctFh.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_hashes"))
+    val stopHashes = distinctFh.groupBy(col("fhash"))
+      .agg(count(lit(1)).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerHash)
+      .select(col("fhash"))
+    val pruned = distinctFh.join(stopHashes, Seq("fhash"), "left_anti")
+    pruned.select(col("asset_id").as("asset_a"), col("fhash").as("ph_a"))
+      .crossJoin(pruned.select(col("asset_id").as("asset_b"),
+        col("fhash").as("ph_b")))
+      .filter(col("asset_a") < col("asset_b"))
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(least(count_distinct(col("ph_a")),
+        count_distinct(col("ph_b"))).as("n_matched"))
+      .join(perAsset.select(col("asset_id").as("asset_a"),
+        col("n_hashes").as("n_a")), Seq("asset_a"))
+      .join(perAsset.select(col("asset_id").as("asset_b"),
+        col("n_hashes").as("n_b")), Seq("asset_b"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("asset_a"), col("asset_b"), col("n_matched"),
+        col("overlap"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Incremental multimodal near-dup: persisted fingerprint index + delta probe
+  // -------------------------------------------------------------------------
+
+  /** Index rows for the PERSISTED multimodal fingerprint inverted index —
+    * the third instance of the engine's incremental-dedup pattern (text:
+    * signatureIndex/q83; vectors: IVF delta/q93; here: frames). One row
+    * per distinct (asset, fhash) with the asset's distinct-hash count
+    * denormalized on, so the delta probe never re-aggregates the corpus:
+    * `n_hashes` rides the matched row out of the join.
+    *
+    * Appendable by construction: every column depends ONLY on the asset's
+    * own frames, so index rows built batch-by-batch (each asset's frames
+    * arriving in exactly one batch — the ingest contract) are identical
+    * to a single full build, and maintenance is a parquet `append`, never
+    * a rebuild (append ≡ full-build spec-pinned in MultimodalSpec).
+    */
+  def frameIndexRows(frameFingerprints: DataFrame): DataFrame =
+    frameFingerprints.select(col("asset_id"), col("fhash")).distinct()
+      .withColumn("n_hashes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("asset_id"))))
+
+  /** Which NEW video assets near-duplicate something already in the
+    * corpus — without re-pairing the corpus (the daily-delta question at
+    * 100 TB, where yesterday's answer for the corpus itself is already
+    * on disk). `index` is the persisted [[frameIndexRows]] of the
+    * accumulated corpus; `delta` is the same transform over the new
+    * batch. Output: (asset_a = corpus asset, asset_b = delta asset,
+    * n_matched, overlap) at containment overlap >= `minOverlap`, the
+    * [[videoNearDup]] algebra restricted to corpus×delta.
+    *
+    * Scale shape: the corpus index is SCANNED once and never shuffled —
+    * the delta is broadcast (a day's intake vs the accumulated corpus),
+    * so hash matching is map-side against each index partition, and the
+    * single aggregate after the join shuffles only the matched pairs.
+    * Both per-asset counts arrive denormalized on the joined rows
+    * (n_hashes from the index side, the delta's own n_hashes broadcast
+    * with it), so no side is re-aggregated. The stop-hash guard is
+    * corpus-popularity over the index (one map-side-combined aggregate
+    * whose output — hashes in > `maxAssetsPerHash` assets — is
+    * broadcast-small); at full scale that list would be ensured
+    * alongside the index as maintenance state rather than recomputed per
+    * probe. Delta-internal pairs are a separate (far smaller)
+    * [[videoNearDup]] run over the batch alone, exactly like the text
+    * twin.
+    */
+  def videoNearDupAgainstIndex(index: DataFrame, delta: DataFrame,
+                               minOverlap: Double = 0.5,
+                               maxAssetsPerHash: Int = 64): DataFrame = {
+    val stopHashes = index.groupBy(col("fhash"))
+      .agg(count(lit(1)).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerHash)
+      .select(col("fhash"))
+    val prunedIdx = index.join(broadcast(stopHashes), Seq("fhash"), "left_anti")
+    val probe = broadcast(delta.select(col("fhash"),
+      col("asset_id").as("asset_b"), col("n_hashes").as("n_b")))
+    prunedIdx
+      .join(probe, Seq("fhash"))
+      .filter(col("asset_id") =!= col("asset_b"))
+      .groupBy(col("asset_id").as("asset_a"), col("asset_b"),
+        col("n_hashes").as("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_matched"))
       .withColumn("overlap",
         col("n_matched").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"))

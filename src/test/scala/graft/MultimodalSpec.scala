@@ -99,6 +99,118 @@ class MultimodalSpec extends SparkSpec {
       "every verbatim twin must self-match at overlap 1.0")
   }
 
+  test("videoNearDup banded path equals brute-force at d in {0,2,3}") {
+    // synthetic WIDE (56-bit) frame fingerprints — the real-DCT regime
+    // the banded switch exists for. 12 base videos of 20 random frames;
+    // video 100+i re-encodes video i with <=2 bits flipped per frame
+    // (compression noise); video 200 shares a 10-frame clip with video 0
+    // flipped by 3 bits. Seeded RNG: deterministic fixture.
+    val rnd = new scala.util.Random(421)
+    val mask56 = (1L << 56) - 1
+    val base = (0 until 12).map(v =>
+      v.toLong -> Array.fill(20)(rnd.nextLong() & mask56))
+    def flip(h: Long, nBits: Int, r: scala.util.Random): Long = {
+      var out = h
+      (0 until nBits).foreach(_ => out ^= 1L << r.nextInt(56))
+      out
+    }
+    val noisy = base.take(6).map { case (v, hs) =>
+      (v + 100L) -> hs.map(h => flip(h, rnd.nextInt(3), rnd))
+    }
+    val clip = Seq(200L -> base.head._2.take(10).map(h => {
+      var out = h
+      // exactly 3 DISTINCT bit positions → hamming exactly 3
+      Seq(3, 17, 42).foreach(b => out ^= 1L << b)
+      out
+    }))
+    val rows = (base ++ noisy ++ clip).flatMap { case (v, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (v, i, h) }
+    }
+    val fh = rows.toDF("asset_id", "frame_index", "fhash")
+    Seq(0, 2, 3).foreach { d =>
+      val banded = Multimodal.videoNearDup(fh, minOverlap = 0.3,
+          maxAssetsPerHash = 64, maxHamming = d)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val brute = Multimodal.videoNearDupExact(fh, minOverlap = 0.3,
+          maxAssetsPerHash = 64, maxHamming = d)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(banded == brute, s"banded != brute-force at maxHamming=$d")
+      if (d >= 2) assert(banded.exists(p => p._1 < 100 && p._2 < 200 && p._2 >= 100),
+        s"noisy re-encodes must surface at d=$d")
+      if (d == 3) assert(banded.exists(_._2 == 200L),
+        "the 3-bit-flipped clip must surface exactly at d=3")
+      else assert(!banded.exists(_._2 == 200L),
+        s"hamming-3 clip must NOT surface at d=$d")
+    }
+    // identity strings cannot be banded — actionable error, not wrong rows
+    val strFh = Seq((1L, 0, "aabbccddeeff00")).toDF("asset_id", "frame_index", "fhash")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDup(strFh, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("numeric fingerprint"))
+    // the stop-hash guard survives the banded path: a hash present in
+    // EVERY video is dropped before banding, so it alone creates no pair
+    val rnd2 = new scala.util.Random(97)
+    val stopRows = (0 until 10).map(v => (v.toLong, 0, 12345L)) ++
+      (0 until 10).map(v => (v.toLong, 1, rnd2.nextLong() & mask56))
+    val stopOut = Multimodal.videoNearDup(
+      stopRows.toDF("asset_id", "frame_index", "fhash"),
+      minOverlap = 0.1, maxAssetsPerHash = 4, maxHamming = 2)
+    assert(stopOut.count() == 0, "stop-hash must be pruned before banding")
+  }
+
+  test("frame index: append == full build, delta probe == restricted videoNearDup") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def idxRows(pred: org.apache.spark.sql.Column) =
+      Multimodal.frameIndexRows(
+        Multimodal.frameFingerprints(
+          Multimodal.syntheticVideoFrames(docs.filter(pred))))
+    // append parity: two batch-wise builds union to exactly the full build
+    val full = idxRows(lit(true))
+    val batched = idxRows(col("doc_id") % 6 === 2)
+      .union(idxRows(col("doc_id") % 6 === 5))
+    assert(batched.as[(Long, String, Long)].collect().toSet ==
+      full.as[(Long, String, Long)].collect().toSet,
+      "index rows must be identical whether built in one pass or appended")
+    // and through a real parquet append
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx").toString
+    idxRows(col("doc_id") % 6 === 2).write.mode("append").parquet(dir)
+    idxRows(col("doc_id") % 6 === 5).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).as[(Long, String, Long)].collect().toSet ==
+      full.as[(Long, String, Long)].collect().toSet)
+    // delta probe == the full videoNearDup answer restricted to
+    // corpus×delta pairs. Stop guard disabled on both sides for the
+    // comparison: the full run counts hash popularity over corpus+delta,
+    // the probe over the corpus index only — algebra identical only when
+    // neither prunes (the guard's own behavior is pinned separately).
+    val noStop = 1 << 20
+    val corpus = idxRows(col("doc_id") % 6 === 2)
+    val delta = idxRows(col("doc_id") % 6 === 5)
+    val probe = Multimodal.videoNearDupAgainstIndex(corpus, delta,
+        minOverlap = 0.3, maxAssetsPerHash = noStop)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fullPairs = Multimodal.videoNearDup(
+        Multimodal.frameFingerprints(
+          Multimodal.syntheticVideoFrames(docs.filter(col("doc_id") % 3 === 2))),
+        minOverlap = 0.3, maxAssetsPerHash = noStop)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val restricted = fullPairs.flatMap { case (a, b, n, ov) =>
+      // canonical a<b in the full run; the probe reports (corpus, delta)
+      if (a % 6 == 2 && b % 6 == 5) Some((a, b, n, ov))
+      else if (a % 6 == 5 && b % 6 == 2) Some((b, a, n, ov))
+      else None
+    }
+    assert(probe.nonEmpty, "delta probe must surface corpus×delta near-dups")
+    assert(probe == restricted,
+      "probe must equal the full-run answer restricted to corpus×delta")
+    // the probe plan broadcasts the delta — the corpus index is never
+    // shuffled (the 100 TB contract)
+    val plan = Multimodal.videoNearDupAgainstIndex(corpus, delta,
+      minOverlap = 0.3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta side must broadcast against the index scan:\n${plan.take(800)}")
+  }
+
   test("audioNearDup: offset voting finds shifted copies, not scattered noise") {
     // asset 1: windows 0..9 with unique fingerprints f0..f9;
     // asset 2: the same content shifted +7 windows (a delayed copy);
