@@ -263,6 +263,59 @@ class StreamingSpec extends SparkSpec {
     assert(consume(replayed).toSet == got.toSet)
   }
 
+  test("streaming kll state: 2eps rank bound holds from chopped state, replay is a no-op") {
+    import graft.ops.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft-kstream").toString
+    val ev = Tables.load(spark, sf, "events")
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.kllStateQuery(spark, stream,
+        s"$root/state", s"$root/cp", k = 200)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val state = spark.read.parquet(s"$root/state")
+    assert(state.select("batch_id").distinct().count() >= 3,
+      "expected one partial-sketch batch per source file")
+    // the certificate, not the bytes (KLL compaction is randomized): every
+    // estimated quantile from the chopped streaming state must carry a
+    // TRUE rank within 2eps of its target — the same bound SketchSpec
+    // pins for the batch build, with NO per-batch widening (KLL's merge
+    // guarantee is rank error <= eps at fixed k through ANY merge tree,
+    // unlike the freq-sketch union whose bounds sum per batch)
+    val exact = ev.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted
+      }
+    val eps = 2 * 0.0165
+    def checkRanks(df: org.apache.spark.sql.DataFrame): Unit =
+      Agg.quantileSketchRollup(df).collect().foreach { r =>
+        val vals = exact(r.getAs[String]("event_type"))
+        Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)).foreach {
+          case (cname, p) =>
+            val est = r.getAs[Double](cname)
+            val trueRank = vals.count(_ <= est).toDouble / vals.length
+            assert(math.abs(trueRank - p) <= eps,
+              s"${r.getAs[String]("event_type")} $cname: est $est has " +
+                s"true rank $trueRank, want $p +- $eps")
+        }
+        // n is exact through the chopped state: every event entered once
+        assert(r.getAs[Long]("n_sketch") == vals.length.toLong)
+      }
+    checkRanks(state)
+    // replay safety: same checkpoint appends nothing; the bound (and the
+    // exact n certificate) holds unchanged from the replayed state
+    run()
+    val replayed = spark.read.parquet(s"$root/state")
+    assert(replayed.count() == state.count(),
+      "a replayed/no-op trigger must not double-count sketch partials")
+    checkRanks(replayed)
+  }
+
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
