@@ -116,23 +116,53 @@ object Similarity {
     * the defaults) collected per round. Empty clusters keep their
     * previous centroid. At 100 TB you train on a sample and encode the
     * full corpus with the frozen codebook — the encode pass is the only
-    * full-data scan, and it is map-side.
+    * full-data scan, and it is map-side: pass `sampleFraction` < 1 and
+    * every training pass (seed selection included) runs over a seeded
+    * Bernoulli sample while the returned codebook still encodes the full
+    * corpus. The sample is deterministic for a fixed source layout
+    * (`sample` draws per-partition from the seed), so train-then-retrain
+    * reproduces the same codebook — the property the frozen-codebook
+    * append contract leans on. Operating point (VectorSpec-measured, 512
+    * vecs, m=8, k=16): a half-corpus sample trains a codebook whose
+    * refined recall@5 holds the 0.75 floor of the full-corpus build —
+    * k-means needs cluster GEOMETRY, not every point, so the sample just
+    * needs to cover the modes (≫ k·m points; 10–100k vectors is plenty
+    * at 100 TB, i.e. fractions near 1e-6).
+    *
+    * OPQ-lite ablation (measured, rejected): a seeded random orthonormal
+    * rotation of the space before subspace splitting — the cheap end of
+    * OPQ (Ge et al.'s R, random instead of learned) — was measured at
+    * equal bytes on the sf0.001 corpus, m=8 k=16 refine=50, recall@5 vs
+    * brute force (VectorSpec "OPQ-lite ablation"): unrotated 0.800;
+    * rotated 0.800 / 0.860 / 0.800 over seeds {5, 11, 23}. Median ties
+    * the baseline and the spread is seed noise (±0.06), so the rotation
+    * is NOT adopted — the production path encodes unrotated. A LEARNED
+    * rotation (full OPQ, alternating R and codebook updates) is the
+    * rung that could move this; a random one just reshuffles which
+    * subspaces are lucky.
     */
   def trainPqCodebook(corpus: DataFrame, m: Int = 8, k: Int = 16,
-                      iters: Int = 5): Array[Float] = {
-    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+                      iters: Int = 5, sampleFraction: Double = 1.0,
+                      sampleSeed: Long = 42L): Array[Float] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"trainPqCodebook: sampleFraction must be in (0, 1], got $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
+    val d = train.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"trainPqCodebook: $d dims not divisible by m=$m")
     val sub = d / m
-    val seed = corpus.orderBy(col("vec_id").asc).limit(k)
+    val seed = train.orderBy(col("vec_id").asc).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     require(seed.length == k,
-      s"trainPqCodebook: corpus has ${seed.length} vectors, need >= $k seeds")
+      s"trainPqCodebook: training set has ${seed.length} vectors, need >= $k " +
+        "seeds — raise sampleFraction")
     var codebook = new Array[Float](m * k * sub)
     for (mi <- 0 until m; ki <- 0 until k; si <- 0 until sub)
       codebook((mi * k + ki) * sub + si) = seed(ki)(mi * sub + si)
     for (_ <- 0 until iters) {
-      val means = corpus
+      val means = train
         .select(col("vec_id"), col("embedding"),
           pqEncode(col("embedding"), codebook, m, k).as("codes"))
         .filter(col("codes").isNotNull)
