@@ -977,6 +977,24 @@ object SparkEntry {
         idxRows(col("doc_id") % 6 === 5),
         minOverlap = 0.3, maxAssetsPerHash = 64)
     }),
+    // A8 incremental audio: the corpus's sub-fingerprint inverted index
+    // is persisted maintenance state; a delta batch of new audio assets
+    // broadcasts against it with time-offset voting — never re-pairs the
+    // corpus. Corpus = audio docs with doc_id%6=1, delta = doc_id%6=4.
+    "q133_audio_dup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def idxRows(pred: org.apache.spark.sql.Column) =
+        Multimodal.audioIndexRows(
+          Multimodal.syntheticAudioWindows(docs.filter(pred)))
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "audioidx", "v1") { out =>
+        idxRows(col("doc_id") % 6 === 1).write.parquet(out)
+      }
+      Multimodal.audioNearDupAgainstIndex(
+        s.read.parquet(idxDir),
+        idxRows(col("doc_id") % 6 === 4),
+        minVotes = 2, maxAssetsPerFp = 64)
+    }),
     // North star multimodal: frame sampling (row explosion before shuffle).
     "q43_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -2649,6 +2667,33 @@ object SparkEntry {
         |    a.wi - b.wi AS dt, COUNT(*) AS votes
         |  FROM pruned a JOIN pruned b USING (fp)
         |  WHERE a.asset_id < b.asset_id GROUP BY 1, 2, 3),
+        |best AS (SELECT asset_a, asset_b, MAX(votes) AS best_votes,
+        |    CAST(SUM(votes) AS BIGINT) AS n_matched
+        |  FROM votes GROUP BY 1, 2 HAVING MAX(votes) >= 2)
+        |SELECT b.asset_a, b.asset_b, b.best_votes,
+        |  MIN(v.dt) AS best_dt, b.n_matched
+        |FROM best b JOIN votes v USING (asset_a, asset_b)
+        |WHERE v.votes = b.best_votes
+        |GROUP BY b.asset_a, b.asset_b, b.best_votes, b.n_matched""".stripMargin,
+    "q133_audio_dup_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |w AS (
+        |  SELECT doc_id AS asset_id, i - 1 AS wi,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS fp
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |dw AS (SELECT DISTINCT asset_id, wi, fp FROM w),
+        |corpus AS (SELECT * FROM dw WHERE asset_id % 6 = 1),
+        |delta AS (SELECT * FROM dw WHERE asset_id % 6 = 4),
+        |stop AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT asset_id) AS na
+        |                         FROM corpus GROUP BY fp) WHERE na > 64),
+        |prunedc AS (SELECT * FROM corpus
+        |            WHERE fp NOT IN (SELECT fp FROM stop)),
+        |votes AS (SELECT c.asset_id AS asset_a, d.asset_id AS asset_b,
+        |    c.wi - d.wi AS dt, COUNT(*) AS votes
+        |  FROM prunedc c JOIN delta d USING (fp) GROUP BY 1, 2, 3),
         |best AS (SELECT asset_a, asset_b, MAX(votes) AS best_votes,
         |    CAST(SUM(votes) AS BIGINT) AS n_matched
         |  FROM votes GROUP BY 1, 2 HAVING MAX(votes) >= 2)

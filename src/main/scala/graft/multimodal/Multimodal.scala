@@ -491,6 +491,64 @@ object Multimodal {
         col("best_dt"), col("n_matched"))
   }
 
+  /** Audio twin of [[frameIndexRows]]: persisted sub-fingerprint
+    * inverted-index rows for the incremental audio near-dup path. Voting
+    * needs WHERE each fingerprint sits, so rows keep `window_index`
+    * (distinct (asset, window, fp)); `n_windows` — the asset's distinct
+    * row count — is denormalized on for symmetry with the video index,
+    * giving a consumer absolute match fractions without re-aggregating
+    * the corpus (the voting threshold itself is absolute, so the probe
+    * does not need it). Appendable by construction, same contract:
+    * every column depends only on the asset's own windows.
+    */
+  def audioIndexRows(windows: DataFrame): DataFrame =
+    windows.select(col("asset_id"), col("window_index"), col("fp")).distinct()
+      .withColumn("n_windows", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("asset_id"))))
+
+  /** Which NEW audio assets are copies/clips of something already in the
+    * corpus — the [[videoNearDupAgainstIndex]] pattern with
+    * [[audioNearDup]]'s time-offset voting: matching windows vote for
+    * `dt = corpus_window − delta_window`, the best single offset's votes
+    * score the pair, and `best_dt` reports the winning alignment (the
+    * delta asset's timeline shifted by best_dt windows lines up with the
+    * corpus asset's; vote ties break to the smallest dt, the same
+    * determinism rule as the batch form). Output (asset_a = corpus,
+    * asset_b = delta) at `best_votes >= minVotes`.
+    *
+    * Scale shape: identical to the video probe — index scanned once,
+    * never shuffled; delta broadcast; stop-fingerprint guard from
+    * corpus-side popularity (countDistinct, since one asset legitimately
+    * repeats a fingerprint across windows); the two-level vote aggregate
+    * shuffles only matched pairs.
+    */
+  def audioNearDupAgainstIndex(index: DataFrame, delta: DataFrame,
+                               minVotes: Int = 4,
+                               maxAssetsPerFp: Int = 64): DataFrame = {
+    val stopFps = index.groupBy(col("fp"))
+      .agg(countDistinct(col("asset_id")).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerFp)
+      .select(col("fp"))
+    val prunedIdx = index.join(broadcast(stopFps), Seq("fp"), "left_anti")
+    val probe = broadcast(delta.select(col("fp"),
+      col("asset_id").as("asset_b"), col("window_index").as("w_b")))
+    prunedIdx
+      .join(probe, Seq("fp"))
+      .filter(col("asset_id") =!= col("asset_b"))
+      .groupBy(col("asset_id").as("asset_a"), col("asset_b"),
+        (col("window_index") - col("w_b")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(max(col("votes")).as("best_votes"),
+        sum(col("votes")).as("n_matched"),
+        (lit(-1L) * max(struct(col("votes"),
+          (lit(-1L) * col("dt")).as("neg_dt"))).getField("neg_dt"))
+          .as("best_dt"))
+      .filter(col("best_votes") >= minVotes)
+      .select(col("asset_a"), col("asset_b"), col("best_votes"),
+        col("best_dt"), col("n_matched"))
+  }
+
   /** Resize stub: metadata-level resize plan (target dims per asset) — the
     * pixel work happens inside the decode stub in a real deployment.
     */

@@ -211,6 +211,65 @@ class MultimodalSpec extends SparkSpec {
       s"delta side must broadcast against the index scan:\n${plan.take(800)}")
   }
 
+  test("audio index: append == full build, delta probe votes match the batch form") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def idxRows(pred: org.apache.spark.sql.Column) =
+      Multimodal.audioIndexRows(
+        Multimodal.syntheticAudioWindows(docs.filter(pred)))
+    // append parity through a real parquet append
+    val full = idxRows(lit(true))
+    val dir = java.nio.file.Files.createTempDirectory("graft-aidx").toString
+    idxRows(col("doc_id") % 6 === 1).write.mode("append").parquet(dir)
+    idxRows(col("doc_id") % 6 === 4).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).as[(Long, Long, String, Long)].collect().toSet ==
+      full.as[(Long, Long, String, Long)].collect().toSet,
+      "index rows must be identical whether built in one pass or appended")
+    // probe semantics on the deterministic shifted-copy fixture, BOTH id
+    // orders (the probe reports (corpus, delta) with dt = w_corpus - w_delta,
+    // unlike the batch form's canonical a < b):
+    //   corpus asset 1 = windows 0..9; delta asset 2 = same content +7
+    def rows(asset: Long, shift: Long) =
+      (0 until 10).map(w => (asset, w.toLong + shift, s"f$w"))
+    def idx(rs: Seq[(Long, Long, String)]) =
+      Multimodal.audioIndexRows(rs.toDF("asset_id", "window_index", "fp"))
+    val probeLowCorpus = Multimodal.audioNearDupAgainstIndex(
+        idx(rows(1L, 0)), idx(rows(2L, 7)), minVotes = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(probeLowCorpus == Set((1L, 2L, 10L, -7L, 10L)),
+      s"expected the shifted copy at dt=-7, got $probeLowCorpus")
+    // flipped roles: the SAME content with corpus id 2, delta id 1 —
+    // dt mirrors because dt is always corpus-minus-delta
+    val probeHighCorpus = Multimodal.audioNearDupAgainstIndex(
+        idx(rows(2L, 7)), idx(rows(1L, 0)), minVotes = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(probeHighCorpus == Set((2L, 1L, 10L, 7L, 10L)),
+      s"expected the mirrored alignment at dt=+7, got $probeHighCorpus")
+    // real-corpus restricted parity on the order-free fields: the probe's
+    // (pair, best_votes, n_matched) must equal the batch audioNearDup
+    // answer restricted to corpus x delta (stop guard disabled both sides;
+    // best_dt is checked by the synthetic legs above — its sign follows
+    // pair orientation, which the batch form canonicalizes differently)
+    val noStop = 1 << 20
+    val probe = Multimodal.audioNearDupAgainstIndex(
+        idxRows(col("doc_id") % 6 === 1), idxRows(col("doc_id") % 6 === 4),
+        minVotes = 2, maxAssetsPerFp = noStop)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("best_votes"), r.getAs[Long]("n_matched"))).toSet
+    val fullBatch = Multimodal.audioNearDup(
+        Multimodal.syntheticAudioWindows(docs),
+        minVotes = 2, maxAssetsPerFp = noStop)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("best_votes"), r.getAs[Long]("n_matched"))).toSet
+    val restricted = fullBatch.flatMap { case (a, b, v, n) =>
+      if (a % 6 == 1 && b % 6 == 4) Some((a, b, v, n))
+      else if (a % 6 == 4 && b % 6 == 1) Some((b, a, v, n))
+      else None
+    }
+    assert(probe.nonEmpty, "delta probe must surface corpus x delta matches")
+    assert(probe == restricted,
+      "probe must equal the batch answer restricted to corpus x delta")
+  }
+
   test("audioNearDup: offset voting finds shifted copies, not scattered noise") {
     // asset 1: windows 0..9 with unique fingerprints f0..f9;
     // asset 2: the same content shifted +7 windows (a delayed copy);
