@@ -370,6 +370,52 @@ object Multimodal {
       .withColumn("n_hashes", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("asset_id"))))
 
+  /** At-rest form of the frame index for the STREAMING ingest path
+    * ([[graft.streaming.AssetStream]]): [[frameIndexRows]] partitioned by
+    * `ab = pmod(asset_id, nBuckets)`. The bucket column exists for ONE
+    * consumer — the per-batch replay guard, whose "is this asset already
+    * indexed" anti-join then reads only the batch's own bucket
+    * directories via partition pruning instead of scanning the full
+    * index's asset column every trigger (the [[graft.vector.Similarity]]
+    * `indexedIds` discipline, re-keyed from centroid lists to id
+    * buckets). The fhash-keyed dedup probe ignores the column entirely.
+    */
+  def writeFrameIndex(frameFingerprints: DataFrame, dir: String,
+                      nBuckets: Int = 64): Unit =
+    frameIndexRows(frameFingerprints)
+      .withColumn("ab", pmod(col("asset_id"), lit(nBuckets)).cast("int"))
+      .write.partitionBy("ab").mode("overwrite").parquet(dir)
+
+  /** Append pre-built index rows (a batch's [[frameIndexRows]]) into the
+    * partitioned index — same append ≡ full-build contract as the flat
+    * form; `nBuckets` must match the bootstrap write.
+    */
+  def appendFrameIndex(indexRows: DataFrame, dir: String,
+                       nBuckets: Int = 64): Unit =
+    indexRows
+      .withColumn("ab", pmod(col("asset_id"), lit(nBuckets)).cast("int"))
+      .write.partitionBy("ab").mode("append").parquet(dir)
+
+  /** The index without its layout column — what the dedup probe reads. */
+  def readFrameIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("ab")
+
+  /** Asset ids from the index that could collide with `assets` — reads
+    * ONLY the buckets the incoming assets hash into (PartitionFilters,
+    * plan-pinned): the candidate bucket list is bounded by `nBuckets`
+    * (collect-safe by construction), so the replay-guard read is bounded
+    * by batch spread, not index size.
+    */
+  def indexedAssets(spark: SparkSession, dir: String, assets: DataFrame,
+                    nBuckets: Int = 64): DataFrame = {
+    val buckets = assets
+      .select(pmod(col("asset_id"), lit(nBuckets)).cast("int").as("ab"))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(dir)
+      .filter(col("ab").isin(buckets.map(Integer.valueOf): _*))
+      .select(col("asset_id")).distinct()
+  }
+
   /** Which NEW video assets near-duplicate something already in the
     * corpus — without re-pairing the corpus (the daily-delta question at
     * 100 TB, where yesterday's answer for the corpus itself is already

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.multimodal.Multimodal
+
+/** Streaming twin of the multimodal near-dup pipeline — the third
+  * instance of the "the index IS the dedup state" ingest shape (text:
+  * [[CorpusStream]]; vectors: [[VectorStream]]; here: video frame
+  * fingerprints). Frame batches land in `srcDir`; each micro-batch is
+  * (1) replay-guarded against the persisted frame index, (2) internally
+  * deduped (connected components over the batch's own near-dup pairs,
+  * min-asset survivor — the [[graft.text.TextDedup.dedupClusters]]
+  * machinery, pair generator swapped), (3) deduped against the indexed
+  * corpus with corpus precedence, and the survivors' index rows append
+  * into the index itself.
+  *
+  * Exactly-once without a state store, the [[VectorStream]] argument
+  * re-keyed: `foreachBatch` is at-least-once, and every step is
+  * idempotent against replay —
+  *  - a re-delivered asset that SURVIVED last time is dropped whole by
+  *    the [[Multimodal.indexedAssets]] guard (bucket-pruned: the check
+  *    reads only the batch's own `ab` partition directories, never the
+  *    index);
+  *  - a re-delivered asset that LOST last time loses again to the same
+  *    deterministic pipeline: its in-batch winner is either indexed now
+  *    (the corpus-precedence probe drops it) or was itself dropped, in
+  *    which case the component re-forms identically from the replayed
+  *    batch (the pipeline is a pure function of (batch, index state),
+  *    and a replayed trigger appends nothing, so index state is fixed).
+  * State store rows: ZERO at any stream length — the bucket-partitioned
+  * index directories are the state, bounded by the surviving corpus.
+  *
+  * Bootstrap with [[Multimodal.writeFrameIndex]] over the seed corpus
+  * before starting the stream (same contract as VectorStream's index).
+  * An asset's frames must arrive within ONE batch (the ingest contract
+  * [[Multimodal.frameIndexRows]] documents — per-asset counts are
+  * computed batch-locally).
+  */
+object AssetStream {
+
+  /** One micro-batch through the gauntlet; exposed for tests. Order
+    * matters, exactly as in VectorStream: the replay guard first (a
+    * replayed batch must not pay the pair step), internal dedup before
+    * the corpus probe (two in-batch dups cost one probe).
+    */
+  private[graft] def dedupBatch(spark: SparkSession, frames: DataFrame,
+                                indexDir: String, minOverlap: Double,
+                                maxAssetsPerHash: Int,
+                                nBuckets: Int): DataFrame = {
+    val rows = Multimodal.frameIndexRows(frames).localCheckpoint()
+    val newRows = rows
+      .join(Multimodal.indexedAssets(spark, indexDir, rows, nBuckets),
+        Seq("asset_id"), "left_anti")
+      .localCheckpoint()
+    // in-batch near-dup: pairs → components → min-asset survivor (the
+    // transitive chain a~b~c must keep ONE asset, not drop b twice and
+    // keep both ends — the same argument as text/vector dedup)
+    val pairs = Multimodal.videoNearDup(newRows, minOverlap,
+      maxAssetsPerHash)
+    val losers = graft.text.TextDedup.dedupClusters(
+        pairs.select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("asset_id"))
+    val internal = newRows.join(losers, Seq("asset_id"), "left_anti")
+    // corpus precedence: a batch asset near-dupping an indexed asset is
+    // dropped (the index never loses to an arrival)
+    val matched = Multimodal.videoNearDupAgainstIndex(
+        Multimodal.readFrameIndex(spark, indexDir), internal,
+        minOverlap, maxAssetsPerHash)
+      .select(col("asset_b").as("asset_id")).distinct()
+    internal.join(matched, Seq("asset_id"), "left_anti")
+  }
+
+  /** Start the ingestion stream: parquet frame batches in `srcDir` →
+    * deduped index rows appended into `indexDir`. `Trigger.AvailableNow`
+    * drains the backlog and stops (the batch-incremental mode every
+    * other stream here uses); swap the trigger for continuous ingestion.
+    */
+  def ingestQuery(spark: SparkSession, srcDir: String, indexDir: String,
+                  checkpointDir: String, schema: StructType,
+                  minOverlap: Double = 0.5, maxAssetsPerHash: Int = 64,
+                  nBuckets: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val fresh = dedupBatch(spark, batch.toDF(), indexDir, minOverlap,
+          maxAssetsPerHash, nBuckets)
+        Multimodal.appendFrameIndex(fresh, indexDir, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

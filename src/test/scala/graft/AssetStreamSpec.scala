@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.multimodal.Multimodal
+import graft.streaming.AssetStream
+
+/** Streaming multimodal ingestion (AssetStream): the bucket-partitioned
+  * frame index is the dedup state — replayed assets, in-batch near-dup
+  * clusters, and corpus near-dups all die before the append, across
+  * micro-batches and across full replays.
+  */
+class AssetStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_index", IntegerType),
+    StructField("fhash", StringType)))
+
+  /** Video `id` whose frames are `hs`, one row per frame. */
+  private def video(id: Long, hs: Seq[String]) =
+    hs.zipWithIndex.map { case (h, i) => (id, i, h) }
+
+  private def frames(rows: Seq[(Long, Int, String)]*) =
+    rows.flatten.toDF("asset_id", "frame_index", "fhash")
+
+  test("ingest: replay guard, in-batch components, corpus precedence — full replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-astream").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // seed corpus: videos 100 and 101, disjoint frame sets
+    Multimodal.writeFrameIndex(frames(
+      video(100L, (0 until 10).map(i => s"f$i")),
+      video(101L, (0 until 10).map(i => s"g$i"))), idx, nBuckets = 8)
+
+    // one batch carrying every dup mode plus one genuine survivor:
+    //  - asset 100: re-delivered (already indexed)      -> replay guard
+    //  - asset 1: shares 8/10 frames with corpus v100   -> corpus precedence
+    //  - assets 2,3: share 9/10 frames with each other  -> min id 2 survives
+    //  - asset 4: all-new frames                        -> survives
+    val batch = frames(
+      video(100L, (0 until 10).map(i => s"f$i")),
+      video(1L, (0 until 8).map(i => s"f$i") ++ Seq("x0", "x1")),
+      video(2L, (0 until 9).map(i => s"h$i") :+ "h_a"),
+      video(3L, (0 until 9).map(i => s"h$i") :+ "h_b"),
+      video(4L, (0 until 10).map(i => s"z$i")))
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    AssetStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp1", schema,
+      minOverlap = 0.5, nBuckets = 8).awaitTermination()
+
+    def indexedAssets() = spark.read.parquet(idx)
+      .select($"asset_id").distinct().as[Long].collect().toSet
+    assert(indexedAssets() == Set(100L, 101L, 2L, 4L),
+      "only the in-batch survivor and the new asset may join the corpus")
+
+    // full replay (same rows, new file, FRESH checkpoint — the harshest
+    // at-least-once case): 100/2/4 die on the replay guard, 1 dies on
+    // corpus precedence, 3 dies against the now-indexed 2
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b2")
+    AssetStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp2", schema,
+      minOverlap = 0.5, nBuckets = 8).awaitTermination()
+    assert(indexedAssets() == Set(100L, 101L, 2L, 4L),
+      "a replayed batch must append nothing")
+
+    // the appended index keeps answering the batch delta probe: a new
+    // clip of survivor 2 is found, the dropped twin 3 is absent
+    val probe = Multimodal.videoNearDupAgainstIndex(
+      Multimodal.readFrameIndex(spark, idx),
+      Multimodal.frameIndexRows(
+        frames(video(999L, (0 until 9).map(i => s"h$i")))),
+      minOverlap = 0.5)
+    assert(probe.select($"asset_a").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("replay-guard read is bucket-pruned (PartitionFilters on ab)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-astream-pp").toString
+    val idx = s"$dir/idx"
+    Multimodal.writeFrameIndex(frames(
+      (0L until 16L).map(id =>
+        video(id, (0 until 4).map(i => s"v${id}_$i"))): _*), idx, nBuckets = 8)
+    // a batch touching two buckets must read exactly those partitions
+    val batchRows = Multimodal.frameIndexRows(
+      frames(video(24L, Seq("a", "b")), video(17L, Seq("c", "d"))))
+    val guarded = Multimodal.indexedAssets(spark, idx, batchRows, nBuckets = 8)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ab"),
+      s"replay guard must prune index buckets:\n${plan.take(1200)}")
+    // and semantics: 24 ≡ 0 (mod 8) collides with indexed asset 0's
+    // bucket but not its id; 17 ≡ 1 — both buckets contain only seeds
+    assert(guarded.as[Long].collect().toSet.subsetOf((0L until 16L).toSet))
+  }
+}
