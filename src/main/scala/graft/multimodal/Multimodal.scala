@@ -442,20 +442,64 @@ object Multimodal {
     */
   def videoNearDupAgainstIndex(index: DataFrame, delta: DataFrame,
                                minOverlap: Double = 0.5,
-                               maxAssetsPerHash: Int = 64): DataFrame = {
+                               maxAssetsPerHash: Int = 64,
+                               maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded frame matching over 4 bands guarantees hamming <= 3, got $maxHamming")
+    if (maxHamming > 0) {
+      val ft = index.schema("fhash").dataType
+      require(ft == org.apache.spark.sql.types.LongType,
+        s"tolerant (hamming <= $maxHamming) probing needs a wide numeric " +
+          s"fingerprint (56-bit LongType) — got $ft; use maxHamming = 0 " +
+          "for identity string fingerprints")
+    }
     val stopHashes = index.groupBy(col("fhash"))
       .agg(count(lit(1)).as("n_assets"))
       .filter(col("n_assets") > maxAssetsPerHash)
       .select(col("fhash"))
     val prunedIdx = index.join(broadcast(stopHashes), Seq("fhash"), "left_anti")
-    val probe = broadcast(delta.select(col("fhash"),
-      col("asset_id").as("asset_b"), col("n_hashes").as("n_b")))
-    prunedIdx
-      .join(probe, Seq("fhash"))
-      .filter(col("asset_id") =!= col("asset_b"))
-      .groupBy(col("asset_id").as("asset_a"), col("asset_b"),
-        col("n_hashes").as("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_matched"))
+    // Matched (corpus row × delta row) relation. Identity: one broadcast
+    // equi-join on the hash. Banded (wide DCT fingerprints): the same
+    // q119 recipe as the batch form — both sides explode into 4×14-bit
+    // bands (the broadcast stays delta-sized ×4), candidates from band
+    // equality, exact popcount verify, distinct per (hash_a, pair) so a
+    // two-band agreement counts once. The stop-hash guard still fires
+    // BEFORE banding, on exact corpus-hash popularity.
+    val matched =
+      if (maxHamming == 0) {
+        val probe = broadcast(delta.select(col("fhash"),
+          col("asset_id").as("asset_b"), col("n_hashes").as("n_b")))
+        prunedIdx
+          .join(probe, Seq("fhash"))
+          .filter(col("asset_id") =!= col("asset_b"))
+          .groupBy(col("asset_id").as("asset_a"), col("asset_b"),
+            col("n_hashes").as("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_matched"))
+      } else {
+        def banded(df: DataFrame, idCol: String, hashOut: String,
+                   nOut: String) = {
+          val bandCols = (0 until 4).map(i =>
+            struct(lit(i).as("band"),
+              shiftright(col("fhash"), i * 14).bitwiseAND(lit(16383L)).as("bv")))
+          df.select(col("asset_id").as(idCol), col("fhash").as(hashOut),
+              col("n_hashes").as(nOut),
+              explode(array(bandCols: _*)).as("b"))
+            .select(col(idCol), col(hashOut), col(nOut),
+              col("b.band").as("band"), col("b.bv").as("bv"))
+        }
+        banded(prunedIdx, "asset_a", "ph_a", "n_a")
+          .join(broadcast(banded(delta, "asset_b", "ph_b", "n_b")),
+            Seq("band", "bv"))
+          .filter(col("asset_a") =!= col("asset_b"))
+          .select(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"),
+            col("ph_a"), col("ph_b"))
+          .distinct()
+          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+          .groupBy(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"))
+          .agg(least(count_distinct(col("ph_a")),
+            count_distinct(col("ph_b"))).as("n_matched"))
+      }
+    matched
       .withColumn("overlap",
         col("n_matched").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"))

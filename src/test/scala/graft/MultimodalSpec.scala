@@ -159,6 +159,50 @@ class MultimodalSpec extends SparkSpec {
     assert(stopOut.count() == 0, "stop-hash must be pruned before banding")
   }
 
+  test("banded delta probe == banded full run restricted to corpus x delta") {
+    // the wide-fingerprint regime for the INCREMENTAL path: corpus = 8
+    // base videos of random 56-bit frames, delta = noisy re-encodes
+    // (<=2 flipped bits per frame) of four of them plus one all-new
+    val rnd = new scala.util.Random(1113)
+    val mask56 = (1L << 56) - 1
+    val base = (0 until 8).map(v =>
+      v.toLong -> Array.fill(16)(rnd.nextLong() & mask56))
+    val noisy = base.take(4).map { case (v, hs) =>
+      (v + 100L) -> hs.map { h =>
+        var out = h
+        (0 until rnd.nextInt(3)).foreach(_ => out ^= 1L << rnd.nextInt(56))
+        out
+      }
+    } :+ (200L -> Array.fill(16)(rnd.nextLong() & mask56))
+    def df(vs: Seq[(Long, Array[Long])]) =
+      Multimodal.frameIndexRows(vs.flatMap { case (v, hs) =>
+        hs.zipWithIndex.map { case (h, i) => (v, i, h) }
+      }.toDF("asset_id", "frame_index", "fhash"))
+    val corpus = df(base)
+    val delta = df(noisy)
+    val noStop = 1 << 20
+    Seq(0, 2, 3).foreach { d =>
+      val probe = Multimodal.videoNearDupAgainstIndex(corpus, delta,
+          minOverlap = 0.3, maxAssetsPerHash = noStop, maxHamming = d)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val full = Multimodal.videoNearDup(df(base ++ noisy),
+          minOverlap = 0.3, maxAssetsPerHash = noStop, maxHamming = d)
+        .as[(Long, Long, Long, Double)].collect()
+        .filter(p => p._1 < 100 && p._2 >= 100).toSet
+      assert(probe == full,
+        s"banded probe != restricted banded full run at maxHamming=$d")
+      if (d >= 2) assert(probe.nonEmpty,
+        s"noisy re-encodes must surface through the banded probe at d=$d")
+    }
+    // identity strings cannot be band-probed — actionable error
+    val strIdx = Multimodal.frameIndexRows(
+      Seq((1L, 0, "aabbccddeeff00")).toDF("asset_id", "frame_index", "fhash"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupAgainstIndex(strIdx, strIdx, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("numeric fingerprint"))
+  }
+
   test("frame index: append == full build, delta probe == restricted videoNearDup") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def idxRows(pred: org.apache.spark.sql.Column) =
