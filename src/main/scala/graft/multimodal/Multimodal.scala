@@ -404,7 +404,8 @@ object Multimodal {
     * ONLY the buckets the incoming assets hash into (PartitionFilters,
     * plan-pinned): the candidate bucket list is bounded by `nBuckets`
     * (collect-safe by construction), so the replay-guard read is bounded
-    * by batch spread, not index size.
+    * by batch spread, not index size. Works over any `ab`-partitioned
+    * index (frame or audio — only `asset_id` is read).
     */
   def indexedAssets(spark: SparkSession, dir: String, assets: DataFrame,
                     nBuckets: Int = 64): DataFrame = {
@@ -415,6 +416,25 @@ object Multimodal {
       .filter(col("ab").isin(buckets.map(Integer.valueOf): _*))
       .select(col("asset_id")).distinct()
   }
+
+  /** Audio twins of the partitioned frame-index writers — same `ab`
+    * bucket layout over [[audioIndexRows]], same one-consumer rationale
+    * (the streaming replay guard), same append ≡ full-build contract.
+    */
+  def writeAudioIndex(windows: DataFrame, dir: String,
+                      nBuckets: Int = 64): Unit =
+    audioIndexRows(windows)
+      .withColumn("ab", pmod(col("asset_id"), lit(nBuckets)).cast("int"))
+      .write.partitionBy("ab").mode("overwrite").parquet(dir)
+
+  def appendAudioIndex(indexRows: DataFrame, dir: String,
+                       nBuckets: Int = 64): Unit =
+    indexRows
+      .withColumn("ab", pmod(col("asset_id"), lit(nBuckets)).cast("int"))
+      .write.partitionBy("ab").mode("append").parquet(dir)
+
+  def readAudioIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("ab")
 
   /** Which NEW video assets near-duplicate something already in the
     * corpus — without re-pairing the corpus (the daily-delta question at

@@ -94,4 +94,52 @@ object AssetStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The audio micro-batch gauntlet: same three steps, scoring by
+    * [[Multimodal.audioNearDup]]'s time-offset voting instead of frame
+    * containment — a batch asset is a dup when some single alignment
+    * accumulates `minVotes` matching windows (against the batch or
+    * against the indexed corpus). The idempotence argument transfers
+    * unchanged: guard first, deterministic pipeline, corpus precedence.
+    */
+  private[graft] def dedupAudioBatch(spark: SparkSession, windows: DataFrame,
+                                     indexDir: String, minVotes: Int,
+                                     maxAssetsPerFp: Int,
+                                     nBuckets: Int): DataFrame = {
+    val rows = Multimodal.audioIndexRows(windows).localCheckpoint()
+    val newRows = rows
+      .join(Multimodal.indexedAssets(spark, indexDir, rows, nBuckets),
+        Seq("asset_id"), "left_anti")
+      .localCheckpoint()
+    val pairs = Multimodal.audioNearDup(newRows, minVotes, maxAssetsPerFp)
+    val losers = graft.text.TextDedup.dedupClusters(
+        pairs.select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("asset_id"))
+    val internal = newRows.join(losers, Seq("asset_id"), "left_anti")
+    val matched = Multimodal.audioNearDupAgainstIndex(
+        Multimodal.readAudioIndex(spark, indexDir), internal,
+        minVotes, maxAssetsPerFp)
+      .select(col("asset_b").as("asset_id")).distinct()
+    internal.join(matched, Seq("asset_id"), "left_anti")
+  }
+
+  /** Audio twin of [[ingestQuery]]: sub-fingerprint window batches →
+    * deduped [[Multimodal.audioIndexRows]] appended into the
+    * bucket-partitioned audio index.
+    */
+  def ingestAudioQuery(spark: SparkSession, srcDir: String, indexDir: String,
+                       checkpointDir: String, schema: StructType,
+                       minVotes: Int = 4, maxAssetsPerFp: Int = 64,
+                       nBuckets: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val fresh = dedupAudioBatch(spark, batch.toDF(), indexDir, minVotes,
+          maxAssetsPerFp, nBuckets)
+        Multimodal.appendAudioIndex(fresh, indexDir, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -76,6 +76,68 @@ class AssetStreamSpec extends SparkSpec {
     assert(probe.select($"asset_a").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("audio ingest: offset-voting dedup against batch and corpus, replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-astream-a").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def audio(id: Long, shift: Long, fps: Seq[String]) =
+      fps.zipWithIndex.map { case (f, i) => (id, i + shift, f) }
+    def windows(rows: Seq[(Long, Long, String)]*) =
+      rows.flatten.toDF("asset_id", "window_index", "fp")
+    val aSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("window_index", LongType),
+      StructField("fp", StringType)))
+
+    // seed corpus: track 100 (a0..a9), track 101 (b0..b9)
+    Multimodal.writeAudioIndex(windows(
+      audio(100L, 0, (0 until 10).map(i => s"a$i")),
+      audio(101L, 0, (0 until 10).map(i => s"b$i"))), idx, nBuckets = 8)
+
+    // batch: 100 re-delivered; 1 = corpus track 100 shifted +3 (clip);
+    // 2,3 = in-batch shifted copies of each other; 4 = genuinely new
+    val batch = windows(
+      audio(100L, 0, (0 until 10).map(i => s"a$i")),
+      audio(1L, 3, (0 until 10).map(i => s"a$i")),
+      audio(2L, 0, (0 until 10).map(i => s"c$i")),
+      audio(3L, 5, (0 until 10).map(i => s"c$i")),
+      audio(4L, 0, (0 until 10).map(i => s"d$i")))
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    AssetStream.ingestAudioQuery(spark, s"$src/*", idx, s"$dir/cp1", aSchema,
+      minVotes = 4, nBuckets = 8).awaitTermination()
+
+    def indexedIds() = spark.read.parquet(idx)
+      .select($"asset_id").distinct().as[Long].collect().toSet
+    assert(indexedIds() == Set(100L, 101L, 2L, 4L),
+      "shifted copies must lose to the corpus and to the in-batch min id")
+
+    // full replay, fresh checkpoint: nothing may append
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b2")
+    AssetStream.ingestAudioQuery(spark, s"$src/*", idx, s"$dir/cp2", aSchema,
+      minVotes = 4, nBuckets = 8).awaitTermination()
+    assert(indexedIds() == Set(100L, 101L, 2L, 4L),
+      "a replayed audio batch must append nothing")
+  }
+
+  test("an empty/pure-replay batch is a no-op (empty-graph path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-astream-e").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Multimodal.writeFrameIndex(frames(
+      video(10L, Seq("p", "q")), video(11L, Seq("r", "s"))), idx, nBuckets = 8)
+    // pure replay: every asset already indexed, no pairs anywhere —
+    // dedupClusters must converge on the empty graph and nothing appends
+    frames(video(10L, Seq("p", "q")), video(11L, Seq("r", "s")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    AssetStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp", schema,
+      minOverlap = 0.5, nBuckets = 8).awaitTermination()
+    assert(spark.read.parquet(idx).select($"asset_id").distinct()
+      .as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("replay-guard read is bucket-pruned (PartitionFilters on ab)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-astream-pp").toString
     val idx = s"$dir/idx"
