@@ -269,6 +269,18 @@ object SparkEntry {
         .filter(dayofweek(col("qdt")) === 2) // Monday
       AsOfJoin.asOfForward(probes, quotes, Seq("event_type"), "dt", "qdt")
     }),
+    // T-family time-series shaping: per-entity dense daily matrix — spine
+    // from each entity's own [first, last] span (distributed sequence()),
+    // zero-filled counts, carry-forward totals. The feature-store
+    // precursor the observed-day rollups (q02) can't answer.
+    "q134_resample_fill" -> ((s, dir) =>
+      graft.ops.Timeseries.resampleDaily(t(s, dir, "events"))),
+    // A-family robust monitoring: days whose daily total deviates from
+    // the per-type median by > k·MAD (exact interpolated percentiles,
+    // the q130 cross-engine precedent). Median/MAD so the anomalies
+    // can't drag the threshold toward themselves.
+    "q135_robust_outliers" -> ((s, dir) =>
+      graft.ops.Timeseries.robustOutliers(t(s, dir, "events"))),
     // J6 scale variant: same query as q23 through asOfBucketed — partitions
     // by (key, week-bucket) instead of key alone, so the plan survives low
     // key cardinality at 100 TB (q23's event_type has a handful of values;
@@ -2702,6 +2714,43 @@ object SparkEntry {
         |FROM best b JOIN votes v USING (asset_a, asset_b)
         |WHERE v.votes = b.best_votes
         |GROUP BY b.asset_a, b.asset_b, b.best_votes, b.n_matched""".stripMargin,
+    "q134_resample_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        |         FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span)
+        |SELECT s.user_id, s.d,
+        |  COALESCE(dy.n_events, 0) AS n_events,
+        |  dy.day_total AS day_total,
+        |  LAST_VALUE(dy.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+        |  CAST(CASE WHEN dy.n_events IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_observed
+        |FROM spine s LEFT JOIN daily dy
+        |  ON s.user_id = dy.user_id AND s.d = dy.d""".stripMargin,
+    "q135_robust_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(day_total, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |mad AS (SELECT d.event_type, m.med,
+        |    quantile_cont(abs(d.day_total - m.med), 0.5) AS mad
+        |  FROM daily d JOIN med m USING (event_type) GROUP BY 1, 2)
+        |SELECT d.event_type, d.d, d.day_total, a.med, a.mad,
+        |  abs(d.day_total - a.med) / a.mad AS robust_z
+        |FROM daily d JOIN mad a USING (event_type)
+        |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
     "q43_frame_sample" ->
       """WITH vids AS (
         |  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms
