@@ -281,6 +281,19 @@ object SparkEntry {
     // can't drag the threshold toward themselves.
     "q135_robust_outliers" -> ((s, dir) =>
       graft.ops.Timeseries.robustOutliers(t(s, dir, "events"))),
+    // Data-quality discovery: one-declared-pass exact profile (null /
+    // distinct / native-typed min/max per column) — the rule-discovery
+    // sibling of the q120 constraint gate.
+    "q136_profile_exact" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+    // Scale path of q136: approx_count_distinct keeps the single
+    // no-Expand scan; everything but n_distinct stays exact (rows-only —
+    // estimates have no SQL twin; ProfileSpec pins them to q136 within
+    // HLL rsd).
+    "q137_profile_approx" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = false)),
     // J6 scale variant: same query as q23 through asOfBucketed — partitions
     // by (key, week-bucket) instead of key alone, so the plan survives low
     // key cardinality at 100 TB (q23's event_type has a handful of values;
@@ -2751,6 +2764,14 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q136_profile_exact" ->
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
     "q43_frame_sample" ->
       """WITH vids AS (
         |  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms

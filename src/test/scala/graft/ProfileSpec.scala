@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Profile
+
+/** Pins for [[graft.ops.Profile]]: exact stats on a hand-built frame
+  * (nulls, duplicates, native-typed min/max), the approx form's distinct
+  * estimates against the exact form, and the no-Expand plan claim of the
+  * approx path.
+  */
+class ProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Some(1L), Some("en"), 10),
+    (Some(2L), Some("en"), 9),
+    (Some(10L), None, 10),
+    (None, Some("de"), 2))
+    .toDF("id", "lang", "n")
+
+  test("profile: exact nulls, distincts, native-typed min/max") {
+    val p = Profile.profile(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(p.toSeq === Seq(
+      ("id", 4L, 1L, 3L, "1", "10"), // native long order: 10 is max, not "10" < "9"
+      ("lang", 4L, 1L, 2L, "de", "en"),
+      ("n", 4L, 0L, 3L, "2", "10")))
+  }
+
+  test("profile: approx keeps every non-distinct stat exact, estimates close") {
+    val exact = Profile.profile(df).orderBy("col_name").collect()
+    val approx = Profile.profile(df, exact = false).orderBy("col_name").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) === a.getString(0))
+      assert(e.getLong(1) === a.getLong(1)) // n_rows
+      assert(e.getLong(2) === a.getLong(2)) // n_null
+      assert(e.getString(4) === a.getString(4))
+      assert(e.getString(5) === a.getString(5))
+      // HLL++ default rsd 5%; tiny cardinalities are exact in practice —
+      // allow 10% slack so the pin is about sanity, not sketch internals.
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ed - ad) / ed <= 0.10)
+    }
+  }
+
+  test("profile: approx plan has no Expand; exact plan has one") {
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(Profile.profile(df)))
+    assert(!hasExpand(Profile.profile(df, exact = false)))
+  }
+
+  test("profile: column subset and require on empty") {
+    val p = Profile.profile(df, Seq("lang")).collect()
+    assert(p.map(_.getString(0)).toSeq === Seq("lang"))
+    intercept[IllegalArgumentException] {
+      Profile.profile(df.select(), Seq())
+    }
+  }
+}
