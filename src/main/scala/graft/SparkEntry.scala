@@ -729,6 +729,17 @@ object SparkEntry {
     // rescan — per-type unions of the per-day HLL state.
     "q101_overlap_sketch" -> ((s, dir) =>
       Agg.typeOverlapSketch(Agg.dailySketches(t(s, dir, "events")))),
+    // A4 set algebra, exact: q100's counts with both set differences
+    // derived — the oracle twin of the theta-state path q139.
+    "q138_type_set_exact" -> ((s, dir) =>
+      Agg.typeSetAlgebraExact(t(s, dir, "events"))),
+    // A4 set algebra from theta STATE (rows-only: Datasketches binaries
+    // are engine-internal; q138 is the exact twin and SketchSpec pins
+    // the bounds): |A|, |B|, |A∩B|, |A\B|, |B\A| per type pair, each a
+    // DIRECT single-operation estimate — the set operations HLL state
+    // can't answer — with no event rescan.
+    "q139_theta_set_algebra" -> ((s, dir) =>
+      Agg.typeSetAlgebra(Agg.dailyThetaSketches(t(s, dir, "events")))),
     // J6 interval self-join: ALL view→purchase pairs of the same user
     // within one hour — the funnel/attribution question (nearest-match is
     // AsOfJoin's contract, this is the window's full pair set). The same
@@ -1341,6 +1352,18 @@ object SparkEntry {
         |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
         |  GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both
+        |FROM p
+        |JOIN sz sa ON sa.et = p.type_a
+        |JOIN sz sb ON sb.et = p.type_b""".stripMargin,
+    "q138_type_set_exact" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+        |sz AS (SELECT et, COUNT(*) AS n FROM tu GROUP BY et),
+        |p AS (
+        |  SELECT a.et AS type_a, b.et AS type_b, COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+        |  sa.n - p.n_both AS n_only_a, sb.n - p.n_both AS n_only_b
         |FROM p
         |JOIN sz sa ON sa.et = p.type_a
         |JOIN sz sb ON sb.et = p.type_b""".stripMargin,

@@ -301,6 +301,29 @@ object GraftFunctions {
       "kll_sketch_n",
       { exprs: Seq[Expression] => KllSketchN(exprs.head) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch_agg",
+      { exprs: Seq[Expression] => ThetaSketchAgg(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "theta_sketch_agg: lgK")
+        else ThetaSketch.DefaultLgK) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_union_agg",
+      { exprs: Seq[Expression] => ThetaUnionAgg(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "theta_union_agg: lgK")
+        else ThetaSketch.DefaultLgK) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_estimate",
+      { exprs: Seq[Expression] => ThetaEstimate(exprs.head) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect_estimate",
+      { exprs: Seq[Expression] => ThetaIntersectEstimate(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_a_not_b_estimate",
+      { exprs: Seq[Expression] => ThetaANotBEstimate(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode", { exprs: Seq[Expression] => Sq8Encode(exprs.head) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

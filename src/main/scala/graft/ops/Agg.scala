@@ -282,6 +282,55 @@ object Agg {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
+  /** Theta-sketch daily state: the set-algebra sibling of
+    * [[dailySketches]] (HLL). Same write posture — one map-side-partial
+    * aggregation per day, one bounded binary per (type, day) row — but
+    * the at-rest state supports INTERSECTION and DIFFERENCE, which HLL
+    * state cannot answer without compounding three estimates.
+    */
+  def dailyThetaSketches(events: DataFrame,
+                         lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
+    : DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(graft.functions.ThetaSketch
+        .theta_sketch_agg(col("user_id"), lgK).as("visitor_theta"))
+
+  /** Full pairwise set algebra over event types from [[dailyThetaSketches]]
+    * STATE alone — |A|, |B|, |A∩B|, |A\B|, |B\A| per type pair, no event
+    * rescan, each a DIRECT theta estimate (single-operation error, vs the
+    * 3-estimate subtraction [[typeOverlapSketch]] pays for ∩ on HLL
+    * state). The per-type merge is types-count rows; the pair cross join
+    * is trivially small at any history length. Error bounds pinned in
+    * SketchSpec against [[typeSetAlgebraExact]].
+    */
+  def typeSetAlgebra(daily: DataFrame,
+                     lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
+    : DataFrame = {
+    import graft.functions.ThetaSketch._
+    val merged = daily.groupBy(col("event_type"))
+      .agg(theta_union_agg(col("visitor_theta"), lgK).as("_sk")).persist()
+    val a = merged.select(col("event_type").as("type_a"), col("_sk").as("_sk_a"))
+    val b = merged.select(col("event_type").as("type_b"), col("_sk").as("_sk_b"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        theta_estimate(col("_sk_a")).as("est_a"),
+        theta_estimate(col("_sk_b")).as("est_b"),
+        theta_intersect_estimate(col("_sk_a"), col("_sk_b")).as("est_both"),
+        theta_a_not_b_estimate(col("_sk_a"), col("_sk_b")).as("est_only_a"),
+        theta_a_not_b_estimate(col("_sk_b"), col("_sk_a")).as("est_only_b"))
+  }
+
+  /** Exact twin of [[typeSetAlgebra]]: the [[typeOverlapExact]] counts
+    * with both set differences derived (n_only_a = n_a − n_both — exact
+    * because the counts are exact; the theta path estimates each
+    * independently instead).
+    */
+  def typeSetAlgebraExact(events: DataFrame): DataFrame =
+    typeOverlapExact(events)
+      .withColumn("n_only_a", col("n_a") - col("n_both"))
+      .withColumn("n_only_b", col("n_b") - col("n_both"))
+
   /** Weekly retention cohorts: users grouped by first-activity week, the
     * classic (cohort_week, week_offset) activity matrix with retention
     * rate against cohort size. All exact: week_offset is a day-diff of

@@ -405,4 +405,39 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The set-algebra member of the streaming sketch-state family (HLL:
+    * medallion dailySketches; heavy hitters: [[freqStateQuery]];
+    * quantiles: [[kllStateQuery]]; set algebra: here): per-micro-batch
+    * theta daily sketch rows appended to a parquet state table behind
+    * the same batch-id replay guard.
+    *
+    * Replay-stability here is the STRONGEST of the family — the bytes,
+    * not just a bound: a theta sketch's ordered compact image is a
+    * deterministic function of its input key SET (the retained set is
+    * "hashes below the k-th smallest" — no randomized compaction like
+    * KLL, no map-eviction order like the freq sketch), so a replayed
+    * batch re-sketches to the byte-identical rows the guard then skips,
+    * and ANY replayed run's state table is byte-equal, not merely
+    * bound-equal (StreamingSpec pins state-table equality across a
+    * fresh-checkpoint full replay). Consume side is SHARED with batch:
+    * [[graft.ops.Agg.typeSetAlgebra]] unions the state rows directly.
+    */
+  def thetaStateQuery(spark: SparkSession, events: DataFrame,
+                      stateDir: String, checkpointDir: String,
+                      lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
+    : StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
+          !spark.read.parquet(stateDir)
+            .filter(col("batch_id") === batchId).isEmpty
+        if (!replay)
+          graft.ops.Agg.dailyThetaSketches(batch, lgK)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -251,4 +251,70 @@ class SketchSpec extends SparkSpec {
     daily.write.parquet(s"$dir/state")
     checkRanks(Agg.quantileSketchRollup(spark.read.parquet(s"$dir/state")))
   }
+
+  test("theta set algebra: all five measures within sketch error of exact") {
+    val ev = Tables.load(spark, sf, "events")
+    val est = Agg.typeSetAlgebra(Agg.dailyThetaSketches(ev))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val exact = Agg.typeSetAlgebraExact(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(est.keySet == exact.keySet, "every type pair must appear in both")
+    val checks = Seq("est_a" -> "n_a", "est_b" -> "n_b",
+      "est_both" -> "n_both", "est_only_a" -> "n_only_a",
+      "est_only_b" -> "n_only_b")
+    exact.foreach { case (k, ex) =>
+      checks.foreach { case (ec, xc) =>
+        val e = est(k).getAs[Double](ec)
+        val x = ex.getAs[Long](xc).toDouble
+        // single-operation theta estimates: ~3 rsd at lgK 12 (±5%), with
+        // a small-count floor — materially tighter than the HLL
+        // inclusion-exclusion path's 15% allowance above
+        assert(math.abs(e - x) <= math.max(5.0, 0.05 * x),
+          s"$k $ec: est=$e exact=$x")
+      }
+    }
+  }
+
+  test("theta daily state survives parquet; union from state == direct") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta").toString
+    Agg.dailyThetaSketches(ev).write.parquet(s"$dir/state")
+    val fromState = Agg.typeSetAlgebra(spark.read.parquet(s"$dir/state"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.toSeq.drop(2)).toMap
+    val direct = Agg.typeSetAlgebra(Agg.dailyThetaSketches(ev))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.toSeq.drop(2)).toMap
+    assert(fromState == direct,
+      "theta union must be lossless across a parquet round-trip")
+  }
+
+  test("theta state is replay-stable: byte-identical under any partitioning") {
+    val ev = Tables.load(spark, sf, "events")
+    def img(df: org.apache.spark.sql.DataFrame): Map[(String, java.sql.Date), Seq[Byte]] =
+      Agg.dailyThetaSketches(df).collect()
+        .map(r => (r.getString(0), r.getDate(1)) ->
+          r.getAs[Array[Byte]]("visitor_theta").toSeq).toMap
+    assert(img(ev.repartition(1)) == img(ev.repartition(16,
+      col("event_id"))),
+      "ordered compact theta images must depend only on the key SET")
+  }
+
+  test("theta family is SQL-registered") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val ev = Tables.load(spark, sf, "events")
+    ev.createOrReplaceTempView("ev_theta_sql")
+    val row = spark.sql(
+      """SELECT theta_estimate(s1) AS e1,
+        |  theta_intersect_estimate(s1, s2) AS eb,
+        |  theta_a_not_b_estimate(s1, s2) AS ea
+        |FROM (SELECT
+        |  theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END) AS s1,
+        |  theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END) AS s2
+        |FROM ev_theta_sql)""".stripMargin).collect().head
+    val exact = ev.filter(col("event_type") === "view")
+      .select(countDistinct(col("user_id"))).as[Long].collect().head
+    assert(math.abs(row.getDouble(0) - exact) <= math.max(5.0, 0.05 * exact))
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(2) >= 0.0)
+  }
 }

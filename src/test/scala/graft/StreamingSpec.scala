@@ -316,6 +316,51 @@ class StreamingSpec extends SparkSpec {
     checkRanks(replayed)
   }
 
+  test("streaming theta state: byte-identical across a fresh-checkpoint replay") {
+    import graft.ops.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft-tstream").toString
+    val ev = Tables.load(spark, sf, "events")
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    def run(tag: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.thetaStateQuery(spark, stream,
+        s"$root/state-$tag", s"$root/cp-$tag")
+      q.processAllAvailable(); q.stop()
+    }
+    run("a")
+    def img(tag: String): Map[(String, java.sql.Date, Long), Seq[Byte]] =
+      spark.read.parquet(s"$root/state-$tag").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d"),
+          r.getAs[Long]("batch_id")) ->
+          r.getAs[Array[Byte]]("visitor_theta").toSeq).toMap
+    val first = img("a")
+    assert(first.keys.map(_._3).toSet.size >= 3,
+      "expected one state batch per source file")
+    // the family's strongest replay contract: theta images are
+    // deterministic in the input key SET (no randomized compaction), so
+    // a FULL replay under a fresh checkpoint rebuilds the byte-identical
+    // state table — not merely an equal-bound one (contrast kll above)
+    run("b")
+    assert(img("b") == first,
+      "fresh-checkpoint replay must rebuild byte-identical theta state")
+    // same-checkpoint replay is a guarded no-op
+    run("a")
+    assert(img("a") == first,
+      "a replayed trigger must not append sketch partials")
+    // consume side shared with batch: union-from-chopped-state answers
+    // the same set algebra as the direct batch build (exact regime at
+    // this SF: theta below nominal entries retains every key)
+    def algebra(df: org.apache.spark.sql.DataFrame) =
+      Agg.typeSetAlgebra(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(algebra(spark.read.parquet(s"$root/state-a")) ==
+      algebra(Agg.dailyThetaSketches(ev)),
+      "set algebra from chopped streaming state must equal the batch build")
+  }
+
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
