@@ -281,6 +281,16 @@ object SparkEntry {
     // can't drag the threshold toward themselves.
     "q135_robust_outliers" -> ((s, dir) =>
       graft.ops.Timeseries.robustOutliers(t(s, dir, "events"))),
+    // J-family entity resolution: lev≤1 name pairs via FastSS
+    // deletion-neighborhood blocking — candidate generation is a pure
+    // equi-join on deletion variants (never an n² distance matrix), one
+    // levenshtein verify per candidate. The oracle IS the n² matrix:
+    // semantics, not algorithm. Quarter subset keeps the oracle's n²
+    // honest at bench SF.
+    "q140_fuzzy_names" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.fuzzySelfJoin(
+        t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
+        "c_name")),
     // Data-quality discovery: one-declared-pass exact profile (null /
     // distinct / native-typed min/max per column) — the rule-discovery
     // sibling of the q120 constraint gate.
@@ -2787,6 +2797,13 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q140_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT c_name AS t FROM customer
+        |           WHERE c_custkey % 4 = 0)
+        |SELECT a.t AS name_a, b.t AS name_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 1""".stripMargin,
     "q136_profile_exact" ->
       Seq("doc_id", "lang", "source", "n_chars").map(c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

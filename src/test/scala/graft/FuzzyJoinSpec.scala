@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.FuzzyJoin
+
+/** Pins for [[graft.ops.FuzzyJoin]]: deletion-variant algebra, blocked ≡
+  * brute-force at d ∈ {1, 2} on a fixture covering every edit kind
+  * (substitution, insertion, deletion, transposition), and the
+  * hot-bucket guard's drop semantics.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // substitution (kitten/mitten d=1), deletion (kitten/kiten d=1),
+  // insertion (kitten/kittten d=1), transposition (kitten/iktten d=2),
+  // double substitution (mitten/mutton d=2), far word (orange).
+  private lazy val words = Seq("kitten", "mitten", "kiten", "kittten",
+    "iktten", "mutton", "orange", "oranje").toDF("w")
+
+  private def brute(maxDist: Int) =
+    words.select(col("w").as("name_a")).crossJoin(
+        words.select(col("w").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("deletion variants: exactly the ≤k-deletion neighborhood") {
+    val v1 = words.filter(col("w") === "abc")
+    val got = Seq("abc").toDF("w")
+      .select(explode(FuzzyJoin.deletionVariants(col("w"), 1)).as("v"))
+      .as[String].collect().toSet
+    assert(got === Set("abc", "bc", "ac", "ab"))
+    val got2 = Seq("abc").toDF("w")
+      .select(explode(FuzzyJoin.deletionVariants(col("w"), 2)).as("v"))
+      .as[String].collect().toSet
+    assert(got2 === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    assert(v1.count() === 0) // fixture sanity: "abc" not among the words
+  }
+
+  test("blocked join == brute force at d=1 (sub/ins/del all found)") {
+    val got = pairs(FuzzyJoin.fuzzySelfJoin(words, "w", maxDist = 1))
+    assert(got === pairs(brute(1)))
+    assert(got.contains(("kitten", "mitten", 1))) // substitution
+    assert(got.contains(("kiten", "kitten", 1))) // deletion
+    assert(got.contains(("kitten", "kittten", 1))) // insertion
+  }
+
+  test("blocked join == brute force at d=2 (transposition found)") {
+    val got = pairs(FuzzyJoin.fuzzySelfJoin(words, "w", maxDist = 2))
+    assert(got === pairs(brute(2)))
+    assert(got.contains(("iktten", "kitten", 2))) // transposition
+    assert(got.contains(("mitten", "mutton", 2))) // double substitution
+    assert(!got.exists { case (a, b, _) => a == "orange" && b == "oranje" }
+      || got.contains(("orange", "oranje", 1)))
+  }
+
+  test("duplicate input rows do not duplicate pairs") {
+    val dup = words.union(words)
+    assert(pairs(FuzzyJoin.fuzzySelfJoin(dup, "w", maxDist = 1)) ===
+      pairs(brute(1)))
+  }
+
+  test("hot-bucket guard drops pairs only reachable through hot variants") {
+    // "aa","ab",...: deleting one char maps many terms onto 1-char
+    // variants; with maxBucket 2 those buckets vanish and only pairs
+    // sharing a cooler variant survive.
+    val tight = FuzzyJoin.fuzzySelfJoin(words, "w", maxDist = 1,
+      maxBucket = 2)
+    assert(pairs(tight).subsetOf(pairs(brute(1))),
+      "the guard may lose pairs, never invent them")
+    // and with a generous bound the guard is a no-op
+    assert(pairs(FuzzyJoin.fuzzySelfJoin(words, "w", maxDist = 1,
+      maxBucket = 1000)) === pairs(brute(1)))
+  }
+}
