@@ -281,6 +281,11 @@ object SparkEntry {
     // can't drag the threshold toward themselves.
     "q135_robust_outliers" -> ((s, dir) =>
       graft.ops.Timeseries.robustOutliers(t(s, dir, "events"))),
+    // T-family fill mode 2: same gap-emission plan as q134 but with
+    // linear interpolation (both endpoints already ride the generating
+    // row via lead()) — no backward window, no join.
+    "q141_resample_interp" -> ((s, dir) =>
+      graft.ops.Timeseries.resampleDailyInterp(t(s, dir, "events"))),
     // J-family entity resolution: lev≤1 name pairs via FastSS
     // deletion-neighborhood blocking — candidate generation is a pure
     // equi-join on deletion variants (never an n² distance matrix), one
@@ -2797,6 +2802,32 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q141_resample_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |led AS (
+        |  SELECT *,
+        |    LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt,
+        |    LEAD(day_total) OVER (PARTITION BY user_id ORDER BY d) AS nxt_total
+        |  FROM daily),
+        |spine AS (
+        |  SELECT user_id, d AS d0, day_total, n_events, nxt, nxt_total,
+        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(COALESCE(nxt - 1, d) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM led)
+        |SELECT user_id, d,
+        |  CASE WHEN d = d0 THEN n_events ELSE 0 END AS n_events,
+        |  CASE WHEN d = d0 THEN day_total END AS day_total,
+        |  CASE WHEN d = d0 THEN day_total
+        |       ELSE day_total + (nxt_total - day_total) *
+        |         (CAST(d - d0 AS DOUBLE) / CAST(nxt - d0 AS DOUBLE))
+        |  END AS interp_total,
+        |  CAST(CASE WHEN d = d0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+        |FROM spine""".stripMargin,
     "q140_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT c_name AS t FROM customer
         |           WHERE c_custkey % 4 = 0)

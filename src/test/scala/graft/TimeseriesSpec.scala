@@ -58,6 +58,22 @@ class TimeseriesSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("resampleDailyInterp: linear blend between endpoints, observed kept") {
+    // user 1: totals 10 on day 2 and 40 on day 5 -> gaps at 20, 30.
+    val out = Timeseries.resampleDailyInterp(ev(
+      (1L, "2024-01-02 10:00:00", "view", 10.0),
+      (1L, "2024-01-05 09:00:00", "view", 40.0)))
+      .orderBy("d")
+      .select("d", "n_events", "day_total", "interp_total", "is_observed")
+      .collect()
+    assert(out.map(_.getDate(0).toString).toSeq ===
+      Seq("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    assert(out.map(r => Option(r.get(2))).toSeq ===
+      Seq(Some(10.0), None, None, Some(40.0)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(10.0, 20.0, 30.0, 40.0))
+    assert(out.map(_.getLong(4)).toSeq === Seq(1L, 0L, 0L, 1L))
+  }
+
   test("robustOutliers: flags exactly the |x-med| > k*MAD days") {
     // One type, 7 days: six totals near 10, one at 100.
     val rows = Seq(10.0, 10.5, 9.5, 10.0, 11.0, 9.0, 100.0).zipWithIndex
