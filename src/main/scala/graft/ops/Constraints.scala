@@ -50,6 +50,49 @@ object Constraints {
         (col("r.n_violations") === 0L).as("pass"))
   }
 
+  /** Zero-extra-pass gate: the same predicate rules as [[check]], riding
+    * the SINK's own action as `CollectMetrics` (`Dataset.observe`)
+    * instead of a separate aggregate scan. At 100 TB this changes the
+    * gate's cost class: [[check]] pays one full pass before the load;
+    * here the metrics are folded into the write job the pipeline runs
+    * anyway, and the gate decision happens AFTER the action from the
+    * collected metrics ([[observedReport]]) — the right posture for
+    * write-then-audit sinks (a staged/medallion table that quarantines
+    * or promotes the batch post-hoc, e.g. [[graft.ops.Upsert]]'s staged
+    * sinks). Enforcement-before-visibility still wants [[check]].
+    *
+    * Only predicate rules: `observe` disallows distinct aggregates, so
+    * uniqueness stays with [[check]]'s count-distinct pass (an
+    * `approx_count_distinct` monitoring variant would be estimate-only
+    * — out of scope for a gate that reports exact counts).
+    */
+  def observed(df: DataFrame, name: String,
+               predicateRules: Seq[(String, Column)])
+    : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(predicateRules.nonEmpty, "at least one rule required")
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = predicateRules.map { case (n, cond) =>
+      count(when(cond, 1)).as(s"_v_$n")
+    } :+ count(lit(1)).as("_n")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** The [[check]]-schema report from an [[observed]] run's collected
+    * metrics (blocks until the instrumented action finishes). Driver-side
+    * construction over rules-count rows — the data never moves twice.
+    */
+  def observedReport(spark: org.apache.spark.sql.SparkSession,
+                     obs: org.apache.spark.sql.Observation,
+                     ruleNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val m = obs.get
+    val n = m("_n").asInstanceOf[Long]
+    ruleNames.map { r =>
+      val v = m(s"_v_$r").asInstanceOf[Long]
+      (r, v, n, v == 0L)
+    }.toDF("rule", "n_violations", "n_rows", "pass")
+  }
+
   /** Referential integrity: rows of `fact` whose `key` has no match in
     * `dim.dimKey` (NULL keys are orphans too — a fact row that cannot
     * join its dimension is broken regardless of why). Same report schema

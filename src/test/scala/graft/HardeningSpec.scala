@@ -229,4 +229,34 @@ class HardeningSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean)].head()
     assert(fkRep == (("fk_check", 2L, 3L, false)))
   }
+
+  test("observed gate: metrics ride the sink action, report == check report") {
+    import graft.ops.Constraints
+    val df = Seq(
+      (1L, Some(10L), 1.0), (1L, Some(11L), -2.0),
+      (2L, None, 3.0), (3L, Some(12L), 4.0))
+      .toDF("event_id", "user_id", "value")
+    val rules = Seq(
+      "user_not_null" -> col("user_id").isNull,
+      "value_non_negative" -> (col("value") < 0))
+    val (instrumented, obs) = Constraints.observed(df, "gate-test", rules)
+    // the gate's scan disappears into the sink's own action:
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    instrumented.write.mode("overwrite").parquet(out)
+    val observed = Constraints
+      .observedReport(spark, obs, rules.map(_._1))
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    val direct = Constraints.check(df, predicateRules = rules)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(observed.toSeq === direct.toSeq,
+      "riding the write must report exactly what the standalone pass does")
+    // the written data is untouched by the instrumentation
+    assert(spark.read.parquet(out).count() === 4L)
+    // and observe() adds a CollectMetrics node, never a second scan
+    val plan = Constraints.observed(df, "gate-plan", rules)._1
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      plan.take(600))
+  }
 }

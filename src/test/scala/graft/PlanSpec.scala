@@ -358,6 +358,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter reaches the fact side of a shuffled dim join") {
+    // The 100 TB star-join regime the bench can't exercise: a dim too big
+    // to broadcast but selectively filtered. Spark's runtime bloom-filter
+    // injection (on by default) builds a bloom filter from the filtered
+    // dim at run time and applies it to the FACT scan side, cutting
+    // shuffle volume before the join. Size thresholds are floored here to
+    // make the sf0.001 plan show what the 100 TB plan does; the pin is
+    // that the engine's plain column-to-column equi-joins stay in the
+    // shape the rule recognizes (a renamed/wrapped join key would
+    // silently lose the filter).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      val part = graft.sources.Tables.load(spark, sf, "part")
+        .filter(org.apache.spark.sql.functions.col("p_type") === "PROMO")
+      val p = li.join(part,
+          org.apache.spark.sql.functions.col("l_partkey") ===
+            org.apache.spark.sql.functions.col("p_partkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        "the selective dim must inject a runtime bloom filter into the " +
+          "fact side:\n" + p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
