@@ -316,6 +316,26 @@ object GraftFunctions {
       "theta_estimate",
       { exprs: Seq[Expression] => ThetaEstimate(exprs.head) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect",
+      { exprs: Seq[Expression] => ThetaIntersect(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_a_not_b",
+      { exprs: Seq[Expression] => ThetaANotB(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_lower_bound",
+      { exprs: Seq[Expression] => ThetaBound(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "theta_lower_bound: numStdDev")
+        else 2, lower = true) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_upper_bound",
+      { exprs: Seq[Expression] => ThetaBound(exprs(0),
+        if (exprs.size > 1) litInt(exprs(1), "theta_upper_bound: numStdDev")
+        else 2, lower = false) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_intersect_estimate",
       { exprs: Seq[Expression] => ThetaIntersectEstimate(exprs(0), exprs(1)) },
       "built-in")

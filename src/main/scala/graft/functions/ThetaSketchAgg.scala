@@ -180,9 +180,86 @@ case class ThetaEstimate(child: Expression)
     copy(child = newChild)
 }
 
-/** |A ∩ B| estimate from two serialized theta sketches — the operation
-  * HLL state cannot answer without compounding three estimates.
+/** Confidence bound of a serialized theta sketch's estimate at
+  * `numStdDev` ∈ {1, 2, 3} standard errors — `lower = true` gives the
+  * value the true cardinality exceeds with the matching confidence,
+  * `false` the value it stays under. Surfaced so state consumers can
+  * report intervals, not point estimates (SketchSpec pins the exact
+  * count inside [lb, ub] for every per-pair set operation).
   */
+case class ThetaBound(child: Expression, numStdDev: Int, lower: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numStdDev >= 1 && numStdDev <= 3,
+    s"numStdDev must be 1, 2 or 3, got $numStdDev")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (lower) "theta_lower_bound" else "theta_upper_bound"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: sketch must be BINARY, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sk = ThetaEval.wrap(input)
+    if (lower) sk.getLowerBound(numStdDev) else sk.getUpperBound(numStdDev)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaBound =
+    copy(child = newChild)
+}
+
+/** A ∩ B of two serialized theta sketches, as a serialized COMPACT
+  * sketch — the set algebra is CLOSED over the binary form, so
+  * [[ThetaEstimate]] and [[ThetaBound]] compose over any expression
+  * tree of intersections/differences (the result sketch carries its own
+  * theta, so its bounds are first-class, not derived). This is the
+  * operation HLL state cannot answer without compounding three
+  * estimates.
+  */
+case class ThetaIntersect(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ThetaEval.binaryCheck(prettyName, left, right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOperation.builder().buildIntersection()
+      .intersect(ThetaEval.wrap(a), ThetaEval.wrap(b)).toByteArray
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+/** A \ B of two serialized theta sketches, as a serialized COMPACT
+  * sketch (see [[ThetaIntersect]] for why bytes, not an estimate).
+  */
+case class ThetaANotB(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_a_not_b"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ThetaEval.binaryCheck(prettyName, left, right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOperation.builder().buildANotB()
+      .aNotB(ThetaEval.wrap(a), ThetaEval.wrap(b)).toByteArray
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaANotB =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A ∩ B| estimate — sugar for theta_estimate(theta_intersect(a, b)). */
 case class ThetaIntersectEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -201,7 +278,7 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** |A \ B| estimate from two serialized theta sketches. */
+/** |A \ B| estimate — sugar for theta_estimate(theta_a_not_b(a, b)). */
 case class ThetaANotBEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -239,6 +316,22 @@ object ThetaSketch {
 
   def theta_estimate(sketch: Column): Column =
     GraftFunctions.column(ThetaEstimate(GraftFunctions.expr(sketch)))
+
+  def theta_intersect(a: Column, b: Column): Column =
+    GraftFunctions.column(ThetaIntersect(
+      GraftFunctions.expr(a), GraftFunctions.expr(b)))
+
+  def theta_a_not_b(a: Column, b: Column): Column =
+    GraftFunctions.column(ThetaANotB(
+      GraftFunctions.expr(a), GraftFunctions.expr(b)))
+
+  def theta_lower_bound(sketch: Column, numStdDev: Int = 2): Column =
+    GraftFunctions.column(ThetaBound(GraftFunctions.expr(sketch),
+      numStdDev, lower = true))
+
+  def theta_upper_bound(sketch: Column, numStdDev: Int = 2): Column =
+    GraftFunctions.column(ThetaBound(GraftFunctions.expr(sketch),
+      numStdDev, lower = false))
 
   def theta_intersect_estimate(a: Column, b: Column): Column =
     GraftFunctions.column(ThetaIntersectEstimate(

@@ -300,6 +300,39 @@ class SketchSpec extends SparkSpec {
       "ordered compact theta images must depend only on the key SET")
   }
 
+  test("theta bounds bracket the exact counts; set algebra closed over bytes") {
+    import graft.functions.ThetaSketch._
+    val ev = Tables.load(spark, sf, "events")
+    val merged = Agg.dailyThetaSketches(ev).groupBy(col("event_type"))
+      .agg(graft.functions.ThetaSketch
+        .theta_union_agg(col("visitor_theta")).as("_sk"))
+    val a = merged.select(col("event_type").as("type_a"), col("_sk").as("_a"))
+    val b = merged.select(col("event_type").as("type_b"), col("_sk").as("_b"))
+    val pairs = a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        theta_estimate(theta_intersect(col("_a"), col("_b"))).as("est_both"),
+        theta_intersect_estimate(col("_a"), col("_b")).as("est_both_sugar"),
+        theta_lower_bound(theta_intersect(col("_a"), col("_b"))).as("lb_both"),
+        theta_upper_bound(theta_intersect(col("_a"), col("_b"))).as("ub_both"),
+        theta_lower_bound(theta_a_not_b(col("_a"), col("_b"))).as("lb_only_a"),
+        theta_upper_bound(theta_a_not_b(col("_a"), col("_b"))).as("ub_only_a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val exact = Agg.typeSetAlgebraExact(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    exact.foreach { case (k, ex) =>
+      val p = pairs(k)
+      // closure: estimate-of-composed-bytes == the fused sugar form
+      assert(p.getAs[Double]("est_both") === p.getAs[Double]("est_both_sugar"))
+      // 2-stddev bounds bracket the exact counts, intersection AND diff
+      val both = ex.getAs[Long]("n_both").toDouble
+      assert(p.getAs[Double]("lb_both") <= both &&
+        both <= p.getAs[Double]("ub_both"), s"$k both=$both $p")
+      val onlyA = ex.getAs[Long]("n_only_a").toDouble
+      assert(p.getAs[Double]("lb_only_a") <= onlyA &&
+        onlyA <= p.getAs[Double]("ub_only_a"), s"$k only_a=$onlyA $p")
+    }
+  }
+
   test("theta family is SQL-registered") {
     graft.functions.GraftFunctions.registerAll(spark)
     val ev = Tables.load(spark, sf, "events")
