@@ -675,6 +675,21 @@ object SparkEntry {
       Upsert.scd2FromChanges(t(s, dir, "events")
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
         Seq("user_id"), "event_type", "ts", tieCols = Seq("event_id"))),
+    // U1/J6 composition: point-in-time lookup against the q106 SCD2
+    // history — every event joins the single version valid at its
+    // timestamp (the lookup side of a type-2 dimension; equality on
+    // user_id keeps it a hash join, interval post-filter).
+    "q142_pit_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = Upsert.scd2FromChanges(
+        ev.select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id")),
+        Seq("user_id"), "event_type", "ts", tieCols = Seq("event_id"))
+      Joins.pointInTimeJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        hist.withColumnRenamed("event_type", "state"),
+        Seq("user_id"), "ts", Seq("version", "state", "valid_from"))
+    }),
     // S8 extended as a registered query: fact⋈fact through same-spec
     // bucketed catalog tables — the orderkey shuffle is paid ONCE at
     // write time; the join AND the aggregate keyed on the same column
@@ -2034,6 +2049,33 @@ object SparkEntry {
         |    (PARTITION BY user_id ORDER BY version) IS NULL
         |    THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM runs""".stripMargin,
+    "q142_pit_lookup" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, version, MIN(event_type) AS state,
+        |    MIN(ts) AS valid_from
+        |  FROM ver GROUP BY user_id, version),
+        |hist AS (
+        |  SELECT user_id, version, state, valid_from,
+        |    LEAD(valid_from) OVER
+        |      (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM runs)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  h.version, h.state, h.valid_from
+        |FROM events e JOIN hist h
+        |  ON e.user_id = h.user_id AND e.ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)""".stripMargin,
     "q88_bucketed_join" ->
       """SELECT l_orderkey, o_totalprice, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -78,6 +78,29 @@ object Joins {
                 rangeCond: Column): DataFrame =
     left.join(right, equiCond && rangeCond)
 
+  /** Point-in-time dimension lookup — the CONSUMER of an SCD2 history
+    * ([[graft.ops.Upsert.scd2FromChanges]]): each probe row joins the
+    * single history version valid at its timestamp (`valid_from ≤ ts`,
+    * and `ts < valid_to` or the version is open). The [[rangeJoin]] rule
+    * applies: the dimension keys are the equality conjunct, so this is a
+    * hash/sort-merge join with the interval as a post-join filter, and
+    * per-probe match work is bounded by that key's version count — the
+    * history's intervals partition the key's timeline, so exactly one
+    * version matches any in-range probe (zero-duration versions from
+    * same-timestamp flips match nothing; their closer does).
+    */
+  def pointInTimeJoin(probes: DataFrame, history: DataFrame,
+                      keys: Seq[String], tsCol: String,
+                      histCols: Seq[String]): DataFrame = {
+    val p = probes.alias("p")
+    val h = history.alias("h")
+    val eq = keys.map(k => col(s"p.$k") === col(s"h.$k")).reduce(_ && _)
+    val inRange = col(s"p.$tsCol") >= col("h.valid_from") &&
+      (col("h.valid_to").isNull || col(s"p.$tsCol") < col("h.valid_to"))
+    p.join(h, eq && inRange)
+      .select(col("p.*") +: histCols.map(c => col(s"h.$c")): _*)
+  }
+
   /** J6 interval self-join (funnel/attribution): every (fromType → toType)
     * event pair of the same user with `to_ts` inside `[from_ts, from_ts +
     * horizon]` — ALL pairs in the window, not the single nearest match

@@ -109,4 +109,46 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(anti.nonEmpty, s"expected a broadcast left-anti guard:\n$plan")
   }
+
+  test("pointInTimeJoin: each probe gets the one version valid at its ts") {
+    import graft.ops.Upsert
+    // user 1 flips view->click->view; flip at 10:00 has a same-ts pair
+    // (view id 4, click id 5) producing a zero-duration view version
+    // that must never capture a probe.
+    val changes = Seq(
+      (1L, "view", "2024-01-01 08:00:00", 1L),
+      (1L, "view", "2024-01-01 09:00:00", 2L),
+      (1L, "click", "2024-01-01 09:30:00", 3L),
+      (1L, "view", "2024-01-01 10:00:00", 4L),
+      (1L, "click", "2024-01-01 10:00:00", 5L),
+      (2L, "buy", "2024-01-01 08:30:00", 6L))
+      .toDF("user_id", "event_type", "tss", "event_id")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("tss")).as("ts"), col("event_id"))
+    val hist = Upsert.scd2FromChanges(changes, Seq("user_id"),
+      "event_type", "ts", tieCols = Seq("event_id"))
+    val probes = Seq(
+      (1L, "2024-01-01 08:30:00"), // inside view v1
+      (1L, "2024-01-01 09:30:00"), // exactly at click v2's valid_from
+      (1L, "2024-01-01 10:00:00"), // at the same-ts flip: open click v4
+      (1L, "2024-01-01 23:00:00"), // open version
+      (2L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"))
+    val out = Joins.pointInTimeJoin(probes,
+        hist.withColumnRenamed("event_type", "state"),
+        Seq("user_id"), "ts", Seq("version", "state"))
+      .orderBy("user_id", "ts")
+      .select("user_id", "ts", "version", "state").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+        r.getLong(2), r.getString(3)))
+    // exactly one match per probe — intervals partition the timeline
+    assert(out.length === 5)
+    assert(out.toSeq === Seq(
+      (1L, "08:30", 1L, "view"),
+      (1L, "09:30", 2L, "click"),
+      (1L, "10:00", 4L, "click"),
+      (1L, "23:00", 4L, "click"),
+      (2L, "09:00", 1L, "buy")))
+  }
 }

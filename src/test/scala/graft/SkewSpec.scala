@@ -51,4 +51,50 @@ class SkewSpec extends SparkSpec {
       .select(countDistinct("_salt")).as[Long].head()
     assert(nSalts > 1, "distinct hot-key rows must spread over multiple salts")
   }
+
+  test("AQE splits the skewed partition of a hot-key sort-merge join") {
+    // The MODERATE-skew regime the salted paths don't need to own: AQE's
+    // runtime skew-join splitting. Thresholds floored so the sf-sized
+    // fixture exhibits the 100 TB behavior; the pin is that the engine's
+    // plain equi-joins stay in the shape the rule can split (the final
+    // adaptive plan marks the join skew=true) AND that the result is
+    // unchanged by the splitting.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // spread over several MAP tasks (AQE splits a skewed reduce
+      // partition by map-index ranges — a single-map input is
+      // unsplittable no matter how skewed) and use a high-entropy
+      // payload (reported partition sizes are COMPRESSED shuffle bytes;
+      // a constant pad compresses the hot partition under any threshold)
+      val hot = (Seq.fill(2000)(1) ++ (2 to 41)).toDF("k")
+        .repartition(8)
+        .withColumn("payload",
+          md5(concat(col("k"), monotonically_increasing_id())))
+      val dim = Seq.tabulate(41)(i => (i + 1, s"d${i + 1}")).toDF("k", "name")
+      val joined = hot.join(dim, Seq("k"))
+      // execute and inspect the SAME QueryExecution: count() would build
+      // its own plan and leave this one un-finalized (isFinalPlan=false)
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() === 2040L,
+        "splitting must not change the join result")
+      val p = qe.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
