@@ -281,6 +281,13 @@ object SparkEntry {
     // can't drag the threshold toward themselves.
     "q135_robust_outliers" -> ((s, dir) =>
       graft.ops.Timeseries.robustOutliers(t(s, dir, "events"))),
+    // A-family exact regression: per-type least-squares daily trend from
+    // integer sufficient statistics (exact long Σx/Σy/Σxy/Σx² under any
+    // partitioning; float only in the final closed-form division,
+    // mirrored op-for-op in the oracle) — regr_slope's double-product
+    // sums would flap the cross-engine hash.
+    "q143_daily_trend" -> ((s, dir) =>
+      graft.ops.Timeseries.dailyTrend(t(s, dir, "events"))),
     // T-family fill mode 2: same gap-emission plan as q134 but with
     // linear interpolation (both endpoints already ride the generating
     // row via lead()) — no backward window, no join.
@@ -2844,6 +2851,25 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q143_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+        |  CAST(sy AS DOUBLE) / 100.0 / n_days -
+        |    (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0) *
+        |    (CAST(sx AS DOUBLE) / n_days) AS intercept
+        |FROM s""".stripMargin,
     "q141_resample_interp" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,

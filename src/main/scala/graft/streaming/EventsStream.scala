@@ -406,6 +406,28 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static point-in-time enrichment: the streaming twin of
+    * [[graft.ops.Joins.pointInTimeJoin]] — each arriving event joins the
+    * SCD2 history version valid at its event time. The history is the
+    * STATIC side (maintenance state, rebuilt/appended by the batch SCD2
+    * path), so the join carries no stream state at all: Spark re-plans
+    * the static side per micro-batch, the equality conjunct keeps it a
+    * hash join, and exactly-once delivery is the file sink's commit log,
+    * not a state store. Batch-parity is spec-pinned (chopped stream ≡
+    * batch pointInTimeJoin over the same probes).
+    */
+  def pitEnrichQuery(probes: DataFrame, history: DataFrame,
+                     keys: Seq[String], tsCol: String,
+                     histCols: Seq[String], outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    graft.ops.Joins.pointInTimeJoin(probes, history, keys, tsCol, histCols)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The set-algebra member of the streaming sketch-state family (HLL:
     * medallion dailySketches; heavy hitters: [[freqStateQuery]];
     * quantiles: [[kllStateQuery]]; set algebra: here): per-micro-batch

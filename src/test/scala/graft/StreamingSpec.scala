@@ -361,6 +361,39 @@ class StreamingSpec extends SparkSpec {
       "set algebra from chopped streaming state must equal the batch build")
   }
 
+  test("stream-static PIT enrichment matches the batch point-in-time join") {
+    import graft.ops.{Joins, Upsert}
+    val root = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    val ev = Tables.load(spark, sf, "events")
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    val hist = Upsert.scd2FromChanges(
+      ev.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id")),
+      Seq("user_id"), "event_type", "ts", tieCols = Seq("event_id"))
+      .withColumnRenamed("event_type", "state")
+    val probeCols = Seq("event_id", "user_id", "ts")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      .select(probeCols.map(col): _*)
+    val q = graft.streaming.EventsStream.pitEnrichQuery(stream, hist,
+      Seq("user_id"), "ts", Seq("version", "state"),
+      s"$root/out", s"$root/cp")
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "ts", "version", "state")
+        .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$root/out"))
+    val batch = rows(Joins.pointInTimeJoin(
+      ev.select(probeCols.map(col): _*), hist,
+      Seq("user_id"), "ts", Seq("version", "state")))
+    assert(streamed == batch,
+      "chopped stream-static enrichment must equal the batch PIT join")
+    assert(streamed.size == ev.count(),
+      "every event matches exactly one history version")
+  }
+
   test("corpus dedup compaction: state restarts empty, history via anti-join") {
     import graft.streaming.CorpusStream
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString

@@ -74,6 +74,32 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).toSeq === Seq(1L, 0L, 0L, 1L))
   }
 
+  test("dailyTrend: exact slope/intercept on a perfectly linear series") {
+    // day totals 10, 12, 14, 16 on consecutive days: slope exactly 2.0
+    // dollars/day; intercept follows at the epoch origin.
+    val rows = Seq(10.0, 12.0, 14.0, 16.0).zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-01-${i + 1}%02d 10:00:00", "view", v)
+    }
+    val out = Timeseries.dailyTrend(ev(rows: _*)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.0)
+    // fitted value back at the first day recovers the first total
+    val x0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    assert(math.abs(r.getDouble(3) + 2.0 * x0 - 10.0) < 1e-6)
+  }
+
+  test("dailyTrend: sums are partitioning-invariant (exact partials)") {
+    val events = Tables.orEvents(spark)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Timeseries.dailyTrend(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+    assert(m(events.repartition(1)) === m(events.repartition(13,
+      col("event_id"))))
+  }
+
   test("robustOutliers: flags exactly the |x-med| > k*MAD days") {
     // One type, 7 days: six totals near 10, one at 100.
     val rows = Seq(10.0, 10.5, 9.5, 10.0, 11.0, 9.0, 100.0).zipWithIndex
