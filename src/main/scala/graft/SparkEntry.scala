@@ -303,6 +303,33 @@ object SparkEntry {
       graft.ops.FuzzyJoin.fuzzySelfJoin(
         t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
         "c_name")),
+    // J4 incremental entity resolution: the corpus's variant index is
+    // PERSISTED maintenance state (the q83/q93/q132/q133 delta-vs-index
+    // pattern, entity-resolution member); a delta batch of names
+    // generates its own variants and equi-joins the index — the corpus
+    // is never re-paired. Corpus = custkey%4=0, delta = custkey%4=1.
+    "q144_fuzzy_delta" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/customer.parquet", "fuzzyidx", "v1") { out =>
+        graft.ops.FuzzyJoin.variantIndexRows(
+          cust.filter(col("c_custkey") % 4 === 0), "c_name")
+          .write.parquet(out)
+      }
+      graft.ops.FuzzyJoin.fuzzyAgainstIndex(s.read.parquet(idxDir),
+        cust.filter(col("c_custkey") % 4 === 1), "c_name")
+    }),
+    // A4 exact cumulative reach: running distinct-users-ever-seen per
+    // type via the first-appearance identity — one pass over the
+    // stream, the window ranks DAYS, never events.
+    "q145_cumulative_reach" -> ((s, dir) =>
+      Agg.cumulativeReach(t(s, dir, "events"))),
+    // A4 reach from theta STATE (rows-only: sketch binaries are
+    // engine-internal; q145 is the exact twin, SketchSpec pins the
+    // estimates): prefix self-join over the daily state — days² rows per
+    // type, calendar-bounded, no event rescan at any history length.
+    "q146_reach_theta" -> ((s, dir) =>
+      Agg.reachFromThetaState(Agg.dailyThetaSketches(t(s, dir, "events")))),
     // Data-quality discovery: one-declared-pass exact profile (null /
     // distinct / native-typed min/max per column) — the rule-discovery
     // sibling of the q120 constraint gate.
@@ -2851,6 +2878,24 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q144_fuzzy_delta" ->
+      """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
+        |           WHERE c_custkey % 4 = 0),
+        |b AS (SELECT DISTINCT c_name AS t FROM customer
+        |      WHERE c_custkey % 4 = 1)
+        |SELECT a.t AS name_a, b.t AS name_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM a JOIN b ON levenshtein(a.t, b.t) <= 1""".stripMargin,
+    "q145_cumulative_reach" ->
+      """WITH fd AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS d
+        |  FROM events GROUP BY 1, 2),
+        |np AS (SELECT event_type, d, COUNT(*) AS n_new
+        |       FROM fd GROUP BY 1, 2)
+        |SELECT event_type, d, n_new,
+        |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reach
+        |FROM np""".stripMargin,
     "q143_daily_trend" ->
       """WITH daily AS (
         |  SELECT event_type,
@@ -2876,26 +2921,40 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total,
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2),
-        |led AS (
-        |  SELECT *,
-        |    LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt,
-        |    LEAD(day_total) OVER (PARTITION BY user_id ORDER BY d) AS nxt_total
-        |  FROM daily),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        |         FROM daily GROUP BY 1),
         |spine AS (
-        |  SELECT user_id, d AS d0, day_total, n_events, nxt, nxt_total,
-        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
-        |      CAST(COALESCE(nxt - 1, d) AS TIMESTAMP),
-        |      INTERVAL 1 DAY)) AS DATE) AS d
-        |  FROM led)
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |j AS (
+        |  SELECT s.user_id, s.d, dy.day_total, dy.n_events
+        |  FROM spine s LEFT JOIN daily dy
+        |    ON s.user_id = dy.user_id AND s.d = dy.d),
+        |f AS (
+        |  SELECT *,
+        |    LAST_VALUE(day_total IGNORE NULLS) OVER wb AS prev_total,
+        |    LAST_VALUE(CASE WHEN day_total IS NOT NULL THEN d END
+        |      IGNORE NULLS) OVER wb AS prev_d,
+        |    FIRST_VALUE(day_total IGNORE NULLS) OVER wf AS next_total,
+        |    FIRST_VALUE(CASE WHEN day_total IS NOT NULL THEN d END
+        |      IGNORE NULLS) OVER wf AS next_d
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, d,
-        |  CASE WHEN d = d0 THEN n_events ELSE 0 END AS n_events,
-        |  CASE WHEN d = d0 THEN day_total END AS day_total,
-        |  CASE WHEN d = d0 THEN day_total
-        |       ELSE day_total + (nxt_total - day_total) *
-        |         (CAST(d - d0 AS DOUBLE) / CAST(nxt - d0 AS DOUBLE))
+        |  COALESCE(n_events, 0) AS n_events,
+        |  day_total,
+        |  CASE WHEN day_total IS NOT NULL THEN day_total
+        |       ELSE prev_total + (next_total - prev_total) *
+        |         (CAST(d - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
         |  END AS interp_total,
-        |  CAST(CASE WHEN d = d0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
-        |FROM spine""".stripMargin,
+        |  CAST(CASE WHEN day_total IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_observed
+        |FROM f""".stripMargin,
     "q140_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT c_name AS t FROM customer
         |           WHERE c_custkey % 4 = 0)

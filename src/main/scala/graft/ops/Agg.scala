@@ -331,6 +331,49 @@ object Agg {
       .withColumn("n_only_a", col("n_a") - col("n_both"))
       .withColumn("n_only_b", col("n_b") - col("n_both"))
 
+  /** Exact cumulative reach: for each event type, the running count of
+    * DISTINCT users ever seen, sampled at each day that added users. The
+    * naive formulation (per-day distinct over the history prefix)
+    * rescans the stream once per day; this one uses the first-appearance
+    * identity — reach(d) = #users whose FIRST event ≤ d — so the whole
+    * curve is one (type, user) aggregate (min day), one (type, day)
+    * count, and a running sum over a types×days window. The stream is
+    * touched once, the window ranks days, never events.
+    */
+  def cumulativeReach(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val newPerDay = firstDay
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_new"))
+    newPerDay.withColumn("n_reach",
+      sum(col("n_new")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Cumulative reach from [[dailyThetaSketches]] STATE alone — no event
+    * rescan at any history length: the day-d reach is the union of the
+    * sketches of days ≤ d. Expressed as a state-grain prefix self-join
+    * ((type, d) × its own ≤-days) + one union aggregate per output row:
+    * days² rows per type, bounded by the CALENDAR, independent of event
+    * count — the same cost class as every other state rollup here.
+    * Estimates pinned against [[cumulativeReach]] in SketchSpec.
+    */
+  def reachFromThetaState(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("d"))
+    val b = daily.select(col("event_type"), col("d").as("_d2"),
+      col("visitor_theta"))
+    a.join(b, Seq("event_type")).filter(col("_d2") <= col("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(graft.functions.ThetaSketch
+        .theta_union_agg(col("visitor_theta")).as("_sk"))
+      .select(col("event_type"), col("d"),
+        graft.functions.ThetaSketch.theta_estimate(col("_sk"))
+          .as("est_reach"))
+  }
+
   /** Weekly retention cohorts: users grouped by first-activity week, the
     * classic (cohort_week, week_offset) activity matrix with retention
     * rate against cohort size. All exact: week_offset is a day-diff of

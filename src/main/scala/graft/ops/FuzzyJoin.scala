@@ -43,6 +43,51 @@ object FuzzyJoin {
       array_union(array(v), deletions(v)))))
   }
 
+  /** Persistable variant-index rows for a name corpus: distinct
+    * (t, v) pairs, one per term × deletion variant — the entity-resolution
+    * member of the engine's delta-vs-index family (text q83, vectors q93,
+    * frames q132, audio q133). Appendable batch-by-batch for DISJOINT
+    * term batches (append ≡ full rebuild, FuzzyJoinSpec-pinned); a shared
+    * term across batches would duplicate its rows — route appends through
+    * a term-level anti-join if batches can overlap.
+    */
+  def variantIndexRows(names: DataFrame, nameCol: String,
+                       maxDist: Int = 1): DataFrame =
+    names.select(col(nameCol).cast("string").as("t")).distinct()
+      .select(col("t"),
+        explode(deletionVariants(col("t"), maxDist)).as("v"))
+      .distinct()
+
+  /** Delta-vs-index fuzzy probe: each delta name generates its own
+    * variants and equi-joins the PERSISTED corpus index — the corpus is
+    * never re-paired, the index never shuffled beyond the variant join.
+    * Output (name_a = corpus term, name_b = delta term, dist ≤ maxDist);
+    * sides are kept distinct, so no ordering constraint. The stop-variant
+    * guard reads corpus popularity from the index itself (> maxBucket
+    * terms per variant → dropped both sides, the usual visible-recall
+    * trade; default exact).
+    */
+  def fuzzyAgainstIndex(index: DataFrame, delta: DataFrame,
+                        nameCol: String, maxDist: Int = 1,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val dv = variantIndexRows(delta, nameCol, maxDist)
+    val pruned =
+      if (maxBucket == Int.MaxValue) index
+      else {
+        val hot = index.groupBy(col("v"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+          .select(col("v"))
+        index.join(broadcast(hot), Seq("v"), "left_anti")
+      }
+    pruned.select(col("t").as("name_a"), col("v"))
+      .join(dv.select(col("t").as("name_b"), col("v")), Seq("v"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Distinct unordered pairs of distinct values of `nameCol` with
     * `lev ≤ maxDist`: (name_a < name_b, dist). `maxBucket < Int.MaxValue`
     * trades exactness for bounded hot buckets (see object doc).

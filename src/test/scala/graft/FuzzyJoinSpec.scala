@@ -66,6 +66,36 @@ class FuzzyJoinSpec extends SparkSpec {
       pairs(brute(1)))
   }
 
+  test("delta probe == batch form restricted to corpus × delta") {
+    val corpus = Seq("kitten", "mitten", "orange").toDF("w")
+    val delta = Seq("kiten", "kittten", "oranje", "banana").toDF("w")
+    val idx = FuzzyJoin.variantIndexRows(corpus, "w")
+    val probe = FuzzyJoin.fuzzyAgainstIndex(idx, delta, "w")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // brute restriction: corpus side × delta side
+    val brute = corpus.select(col("w").as("name_a"))
+      .crossJoin(delta.select(col("w").as("name_b")))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(probe === brute)
+    assert(probe.contains(("kitten", "kiten", 1)))
+    assert(!probe.exists(_._2 == "banana"))
+  }
+
+  test("variant index: append of disjoint term batches == full rebuild") {
+    val b1 = Seq("kitten", "mitten").toDF("w")
+    val b2 = Seq("orange", "oranje").toDF("w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx").toString
+    FuzzyJoin.variantIndexRows(b1, "w").write.mode("append").parquet(dir)
+    FuzzyJoin.variantIndexRows(b2, "w").write.mode("append").parquet(dir)
+    val appended = spark.read.parquet(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = FuzzyJoin.variantIndexRows(b1.union(b2), "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(appended === full)
+  }
+
   test("hot-bucket guard drops pairs only reachable through hot variants") {
     // "aa","ab",...: deleting one char maps many terms onto 1-char
     // variants; with maxBucket 2 those buckets vanish and only pairs

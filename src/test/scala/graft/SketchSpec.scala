@@ -333,6 +333,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("reach from theta state tracks the exact cumulative curve") {
+    val ev = Tables.load(spark, sf, "events")
+    val est = Agg.reachFromThetaState(Agg.dailyThetaSketches(ev))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getDouble(2)).toMap
+    val exact = Agg.cumulativeReach(ev)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getLong(3)).toMap
+    // every exact sample day appears in the state curve (same day set:
+    // a day adding no users still unions to the same reach — but such
+    // days don't exist in the exact output, so compare on ITS keys)
+    exact.foreach { case (k, n) =>
+      assert(est.contains(k), s"state curve missing $k")
+      assert(math.abs(est(k) - n) <= math.max(5.0, 0.05 * n),
+        s"$k: est=${est(k)} exact=$n")
+    }
+  }
+
   test("theta family is SQL-registered") {
     graft.functions.GraftFunctions.registerAll(spark)
     val ev = Tables.load(spark, sf, "events")
