@@ -303,6 +303,14 @@ object SparkEntry {
       graft.ops.FuzzyJoin.fuzzySelfJoin(
         t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
         "c_name")),
+    // J5 extended — TPC-H Q21, the hardest classic join shape: the
+    // correlated EXISTS + NOT EXISTS pair folds into two columns of one
+    // order-keyed aggregate (see Joins.waitingSuppliers scaladoc);
+    // oracle keeps the EXISTS spelling to prove the cross-paradigm
+    // equivalence.
+    "q147_waiting_suppliers" -> ((s, dir) =>
+      Joins.waitingSuppliers(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "supplier"))),
     // J4 incremental entity resolution: the corpus's variant index is
     // PERSISTED maintenance state (the q83/q93/q132/q133 delta-vs-index
     // pattern, entity-resolution member); a delta batch of names
@@ -2878,6 +2886,22 @@ object SparkEntry {
         |  abs(d.day_total - a.med) / a.mad AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q147_waiting_suppliers" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |              AND l3.l_suppkey <> l1.l_suppkey
+        |              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
     "q144_fuzzy_delta" ->
       """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
         |           WHERE c_custkey % 4 = 0),

@@ -78,6 +78,43 @@ object Joins {
                 rangeCond: Column): DataFrame =
     left.join(right, equiCond && rangeCond)
 
+  /** TPC-H Q21 shape (the hardest classic join pattern): suppliers who
+    * were the SOLE late supplier on a multi-supplier finished order,
+    * ranked by how many times it happened. The reference SQL needs a
+    * correlated EXISTS (another supplier exists on the order) and a
+    * correlated NOT EXISTS (no OTHER supplier was late) — three logical
+    * scans of lineitem. Spark-first, both correlations fold into TWO
+    * COLUMNS of ONE order-keyed aggregate (`n_supp`,
+    * `n_late_supp`): a late line qualifies iff its order has ≥2 distinct
+    * suppliers and exactly 1 late one (which is then necessarily the
+    * line's own). The per-order stats rejoin the late lines on the SAME
+    * order key (partitioning reused, AQE flips the stats side to
+    * broadcast when small), the supplier dim broadcasts, and the top-k
+    * plans as TakeOrderedAndProject. Ties break by name for determinism.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, lateDays: Int = 60,
+                       topK: Int = 10): DataFrame = {
+    val lo = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("_ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("_late"), col("l_suppkey")))
+          .as("n_late_supp"))
+    lo.filter(col("_late"))
+      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+        col("l_orderkey") === col("_ok"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(topK)
+  }
+
   /** Point-in-time dimension lookup — the CONSUMER of an SCD2 history
     * ([[graft.ops.Upsert.scd2FromChanges]]): each probe row joins the
     * single history version valid at its timestamp (`valid_from ≤ ts`,

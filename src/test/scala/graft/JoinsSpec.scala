@@ -110,6 +110,28 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(anti.nonEmpty, s"expected a broadcast left-anti guard:\n$plan")
   }
 
+  test("waitingSuppliers: sole-late on multi-supplier orders only") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 1 (F): suppliers 10 late, 20 on time -> supplier 10 counts
+    // order 2 (F): both suppliers late -> nobody counts (NOT EXISTS fails)
+    // order 3 (F): single supplier, late -> nobody (EXISTS fails)
+    // order 4 (O): late sole supplier but order not finished -> nobody
+    val li = Seq(
+      (1L, 10L, ts("2024-06-01")), (1L, 20L, ts("2024-01-05")),
+      (2L, 10L, ts("2024-06-01")), (2L, 20L, ts("2024-06-02")),
+      (3L, 30L, ts("2024-06-01")),
+      (4L, 10L, ts("2024-06-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq((1L, "F", ts("2024-01-01")), (2L, "F", ts("2024-01-01")),
+      (3L, "F", ts("2024-01-01")), (4L, "O", ts("2024-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val supp = Seq((10L, "S10"), (20L, "S20"), (30L, "S30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Joins.waitingSuppliers(li, ord, supp)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("S10", 1L)))
+  }
+
   test("pointInTimeJoin: each probe gets the one version valid at its ts") {
     import graft.ops.Upsert
     // user 1 flips view->click->view; flip at 10:00 has a same-ts pair
