@@ -2883,7 +2883,8 @@ object SparkEntry {
         |    quantile_cont(abs(d.day_total - m.med), 0.5) AS mad
         |  FROM daily d JOIN med m USING (event_type) GROUP BY 1, 2)
         |SELECT d.event_type, d.d, d.day_total, a.med, a.mad,
-        |  abs(d.day_total - a.med) / a.mad AS robust_z
+        |  CASE WHEN a.mad > 0
+        |       THEN abs(d.day_total - a.med) / a.mad END AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
     "q147_waiting_suppliers" ->
@@ -2932,12 +2933,14 @@ object SparkEntry {
         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
         |  FROM daily GROUP BY event_type)
         |SELECT event_type, n_days,
-        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
-        |  CAST(sy AS DOUBLE) / 100.0 / n_days -
-        |    (CAST(n_days * sxy - sx * sy AS DOUBLE) /
-        |     CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0) *
-        |    (CAST(sx AS DOUBLE) / n_days) AS intercept
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0 END AS slope,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    CAST(sy AS DOUBLE) / 100.0 / n_days -
+        |      (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0) *
+        |      (CAST(sx AS DOUBLE) / n_days) END AS intercept
         |FROM s""".stripMargin,
     "q141_resample_interp" ->
       """WITH daily AS (

@@ -123,6 +123,29 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Date]("d").toString).toSeq === Seq("2024-01-07"))
   }
 
+  test("robustOutliers: zero-MAD series flags deviants with NULL robust_z") {
+    // six identical totals and one spike: med = 10, MAD = 0 — the spike
+    // is flagged (any deviation beats k·0) but has no robust scale;
+    // robust_z must be NULL in BOTH engines (Spark would otherwise say
+    // IEEE Inf where DuckDB says NULL).
+    val rows = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 99.0).zipWithIndex
+      .map { case (v, i) =>
+        (1L, f"2024-01-${i + 1}%02d 10:00:00", "view", v)
+      }
+    val out = Timeseries.robustOutliers(ev(rows: _*)).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Date]("d").toString === "2024-01-07")
+    assert(out.head.isNullAt(out.head.fieldIndex("robust_z")))
+  }
+
+  test("dailyTrend: single-day series has NULL slope, not 0/0") {
+    val out = Timeseries.dailyTrend(
+      ev((1L, "2024-01-01 10:00:00", "view", 5.0))).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.isNullAt(2) && out.head.isNullAt(3))
+  }
+
   private object Tables {
     /** Small deterministic events frame with per-user gaps. */
     def orEvents(s: org.apache.spark.sql.SparkSession) = {
