@@ -33,6 +33,11 @@ object Profile {
               exact: Boolean = true): DataFrame = {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
     require(cs.nonEmpty, "profile: no columns")
+    // the stack() pivot embeds column names in an expr string: backticks
+    // would escape the quoting and quotes would corrupt the label
+    // literal — refuse loudly rather than build a broken projection
+    cs.foreach(c => require(!c.contains("`") && !c.contains("'"),
+      s"profile: column name must not contain backticks/quotes: $c"))
     val nd: String => Column =
       if (exact) c => countDistinct(col(c))
       else c => approx_count_distinct(col(c))

@@ -230,6 +230,48 @@ class HardeningSpec extends SparkSpec {
     assert(fkRep == (("fk_check", 2L, 3L, false)))
   }
 
+  test("round-11 operators: empty inputs are empty outputs, not crashes") {
+    import graft.ops.{FuzzyJoin, Joins, Profile, Timeseries}
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Timeseries.resampleDaily(emptyEv).count() === 0L)
+    assert(Timeseries.resampleDailyInterp(emptyEv).count() === 0L)
+    assert(Timeseries.robustOutliers(emptyEv).count() === 0L)
+    assert(Timeseries.dailyTrend(emptyEv).count() === 0L)
+    assert(graft.ops.Agg.cumulativeReach(emptyEv).count() === 0L)
+    val emptyNames = Seq.empty[String].toDF("w")
+    assert(FuzzyJoin.fuzzySelfJoin(emptyNames, "w").count() === 0L)
+    assert(FuzzyJoin.fuzzyAgainstIndex(
+      FuzzyJoin.variantIndexRows(emptyNames, "w"),
+      Seq("kitten").toDF("w"), "w").count() === 0L)
+    // empty and 1-char strings survive variant generation (the deletion
+    // lambda hits sequence(0, -1) on "" — all variants collapse to "")
+    val tiny = FuzzyJoin.fuzzySelfJoin(Seq("", "a", "b", "ab").toDF("w"), "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tiny === Set(("", "a"), ("", "b"), ("a", "b"), ("a", "ab"),
+      ("ab", "b")))
+    // profiler: one row per column even on an empty frame; hostile names refused
+    val p = Profile.profile(emptyEv, Seq("event_id")).collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq(("event_id", 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Profile.profile(emptyEv.withColumnRenamed("event_id", "a'b"), Seq("a'b"))
+    }
+    // Q21 and PIT on empty inputs
+    val emptySupp = Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+    val emptyOrd = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val emptyLi = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    assert(Joins.waitingSuppliers(emptyLi, emptyOrd, emptySupp).count() === 0L)
+    val emptyHist = Seq.empty[(Long, Long, String, java.sql.Timestamp,
+      java.sql.Timestamp)]
+      .toDF("user_id", "version", "state", "valid_from", "valid_to")
+    assert(Joins.pointInTimeJoin(
+      emptyEv.select("event_id", "user_id", "ts"), emptyHist,
+      Seq("user_id"), "ts", Seq("version", "state")).count() === 0L)
+  }
+
   test("observed gate: metrics ride the sink action, report == check report") {
     import graft.ops.Constraints
     val df = Seq(

@@ -394,6 +394,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q134/q141 resample: two exchanges, no join (gap emission)") {
+    Seq("q134_resample_fill", "q141_resample_interp").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q must emit gap rows, not join a spine:\n" + p.take(1200))
+      val exchanges = p.split('\n').count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"$q: expected the (entity,day) agg + one window sort, got " +
+          s"$exchanges exchanges:\n" + p.take(1200))
+    }
+  }
+
+  test("q145 reach: the running-sum window ranks days, never events") {
+    // the Window's child must be the compacted (type, day) aggregate —
+    // a WindowExec directly over the event scan would be the naive
+    // per-day-distinct shape this operator exists to avoid
+    val exec = SparkEntry.queries("q145_cumulative_reach")(spark, sf)
+      .queryExecution.executedPlan
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val windows = unwrap(exec).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the running-sum window")
+    windows.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"window must sit above the day-compacting aggregate:\n$w")
+    }
+  }
+
+  test("q147 waiting suppliers: two lineitem scans, no nested-loop join") {
+    val p = plan("q147_waiting_suppliers")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the EXISTS fold must stay hash-joined:\n" + p.take(1200))
+    val liScans = p.split('\n')
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2,
+      s"expected at most two lineitem scans (classic Q21 pays three), " +
+        s"got $liScans:\n" + p.take(1500))
+  }
+
   test("q25 watermark filter: bound pushed to the parquet scan") {
     val p = plan("q25_watermark_filter")
     assert(p.contains("PushedFilters: [") &&
