@@ -344,6 +344,11 @@ object SparkEntry {
     "q136_profile_exact" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // Data-quality per stratum: the q136 stats grouped by source — which
+    // segment carries the nulls, whose id ranges overlap.
+    "q148_profile_by_source" -> ((s, dir) =>
+      graft.ops.Profile.profileBy(t(s, dir, "documents"), "source",
+        Seq("doc_id", "lang", "n_chars"))),
     // Scale path of q136: approx_count_distinct keeps the single
     // no-Expand scan; everything but n_distinct stays exact (rows-only —
     // estimates have no SQL twin; ProfileSpec pins them to q136 within
@@ -2989,6 +2994,15 @@ object SparkEntry {
         |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
         |FROM n a JOIN n b
         |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 1""".stripMargin,
+    "q148_profile_by_source" ->
+      Seq("doc_id", "lang", "n_chars").map(c =>
+        s"""SELECT source, '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM documents GROUP BY source""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "q136_profile_exact" ->
       Seq("doc_id", "lang", "source", "n_chars").map(c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

@@ -58,4 +58,38 @@ object Profile {
         (col("n_rows") - col("n_non_null")).as("n_null"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** [[profile]] per stratum: the same statistics with one row per
+    * (group, column) — "is source X's doc_id range disjoint from source
+    * Y's", "which segment carries the nulls". Still one declared
+    * aggregation (grouped instead of global) + the same one-row-per-group
+    * stack pivot; the exact form's Expand amplification and the
+    * `exact = false` escape apply unchanged.
+    */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileBy: no columns")
+    require(!cols.contains(groupCol),
+      s"profileBy: group column $groupCol cannot be profiled")
+    (cols :+ groupCol).foreach(c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"profileBy: column name must not contain backticks/quotes: $c"))
+    val nd: String => Column =
+      if (exact) c => countDistinct(col(c))
+      else c => approx_count_distinct(col(c))
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), nd(c).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val per = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`")
+      .mkString(", ")
+    per.select(col(groupCol), col("n_rows"),
+      expr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_non_null, n_distinct, min_s, max_s)"))
+      .select(col(groupCol), col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
 }

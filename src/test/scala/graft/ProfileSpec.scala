@@ -53,6 +53,23 @@ class ProfileSpec extends SparkSpec {
     assert(!hasExpand(Profile.profile(df, exact = false)))
   }
 
+  test("profileBy: per-group stats, group column excluded from profiling") {
+    val g = Seq(
+      ("s1", Some(1L)), ("s1", Some(5L)), ("s1", None),
+      ("s2", Some(7L)))
+      .toDF("src", "id")
+    val p = Profile.profileBy(g, "src", Seq("id"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))
+    assert(p.toSeq === Seq(
+      ("s1", "id", 3L, 1L, 2L, "1", "5"),
+      ("s2", "id", 1L, 0L, 1L, "7", "7")))
+    intercept[IllegalArgumentException] {
+      Profile.profileBy(g, "src", Seq("src", "id"))
+    }
+  }
+
   test("profile: column subset and require on empty") {
     val p = Profile.profile(df, Seq("lang")).collect()
     assert(p.map(_.getString(0)).toSeq === Seq("lang"))
