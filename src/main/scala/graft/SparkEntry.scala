@@ -303,6 +303,12 @@ object SparkEntry {
       graft.ops.FuzzyJoin.fuzzySelfJoin(
         t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
         "c_name")),
+    // J5 extended — TPC-H Q4: the correlated EXISTS (inner references
+    // o_orderdate) rides the order-key semi join as an extra inequality
+    // — one hash join, no decorrelation machinery.
+    "q149_order_priority" -> ((s, dir) =>
+      Joins.latePriorityCounts(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "1996-01-01", "1996-04-01")),
     // J5 extended — TPC-H Q21, the hardest classic join shape: the
     // correlated EXISTS + NOT EXISTS pair folds into two columns of one
     // order-keyed aggregate (see Joins.waitingSuppliers scaladoc);
@@ -2892,6 +2898,15 @@ object SparkEntry {
         |       THEN abs(d.day_total - a.med) / a.mad END AS robust_z
         |FROM daily d JOIN mad a USING (event_type)
         |WHERE abs(d.day_total - a.med) > 2.5 * a.mad""".stripMargin,
+    "q149_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q147_waiting_suppliers" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
         |FROM supplier, lineitem l1, orders

@@ -115,6 +115,28 @@ object Joins {
       .limit(topK)
   }
 
+  /** TPC-H Q4 shape: order-priority counts over a date window, keeping
+    * only orders with at least one line shipped more than `graceDays`
+    * after the order date. The correlated EXISTS (inner references
+    * `o_orderdate`) becomes a LEFT SEMI join whose inequality rides the
+    * order-key equi-join as an extra condition — one hash join, match
+    * multiplicity irrelevant by semi-join semantics, no decorrelation
+    * machinery. The window filter on orders prunes BEFORE the join.
+    */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                         from: String, until: String,
+                         graceDays: Int = 30): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $graceDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
   /** Point-in-time dimension lookup — the CONSUMER of an SCD2 history
     * ([[graft.ops.Upsert.scd2FromChanges]]): each probe row joins the
     * single history version valid at its timestamp (`valid_from ≤ ts`,

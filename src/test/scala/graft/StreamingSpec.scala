@@ -359,6 +359,18 @@ class StreamingSpec extends SparkSpec {
     assert(algebra(spark.read.parquet(s"$root/state-a")) ==
       algebra(Agg.dailyThetaSketches(ev)),
       "set algebra from chopped streaming state must equal the batch build")
+    // and the cumulative-reach consumer reads the SAME chopped state:
+    // per-batch partial rows for one (type, day) union idempotently, so
+    // the curve equals the exact batch computation (exact regime)
+    val reach = Agg.reachFromThetaState(
+      spark.read.parquet(s"$root/state-a"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getDouble(2)).toMap
+    Agg.cumulativeReach(ev).collect().foreach { r =>
+      val k = (r.getString(0), r.getDate(1).toString)
+      assert(reach(k) == r.getLong(3).toDouble,
+        s"$k: streaming-state reach ${reach(k)} != exact ${r.getLong(3)}")
+    }
   }
 
   test("stream-static PIT enrichment matches the batch point-in-time join") {
