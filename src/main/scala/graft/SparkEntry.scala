@@ -325,7 +325,7 @@ object SparkEntry {
     "q144_fuzzy_delta" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val idxDir = graft.sources.StateCache.ensure(s,
-        s"$dir/customer.parquet", "fuzzyidx", "v1") { out =>
+        s"$dir/customer.parquet", "fuzzyidx", "v2") { out =>
         graft.ops.FuzzyJoin.variantIndexRows(
           cust.filter(col("c_custkey") % 4 === 0), "c_name")
           .write.parquet(out)

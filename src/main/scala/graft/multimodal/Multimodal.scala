@@ -134,14 +134,22 @@ object Multimodal {
     * candidate volume stays ~corpus-linear at 100 TB; byte bands (7×8,
     * hamming ≤ 6) measured 12× slower at sf0.1 for the same truth set.
     */
+  /** The 4×14-bit band decomposition of a 56-bit fingerprint column —
+    * the ONE definition of the banded-LSH selectivity knob
+    * (pigeonhole-complete for hamming ≤ 3). Shared by the pHash,
+    * video-batch, and video-delta matchers so a band-width change can
+    * never diverge them (round-11 review finding).
+    */
+  private def bandStructs(hashCol: String): org.apache.spark.sql.Column =
+    array((0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col(hashCol), i * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
+
   def nearDupByPHash(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded search over 4 bands guarantees hamming <= 3, got $maxHamming")
-    val bandCols = (0 until 4).map(i =>
-      struct(lit(i).as("band"),
-        shiftright(col("phash"), i * 14).bitwiseAND(lit(16383L)).as("bv")))
     val keyed = hashes.select(col("asset_id"), col("phash"),
-        explode(array(bandCols: _*)).as("b"))
+        explode(bandStructs("phash")).as("b"))
       .select(col("asset_id"), col("phash"), col("b.band").as("band"),
         col("b.bv").as("bv"))
     keyed.select(col("band"), col("bv"), col("asset_id").as("asset_a"),
@@ -276,12 +284,9 @@ object Multimodal {
           .groupBy(col("asset_a"), col("asset_b"))
           .agg(count(lit(1)).as("n_matched"))
       else {
-        val bandCols = (0 until 4).map(i =>
-          struct(lit(i).as("band"),
-            shiftright(col("fhash"), i * 14).bitwiseAND(lit(16383L)).as("bv")))
         val keyed = pruned
           .select(col("asset_id"), col("fhash"),
-            explode(array(bandCols: _*)).as("b"))
+            explode(bandStructs("fhash")).as("b"))
           .select(col("asset_id"), col("fhash"), col("b.band").as("band"),
             col("b.bv").as("bv"))
         keyed.select(col("band"), col("bv"), col("asset_id").as("asset_a"),
@@ -498,12 +503,9 @@ object Multimodal {
       } else {
         def banded(df: DataFrame, idCol: String, hashOut: String,
                    nOut: String) = {
-          val bandCols = (0 until 4).map(i =>
-            struct(lit(i).as("band"),
-              shiftright(col("fhash"), i * 14).bitwiseAND(lit(16383L)).as("bv")))
           df.select(col("asset_id").as(idCol), col("fhash").as(hashOut),
               col("n_hashes").as(nOut),
-              explode(array(bandCols: _*)).as("b"))
+              explode(bandStructs("fhash")).as("b"))
             .select(col(idCol), col(hashOut), col(nOut),
               col("b.band").as("band"), col("b.bv").as("bv"))
         }

@@ -361,14 +361,19 @@ object Agg {
     * count — the same cost class as every other state rollup here.
     * Estimates pinned against [[cumulativeReach]] in SketchSpec.
     */
-  def reachFromThetaState(daily: DataFrame): DataFrame = {
+  def reachFromThetaState(daily: DataFrame,
+                          lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
+    : DataFrame = {
     val a = daily.select(col("event_type"), col("d"))
     val b = daily.select(col("event_type"), col("d").as("_d2"),
       col("visitor_theta"))
     a.join(b, Seq("event_type")).filter(col("_d2") <= col("d"))
       .groupBy(col("event_type"), col("d"))
+      // lgK must match the state's build precision (as typeSetAlgebra
+      // plumbs it) — a default union over high-lgK state would silently
+      // downsample every estimate to the default's variance
       .agg(graft.functions.ThetaSketch
-        .theta_union_agg(col("visitor_theta")).as("_sk"))
+        .theta_union_agg(col("visitor_theta"), lgK).as("_sk"))
       .select(col("event_type"), col("d"),
         graft.functions.ThetaSketch.theta_estimate(col("_sk"))
           .as("est_reach"))

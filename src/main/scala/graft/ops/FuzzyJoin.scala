@@ -57,6 +57,11 @@ object FuzzyJoin {
       .select(col("t"),
         explode(deletionVariants(col("t"), maxDist)).as("v"))
       .distinct()
+      // the deletion depth the index was BUILT with rides every row: a
+      // probe at a deeper maxDist than the index holds variants for
+      // would silently lose pairs, so the probe validates it (review
+      // finding — the scaladoc's exactness promise is k-bounded)
+      .withColumn("k", lit(maxDist))
 
   /** Delta-vs-index fuzzy probe: each delta name generates its own
     * variants and equi-joins the PERSISTED corpus index — the corpus is
@@ -70,6 +75,21 @@ object FuzzyJoin {
   def fuzzyAgainstIndex(index: DataFrame, delta: DataFrame,
                         nameCol: String, maxDist: Int = 1,
                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    // fail loudly on a too-shallow index: lev ≤ maxDist completeness
+    // needs corpus variants at depth ≥ maxDist (a k=1 index probed at
+    // maxDist=2 would silently drop pairs like abcd↔abxy whose only
+    // shared variant needs two corpus-side deletions). One 1-row agg
+    // over the index — bounded driver work, same class as a manifest
+    // read.
+    require(index.columns.contains("k"),
+      "fuzzyAgainstIndex: index lacks the depth column k — rebuild it " +
+        "with variantIndexRows (round-11 format)")
+    val depth = index.agg(min(col("k"))).collect().head
+    if (!depth.isNullAt(0)) {
+      require(depth.getInt(0) >= maxDist,
+        s"fuzzyAgainstIndex: index depth ${depth.getInt(0)} < " +
+          s"maxDist $maxDist — rebuild the index at depth >= $maxDist")
+    }
     val dv = variantIndexRows(delta, nameCol, maxDist)
     val pruned =
       if (maxBucket == Int.MaxValue) index

@@ -9,22 +9,22 @@ import org.apache.spark.sql.functions._
   * know; the profiler tells you which rules to write.
   *
   * Output is long format, one row per profiled column: `col_name`,
-  * `n_rows`, `n_null`, `n_distinct`, `min_s`, `max_s`. Min/max are
-  * computed on the NATIVE type (so `9 < 10` for numerics) and cast to
-  * string afterwards for the uniform schema — cross-engine stable for
-  * integer and string columns (profile DOUBLE columns through an explicit
-  * rounding projection first; double→string formatting is not part of
-  * the parity contract).
+  * `n_rows`, `n_null`, `n_distinct`, `min_s`, `max_s` (plus the group
+  * column for [[profileBy]]). Min/max are computed on the NATIVE type
+  * (so `9 < 10` for numerics) and cast to string afterwards for the
+  * uniform schema — cross-engine stable for integer and string columns
+  * (profile DOUBLE columns through an explicit rounding projection
+  * first; double→string formatting is not part of the parity contract).
   *
-  * Scale posture: [[profile]] is ONE scan. The exact form's multiple
+  * Scale posture: one scan either way. The exact form's multiple
   * `COUNT(DISTINCT)`s make Catalyst plan an Expand (one duplicated row
   * per distinct-aggregate — ×cols input amplification before the
   * map-side partial dedup); that is the standard Spark plan and fine
   * into the low-terabyte range, but at 100 TB profile with
   * `exact = false`: `approx_count_distinct` (HLL++) keeps the single
   * no-Expand pass and every other statistic stays exact. ProfileSpec
-  * pins the approx form's distinct estimates within HLL rsd of the exact
-  * form; q137's registered twin is the q136 exact profile.
+  * pins the approx form's distinct estimates within HLL rsd of the
+  * exact form; q137's registered twin is the q136 exact profile.
   */
 object Profile {
 
@@ -32,12 +32,36 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String] = Nil,
               exact: Boolean = true): DataFrame = {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    profiled(df, None, cs, exact)
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
+  /** [[profile]] per stratum: the same statistics with one row per
+    * (group, column) — "is source X's doc_id range disjoint from source
+    * Y's", "which segment carries the nulls". Grouped instead of global,
+    * otherwise the identical single-aggregation + stack pivot.
+    */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                exact: Boolean = true): DataFrame = {
+    require(!cols.contains(groupCol),
+      s"profileBy: group column $groupCol cannot be profiled")
+    profiled(df, Some(groupCol), cols, exact)
+  }
+
+  /** The shared core: one (optionally grouped) aggregation of all four
+    * stats per column, pivoted long by a `stack()` generator over the
+    * one-row-per-group stats frame — never a second scan.
+    */
+  private def profiled(df: DataFrame, groupCol: Option[String],
+                       cs: Seq[String], exact: Boolean): DataFrame = {
     require(cs.nonEmpty, "profile: no columns")
     // the stack() pivot embeds column names in an expr string: backticks
     // would escape the quoting and quotes would corrupt the label
     // literal — refuse loudly rather than build a broken projection
-    cs.foreach(c => require(!c.contains("`") && !c.contains("'"),
-      s"profile: column name must not contain backticks/quotes: $c"))
+    (cs ++ groupCol).foreach(c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"profile: column name must not contain backticks/quotes: $c"))
     val nd: String => Column =
       if (exact) c => countDistinct(col(c))
       else c => approx_count_distinct(col(c))
@@ -45,51 +69,18 @@ object Profile {
       Seq(count(col(c)).as(s"nn_$c"), nd(c).as(s"nd_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val stats = groupCol match {
+      case Some(g) => df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // stack() pivots the single stats row to long format — a generator
-    // over ONE row, no second scan.
     val stacked = cs.map(c => s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`")
       .mkString(", ")
-    one.select(col("n_rows"),
+    stats.select(groupCol.map(col).toSeq ++ Seq(col("n_rows"),
       expr(s"stack(${cs.size}, $stacked) AS " +
-        "(col_name, n_non_null, n_distinct, min_s, max_s)"))
-      .select(col("col_name"), col("n_rows"),
+        "(col_name, n_non_null, n_distinct, min_s, max_s)")): _*)
+      .select(groupCol.map(col).toSeq ++ Seq(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_non_null")).as("n_null"),
-        col("n_distinct"), col("min_s"), col("max_s"))
-  }
-
-  /** [[profile]] per stratum: the same statistics with one row per
-    * (group, column) — "is source X's doc_id range disjoint from source
-    * Y's", "which segment carries the nulls". Still one declared
-    * aggregation (grouped instead of global) + the same one-row-per-group
-    * stack pivot; the exact form's Expand amplification and the
-    * `exact = false` escape apply unchanged.
-    */
-  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
-                exact: Boolean = true): DataFrame = {
-    require(cols.nonEmpty, "profileBy: no columns")
-    require(!cols.contains(groupCol),
-      s"profileBy: group column $groupCol cannot be profiled")
-    (cols :+ groupCol).foreach(c =>
-      require(!c.contains("`") && !c.contains("'"),
-        s"profileBy: column name must not contain backticks/quotes: $c"))
-    val nd: String => Column =
-      if (exact) c => countDistinct(col(c))
-      else c => approx_count_distinct(col(c))
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"), nd(c).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
-    } :+ count(lit(1)).as("n_rows")
-    val per = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c => s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`")
-      .mkString(", ")
-    per.select(col(groupCol), col("n_rows"),
-      expr(s"stack(${cols.size}, $stacked) AS " +
-        "(col_name, n_non_null, n_distinct, min_s, max_s)"))
-      .select(col(groupCol), col("col_name"), col("n_rows"),
-        (col("n_rows") - col("n_non_null")).as("n_null"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+        col("n_distinct"), col("min_s"), col("max_s")): _*)
   }
 }

@@ -322,22 +322,52 @@ object EventsStream {
     * by one checkpoint lineage: batch ids restart at 0 under a fresh
     * checkpoint, so never point a new checkpoint at old state.
     */
-  def histStateQuery(spark: SparkSession, events: DataFrame,
-                     stateDir: String, checkpointDir: String,
-                     width: Double = 1.0): StreamingQuery =
+  /** Shared commit protocol of the sketch-state family (hist / freq /
+    * kll / theta): one PARTITION DIRECTORY per micro-batch
+    * (`batch_id=N`), committed by an atomic filesystem rename.
+    *
+    * Two failure modes of the old per-row append this closes (round-11
+    * review findings):
+    * - ATOMICITY: `mode("append")` could crash after SOME part files
+    *   landed; the batch-id guard then saw the partial rows on replay
+    *   and skipped the batch FOREVER — silent partial state. Here rows
+    *   land in a hidden `.tmp-N` directory (invisible to readers), and
+    *   only the rename publishes them: a crash mid-write leaves only
+    *   the tmp, so the replayed trigger rewrites and commits.
+    * - GUARD COST: the replay check was a scan of the WHOLE state table
+    *   per trigger (grows with stream history); a partition-directory
+    *   existence test is O(1) at any history length.
+    *
+    * Consumers are unchanged: `spark.read.parquet(stateDir)` discovers
+    * `batch_id` as a partition column riding the directory names.
+    */
+  private def guardedStateQuery(spark: SparkSession, events: DataFrame,
+                                stateDir: String, checkpointDir: String)
+      (build: DataFrame => DataFrame): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
-          !spark.read.parquet(stateDir)
-            .filter(col("batch_id") === batchId).isEmpty
-        if (!replay)
-          graft.ops.Agg.dailyValueHist(batch, width)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(stateDir)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val committed =
+          new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
+        if (!fs.exists(committed)) {
+          val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-$batchId")
+          build(batch).write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, committed))
+            throw new IllegalStateException(
+              s"state commit rename failed: $tmp -> $committed")
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  def histStateQuery(spark: SparkSession, events: DataFrame,
+                     stateDir: String, checkpointDir: String,
+                     width: Double = 1.0): StreamingQuery =
+    guardedStateQuery(spark, events, stateDir, checkpointDir)(
+      graft.ops.Agg.dailyValueHist(_, width))
 
   /** The frequency twin of [[histStateQuery]]: per-micro-batch
     * heavy-hitters sketch rows ([[graft.ops.Agg.dailyTopSketches]])
@@ -355,19 +385,8 @@ object EventsStream {
   def freqStateQuery(spark: SparkSession, events: DataFrame,
                      stateDir: String, checkpointDir: String,
                      maxMapSize: Int = 64): StreamingQuery =
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
-          !spark.read.parquet(stateDir)
-            .filter(col("batch_id") === batchId).isEmpty
-        if (!replay)
-          graft.ops.Agg.dailyTopSketches(batch, maxMapSize)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(stateDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    guardedStateQuery(spark, events, stateDir, checkpointDir)(
+      graft.ops.Agg.dailyTopSketches(_, maxMapSize))
 
   /** The quantile twin of [[freqStateQuery]], completing the streaming
     * sketch-state family (HLL: medallion dailySketches; heavy hitters:
@@ -392,19 +411,8 @@ object EventsStream {
   def kllStateQuery(spark: SparkSession, events: DataFrame,
                     stateDir: String, checkpointDir: String,
                     k: Int = 200): StreamingQuery =
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
-          !spark.read.parquet(stateDir)
-            .filter(col("batch_id") === batchId).isEmpty
-        if (!replay)
-          graft.ops.Agg.dailyQuantileSketches(batch, k)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(stateDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    guardedStateQuery(spark, events, stateDir, checkpointDir)(
+      graft.ops.Agg.dailyQuantileSketches(_, k))
 
   /** Stream-static point-in-time enrichment: the streaming twin of
     * [[graft.ops.Joins.pointInTimeJoin]] — each arriving event joins the
@@ -449,17 +457,6 @@ object EventsStream {
                       stateDir: String, checkpointDir: String,
                       lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
     : StreamingQuery =
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val replay = graft.sources.Tables.pathExists(spark, stateDir) &&
-          !spark.read.parquet(stateDir)
-            .filter(col("batch_id") === batchId).isEmpty
-        if (!replay)
-          graft.ops.Agg.dailyThetaSketches(batch, lgK)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(stateDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    guardedStateQuery(spark, events, stateDir, checkpointDir)(
+      graft.ops.Agg.dailyThetaSketches(_, lgK))
 }

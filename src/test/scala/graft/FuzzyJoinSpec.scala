@@ -83,6 +83,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!probe.exists(_._2 == "banana"))
   }
 
+  test("delta probe refuses an index shallower than the probe distance") {
+    // a k=1 index probed at maxDist=2 would silently drop pairs whose
+    // only shared variant needs two corpus-side deletions
+    val idx1 = FuzzyJoin.variantIndexRows(Seq("abcd").toDF("w"), "w",
+      maxDist = 1)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyAgainstIndex(idx1, Seq("abxy").toDF("w"), "w",
+        maxDist = 2).collect()
+    }
+    // and a deep-enough index finds the lev-2 pair
+    val idx2 = FuzzyJoin.variantIndexRows(Seq("abcd").toDF("w"), "w",
+      maxDist = 2)
+    val got = FuzzyJoin.fuzzyAgainstIndex(idx2, Seq("abxy").toDF("w"), "w",
+      maxDist = 2).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("abcd", "abxy")))
+  }
+
   test("variant index: append of disjoint term batches == full rebuild") {
     val b1 = Seq("kitten", "mitten").toDF("w")
     val b2 = Seq("orange", "oranje").toDF("w")

@@ -334,7 +334,9 @@ class StreamingSpec extends SparkSpec {
     def img(tag: String): Map[(String, java.sql.Date, Long), Seq[Byte]] =
       spark.read.parquet(s"$root/state-$tag").collect()
         .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d"),
-          r.getAs[Long]("batch_id")) ->
+          // batch_id is a PARTITION column since the atomic-commit
+          // layout — integer-inferred, so read it number-agnostically
+          r.getAs[Number]("batch_id").longValue()) ->
           r.getAs[Array[Byte]]("visitor_theta").toSeq).toMap
     val first = img("a")
     assert(first.keys.map(_._3).toSet.size >= 3,
