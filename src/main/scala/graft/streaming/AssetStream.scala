@@ -42,38 +42,51 @@ import graft.multimodal.Multimodal
   */
 object AssetStream {
 
-  /** One micro-batch through the gauntlet; exposed for tests. Order
-    * matters, exactly as in VectorStream: the replay guard first (a
-    * replayed batch must not pay the pair step), internal dedup before
-    * the corpus probe (two in-batch dups cost one probe).
+  /** The shared micro-batch gauntlet, parameterized by modality (the
+    * in-batch pair generator and the delta-vs-index probe are the ONLY
+    * things video and audio disagree on). Order matters, exactly as in
+    * VectorStream: the replay guard first (a replayed batch must not
+    * pay the pair step), internal dedup before the corpus probe (two
+    * in-batch dups cost one probe) — keeping the idempotence-critical
+    * ordering in ONE place instead of two hand-mirrored copies
+    * (round-11 review finding).
     */
-  private[graft] def dedupBatch(spark: SparkSession, frames: DataFrame,
-                                indexDir: String, minOverlap: Double,
-                                maxAssetsPerHash: Int,
-                                nBuckets: Int): DataFrame = {
-    val rows = Multimodal.frameIndexRows(frames).localCheckpoint()
-    val newRows = rows
-      .join(Multimodal.indexedAssets(spark, indexDir, rows, nBuckets),
+  private def dedupGauntlet(spark: SparkSession, rows: DataFrame,
+                            indexDir: String, nBuckets: Int)
+      (pairsOf: DataFrame => DataFrame)
+      (probe: DataFrame => DataFrame): DataFrame = {
+    val r = rows.localCheckpoint()
+    val newRows = r
+      .join(Multimodal.indexedAssets(spark, indexDir, r, nBuckets),
         Seq("asset_id"), "left_anti")
       .localCheckpoint()
     // in-batch near-dup: pairs → components → min-asset survivor (the
     // transitive chain a~b~c must keep ONE asset, not drop b twice and
     // keep both ends — the same argument as text/vector dedup)
-    val pairs = Multimodal.videoNearDup(newRows, minOverlap,
-      maxAssetsPerHash)
     val losers = graft.text.TextDedup.dedupClusters(
-        pairs.select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
+        pairsOf(newRows)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("asset_id"))
     val internal = newRows.join(losers, Seq("asset_id"), "left_anti")
     // corpus precedence: a batch asset near-dupping an indexed asset is
     // dropped (the index never loses to an arrival)
-    val matched = Multimodal.videoNearDupAgainstIndex(
-        Multimodal.readFrameIndex(spark, indexDir), internal,
-        minOverlap, maxAssetsPerHash)
+    val matched = probe(internal)
       .select(col("asset_b").as("asset_id")).distinct()
     internal.join(matched, Seq("asset_id"), "left_anti")
   }
+
+  /** One frame micro-batch through the gauntlet; exposed for tests. */
+  private[graft] def dedupBatch(spark: SparkSession, frames: DataFrame,
+                                indexDir: String, minOverlap: Double,
+                                maxAssetsPerHash: Int,
+                                nBuckets: Int): DataFrame =
+    dedupGauntlet(spark, Multimodal.frameIndexRows(frames), indexDir,
+      nBuckets)(
+      Multimodal.videoNearDup(_, minOverlap, maxAssetsPerHash))(
+      Multimodal.videoNearDupAgainstIndex(
+        Multimodal.readFrameIndex(spark, indexDir), _,
+        minOverlap, maxAssetsPerHash))
 
   /** Start the ingestion stream: parquet frame batches in `srcDir` →
     * deduped index rows appended into `indexDir`. `Trigger.AvailableNow`
@@ -105,24 +118,13 @@ object AssetStream {
   private[graft] def dedupAudioBatch(spark: SparkSession, windows: DataFrame,
                                      indexDir: String, minVotes: Int,
                                      maxAssetsPerFp: Int,
-                                     nBuckets: Int): DataFrame = {
-    val rows = Multimodal.audioIndexRows(windows).localCheckpoint()
-    val newRows = rows
-      .join(Multimodal.indexedAssets(spark, indexDir, rows, nBuckets),
-        Seq("asset_id"), "left_anti")
-      .localCheckpoint()
-    val pairs = Multimodal.audioNearDup(newRows, minVotes, maxAssetsPerFp)
-    val losers = graft.text.TextDedup.dedupClusters(
-        pairs.select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b")))
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("asset_id"))
-    val internal = newRows.join(losers, Seq("asset_id"), "left_anti")
-    val matched = Multimodal.audioNearDupAgainstIndex(
-        Multimodal.readAudioIndex(spark, indexDir), internal,
-        minVotes, maxAssetsPerFp)
-      .select(col("asset_b").as("asset_id")).distinct()
-    internal.join(matched, Seq("asset_id"), "left_anti")
-  }
+                                     nBuckets: Int): DataFrame =
+    dedupGauntlet(spark, Multimodal.audioIndexRows(windows), indexDir,
+      nBuckets)(
+      Multimodal.audioNearDup(_, minVotes, maxAssetsPerFp))(
+      Multimodal.audioNearDupAgainstIndex(
+        Multimodal.readAudioIndex(spark, indexDir), _,
+        minVotes, maxAssetsPerFp))
 
   /** Audio twin of [[ingestQuery]]: sub-fingerprint window batches →
     * deduped [[Multimodal.audioIndexRows]] appended into the
