@@ -42,6 +42,43 @@ object Compaction {
     Upsert.overwritePartitions(delta, tablePath, Seq(partitionCol))
   }
 
+  /** Compact EVERY partition of a partition-column-keyed table to one
+    * file each — the maintenance move the streaming-append indexes need
+    * (frame/audio `ab` buckets, fuzzy-name `tb` buckets, IVF `list`
+    * dirs): each micro-batch of an ingest stream appends one small file
+    * per touched bucket, so a long-lived stream accretes thousands of
+    * files per bucket and probe-time scheduling decays (round-11 review
+    * finding). One shuffle keyed by the partition column lands each
+    * bucket's rows in one task → one output file per bucket, written
+    * through dynamic partition overwrite so the swap is per-partition,
+    * with the rows pinned in memory first (the overwrite deletes the
+    * very files being read).
+    *
+    * SINGLE-WRITER CONTRACT: a compaction must not race a concurrent
+    * `foreachBatch` append into the same dir — dynamic overwrite
+    * replaces each partition wholesale, so an append that commits
+    * between this read and the overwrite would be silently erased. All
+    * ingest streams here run `Trigger.AvailableNow` (drain-and-stop);
+    * run compaction between drains, exactly like the other maintenance
+    * passes ([[ZOrder]] rewrites, SkipIndex [[graft.maintenance.SkipIndex.write]]).
+    * A continuously-triggered deployment must pause the stream for the
+    * compaction window. Probe results, replay-guard recognition, and
+    * sidecar metadata are all unchanged by compaction
+    * (AssetStreamSpec-pinned); sidecars (`_FUZZY_META` etc.) live at the
+    * root, which dynamic overwrite never deletes.
+    */
+  def compactPartitioned(spark: SparkSession, tablePath: String,
+                         partitionCol: String): Unit = {
+    val df = spark.read.parquet(tablePath)
+      .repartition(col(partitionCol))
+      .localCheckpoint(true)
+    Upsert.overwritePartitions(df, tablePath, Seq(partitionCol))
+    // Same-session readers hold a cached file listing for this path; the
+    // overwrite just deleted every file it knew. Invalidate here so the
+    // next plan re-lists instead of failing with FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(tablePath)
+  }
+
   /** File count for a table or partition dir (the signal a maintenance
     * scheduler watches). Goes through the path's Hadoop FileSystem so the
     * same scheduler logic works on file://, hdfs:// and s3a://.

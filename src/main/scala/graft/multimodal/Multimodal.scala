@@ -567,9 +567,17 @@ object Multimodal {
     * (> `maxAssetsPerFp` assets ⇒ dropped: silence windows are audio's
     * stopwords), then a two-level aggregate (votes per (pair, dt), max
     * per pair) that shuffles once on the pair key.
+    *
+    * `maxHamming > 0` (needs a NUMERIC 32-bit fp) switches window
+    * matching to the width-aware banded recipe — real spectral landmarks
+    * tolerate single-bit flips that identity matching silently loses as
+    * votes, exactly as the video path's round-11 switch: 4 bands of 8
+    * bits, pigeonhole-complete for hamming <= 3, exact popcount verify
+    * (banded ≡ brute-force spec-pinned at d ∈ {0, 2, 3}).
     */
   def audioNearDup(fingerprints: DataFrame, minVotes: Int = 4,
-                   maxAssetsPerFp: Int = 64): DataFrame = {
+                   maxAssetsPerFp: Int = 64, maxHamming: Int = 0): DataFrame = {
+    requireTolerantAudioFp(fingerprints, maxHamming)
     // Same sharing shape as [[videoNearDup]]: materialize the distinct
     // window set once for its four consumers.
     val distinctFp = fingerprints
@@ -580,27 +588,116 @@ object Multimodal {
       .filter(col("n_assets") > maxAssetsPerFp)
       .select(col("fp"))
     val pruned = distinctFp.join(stopFps, Seq("fp"), "left_anti")
-    pruned.select(col("fp"), col("asset_id").as("asset_a"),
-        col("window_index").as("w_a"))
-      .join(pruned.select(col("fp"), col("asset_id").as("asset_b"),
-        col("window_index").as("w_b")), Seq("fp"))
-      .filter(col("asset_a") < col("asset_b"))
+    val matched =
+      if (maxHamming == 0)
+        pruned.select(col("fp"), col("asset_id").as("asset_a"),
+            col("window_index").as("w_a"))
+          .join(pruned.select(col("fp"), col("asset_id").as("asset_b"),
+            col("window_index").as("w_b")), Seq("fp"))
+          .filter(col("asset_a") < col("asset_b"))
+          .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
+      else {
+        // Tolerant path — the q119 band algebra at 32 bits: 4 bands of
+        // 8, pigeonhole-complete for hamming <= 3 (banded ≡ brute-force
+        // spec-pinned at d ∈ {0, 2, 3}), exact popcount verify per
+        // candidate. The stop-fp guard applies BEFORE banding, on
+        // exact-value popularity — silence is hot as a VALUE, and
+        // dropping it there keeps it out of every band bucket too.
+        val keyed = pruned
+          .select(col("asset_id"), col("window_index"), col("fp"),
+            explode(audioBandStructs("fp")).as("b"))
+          .select(col("asset_id"), col("window_index"), col("fp"),
+            col("b.band").as("band"), col("b.bv").as("bv"))
+        keyed.select(col("band"), col("bv"), col("asset_id").as("asset_a"),
+            col("window_index").as("w_a"), col("fp").as("fp_a"))
+          .join(keyed.select(col("band"), col("bv"),
+            col("asset_id").as("asset_b"), col("window_index").as("w_b"),
+            col("fp").as("fp_b")), Seq("band", "bv"))
+          .filter(col("asset_a") < col("asset_b"))
+          .select(col("asset_a"), col("w_a"), col("fp_a"),
+            col("asset_b"), col("w_b"), col("fp_b"))
+          .distinct()
+          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            <= maxHamming)
+          .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
+      }
+    bestAlignment(matched, minVotes)
+  }
+
+  /** 32-bit audio sub-fingerprints banded as 4 × 8 bits — the
+    * [[bandStructs]] recipe rescaled from 56-bit frame hashes. One
+    * definition shared by the batch and delta tolerant matchers so a
+    * band-width change can never diverge them.
+    */
+  private def audioBandStructs(fpCol: String): org.apache.spark.sql.Column =
+    array((0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col(fpCol), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*)
+
+  private def requireTolerantAudioFp(df: DataFrame, maxHamming: Int): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded audio matching over 4 bands guarantees hamming <= 3, " +
+        s"got $maxHamming")
+    if (maxHamming > 0) {
+      val ft = df.schema("fp").dataType
+      require(ft == org.apache.spark.sql.types.LongType ||
+          ft == org.apache.spark.sql.types.IntegerType,
+        s"tolerant (hamming <= $maxHamming) audio matching needs a " +
+          "numeric 32-bit sub-fingerprint (e.g. conv(hex, 16, 10)) — " +
+          s"got $ft; identity string fingerprints carry no bit geometry " +
+          "to band over, use maxHamming = 0 for them")
+    }
+  }
+
+  /** The two-level vote aggregate every audio matcher shares: matched
+    * window pairs (asset_a, w_a, asset_b, w_b) → votes per (pair, dt =
+    * w_a − w_b) → the best single alignment per pair. best_dt reports
+    * the winning alignment (b's timeline shifted by best_dt windows
+    * lines up with a's — what a clip-merge consumer needs); vote ties
+    * break to the SMALLEST dt so the result is deterministic: max over
+    * (votes, -dt) lexicographically. One definition for the identity,
+    * banded, and delta-probe paths — the scoring rule cannot diverge
+    * between them.
+    */
+  private def bestAlignment(matched: DataFrame, minVotes: Int): DataFrame =
+    matched
       .groupBy(col("asset_a"), col("asset_b"),
         (col("w_a") - col("w_b")).as("dt"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("asset_a"), col("asset_b"))
       .agg(max(col("votes")).as("best_votes"),
         sum(col("votes")).as("n_matched"),
-        // the winning alignment itself (b's timeline shifted by best_dt
-        // windows lines up with a's) — what a clip-merge consumer needs;
-        // vote ties break to the SMALLEST dt so the result is
-        // deterministic: max over (votes, -dt) lexicographically.
         (lit(-1L) * max(struct(col("votes"),
           (lit(-1L) * col("dt")).as("neg_dt"))).getField("neg_dt"))
           .as("best_dt"))
       .filter(col("best_votes") >= minVotes)
       .select(col("asset_a"), col("asset_b"), col("best_votes"),
         col("best_dt"), col("n_matched"))
+
+  /** Brute-force twin of the banded audio path — all-pairs over distinct
+    * (asset, window, fp) rows with the popcount filter; the spec oracle
+    * for the pigeonhole-completeness claim at d <= 3 (numeric fp only).
+    * Never point it at a real corpus.
+    */
+  private[graft] def audioNearDupExact(fingerprints: DataFrame,
+                                       minVotes: Int, maxAssetsPerFp: Int,
+                                       maxHamming: Int): DataFrame = {
+    val distinctFp = fingerprints
+      .select(col("asset_id"), col("window_index"), col("fp")).distinct()
+      .localCheckpoint()
+    val stopFps = distinctFp.groupBy(col("fp"))
+      .agg(countDistinct(col("asset_id")).as("n_assets"))
+      .filter(col("n_assets") > maxAssetsPerFp)
+      .select(col("fp"))
+    val pruned = distinctFp.join(stopFps, Seq("fp"), "left_anti")
+    val matched = pruned.select(col("asset_id").as("asset_a"),
+        col("window_index").as("w_a"), col("fp").as("fp_a"))
+      .crossJoin(pruned.select(col("asset_id").as("asset_b"),
+        col("window_index").as("w_b"), col("fp").as("fp_b")))
+      .filter(col("asset_a") < col("asset_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
+    bestAlignment(matched, minVotes)
   }
 
   /** Audio twin of [[frameIndexRows]]: persisted sub-fingerprint
@@ -636,29 +733,50 @@ object Multimodal {
     */
   def audioNearDupAgainstIndex(index: DataFrame, delta: DataFrame,
                                minVotes: Int = 4,
-                               maxAssetsPerFp: Int = 64): DataFrame = {
+                               maxAssetsPerFp: Int = 64,
+                               maxHamming: Int = 0): DataFrame = {
+    requireTolerantAudioFp(delta, maxHamming)
     val stopFps = index.groupBy(col("fp"))
       .agg(countDistinct(col("asset_id")).as("n_assets"))
       .filter(col("n_assets") > maxAssetsPerFp)
       .select(col("fp"))
     val prunedIdx = index.join(broadcast(stopFps), Seq("fp"), "left_anti")
-    val probe = broadcast(delta.select(col("fp"),
-      col("asset_id").as("asset_b"), col("window_index").as("w_b")))
-    prunedIdx
-      .join(probe, Seq("fp"))
-      .filter(col("asset_id") =!= col("asset_b"))
-      .groupBy(col("asset_id").as("asset_a"), col("asset_b"),
-        (col("window_index") - col("w_b")).as("dt"))
-      .agg(count(lit(1)).as("votes"))
-      .groupBy(col("asset_a"), col("asset_b"))
-      .agg(max(col("votes")).as("best_votes"),
-        sum(col("votes")).as("n_matched"),
-        (lit(-1L) * max(struct(col("votes"),
-          (lit(-1L) * col("dt")).as("neg_dt"))).getField("neg_dt"))
-          .as("best_dt"))
-      .filter(col("best_votes") >= minVotes)
-      .select(col("asset_a"), col("asset_b"), col("best_votes"),
-        col("best_dt"), col("n_matched"))
+    val matched =
+      if (maxHamming == 0)
+        prunedIdx
+          .join(broadcast(delta.select(col("fp"),
+            col("asset_id").as("asset_b"), col("window_index").as("w_b"))),
+            Seq("fp"))
+          .filter(col("asset_id") =!= col("asset_b"))
+          .select(col("asset_id").as("asset_a"),
+            col("window_index").as("w_a"), col("asset_b"), col("w_b"))
+      else {
+        // Banded probe: the delta's band keys broadcast WITH it, the
+        // index explodes its 4 bands map-side against each partition —
+        // still scanned once, never shuffled; only the matched candidate
+        // rows pay the dedup + popcount verify before voting.
+        val ikeyed = prunedIdx
+          .select(col("asset_id"), col("window_index"), col("fp"),
+            explode(audioBandStructs("fp")).as("b"))
+          .select(col("asset_id").as("asset_a"),
+            col("window_index").as("w_a"), col("fp").as("fp_a"),
+            col("b.band").as("band"), col("b.bv").as("bv"))
+        val dkeyed = delta
+          .select(col("asset_id"), col("window_index"), col("fp"),
+            explode(audioBandStructs("fp")).as("b"))
+          .select(col("asset_id").as("asset_b"),
+            col("window_index").as("w_b"), col("fp").as("fp_b"),
+            col("b.band").as("band"), col("b.bv").as("bv"))
+        ikeyed.join(broadcast(dkeyed), Seq("band", "bv"))
+          .filter(col("asset_a") =!= col("asset_b"))
+          .select(col("asset_a"), col("w_a"), col("fp_a"),
+            col("asset_b"), col("w_b"), col("fp_b"))
+          .distinct()
+          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            <= maxHamming)
+          .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
+      }
+    bestAlignment(matched, minVotes)
   }
 
   /** Resize stub: metadata-level resize plan (target dims per asset) — the

@@ -268,8 +268,12 @@ object Agg {
     * overlap 5% or 50%", not for billing.
     */
   def typeOverlapSketch(daily: DataFrame): DataFrame = {
+    // No persist: the merged frame is types-count rows and trivially
+    // recomputable for the cross join's two sides — a persist here would
+    // leak cached blocks for the session's lifetime (nothing can
+    // unpersist after the lazy result is materialized; round-11 advice).
     val merged = daily.groupBy(col("event_type"))
-      .agg(hll_union_agg(col("visitor_sketch")).as("_sk")).persist()
+      .agg(hll_union_agg(col("visitor_sketch")).as("_sk"))
     val a = merged.select(col("event_type").as("type_a"), col("_sk").as("_sk_a"))
     val b = merged.select(col("event_type").as("type_b"), col("_sk").as("_sk_b"))
     a.crossJoin(b).filter(col("type_a") < col("type_b"))
@@ -308,8 +312,9 @@ object Agg {
                      lgK: Int = graft.functions.ThetaSketch.DefaultLgK)
     : DataFrame = {
     import graft.functions.ThetaSketch._
+    // No persist — same leak argument as typeOverlapSketch.
     val merged = daily.groupBy(col("event_type"))
-      .agg(theta_union_agg(col("visitor_theta"), lgK).as("_sk")).persist()
+      .agg(theta_union_agg(col("visitor_theta"), lgK).as("_sk"))
     val a = merged.select(col("event_type").as("type_a"), col("_sk").as("_sk_a"))
     val b = merged.select(col("event_type").as("type_b"), col("_sk").as("_sk_b"))
     a.crossJoin(b).filter(col("type_a") < col("type_b"))

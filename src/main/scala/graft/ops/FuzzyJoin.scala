@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy (edit-distance) self-join via deletion-neighborhood blocking —
@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * shares a cooler variant); the default keeps every variant so the
   * output is EXACT lev ≤ k semantics (q140's oracle is the plain n²
   * levenshtein join, algorithm-free).
+  *
+  * The PERSISTED index ([[writeVariantIndex]]) is the entity-resolution
+  * member of the engine's delta-vs-index family (text q83, vectors q93,
+  * frames q132, audio q133; names q144): `tb`-bucket-partitioned by term
+  * hash so the overlap-safe [[appendVariantIndex]] and the streaming
+  * replay guard read only the buckets a batch touches, with the build
+  * depth in a `_FUZZY_META` sidecar so a probe never scans the index to
+  * learn it.
   */
 object FuzzyJoin {
 
@@ -43,13 +51,15 @@ object FuzzyJoin {
       array_union(array(v), deletions(v)))))
   }
 
-  /** Persistable variant-index rows for a name corpus: distinct
-    * (t, v) pairs, one per term × deletion variant — the entity-resolution
-    * member of the engine's delta-vs-index family (text q83, vectors q93,
-    * frames q132, audio q133). Appendable batch-by-batch for DISJOINT
-    * term batches (append ≡ full rebuild, FuzzyJoinSpec-pinned); a shared
-    * term across batches would duplicate its rows — route appends through
-    * a term-level anti-join if batches can overlap.
+  /** Variant-index rows for a name corpus: distinct (t, v) pairs, one per
+    * term × deletion variant, with the build depth `k` riding every row
+    * (a probe deeper than the index would silently lose pairs, so probes
+    * validate it — from the `_FUZZY_META` sidecar on the persisted dir
+    * form, or from this column on a bare DataFrame). Raw rows are only
+    * append-identical for DISJOINT term batches; the persisted-dir path
+    * routes every append through [[appendVariantIndex]]'s term-level
+    * anti-join, which makes OVERLAPPING batches safe too (append ≡ full
+    * rebuild, FuzzyJoinSpec-pinned both ways).
     */
   def variantIndexRows(names: DataFrame, nameCol: String,
                        maxDist: Int = 1): DataFrame =
@@ -57,45 +67,121 @@ object FuzzyJoin {
       .select(col("t"),
         explode(deletionVariants(col("t"), maxDist)).as("v"))
       .distinct()
-      // the deletion depth the index was BUILT with rides every row: a
-      // probe at a deeper maxDist than the index holds variants for
-      // would silently lose pairs, so the probe validates it (review
-      // finding — the scaladoc's exactness promise is k-bounded)
       .withColumn("k", lit(maxDist))
 
-  /** Delta-vs-index fuzzy probe: each delta name generates its own
-    * variants and equi-joins the PERSISTED corpus index — the corpus is
-    * never re-paired, the index never shuffled beyond the variant join.
-    * Output (name_a = corpus term, name_b = delta term, dist ≤ maxDist);
-    * sides are kept distinct, so no ordering constraint. The stop-variant
-    * guard reads corpus popularity from the index itself (> maxBucket
-    * terms per variant → dropped both sides, the usual visible-recall
-    * trade; default exact).
+  /** Sidecar carrying the index's build parameters (deletion depth k and
+    * term-bucket count) — underscore-named so parquet readers of the dir
+    * skip it. One tiny file: probes and appends read THIS, never an
+    * aggregation over the index (the depth is a build-time constant; an
+    * `agg(min("k"))` per probe is a full index scan at 100 TB — round-11
+    * review finding).
     */
-  def fuzzyAgainstIndex(index: DataFrame, delta: DataFrame,
-                        nameCol: String, maxDist: Int = 1,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    // fail loudly on a too-shallow index: lev ≤ maxDist completeness
-    // needs corpus variants at depth ≥ maxDist (a k=1 index probed at
-    // maxDist=2 would silently drop pairs like abcd↔abxy whose only
-    // shared variant needs two corpus-side deletions). One 1-row agg
-    // over the index — bounded driver work, same class as a manifest
-    // read.
-    require(index.columns.contains("k"),
-      "fuzzyAgainstIndex: index lacks the depth column k — rebuild it " +
-        "with variantIndexRows (round-11 format)")
-    val depth = index.agg(min(col("k"))).collect().head
-    if (!depth.isNullAt(0)) {
-      require(depth.getInt(0) >= maxDist,
-        s"fuzzyAgainstIndex: index depth ${depth.getInt(0)} < " +
-          s"maxDist $maxDist — rebuild the index at depth >= $maxDist")
-    }
+  private val MetaFile = "_FUZZY_META"
+
+  private def writeMeta(spark: SparkSession, dir: String, maxDist: Int,
+                        nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$maxDist\n$nBuckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (build depth k, term-bucket count) of a persisted variant index —
+    * one sidecar read, no index scan. Fails loudly on a pre-sidecar
+    * layout: rebuild with [[writeVariantIndex]].
+    */
+  def indexMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"fuzzy variant index at $dir lacks $MetaFile — rebuild it with " +
+        "FuzzyJoin.writeVariantIndex (round-12 format)")
+    val in = fs.open(p)
+    val lines =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").split("\n")
+      finally in.close()
+    (lines(0).trim.toInt, lines(1).trim.toInt)
+  }
+
+  private def withBucket(rows: DataFrame, nBuckets: Int): DataFrame =
+    rows.withColumn("tb",
+      pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int"))
+
+  /** Build the persisted variant index for a name corpus: [[variantIndexRows]]
+    * partitioned by `tb = pmod(xxhash64(t), nBuckets)` plus the
+    * `_FUZZY_META` sidecar. The bucket column exists for the append/replay
+    * guard ([[indexedTerms]]) — the same one-consumer rationale as the
+    * frame index's `ab` layout; probes drop it.
+    */
+  def writeVariantIndex(names: DataFrame, nameCol: String, dir: String,
+                        maxDist: Int = 1, nBuckets: Int = 64): Unit = {
+    val spark = names.sparkSession
+    withBucket(variantIndexRows(names, nameCol, maxDist), nBuckets)
+      .write.partitionBy("tb").mode("overwrite").parquet(dir)
+    writeMeta(spark, dir, maxDist, nBuckets)
+  }
+
+  /** The index without its layout column — what probes read. */
+  def readVariantIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("tb")
+
+  /** Terms from the index that collide with `terms` (a one-column `t`
+    * frame) — reads ONLY the `tb` buckets the incoming terms hash into
+    * (PartitionFilters; the candidate bucket list is bounded by nBuckets,
+    * collect-safe by construction), so the overlap/replay check is
+    * bounded by batch spread, not index size — the
+    * [[graft.multimodal.Multimodal.indexedAssets]] discipline re-keyed
+    * from asset ids to term hashes.
+    */
+  private[graft] def indexedTerms(spark: SparkSession, dir: String,
+                                  terms: DataFrame,
+                                  nBuckets: Int): DataFrame = {
+    val buckets = withBucket(terms, nBuckets)
+      .select(col("tb")).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(dir)
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+      .select(col("t")).distinct()
+  }
+
+  /** Overlap-safe append: only terms NOT already indexed generate rows, so
+    * a daily feed that re-sends yesterday's names (the normal case —
+    * review finding: real feeds DO overlap) cannot duplicate index rows,
+    * inflate variant-popularity counts, or spuriously trip the
+    * `maxBucket` guard. The anti-join reads only the buckets the batch
+    * hashes into; the variant build runs at the INDEX's depth (from the
+    * sidecar), keeping every row's completeness contract uniform.
+    * Append ≡ full rebuild over overlapping batches is FuzzyJoinSpec-pinned.
+    */
+  def appendVariantIndex(names: DataFrame, nameCol: String,
+                         dir: String): Unit = {
+    val spark = names.sparkSession
+    val (k, nBuckets) = indexMeta(spark, dir)
+    val terms = names.select(col(nameCol).cast("string").as("t")).distinct()
+    val fresh = terms.join(indexedTerms(spark, dir, terms, nBuckets),
+      Seq("t"), "left_anti")
+    withBucket(variantIndexRows(fresh, "t", k), nBuckets)
+      .write.partitionBy("tb").mode("append").parquet(dir)
+  }
+
+  /** The shared probe body: delta variants equi-join the corpus index —
+    * the corpus is never re-paired, the index never shuffled beyond the
+    * variant join. The stop-variant guard counts corpus popularity by
+    * DISTINCT term (`countDistinct(t)`), not rows, so duplicated rows —
+    * impossible via [[appendVariantIndex]], possible via a raw writer —
+    * can never push a variant over the cap and silently drop pairs.
+    */
+  private def probeCore(index: DataFrame, delta: DataFrame,
+                        nameCol: String, maxDist: Int,
+                        maxBucket: Int): DataFrame = {
     val dv = variantIndexRows(delta, nameCol, maxDist)
     val pruned =
       if (maxBucket == Int.MaxValue) index
       else {
         val hot = index.groupBy(col("v"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+          .agg(countDistinct(col("t")).as("_n"))
+          .filter(col("_n") > maxBucket)
           .select(col("v"))
         index.join(broadcast(hot), Seq("v"), "left_anti")
       }
@@ -108,9 +194,91 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Delta-vs-index fuzzy probe over the PERSISTED index: depth validated
+    * from the `_FUZZY_META` sidecar (no aggregation over the index — the
+    * probe plan touches index rows only through the variant equi-join).
+    * Output (name_a = corpus term, name_b = delta term, dist ≤ maxDist);
+    * sides are kept distinct, so no ordering constraint.
+    */
+  def fuzzyProbe(spark: SparkSession, indexDir: String, delta: DataFrame,
+                 nameCol: String, maxDist: Int = 1,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (k, _) = indexMeta(spark, indexDir)
+    require(k >= maxDist,
+      s"fuzzyProbe: index at $indexDir was built at depth $k < " +
+        s"maxDist $maxDist — lev <= $maxDist completeness needs corpus " +
+        s"variants at depth >= $maxDist; rebuild with writeVariantIndex")
+    probeCore(readVariantIndex(spark, indexDir), delta, nameCol, maxDist,
+      maxBucket)
+  }
+
+  /** [[fuzzyProbe]] for a bare in-memory index frame (no sidecar): the
+    * depth check falls back to a 1-row aggregation over the index's `k`
+    * column — bounded driver work, but a full index scan per call, so the
+    * persisted-dir form is the one to use against an at-rest corpus (a
+    * k=1 index probed at maxDist=2 would silently drop pairs like
+    * abcd↔abxy whose only shared variant needs two corpus-side deletions).
+    */
+  def fuzzyAgainstIndex(index: DataFrame, delta: DataFrame,
+                        nameCol: String, maxDist: Int = 1,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(index.columns.contains("k"),
+      "fuzzyAgainstIndex: index lacks the depth column k — rebuild it " +
+        "with variantIndexRows (round-11 format)")
+    val depth = index.agg(min(col("k"))).collect().head
+    if (!depth.isNullAt(0)) {
+      require(depth.getInt(0) >= maxDist,
+        s"fuzzyAgainstIndex: index depth ${depth.getInt(0)} < " +
+          s"maxDist $maxDist — rebuild the index at depth >= $maxDist")
+    }
+    probeCore(index.drop("k"), delta, nameCol, maxDist, maxBucket)
+  }
+
+  /** Record-linkage form: fuzzy name pairs WITHIN exact blocking keys —
+    * `lev(name_a, name_b) ≤ maxDist` AND equal `keyCols` (the classic
+    * composition: a cheap exact attribute narrows the candidate space
+    * before the expensive fuzzy comparison ever runs). Implemented by
+    * adding the keys to the variant equi-join — each deletion-variant
+    * bucket splits by key value, so the Σ_bucket n² bound TIGHTENS by
+    * the key's selectivity for free; no post-filter, the key rides the
+    * shuffle. Output (keyCols..., name_a < name_b, dist); distinct
+    * (name, keys) rows pair once, mirroring [[fuzzySelfJoin]].
+    */
+  def fuzzySelfJoinWithin(names: DataFrame, nameCol: String,
+                          keyCols: Seq[String], maxDist: Int = 1,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty,
+      "fuzzySelfJoinWithin: empty keyCols — use fuzzySelfJoin")
+    val terms = names
+      .select(col(nameCol).cast("string").as("t") +: keyCols.map(col): _*)
+      .distinct()
+    val v = terms.select(col("t") +: keyCols.map(col) :+
+      explode(deletionVariants(col("t"), maxDist)).as("v"): _*)
+    val joinKeys = "v" +: keyCols
+    val pruned =
+      if (maxBucket == Int.MaxValue) v
+      else {
+        val hot = v.groupBy(joinKeys.map(col): _*)
+          .agg(countDistinct(col("t")).as("_n"))
+          .filter(col("_n") > maxBucket)
+          .select(joinKeys.map(col): _*)
+        v.join(broadcast(hot), joinKeys, "left_anti")
+      }
+    pruned.as("a")
+      .join(pruned.as("b"), joinKeys)
+      .filter(col("a.t") < col("b.t"))
+      .select(keyCols.map(k => col(s"a.$k").as(k)) ++
+        Seq(col("a.t").as("name_a"), col("b.t").as("name_b")): _*)
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Distinct unordered pairs of distinct values of `nameCol` with
     * `lev ≤ maxDist`: (name_a < name_b, dist). `maxBucket < Int.MaxValue`
-    * trades exactness for bounded hot buckets (see object doc).
+    * trades exactness for bounded hot buckets (see object doc); its
+    * popularity count is by distinct term, matching the probe's.
     */
   def fuzzySelfJoin(names: DataFrame, nameCol: String, maxDist: Int = 1,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -121,7 +289,8 @@ object FuzzyJoin {
       if (maxBucket == Int.MaxValue) v
       else {
         val hot = v.groupBy(col("v"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+          .agg(countDistinct(col("t")).as("_n"))
+          .filter(col("_n") > maxBucket)
           .select(col("v"))
         v.join(broadcast(hot), Seq("v"), "left_anti")
       }

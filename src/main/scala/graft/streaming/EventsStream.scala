@@ -303,43 +303,47 @@ object EventsStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Quantile state as a continuously maintained table (the q98 pattern
-    * fed by a stream): each micro-batch appends its OWN per-(key, day)
-    * partial histograms to `stateDir`; because bucket-count merge is
-    * exactly lossless, [[graft.ops.Agg.histQuantile]] over the
-    * accumulated rows answers any percentile identically to one batch
-    * pass over all events, no matter how the stream was chopped into
-    * micro-batches (StreamingSpec asserts the equality). State growth is
-    * one row per (key, day, batch) — compact away with a periodic
-    * re-aggregation if batch cadence is high; estimates are unaffected
-    * at any compaction granularity, merge being lossless.
-    *
-    * Exactly-once: foreachBatch is at-least-once, and a replayed partial
-    * histogram would DOUBLE-COUNT its events — so a batch whose
-    * `batch_id` already exists in the state is skipped (one pushed-down
-    * probe of the state table per trigger; same recognition pattern as
-    * MedallionStream's quarantine sink). `stateDir` is therefore owned
-    * by one checkpoint lineage: batch ids restart at 0 under a fresh
-    * checkpoint, so never point a new checkpoint at old state.
-    */
   /** Shared commit protocol of the sketch-state family (hist / freq /
     * kll / theta): one PARTITION DIRECTORY per micro-batch
-    * (`batch_id=N`), committed by an atomic filesystem rename.
+    * (`batch_id=N`), staged in a hidden `.tmp-N` dir, published by a
+    * directory rename, and SEALED by a `_COMMITTED` marker file created
+    * after the rename.
     *
     * Two failure modes of the old per-row append this closes (round-11
     * review findings):
     * - ATOMICITY: `mode("append")` could crash after SOME part files
     *   landed; the batch-id guard then saw the partial rows on replay
     *   and skipped the batch FOREVER — silent partial state. Here rows
-    *   land in a hidden `.tmp-N` directory (invisible to readers), and
-    *   only the rename publishes them: a crash mid-write leaves only
-    *   the tmp, so the replayed trigger rewrites and commits.
+    *   land in the tmp dir (invisible to readers), the rename publishes
+    *   them, and the marker records that the publish COMPLETED.
     * - GUARD COST: the replay check was a scan of the WHOLE state table
-    *   per trigger (grows with stream history); a partition-directory
-    *   existence test is O(1) at any history length.
+    *   per trigger (grows with stream history); a marker existence test
+    *   is O(1) at any history length.
+    *
+    * The marker is what makes the protocol hold on OBJECT STORES
+    * (round-11 advice): S3A/GCS "rename" is a non-atomic copy+delete, so
+    * a crash mid-rename can leave a PARTIAL batch_id=N directory — a
+    * bare-directory existence guard would then skip the batch forever,
+    * the exact silent-partial-state mode the protocol exists to close.
+    * The guard therefore tests `batch_id=N/_COMMITTED` (written by a
+    * single-file create, atomic on every store), and a guard miss with a
+    * partial directory present DELETES and rewrites it. Readers between
+    * a mid-rename crash and its replayed repair can observe the partial
+    * partition — unavoidable without a reader-side manifest; the repair
+    * converges the state, and on HDFS/local (atomic rename) the window
+    * does not exist at all.
     *
     * Consumers are unchanged: `spark.read.parquet(stateDir)` discovers
-    * `batch_id` as a partition column riding the directory names.
+    * `batch_id` as a partition column riding the directory names and
+    * ignores the underscore-named marker.
+    *
+    * A `stateDir` written by the pre-round-11 per-row-append layout
+    * (part files at the ROOT, batch_id as a data column) is detected and
+    * refused on the first trigger: mixing root files with partition
+    * directories breaks Spark's partition discovery, and the old rows
+    * carry no directory for the guard to see — migrate by rewriting the
+    * old rows into `batch_id=N` directories (one-shot, any N not reused
+    * by the new checkpoint) before pointing the stream here.
     */
   private def guardedStateQuery(spark: SparkSession, events: DataFrame,
                                 stateDir: String, checkpointDir: String)
@@ -349,20 +353,50 @@ object EventsStream {
         val root = new org.apache.hadoop.fs.Path(stateDir)
         val fs = root.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val loose = fs.listStatus(root).filter(s =>
+            s.isFile && !s.getPath.getName.startsWith("_"))
+          require(loose.isEmpty,
+            s"state dir $stateDir holds loose data files at the root " +
+              s"(e.g. ${loose.head.getPath.getName}) — the pre-round-11 " +
+              "per-row-append layout. Migrate once by rewriting those " +
+              "rows into batch_id=N partition directories (with a " +
+              "_COMMITTED marker in each), then restart the stream.")
+        }
         val committed =
           new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
-        if (!fs.exists(committed)) {
+        val marker =
+          new org.apache.hadoop.fs.Path(committed, "_COMMITTED")
+        if (!fs.exists(marker)) {
+          // no marker + directory present = a crashed non-atomic rename
+          // published a partial partition: repair by rewriting it whole
+          if (fs.exists(committed)) fs.delete(committed, true)
           val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-$batchId")
           build(batch).write.mode("overwrite").parquet(tmp.toString)
           if (!fs.rename(tmp, committed))
             throw new IllegalStateException(
               s"state commit rename failed: $tmp -> $committed")
+          fs.create(marker, true).close()
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Quantile state as a continuously maintained table (the q98 pattern
+    * fed by a stream): each micro-batch commits its OWN per-(key, day)
+    * partial histograms as a `batch_id=N` partition of `stateDir` (the
+    * [[guardedStateQuery]] protocol); because bucket-count merge is
+    * exactly lossless, [[graft.ops.Agg.histQuantile]] over the
+    * accumulated rows answers any percentile identically to one batch
+    * pass over all events, no matter how the stream was chopped into
+    * micro-batches (StreamingSpec asserts the equality). State growth is
+    * one partition per batch — compact away with a periodic
+    * re-aggregation if batch cadence is high; estimates are unaffected
+    * at any compaction granularity, merge being lossless. `stateDir` is
+    * owned by ONE checkpoint lineage: batch ids restart at 0 under a
+    * fresh checkpoint, so never point a new checkpoint at old state.
+    */
   def histStateQuery(spark: SparkSession, events: DataFrame,
                      stateDir: String, checkpointDir: String,
                      width: Double = 1.0): StreamingQuery =

@@ -138,6 +138,56 @@ class AssetStreamSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(10L, 11L))
   }
 
+  test("compaction: probe results, replay guard, and appendability survive") {
+    import graft.maintenance.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-astream-c").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // seed + THREE streamed batches all hashing into bucket ab=1 (ids
+    // 1, 5, 9 mod 4): the accretion pattern that decays a long-lived
+    // index — each drain appends another file to the SAME bucket dir
+    Multimodal.writeFrameIndex(frames(
+      video(100L, (0 until 10).map(i => s"f$i"))), idx, nBuckets = 4)
+    Seq(1L, 5L, 9L).foreach { b =>
+      frames(video(b, (0 until 10).map(i => s"v${b}_$i")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/b$b")
+      AssetStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp$b", schema,
+        minOverlap = 0.5, nBuckets = 4).awaitTermination()
+    }
+    val before = Compaction.fileCount(spark, idx)
+    def probe() = Multimodal.videoNearDupAgainstIndex(
+        Multimodal.readFrameIndex(spark, idx),
+        Multimodal.frameIndexRows(
+          frames(video(999L, (0 until 9).map(i => s"v5_$i")))),
+        minOverlap = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def guard() = Multimodal.indexedAssets(spark, idx,
+        frames(video(5L, Seq("x"))), nBuckets = 4)
+      .as[Long].collect().toSet
+    val (probeBefore, guardBefore) = (probe(), guard())
+    assert(probeBefore.map(_._1) == Set(5L) && guardBefore.contains(5L))
+
+    // maintenance pass (between drains — the single-writer contract)
+    Compaction.compactPartitioned(spark, idx, "ab")
+    val after = Compaction.fileCount(spark, idx)
+    assert(after < before,
+      s"compaction must shrink the file count, got $before -> $after")
+    assert(probe() == probeBefore,
+      "probe results must be identical over the compacted index")
+    assert(guard() == guardBefore,
+      "the replay guard must still recognize indexed assets")
+    // and the stream keeps appending into the compacted layout: a replay
+    // appends nothing, a genuinely new asset still lands
+    frames(video(5L, (0 until 10).map(i => s"v5_$i")),
+        video(7L, (0 until 10).map(i => s"n$i")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/b9")
+    AssetStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp9", schema,
+      minOverlap = 0.5, nBuckets = 4).awaitTermination()
+    assert(spark.read.parquet(idx).select($"asset_id").distinct()
+      .as[Long].collect().toSet == Set(100L, 1L, 5L, 9L, 7L))
+  }
+
   test("replay-guard read is bucket-pruned (PartitionFilters on ab)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-astream-pp").toString
     val idx = s"$dir/idx"

@@ -113,6 +113,93 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(appended === full)
   }
 
+  test("blocked (record-linkage) form == brute force within each key") {
+    // same spellings in two blocks: cross-block pairs must vanish even
+    // at lev 0..1, in-block pairs must match the unblocked brute force
+    val recs = Seq(
+      ("kitten", 1), ("mitten", 1), ("kiten", 2), ("kitten", 2),
+      ("orange", 1), ("oranje", 2)).toDF("w", "g")
+    val got = FuzzyJoin.fuzzySelfJoinWithin(recs, "w", Seq("g"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    val brute = recs.select(col("w").as("name_a"), col("g")).distinct()
+      .join(recs.select(col("w").as("name_b"), col("g")).distinct(), Seq("g"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(got === brute)
+    // block 1 pairs kitten~mitten; block 2 pairs kiten~kitten; the
+    // cross-block kitten(1)~kiten(2) and orange(1)~oranje(2) are gone
+    assert(got === Set((1, "kitten", "mitten", 1), (2, "kiten", "kitten", 1)))
+  }
+
+  test("persisted index: OVERLAPPING appends == full rebuild (row-identical)") {
+    val b1 = Seq("kitten", "mitten", "orange").toDF("w")
+    // b2 re-sends kitten and orange — the daily-feed reality
+    val b2 = Seq("kitten", "orange", "oranje", "mutton").toDF("w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-o").toString
+    FuzzyJoin.writeVariantIndex(b1, "w", dir, nBuckets = 8)
+    FuzzyJoin.appendVariantIndex(b2, "w", dir)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-r").toString
+    FuzzyJoin.writeVariantIndex(b1.union(b2), "w", rebuilt, nBuckets = 8)
+    def rows(d: String) = FuzzyJoin.readVariantIndex(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows(dir).sorted === rows(rebuilt).sorted,
+      "overlap-appended index must equal the one-shot rebuild, with no " +
+        "duplicated rows")
+    assert(rows(dir).size === rows(dir).distinct.size)
+    // and a guarded probe over the appended index == over the rebuild
+    // (duplicated rows would inflate variant popularity and could trip
+    // maxBucket into dropping pairs — the silent-loss mode this closes)
+    val delta = Seq("kiten", "oranje2", "muton").toDF("w")
+    def probe(d: String) = FuzzyJoin.fuzzyProbe(spark, d, delta, "w",
+        maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(probe(dir) === probe(rebuilt))
+  }
+
+  test("probe depth comes from the sidecar, and a shallow index is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-m").toString
+    FuzzyJoin.writeVariantIndex(Seq("abcd").toDF("w"), "w", dir,
+      maxDist = 2, nBuckets = 4)
+    assert(FuzzyJoin.indexMeta(spark, dir) === ((2, 4)))
+    // the deep index answers a d=2 probe
+    val got = FuzzyJoin.fuzzyProbe(spark, dir, Seq("abxy").toDF("w"), "w",
+      maxDist = 2).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("abcd", "abxy")))
+    // overwrite the sidecar to claim depth 1: the probe must refuse from
+    // the SIDECAR alone — proving the depth source is the metadata read,
+    // not a scan of the index's k column (which still says 2)
+    val p = new org.apache.hadoop.fs.Path(dir, "_FUZZY_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("1\n4\n".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyProbe(spark, dir, Seq("abxy").toDF("w"), "w",
+        maxDist = 2)
+    }
+    // a pre-sidecar layout fails loudly too
+    fs.delete(p, false)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyProbe(spark, dir, Seq("abxy").toDF("w"), "w")
+    }
+  }
+
+  test("append's overlap check is bucket-pruned (PartitionFilters on tb)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-pp").toString
+    FuzzyJoin.writeVariantIndex(
+      (0 until 64).map(i => s"term$i").toDF("w"), "w", dir, nBuckets = 8)
+    val terms = Seq("term3", "newterm").toDF("t")
+    val guarded = FuzzyJoin.indexedTerms(spark, dir, terms, nBuckets = 8)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tb"),
+      s"overlap check must prune index buckets:\n${plan.take(1200)}")
+    assert(guarded.collect().map(_.getString(0)).contains("term3"))
+  }
+
   test("hot-bucket guard drops pairs only reachable through hot variants") {
     // "aa","ab",...: deleting one char maps many terms onto 1-char
     // variants; with maxBucket 2 those buckets vanish and only pairs

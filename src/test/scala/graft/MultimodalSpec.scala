@@ -347,6 +347,108 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("asset_a") < r.getAs[Long]("asset_b")))
   }
 
+  test("audioNearDup banded path equals brute-force at d in {0,2,3}") {
+    // synthetic NUMERIC 32-bit sub-fingerprints — the real spectral-
+    // landmark regime the banded switch exists for. 10 base tracks of 16
+    // random windows; track 100+i re-records track i with <=2 bits
+    // flipped per window (capture noise); track 200 is a 10-window clip
+    // of track 0 shifted +5 with exactly 3 bits flipped per window.
+    val rnd = new scala.util.Random(733)
+    val mask32 = (1L << 32) - 1
+    val base = (0 until 10).map(t =>
+      t.toLong -> Array.fill(16)(rnd.nextLong() & mask32))
+    def flip(h: Long, nBits: Int, r: scala.util.Random): Long = {
+      var out = h
+      (0 until nBits).foreach(_ => out ^= 1L << r.nextInt(32))
+      out
+    }
+    val noisy = base.take(5).map { case (t, ws) =>
+      (t + 100L) -> ws.map(w => flip(w, rnd.nextInt(3), rnd))
+    }
+    val clip = Seq(200L -> base.head._2.take(10).map { w =>
+      var out = w
+      Seq(2, 13, 29).foreach(b => out ^= 1L << b) // hamming exactly 3
+      out
+    })
+    val rows = (base ++ noisy).flatMap { case (t, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (t, i.toLong, w) }
+    } ++ clip.flatMap { case (t, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (t, i.toLong + 5L, w) }
+    }
+    val fps = rows.toDF("asset_id", "window_index", "fp")
+    Seq(0, 2, 3).foreach { d =>
+      val banded = Multimodal.audioNearDup(fps, minVotes = 4,
+          maxAssetsPerFp = 64, maxHamming = d)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val brute = Multimodal.audioNearDupExact(fps, minVotes = 4,
+          maxAssetsPerFp = 64, maxHamming = d)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(banded == brute, s"banded != brute-force at maxHamming=$d")
+      if (d >= 2) assert(banded.exists(p => p._1 < 100 && p._2 >= 100 && p._2 < 200),
+        s"noisy re-records must surface at d=$d")
+      if (d == 3) assert(banded.contains((0L, 200L, 10L, -5L, 10L)),
+        s"the 3-bit-flipped shifted clip must align at dt=-5, got $banded")
+      else assert(!banded.exists(_._2 == 200L),
+        s"hamming-3 clip must NOT surface at d=$d")
+    }
+    // identity matching LOSES the noisy votes the banded path recovers —
+    // the measured justification for the switch (vs relying on offset
+    // voting to absorb bit flips: it cannot, every corrupted window's
+    // vote is gone at identity)
+    val identity = Multimodal.audioNearDup(fps, minVotes = 4,
+      maxAssetsPerFp = 64, maxHamming = 0)
+    assert(!identity.collect().exists(r => r.getAs[Long]("asset_b") == 200L),
+      "identity matching must miss the every-window-corrupted clip")
+    // identity strings cannot be banded — actionable error, not wrong rows
+    val strFps = Seq((1L, 0L, "aabbccdd")).toDF("asset_id", "window_index", "fp")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.audioNearDup(strFps, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("numeric 32-bit"))
+    // the stop-fp guard survives the banded path: a fingerprint present
+    // in EVERY track dies on exact-value popularity before banding
+    val rnd2 = new scala.util.Random(51)
+    val stopRows = (0 until 10).map(t => (t.toLong, 0L, 99999L)) ++
+      (0 until 10).map(t => (t.toLong, 1L, rnd2.nextLong() & mask32))
+    val stopOut = Multimodal.audioNearDup(
+      stopRows.toDF("asset_id", "window_index", "fp"),
+      minVotes = 1, maxAssetsPerFp = 4, maxHamming = 2)
+    assert(stopOut.count() == 0, "stop-fp must be pruned before banding")
+  }
+
+  test("audio banded delta probe == banded batch run restricted to corpus x delta") {
+    val rnd = new scala.util.Random(911)
+    val mask32 = (1L << 32) - 1
+    val base = (0 until 8).map(t =>
+      t.toLong -> Array.fill(12)(rnd.nextLong() & mask32))
+    val noisy = base.take(4).map { case (t, ws) =>
+      (t + 100L) -> ws.map { w =>
+        var out = w
+        (0 until rnd.nextInt(3)).foreach(_ => out ^= 1L << rnd.nextInt(32))
+        out
+      }
+    } :+ (200L -> Array.fill(12)(rnd.nextLong() & mask32))
+    def wdf(vs: Seq[(Long, Array[Long])]) = vs.flatMap { case (t, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (t, i.toLong, w) }
+    }.toDF("asset_id", "window_index", "fp")
+    val noStop = 1 << 20
+    Seq(0, 2, 3).foreach { d =>
+      val probe = Multimodal.audioNearDupAgainstIndex(
+          Multimodal.audioIndexRows(wdf(base)),
+          Multimodal.audioIndexRows(wdf(noisy)),
+          minVotes = 4, maxAssetsPerFp = noStop, maxHamming = d)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val full = Multimodal.audioNearDup(wdf(base ++ noisy),
+          minVotes = 4, maxAssetsPerFp = noStop, maxHamming = d)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .filter(p => p._1 < 100 && p._2 >= 100).toSet
+      assert(probe == full,
+        s"banded probe != restricted banded batch run at maxHamming=$d")
+      if (d >= 2) assert(probe.nonEmpty,
+        s"noisy re-records must surface through the banded probe at d=$d")
+    }
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     assets.write.parquet(s"$dir/assets")

@@ -215,6 +215,62 @@ class StreamingSpec extends SparkSpec {
       "compaction must not move any quantile")
   }
 
+  test("state commit protocol: partial publishes are repaired, the old layout is refused") {
+    import graft.ops.Agg
+    val ev = Tables.load(spark, sf, "events")
+    // --- partial-publish repair: simulate a crash mid-NON-ATOMIC rename
+    // (the object-store mode): a batch_id=0 directory with data but NO
+    // _COMMITTED marker. The guard must rewrite it, not skip it forever.
+    val root = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    ev.filter(col("event_id") % 3 === 0)
+      .write.parquet(s"$root/src")
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.histStateQuery(spark, stream,
+        s"$root/state", cp, width = 2.0)
+      q.processAllAvailable(); q.stop()
+    }
+    // plant a PARTIAL batch_id=0: one impossible row, no marker
+    graft.ops.Agg.dailyValueHist(
+        ev.limit(1).withColumn("event_type", lit("_bogus")), width = 2.0)
+      .write.parquet(s"$root/state/batch_id=0")
+    run(s"$root/cp")
+    val state = spark.read.parquet(s"$root/state")
+      .filter(col("batch_id") === 0)
+    assert(state.filter(col("event_type") === "_bogus").count() == 0,
+      "the partial partition must be REWRITTEN from the batch, not kept")
+    assert(state.count() > 1)
+    // the repaired partition answers like a batch pass over the same rows
+    def q50(df: org.apache.spark.sql.DataFrame) =
+      Agg.histQuantile(df, q = 0.5, width = 2.0)
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(q50(spark.read.parquet(s"$root/state")) ==
+      q50(Agg.dailyValueHist(ev.filter(col("event_id") % 3 === 0),
+        width = 2.0)))
+    // a sealed batch is NOT rewritten on a fresh-checkpoint replay: the
+    // marker makes the guard O(1)-skip it
+    val sealedRows = spark.read.parquet(s"$root/state").count()
+    run(s"$root/cp2")
+    assert(spark.read.parquet(s"$root/state").count() == sealedRows,
+      "a marker-sealed batch must be skipped on replay")
+    // --- old per-row-append layout: loose root files → actionable refuse
+    val oldRoot = java.nio.file.Files.createTempDirectory("graft-ostream").toString
+    ev.filter(col("event_id") % 7 === 0).limit(5)
+      .write.parquet(s"$oldRoot/state") // loose part files at the root
+    ev.filter(col("event_id") % 3 === 0)
+      .write.parquet(s"$oldRoot/src")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$oldRoot/src")
+    val q = graft.streaming.EventsStream.histStateQuery(spark, stream,
+      s"$oldRoot/state", s"$oldRoot/cp", width = 2.0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("pre-round-11") ||
+      Option(e.getCause).exists(_.getMessage.contains("pre-round-11")),
+      s"old layout must fail actionably, got: ${e.getMessage.take(400)}")
+  }
+
   test("streaming freq state: heavy hitters hold their bounds and replay is a no-op") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-fstream").toString

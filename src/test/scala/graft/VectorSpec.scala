@@ -97,6 +97,24 @@ class VectorSpec extends SparkSpec {
     val si = Similarity.searchIvfIndex(spark, dirIncr, probes, 5, nProbe = 4)
     assert(sf.exceptAll(si).isEmpty && si.exceptAll(sf).isEmpty,
       "search over the appended index must be row-identical")
+    // list-dir maintenance: appends accrete delta-sized files into the
+    // touched list dirs; compaction (between appends — the single-writer
+    // contract) must change neither search results nor the stats ledger
+    import graft.maintenance.Compaction
+    val siRows = si.collect().toSet // pin: si's plan reads pre-compaction files
+    val statsBefore = Similarity.ivfListStats(spark, dirIncr)
+      .as[(Long, Long)].collect().toSet
+    val filesBefore = Compaction.fileCount(spark, s"$dirIncr/lists")
+    Compaction.compactPartitioned(spark, s"$dirIncr/lists", "list_id")
+    assert(Compaction.fileCount(spark, s"$dirIncr/lists") < filesBefore,
+      "compaction must shrink the lists' file count")
+    val scRows = Similarity.searchIvfIndex(spark, dirIncr, probes, 5,
+      nProbe = 4).collect().toSet
+    assert(scRows == siRows,
+      "search over the compacted index must be row-identical")
+    assert(Similarity.ivfListStats(spark, dirIncr)
+      .as[(Long, Long)].collect().toSet == statsBefore,
+      "compaction must not touch the list_stats ledger")
   }
 
   test("IVF at-rest index: nProbe extremes row-identical; full probe hits brute force") {
