@@ -795,6 +795,111 @@ object SparkEntry {
         weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1,
           "src3" -> 0.05, "src4" -> 0.025),
         tokenBudget = 20000)),
+    // F8 LM quality (CCNet recipe): bigram LM training — corpus-sized
+    // explode into a bigram-keyed partial+final count; the left-context
+    // total rides a vocab-partitioned window over the COUNT frame, never
+    // a second corpus scan. All-integer output, hash-exact.
+    "q153_lm_bigrams" -> ((s, dir) =>
+      graft.text.LangModel.bigramLm(t(s, dir, "documents"))),
+    // F8 LM quality: per-doc scoring sufficient statistics — the
+    // standard LM-join shape (exploded corpus sort-merge-joined to the
+    // model by bigram, unigram join for the smoothing fallback, one
+    // per-doc aggregate). ppl itself is engine-internal (ln-sum, see
+    // LangModel scaladoc); the integers pin the whole join cross-engine.
+    "q154_lm_score" -> ((s, dir) =>
+      graft.text.LangModel.perplexity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+          col("sum_c12"), col("sum_c1"))),
+    // F8 LM quality: the CCNet keep-side filter. Threshold 30.9497 sits
+    // mid-gap with ≥6.1e-3 margin to every document's ppl at ALL three
+    // SFs (measured; cross-engine ln/sum noise is ~1e-12), so the float
+    // decision is oracle-safe — LangModelSpec pins the margin.
+    "q155_ppl_filter" -> ((s, dir) =>
+      graft.text.LangModel.perplexityFilter(t(s, dir, "documents"),
+        maxPpl = 30.9497)),
+    // A8 asymmetric dedup: directed n-gram containment (quote/mirror/
+    // wrapper detection — the pair Jaccard never flags). Integer
+    // cross-multiply threshold, inverted-index candidates, exact set
+    // semantics at the default unbounded maxDf.
+    "q156_containment" -> ((s, dir) =>
+      graft.text.Corpus.containmentPairs(t(s, dir, "documents"),
+        n = 3, tauNum = 4, tauDen = 5)),
+    // A9 sampling: Efraimidis–Spirakis weighted sampling WITHOUT
+    // replacement (inclusion ∝ n_chars) — one projection + global top-k
+    // (TakeOrderedAndProject), never a sort. Boundary gap ≥ 5e-7 at all
+    // SFs (measured; LangModelSpec pins it), so the pow-keyed order is
+    // oracle-safe.
+    "q157_weighted_sample" -> ((s, dir) =>
+      graft.text.Corpus.weightedSample(t(s, dir, "documents"),
+        weightCol = "n_chars", k = 100)),
+    // A9 normalization: per-stratum winsorization — clamp to [p05, p95]
+    // interpolated percentiles (quantile_cont parity pinned by q130);
+    // strata-sized aggregate broadcast back, map-side clamp, the corpus
+    // never shuffles.
+    "q158_winsorize" -> ((s, dir) =>
+      graft.text.Corpus.winsorize(t(s, dir, "documents"),
+        valueCol = "n_chars", strataCol = "lang")),
+    // A8 curation signal: per-doc n-gram novelty (share of shingles
+    // first seen HERE, doc_id = ingest order) — two keyed shuffles, no
+    // pair generation; the dedup signal cheap enough for every batch.
+    "q159_ngram_novelty" -> ((s, dir) =>
+      graft.text.Corpus.ngramNovelty(t(s, dir, "documents"), n = 3)),
+    // J7 hybrid retrieval: dense (cosine) + sparse (keyword-overlap)
+    // rankings fused by Reciprocal Rank Fusion — rank-space fusion needs
+    // no score normalization; 1/(60+rank) on integer ranks is bit-exact
+    // cross-engine (one correctly-rounded division + one addition, no
+    // accumulated sums). Probes broadcast onto both modalities; the
+    // corpus never self-joins.
+    "q160_hybrid_rrf" -> ((s, dir) =>
+      graft.vector.Retrieval.hybridRrfTopK(t(s, dir, "embeddings"),
+        t(s, dir, "documents"), nProbes = 3, k = 10)),
+    // A8 novelty, delta-vs-index form (the family's sixth member): the
+    // batch scores against the persisted shingle set — no corpus rescan.
+    // The index build exercises the overlap-safe append end-to-end (the
+    // second wave re-sends part of the first; the anti-join keeps the
+    // hash set identical to a one-shot build). Corpus = doc_id%5 != 4,
+    // batch = doc_id%5 == 4.
+    "q161_novelty_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "shingleidx", "v1") { out =>
+        graft.text.Corpus.writeShingleIndex(
+          docs.filter(col("doc_id") % 5 < 2), out, n = 3)
+        graft.text.Corpus.appendShingleIndex(s, out,
+          docs.filter(col("doc_id") % 5 =!= 4 &&
+            col("doc_id") % 5 >= 1)) // overlaps wave 1 at residue 1
+      }
+      graft.text.Corpus.noveltyAgainstIndex(s, idxDir,
+        docs.filter(col("doc_id") % 5 === 4))
+    }),
+    // A9 normalization: per-stratum percentile rank — one
+    // correctly-rounded integer division per row (hash-exact, no margin
+    // caveat), ties share a rank in both engines.
+    "q162_percentile_rank" -> ((s, dir) =>
+      graft.text.Corpus.percentileRank(t(s, dir, "documents"),
+        valueCol = "n_chars", strataCol = "lang")),
+    // T6 monitoring: PSI drift buckets between two corpus snapshots —
+    // reference-percentile edges (q130 parity) as plan literals, bucket
+    // assignment map-side, all-integer output; emptied buckets survive
+    // the full outer (an emptied bucket IS the drift signal). The PSI
+    // scalar itself is engine-internal (Profile.psi, ln-sum; spec-pinned
+    // against a hand calc).
+    "q163_drift_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.driftBuckets(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        valueCol = "n_chars", nBuckets = 10)
+    }),
+    // F8/A9 privacy: k-anonymity release gate — quasi-identifier groups
+    // below k are suppressed before export (the post-redact group-size
+    // floor). Integer decision; combos-sized aggregate broadcast back as
+    // a semi-join, the corpus never shuffles.
+    "q164_k_anonymity" -> ((s, dir) =>
+      graft.text.Corpus.kAnonymityFilter(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        keyCols = Seq("lang", "source"), k = 5)),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
@@ -1428,6 +1533,191 @@ object SparkEntry {
         |FROM documents d JOIN t ON t.source = d.source
         |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
         |      < t.thr""".stripMargin,
+    "q153_lm_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+        |SELECT w1, w2, c12,
+        |  CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |FROM c""".stripMargin,
+    "q154_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |u AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams, COUNT(c.c12) AS n_known,
+        |  CAST(SUM(COALESCE(c.c12, 0)) AS BIGINT) AS sum_c12,
+        |  CAST(SUM(COALESCE(u.c1, 0)) AS BIGINT) AS sum_c1
+        |FROM bg b
+        |LEFT JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |LEFT JOIN u ON b.w1 = u.w1
+        |GROUP BY b.doc_id""".stripMargin,
+    "q155_ppl_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |u AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    exp(-SUM(ln(CAST(COALESCE(c.c12, 0) + 1 AS DOUBLE) /
+        |                 CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)))
+        |        / COUNT(*)) AS ppl
+        |  FROM bg b
+        |  LEFT JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN u ON b.w1 = u.w1
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id)
+        |SELECT s.doc_id, d.lang, s.n_bigrams
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+        |WHERE s.ppl <= 30.9497""".stripMargin,
+    "q156_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, z.n_a, i.n_inter
+        |FROM inter i JOIN sizes z ON z.doc_id = i.doc_a
+        |WHERE i.n_inter * 5 >= z.n_a * 4""".stripMargin,
+    "q157_weighted_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    pow(CAST(CAST('0x' ||
+        |          substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12)
+        |        AS BIGINT) AS DOUBLE) / 281474976710656.0,
+        |        1.0 / n_chars) AS es_key
+        |  FROM documents)
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q158_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p_lo,
+        |    quantile_cont(n_chars, 0.95) AS p_hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.p_lo, b.p_hi,
+        |  LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.p_lo), b.p_hi)
+        |    AS clamped
+        |FROM documents d JOIN b ON b.lang = d.lang""".stripMargin,
+    "q159_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM sh s JOIN fs f ON f.shingle = s.shingle
+        |GROUP BY s.doc_id""".stripMargin,
+    "q160_hybrid_rrf" ->
+      """WITH cand AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |                               CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 3),
+        |tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |ov AS (
+        |  SELECT pt.doc_id AS probe_id, ct.doc_id AS doc_id,
+        |    COUNT(*) AS kw_overlap
+        |  FROM tok pt JOIN tok ct
+        |    ON pt.token = ct.token AND ct.doc_id != pt.doc_id
+        |  WHERE pt.doc_id < 3 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c.probe_id, c.doc_id, c.cosine,
+        |    COALESCE(o.kw_overlap, 0) AS kw_overlap
+        |  FROM cand c LEFT JOIN ov o
+        |    ON o.probe_id = c.probe_id AND o.doc_id = c.doc_id),
+        |r AS (
+        |  SELECT probe_id, doc_id, kw_overlap,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, doc_id) AS INT) AS rank_vec,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY kw_overlap DESC, doc_id) AS INT) AS rank_kw
+        |  FROM g)
+        |SELECT probe_id, doc_id, rank_vec, rank_kw, kw_overlap,
+        |  1.0/(60 + rank_vec) + 1.0/(60 + rank_kw) AS rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY 1.0/(60 + rank_vec) + 1.0/(60 + rank_kw) DESC, doc_id)
+        |    AS INT) AS rank_rrf
+        |FROM r QUALIFY rank_rrf <= 10""".stripMargin,
+    "q161_novelty_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 4)
+        |SELECT b.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM sh b LEFT JOIN corpus c ON c.shingle = b.shingle
+        |WHERE b.doc_id % 5 = 4
+        |GROUP BY b.doc_id""".stripMargin,
+    "q162_percentile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |FROM documents""".stripMargin,
+    "q163_drift_buckets" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |e AS (SELECT quantile_cont(n_chars,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |      FROM ref),
+        |rb AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(r.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM ref r CROSS JOIN e GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM cur c CROSS JOIN e GROUP BY 1)
+        |SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+        |  COALESCE(rb.n_ref, 0) AS n_ref,
+        |  COALESCE(cb.n_cur, 0) AS n_cur
+        |FROM rb FULL OUTER JOIN cb ON cb.bucket = rb.bucket""".stripMargin,
+    "q164_k_anonymity" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |WHERE n >= 5""".stripMargin,
     "q96_redact" ->
       """SELECT event_id, event_type, props,
         |  regexp_replace(regexp_replace(regexp_replace(props,

@@ -18,7 +18,17 @@ object Verify {
     val outFs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outFs.mkdirs(new Path(outDir))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional focus filter for local iteration (same contract as Bench):
+    // SPARK_GRAFT_ONLY="q153,q154" dumps just those queries. Unset (the
+    // driver's invocation) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) =>
+        names.exists(k.startsWith) }
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -83,4 +83,55 @@ object Profile {
         (col("n_rows") - col("n_non_null")).as("n_null"),
         col("n_distinct"), col("min_s"), col("max_s")): _*)
   }
+
+  /** Distribution-drift buckets between a REFERENCE snapshot and a
+    * CURRENT one — the counting half of the Population Stability Index
+    * (the standard "did this week's corpus stop looking like last
+    * week's" monitor). Bucket edges are the reference's exact
+    * interpolated `(1..n−1)/n` percentiles (cross-engine parity pinned
+    * by q130); each row's bucket is the count of edges strictly below
+    * its value — `nBuckets−1` literal comparisons, map-side, so BOTH
+    * scans are single passes with a strata-free aggregate. Output
+    * `(bucket, n_ref, n_cur)` is all-integer, hash-exact; empty buckets
+    * on either side still appear (full outer + zero-fill) because an
+    * emptied bucket is exactly the drift signal. Edges land on the
+    * driver as `nBuckets−1` doubles — bounded, the centroid/codebook
+    * discipline. Feed [[psi]] for the scalar.
+    */
+  def driftBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"driftBuckets: nBuckets >= 2, got $nBuckets")
+    val edges = ref.agg(
+      expr(s"percentile($valueCol, array(${(1 until nBuckets)
+        .map(i => i.toDouble / nBuckets).mkString(",")}))").as("e"))
+      .collect()(0).getSeq[Double](0)
+    def bucketOf(df: DataFrame, as: String): DataFrame = {
+      val b = edges.map(e =>
+        when(col(valueCol).cast("double") > e, 1).otherwise(0))
+        .reduce(_ + _)
+      df.select(b.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    }
+    bucketOf(ref, "n_ref")
+      .join(bucketOf(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** The PSI scalar over [[driftBuckets]] output:
+    * `Σ (p−q)·ln(p/q)` with add-half smoothing so emptied buckets score
+    * finitely instead of ∞ — engine-internal (ln-sum; the bucket COUNTS
+    * are the oracle-checked artifact, the q74/q154 discipline). Rule of
+    * thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    */
+  def psi(buckets: DataFrame): DataFrame = {
+    val tot = buckets.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_cur")).as("_tc"), count(lit(1)).as("_nb"))
+    val p = (col("n_ref") + 0.5) / (col("_tr") + col("_nb") * 0.5)
+    val q = (col("n_cur") + 0.5) / (col("_tc") + col("_nb") * 0.5)
+    buckets.crossJoin(broadcast(tot))
+      .select(((p - q) * log(p / q)).as("_term"))
+      .agg(sum(col("_term")).as("psi"))
+  }
 }

@@ -110,6 +110,59 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One novelty-gate micro-batch; exposed for tests. Admits the docs
+    * whose novel-shingle share clears `tauNum/tauDen` against the
+    * at-rest shingle index (`n_novel · tauDen ≥ n_shingles · tauNum` —
+    * integer cross-multiply, no float in the decision; a doc with no
+    * shingles is rejected: nothing new by definition). Returns the
+    * admitted rows of `batch`.
+    */
+  private[graft] def noveltyGateBatch(spark: SparkSession,
+                                      batch: org.apache.spark.sql.DataFrame,
+                                      indexDir: String, tauNum: Int,
+                                      tauDen: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val admittedIds = graft.text.Corpus
+      .noveltyAgainstIndex(spark, indexDir, batch)
+      .filter(col("n_novel") * tauDen >= col("n_shingles") * tauNum)
+      .select(col("doc_id"))
+    batch.join(admittedIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** Streaming novelty gate — the ingest twin of q161's delta-vs-index
+    * novelty (the sixth "index IS the state" stream: text dedup, vector,
+    * frame, audio, name, now shingle-NOVELTY). Each document batch
+    * scores against the persisted shingle index; docs whose novel share
+    * clears the gate are ADMITTED and their shingles append through the
+    * overlap-safe [[graft.text.Corpus.appendShingleIndex]] — a rejected
+    * re-crawl spends nothing, an admitted doc immediately raises the bar
+    * for the next arrival of its own content.
+    *
+    * Replay contract (foreachBatch is at-least-once): the only side
+    * effect is the index, and the anti-join append is a structural no-op
+    * for already-indexed hashes — a replayed batch converges the index
+    * to the same hash set (CorpusStreamSpec's novelty legs pin replay
+    * and fresh-checkpoint idempotence). The gate DECISION on a replayed
+    * batch is not stable (its own first pass indexed the shingles), so
+    * this stream deliberately has no admitted-docs sink; consumers that
+    * need the admitted rows should gate in their own foreachBatch via
+    * [[noveltyGateBatch]] BEFORE appending, inside one idempotent write.
+    * Bootstrap with [[graft.text.Corpus.writeShingleIndex]].
+    */
+  def noveltyGateQuery(spark: SparkSession, srcDir: String,
+                       indexDir: String, checkpointDir: String,
+                       schema: StructType, tauNum: Int = 1,
+                       tauDen: Int = 2): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.Corpus.appendShingleIndex(spark, indexDir,
+          noveltyGateBatch(spark, batch, indexDir, tauNum, tauDen))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates
     * `outDir` on its first write).

@@ -920,4 +920,241 @@ object Corpus {
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", expr(s"start_offset DIV $maxTokens"))
   }
+
+  /** Directed n-gram containment pairs — `|A ∩ B| / |A| ≥ tauNum/tauDen`
+    * over distinct word n-gram sets. The ASYMMETRIC cousin of the Jaccard
+    * dedup family (Broder's containment, the quote/mirror/wrapper
+    * detector): a short document fully quoted inside a long one has
+    * containment 1.0 but Jaccard ≈ |A|/|B|, so MinHash resemblance never
+    * flags it (TextSpec pins exactly such a pair: contained, flagged
+    * here, invisible to the q30 threshold).
+    *
+    * Exactness contract: the threshold is the integer cross-multiply
+    * `n_inter · tauDen ≥ tauNum · n_a` — no float touches the decision,
+    * so the output is hash-exact against a string-shingle oracle (hashes
+    * are engine-internal identity, the q109↔q85 relation; a 64-bit
+    * collision altering a count has probability ~(distinct shingles)²/2⁶⁵,
+    * immaterial below ~10¹² shingles).
+    *
+    * Scale: candidate generation is the inverted shingle index
+    * (Σ_shingle df² pairs, never corpus n²). `maxDf` drops shingles
+    * hotter than the bound from candidate generation AND from `n_a`
+    * (both sides of the ratio, so a pure-boilerplate quote does not
+    * dilute scores) — the stop-hash trade, off by default so the default
+    * output is exact set semantics.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       tauNum: Int = 4, tauDen: Int = 5,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"containmentPairs: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
+    val all = hashedShingles(docs, n)
+    val sh =
+      if (maxDf == Int.MaxValue) all
+      else {
+        val hot = all.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select(col("_h"))
+        all.join(broadcast(hot), Seq("_h"), "left_anti")
+      }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    sh.as("a")
+      .join(sh.as("b"), col("a._h") === col("b._h") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_inter"))
+  }
+
+  /** Per-document n-gram novelty: of a document's distinct word n-grams,
+    * how many appear in NO earlier document (doc_id order = ingest
+    * order)? The marginal-contribution score data curation ranks by —
+    * a mirror site re-crawled late scores ~0 novel even when no single
+    * pair crosses a dedup threshold. Exact integers end to end: distinct
+    * (doc, shingle) pairs → min doc_id per shingle (one shingle-keyed
+    * aggregate, vocab-of-shingles sized) → joined back and counted. Two
+    * keyed shuffles, no corpus self-join — cheaper than any pair
+    * generator, which is the point: novelty is the dedup SIGNAL you can
+    * afford on every ingest batch.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = hashedShingles(docs, n)
+    val firstSeen = sh.groupBy(col("_h")).agg(min(col("doc_id")).as("_first"))
+    sh.join(firstSeen, Seq("_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
+  /** Sidecar carrying a shingle index's build width `n` — the
+    * [[graft.ops.FuzzyJoin]] `_FUZZY_META` discipline: probes and appends
+    * read THIS, so a 3-gram index can never silently answer a 5-gram
+    * probe (the widths produce disjoint hash universes and novelty would
+    * read 100%).
+    */
+  private val ShingleMetaFile = "_SHINGLE_META"
+
+  /** The sixth member of the delta-vs-index family (text q83, vectors
+    * q93, frames q132, audio q133, names q144 — now shingle NOVELTY):
+    * the persisted set of every distinct shingle hash the corpus has
+    * ever contained. [[noveltyAgainstIndex]] scores an ingest batch
+    * against it WITHOUT the corpus rescan [[ngramNovelty]] pays, and
+    * [[appendShingleIndex]] is overlap-safe by construction (an
+    * anti-join admits only genuinely new hashes, so replaying a batch
+    * appends nothing — the replay guard and the append are the same
+    * join). 100 TB posture: the per-batch probe is one hash-keyed join
+    * of batch shingles against the index — pin the index as a bucketed
+    * catalog table (the S8 path) to make that join exchange-free on the
+    * index side, or swap in the q87 bloom-filter state when one-sided
+    * error is acceptable (novelty UNDERcounts by the false-positive
+    * rate, never overcounts).
+    */
+  def writeShingleIndex(docs: DataFrame, dir: String, n: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    hashedShingles(docs, n).select(col("_h")).distinct()
+      .write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, ShingleMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def shingleIndexN(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, ShingleMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"shingle index at $dir lacks $ShingleMetaFile — rebuild it with " +
+        "Corpus.writeShingleIndex (round-12 format)")
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      "UTF-8").trim.toInt
+    finally in.close()
+  }
+
+  /** Append a batch's genuinely-new shingle hashes; re-sent batches
+    * append nothing (the anti-join IS the replay guard).
+    */
+  def appendShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, delta: DataFrame): Unit = {
+    val n = shingleIndexN(spark, dir)
+    hashedShingles(delta, n).select(col("_h")).distinct()
+      .join(spark.read.parquet(dir), Seq("_h"), "left_anti")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Per-doc novelty of an ingest batch against the at-rest index:
+    * (doc_id, n_shingles, n_novel) where novel = absent from the index.
+    * Shingle width comes from the sidecar, never a guess.
+    */
+  def noveltyAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, delta: DataFrame): DataFrame = {
+    val n = shingleIndexN(spark, dir)
+    val idx = spark.read.parquet(dir).withColumn("_seen", lit(1))
+    hashedShingles(delta, n)
+      .join(idx, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+  }
+
+  /** Percentile-rank normalization within strata: `pr = (rank−1)/(n−1)`
+    * (the `percent_rank` identity, ties sharing a rank) — maps a raw
+    * score onto [0,1] per stratum so thresholds compare across languages
+    * or sources of very different scale. The division is one
+    * correctly-rounded IEEE op on two integers, so the output is
+    * hash-exact cross-engine with no margin caveat. Single-member strata
+    * yield 0.0 (both engines' percent_rank convention). Scale: one
+    * window per stratum — partitions are stratum-sized; for corpus-scale
+    * strata prefer [[winsorize]]'s broadcast-bounds shape or bucket the
+    * window key.
+    */
+  def percentileRank(docs: DataFrame, valueCol: String = "n_chars",
+                     strataCol: String = "lang"): DataFrame =
+    docs.select(col("doc_id"), col(strataCol), col(valueCol))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col(strataCol)).orderBy(col(valueCol))))
+
+  /** k-anonymity release gate: keep only rows whose quasi-identifier
+    * combination (`keyCols`) is shared by at least `k` rows — the
+    * group-size privacy floor a corpus export applies AFTER
+    * [[graft.text.TextAnalysis.redact]] scrubs direct identifiers (a
+    * unique (lang, source, day) combo re-identifies even with the text
+    * clean). Pure integer decision, hash-exact. Scale: one count
+    * aggregate keyed by the quasi-identifier (combos-sized output)
+    * broadcast back as a semi-join — the corpus itself never shuffles;
+    * for high-cardinality combos Catalyst/AQE falls back to a keyed
+    * join, still one shuffle each side.
+    */
+  def kAnonymityFilter(docs: DataFrame, keyCols: Seq[String],
+                       k: Int): DataFrame = {
+    require(keyCols.nonEmpty && k >= 1,
+      s"kAnonymityFilter: need keys and k >= 1, got $keyCols / $k")
+    val big = docs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= k)
+      .select(keyCols.map(col): _*)
+    docs.join(broadcast(big), keyCols, "left_semi")
+  }
+
+  /** Weighted sampling WITHOUT replacement, k winners, inclusion
+    * probability ∝ `weightCol` — Efraimidis–Spirakis (2006, public):
+    * each row draws `u ∈ (0,1)` and keys by `u^(1/w)`; the k largest keys
+    * are exactly a weighted sample without replacement. One pass, no
+    * rejection loop, no sequential state — THE distributed weighted
+    * sampler (the classic alternatives either sample WITH replacement or
+    * need a serial pass over cumulative weights).
+    *
+    * Determinism: `u` is the first 12 hex digits of the salted md5 over
+    * doc_id (the [[deterministicSplit]] coin), divided by 2⁴⁸ — exact in
+    * both engines (power-of-two division). The key's `pow` is NOT
+    * correctly-rounded cross-engine (the [[temperatureSample]] caveat),
+    * but here it only ORDERS rows: selection flips only if the k-th and
+    * (k+1)-th keys sit within cross-engine ulp noise, and LangModelSpec's
+    * sampler leg measures that boundary gap and pins it ≥ 1e-9 — eleven
+    * orders above 1-ulp at these magnitudes. Ties (impossible for
+    * distinct doc_ids, but cheap) break by doc_id.
+    *
+    * Scale: one projection plus a global top-k — TakeOrderedAndProject,
+    * the per-partition-heap-then-merge physical op, never a global sort.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String = "n_chars",
+                     k: Int = 100, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val u = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 12),
+      16, 10).cast("double") / lit(math.pow(2, 48))
+    docs
+      .withColumn("_es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("_es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"), col(weightCol))
+  }
+
+  /** Winsorize a numeric column within strata: clamp to the stratum's
+    * [lo, hi] interpolated percentiles — the outlier-robust normalization
+    * step before length/quality features feed a learned gate (one
+    * 100k-char document otherwise owns the scale of its whole stratum).
+    * Percentile parity with DuckDB's `quantile_cont` is already pinned by
+    * q130; the clamp is `least/greatest` on two doubles — deterministic
+    * expressions, no sums, so the full output is hash-exact. Scale: one
+    * per-stratum aggregate (strata-sized output, broadcast back) plus a
+    * map-side clamp — the corpus never shuffles.
+    */
+  def winsorize(docs: DataFrame, valueCol: String = "n_chars",
+                strataCol: String = "lang", lo: Double = 0.05,
+                hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"winsorize: need 0 <= lo < hi <= 1, got $lo/$hi")
+    val bounds = docs.groupBy(col(strataCol)).agg(
+      expr(s"percentile($valueCol, $lo)").as("p_lo"),
+      expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    docs.join(broadcast(bounds), Seq(strataCol))
+      .select(col("doc_id"), col(strataCol), col(valueCol),
+        col("p_lo"), col("p_hi"),
+        least(greatest(col(valueCol).cast("double"), col("p_lo")),
+          col("p_hi")).as("clamped"))
+  }
 }

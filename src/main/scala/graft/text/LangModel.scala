@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality scoring — the CCNet recipe
+  * (Wenzek et al. 2020, public): train an n-gram LM on the corpus, score
+  * every document by perplexity, and filter the tail. The missing rung of
+  * this engine's quality ladder: [[TextAnalysis.qualityScore]] is
+  * surface heuristics, [[TextAnalysis.learnedQualityScore]] is a linear
+  * model over those heuristics; perplexity is the distributional signal
+  * both miss (a fluent-looking document of out-of-domain vocabulary
+  * scores fine on heuristics and terribly here).
+  *
+  * Model: bigram LM with add-one smoothing,
+  * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)` where `c(w1·)` counts w1 as
+  * a left context and V is the corpus vocabulary size. Unseen bigrams fall
+  * back to `1 / (c(w1·) + V)`; unseen left contexts to `1 / V` — the same
+  * formula with both counts zero, so scoring is ONE expression, no
+  * branches. Document score: `ppl = exp(-Σ ln p / n_bigrams)`.
+  *
+  * Determinism contract (the [[Corpus.temperatureSample]] discipline):
+  * every count is an exact integer and every per-bigram probability is a
+  * ratio of integers, so the oracle-checked outputs are the INTEGER
+  * sufficient statistics (c12, c1, n_bigrams, n_known, sum_c12, sum_c1 —
+  * hash-exact cross-engine). `ppl` itself sums `ln` terms whose last ulp
+  * is engine-specific and whose sum is order-dependent, so it rides as an
+  * engine-internal column; the threshold FILTER ([[perplexityFilter]]) is
+  * still oracle-checked because the threshold is chosen mid-gap — the
+  * spec measures the smallest |ppl − thr| margin and pins it orders of
+  * magnitude above cross-engine ulp noise (LangModelSpec).
+  *
+  * Scale posture (100 TB): training is one corpus-sized explode into a
+  * bigram-keyed partial+final count — map-side combine collapses each
+  * partition to its local vocab² before the shuffle, so shuffle bytes are
+  * bounded by distinct-bigrams-per-partition, not corpus tokens. The
+  * left-context count rides a vocab-partitioned window over the COUNT
+  * frame (vocab²-bounded), never a second corpus scan. Scoring is the
+  * standard LM-join shape: bigram-keyed sort-merge join of the exploded
+  * corpus against the model (AQE broadcasts it when the trained model is
+  * small), one unigram-keyed join for the fallback counts, then a per-doc
+  * aggregate — three shuffles total, all keyed, no driver state.
+  */
+object LangModel {
+
+  /** (doc_id, w1, w2) — one row per adjacent token pair. Documents with
+    * fewer than two tokens have no bigrams and are absent downstream
+    * (unscorable, the CCNet convention).
+    */
+  private[text] def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_t")) - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+            element_at(col("_t"), i + 1).as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+
+  /** The trained model: (w1, w2, c12, c1) — bigram count plus its left
+    * context's total. c1 is a window sum over the count frame (vocab²
+    * rows), so training never scans the corpus twice.
+    */
+  def bigramLm(docs: DataFrame): DataFrame =
+    bigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1",
+        sum(col("c12")).over(Window.partitionBy(col("w1"))))
+
+  /** Corpus vocabulary size as a 1-row frame (broadcast onto scoring). */
+  private def vocabSize(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+
+  /** Per-document LM score: integer sufficient statistics (oracle-checked)
+    * plus the engine-internal `ppl`. `n_known` counts bigrams the model
+    * has seen; `sum_c12`/`sum_c1` are the summed counts feeding the
+    * smoothed probabilities — together they pin the whole scoring join
+    * cross-engine without touching a float.
+    */
+  def perplexity(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val uni = lm.select(col("w1"), col("c1")).distinct()
+    val p = ((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("_v")).cast("double"))
+    bigrams(docs)
+      .join(lm.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"),
+        "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabSize(docs)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c12")).as("n_known"),
+        sum(coalesce(col("c12"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"),
+        sum(log(p)).as("_lp"))
+      .withColumn("ppl", exp(-col("_lp") / col("n_bigrams")))
+      .drop("_lp")
+  }
+
+  /** Self-scored perplexity: train on `docs`, score `docs` — the corpus
+    * bootstrap form (no external reference corpus in the test data; the
+    * two-argument [[perplexity]] is the production entry point where the
+    * LM comes from a curated reference).
+    */
+  def perplexity(docs: DataFrame): DataFrame =
+    perplexity(docs, bigramLm(docs))
+
+  /** Documents whose self-scored perplexity is at most `maxPpl` — the
+    * CCNet keep-side. Output carries only integer/string columns; the
+    * float decision's cross-engine safety is the measured mid-gap margin
+    * (see object doc).
+    */
+  def perplexityFilter(docs: DataFrame, maxPpl: Double): DataFrame =
+    perplexity(docs)
+      .filter(col("ppl") <= maxPpl)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"))
+}

@@ -1,0 +1,109 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a dense (embedding-cosine) ranking with a sparse
+  * (keyword-overlap) ranking by Reciprocal Rank Fusion —
+  * `rrf(d) = Σ_r 1/(k₀ + rank_r(d))` (Cormack et al. 2009, public; k₀=60
+  * is the paper's constant). RRF is the standard fusion for exactly this
+  * engine's situation: the two scores live on incomparable scales
+  * (cosine ∈ [-1,1], overlap ∈ ℕ), and rank-space fusion needs no score
+  * normalization, no training, and no tuning beyond k₀.
+  *
+  * Determinism contract: both input ranks are integers from
+  * deterministically tie-broken orderings (cosine parity with DuckDB is
+  * pinned by q37's hash-exact history; overlap is an integer count), and
+  * `1/(k₀+rank)` is a correctly-rounded IEEE division of integers — so
+  * the fused score is ONE addition of two bit-identical doubles,
+  * bit-exact cross-engine with no measured-margin caveat needed (unlike
+  * the ppl/E-S float decisions, there is no accumulated sum here).
+  *
+  * Scale posture: [[hybridRrfTopK]] is the EXACT form — probes broadcast
+  * onto the corpus for both modalities, the corpus never self-joins, and
+  * all three rankings are windows partitioned by probe (per-probe
+  * parallel). Its grid is corpus × nProbes, the brute-force regime
+  * (q37's). At 100 TB the production form is [[rrfFuse]]: run each
+  * retriever's own scale path (IVF top-N for dense, an inverted-index
+  * top-N for sparse), then fuse just the retrieved lists — RRF over the
+  * UNION of top-Ns, absent-from-one-list docs simply contributing one
+  * term, which is how the paper defines it. RetrievalSpec pins that the
+  * fused head agrees with the exact grid once N covers it.
+  */
+object Retrieval {
+
+  /** Distinct (doc_id, token) pairs — the sparse side's unit. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+
+  /** Exact hybrid top-k: every candidate ranked by BOTH modalities, then
+    * RRF-fused. `emb` supplies the dense side keyed by vec_id; `docs` the
+    * sparse side keyed by doc_id; the corpus identity is vec_id = doc_id
+    * (the aligned-tables contract). Probes are the ids below `nProbes`,
+    * playing both roles (their vector, their token set).
+    */
+  def hybridRrfTopK(emb: DataFrame, docs: DataFrame, nProbes: Int = 3,
+                    k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val cand = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").as("n_emb"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val toks = docTokens(docs)
+    val probeToks = toks.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    val overlap = toks
+      .join(broadcast(probeToks), Seq("token"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("kw_overlap"))
+    val grid = cand
+      .join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+      .withColumn("cosine", Similarity.cosine(col("p_emb"), col("n_emb")))
+      .join(overlap, Seq("probe_id", "doc_id"), "left")
+      .withColumn("kw_overlap", coalesce(col("kw_overlap"), lit(0L)))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    val rv = row_number().over(
+      byProbe.orderBy(col("cosine").desc, col("doc_id")))
+    val rk = row_number().over(
+      byProbe.orderBy(col("kw_overlap").desc, col("doc_id")))
+    val ranked = grid
+      .withColumn("rank_vec", rv)
+      .withColumn("rank_kw", rk)
+      .withColumn("rrf",
+        lit(1.0) / (lit(rrfK) + col("rank_vec")) +
+          lit(1.0) / (lit(rrfK) + col("rank_kw")))
+    ranked
+      .withColumn("rank_rrf", row_number().over(
+        byProbe.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank_rrf") <= k)
+      .select(col("probe_id"), col("doc_id"), col("rank_vec"),
+        col("rank_kw"), col("kw_overlap"), col("rrf"), col("rank_rrf"))
+  }
+
+  /** Production fusion: RRF over two already-retrieved ranked lists —
+    * `(probe_id, doc_id, rank)` each, typically per-retriever top-N from
+    * the scale paths (IVF dense, inverted-index sparse). Docs present in
+    * only one list contribute only that list's term (the paper's union
+    * semantics). Output mirrors [[hybridRrfTopK]] minus the raw scores.
+    */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    val d = dense.select(col("probe_id"), col("doc_id"),
+      col("rank").as("rank_vec"))
+    val s = sparse.select(col("probe_id"), col("doc_id"),
+      col("rank").as("rank_kw"))
+    val term = (r: org.apache.spark.sql.Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(rrfK) + r)).otherwise(lit(0.0))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    d.join(s, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf", term(col("rank_vec")) + term(col("rank_kw")))
+      .withColumn("rank_rrf", row_number().over(
+        byProbe.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank_rrf") <= k)
+      .select(col("probe_id"), col("doc_id"), col("rank_vec"),
+        col("rank_kw"), col("rrf"), col("rank_rrf"))
+  }
+}

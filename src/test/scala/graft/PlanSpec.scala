@@ -452,4 +452,55 @@ class PlanSpec extends SparkSpec {
         .contains("GreaterThan"),
       "the raw-nanos watermark bound must reach the scan:\n" + p.take(1200))
   }
+
+  test("q157 weighted sample: global top-k, never a global sort") {
+    val p = plan("q157_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "E-S selection must be per-partition heaps + merge:\n" + p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned sort crept in — the corpus would shuffle:\n" +
+        p.take(800))
+  }
+
+  test("q158 winsorize: bounds broadcast back, corpus never shuffles") {
+    val p = plan("q158_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      "the strata-bounds join must broadcast, not shuffle the corpus:\n" +
+        p.take(800))
+  }
+
+  test("q153 LM training: map-side partial count before the bigram shuffle") {
+    val p = plan("q153_lm_bigrams")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("Partial"),
+      "bigram counting must partial-aggregate map-side:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q154/q156/q159: keyed joins only — no cartesian anywhere") {
+    Seq("q154_lm_score", "q156_containment", "q159_ngram_novelty")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q grew a cartesian product:\n" + p.take(800))
+      }
+  }
+
+  test("q163 drift buckets: edges are literals — map-side bucketing, no join before the count") {
+    val p = plan("q163_drift_buckets")
+    // bucket assignment must ride the scans as literal comparisons; the
+    // only join is the full outer of two 10-row count frames
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "bucket counting must partial-aggregate map-side:\n" + p.take(1200))
+  }
+
+  test("q164 k-anonymity: the group floor broadcasts back as a semi-join") {
+    val p = plan("q164_k_anonymity")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the combos-sized floor must broadcast, not shuffle the corpus:\n" +
+        p.take(800))
+  }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.Corpus
+import graft.vector.{Retrieval, Similarity}
+
+/** Round-12 wave 2: hybrid RRF retrieval (q160), the novelty shingle
+  * index (q161 — delta-index family member six), and percentile-rank
+  * normalization (q162).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf0001 = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  import spark.implicits._
+
+  test("rrfFuse: union semantics, one term per missing list") {
+    val dense = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("probe_id", "doc_id", "rank")
+    val sparse = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("probe_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(dense, sparse, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("rrf")).toMap
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-15) // dense only
+    assert(math.abs(out(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-15) // both
+    assert(math.abs(out(12L) - 1.0 / 62) < 1e-15) // sparse only
+    // doc 11 (rank 2 + rank 1) beats both single-list docs
+    assert(out(11L) > out(10L) && out(11L) > out(12L))
+  }
+
+  test("rrfFuse over full per-retriever lists == the exact hybrid grid") {
+    // dense list: bruteForceTopK with k = corpus (same ordering contract
+    // as hybrid's rank_vec: cosine desc, id asc)
+    val probes = emb.filter(col("vec_id") < 3)
+    val dense = Similarity.bruteForceTopK(emb, probes, k = 1000)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    // sparse list: the keyword-overlap ranking rebuilt independently
+    val toks = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val pt = toks.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    val allCand = emb.select(col("vec_id").as("doc_id"))
+      .crossJoin(pt.select(col("probe_id")).distinct())
+      .filter(col("doc_id") =!= col("probe_id"))
+    val ov = toks.join(pt, Seq("token"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("kw_overlap"))
+    val sparse = allCand.join(ov, Seq("probe_id", "doc_id"), "left")
+      .withColumn("kw_overlap", coalesce(col("kw_overlap"), lit(0L)))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("kw_overlap").desc, col("doc_id"))))
+      .select(col("probe_id"), col("doc_id"), col("rank"))
+    val fused = Retrieval.rrfFuse(dense, sparse, k = 10)
+      .select(col("probe_id"), col("doc_id"), col("rank_vec"),
+        col("rank_kw"), col("rrf"), col("rank_rrf"))
+    val exact = Retrieval.hybridRrfTopK(emb, docs, nProbes = 3, k = 10)
+      .select(col("probe_id"), col("doc_id"), col("rank_vec"),
+        col("rank_kw"), col("rrf"), col("rank_rrf"))
+    assert(fused.except(exact).isEmpty && exact.except(fused).isEmpty,
+      "production fusion over full lists must equal the exact grid")
+  }
+
+  test("novelty shingle index: overlapping append == one-shot rebuild; replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    val oneShot = s"$dir/full"
+    val waves = s"$dir/waves"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    Corpus.writeShingleIndex(corpus, oneShot, n = 3)
+    Corpus.writeShingleIndex(docs.filter(col("doc_id") % 5 < 2), waves, n = 3)
+    Corpus.appendShingleIndex(spark, waves,
+      docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 5 >= 1))
+    val a = spark.read.parquet(oneShot).collect().map(_.getLong(0)).toSet
+    val b = spark.read.parquet(waves).collect().map(_.getLong(0)).toSet
+    assert(a == b, "overlap-appended index diverged from one-shot build")
+    // replay: re-append an already-indexed batch -> zero new rows
+    val before = spark.read.parquet(waves).count()
+    Corpus.appendShingleIndex(spark, waves,
+      docs.filter(col("doc_id") % 5 === 2))
+    assert(spark.read.parquet(waves).count() == before,
+      "replayed batch appended rows")
+    // probe equals the per-doc-vs-corpus semantics (each batch doc scores
+    // against the CORPUS only — within-batch sharing does not spend
+    // novelty, unlike ngramNovelty's ingest-order form). Independent
+    // plain-Scala reference over string shingles (the SpanSpec pattern).
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val viaIndex = Corpus.noveltyAgainstIndex(spark, waves, batch)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def shingleSet(text: String): Set[String] =
+      text.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val corpusShingles = corpus.select(col("text")).collect()
+      .flatMap(r => shingleSet(r.getString(0))).toSet
+    val expect = batch.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val sh = shingleSet(r.getString(1))
+        r.getLong(0) -> (sh.size.toLong, (sh -- corpusShingles).size.toLong)
+      }.toMap
+    assert(viaIndex == expect)
+  }
+
+  test("shingle index width rides the sidecar, pre-sidecar dirs fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx2").toString
+    Corpus.writeShingleIndex(docs.limit(10), s"$dir/w2", n = 2)
+    // a probe against the 2-gram index must count 2-gram shingles:
+    // n_shingles per doc = tokens - 1 (all distinct in this fixture)
+    val probe = Seq((9999L, "alpha beta gamma")).toDF("doc_id", "text")
+    val row = Corpus.noveltyAgainstIndex(spark, s"$dir/w2", probe).collect()(0)
+    assert(row.getLong(1) == 2L, "width must come from the sidecar (2-grams)")
+    val bare = s"$dir/bare"
+    docs.limit(5).select(xxhash64(col("text")).as("_h")).write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.noveltyAgainstIndex(spark, bare, probe)
+    }
+    assert(e.getMessage.contains("_SHINGLE_META"))
+  }
+
+  test("percentile rank: ties share, singletons are 0, bounds are [0,1]") {
+    val d = Seq((1L, "en", 10L), (2L, "en", 10L), (3L, "en", 30L),
+      (4L, "zz", 7L)).toDF("doc_id", "lang", "n_chars")
+    val m = Corpus.percentileRank(d, "n_chars", "lang")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(m(1L) == 0.0 && m(2L) == 0.0, "tied values must share a rank")
+    assert(m(3L) == 1.0)
+    assert(m(4L) == 0.0, "single-member stratum is 0 by convention")
+  }
+
+  test("novelty gate stream: re-crawl rejected, novel doc admitted, replay converges") {
+    import graft.streaming.CorpusStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("novstream").toString
+    val src = s"$dir/src"
+    val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+
+    Corpus.writeShingleIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), idx, n = 3)
+    // batch: a verbatim re-crawl (novelty 0 -> rejected) and a fresh doc
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this one"))
+      .toDF("doc_id", "text")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+
+    val admitted = CorpusStream.noveltyGateBatch(spark, batch, idx, 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L), "only the novel doc clears the gate")
+
+    CorpusStream.noveltyGateQuery(spark, s"$src/*", idx, s"$dir/cp1",
+      schema).awaitTermination()
+    val afterFirst = spark.read.parquet(idx).collect()
+      .map(_.getLong(0)).toSet
+    // doc 3's shingles joined the index; doc 2 spent nothing
+    assert(afterFirst.size > 7, "admitted doc's shingles must append")
+
+    // full replay from a FRESH checkpoint: the anti-join append converges
+    // the index to the same hash set
+    CorpusStream.noveltyGateQuery(spark, s"$src/*", idx, s"$dir/cp2",
+      schema).awaitTermination()
+    assert(spark.read.parquet(idx).collect().map(_.getLong(0)).toSet
+      == afterFirst, "replay must not change the index")
+  }
+
+  test("PSI drift: identical snapshots score ~0, a shifted one scores high") {
+    import graft.ops.Profile
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val same = Profile.psi(
+      Profile.driftBuckets(ref, ref, "n_chars")).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-12, s"self-PSI must be 0, got $same")
+    // hand-check one smoothing term: buckets (n_ref, n_cur) = (10, 0) and
+    // (0, 10) with 2 buckets -> p/q mirror terms
+    val b = Seq((0, 10L, 0L), (1, 0L, 10L)).toDF("bucket", "n_ref", "n_cur")
+    val got = Profile.psi(b).collect()(0).getDouble(0)
+    val p0 = 10.5 / 11.0; val q0 = 0.5 / 11.0
+    val expect = 2 * ((p0 - q0) * math.log(p0 / q0))
+    assert(math.abs(got - expect) < 1e-12)
+    // a genuine shift: current = reference + 50% of its chars
+    val shifted = ref.withColumn("n_chars",
+      (col("n_chars") * 3 / 2).cast("long"))
+    val drift = Profile.psi(
+      Profile.driftBuckets(ref, shifted, "n_chars")).collect()(0).getDouble(0)
+    assert(drift > 0.25, s"a 1.5x length shift must read as shifted: $drift")
+  }
+
+  test("k-anonymity: below-k groups suppressed, survivors intact") {
+    val d = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "de", "b")).toDF("doc_id", "lang", "source")
+    val kept = Corpus.kAnonymityFilter(d, Seq("lang", "source"), k = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 3L), "the singleton (de,b) must be suppressed")
+  }
+}
