@@ -900,6 +900,59 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           col("source")),
         keyCols = Seq("lang", "source"), k = 5)),
+    // J4 precision stage: the entity-resolution two-stage shape — FastSS
+    // deletion variants generate candidates (RECALL, never n²), the
+    // codegen'd Jaro-Winkler expression ranks them (PRECISION). The
+    // expression's double-op order is pinned bit-for-bit to DuckDB's
+    // jaro_winkler_similarity (30k-pair ULP check in JaroWinklerSpec), so
+    // the float score column is hash-exact against the oracle's n² form.
+    "q165_jw_rescore" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.fuzzySelfJoinScored(
+        t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
+        "c_name", maxDist = 2, minJw = 0.9)),
+    // Graph: fixed-point integer PageRank, 3 power iterations, over the
+    // symmetrized customer<->supplier order graph (who-buys-from-whom).
+    // Integer fixed-point is what makes an ITERATIVE result hash-exact
+    // against DuckDB's unrolled-CTE spelling of the same recurrence —
+    // float PageRank sums in partition order and can never be
+    // cross-engine checked. Node ids: custkey*2 / suppkey*2+1.
+    "q166_pagerank" -> ((s, dir) => {
+      val half = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pageRankFixed(
+        half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst"))),
+        iters = 3)
+    }),
+    // Graph consumer: top-20 suppliers by order-graph authority — the
+    // rank table decodes back to supplier keys and broadcast-joins the
+    // dim; rank ties break on s_name so the LIMIT is deterministic.
+    "q167_pagerank_top" -> ((s, dir) => {
+      val half = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pageRankFixed(
+          half.unionByName(
+            half.select(col("dst").as("src"), col("src").as("dst"))),
+          iters = 3)
+        .filter(col("node") % 2 === 1)
+        .select(call_function("div", col("node") - 1, lit(2L))
+          .as("s_suppkey"), col("rank"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+        .select(col("s_name"), col("rank"))
+        .orderBy(col("rank").desc, col("s_name"))
+        .limit(20)
+    }),
+    // J5 extended — TPC-H Q17 shape per brand: the correlated 0.2·avg
+    // scalar subquery as one per-part aggregate broadcast back onto the
+    // fact; integer cross-multiply threshold, exact scaled-long revenue.
+    "q168_small_qty_revenue" -> ((s, dir) =>
+      Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
+        t(s, dir, "part"))),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
@@ -1718,6 +1771,104 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY lang, source) AS n
         |  FROM documents)
         |WHERE n >= 5""".stripMargin,
+    // The oracle pays the n² levenshtein matrix the FastSS path avoids;
+    // jaro_winkler_similarity is bit-identical to the engine's expression
+    // (verified to 0 ULP mismatches over 30k random pairs), so the float
+    // score column hash-matches.
+    "q165_jw_rescore" ->
+      """WITH n AS (SELECT DISTINCT c_name AS t FROM customer
+        |           WHERE c_custkey % 4 = 0)
+        |SELECT a.t AS name_a, b.t AS name_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist,
+        |  jaro_winkler_similarity(a.t, b.t) AS jw
+        |FROM n a JOIN n b
+        |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+        |WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9""".stripMargin,
+    // The engine's fixed-point recurrence, unrolled: every term is
+    // integer (// is DuckDB's integral divide, div on the Spark side), so
+    // the three iterations hash-match exactly. 150000000000 =
+    // (10^12 * 3) // 20, the teleport term at damping 17/20.
+    "q166_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r0 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r2 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r1 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r3 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r2 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT node, rank FROM r3""".stripMargin,
+    "q167_pagerank_top" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r0 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r2 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r1 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r3 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r2 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT s.s_name, r.rank
+        |FROM r3 r JOIN supplier s ON s.s_suppkey = (r.node - 1) // 2
+        |WHERE r.node % 2 = 1
+        |ORDER BY r.rank DESC, s.s_name LIMIT 20""".stripMargin,
+    "q168_small_qty_revenue" ->
+      """WITH s AS (SELECT l_partkey, COUNT(*) AS cnt,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, COUNT(*) AS small_lines,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7
+        |    AS avg_yearly
+        |FROM lineitem l
+        |JOIN s ON s.l_partkey = l.l_partkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE 5*CAST(l.l_quantity AS BIGINT)*s.cnt < s.sq
+        |GROUP BY p.p_brand""".stripMargin,
     "q96_redact" ->
       """SELECT event_id, event_type, props,
         |  regexp_replace(regexp_replace(regexp_replace(props,

@@ -155,6 +155,9 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
 
+  def jaro_winkler(a: Column, b: Column): Column =
+    column(JaroWinkler(expr(a), expr(b)))
+
   /** Spark's internal bloom-filter aggregate (the machinery behind runtime
     * row-level filtering), surfaced as a Column: folds `c` (must be a
     * LongType hash, e.g. `xxhash64(...)`) into a `numBits`-wide filter,
@@ -342,6 +345,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_a_not_b_estimate",
       { exprs: Seq[Expression] => ThetaANotBEstimate(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      { exprs: Seq[Expression] => JaroWinkler(exprs(0), exprs(1)) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode", { exprs: Seq[Expression] => Sq8Encode(exprs.head) },

@@ -303,4 +303,23 @@ object FuzzyJoin {
         levenshtein(col("name_a"), col("name_b")).cast("int"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** The entity-resolution two-stage shape: FastSS candidate generation
+    * (RECALL — cheap, blocked, never n²) rescored by Jaro-Winkler
+    * (PRECISION — the record-linkage literature's ranking metric, which
+    * levenshtein distance approximates badly on transposed/prefixed names).
+    * Keeps pairs with `jw >= minJw`; `dist` (edit distance) rides along so
+    * the caller can see where the two metrics disagree. The 100 TB posture
+    * is the whole point of the split: the O(l1·l2) scorer runs only on the
+    * candidate set the deletion-variant equi-join produced, so its cost is
+    * linear in CANDIDATES, not quadratic in the corpus.
+    */
+  def fuzzySelfJoinScored(names: DataFrame, nameCol: String,
+                          maxDist: Int = 1, minJw: Double = 0.0,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    fuzzySelfJoin(names, nameCol, maxDist, maxBucket)
+      .withColumn("jw",
+        graft.functions.GraftFunctions.jaro_winkler(
+          col("name_a"), col("name_b")))
+      .filter(col("jw") >= minJw)
 }

@@ -265,4 +265,39 @@ object Joins {
           .select(col("user_id"))),
         Seq("user_id"), "left_anti"),
       fromType, toType, horizon)
+
+  /** J5 extended — TPC-H Q17 shape, per brand: revenue (as the Q17
+    * "avg yearly" sum/7) of lineitems whose quantity is below 20% of
+    * their part's average quantity. The classic decorrelation trap: the
+    * correlated scalar subquery `l_quantity < 0.2 * (SELECT avg(..) WHERE
+    * p_partkey = l_partkey)` becomes ONE per-part aggregate joined back —
+    * the fact is scanned twice (once to build the averages, once to
+    * filter), never once per part.
+    *
+    * Exactness: the 0.2·avg comparison is the integer cross-multiply
+    * `5 · qty · cnt < sum_qty` (quantities are integral longs — no
+    * division, no float threshold, no cross-engine boundary noise), and
+    * revenue aggregates through [[Agg.dsum]]'s exact scaled-long cents;
+    * the final ÷7 is one double division both engines perform on the
+    * same exact total. Hash-exact against the oracle's correlated form.
+    *
+    * The per-part averages frame is |parts touched| rows — catalog-
+    * bounded, so it BROADCASTS back onto the fact (the fact never
+    * shuffles). If the catalog outgrows the broadcast threshold, drop
+    * the hint and both sides shuffle on l_partkey — same plan DuckDB
+    * runs, minus the broadcast win.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg(count(lit(1)).as("_cnt"), sum(qty).as("_sq"))
+    lineitem
+      .join(broadcast(perPart), Seq("l_partkey"))
+      .filter(qty * 5 * col("_cnt") < col("_sq"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("small_lines"),
+        (dsum(col("l_extendedprice")) / 7).as("avg_yearly"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Pins for [[graft.ops.Graph.pageRankFixed]]: equality with a plain-Scala
+  * fixed-point reference on hand graphs (incl. dangling redistribution),
+  * partition invariance (the property float PageRank cannot have),
+  * duplicate-edge idempotence, and mass accounting.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Plain-Scala twin of the integer recurrence — same truncating
+    * divisions, same term order.
+    */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+                       scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = scale * 3 / 20 / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => rank(p._1) / deg(p._1)).sum
+      }
+      val danglingMass = nodes.filterNot(deg.contains).map(rank).sum
+      rank = nodes.map { v =>
+        v -> (teleport + contrib.getOrElse(v, 0L) * 17 / 20 +
+          danglingMass * 17 / 20 / n)
+      }.toMap
+    }
+    rank
+  }
+
+  private def got(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankFixed(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("line graph matches the plain-Scala fixed-point twin") {
+    // 1 <-> 2 <-> 3: symmetric, no danglers; middle node must outrank ends.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val g = got(edges, 3)
+    assert(g == refRanks(edges, 3))
+    assert(g(2L) > g(1L) && g(1L) == g(3L))
+  }
+
+  test("dangling node redistributes its mass (plain-Scala twin agrees)") {
+    // 1->2, 3->2: node 2 has NO out-edges — its whole rank re-spreads
+    // uniformly each round instead of evaporating.
+    val edges = Seq((1L, 2L), (3L, 2L))
+    val g = got(edges, 3)
+    assert(g == refRanks(edges, 3))
+    assert(g(2L) > g(1L))
+    // Re-spread keeps total mass near scale: without the dangling term
+    // iteration 1 would already drop ~85% of the mass.
+    assert(g.values.sum > 900000000000L,
+      s"dangling mass lost: total ${g.values.sum}")
+  }
+
+  test("partition invariance: same ranks under any input partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val base = got(edges, 4)
+    val repart = Graph.pageRankFixed(
+      edges.toDF("src", "dst").repartition(7, col("dst")), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == repart)
+    assert(base == refRanks(edges, 4))
+  }
+
+  test("duplicate edges and duplicate rows do not change the result") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val dup = edges ++ edges ++ Seq((1L, 2L))
+    assert(got(dup, 3) == got(edges, 3))
+  }
+
+  test("empty edge table yields an empty rank table") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRankFixed(empty, 2).count() == 0)
+  }
+
+  test("mass accounting: total rank <= scale, loss bounded by truncation") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val g = got(edges, 5)
+    val total = g.values.sum
+    val scale = 1000000000000L
+    assert(total <= scale)
+    // Each round each node loses < 1 unit per div (3 divs in the rank
+    // expression) plus the per-edge contribution truncation spread across
+    // receivers — a generous bound is n*(3+maxDeg) per round.
+    val bound = g.size.toLong * (3 + 30) * 5
+    assert(total >= scale - bound, s"lost ${scale - total} > bound $bound")
+  }
+}

@@ -503,4 +503,39 @@ class PlanSpec extends SparkSpec {
       "the combos-sized floor must broadcast, not shuffle the corpus:\n" +
         p.take(800))
   }
+
+  test("q165 jw rescore: FastSS equi-join candidates, never a cartesian") {
+    val p = plan("q165_jw_rescore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the JW scorer must run on FastSS candidates, not an n² matrix:\n" +
+        p.take(1200))
+    assert(p.contains("jaro_winkler") || p.contains("jaroWinkler") ||
+      p.contains("JaroWinkler"),
+      "the codegen'd scorer should appear in the plan:\n" + p.take(1200))
+  }
+
+  test("q167 pagerank top: rank decode is a broadcast join + global top-k") {
+    val p = plan("q167_pagerank_top")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be per-partition heaps + merge, not a global " +
+        "sort:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the supplier-dim decode must broadcast:\n" + p.take(1200))
+  }
+
+  test("q168 small-qty revenue: per-part averages broadcast back, no shuffle of the fact") {
+    val p = plan("q168_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      "the catalog-bounded per-part stats frame must broadcast:\n" +
+        p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the fact must never shuffle for the decorrelated subquery:\n" +
+        p.take(1200))
+    val liScans = p.split('\n')
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2,
+      s"the correlated-avg decorrelation pays exactly two fact scans, " +
+        s"got $liScans:\n" + p.take(1500))
+  }
 }
