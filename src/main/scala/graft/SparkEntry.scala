@@ -906,10 +906,18 @@ object SparkEntry {
     // expression's double-op order is pinned bit-for-bit to DuckDB's
     // jaro_winkler_similarity (30k-pair ULP check in JaroWinklerSpec), so
     // the float score column is hash-exact against the oracle's n² form.
+    // Registered at maxDist = 1, where deletion-variant blocking is
+    // alphabet-bounded and the q140 sf-sweep proves Spark beats the n²
+    // oracle with a widening margin. k = 2 over ID-structured names
+    // (digit-tail c_name) degenerates — dropping two digits collapses
+    // hundreds of names into one bucket (measured at sf0.1: 3,750 names
+    // → hottest bucket 271 deep, 3.1M candidates vs 7M brute) — so the
+    // k = 2 leg lives in FuzzyJoinSpec, not the bench path; see the
+    // FuzzyJoin scaladoc for the k-vs-corpus-structure contract.
     "q165_jw_rescore" -> ((s, dir) =>
       graft.ops.FuzzyJoin.fuzzySelfJoinScored(
         t(s, dir, "customer").filter(col("c_custkey") % 4 === 0),
-        "c_name", maxDist = 2, minJw = 0.9)),
+        "c_name", maxDist = 1, minJw = 0.9)),
     // Graph: fixed-point integer PageRank, 3 power iterations, over the
     // symmetrized customer<->supplier order graph (who-buys-from-whom).
     // Integer fixed-point is what makes an ITERATIVE result hash-exact
@@ -953,6 +961,41 @@ object SparkEntry {
     "q168_small_qty_revenue" -> ((s, dir) =>
       Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
         t(s, dir, "part"))),
+    // J7 hybrid retrieval, PRODUCTION form (q160 is the exact-grid twin):
+    // each retriever runs its own scale path — IVF-flat top-20 for dense
+    // (probed-lists-only, the q65 plan), inverted-index keyword top-20
+    // for sparse (probe tokens broadcast, corpus touched only via the
+    // token equi-join) — and rrfFuse merges just the two top-N lists
+    // with the paper's union semantics (absent-from-one-list docs
+    // contribute one term). The corpus is never self-joined and never
+    // grid-joined: fusion cost is |probes| × 2N rows, independent of
+    // corpus size. Ranks are deterministic ints, the RRF terms
+    // correctly-rounded divisions — hash-exact like q160.
+    "q169_rrf_fused" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+          20, nCentroids = 16, nProbe = 4)
+        .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val sparse = graft.vector.Retrieval.sparseTopN(
+        t(s, dir, "documents"), nProbes = 3, n = 20)
+      graft.vector.Retrieval.rrfFuse(dense, sparse, k = 10)
+    }),
+    // F8 LM quality, PRODUCTION form (q154 is the self-scored bootstrap):
+    // the two-corpus perplexity — train the bigram LM on one curated
+    // source stratum, score every OTHER document against it (the CCNet
+    // deployment shape: the LM is maintenance state from a reference
+    // corpus, scoring never retrains). Same integer sufficient
+    // statistics as q154; n_known now counts bigrams seen in the
+    // REFERENCE corpus, which is the transfer signal itself.
+    "q170_ppl_transfer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.LangModel.perplexity(
+          docs.filter(col("source") =!= "src0"),
+          graft.text.LangModel.bigramLm(docs.filter(col("source") === "src0")))
+        .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+          col("sum_c12"), col("sum_c1"))
+    }),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
@@ -1301,9 +1344,11 @@ object SparkEntry {
     // A8 TOLERANT audio: numeric 32-bit sub-fingerprints with simulated
     // single-bit capture noise (fp ^ window parity) — identity matching
     // loses every odd-aligned vote; the width-aware banded switch
-    // (4×8-bit bands, exact popcount verify) recovers them. The oracle
-    // mirrors the band algebra, which IS hamming<=1 semantics by
-    // pigeonhole at 4 bands (banded == brute spec-pinned at d<=3).
+    // (maxHamming+1 = 2 bands of 16 bits, exact popcount verify)
+    // recovers them. The oracle mirrors the band algebra, which IS
+    // hamming<=1 semantics by pigeonhole at 2 bands (banded == brute
+    // spec-pinned at d ∈ {0,1,2,3}); 16-bit keys keep candidate volume
+    // ~n²/65536 per band vs n²/256 at the old 4×8 geometry.
     "q150_audio_tolerant" -> ((s, dir) =>
       Multimodal.audioNearDup(
         Multimodal.syntheticAudioWindows(t(s, dir, "documents"))
@@ -1782,7 +1827,7 @@ object SparkEntry {
         |  CAST(levenshtein(a.t, b.t) AS INT) AS dist,
         |  jaro_winkler_similarity(a.t, b.t) AS jw
         |FROM n a JOIN n b
-        |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+        |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
         |WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9""".stripMargin,
     // The engine's fixed-point recurrence, unrolled: every term is
     // integer (// is DuckDB's integral divide, div on the Spark side), so
@@ -1820,7 +1865,7 @@ object SparkEntry {
         |                  FROM r2 r JOIN e ON e.src = r.node
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
-        |SELECT node, rank FROM r3""".stripMargin,
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
     "q167_pagerank_top" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -1853,13 +1898,13 @@ object SparkEntry {
         |                  FROM r2 r JOIN e ON e.src = r.node
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
-        |SELECT s.s_name, r.rank
+        |SELECT s.s_name, CAST(r.rank AS BIGINT) AS rank
         |FROM r3 r JOIN supplier s ON s.s_suppkey = (r.node - 1) // 2
         |WHERE r.node % 2 = 1
         |ORDER BY r.rank DESC, s.s_name LIMIT 20""".stripMargin,
     "q168_small_qty_revenue" ->
       """WITH s AS (SELECT l_partkey, COUNT(*) AS cnt,
-        |    SUM(CAST(l_quantity AS BIGINT)) AS sq
+        |    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sq
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT p.p_brand, COUNT(*) AS small_lines,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7
@@ -1867,8 +1912,89 @@ object SparkEntry {
         |FROM lineitem l
         |JOIN s ON s.l_partkey = l.l_partkey
         |JOIN part p ON p.p_partkey = l.l_partkey
-        |WHERE 5*CAST(l.l_quantity AS BIGINT)*s.cnt < s.sq
+        |WHERE 5*CAST(floor(l.l_quantity) AS BIGINT)*s.cnt < s.sq
         |GROUP BY p.p_brand""".stripMargin,
+    "q169_rrf_fused" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |cand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.neighbor_id),
+        |dense AS (
+        |  SELECT probe_id, neighbor_id AS doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank_vec
+        |  FROM cand QUALIFY rank_vec <= 20),
+        |tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |ov AS (
+        |  SELECT pt.doc_id AS probe_id, ct.doc_id AS doc_id,
+        |    COUNT(*) AS kw_overlap
+        |  FROM tok pt JOIN tok ct
+        |    ON pt.token = ct.token AND ct.doc_id != pt.doc_id
+        |  WHERE pt.doc_id < 3 GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT probe_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY kw_overlap DESC, doc_id) AS INT) AS rank_kw
+        |  FROM ov QUALIFY rank_kw <= 20),
+        |f AS (
+        |  SELECT COALESCE(d.probe_id, sp.probe_id) AS probe_id,
+        |    COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+        |    d.rank_vec, sp.rank_kw,
+        |    COALESCE(1.0/(60 + d.rank_vec), 0.0)
+        |      + COALESCE(1.0/(60 + sp.rank_kw), 0.0) AS rrf
+        |  FROM dense d FULL OUTER JOIN sparse sp
+        |    ON d.probe_id = sp.probe_id AND d.doc_id = sp.doc_id)
+        |SELECT probe_id, doc_id, rank_vec, rank_kw, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank_rrf
+        |FROM f QUALIFY rank_rrf <= 10""".stripMargin,
+    "q170_ppl_transfer" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src0' AND len(t) >= 2)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |u AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source <> 'src0' AND len(t) >= 2))
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams, COUNT(c.c12) AS n_known,
+        |  CAST(SUM(COALESCE(c.c12, 0)) AS BIGINT) AS sum_c12,
+        |  CAST(SUM(COALESCE(u.c1, 0)) AS BIGINT) AS sum_c1
+        |FROM bg b
+        |LEFT JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |LEFT JOIN u ON b.w1 = u.w1
+        |GROUP BY b.doc_id""".stripMargin,
     "q96_redact" ->
       """SELECT event_id, event_type, props,
         |  regexp_replace(regexp_replace(regexp_replace(props,
@@ -3368,8 +3494,8 @@ object SparkEntry {
         |stop AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT asset_id) AS na
         |                         FROM dw GROUP BY fp) WHERE na > 64),
         |pruned AS (SELECT * FROM dw WHERE fp NOT IN (SELECT fp FROM stop)),
-        |bands AS (SELECT asset_id, wi, fp, band, (fp >> (band*8)) & 255 AS bv
-        |  FROM pruned CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+        |bands AS (SELECT asset_id, wi, fp, band, (fp >> (band*16)) & 65535 AS bv
+        |  FROM pruned CROSS JOIN (VALUES (0),(1)) b(band)),
         |cand AS (SELECT DISTINCT a.asset_id AS asset_a, a.wi AS w_a,
         |    a.fp AS fp_a, b.asset_id AS asset_b, b.wi AS w_b, b.fp AS fp_b
         |  FROM bands a JOIN bands b USING (band, bv)
@@ -3403,10 +3529,10 @@ object SparkEntry {
         |                         FROM corpus GROUP BY fp) WHERE na > 64),
         |prunedc AS (SELECT * FROM corpus
         |            WHERE fp NOT IN (SELECT fp FROM stop)),
-        |cb AS (SELECT asset_id, wi, fp, band, (fp >> (band*8)) & 255 AS bv
-        |  FROM prunedc CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
-        |db AS (SELECT asset_id, wi, fp, band, (fp >> (band*8)) & 255 AS bv
-        |  FROM delta CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+        |cb AS (SELECT asset_id, wi, fp, band, (fp >> (band*16)) & 65535 AS bv
+        |  FROM prunedc CROSS JOIN (VALUES (0),(1)) b(band)),
+        |db AS (SELECT asset_id, wi, fp, band, (fp >> (band*16)) & 65535 AS bv
+        |  FROM delta CROSS JOIN (VALUES (0),(1)) b(band)),
         |cand AS (SELECT DISTINCT c.asset_id AS asset_a, c.wi AS w_a,
         |    c.fp AS fp_a, d.asset_id AS asset_b, d.wi AS w_b, d.fp AS fp_b
         |  FROM cb c JOIN db d USING (band, bv)

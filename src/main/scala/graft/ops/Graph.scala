@@ -56,8 +56,11 @@ object Graph {
     *           + ((dampNum · Σ_{dangling u} rₖ₋₁(u)) div dampDen) div n
     * }}}
     * Dangling nodes (no out-edges) redistribute their mass uniformly —
-    * the standard correction; graphs with no danglers (e.g. symmetrized
-    * bipartite graphs) pay one cheap anti-join aggregate per round for it.
+    * the standard correction. The dangler SET is loop-invariant, so it
+    * is derived once before the loop; graphs with no danglers (e.g.
+    * symmetrized bipartite graphs, q166's shape) skip the per-iteration
+    * dangling aggregate entirely, leaving exactly one join + one keyed
+    * SUM per round.
     */
   def pageRankFixed(edges: DataFrame, iters: Int,
                     scale: Long = 1000000000000L,
@@ -72,13 +75,20 @@ object Graph {
       .localCheckpoint()
     // Degree rides the edge row so the per-iteration join is ONE join,
     // not two; materialized once, reused every round.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val withDeg = e.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val nTotal = nodes.agg(count(lit(1)).as("n"))
+    // Loop-invariant: the nodes with no out-edges. Materialized once so
+    // the anti-join never re-derives deg inside the loop, and checked
+    // once so dangler-free graphs pay nothing per iteration.
+    val danglers = nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDanglers = !danglers.isEmpty
     val teleportScaled = scale / dampDen * (dampDen - dampNum) +
       scale % dampDen * (dampDen - dampNum) / dampDen
     // teleportScaled must equal (scale·(dampDen−dampNum)) div dampDen
@@ -94,13 +104,16 @@ object Graph {
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      val dangling = ranks
-        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
-      ranks = nodes
+      val withBase = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nTotal))
-        .crossJoin(broadcast(dangling))
+      val withDm =
+        if (hasDanglers)
+          withBase.crossJoin(broadcast(ranks
+            .join(danglers, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))))
+        else withBase.withColumn("dm", lit(0L))
+      ranks = withDm
         .select(col("node"),
           (call_function("div", lit(teleportScaled), col("n"))
             + call_function("div",

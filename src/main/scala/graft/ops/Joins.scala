@@ -282,17 +282,26 @@ object Joins {
     * same exact total. Hash-exact against the oracle's correlated form.
     *
     * The per-part averages frame is |parts touched| rows — catalog-
-    * bounded, so it BROADCASTS back onto the fact (the fact never
-    * shuffles). If the catalog outgrows the broadcast threshold, drop
-    * the hint and both sides shuffle on l_partkey — same plan DuckDB
-    * runs, minus the broadcast win.
+    * cardinality, so it is left UNHINTED: at bench scale AQE sees the
+    * post-aggregate size and broadcasts it anyway; at 100 TB (where
+    * |parts| outgrows the threshold) AQE falls back to a shuffled join
+    * on l_partkey — the same plan DuckDB runs — instead of a forced
+    * OOM-ing broadcast. The dimension join stays hinted: `part` is a
+    * true catalog table.
+    *
+    * Quantity is floor()ed before the integer algebra on BOTH the
+    * per-part sum and the cross-multiply filter, matching the oracle's
+    * CAST(floor(l_quantity) AS BIGINT): Spark's cast(long) truncates
+    * toward zero while DuckDB's CAST rounds to nearest, and the two
+    * agree only on integral inputs — floor makes the contract explicit
+    * instead of leaning on fixture integrality.
     */
   def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val qty = col("l_quantity").cast("long")
+    val qty = floor(col("l_quantity"))
     val perPart = lineitem.groupBy("l_partkey")
       .agg(count(lit(1)).as("_cnt"), sum(qty).as("_sq"))
     lineitem
-      .join(broadcast(perPart), Seq("l_partkey"))
+      .join(perPart, Seq("l_partkey"))
       .filter(qty * 5 * col("_cnt") < col("_sq"))
       .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
         col("p_brand"))), Seq("l_partkey"))

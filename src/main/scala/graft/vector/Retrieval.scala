@@ -83,6 +83,29 @@ object Retrieval {
         col("rank_kw"), col("kw_overlap"), col("rrf"), col("rank_rrf"))
   }
 
+  /** Sparse retriever scale path: per-probe top-`n` by keyword overlap
+    * through the inverted index — the corpus is touched ONLY via the
+    * token-keyed equi-join (each probe's tokens broadcast), so cost is
+    * Σ_token df(token_probe) candidate rows, never corpus × probes.
+    * Rank is deterministic (overlap desc, doc_id asc). Docs sharing no
+    * token with the probe cannot rank (the inverted index never sees
+    * them) — exactly the retriever contract [[rrfFuse]]'s union
+    * semantics expects.
+    */
+  def sparseTopN(docs: DataFrame, nProbes: Int = 3, n: Int = 20): DataFrame = {
+    val toks = docTokens(docs)
+    val probeToks = toks.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    toks.join(broadcast(probeToks), Seq("token"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("kw_overlap"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("kw_overlap").desc, col("doc_id"))))
+      .filter(col("rank") <= n)
+      .select(col("probe_id"), col("doc_id"), col("rank"))
+  }
+
   /** Production fusion: RRF over two already-retrieved ranked lists —
     * `(probe_id, doc_id, rank)` each, typically per-retriever top-N from
     * the scale paths (IVF dense, inverted-index sparse). Docs present in

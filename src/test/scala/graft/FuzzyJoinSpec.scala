@@ -200,6 +200,38 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(guarded.collect().map(_.getString(0)).contains("term3"))
   }
 
+  test("scored two-stage == brute candidates rescored, at k in {1, 2}") {
+    // The q165 shape kept at spec level for k=2 (the bench registration
+    // is k=1 — deletion-variant blocking degenerates on ID-structured
+    // corpora at k>=2, see the FuzzyJoin scaladoc): FastSS candidates
+    // rescored by the codegen'd JaroWinkler expression must equal the
+    // n² form's survivors, jw column bit-identical (same expression on
+    // both sides; cross-engine bit-identity is JaroWinklerSpec's job).
+    def bruteScored(maxDist: Int, minJw: Double) =
+      brute(maxDist).withColumn("jw",
+          graft.functions.GraftFunctions.jaro_winkler(
+            col("name_a"), col("name_b")))
+        .filter(col("jw") >= minJw)
+    def scoredPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("name_a", "name_b", "dist", "jw").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    Seq(1, 2).foreach { k =>
+      val got = scoredPairs(
+        FuzzyJoin.fuzzySelfJoinScored(words, "w", maxDist = k, minJw = 0.8))
+      assert(got === scoredPairs(bruteScored(k, 0.8)),
+        s"scored two-stage != brute rescored at k=$k")
+      assert(got.nonEmpty, s"fixture must keep some jw >= 0.8 pairs at k=$k")
+    }
+    // the precision stage really filters: a low-jw lev<=2 pair dies
+    val all = scoredPairs(
+      FuzzyJoin.fuzzySelfJoinScored(words, "w", maxDist = 2, minJw = 0.0))
+    val kept = scoredPairs(
+      FuzzyJoin.fuzzySelfJoinScored(words, "w", maxDist = 2, minJw = 0.8))
+    assert(kept.subsetOf(all) && kept.size < all.size,
+      "minJw must drop low-precision candidates, never add")
+  }
+
   test("hot-bucket guard drops pairs only reachable through hot variants") {
     // "aa","ab",...: deleting one char maps many terms onto 1-char
     // variants; with maxBucket 2 those buckets vanish and only pairs

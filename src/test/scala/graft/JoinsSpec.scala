@@ -132,6 +132,45 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.toSeq === Seq(("S10", 1L)))
   }
 
+  test("smallQuantityRevenue: floor contract on non-integral qty, <=2 fact scans, no forced broadcast") {
+    // Both parts separate floor from round-to-nearest (the DuckDB CAST
+    // convention the old cast("long") only accidentally agreed with):
+    // part 1, qty 4.7: floor->4 keeps the line (5*4*3=60 < 61); round->5
+    // drops it (5*5*3=75 < 62 fails). part 2, qty 2.5 sits exactly on
+    // the .5 boundary: floor->2 keeps (5*2*2=20 < 21); round->3 drops
+    // (5*3*2=30 < 22 fails).
+    val li = Seq(
+      (1L, 4.7, 100.0), (1L, 20.0, 200.0), (1L, 37.0, 300.0),
+      (2L, 2.5, 50.0), (2L, 19.0, 75.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = Joins.smallQuantityRevenue(li, part)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // part 1: floor sums 4+20+37=61; kept lines: 5*4*3=60<61 only
+    // part 2: floor sums 2+19=21;   kept lines: 5*2*2=20<21 only
+    assert(out === Map("B1" -> ((1L, 100.0 / 7)), "B2" -> ((1L, 50.0 / 7))))
+
+    // plan posture on real parquet: the decorrelated form scans the
+    // fact at most twice (classic correlated plan pays three), and the
+    // per-part aggregate side carries NO forced broadcast hint — AQE
+    // may pick broadcast at this size, but a shuffled fallback must
+    // remain legal at 100 TB (the hint would force OOM instead).
+    val fact = Tables.load(spark, sf, "lineitem")
+    val dim = Tables.load(spark, sf, "part")
+    val q = Joins.smallQuantityRevenue(fact, dim)
+    val nFactScans = q.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(nFactScans <= 2, s"expected <=2 lineitem scans, got $nFactScans")
+    val hinted = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // exactly one hint: the true catalog dim (part); none on the aggregate
+    assert(hinted.size === 1,
+      s"only the part dim may be broadcast-hinted, found ${hinted.size}")
+    assert(q.count() > 0)
+  }
+
   test("pointInTimeJoin: each probe gets the one version valid at its ts") {
     import graft.ops.Upsert
     // user 1 flips view->click->view; flip at 10:00 has a same-ts pair

@@ -52,6 +52,36 @@ class LangModelSpec extends SparkSpec {
     assert(byId(8L).getAs[Long]("sum_c1") == 0L) // z never a left context
   }
 
+  test("two-corpus transfer (q170 shape): stats hand-computed, V from the scored corpus") {
+    // reference LM: "a b a b" + "a b c" -> c12: (a,b)=3,(b,a)=1,(b,c)=1;
+    // c1: a=3, b=2 (the fixture from the first test).
+    val train = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    // scored corpus: "a b x" -> (a,b) known + (b,x) unseen-with-seen-left;
+    //                "x y"   -> (x,y) unseen left context entirely.
+    val scoreMe = Seq((10L, "a b x"), (11L, "x y")).toDF("doc_id", "text")
+    val out = graft.text.LangModel.perplexity(scoreMe,
+      graft.text.LangModel.bigramLm(train))
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_known"),
+        r.getAs[Long]("sum_c12"), r.getAs[Long]("sum_c1"),
+        r.getAs[Double]("ppl")))).toMap
+    // doc 10: n_bigrams 2, n_known 1 ((a,b)); sum_c12 = 3; sum_c1 = 3+2
+    assert(got(10L)._1 == 2L && got(10L)._2 == 1L &&
+      got(10L)._3 == 3L && got(10L)._4 == 5L)
+    // doc 11: everything unseen
+    assert(got(11L)._1 == 1L && got(11L)._2 == 0L &&
+      got(11L)._3 == 0L && got(11L)._4 == 0L)
+    // V is the SCORED corpus's vocabulary ({a,b,x,y} -> 4): the smoothing
+    // denominator adapts to what is being scored, the LM supplies counts
+    // only. Hand-computed: doc 10 p(b|a)=(3+1)/(3+4), p(x|b)=(0+1)/(2+4);
+    // doc 11 p(y|x)=1/(0+4).
+    val p10 = math.exp(-(math.log(4.0 / 7) + math.log(1.0 / 6)) / 2)
+    assert(math.abs(got(10L)._5 - p10) < 1e-12)
+    assert(math.abs(got(11L)._5 - 4.0) < 1e-12)
+    // transfer signal: the out-of-domain doc scores strictly worse
+    assert(got(11L)._5 > got(10L)._5)
+  }
+
   test("q155 ppl-filter threshold sits mid-gap: margin >= 1e-6 at sf0.001") {
     val thr = 30.9497
     val margin = LangModel.perplexity(docs)

@@ -347,7 +347,7 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("asset_a") < r.getAs[Long]("asset_b")))
   }
 
-  test("audioNearDup banded path equals brute-force at d in {0,2,3}") {
+  test("audioNearDup banded path equals brute-force at d in {0,1,2,3}") {
     // synthetic NUMERIC 32-bit sub-fingerprints — the real spectral-
     // landmark regime the banded switch exists for. 10 base tracks of 16
     // random windows; track 100+i re-records track i with <=2 bits
@@ -376,7 +376,7 @@ class MultimodalSpec extends SparkSpec {
       ws.zipWithIndex.map { case (w, i) => (t, i.toLong + 5L, w) }
     }
     val fps = rows.toDF("asset_id", "window_index", "fp")
-    Seq(0, 2, 3).foreach { d =>
+    Seq(0, 1, 2, 3).foreach { d =>
       val banded = Multimodal.audioNearDup(fps, minVotes = 4,
           maxAssetsPerFp = 64, maxHamming = d)
         .as[(Long, Long, Long, Long, Long)].collect().toSet
@@ -432,7 +432,7 @@ class MultimodalSpec extends SparkSpec {
       ws.zipWithIndex.map { case (w, i) => (t, i.toLong, w) }
     }.toDF("asset_id", "window_index", "fp")
     val noStop = 1 << 20
-    Seq(0, 2, 3).foreach { d =>
+    Seq(0, 1, 2, 3).foreach { d =>
       val probe = Multimodal.audioNearDupAgainstIndex(
           Multimodal.audioIndexRows(wdf(base)),
           Multimodal.audioIndexRows(wdf(noisy)),

@@ -63,6 +63,53 @@ class RetrievalSpec extends SparkSpec {
       "production fusion over full lists must equal the exact grid")
   }
 
+  test("sparseTopN == an independent overlap ranking head (q169's sparse retriever)") {
+    val got = Retrieval.sparseTopN(docs, nProbes = 3, n = 20)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val pt = toks.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    val expect = toks.join(pt, Seq("token"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("kw_overlap"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("kw_overlap").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("probe_id"), col("doc_id"), col("rank"))
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+      "sparseTopN must equal the overlap ranking head")
+    // retriever contract: never more than n rows per probe, ranks dense 1..m
+    val perProbe = got.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .collect()
+    perProbe.foreach { r =>
+      assert(r.getAs[Long]("n") <= 20 && r.getAs[Int]("mx") == r.getAs[Long]("n"),
+        s"ranks must be dense 1..n per probe: $r")
+    }
+  }
+
+  test("q169 composition: zero-overlap docs fuse with null rank_kw (union semantics)") {
+    // doc 5 shares no token with probe 0 — the inverted index never
+    // surfaces it, so the fused row (reachable via dense only) must carry
+    // a NULL rank_kw and exactly the single dense term. This is the
+    // contract DIFFERENCE vs the exact grid (which ranks zero-overlap
+    // docs too) and the reason rrfFuse's terms are null-guarded.
+    val d = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (5L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val sparse = Retrieval.sparseTopN(d, nProbes = 1, n = 10)
+    assert(!sparse.filter(col("doc_id") === 5).collect().nonEmpty,
+      "zero-overlap doc must be absent from the sparse list")
+    val dense = Seq((0L, 5L, 1), (0L, 1L, 2)).toDF("probe_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(dense, sparse, k = 10)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(fused(5L).isNullAt(fused(5L).fieldIndex("rank_kw")))
+    assert(math.abs(fused(5L).getAs[Double]("rrf") - 1.0 / 61) < 1e-15)
+    // doc 1 has both terms: dense rank 2 + sparse rank 1
+    assert(math.abs(fused(1L).getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+  }
+
   test("novelty shingle index: overlapping append == one-shot rebuild; replay appends nothing") {
     val dir = java.nio.file.Files.createTempDirectory("shidx").toString
     val oneShot = s"$dir/full"
