@@ -64,7 +64,35 @@ object Graph {
     */
   def pageRankFixed(edges: DataFrame, iters: Int,
                     scale: Long = 1000000000000L,
-                    dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+                    dampNum: Int = 17, dampDen: Int = 20): DataFrame =
+    pageRankLoop(edges, None, iters, scale, dampNum, dampDen)
+
+  /** Warm-start continuation: run `iters` more power iterations from a
+    * PERSISTED rank table (node, rank) instead of the uniform start —
+    * the maintenance-state form of [[pageRankFixed]]. The rank vector is
+    * the recurrence's ENTIRE state, and every step is integer
+    * fixed-point, so `resume(ranks_k, m)` over the same edge table is
+    * BIT-IDENTICAL to a cold `pageRankFixed(k + m)` (GraphSpec-pinned) —
+    * no float drift can diverge the halves, which is what makes the rank
+    * table safe to persist and resume across sessions. 100 TB posture:
+    * a daily authority refresh pays only its incremental iterations
+    * against yesterday's at-rest ranks, never the full cold start; on a
+    * CHANGED edge table the resumed vector is a standard warm start
+    * (converges to the same fixed point, intermediate rounds are not
+    * cold-run-identical — the exactness contract is same-graph only).
+    *
+    * `ranks0` must cover exactly the graph's nodes; missing nodes would
+    * silently contribute zero mass, so coverage is validated (one
+    * anti-join count) and a mismatch fails loudly.
+    */
+  def pageRankResume(edges: DataFrame, ranks0: DataFrame, iters: Int,
+                     scale: Long = 1000000000000L,
+                     dampNum: Int = 17, dampDen: Int = 20): DataFrame =
+    pageRankLoop(edges, Some(ranks0), iters, scale, dampNum, dampDen)
+
+  private def pageRankLoop(edges: DataFrame, ranks0: Option[DataFrame],
+                           iters: Int, scale: Long,
+                           dampNum: Int, dampDen: Int): DataFrame = {
     require(iters >= 1, s"pageRankFixed: iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRankFixed: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -94,10 +122,23 @@ object Graph {
     // teleportScaled must equal (scale·(dampDen−dampNum)) div dampDen
     // without overflowing scale·(dampDen−dampNum); the split form above is
     // exact for it (quot/rem decomposition of the division).
-    var ranks = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"),
-        call_function("div", lit(scale), col("n")).as("rank"))
-      .localCheckpoint()
+    var ranks = ranks0 match {
+      case None =>
+        nodes.crossJoin(broadcast(nTotal))
+          .select(col("node"),
+            call_function("div", lit(scale), col("n")).as("rank"))
+          .localCheckpoint()
+      case Some(r0) =>
+        val r = r0.select(col("node").cast("long").as("node"),
+          col("rank").cast("long").as("rank")).localCheckpoint()
+        val missing = nodes.join(r, Seq("node"), "left_anti").count()
+        require(missing == 0L,
+          s"pageRankResume: ranks0 is missing $missing graph node(s) — " +
+            "a resumed vector must cover the graph it is resumed on")
+        // extra persisted nodes no longer in the graph are dropped: they
+        // can neither receive nor (having no out-edges here) send mass.
+        r.join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    }
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(withDeg, ranks("node") === withDeg("src"))

@@ -309,4 +309,57 @@ object Joins {
       .agg(count(lit(1)).as("small_lines"),
         (dsum(col("l_extendedprice")) / 7).as("avg_yearly"))
   }
+
+  /** TPC-H Q22 shape ("global sales opportunity"): customers from a
+    * literal market set whose balance beats the positive-balance AVERAGE
+    * of that set and who have NO orders — the global-scalar-threshold +
+    * NOT-EXISTS pair, the last classic decorrelation shape the suite
+    * lacked (Q21 folds correlated EXISTS pairs, Q17 a correlated
+    * per-group average, Q4 a riding-inequality semi-join; this one is a
+    * GLOBAL scalar + anti-join).
+    *
+    * "No orders" is measured against a `since` cutoff (lapsed
+    * customers) — the classic Q22 spelling is an unconditional NOT
+    * EXISTS, but the fixture's order generator covers every customer,
+    * so the date-windowed form is what keeps the shape non-vacuous
+    * while exercising the identical decorrelation (the anti-join just
+    * carries a pushed-down date filter on its build side).
+    *
+    * Decorrelation: the scalar subquery is ONE 1-row aggregate
+    * (count + exact cents sum over positive balances) broadcast onto the
+    * filtered dimension; the average comparison is the integer
+    * cross-multiply `cents(bal) · n > Σcents` — no division, no float
+    * boundary, so the threshold decision is hash-exact cross-engine
+    * (the q168/q147 discipline). The NOT EXISTS is a left-anti against
+    * the date-filtered orders keyed on the customer key, run AFTER the
+    * broadcast filter so the anti-join probes only threshold survivors.
+    * Output money is the exact scaled-long cents sum surfaced as double
+    * ([[Agg.dsum]]).
+    *
+    * Scale: customer filtered map-side (nation set is a literal IN), the
+    * only shuffle is the anti-join against orders (both sides keyed on
+    * custkey — AQE picks broadcast iff survivors fit); overflow bound:
+    * cents ≤ 10⁶ per row, so `cents · n` needs n < 9·10¹² customers in
+    * the market set — documented, not checked, same posture as
+    * [[graft.ops.Graph]]'s scale bound.
+    */
+  def inactiveHighBalance(customer: DataFrame, orders: DataFrame,
+                          nations: Seq[Int],
+                          since: String = "2001-01-01"): DataFrame = {
+    val cust = customer
+      .filter(col("c_nationkey").isin(nations.map(Int.box): _*))
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("_n"),
+        sum(Agg.cents(col("c_acctbal"))).as("_sc"))
+    cust
+      .crossJoin(broadcast(thr))
+      .filter(Agg.cents(col("c_acctbal")) * col("_n") > col("_sc"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+  }
 }

@@ -62,6 +62,37 @@ class GraphSpec extends SparkSpec {
       s"dangling mass lost: total ${g.values.sum}")
   }
 
+  test("resume(k) after pageRankFixed(m) == cold pageRankFixed(m+k), bit-exact") {
+    // integer fixed-point means the rank vector IS the whole state: a
+    // persisted 2-iteration vector resumed for 1 more must reproduce the
+    // cold 3-iteration run exactly — on a dangler graph too (the
+    // dangling aggregate reads the resumed vector).
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2) :+ (98L, 99L) // 99 dangles
+    val df = edges.toDF("src", "dst")
+    val r2 = Graph.pageRankFixed(df, 2)
+    val resumed = Graph.pageRankResume(df, r2, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == got(edges, 3), "resume must equal the cold run")
+    // and a round-trip through parquet (the q172 shape) stays exact
+    val dir = java.nio.file.Files.createTempDirectory("pranks").toString + "/r2"
+    r2.write.parquet(dir)
+    val viaDisk = Graph.pageRankResume(df, spark.read.parquet(dir), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDisk == resumed)
+    // a vector that does not cover the graph fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankResume(df, r2.filter(col("node") =!= 99L), 1).collect()
+    }
+    assert(e.getMessage.contains("missing"))
+    // extra persisted nodes (graph shrank) are dropped, not resurrected
+    val extra = r2.unionByName(Seq((12345L, 77L)).toDF("node", "rank"))
+    val shrunk = Graph.pageRankResume(df, extra, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shrunk == resumed)
+  }
+
   test("partition invariance: same ranks under any input partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

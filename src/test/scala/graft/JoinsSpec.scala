@@ -171,6 +171,32 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(q.count() > 0)
   }
 
+  test("inactiveHighBalance: exact average boundary, anti-join, nation filter") {
+    // threshold set: positive balances 10.00, 20.00, 30.00 -> avg 20.00.
+    // cents*n > sum  <=>  bal > 20 exactly; customer 2 sits ON the
+    // average (2000*3 = 6000, not >) and must be excluded — the integer
+    // cross-multiply keeps the boundary exact where a float avg could
+    // wobble. Customer 3 (30.00) clears it but has an order -> anti-
+    // joined away. Customer 4 (25.00) clears and is orderless -> kept.
+    // Customer 4's only order predates the cutoff (LAPSED -> kept);
+    // customer 5 is outside the nation set; customer 6 has a negative
+    // balance (excluded from the average AND below it).
+    val cust = Seq(
+      (1L, 10.00, 3), (2L, 20.00, 3), (3L, 30.00, 3),
+      (4L, 25.00, 7), (5L, 999.00, 2), (6L, -5.00, 7))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val ord = Seq((100L, 3L, "2001-06-01"), (101L, 4L, "2000-02-01"))
+      .toDF("o_orderkey", "o_custkey", "_d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("_d")).as("o_orderdate"))
+    val out = Joins.inactiveHighBalance(cust, ord, nations = Seq(3, 7),
+        since = "2001-01-01")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out === Map(7 -> ((1L, 25.00))),
+      s"only the lapsed above-average in-set customer survives: $out")
+  }
+
   test("pointInTimeJoin: each probe gets the one version valid at its ts") {
     import graft.ops.Upsert
     // user 1 flips view->click->view; flip at 10:00 has a same-ts pair
