@@ -949,13 +949,21 @@ object Corpus {
     require(tauNum > 0 && tauDen >= tauNum,
       s"containmentPairs: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
     val all = hashedShingles(docs, n)
-    val sh =
+    val pruned =
       if (maxDf == Int.MaxValue) all
       else {
         val hot = all.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxDf).select(col("_h"))
         all.join(broadcast(hot), Seq("_h"), "left_anti")
       }
+    // THREE consumers read the shingle frame (sizes, both join sides) —
+    // materialize it once (the audioNearDup/dedupClusters sharing
+    // discipline) instead of paying the tokenize+hash byte walk three
+    // times. At toy SF the query is per-stage-constant-bound (measured
+    // round 13: 3.2 → 3.0 s at sf0.1, where candidates are only 2.8M
+    // pairs), but at 100 TB three corpus-wide text walks are real I/O —
+    // the materialization is the same move the oracle's CTE makes.
+    val sh = pruned.localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     sh.as("a")
       .join(sh.as("b"), col("a._h") === col("b._h") &&
