@@ -891,6 +891,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         valueCol = "n_chars", nBuckets = 10)
     }),
+    // T6 drift, delta-vs-reference form (round 13 — the monitoring
+    // member of the maintenance-state family): the reference histogram +
+    // percentile edges PERSIST (writeDriftReference, _DRIFT_META
+    // sidecar) and each batch pays one map-side histogram + a tiny
+    // bucket join — the reference is never rescanned. Same output as
+    // q163 by construction, so the shared oracle's green row IS the
+    // proof the stored-reference cycle reproduces the one-shot numbers;
+    // streaming twin DriftStream.monitorQuery (replay-convergent
+    // batch_id-partitioned monitor sink, DriftStreamSpec).
+    "q173_drift_reference" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "driftref", "v1") { out =>
+        graft.streaming.DriftStream.writeDriftReference(
+          docs.filter(col("doc_id") % 2 === 0), "n_chars", out)
+      }
+      graft.streaming.DriftStream.driftBatch(s,
+        docs.filter(col("doc_id") % 2 === 1), refDir)
+    }),
     // F8/A9 privacy: k-anonymity release gate — quasi-identifier groups
     // below k are suppressed before export (the post-redact group-size
     // floor). Integer decision; combos-sized aggregate broadcast back as
@@ -1828,6 +1847,26 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
         |FROM documents""".stripMargin,
     "q163_drift_buckets" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |e AS (SELECT quantile_cont(n_chars,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |      FROM ref),
+        |rb AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(r.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM ref r CROSS JOIN e GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM cur c CROSS JOIN e GROUP BY 1)
+        |SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+        |  COALESCE(rb.n_ref, 0) AS n_ref,
+        |  COALESCE(cb.n_cur, 0) AS n_cur
+        |FROM rb FULL OUTER JOIN cb ON cb.bucket = rb.bucket""".stripMargin,
+    "q173_drift_reference" ->
       """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
         |e AS (SELECT quantile_cont(n_chars,

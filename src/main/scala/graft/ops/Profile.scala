@@ -101,23 +101,45 @@ object Profile {
   def driftBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                    nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"driftBuckets: nBuckets >= 2, got $nBuckets")
-    val edges = ref.agg(
+    val edges = referenceEdges(ref, valueCol, nBuckets)
+    joinBuckets(bucketCounts(ref, valueCol, edges, "n_ref"),
+      bucketCounts(cur, valueCol, edges, "n_cur"))
+  }
+
+  /** The reference snapshot's interpolated `(1..n−1)/n` percentiles —
+    * the frozen half of the PSI monitor. Lands on the driver as
+    * `nBuckets−1` doubles (bounded, the centroid/codebook discipline);
+    * [[graft.streaming.DriftStream]] persists them so a long-lived
+    * monitor never rescans its reference.
+    */
+  def referenceEdges(ref: DataFrame, valueCol: String,
+                     nBuckets: Int): Seq[Double] =
+    ref.agg(
       expr(s"percentile($valueCol, array(${(1 until nBuckets)
         .map(i => i.toDouble / nBuckets).mkString(",")}))").as("e"))
       .collect()(0).getSeq[Double](0)
-    def bucketOf(df: DataFrame, as: String): DataFrame = {
-      val b = edges.map(e =>
-        when(col(valueCol).cast("double") > e, 1).otherwise(0))
-        .reduce(_ + _)
-      df.select(b.as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    }
-    bucketOf(ref, "n_ref")
-      .join(bucketOf(cur, "n_cur"), Seq("bucket"), "full_outer")
+
+  /** Map-side bucket histogram against literal edges: each row's bucket
+    * is the count of edges strictly below its value — one pass, one
+    * strata-free aggregate.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, edges: Seq[Double],
+                   as: String): DataFrame = {
+    val b = edges.map(e =>
+      when(col(valueCol).cast("double") > e, 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(b.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+  }
+
+  /** Full-outer bucket align + zero-fill (an emptied bucket IS the drift
+    * signal, so it must appear).
+    */
+  private[graft] def joinBuckets(ref: DataFrame, cur: DataFrame): DataFrame =
+    ref.join(cur, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-  }
 
   /** The PSI scalar over [[driftBuckets]] output:
     * `Σ (p−q)·ln(p/q)` with add-half smoothing so emptied buckets score

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ops.Profile
+import graft.streaming.DriftStream
+
+/** Pins for the streaming PSI monitor: the persisted-reference split must
+  * reproduce the batch [[Profile.driftBuckets]]/[[Profile.psi]] numbers
+  * exactly, the monitor sink must converge under replay (dynamic
+  * partition overwrite by batch_id), and the sidecar contract must fail
+  * loudly rather than mis-bucket.
+  */
+class DriftStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf0001 = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("persisted-reference driftBatch == one-shot driftBuckets, psi identical") {
+    val dir = java.nio.file.Files.createTempDirectory("driftref").toString + "/ref"
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    DriftStream.writeDriftReference(ref, "n_chars", dir)
+    val split = DriftStream.driftBatch(spark, cur, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = Profile.driftBuckets(ref, cur, "n_chars")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(split == oneShot,
+      "stored-reference buckets must equal the batch form's")
+    val psiSplit = Profile.psi(DriftStream.driftBatch(spark, cur, dir))
+      .collect()(0).getDouble(0)
+    val psiBatch = Profile.psi(Profile.driftBuckets(ref, cur, "n_chars"))
+      .collect()(0).getDouble(0)
+    assert(psiSplit == psiBatch, "psi must be bit-identical through the split")
+  }
+
+  test("monitor stream: per-batch rows match the batch form; replay converges") {
+    val root = java.nio.file.Files.createTempDirectory("driftmon").toString
+    val src = s"$root/src"; val ref = s"$root/ref"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    DriftStream.writeDriftReference(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", ref)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+
+    // wave 1: an in-distribution sample; wave 2: a shifted one
+    val w1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("n_chars"))
+    val w2 = docs.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), (col("n_chars") * 3).as("n_chars"))
+    w1.coalesce(1).write.parquet(s"$src/w1")
+    DriftStream.monitorQuery(spark, s"$src/*", ref, out, s"$root/cp",
+      schema).awaitTermination()
+    w2.coalesce(1).write.parquet(s"$src/w2")
+    DriftStream.monitorQuery(spark, s"$src/*", ref, out, s"$root/cp",
+      schema).awaitTermination()
+
+    val rows = spark.read.parquet(out)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("psi")))).toMap
+    assert(rows.keySet == Set(0L, 1L), s"one monitor row per batch: $rows")
+    // each row must equal the batch-form PSI of its own wave
+    def psiOf(cur: org.apache.spark.sql.DataFrame): Double =
+      Profile.psi(DriftStream.driftBatch(spark, cur, ref))
+        .collect()(0).getDouble(0)
+    assert(rows(0L) == ((w1.count(), psiOf(w1))))
+    assert(rows(1L) == ((w2.count(), psiOf(w2))))
+    // the shifted wave must read as shifted, the in-distribution one not
+    assert(rows(1L)._2 > 0.25 && rows(0L)._2 < 0.1,
+      s"psi must separate the shifted wave: $rows")
+
+    // replay from a FRESH checkpoint: all files land in batch 0; the
+    // monitor table converges to exactly the reprocessed content with no
+    // duplicate rows (partition overwrite, not append)
+    DriftStream.monitorQuery(spark, s"$src/*", ref, out, s"$root/cp2",
+      schema).awaitTermination()
+    val replayed = spark.read.parquet(out)
+      .withColumn("batch_id", col("batch_id").cast("long")).collect()
+    assert(replayed.map(_.getAs[Long]("batch_id")).toSet == Set(0L, 1L),
+      "stale higher batches remain but batch 0 is overwritten in place")
+    val b0 = replayed.filter(_.getAs[Long]("batch_id") == 0L)
+    assert(b0.length == 1, s"replay must not duplicate monitor rows: ${b0.length}")
+    val all = w1.unionByName(w2)
+    assert(b0(0).getAs[Long]("n_rows") == all.count())
+    assert(b0(0).getAs[Double]("psi") == psiOf(all))
+  }
+
+  test("sidecar contract: missing meta, corrupt meta, missing column fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("driftbad").toString
+    val ref = s"$root/ref"
+    DriftStream.writeDriftReference(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", ref)
+    // missing monitored column
+    val e1 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark,
+        Seq((1L, "x")).toDF("doc_id", "text"), ref)
+    }
+    assert(e1.getMessage.contains("n_chars"))
+    // bare parquet dir without the sidecar
+    val bare = s"$root/bare"
+    docs.limit(3).select(col("n_chars")).write.parquet(bare)
+    val e2 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark, docs, bare)
+    }
+    assert(e2.getMessage.contains("_DRIFT_META"))
+    // corrupt: edge count disagreeing with nBuckets
+    val p = new org.apache.hadoop.fs.Path(ref, "_DRIFT_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("n_chars\n10\n1.0\n2.0\n".getBytes("UTF-8")); out.close()
+    val e3 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark, docs, ref)
+    }
+    assert(e3.getMessage.contains("corrupt"))
+  }
+}
