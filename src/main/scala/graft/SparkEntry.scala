@@ -980,6 +980,13 @@ object SparkEntry {
     "q168_small_qty_revenue" -> ((s, dir) =>
       Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
         t(s, dir, "part"))),
+    // J5/A6 extended — TPC-H Q15 shape: windowed per-supplier revenue in
+    // exact integer 10^-4 units, the 1-row MAX broadcast back, equality
+    // keeping every tied leader (ties are the shape's point). One fact
+    // scan, no self-join, no whole-frame window.
+    "q174_top_revenue_supplier" -> ((s, dir) =>
+      Joins.topRevenueSupplier(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        from = "1996-01-01", until = "1996-04-01")),
     // J5 extended — TPC-H Q22 shape: the GLOBAL scalar threshold + NOT
     // EXISTS pair (Q21 folds correlated EXISTS pairs, Q17 a per-group
     // average, Q4 a riding inequality — this is the last classic
@@ -2023,6 +2030,21 @@ object SparkEntry {
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+    "q174_top_revenue_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |        * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                 AS BIGINT))) AS u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(u) AS mx FROM r)
+        |SELECT r.s_suppkey, s.s_name,
+        |  CAST(r.u AS DOUBLE) / 10000 AS total_revenue
+        |FROM r JOIN m ON r.u = m.mx
+        |JOIN supplier s ON s.s_suppkey = r.s_suppkey""".stripMargin,
     "q171_inactive_high_balance" ->
       """WITH c AS (SELECT * FROM customer
         |           WHERE c_nationkey IN (0, 3, 7, 11, 15, 19, 22)),

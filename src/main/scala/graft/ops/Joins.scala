@@ -310,6 +310,43 @@ object Joins {
         (dsum(col("l_extendedprice")) / 7).as("avg_yearly"))
   }
 
+  /** TPC-H Q15 shape ("top supplier"): every supplier whose windowed
+    * revenue EQUALS the global maximum — the view-then-self-compare
+    * pattern (classic SQL creates a revenue view, selects where
+    * total = (SELECT MAX FROM view)). Spark-first: the revenue frame is
+    * computed ONCE, its 1-row MAX broadcasts back onto it, and equality
+    * keeps every tied supplier (ties are the point of the shape — a
+    * LIMIT 1 would silently drop co-leaders).
+    *
+    * Exactness: revenue sums in integer 10⁻⁴ units —
+    * `cents(extprice) · (100 − hundredths(discount))` — one long
+    * multiply per row, long partial+final SUM, so the MAX-equality
+    * decision compares exact integers (a decimal/double revenue would
+    * make tie detection engine-dependent). The exported
+    * `total_revenue` is one units→double division both engines perform
+    * on the same exact integer.
+    *
+    * Scale: one lineitem scan (date filter pushed to the parquet scan),
+    * one supplier-keyed aggregate, a 1-row broadcast, a dim broadcast —
+    * no self-join of the fact, no window over the whole frame.
+    */
+  def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
+                         from: String, until: String): DataFrame = {
+    val units = Agg.cents(col("l_extendedprice")) *
+      (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(units).as("_u"))
+    rev.crossJoin(broadcast(rev.agg(max(col("_u")).as("_mx"))))
+      .filter(col("_u") === col("_mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("_u").cast("double") / 10000).as("total_revenue"))
+  }
+
   /** TPC-H Q22 shape ("global sales opportunity"): customers from a
     * literal market set whose balance beats the positive-balance AVERAGE
     * of that set and who have NO orders — the global-scalar-threshold +

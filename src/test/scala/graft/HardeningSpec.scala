@@ -272,6 +272,40 @@ class HardeningSpec extends SparkSpec {
       Seq("user_id"), "ts", Seq("version", "state")).count() === 0L)
   }
 
+  test("round-13 operators: empty inputs are empty outputs, not crashes") {
+    import graft.ops.Joins
+    import graft.vector.Retrieval
+    val emptyCust = Seq.empty[(Long, Double, Int)]
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val emptyOrd = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    // empty customer: the threshold aggregate yields (0, null) and the
+    // cross-multiply filter must drop everything rather than NPE
+    assert(Joins.inactiveHighBalance(emptyCust, emptyOrd,
+      nations = Seq(1, 2)).count() === 0L)
+    val emptyLi = Seq.empty[(Long, Double, Double, java.sql.Timestamp)]
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val emptySupp = Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+    assert(Joins.topRevenueSupplier(emptyLi, emptySupp,
+      "1996-01-01", "1996-04-01").count() === 0L)
+    // sparse retriever over an empty corpus / a probe with no tokens
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Retrieval.sparseTopN(emptyDocs).count() === 0L)
+    assert(Retrieval.rrfFuse(
+      Seq.empty[(Long, Long, Int)].toDF("probe_id", "doc_id", "rank"),
+      Seq.empty[(Long, Long, Int)].toDF("probe_id", "doc_id", "rank"))
+      .count() === 0L)
+    // two-corpus perplexity: empty reference LM -> every bigram unseen,
+    // scoring still works (all-fallback path); empty scored corpus -> empty
+    val someDocs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val lmEmpty = graft.text.LangModel.bigramLm(emptyDocs)
+    val scored = graft.text.LangModel.perplexity(someDocs, lmEmpty)
+      .collect()(0)
+    assert(scored.getAs[Long]("n_known") === 0L &&
+      scored.getAs[Long]("n_bigrams") === 2L)
+    assert(graft.text.LangModel.perplexity(emptyDocs, lmEmpty).count() === 0L)
+  }
+
   test("observed gate: metrics ride the sink action, report == check report") {
     import graft.ops.Constraints
     val df = Seq(

@@ -197,6 +197,29 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"only the lapsed above-average in-set customer survives: $out")
   }
 
+  test("topRevenueSupplier keeps ALL tied leaders; window filters; exact units") {
+    // suppliers 1 and 2 tie EXACTLY (10.00 @ 5% twice == 19.00 once:
+    // 1000*95*2 == 1900*100... pick values that tie in exact units:
+    // s1: 10.00 @ 0% + 9.00 @ 0% = 19.00; s2: 19.00 @ 0% -> tie.
+    // s3 below; s1 has an out-of-window line that must not count.
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val li = Seq(
+      (1L, 10.00, 0.00, ts("1996-02-01")),
+      (1L, 9.00, 0.00, ts("1996-03-01")),
+      (1L, 999.00, 0.00, ts("1997-01-01")), // outside window
+      (2L, 19.00, 0.00, ts("1996-02-15")),
+      (3L, 1.00, 0.50, ts("1996-02-20")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val out = Joins.topRevenueSupplier(li, supp,
+        from = "1996-01-01", until = "1996-04-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out === Set((1L, "S1", 19.00), (2L, "S2", 19.00)),
+      s"both exact-tied leaders must survive: $out")
+  }
+
   test("pointInTimeJoin: each probe gets the one version valid at its ts") {
     import graft.ops.Upsert
     // user 1 flips view->click->view; flip at 10:00 has a same-ts pair
