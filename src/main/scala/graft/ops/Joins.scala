@@ -334,11 +334,16 @@ object Joins {
                          from: String, until: String): DataFrame = {
     val units = Agg.cents(col("l_extendedprice")) *
       (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
+    // Two consumers read the revenue view (the MAX and the equality
+    // probe); it is |suppliers| rows, so materializing it once costs
+    // nothing and saves the SECOND full fact scan a naive re-derivation
+    // pays — at 100 TB that second scan IS the query's cost.
     val rev = lineitem
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(sum(units).as("_u"))
+      .localCheckpoint()
     rev.crossJoin(broadcast(rev.agg(max(col("_u")).as("_mx"))))
       .filter(col("_u") === col("_mx"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),

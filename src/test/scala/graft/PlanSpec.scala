@@ -524,18 +524,59 @@ class PlanSpec extends SparkSpec {
       "the supplier-dim decode must broadcast:\n" + p.take(1200))
   }
 
-  test("q168 small-qty revenue: per-part averages broadcast back, no shuffle of the fact") {
+  test("q168 small-qty revenue: <=2 fact scans; aggregate side unhinted (AQE's choice)") {
     val p = plan("q168_small_qty_revenue")
+    // Round 13 dropped the forced broadcast of the per-part aggregate:
+    // at bench scale AQE still picks broadcast (asserted — losing it
+    // here would mean AQE stopped seeing the post-aggregate size), but
+    // a shuffled fallback is LEGAL at 100 TB, so the pin is on the scan
+    // count and the dim join, not on never-shuffling.
     assert(p.contains("BroadcastHashJoin"),
-      "the catalog-bounded per-part stats frame must broadcast:\n" +
-        p.take(1200))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "the fact must never shuffle for the decorrelated subquery:\n" +
+      "at sf0.001 AQE should broadcast the per-part stats frame:\n" +
         p.take(1200))
     val liScans = p.split('\n')
       .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
     assert(liScans <= 2,
       s"the correlated-avg decorrelation pays exactly two fact scans, " +
         s"got $liScans:\n" + p.take(1500))
+  }
+
+  test("q171 inactive high balance: pushed date filter, broadcast scalar, anti-join") {
+    val p = plan("q171_inactive_high_balance")
+    assert(p.contains("LeftAnti"),
+      "the NOT EXISTS must plan as a left-anti join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      "only the 1-row scalar may cross the dim:\n" + p.take(1200))
+    // the orders date window reaches the parquet scan
+    val ordScan = p.split('\n').find(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate"))
+    assert(ordScan.nonEmpty,
+      "the since-cutoff must push to the orders scan:\n" + p.take(2000))
+  }
+
+  test("q174 top revenue supplier: fact scanned once (at the checkpoint), no global sort") {
+    val p = plan("q174_top_revenue_supplier")
+    // the revenue view is localCheckpoint'ed, so the FACT scan happens
+    // exactly once at materialization and the query plan reads the
+    // supplier-cardinality checkpoint for both consumers — zero fact
+    // scans may appear in the final plan
+    val liScans = p.split('\n')
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 0,
+      s"both consumers must read the materialized revenue view, got " +
+        s"$liScans fact scans:\n" + p.take(1500))
+    assert(sharedReads("q174_top_revenue_supplier") >= 2,
+      "the MAX and the equality probe must both read the checkpoint:\n" +
+        p.take(1200))
+    assert(!p.contains("Window"),
+      "max-equality must not plan a whole-frame window:\n" + p.take(1200))
+    // and the materialization itself pushes the ship-date window down
+    val rev = graft.ops.Joins.topRevenueSupplier(
+      graft.sources.Tables.load(spark, sf, "lineitem"),
+      graft.sources.Tables.load(spark, sf, "supplier"),
+      "1996-01-01", "1996-04-01")
+    assert(rev.count() >= 1)
   }
 }
