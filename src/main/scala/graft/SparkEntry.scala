@@ -611,6 +611,17 @@ object SparkEntry {
         d, graft.text.TextDedup.nearDupPairs(d, threshold = 0.5))
         .select(col("doc_id"), col("lang"))
     }),
+    // A8 curation refinement of q81: per near-dup cluster keep the
+    // HIGHEST-QUALITY member (score = n_chars here; ties to min id)
+    // instead of the first-crawled one — single-pass argmax over the
+    // label table, same loser-anti-join scale shape.
+    "q175_dedup_best_survivor" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.TextDedup.survivorsByScore(
+        d, graft.text.TextDedup.nearDupPairs(d, threshold = 0.5),
+        scoreCol = "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // A9 flagship composition: the C4/Gopher-style curation pipeline
     // (lang-id + quality + repetition rules) as one Catalyst plan.
     "q72_curate" -> ((s, dir) =>
@@ -2606,6 +2617,71 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
         |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
+    "q175_dedup_best_survivor" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes za ON za.doc_id = c.doc_a
+        |  JOIN sizes zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS doc_id, w.lab
+        |  FROM edges e JOIN walk w ON w.doc_id = e.dst),
+        |clusters AS (
+        |  SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id),
+        |scored AS (
+        |  SELECT c.doc_id, c.cluster_id, d.n_chars
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        |LEFT JOIN keep k ON k.doc_id = d.doc_id
+        |WHERE c.doc_id IS NULL OR k.doc_id IS NOT NULL""".stripMargin,
     // q82's oracle is the PLAIN join — the salted form must be
     // row-identical to it.
     "q82_salted_join" ->

@@ -473,6 +473,35 @@ object TextDedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-directed survivor selection: the corpus minus every cluster
+    * member that is NOT its cluster's best, where "best" is the maximum
+    * of `scoreCol` with ties broken to the SMALLEST doc_id
+    * (deterministic). [[survivors]] keeps whichever copy has the lowest
+    * id — i.e. whichever crawled first; a curation pipeline usually
+    * wants the highest-QUALITY copy of a near-dup family (longest,
+    * cleanest, least boilerplate), which this selects with the same
+    * loser-anti-join scale shape: cluster labels from [[dedupClusters]]
+    * cover only clustered docs (a tiny fraction of the corpus), the
+    * per-cluster argmax is one aggregate over that label table
+    * (max(struct(score, −doc_id)) — a single-pass argmax, no window),
+    * and the corpus pays exactly one anti-join against the losers.
+    * With a constant score this degenerates to [[survivors]] exactly
+    * (ties → min id = the cluster label; spec-pinned).
+    */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame,
+                       scoreCol: String): DataFrame = {
+    val labeled = dedupClusters(pairs)
+      .join(docs.select(col("doc_id"),
+        col(scoreCol).cast("long").as("_s")), Seq("doc_id"))
+    val keep = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col("_s"), (-col("doc_id")).as("_negid"))).as("_b"))
+      .select(col("cluster_id"), (-col("_b._negid")).as("_keep"))
+    val losers = labeled.join(keep, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("_keep"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** End-to-end near-dup removal with the production (xxhash64) pair
     * pipeline; the oracle-checkable md5 twin is
     * `survivors(docs, nearDupPairs(docs, t))`.

@@ -712,6 +712,30 @@ class TextSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("survivorsByScore: keeps the best-scored member; constant score == survivors") {
+    // cluster 1~2~3 (transitive), 4 untouched. Scores make doc 3 the
+    // best; min-id selection would keep doc 1.
+    val d = Seq((1L, "a", 10L), (2L, "b", 30L), (3L, "c", 50L),
+      (4L, "d", 1L)).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val best = TextDedup.survivorsByScore(d, pairs, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(3L, 4L), s"the longest copy must survive: $best")
+    // tie on the top score breaks to the SMALLEST id
+    val tied = Seq((1L, "a", 50L), (2L, "b", 50L), (3L, "c", 10L),
+      (4L, "d", 1L)).toDF("doc_id", "text", "n_chars")
+    val tiedOut = TextDedup.survivorsByScore(tied, pairs, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiedOut == Set(1L, 4L))
+    // constant score degenerates to the min-id form exactly
+    val const = d.withColumn("n_chars", lit(7L))
+    val a = TextDedup.survivorsByScore(const, pairs, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    val b = TextDedup.survivors(const, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("packSequences: per-shard offsets are contiguous from 0; pack = start DIV cap") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Corpus.packSequences(d, maxTokens = 512, numShards = 4)
