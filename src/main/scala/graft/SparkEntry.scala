@@ -1027,8 +1027,12 @@ object SparkEntry {
         half.unionByName(
           half.select(col("dst").as("src"), col("src").as("dst")))
       }
+      // fingerprint the whole SF dir: the graph derives from orders AND
+      // lineitem, so either table regenerating must invalidate the
+      // persisted vector (over-invalidation on unrelated tables is the
+      // cheap side of that trade).
       val ranksDir = graft.sources.StateCache.ensure(s,
-        s"$dir/lineitem.parquet", "pranks", "v1") { out =>
+        dir, "pranks", "v1") { out =>
         graft.ops.Graph.pageRankFixed(graphEdges, iters = 2)
           .write.parquet(out)
       }

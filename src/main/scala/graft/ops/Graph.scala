@@ -135,6 +135,14 @@ object Graph {
         require(missing == 0L,
           s"pageRankResume: ranks0 is missing $missing graph node(s) — " +
             "a resumed vector must cover the graph it is resumed on")
+        // a doubly-written vector (append instead of overwrite, retried
+        // job) would pass the coverage check and silently DOUBLE-count
+        // mass in the first contrib aggregate — refuse it
+        val dup = r.groupBy(col("node")).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > 1).count()
+        require(dup == 0L,
+          s"pageRankResume: ranks0 has $dup duplicated node(s) — a rank " +
+            "vector must be one row per node (was it appended twice?)")
         // extra persisted nodes no longer in the graph are dropped: they
         // can neither receive nor (having no out-edges here) send mass.
         r.join(nodes, Seq("node"), "left_semi").localCheckpoint()

@@ -113,11 +113,16 @@ object Profile {
     * monitor never rescans its reference.
     */
   def referenceEdges(ref: DataFrame, valueCol: String,
-                     nBuckets: Int): Seq[Double] =
-    ref.agg(
+                     nBuckets: Int): Seq[Double] = {
+    val edges = ref.agg(
       expr(s"percentile($valueCol, array(${(1 until nBuckets)
         .map(i => i.toDouble / nBuckets).mkString(",")}))").as("e"))
       .collect()(0).getSeq[Double](0)
+    require(edges != null,
+      s"referenceEdges: the reference snapshot has no non-null " +
+        s"'$valueCol' rows — a drift reference cannot be empty")
+    edges
+  }
 
   /** Map-side bucket histogram against literal edges: each row's bucket
     * is the count of edges strictly below its value — one pass, one

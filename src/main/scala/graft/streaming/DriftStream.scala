@@ -68,6 +68,9 @@ object DriftStream {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
       finally in.close()
+    require(lines.length >= 2,
+      s"drift reference at $dir is corrupt: sidecar has only " +
+        s"${lines.length} line(s)")
     val (valueCol, nBuckets) = (lines(0), lines(1).toInt)
     val edges = lines.drop(2).map(_.toDouble).toSeq
     require(edges.size == nBuckets - 1,
@@ -90,12 +93,19 @@ object DriftStream {
       Profile.bucketCounts(batch, valueCol, edges, "n_cur"))
   }
 
-  /** One monitor row for a batch: (n_rows, psi). */
+  /** One monitor row for a batch: (n_rows, psi). The batch is scanned
+    * ONCE: every row lands in exactly one bucket (nulls in bucket 0), so
+    * n_rows is the histogram's own Σ n_cur — no separate count pass,
+    * which at "every micro-batch" cadence would double the monitor's
+    * scan cost. The nBuckets-row histogram is checkpointed so its two
+    * consumers (the sum and the PSI) never re-derive it from the batch.
+    */
   private[graft] def monitorRow(spark: SparkSession, batch: DataFrame,
                                 refDir: String): DataFrame = {
-    val n = batch.count()
-    Profile.psi(driftBatch(spark, batch, refDir))
-      .select(lit(n).as("n_rows"), col("psi"))
+    val b = driftBatch(spark, batch, refDir).localCheckpoint()
+    val n = b.agg(coalesce(sum(col("n_cur")), lit(0L)).as("n_rows"))
+    Profile.psi(b).crossJoin(broadcast(n))
+      .select(col("n_rows"), col("psi"))
   }
 
   /** The monitor stream: per micro-batch, one (batch_id, n_rows, psi)

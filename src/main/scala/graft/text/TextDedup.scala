@@ -483,7 +483,9 @@ object TextDedup {
     * loser-anti-join scale shape: cluster labels from [[dedupClusters]]
     * cover only clustered docs (a tiny fraction of the corpus), the
     * per-cluster argmax is one aggregate over that label table
-    * (max(struct(score, −doc_id)) — a single-pass argmax, no window),
+    * (max(struct(score, −doc_id)) — a single-pass argmax, no window;
+    * the score compares in its NATIVE type, so fractional quality
+    * scores rank fully rather than collapsing under an integer cast),
     * and the corpus pays exactly one anti-join against the losers.
     * With a constant score this degenerates to [[survivors]] exactly
     * (ties → min id = the cluster label; spec-pinned).
@@ -491,8 +493,8 @@ object TextDedup {
   def survivorsByScore(docs: DataFrame, pairs: DataFrame,
                        scoreCol: String): DataFrame = {
     val labeled = dedupClusters(pairs)
-      .join(docs.select(col("doc_id"),
-        col(scoreCol).cast("long").as("_s")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col(scoreCol).as("_s")),
+        Seq("doc_id"))
     val keep = labeled.groupBy(col("cluster_id"))
       .agg(max(struct(col("_s"), (-col("doc_id")).as("_negid"))).as("_b"))
       .select(col("cluster_id"), (-col("_b._negid")).as("_keep"))

