@@ -902,6 +902,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         valueCol = "n_chars", nBuckets = 10)
     }),
+    // T6 drift, MULTI-COLUMN form (round 13): every monitored column's
+    // buckets from ONE scan per side — edges collected in a single
+    // percentile aggregate, rows exploded to (col_name, bucket) pairs
+    // map-side (the profile stack discipline applied to the PSI
+    // counter; a per-column loop would pay |cols| scans of both
+    // snapshots). value rides as exact cents so the bucket edges are
+    // integer-derived on both engines.
+    "q176_drift_multi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.ops.Agg.cents(col("value")).as("value_c"))
+      graft.ops.Profile.driftBucketsMulti(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        valueCols = Seq("value_c", "user_id"), nBuckets = 10)
+    }),
     // T6 drift, delta-vs-reference form (round 13 — the monitoring
     // member of the maintenance-state family): the reference histogram +
     // percentile edges PERSIST (writeDriftReference, _DRIFT_META
@@ -1868,6 +1883,49 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
         |FROM documents""".stripMargin,
+    "q176_drift_multi" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_c
+        |  FROM events),
+        |ref AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |cur AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |e AS (SELECT
+        |    quantile_cont(value_c,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ev_,
+        |    quantile_cont(user_id,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS eu_
+        |  FROM ref),
+        |rb AS (
+        |  SELECT 'value_c' AS col_name,
+        |    CAST(len(list_filter(e.ev_,
+        |      x -> CAST(r.value_c AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM ref r CROSS JOIN e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |    CAST(len(list_filter(e.eu_,
+        |      x -> CAST(r.user_id AS DOUBLE) > x)) AS INT),
+        |    COUNT(*)
+        |  FROM ref r CROSS JOIN e GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT 'value_c' AS col_name,
+        |    CAST(len(list_filter(e.ev_,
+        |      x -> CAST(c.value_c AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM cur c CROSS JOIN e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |    CAST(len(list_filter(e.eu_,
+        |      x -> CAST(c.user_id AS DOUBLE) > x)) AS INT),
+        |    COUNT(*)
+        |  FROM cur c CROSS JOIN e GROUP BY 1, 2)
+        |SELECT COALESCE(rb.col_name, cb.col_name) AS col_name,
+        |  COALESCE(rb.bucket, cb.bucket) AS bucket,
+        |  COALESCE(rb.n_ref, 0) AS n_ref,
+        |  COALESCE(cb.n_cur, 0) AS n_cur
+        |FROM rb FULL OUTER JOIN cb
+        |  ON cb.col_name = rb.col_name AND cb.bucket = rb.bucket""".stripMargin,
     "q163_drift_buckets" ->
       """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),

@@ -124,17 +124,68 @@ object Profile {
     edges
   }
 
-  /** Map-side bucket histogram against literal edges: each row's bucket
-    * is the count of edges strictly below its value — one pass, one
+  /** Bucket id of `valueCol` against literal edges: the count of edges
+    * strictly below the value — `edges.size` codegen'd comparisons,
+    * map-side. Null values land in bucket 0 (every comparison is null →
+    * otherwise(0)), so histograms always cover every row.
+    */
+  private def bucketOf(valueCol: String, edges: Seq[Double]): Column =
+    edges.map(e =>
+      when(col(valueCol).cast("double") > e, 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Map-side bucket histogram against literal edges: one pass, one
     * strata-free aggregate.
     */
   def bucketCounts(df: DataFrame, valueCol: String, edges: Seq[Double],
-                   as: String): DataFrame = {
-    val b = edges.map(e =>
-      when(col(valueCol).cast("double") > e, 1).otherwise(0))
-      .reduce(_ + _)
-    df.select(b.as("bucket"))
+                   as: String): DataFrame =
+    df.select(bucketOf(valueCol, edges).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+
+  /** Multi-column drift in ONE scan per side — the [[profile]] stack
+    * discipline applied to the PSI counter: every monitored column's
+    * reference edges are collected in a single percentile aggregate,
+    * then each row emits its (col_name, bucket) pair for every column
+    * via one explode (cols × rows pairs, map-side) into one grouped
+    * count. A naive per-column loop pays `|cols|` scans of BOTH
+    * snapshots; real monitoring watches many columns on every refresh,
+    * which makes this the difference between one corpus pass and a
+    * dozen. Output `(col_name, bucket, n_ref, n_cur)`, all-integer,
+    * hash-exact; empty buckets survive (full outer + zero-fill).
+    */
+  def driftBucketsMulti(ref: DataFrame, cur: DataFrame,
+                        valueCols: Seq[String],
+                        nBuckets: Int = 10): DataFrame = {
+    require(valueCols.nonEmpty, "driftBucketsMulti: no columns")
+    require(nBuckets >= 2, s"driftBucketsMulti: nBuckets >= 2, got $nBuckets")
+    valueCols.foreach(c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"driftBucketsMulti: column name must not contain " +
+          s"backticks/quotes: $c"))
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(",")
+    val edgeRow = ref.agg(
+      expr(s"percentile(${valueCols.head}, array($qs))").as("_e0"),
+      valueCols.tail.zipWithIndex.map { case (c, i) =>
+        expr(s"percentile($c, array($qs))").as(s"_e${i + 1}") }: _*)
+      .collect()(0)
+    val edgesByCol = valueCols.zipWithIndex.map { case (c, i) =>
+      val e = edgeRow.getSeq[Double](i)
+      require(e != null,
+        s"driftBucketsMulti: the reference has no non-null '$c' rows")
+      c -> e
+    }.toMap
+    def hist(df: DataFrame, as: String): DataFrame =
+      df.select(explode(array(valueCols.map(c =>
+          struct(lit(c).as("col_name"),
+            bucketOf(c, edgesByCol(c)).as("bucket"))): _*)).as("_cb"))
+        .groupBy(col("_cb.col_name").as("col_name"),
+          col("_cb.bucket").as("bucket"))
+        .agg(count(lit(1)).as(as))
+    hist(ref, "n_ref")
+      .join(hist(cur, "n_cur"), Seq("col_name", "bucket"), "full_outer")
+      .select(col("col_name"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
   /** Full-outer bucket align + zero-fill (an emptied bucket IS the drift

@@ -116,5 +116,19 @@ class DriftStreamSpec extends SparkSpec {
       DriftStream.driftBatch(spark, docs, ref)
     }
     assert(e3.getMessage.contains("corrupt"))
+    // truncated sidecar (interrupted write): still the diagnostic, not
+    // an index exception
+    val out2 = fs.create(p, true)
+    out2.write("n_chars\n".getBytes("UTF-8")); out2.close()
+    val e4 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark, docs, ref)
+    }
+    assert(e4.getMessage.contains("corrupt"))
+    // an empty reference is refused at write time
+    val e5 = intercept[IllegalArgumentException] {
+      DriftStream.writeDriftReference(docs.filter(col("doc_id") < 0),
+        "n_chars", s"$root/empty")
+    }
+    assert(e5.getMessage.contains("cannot be empty"))
   }
 }

@@ -86,6 +86,12 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankResume(df, r2.filter(col("node") =!= 99L), 1).collect()
     }
     assert(e.getMessage.contains("missing"))
+    // a doubly-written vector (duplicate node rows) is refused, not
+    // silently double-counted
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.pageRankResume(df, r2.unionByName(r2.limit(3)), 1).collect()
+    }
+    assert(e2.getMessage.contains("duplicated"))
     // extra persisted nodes (graph shrank) are dropped, not resurrected
     val extra = r2.unionByName(Seq((12345L, 77L)).toDF("node", "rank"))
     val shrunk = Graph.pageRankResume(df, extra, 1)

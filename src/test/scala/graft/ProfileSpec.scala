@@ -70,6 +70,34 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("driftBucketsMulti == per-column driftBuckets; guards fail loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"))
+    val multi = Profile.driftBucketsMulti(ref, cur,
+        Seq("n_chars", "doc_id"), nBuckets = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    Seq("n_chars", "doc_id").foreach { c =>
+      val single = Profile.driftBuckets(ref, cur, c, nBuckets = 10)
+        .collect().map(r => (c, r.getInt(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(single.forall { case (k, v) => multi.get(k).contains(v) } &&
+        multi.count(_._1._1 == c) == single.size,
+        s"multi-column counts must equal the per-column form for $c")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.driftBucketsMulti(ref, cur, Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Profile.driftBucketsMulti(
+        ref.withColumnRenamed("n_chars", "a'b"),
+        cur.withColumnRenamed("n_chars", "a'b"), Seq("a'b"))
+    }
+  }
+
   test("profile: column subset and require on empty") {
     val p = Profile.profile(df, Seq("lang")).collect()
     assert(p.map(_.getString(0)).toSeq === Seq("lang"))
