@@ -1240,6 +1240,17 @@ object SparkEntry {
             java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))))
     }),
     // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
+    // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
+    // corpus vectors too close (cosine >= t) to ANY eval vector are
+    // dropped; the eval set broadcasts into one corpus scan as a
+    // short-circuiting nested-loop anti join, the corpus never shuffles.
+    "q177_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.decontaminateByCosine(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0), threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+    }),
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -3574,6 +3585,18 @@ object SparkEntry {
     // IVF: centroid seeds = 16 lowest vec_ids; assignment = argmax cosine
     // (tie -> lowest c_id); probes search their top-4 lists only. Same
     // list_dot_product cosine as q37, so doubles are bit-identical.
+    "q177_decontaminate_semantic" ->
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0)
+        |SELECT c.vec_id, c.label FROM corpus c
+        |WHERE NOT EXISTS (SELECT 1 FROM ev e
+        |  WHERE list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                         CAST(e.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[]))))
+        |    >= 0.3)""".stripMargin,
     "q65_knn_ivf" ->
       """WITH centroids AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb

@@ -227,6 +227,25 @@ object Similarity {
   }
 
   /** Brute-force exact top-k cosine neighbors for each probe vector. */
+  /** Semantic decontamination — the EMBEDDING twin of the n-gram
+    * decontamination family (q68/q79/q87): drop every corpus vector
+    * whose cosine against ANY eval vector reaches `threshold`. The
+    * leakage n-gram overlap cannot see — paraphrased or translated eval
+    * material — lives exactly here. Scale shape: the eval set is
+    * benchmark-sized, so it broadcasts into ONE corpus scan as a
+    * nested-loop LEFT ANTI (per corpus row the codegen'd cosine runs
+    * against eval vectors until the first hit — anti-join semantics
+    * short-circuit), and the corpus never shuffles. The decision is the
+    * bit-identical [[cosine]] expression, so the kept set is hash-exact
+    * cross-engine (the q39 ≥-threshold discipline).
+    */
+  def decontaminateByCosine(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double): DataFrame =
+    corpus.join(
+      broadcast(evalSet.select(col("embedding").as("_e"))),
+      cosine(col("embedding"), col("_e")) >= threshold,
+      "left_anti")
+
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"))

@@ -757,4 +757,31 @@ class VectorSpec extends SparkSpec {
       emb.filter($"vec_id" < 3), 5, nProbe = 4, refine = 20)
     assert(s.count() > 0)
   }
+
+  test("decontaminateByCosine: drops near-eval vectors, keeps orthogonal; corpus never shuffles") {
+    // corpus: 10 = identical to eval, 11 = near-parallel (cos ~0.999),
+    // 12 = orthogonal, 13 = antiparallel (cos = -1, below any positive t)
+    val evalSet = Seq((1L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(10.0f, 0.1f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f)),
+      (13L, Seq(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.decontaminateByCosine(corpus, evalSet, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L),
+      s"identical and near-parallel vectors must drop: $kept")
+    // empty eval set keeps everything
+    assert(Similarity.decontaminateByCosine(corpus,
+      evalSet.filter($"vec_id" < 0), 0.9).count() == 4)
+    // plan: eval broadcasts, the corpus side pays no exchange
+    val p = Similarity.decontaminateByCosine(corpus, evalSet, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      s"the anti join must be a broadcast nested loop:\n${p.take(800)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must never shuffle:\n${p.take(800)}")
+  }
 }
