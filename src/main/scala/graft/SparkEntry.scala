@@ -1006,6 +1006,19 @@ object SparkEntry {
     "q168_small_qty_revenue" -> ((s, dir) =>
       Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
         t(s, dir, "part"))),
+    // J5/A7 extended — TPC-H Q13 shape: the aggregate-of-aggregate
+    // distribution over an OUTER join (zero-order customers stay in the
+    // k=0 bucket); second shuffle collapses map-side to the tiny
+    // order-count domain.
+    "q178_customer_distribution" -> ((s, dir) =>
+      Joins.customerOrderDistribution(t(s, dir, "customer"),
+        t(s, dir, "orders"))),
+    // J5 extended — TPC-H Q18 shape: HAVING-filtered per-order quantity
+    // aggregate joined back to orders + customer, top-100 by order value
+    // with deterministic tie-breaks; floor() quantity contract as q168.
+    "q179_large_volume_customers" -> ((s, dir) =>
+      Joins.largeVolumeCustomers(t(s, dir, "lineitem"),
+        t(s, dir, "orders"), t(s, dir, "customer"))),
     // J5/A6 extended — TPC-H Q15 shape: windowed per-supplier revenue in
     // exact integer 10^-4 units, the 1-row MAX broadcast back, equality
     // keeping every tied leader (ties are the shape's point). One fact
@@ -2114,6 +2127,24 @@ object SparkEntry {
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+    "q178_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q179_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 200)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.sum_qty
+        |FROM orders o
+        |JOIN big b ON b.o_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "q174_top_revenue_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey AS s_suppkey,

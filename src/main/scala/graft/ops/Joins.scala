@@ -352,6 +352,54 @@ object Joins {
         (col("_u").cast("double") / 10000).as("total_revenue"))
   }
 
+  /** TPC-H Q13 shape ("customer distribution"): how many customers have
+    * exactly k orders, INCLUDING k = 0 — the aggregate-of-aggregate
+    * pattern over an outer join (the inner left join is what keeps the
+    * zero-order customers in the distribution; an inner join silently
+    * drops the most interesting bucket). Scale: the first aggregate
+    * keys on the customer (full width), the second on the tiny
+    * order-count domain — map-side partial aggregation collapses the
+    * second shuffle to |distinct counts| rows per mapper, so the
+    * narrow-domain key is NOT a skew hazard.
+    */
+  def customerOrderDistribution(customer: DataFrame,
+                                orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey").as("c_custkey"),
+        col("o_orderkey")), Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q18 shape ("large volume customers"): orders whose total line
+    * quantity exceeds `minQty`, decorated with their customer and ranked
+    * by order value — the HAVING-filtered aggregate joined back to its
+    * parents + top-k. Quantity floors through the same contract as
+    * [[smallQuantityRevenue]] (explicit, not fixture-coincidence); the
+    * per-order aggregate's survivors are a tiny fraction, so AQE
+    * broadcasts them onto orders; the top-k plans as
+    * TakeOrderedAndProject with (date, orderkey) tie-breaks for
+    * determinism.
+    */
+  def largeVolumeCustomers(lineitem: DataFrame, orders: DataFrame,
+                           customer: DataFrame, minQty: Long = 200,
+                           topK: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(floor(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .join(big, Seq("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(topK)
+  }
+
   /** TPC-H Q22 shape ("global sales opportunity"): customers from a
     * literal market set whose balance beats the positive-balance AVERAGE
     * of that set and who have NO orders — the global-scalar-threshold +

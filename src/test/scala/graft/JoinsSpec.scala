@@ -220,6 +220,40 @@ class JoinsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"both exact-tied leaders must survive: $out")
   }
 
+  test("customerOrderDistribution keeps the zero-order bucket") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Joins.customerOrderDistribution(cust, ord)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // customer 3 has NO orders — the k=0 bucket must exist (the outer
+    // join is the point of the shape; an inner join would drop it)
+    assert(out === Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $out")
+  }
+
+  test("largeVolumeCustomers: threshold on floored qty, value-ranked, ties deterministic") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    // order 1: qty 10.9+10.9 -> floor sums to 20 (NOT 22): below 20? no,
+    // > 20 is false at exactly 20 -> excluded; order 2: 21 -> included;
+    // order 3: 25 but no customer row -> inner join drops it is NOT
+    // desired — give every order a customer; orders 2 and 4 tie on
+    // totalprice, the earlier date wins the ordering.
+    val li = Seq((1L, 10.9), (1L, 10.9), (2L, 21.0), (4L, 30.0))
+      .toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (1L, 1L, 50.0, ts("1996-01-01")),
+      (2L, 1L, 99.0, ts("1996-02-01")),
+      (4L, 2L, 99.0, ts("1996-01-15")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Seq((1L, "C1"), (2L, "C2")).toDF("c_custkey", "c_name")
+    val out = Joins.largeVolumeCustomers(li, ord, cust, minQty = 20,
+        topK = 10)
+      .collect().map(r => (r.getLong(2), r.getString(0), r.getLong(5)))
+    assert(out.toSeq === Seq((4L, "C2", 30L), (2L, "C1", 21L)),
+      s"tie on totalprice breaks to the earlier date: ${out.toSeq}")
+  }
+
   test("pointInTimeJoin: each probe gets the one version valid at its ts") {
     import graft.ops.Upsert
     // user 1 flips view->click->view; flip at 10:00 has a same-ts pair
