@@ -1252,7 +1252,6 @@ object SparkEntry {
           "ts" -> ((java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
             java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))))
     }),
-    // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
     // dropped; the eval set broadcasts into one corpus scan as a
@@ -1264,6 +1263,7 @@ object SparkEntry {
           emb.filter(col("vec_id") % 50 === 0), threshold = 0.3)
         .select(col("vec_id"), col("label"))
     }),
+    // J7: brute-force exact top-5 cosine neighbors for 10 probe vectors.
     "q37_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -2139,7 +2139,7 @@ object SparkEntry {
         |    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING sum_qty > 200)
         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-        |  o.o_totalprice, b.sum_qty
+        |  o.o_totalprice, CAST(b.sum_qty AS BIGINT) AS sum_qty
         |FROM orders o
         |JOIN big b ON b.o_orderkey = o.o_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey

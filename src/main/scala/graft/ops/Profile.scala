@@ -114,10 +114,20 @@ object Profile {
     */
   def referenceEdges(ref: DataFrame, valueCol: String,
                      nBuckets: Int): Seq[Double] = {
-    val edges = ref.agg(
-      expr(s"percentile($valueCol, array(${(1 until nBuckets)
-        .map(i => i.toDouble / nBuckets).mkString(",")}))").as("e"))
-      .collect()(0).getSeq[Double](0)
+    val row = ref.agg(edgeAgg(valueCol, nBuckets).as("e")).collect()(0)
+    requireEdges(row.getSeq[Double](0), valueCol)
+  }
+
+  /** The ONE definition of the reference-percentile aggregate (shared by
+    * the single- and multi-column forms so the edge recipe can never
+    * diverge between them).
+    */
+  private def edgeAgg(valueCol: String, nBuckets: Int): Column =
+    expr(s"percentile($valueCol, array(${(1 until nBuckets)
+      .map(i => i.toDouble / nBuckets).mkString(",")}))")
+
+  private def requireEdges(edges: Seq[Double],
+                           valueCol: String): Seq[Double] = {
     require(edges != null,
       s"referenceEdges: the reference snapshot has no non-null " +
         s"'$valueCol' rows — a drift reference cannot be empty")
@@ -162,17 +172,12 @@ object Profile {
       require(!c.contains("`") && !c.contains("'"),
         s"driftBucketsMulti: column name must not contain " +
           s"backticks/quotes: $c"))
-    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(",")
-    val edgeRow = ref.agg(
-      expr(s"percentile(${valueCols.head}, array($qs))").as("_e0"),
+    val edgeRow = ref.agg(edgeAgg(valueCols.head, nBuckets).as("_e0"),
       valueCols.tail.zipWithIndex.map { case (c, i) =>
-        expr(s"percentile($c, array($qs))").as(s"_e${i + 1}") }: _*)
+        edgeAgg(c, nBuckets).as(s"_e${i + 1}") }: _*)
       .collect()(0)
     val edgesByCol = valueCols.zipWithIndex.map { case (c, i) =>
-      val e = edgeRow.getSeq[Double](i)
-      require(e != null,
-        s"driftBucketsMulti: the reference has no non-null '$c' rows")
-      c -> e
+      c -> requireEdges(edgeRow.getSeq[Double](i), c)
     }.toMap
     def hist(df: DataFrame, as: String): DataFrame =
       df.select(explode(array(valueCols.map(c =>

@@ -226,7 +226,6 @@ object Similarity {
     }
   }
 
-  /** Brute-force exact top-k cosine neighbors for each probe vector. */
   /** Semantic decontamination — the EMBEDDING twin of the n-gram
     * decontamination family (q68/q79/q87): drop every corpus vector
     * whose cosine against ANY eval vector reaches `threshold`. The
@@ -246,6 +245,7 @@ object Similarity {
       cosine(col("embedding"), col("_e")) >= threshold,
       "left_anti")
 
+  /** Brute-force exact top-k cosine neighbors for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"))
