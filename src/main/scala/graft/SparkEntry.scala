@@ -1006,6 +1006,14 @@ object SparkEntry {
     "q168_small_qty_revenue" -> ((s, dir) =>
       Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
         t(s, dir, "part"))),
+    // J5 extended — TPC-H Q19 shape: OR-of-ANDs join residual on the
+    // broadcast part dim; Catalyst extracts the disjunction's common
+    // bounds as scan-side filters while the exact disjunction runs
+    // post-join. Exact cents revenue; floor() quantity per q168.
+    "q180_disjunctive_revenue" -> ((s, dir) =>
+      Joins.disjunctiveRevenue(t(s, dir, "lineitem"), t(s, dir, "part"),
+        cases = Seq(("Brand#1", 1L, 11L), ("Brand#2", 10L, 20L),
+          ("Brand#3", 20L, 30L)))),
     // J5/A7 extended — TPC-H Q13 shape: the aggregate-of-aggregate
     // distribution over an OUTER join (zero-order customers stay in the
     // k=0 bucket); second shuffle collapses map-side to the tiny
@@ -2127,6 +2135,18 @@ object SparkEntry {
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+    "q180_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1'
+        |       AND CAST(floor(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2'
+        |       AND CAST(floor(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3'
+        |       AND CAST(floor(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
     "q178_customer_distribution" ->
       """WITH co AS (
         |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count

@@ -400,6 +400,34 @@ object Joins {
       .limit(topK)
   }
 
+  /** TPC-H Q19 shape ("discounted revenue"): revenue over an OR-of-ANDs
+    * join residual — `(brand = A AND qty ∈ r_A) OR (brand = B AND
+    * qty ∈ r_B) OR ...` — the disjunctive-predicate pattern optimizers
+    * historically mishandled (a naive plan evaluates the whole
+    * disjunction as a post-join filter with NO scan-side pruning).
+    * Spark-first the predicate stays ONE join condition on the
+    * broadcast part dim; Catalyst projects the disjunction onto EACH
+    * side's own columns (the qty-range UNION reaches the fact scan, the
+    * brand set the dim scan — both visible as DataFilters, PlanSpec-
+    * pinned), so each scan is pre-pruned by its side of every disjunct
+    * while only the exact cross-side pairing runs post-join. Revenue through the exact
+    * scaled-long cents path ([[Agg.dsum]]); quantity floors per the
+    * q168 contract.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+                         cases: Seq[(String, Long, Long)]): DataFrame = {
+    require(cases.nonEmpty, "disjunctiveRevenue: no cases")
+    val qty = floor(col("l_quantity"))
+    val cond = cases.map { case (brand, lo, hi) =>
+      col("p_brand") === brand && qty >= lo && qty <= hi
+    }.reduce(_ || _)
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey") && cond)
+      .agg(dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q22 shape ("global sales opportunity"): customers from a
     * literal market set whose balance beats the positive-balance AVERAGE
     * of that set and who have NO orders — the global-scalar-threshold +

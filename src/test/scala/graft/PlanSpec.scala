@@ -559,6 +559,23 @@ class PlanSpec extends SparkSpec {
       "the since-cutoff must push to the orders scan:\n" + p.take(2000))
   }
 
+  test("q180 disjunctive revenue: each side's disjunction projection reaches its scan") {
+    val p = plan("q180_disjunctive_revenue")
+    // the qty-range UNION must pre-prune the fact scan...
+    val factScan = p.split('\n').find(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(factScan.exists(l => l.contains("FLOOR(l_quantity") &&
+      l.contains("DataFilters")),
+      s"the quantity disjunction must reach the fact scan:\n$factScan")
+    // ...and the brand set the dim scan — neither side waits for the join
+    val dimScan = p.split('\n').find(l =>
+      l.contains("FileScan") && l.contains("part.parquet"))
+    assert(dimScan.exists(_.contains("p_brand")),
+      s"the brand disjunction must reach the dim scan:\n$dimScan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the part dim must broadcast:\n" + p.take(800))
+  }
+
   test("q174 top revenue supplier: fact scanned once (at the checkpoint), no global sort") {
     val p = plan("q174_top_revenue_supplier")
     // the revenue view is localCheckpoint'ed, so the FACT scan happens
