@@ -1260,6 +1260,24 @@ object SparkEntry {
           "ts" -> ((java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
             java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))))
     }),
+    // J7/A9 semantic decontamination AT REST (q177's scale path for
+    // eval sets too large to broadcast): the corpus lives in the
+    // persisted IVF index, eval vectors probe nProbe lists, matched
+    // corpus vectors drop. Seed centroids keep the probe algebra
+    // SQL-expressible, so the oracle is exact; nProbe is the leak-rate
+    // knob (an unprobed contaminated pair SURVIVES — VectorSpec).
+    "q181_decontaminate_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfdecon", "v1") { d =>
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 50 =!= 0), d,
+          nCentroids = 16)
+      }
+      Similarity.decontaminateAgainstIvfIndex(s, ivfDir,
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0), threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+    }),
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
     // dropped; the eval set broadcasts into one corpus scan as a
@@ -3636,6 +3654,39 @@ object SparkEntry {
     // IVF: centroid seeds = 16 lowest vec_ids; assignment = argmax cosine
     // (tie -> lowest c_id); probes search their top-4 lists only. Same
     // list_dot_product cosine as q37, so doubles are bit-identical.
+    "q181_decontaminate_ivf" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id % 50 <> 0 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS corpus_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id % 50 <> 0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id % 50 = 0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |hits AS (
+        |  SELECT DISTINCT a.corpus_id
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id
+        |    AND a.corpus_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.corpus_id
+        |  WHERE list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      >= 0.3)
+        |SELECT c.vec_id, c.label FROM embeddings c
+        |WHERE c.vec_id % 50 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = c.vec_id)""".stripMargin,
     "q177_decontaminate_semantic" ->
       """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0)

@@ -1040,6 +1040,29 @@ object Similarity {
     delta.join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** [[decontaminateByCosine]]'s scale path for eval sets too large to
+    * broadcast (a full benchmark-suite sweep): the CORPUS lives in the
+    * persisted IVF index, eval vectors probe their `nProbe` nearest
+    * lists, and every corpus vector within `threshold` of a probing
+    * eval vector is dropped — probed-list-directories-only read, corpus
+    * never re-paired, the q93 machinery pointed at the decontamination
+    * question. The trade is RECALL, and here the lost side is the BAD
+    * one: a contaminated pair whose corpus member sits outside the eval
+    * vector's probed lists SURVIVES (leakage, not over-dropping), so
+    * treat `nProbe` as the leak-rate knob and measure it against the
+    * exact [[decontaminateByCosine]] twin (VectorSpec pins the fixture
+    * leak behavior; with seed centroids the q181 oracle is exact
+    * because the probe algebra itself is SQL-expressible).
+    */
+  def decontaminateAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, corpus: DataFrame,
+                                   evalSet: DataFrame, threshold: Double,
+                                   nProbe: Int = 4): DataFrame = {
+    val hits = nearDupAgainstIvfIndex(spark, dir, evalSet, threshold, nProbe)
+      .select(col("corpus_id").as("vec_id")).distinct()
+    corpus.join(hits, Seq("vec_id"), "left_anti")
+  }
+
   /** Per-vector L2 norm and quantized-norm — the array-function sampler
     * (F7): transform/aggregate/zip_with surface.
     */

@@ -784,4 +784,31 @@ class VectorSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"the corpus must never shuffle:\n${p.take(800)}")
   }
+
+  test("decontaminateAgainstIvfIndex: one-sided leak, full probe == exact twin") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdecon").toString + "/idx"
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" % 50 =!= 0)
+    val evalSet = emb.filter($"vec_id" % 50 === 0)
+    Similarity.writeIvfIndex(corpus, dir, nCentroids = 16)
+    val exact = Similarity.decontaminateByCosine(corpus, evalSet, 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.decontaminateAgainstIvfIndex(spark, dir, corpus,
+        evalSet, 0.3, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // the error is ONE-SIDED: the IVF path may LEAK contaminated docs
+    // (survivors ⊇ exact survivors) but must never drop a clean one
+    assert(exact.subsetOf(ivf),
+      s"IVF decontamination must never over-drop: ${exact -- ivf}")
+    val leaked = ivf -- exact
+    assert(leaked.size <= (corpus.count() - exact.size) / 2 + 1,
+      s"leak rate at nProbe=4 should stay under half the contaminated " +
+        s"set on this fixture: ${leaked.size}")
+    // probing every list closes the leak entirely
+    val full = Similarity.decontaminateAgainstIvfIndex(spark, dir, corpus,
+        evalSet, 0.3, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact,
+      "full-probe IVF decontamination must equal the exact twin")
+  }
 }
