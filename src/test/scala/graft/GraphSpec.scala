@@ -99,6 +99,45 @@ class GraphSpec extends SparkSpec {
     assert(shrunk == resumed)
   }
 
+  test("changed-graph warm start converges to the new graph's fixed point") {
+    // the q172 exactness contract is same-graph only; on a GROWN graph
+    // the resumed vector is a standard warm start. Pin the convergence
+    // claim: iterating the warm vector on the new graph approaches the
+    // new graph's own long-run ranks MONOTONICALLY in L1 (within the
+    // integer-truncation noise floor), and lands inside it.
+    val rnd = new scala.util.Random(47)
+    val g1 = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val grown = g1 ++ Seq.fill(50)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val warm = Graph.pageRankFixed(g1.toDF("src", "dst"), 3)
+    val gdf = grown.toDF("src", "dst")
+    val target = got(grown, 20) // the new graph's (near-)fixed point
+    def l1(m: Map[Long, Long]): Long =
+      target.map { case (k, v) => math.abs(v - m.getOrElse(k, 0L)) }.sum
+    // warm vector lacks the grown graph's NEW nodes — resume must refuse
+    // (coverage contract), so extend it with zero-mass rows first, the
+    // documented migration move for a grown node set.
+    val newNodes = gdf.select(col("src").as("node"))
+      .unionByName(gdf.select(col("dst").as("node"))).distinct()
+      .join(warm, Seq("node"), "left_anti")
+      .withColumn("rank", org.apache.spark.sql.functions.lit(0L))
+    val warmFull = warm.unionByName(newNodes)
+    val d2 = l1(Graph.pageRankResume(gdf, warmFull, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val d8 = l1(Graph.pageRankResume(gdf, warmFull, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // damping 17/20 contracts the gap ~0.85^k per round; 6 more rounds
+    // must shrink it well past any truncation noise
+    assert(d8 < d2 / 2 || d8 <= target.size * 5L,
+      s"warm start must converge on the grown graph: d2=$d2 d8=$d8")
+    // absolute closeness: within 0.1% of the total mass (scale = 1e12;
+    // damping 0.85^8 ~ 0.27 of the post-2-round gap plus truncation)
+    assert(d8 < 1000000000L,
+      s"warm start must be NEAR the fixed point after 8 rounds: $d8")
+  }
+
   test("partition invariance: same ranks under any input partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
