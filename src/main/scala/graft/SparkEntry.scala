@@ -1006,6 +1006,29 @@ object SparkEntry {
     "q168_small_qty_revenue" -> ((s, dir) =>
       Joins.smallQuantityRevenue(t(s, dir, "lineitem"),
         t(s, dir, "part"))),
+    // A6 extended — TPC-H Q6 shape: pure filter-and-aggregate, every
+    // predicate integer-compared (discount hundredths, floored qty),
+    // revenue in exact 1e-4 units; all filters pushed, one scan.
+    "q182_forecast_revenue" -> ((s, dir) =>
+      Joins.forecastRevenue(t(s, dir, "lineitem"),
+        from = "1996-01-01", until = "1997-01-01")),
+    // J4 extended — TPC-H Q7 shape: bidirectional nation-pair trade
+    // volume by ship year; the 25-row nation dim broadcasts twice
+    // (supplier and customer sides), exact unit sums.
+    "q183_nation_volume" -> ((s, dir) =>
+      Joins.nationTradeVolume(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"),
+        n1 = "NATION_3", n2 = "NATION_7",
+        from = "1995-01-01", until = "1997-01-01")),
+    // A5/J4 extended — TPC-H Q8 shape: national market share as a
+    // conditional aggregate INSIDE one sum (never a second scan); the
+    // share is one double division of two exact integer unit sums.
+    "q184_market_share" -> ((s, dir) =>
+      Joins.nationalMarketShare(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"),
+        t(s, dir, "region"), t(s, dir, "part"),
+        targetNation = "NATION_5", regionName = "ASIA", pType = "STANDARD",
+        from = "1995-01-01", until = "1997-01-01")),
     // J5 extended — TPC-H Q19 shape: OR-of-ANDs join residual on the
     // broadcast part dim; Catalyst extracts the disjunction's common
     // bounds as scan-side filters while the exact disjunction runs
@@ -2153,6 +2176,61 @@ object SparkEntry {
         |                  JOIN deg d ON d.src = r.node
         |                  GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+    "q182_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)
+        |           * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |             AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+        |      BETWEEN 5 AND 7
+        |  AND CAST(floor(l_quantity) AS BIGINT) < 24""".stripMargin,
+    "q183_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)
+        |           * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+        |                    AS BIGINT))) AS DOUBLE) / 10000 AS volume
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q184_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+        |               AS BIGINT)) AS u
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |    AND p.p_type = 'STANDARD'
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |    AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN u ELSE 0 END)
+        |    AS DOUBLE)
+        |  / CAST(SUM(u) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY 1""".stripMargin,
     "q180_disjunctive_revenue" ->
       """SELECT
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)

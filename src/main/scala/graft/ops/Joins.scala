@@ -400,6 +400,112 @@ object Joins {
       .limit(topK)
   }
 
+  /** Integer 10⁻⁴ "volume" units — `cents(extprice) · (100 −
+    * hundredths(discount))` — the one exact-revenue definition shared by
+    * the Q7/Q8/Q15 shapes (a long multiply per row; long partial+final
+    * SUMs downstream; export = one units→double division both engines
+    * perform on the same integer).
+    */
+  private def volumeUnits: Column =
+    Agg.cents(col("l_extendedprice")) *
+      (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
+
+  /** TPC-H Q6 shape ("forecast revenue change"): the pure
+    * filter-and-aggregate — revenue = Σ extprice·discount over a
+    * ship-date window, a discount band, and a quantity cap. Every
+    * predicate compares integers (discount in hundredths, quantity
+    * floored per the q168 contract), so the filtered SET is exact, and
+    * the revenue sums in integer 10⁻⁴ units. One scan, every filter
+    * pushed; the shape exists to pin that a selective one-table
+    * aggregate never grows a join or a shuffle beyond the final 1-row
+    * combine.
+    */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+                      discLo: Long = 5, discHi: Long = 7,
+                      maxQty: Long = 24): DataFrame = {
+    val hundredths = (rate(col("l_discount")) * 100).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        hundredths.between(discLo, discHi) &&
+        floor(col("l_quantity")) < maxQty)
+      .agg(
+        (sum(Agg.cents(col("l_extendedprice")) * hundredths)
+          .cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q7 shape ("volume shipping"): trade volume between two named
+    * nations in BOTH directions, by supplier nation × customer nation ×
+    * ship year. The nation dim joins TWICE (supplier side and customer
+    * side — two broadcasts of a 25-row table), the direction filter is
+    * the symmetric pair predicate, and volume sums in exact units.
+    */
+  def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, n1: String, n2: String,
+                        from: String, until: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), Seq("c_nationkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((sum(volumeUnits).cast("double") / 10000).as("volume"))
+
+  /** TPC-H Q8 shape ("national market share"): of the revenue a REGION's
+    * customers spent on a part TYPE per order year, what share came from
+    * suppliers of one target nation — the conditional-aggregate ratio
+    * (numerator = a `when` inside the same SUM, never a second scan or
+    * self-join). Numerator and denominator are exact integer unit sums,
+    * so the share is ONE double division of two exact longs — bit-exact
+    * cross-engine, no float accumulation.
+    */
+  def nationalMarketShare(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          part: DataFrame, targetNation: String,
+                          regionName: String, pType: String,
+                          from: String, until: String): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType)
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey"))), Seq("c_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey").as("n_regionkey"))), Seq("n_regionkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, volumeUnits)
+          .otherwise(lit(0L))).as("_num"),
+        sum(volumeUnits).as("_den"))
+      .select(col("o_year"),
+        (col("_num").cast("double") / col("_den").cast("double"))
+          .as("mkt_share"))
+
   /** TPC-H Q19 shape ("discounted revenue"): revenue over an OR-of-ANDs
     * join residual — `(brand = A AND qty ∈ r_A) OR (brand = B AND
     * qty ∈ r_B) OR ...` — the disjunctive-predicate pattern optimizers
