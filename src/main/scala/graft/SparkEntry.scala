@@ -49,8 +49,7 @@ object SparkEntry {
     * none of its per-row BigDecimal aggregation cost).
     */
   private def discountedUnits: org.apache.spark.sql.Column =
-    Agg.cents(col("l_extendedprice")) *
-      (lit(100L) - (Agg.rate(col("l_discount")) * 100).cast("long"))
+    Agg.discountedUnits
 
   /** q121's literal merge table (rank order). Ranks 3-5 consume ranks
     * 1-2's merged tokens — the compound-merge algebra a trained table

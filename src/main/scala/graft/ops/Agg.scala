@@ -29,6 +29,16 @@ object Agg {
     */
   private[graft] def cents(c: Column): Column = (money(c) * 100).cast("long")
 
+  /** `price·(1−discount)` as exact integer 10⁻⁴ dollar units — the ONE
+    * definition of the TPC-H-shaped queries' revenue measure (consumed
+    * by pricingSummary, the Q7/Q8/Q15 join shapes, and SparkEntry's
+    * shared measure); long multiply per row, long partial+final SUMs
+    * downstream, export = one units→double division.
+    */
+  private[graft] def discountedUnits: Column =
+    cents(col("l_extendedprice")) *
+      (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
+
   /** Exact money aggregation WITHOUT decimal aggregation buffers.
     *
     * SUM over DECIMAL(12,2) widens its result past 18 digits, which
@@ -116,9 +126,8 @@ object Agg {
     */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
     val pc = cents(col("l_extendedprice"))
-    val dk = (rate(col("l_discount")) * 100).cast("long")
     val tk = (rate(col("l_tax")) * 100).cast("long")
-    val discU = pc * (lit(100L) - dk)      // 10^-4 dollar units
+    val discU = discountedUnits            // 10^-4 dollar units
     val chargeU = discU * (lit(100L) + tk) // 10^-6 dollar units
     lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -332,8 +332,7 @@ object Joins {
     */
   def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
                          from: String, until: String): DataFrame = {
-    val units = Agg.cents(col("l_extendedprice")) *
-      (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
+    val units = Agg.discountedUnits
     // Two consumers read the revenue view (the MAX and the equality
     // probe); it is |suppliers| rows, so materializing it once costs
     // nothing and saves the SECOND full fact scan a naive re-derivation
@@ -400,16 +399,6 @@ object Joins {
       .limit(topK)
   }
 
-  /** Integer 10⁻⁴ "volume" units — `cents(extprice) · (100 −
-    * hundredths(discount))` — the one exact-revenue definition shared by
-    * the Q7/Q8/Q15 shapes (a long multiply per row; long partial+final
-    * SUMs downstream; export = one units→double division both engines
-    * perform on the same integer).
-    */
-  private def volumeUnits: Column =
-    Agg.cents(col("l_extendedprice")) *
-      (lit(100L) - (rate(col("l_discount")) * 100).cast("long"))
-
   /** TPC-H Q6 shape ("forecast revenue change"): the pure
     * filter-and-aggregate — revenue = Σ extprice·discount over a
     * ship-date window, a discount band, and a quantity cap. Every
@@ -438,7 +427,9 @@ object Joins {
   /** TPC-H Q7 shape ("volume shipping"): trade volume between two named
     * nations in BOTH directions, by supplier nation × customer nation ×
     * ship year. The nation dim joins TWICE (supplier side and customer
-    * side — two broadcasts of a 25-row table), the direction filter is
+    * side — two broadcasts of a 25-row table; supplier and part stay
+    * UNHINTED per the q168 discipline — AQE broadcasts them at bench
+    * scale, shuffles at 100 TB), the direction filter is
     * the symmetric pair predicate, and volume sums in exact units.
     */
   def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
@@ -450,7 +441,7 @@ object Joins {
         col("l_shipdate") < lit(until).cast("timestamp"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
         col("n_name").as("supp_nation"))), Seq("s_nationkey"))
@@ -462,7 +453,7 @@ object Joins {
         (col("supp_nation") === n2 && col("cust_nation") === n1))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg((sum(volumeUnits).cast("double") / 10000).as("volume"))
+      .agg((sum(Agg.discountedUnits).cast("double") / 10000).as("volume"))
 
   /** TPC-H Q8 shape ("national market share"): of the revenue a REGION's
     * customers spent on a part TYPE per order year, what share came from
@@ -479,8 +470,8 @@ object Joins {
                           regionName: String, pType: String,
                           from: String, until: String): DataFrame =
     lineitem
-      .join(broadcast(part.filter(col("p_type") === pType)
-        .select(col("p_partkey"))),
+      .join(part.filter(col("p_type") === pType)
+        .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .join(orders
         .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
@@ -493,15 +484,15 @@ object Joins {
         col("n_regionkey"))), Seq("c_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)
         .select(col("r_regionkey").as("n_regionkey"))), Seq("n_regionkey"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
         col("n_name").as("supp_nation"))), Seq("s_nationkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === targetNation, volumeUnits)
+        sum(when(col("supp_nation") === targetNation, Agg.discountedUnits)
           .otherwise(lit(0L))).as("_num"),
-        sum(volumeUnits).as("_den"))
+        sum(Agg.discountedUnits).as("_den"))
       .select(col("o_year"),
         (col("_num").cast("double") / col("_den").cast("double"))
           .as("mkt_share"))

@@ -1044,22 +1044,41 @@ object Similarity {
     * broadcast (a full benchmark-suite sweep): the CORPUS lives in the
     * persisted IVF index, eval vectors probe their `nProbe` nearest
     * lists, and every corpus vector within `threshold` of a probing
-    * eval vector is dropped — probed-list-directories-only read, corpus
-    * never re-paired, the q93 machinery pointed at the decontamination
-    * question. The trade is RECALL, and here the lost side is the BAD
-    * one: a contaminated pair whose corpus member sits outside the eval
-    * vector's probed lists SURVIVES (leakage, not over-dropping), so
-    * treat `nProbe` as the leak-rate knob and measure it against the
-    * exact [[decontaminateByCosine]] twin (VectorSpec pins the fixture
-    * leak behavior; with seed centroids the q181 oracle is exact
-    * because the probe algebra itself is SQL-expressible).
+    * eval vector is dropped. Unlike the q93 delta probe (which collects
+    * the delta to the driver — correct for a daily batch, wrong for
+    * this question), the probe side here stays DISTRIBUTED: eval
+    * vectors shuffle to their assigned list ids and hash-join the
+    * probed list partitions — only the ≤ nCentroids DISTINCT list ids
+    * touch the driver (for PartitionFilters pruning), so neither axis
+    * is driver- or broadcast-bounded. No self-pair exclusion: an eval
+    * vector and a corpus vector sharing an id are different ROWS here,
+    * and an identical copy is the most blatant contamination of all.
+    *
+    * The trade is RECALL, and the lost side is the BAD one: a
+    * contaminated pair whose corpus member sits outside the eval
+    * vector's probed lists SURVIVES (leakage, not over-dropping) —
+    * treat `nProbe` as the leak-rate knob, measured against the exact
+    * [[decontaminateByCosine]] twin (VectorSpec: survivors ⊇ exact,
+    * full-probe ≡ exact, identical-id copies DO drop; with seed
+    * centroids the q181 oracle is exact because the probe algebra is
+    * SQL-expressible). Hot lists skew the join — AQE's skew split
+    * applies, the SkewSpec-pinned machinery.
     */
   def decontaminateAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, corpus: DataFrame,
                                    evalSet: DataFrame, threshold: Double,
                                    nProbe: Int = 4): DataFrame = {
-    val hits = nearDupAgainstIvfIndex(spark, dir, evalSet, threshold, nProbe)
-      .select(col("corpus_id").as("vec_id")).distinct()
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val pl = probeListsFor(evalSet, cents, nProbe)
+    val wanted = pl.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    val hits = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(wanted.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding").as("n_emb"),
+        col("list_id").cast("long").as("list_id"))
+      .join(pl, Seq("list_id"))
+      .filter(cosine(col("p_emb"), col("n_emb")) >= threshold)
+      .select(col("vec_id")).distinct()
     corpus.join(hits, Seq("vec_id"), "left_anti")
   }
 

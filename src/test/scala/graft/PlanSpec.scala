@@ -570,8 +570,11 @@ class PlanSpec extends SparkSpec {
     // ...and the brand set the dim scan — neither side waits for the join
     val dimScan = p.split('\n').find(l =>
       l.contains("FileScan") && l.contains("part.parquet"))
-    assert(dimScan.exists(_.contains("p_brand")),
-      s"the brand disjunction must reach the dim scan:\n$dimScan")
+    assert(dimScan.exists(l => l.contains("DataFilters") &&
+      l.substring(l.indexOf("DataFilters")).takeWhile(_ != ']')
+        .contains("p_brand")),
+      s"the brand disjunction must reach the dim scan AS A FILTER " +
+        s"(p_brand in ReadSchema alone is not pushdown):\n$dimScan")
     assert(p.contains("BroadcastHashJoin"),
       "the part dim must broadcast:\n" + p.take(800))
   }

@@ -810,5 +810,14 @@ class VectorSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(full == exact,
       "full-probe IVF decontamination must equal the exact twin")
+    // an eval vector sharing an ID with a corpus vector is a different
+    // ROW — the identical copy (the most blatant contamination) must
+    // still drop; no self-pair exclusion may leak it
+    val copyEval = corpus.filter($"vec_id" === 50L)
+    val withCopy = Similarity.decontaminateAgainstIvfIndex(spark, dir,
+        corpus, copyEval, 0.99, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!withCopy.contains(50L),
+      "an identical-id eval copy must drop its corpus twin")
   }
 }
