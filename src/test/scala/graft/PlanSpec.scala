@@ -579,6 +579,23 @@ class PlanSpec extends SparkSpec {
       "the part dim must broadcast:\n" + p.take(800))
   }
 
+  test("q181 IVF decontamination: probed lists pruned, probe side not collected") {
+    val p = plan("q181_decontaminate_ivf")
+    // the index read must prune to the probed list directories
+    val listScan = p.split('\n').find(l =>
+      l.contains("FileScan") && l.contains("lists"))
+    assert(listScan.exists(l => l.contains("PartitionFilters") &&
+      l.substring(l.indexOf("PartitionFilters")).takeWhile(_ != ']')
+        .contains("list_id")),
+      s"the lists read must carry a list_id partition filter:\n$listScan")
+    // the probe join keys on list_id — a hash-family join, never a
+    // nested loop (the eval side is NOT broadcast-collected by us; AQE
+    // may still choose broadcast at this SF, which is fine)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the probe join must stay an equi-join on list_id:\n" + p.take(1200))
+  }
+
   test("q174 top revenue supplier: fact scanned once (at the checkpoint), no global sort") {
     val p = plan("q174_top_revenue_supplier")
     // the revenue view is localCheckpoint'ed, so the FACT scan happens
