@@ -3754,7 +3754,6 @@ object SparkEntry {
         |  SELECT DISTINCT a.corpus_id
         |  FROM plists pl
         |  JOIN assign a ON a.list_id = pl.list_id
-        |    AND a.corpus_id != pl.probe_id
         |  JOIN embeddings p ON p.vec_id = pl.probe_id
         |  JOIN embeddings n ON n.vec_id = a.corpus_id
         |  WHERE list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))

@@ -143,6 +143,19 @@ object Graph {
         require(dup == 0L,
           s"pageRankResume: ranks0 has $dup duplicated node(s) — a rank " +
             "vector must be one row per node (was it appended twice?)")
+        // scale compatibility: a vector persisted under a DIFFERENT scale
+        // (or truncated mid-write with plausible per-node values) passes
+        // both checks above and silently resumes to wrong-magnitude
+        // ranks. Total mass is conserved by the recurrence up to
+        // truncation evaporation (and a changed-graph warm start extends
+        // with zero-mass rows), so the sum must sit near `scale` — one
+        // 1-row aggregate, order-of-magnitude envelope.
+        val mass = r.agg(coalesce(sum(col("rank")), lit(0L)))
+          .collect()(0).getLong(0)
+        require(mass > scale / 2 && mass <= scale + scale / 100,
+          s"pageRankResume: ranks0 total mass $mass is outside the " +
+            s"integer-truncation envelope of scale=$scale — was the " +
+            "vector persisted under a different scale, or half-written?")
         // extra persisted nodes no longer in the graph are dropped: they
         // can neither receive nor (having no out-edges here) send mass.
         r.join(nodes, Seq("node"), "left_semi").localCheckpoint()

@@ -114,9 +114,20 @@ object Profile {
     */
   def referenceEdges(ref: DataFrame, valueCol: String,
                      nBuckets: Int): Seq[Double] = {
+    requirePlainName(valueCol, "referenceEdges")
     val row = ref.agg(edgeAgg(valueCol, nBuckets).as("e")).collect()(0)
     requireEdges(row.getSeq[Double](0), valueCol)
   }
+
+  /** `valueCol` is interpolated into an `expr()` percentile string (and,
+    * for the persisted reference, a sidecar line): a backtick/quote would
+    * become arbitrary SQL and a newline would shift sidecar parsing —
+    * refuse loudly, the same contract as the profile stack pivot.
+    */
+  private[graft] def requirePlainName(c: String, where: String): Unit =
+    require(!c.contains("`") && !c.contains("'") && !c.contains("\n") &&
+        !c.contains("\r"),
+      s"$where: column name must not contain backticks/quotes/newlines: $c")
 
   /** The ONE definition of the reference-percentile aggregate (shared by
     * the single- and multi-column forms so the edge recipe can never
@@ -168,10 +179,7 @@ object Profile {
                         nBuckets: Int = 10): DataFrame = {
     require(valueCols.nonEmpty, "driftBucketsMulti: no columns")
     require(nBuckets >= 2, s"driftBucketsMulti: nBuckets >= 2, got $nBuckets")
-    valueCols.foreach(c =>
-      require(!c.contains("`") && !c.contains("'"),
-        s"driftBucketsMulti: column name must not contain " +
-          s"backticks/quotes: $c"))
+    valueCols.foreach(requirePlainName(_, "driftBucketsMulti"))
     val edgeRow = ref.agg(edgeAgg(valueCols.head, nBuckets).as("_e0"),
       valueCols.tail.zipWithIndex.map { case (c, i) =>
         edgeAgg(c, nBuckets).as(s"_e${i + 1}") }: _*)

@@ -71,8 +71,15 @@ object DriftStream {
     require(lines.length >= 2,
       s"drift reference at $dir is corrupt: sidecar has only " +
         s"${lines.length} line(s)")
-    val (valueCol, nBuckets) = (lines(0), lines(1).toInt)
-    val edges = lines.drop(2).map(_.toDouble).toSeq
+    // fail with the contract's 'corrupt' diagnostic, not a raw
+    // NumberFormatException, when the sidecar holds non-numeric content
+    def num[T](s: String, parse: String => T, what: String): T =
+      try parse(s) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"drift reference at $dir is corrupt: non-numeric $what '$s'")
+      }
+    val (valueCol, nBuckets) = (lines(0), num(lines(1), _.toInt, "nBuckets"))
+    val edges = lines.drop(2).map(num(_, _.toDouble, "edge")).toSeq
     require(edges.size == nBuckets - 1,
       s"drift reference at $dir is corrupt: ${edges.size} edges for " +
         s"$nBuckets buckets")

@@ -963,7 +963,21 @@ object Corpus {
     // round 13: 3.2 → 3.0 s at sf0.1, where candidates are only 2.8M
     // pairs), but at 100 TB three corpus-wide text walks are real I/O —
     // the materialization is the same move the oracle's CTE makes.
-    val sh = pruned.localCheckpoint()
+    //
+    // The frame is REPARTITIONED BY `_h` before materializing: (a) the
+    // pair generator is a self-join on `_h`, so hash-partitioning the
+    // checkpoint means BOTH join sides arrive co-partitioned — one
+    // shuffle of the shingle frame total instead of two post-checkpoint
+    // exchanges of the same rows; (b) a small corpus (one parquet row
+    // group — the sf0.1 file is a single 600 KB split) would otherwise
+    // carry its ONE input partition through the checkpoint, and the
+    // 2.8M-pair probe + partial aggregate would run on one core of 32
+    // (measured: 2.9 s → parallel after the spread). Width = the
+    // session's parallelism floor so toy inputs fan out; at scale
+    // shuffle.partitions governs, as for every keyed shuffle here.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+      .max(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val sh = pruned.repartition(par, col("_h")).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     sh.as("a")
       .join(sh.as("b"), col("a._h") === col("b._h") &&

@@ -130,5 +130,27 @@ class DriftStreamSpec extends SparkSpec {
         "n_chars", s"$root/empty")
     }
     assert(e5.getMessage.contains("cannot be empty"))
+    // non-numeric sidecar content: the 'corrupt' diagnostic, not a raw
+    // NumberFormatException
+    val out3 = fs.create(p, true)
+    out3.write("n_chars\nten\n1.0\n".getBytes("UTF-8")); out3.close()
+    val e6 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark, docs, ref)
+    }
+    assert(e6.getMessage.contains("corrupt"))
+    val out4 = fs.create(p, true)
+    out4.write("n_chars\n3\n1.0\noops\n".getBytes("UTF-8")); out4.close()
+    val e7 = intercept[IllegalArgumentException] {
+      DriftStream.driftBatch(spark, docs, ref)
+    }
+    assert(e7.getMessage.contains("corrupt"))
+    // a column name that would corrupt the sidecar (newline) or the
+    // percentile expr (quote) is refused at write time
+    val e8 = intercept[IllegalArgumentException] {
+      DriftStream.writeDriftReference(
+        docs.withColumnRenamed("n_chars", "n\nchars"), "n\nchars",
+        s"$root/badcol")
+    }
+    assert(e8.getMessage.contains("must not contain"))
   }
 }

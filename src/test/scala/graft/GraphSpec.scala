@@ -97,6 +97,15 @@ class GraphSpec extends SparkSpec {
     val shrunk = Graph.pageRankResume(df, extra, 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shrunk == resumed)
+    // a vector persisted under a DIFFERENT scale covers the graph and
+    // has no duplicates, but its total mass betrays it — refused, not
+    // silently resumed to wrong-magnitude ranks
+    val wrongScale = r2.withColumn("rank",
+      org.apache.spark.sql.functions.col("rank") / 1000L)
+    val e3 = intercept[IllegalArgumentException] {
+      Graph.pageRankResume(df, wrongScale, 1).collect()
+    }
+    assert(e3.getMessage.contains("mass"))
   }
 
   test("changed-graph warm start converges to the new graph's fixed point") {

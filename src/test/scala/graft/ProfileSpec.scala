@@ -96,6 +96,17 @@ class ProfileSpec extends SparkSpec {
         ref.withColumnRenamed("n_chars", "a'b"),
         cur.withColumnRenamed("n_chars", "a'b"), Seq("a'b"))
     }
+    // the single-column edge path interpolates into expr() too — same
+    // refusal for quoted/backticked/newline names (referenceEdges is
+    // also the write path of the persisted drift reference sidecar)
+    intercept[IllegalArgumentException] {
+      Profile.referenceEdges(
+        ref.withColumnRenamed("n_chars", "a`b"), "a`b", 10)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.referenceEdges(
+        ref.withColumnRenamed("n_chars", "a\nb"), "a\nb", 10)
+    }
   }
 
   test("profile: column subset and require on empty") {
