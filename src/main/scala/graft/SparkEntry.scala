@@ -935,6 +935,25 @@ object SparkEntry {
       graft.streaming.DriftStream.driftBatch(s,
         docs.filter(col("doc_id") % 2 === 1), refDir)
     }),
+    // T6 extended — multi-reference drift (new r14): the q173 persisted
+    // reference generalized to a ROTATING store (root/v=N/, append-only
+    // monotonic). One batch scored against EVERY stored version in ONE
+    // batch scan (per-row explode over version structs — the
+    // driftBucketsMulti discipline across versions), reference side =
+    // the stored histograms (nBuckets rows per version). Output is the
+    // PSI series' counting artifact keyed by reference_version.
+    "q186_drift_rotation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "driftrot", "v1") { out =>
+        graft.streaming.DriftStream.rotateDriftReference(
+          docs.filter(col("doc_id") % 4 === 0), "n_chars", out, 1L)
+        graft.streaming.DriftStream.rotateDriftReference(
+          docs.filter(col("doc_id") % 4 === 2), "n_chars", out, 2L)
+      }
+      graft.streaming.DriftStream.driftSeries(s,
+        docs.filter(col("doc_id") % 2 === 1), root)
+    }),
     // F8/A9 privacy: k-anonymity release gate — quasi-identifier groups
     // below k are suppressed before export (the post-redact group-size
     // floor). Integer decision; combos-sized aggregate broadcast back as
@@ -1022,6 +1041,32 @@ object SparkEntry {
     // A5/J4 extended — TPC-H Q8 shape: national market share as a
     // conditional aggregate INSIDE one sum (never a second scan); the
     // share is one double division of two exact integer unit sums.
+    // J4/S8 extended — the exchange-free delta-index probe (new r14):
+    // the q144 fuzzy probe re-layouted as a catalog table bucketed AND
+    // sorted by the probe's join key `v`, so the at-rest index never
+    // shuffles — the one Exchange is the delta's own variants
+    // (PlanSpec-pinned). Same build+overlapping-append+probe slices as
+    // q144, so the two layouts answer with identical rows (same oracle).
+    // The q88 ensure discipline: reuse this session's table, clear an
+    // orphaned warehouse dir, tag names by sfDir so verify/bench JVMs
+    // never cross-serve rows.
+    "q185_fuzzy_bucketed_probe" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"graft_fz_variants_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val wd = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+        val fs = wd.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wd)) fs.delete(wd, true)
+        graft.ops.FuzzyJoin.writeVariantTable(
+          cust.filter(col("c_custkey") % 8 === 0), "c_name", tbl)
+        graft.ops.FuzzyJoin.appendVariantTable(
+          cust.filter(col("c_custkey") % 4 === 0), "c_name", tbl)
+      }
+      graft.ops.FuzzyJoin.fuzzyProbeTable(s, tbl,
+        cust.filter(col("c_custkey") % 4 === 1), "c_name")
+    }),
     "q184_market_share" -> ((s, dir) =>
       Joins.nationalMarketShare(t(s, dir, "lineitem"), t(s, dir, "orders"),
         t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"),
@@ -2038,6 +2083,43 @@ object SparkEntry {
         |  COALESCE(rb.n_ref, 0) AS n_ref,
         |  COALESCE(cb.n_cur, 0) AS n_cur
         |FROM rb FULL OUTER JOIN cb ON cb.bucket = rb.bucket""".stripMargin,
+    // two reference versions (doc_id%4=0 and %4=2), one batch (%2=1):
+    // the q173 algebra per version, unioned under reference_version
+    "q186_drift_rotation" ->
+      """WITH cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |ref1 AS (SELECT n_chars FROM documents WHERE doc_id % 4 = 0),
+        |ref2 AS (SELECT n_chars FROM documents WHERE doc_id % 4 = 2),
+        |e1 AS (SELECT quantile_cont(n_chars,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |       FROM ref1),
+        |e2 AS (SELECT quantile_cont(n_chars,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |       FROM ref2),
+        |rb1 AS (SELECT CAST(len(list_filter(e.edges,
+        |          x -> CAST(r.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |        COUNT(*) AS n_ref
+        |        FROM ref1 r CROSS JOIN e1 e GROUP BY 1),
+        |cb1 AS (SELECT CAST(len(list_filter(e.edges,
+        |          x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |        COUNT(*) AS n_cur
+        |        FROM cur c CROSS JOIN e1 e GROUP BY 1),
+        |rb2 AS (SELECT CAST(len(list_filter(e.edges,
+        |          x -> CAST(r.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |        COUNT(*) AS n_ref
+        |        FROM ref2 r CROSS JOIN e2 e GROUP BY 1),
+        |cb2 AS (SELECT CAST(len(list_filter(e.edges,
+        |          x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |        COUNT(*) AS n_cur
+        |        FROM cur c CROSS JOIN e2 e GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS reference_version,
+        |  COALESCE(rb1.bucket, cb1.bucket) AS bucket,
+        |  COALESCE(rb1.n_ref, 0) AS n_ref, COALESCE(cb1.n_cur, 0) AS n_cur
+        |FROM rb1 FULL OUTER JOIN cb1 ON cb1.bucket = rb1.bucket
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS reference_version,
+        |  COALESCE(rb2.bucket, cb2.bucket) AS bucket,
+        |  COALESCE(rb2.n_ref, 0) AS n_ref, COALESCE(cb2.n_cur, 0) AS n_cur
+        |FROM rb2 FULL OUTER JOIN cb2 ON cb2.bucket = rb2.bucket""".stripMargin,
     "q164_k_anonymity" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
@@ -4099,6 +4181,16 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
     "q144_fuzzy_delta" ->
+      """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
+        |           WHERE c_custkey % 4 = 0),
+        |b AS (SELECT DISTINCT c_name AS t FROM customer
+        |      WHERE c_custkey % 4 = 1)
+        |SELECT a.t AS name_a, b.t AS name_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM a JOIN b ON levenshtein(a.t, b.t) <= 1""".stripMargin,
+    // identical slices to q144 — the bucketed catalog layout must answer
+    // with the same rows as the path-partitioned one
+    "q185_fuzzy_bucketed_probe" ->
       """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
         |           WHERE c_custkey % 4 = 0),
         |b AS (SELECT DISTINCT c_name AS t FROM customer

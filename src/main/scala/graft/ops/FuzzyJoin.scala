@@ -246,6 +246,91 @@ object FuzzyJoin {
     probeCore(index.drop("k"), delta, nameCol, maxDist, maxBucket)
   }
 
+  /** Bucketed CATALOG variant of the persisted index — the exchange-free
+    * probe posture (the q88/S8 layout applied to a delta-index family):
+    * variant rows live in a catalog table BUCKETED AND SORTED BY `v`,
+    * the probe's join key, so every probe plans with ZERO Exchange on
+    * the index side — the delta's variants (batch-sized) shuffle into
+    * the index's bucket layout; the at-rest corpus index never moves.
+    * That is the complementary trade to [[writeVariantIndex]]'s `tb`
+    * path layout: `tb` partition-prunes the APPEND/replay guard but the
+    * probe join on `v` re-shuffles the index every run; `v` buckets make
+    * the probe exchange-free but the append guard must scan the index's
+    * `t` column (pruned to one column, still index-wide). A daily-delta
+    * user probing a large at-rest corpus is probe-dominated, which makes
+    * THIS the 100 TB layout; keep the path form where appends dominate.
+    *
+    * Build depth and bucket count ride the CATALOG as table properties —
+    * the `_FUZZY_META` sidecar re-expressed in catalog terms; probes and
+    * appends read the properties, never an aggregation over index rows.
+    */
+  def writeVariantTable(names: DataFrame, nameCol: String, table: String,
+                        maxDist: Int = 1, nBuckets: Int = 8): Unit = {
+    val spark = names.sparkSession
+    variantIndexRows(names, nameCol, maxDist)
+      .select(col("t"), col("v"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "v").sortBy("v")
+      .format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.fuzzy.k'='$maxDist', 'graft.fuzzy.nbuckets'='$nBuckets')")
+  }
+
+  /** (build depth k, bucket count) of a variant TABLE, from its catalog
+    * properties. Fails loudly on a table not built by
+    * [[writeVariantTable]].
+    */
+  def tableMeta(spark: SparkSession, table: String): (Int, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.fuzzy.k"), props.get("graft.fuzzy.nbuckets")) match {
+      case (Some(k), Some(nb)) => (k.toInt, nb.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"fuzzy variant table $table lacks graft.fuzzy.* properties — " +
+          "build it with FuzzyJoin.writeVariantTable")
+    }
+  }
+
+  /** Overlap-safe append to the bucketed variant table: the same
+    * term-level anti-join contract as [[appendVariantIndex]] (append ≡
+    * full rebuild over overlapping batches, spec-pinned), at this
+    * layout's documented cost — the already-indexed probe reads the
+    * table's `t` column index-wide instead of partition-pruning. The
+    * fresh rows append THROUGH the catalog with the table's own bucket
+    * spec, so the exchange-free probe contract survives every append
+    * (each append adds files per bucket; compact by rebuilding via
+    * [[writeVariantTable]] when file counts matter).
+    */
+  def appendVariantTable(names: DataFrame, nameCol: String,
+                         table: String): Unit = {
+    val spark = names.sparkSession
+    val (k, nBuckets) = tableMeta(spark, table)
+    val terms = names.select(col(nameCol).cast("string").as("t")).distinct()
+    val fresh = terms.join(
+      spark.table(table).select(col("t")).distinct(), Seq("t"), "left_anti")
+    variantIndexRows(fresh, "t", k)
+      .select(col("t"), col("v"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "v").sortBy("v")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[fuzzyProbe]] against the bucketed catalog table: depth validated
+    * from the table properties; the variant equi-join reads the index
+    * side bucket-aligned — zero Exchange on the corpus index
+    * (PlanSpec-pinned), the one shuffle is the delta's own variants.
+    */
+  def fuzzyProbeTable(spark: SparkSession, table: String, delta: DataFrame,
+                      nameCol: String, maxDist: Int = 1,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (k, _) = tableMeta(spark, table)
+    require(k >= maxDist,
+      s"fuzzyProbeTable: table $table was built at depth $k < " +
+        s"maxDist $maxDist — lev <= $maxDist completeness needs corpus " +
+        s"variants at depth >= $maxDist; rebuild with writeVariantTable")
+    probeCore(spark.table(table), delta, nameCol, maxDist, maxBucket)
+  }
+
   /** Record-linkage form: fuzzy name pairs WITHIN exact blocking keys —
     * `lev(name_a, name_b) ≤ maxDist` AND equal `keyCols` (the classic
     * composition: a cheap exact attribute narrows the candidate space

@@ -150,7 +150,7 @@ object Profile {
     * map-side. Null values land in bucket 0 (every comparison is null →
     * otherwise(0)), so histograms always cover every row.
     */
-  private def bucketOf(valueCol: String, edges: Seq[Double]): Column =
+  private[graft] def bucketOf(valueCol: String, edges: Seq[Double]): Column =
     edges.map(e =>
       when(col(valueCol).cast("double") > e, 1).otherwise(0))
       .reduce(_ + _)

@@ -115,6 +115,145 @@ object DriftStream {
       .select(col("n_rows"), col("psi"))
   }
 
+  // ---- Multi-reference rotation (the production monitoring shape) ----
+  //
+  // One frozen reference goes stale: production drift monitoring ROTATES
+  // references (e.g. weekly re-freezes of the curated corpus) and reads
+  // the PSI as a series per reference version — "new intake vs last
+  // week" AND "vs the week before" disambiguates intake drift from
+  // reference drift. The store is a versioned directory family
+  // `root/v=<version>/`, each member a full [[writeDriftReference]]
+  // artifact (histogram + sidecar), so every existing single-reference
+  // consumer works on a member unchanged.
+
+  private val VersionRe = "^v=(\\d+)$".r
+
+  /** The versions present in a reference store, ascending. A `v=` dir
+    * missing its sidecar is a half-written rotation — refused loudly
+    * rather than silently skipped (it would otherwise vanish from the
+    * series and from [[latestReferenceVersion]] freshness checks).
+    */
+  def referenceVersions(spark: SparkSession, rootDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(v) =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(s.getPath, MetaFile)),
+            s"drift reference store $rootDir: version dir ${s.getPath.getName} " +
+              s"lacks $MetaFile — a half-written rotation; delete or rebuild it")
+          Some(v.toLong)
+        case _ => None
+      })
+      .sorted
+  }
+
+  /** Latest version in the store, if any. */
+  def latestReferenceVersion(spark: SparkSession,
+                             rootDir: String): Option[Long] =
+    referenceVersions(spark, rootDir).lastOption
+
+  /** Rotate in a new reference: append-only and strictly monotonic —
+    * re-publishing an existing version or rotating "backwards" is a
+    * deployment error that would silently re-baseline history, so both
+    * are refused. The member is a full [[writeDriftReference]] artifact.
+    */
+  def rotateDriftReference(ref: DataFrame, valueCol: String,
+                           rootDir: String, version: Long,
+                           nBuckets: Int = 10): Unit = {
+    val spark = ref.sparkSession
+    latestReferenceVersion(spark, rootDir).foreach(latest =>
+      require(version > latest,
+        s"rotateDriftReference: version $version is not after the " +
+          s"store's latest $latest — rotation is append-only monotonic"))
+    writeDriftReference(ref, valueCol, s"$rootDir/v=$version", nBuckets)
+  }
+
+  /** One batch scored against EVERY reference version in the store —
+    * the PSI-series counting artifact: (reference_version, bucket,
+    * n_ref, n_cur), all-integer, hash-exact. The batch is scanned ONCE
+    * for all versions (each row emits one (version, bucket) pair per
+    * version via a single explode — the [[graft.ops.Profile
+    * .driftBucketsMulti]] discipline applied across versions instead of
+    * columns); the reference side is the stored histograms, version-
+    * tagged and unioned (nBuckets rows per version — tiny). All
+    * versions must monitor the same column (a store mixing columns is
+    * corrupt, refused). Empty buckets survive per version (full outer +
+    * zero-fill). Feed [[graft.ops.Profile.psi]] per version for the
+    * scalar series.
+    */
+  def driftSeries(spark: SparkSession, batch: DataFrame,
+                  rootDir: String): DataFrame = {
+    val versions = referenceVersions(spark, rootDir)
+    require(versions.nonEmpty,
+      s"driftSeries: reference store $rootDir has no versions — rotate " +
+        "one in with rotateDriftReference")
+    val metas = versions.map(v => v -> readMeta(spark, s"$rootDir/v=$v"))
+    val cols = metas.map(_._2._1).distinct
+    require(cols.size == 1,
+      s"driftSeries: store $rootDir mixes monitored columns " +
+        s"${cols.mkString(", ")} — one store monitors one column")
+    val valueCol = cols.head
+    require(batch.columns.contains(valueCol),
+      s"drift monitor: batch lacks the reference's monitored column " +
+        s"'$valueCol' (batch columns: ${batch.columns.mkString(", ")})")
+    val curHist = batch
+      .select(explode(array(metas.map { case (v, (_, _, edges)) =>
+        struct(lit(v).as("reference_version"),
+          Profile.bucketOf(valueCol, edges).as("bucket")) }: _*)).as("_vb"))
+      .groupBy(col("_vb.reference_version").as("reference_version"),
+        col("_vb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    val refHist = versions.map(v =>
+        spark.read.parquet(s"$rootDir/v=$v")
+          .select(lit(v).as("reference_version"), col("bucket"),
+            col("n_ref")))
+      .reduce(_.unionByName(_))
+    refHist.join(curHist, Seq("reference_version", "bucket"), "full_outer")
+      .select(col("reference_version"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** The rotating monitor stream: per micro-batch, one
+    * (batch_id, reference_version, n_rows, psi) row scored against the
+    * store's LATEST version at batch time — so a rotation mid-stream
+    * switches later batches to the new reference, and the row records
+    * WHICH reference scored it (the series key). `minVersion` is the
+    * staleness contract: a monitor that silently keeps scoring against
+    * an ancient reference blesses drift, so each batch REFUSES to score
+    * when the store's latest version is below the floor (fail loudly,
+    * the constraint-gate posture). Same replay/idempotence sink contract
+    * as [[monitorQuery]] given an unchanged store; a replay after a
+    * rotation re-scores against the new latest — the monitor table is a
+    * VIEW of the current store, re-derivable by construction.
+    */
+  def monitorQueryRotating(spark: SparkSession, srcDir: String,
+                           refRoot: String, outDir: String,
+                           checkpointDir: String, schema: StructType,
+                           minVersion: Long = Long.MinValue): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = latestReferenceVersion(spark, refRoot).getOrElse(
+          throw new IllegalArgumentException(
+            s"rotating drift monitor: store $refRoot has no versions"))
+        require(latest >= minVersion,
+          s"rotating drift monitor: store $refRoot latest version " +
+            s"$latest is below the freshness floor $minVersion — " +
+            "rotate a new reference in before monitoring")
+        graft.ops.Upsert.overwritePartitions(
+          monitorRow(spark, batch, s"$refRoot/v=$latest")
+            .withColumn("reference_version", lit(latest))
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The monitor stream: per micro-batch, one (batch_id, n_rows, psi)
     * row into `outDir`, partitioned by batch_id through dynamic
     * partition overwrite (replay overwrites the same partition with the

@@ -89,6 +89,101 @@ class DriftStreamSpec extends SparkSpec {
     assert(b0(0).getAs[Double]("psi") == psiOf(all))
   }
 
+  test("rotation store: series == per-version driftBuckets; monotonic guard") {
+    val root = java.nio.file.Files.createTempDirectory("driftrot").toString + "/store"
+    val r1 = docs.filter(col("doc_id") % 4 === 0)
+    val r2 = docs.filter(col("doc_id") % 4 === 2)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    // empty store: no versions, series refuses
+    assert(DriftStream.referenceVersions(spark, root).isEmpty)
+    intercept[IllegalArgumentException] {
+      DriftStream.driftSeries(spark, cur, root)
+    }
+    DriftStream.rotateDriftReference(r1, "n_chars", root, 10L)
+    DriftStream.rotateDriftReference(r2, "n_chars", root, 20L)
+    assert(DriftStream.referenceVersions(spark, root) === Seq(10L, 20L))
+    assert(DriftStream.latestReferenceVersion(spark, root).contains(20L))
+    // rotation is append-only monotonic: re-publish and backwards refused
+    intercept[IllegalArgumentException] {
+      DriftStream.rotateDriftReference(r1, "n_chars", root, 20L)
+    }
+    intercept[IllegalArgumentException] {
+      DriftStream.rotateDriftReference(r1, "n_chars", root, 5L)
+    }
+    // the one-scan series equals the per-version batch form exactly
+    val series = DriftStream.driftSeries(spark, cur, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    Seq(10L -> r1, 20L -> r2).foreach { case (v, ref) =>
+      val single = Profile.driftBuckets(ref, cur, "n_chars")
+        .collect().map(r => (v, r.getInt(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(single.forall { case (k, c) => series.get(k).contains(c) } &&
+        series.count(_._1._1 == v) == single.size,
+        s"series counts for version $v must equal the single-reference form")
+    }
+    // a half-written rotation (missing sidecar) fails loudly, not skipped
+    val bad = new org.apache.hadoop.fs.Path(root, "v=30")
+    val fs = bad.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(bad)
+    val e = intercept[IllegalArgumentException] {
+      DriftStream.referenceVersions(spark, root)
+    }
+    assert(e.getMessage.contains("half-written"))
+    fs.delete(bad, true)
+  }
+
+  test("rotating monitor: version switches mid-stream; stale store refused") {
+    val root = java.nio.file.Files.createTempDirectory("driftrotmon").toString
+    val store = s"$root/store"; val src = s"$root/src"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    DriftStream.rotateDriftReference(
+      docs.filter(col("doc_id") % 4 === 0), "n_chars", store, 1L)
+    val w1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("n_chars"))
+    val w2 = docs.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("n_chars"))
+    w1.coalesce(1).write.parquet(s"$src/w1")
+    DriftStream.monitorQueryRotating(spark, s"$src/*", store, out,
+      s"$root/cp", schema).awaitTermination()
+    // rotate between batches: the next batch must carry the new version
+    DriftStream.rotateDriftReference(
+      docs.filter(col("doc_id") % 4 === 2), "n_chars", store, 2L)
+    w2.coalesce(1).write.parquet(s"$src/w2")
+    DriftStream.monitorQueryRotating(spark, s"$src/*", store, out,
+      s"$root/cp", schema).awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select(col("batch_id").cast("long"),
+        col("reference_version").cast("long"), col("n_rows").cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows(0L)._1 == 1L && rows(1L)._1 == 2L,
+      s"batches must record the reference version that scored them: $rows")
+    assert(rows(0L)._2 == w1.count() && rows(1L)._2 == w2.count())
+    // each batch's monitor row equals the single-reference batch form
+    // against the version that scored it
+    val psi2 = Profile.psi(Profile.driftBuckets(
+      docs.filter(col("doc_id") % 4 === 2), w2, "n_chars"))
+      .collect()(0).getDouble(0)
+    val got2 = spark.read.parquet(out)
+      .filter(col("batch_id") === 1L).collect()(0).getAs[Double]("psi")
+    assert(got2 == psi2, "rotated-version psi must match the batch form")
+    // staleness floor: a store whose latest is below minVersion refuses
+    val w3 = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("n_chars"))
+    w3.coalesce(1).write.parquet(s"$src/w3")
+    val q = DriftStream.monitorQueryRotating(spark, s"$src/*", store, out,
+      s"$root/cp", schema, minVersion = 99L)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("freshness") ||
+      Option(err.getCause).exists(_.getMessage.contains("freshness")),
+      s"stale store must refuse to score: ${err.getMessage}")
+  }
+
   test("sidecar contract: missing meta, corrupt meta, missing column fail loudly") {
     val root = java.nio.file.Files.createTempDirectory("driftbad").toString
     val ref = s"$root/ref"

@@ -161,6 +161,41 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(probe(dir) === probe(rebuilt))
   }
 
+  test("bucketed variant TABLE: probe == dir probe; overlapping append == rebuild") {
+    val b1 = Seq("kitten", "mitten", "orange").toDF("w")
+    val b2 = Seq("kitten", "orange", "oranje", "mutton").toDF("w")
+    val delta = Seq("kiten", "oranje2", "muton").toDF("w")
+    // path-layout twin: the two layouts must answer identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-fztbl-d").toString
+    FuzzyJoin.writeVariantIndex(b1, "w", dir, nBuckets = 8)
+    FuzzyJoin.appendVariantIndex(b2, "w", dir)
+    FuzzyJoin.writeVariantTable(b1, "w", "graft_fztbl_a", nBuckets = 4)
+    FuzzyJoin.appendVariantTable(b2, "w", "graft_fztbl_a")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val viaTable = pairs(FuzzyJoin.fuzzyProbeTable(spark, "graft_fztbl_a",
+      delta, "w"))
+    assert(viaTable === pairs(FuzzyJoin.fuzzyProbe(spark, dir, delta, "w")))
+    // overlapping append ≡ one-shot rebuild, no duplicated rows
+    FuzzyJoin.writeVariantTable(b1.union(b2), "w", "graft_fztbl_r",
+      nBuckets = 4)
+    def rows(tbl: String) = spark.table(tbl)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows("graft_fztbl_a").sorted === rows("graft_fztbl_r").sorted)
+    assert(rows("graft_fztbl_a").size === rows("graft_fztbl_a").distinct.size)
+    // depth ships in the catalog properties; a shallow table is refused
+    assert(FuzzyJoin.tableMeta(spark, "graft_fztbl_a") === ((1, 4)))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyProbeTable(spark, "graft_fztbl_a", delta, "w",
+        maxDist = 2)
+    }
+    // a table not built by writeVariantTable fails loudly
+    b1.write.mode("overwrite").saveAsTable("graft_fztbl_bare")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyProbeTable(spark, "graft_fztbl_bare", delta, "w")
+    }
+  }
+
   test("probe depth comes from the sidecar, and a shallow index is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-m").toString
     FuzzyJoin.writeVariantIndex(Seq("abcd").toDF("w"), "w", dir,

@@ -213,6 +213,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q185 bucketed variant probe: index side exchange-free") {
+    // The whole point of the catalog layout: with broadcast disabled the
+    // variant equi-join must be a sort-merge whose INDEX side reads the
+    // v-bucketed table in place — no ShuffleExchange anywhere under that
+    // side; the one join-input shuffle is the delta's variants. (A
+    // SortExec on the index side is allowed: appends add files per
+    // bucket, and Spark only trusts write-time ordering for
+    // one-file-per-bucket tables.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exec = SparkEntry.queries("q185_fuzzy_bucketed_probe")(spark, sf)
+        .queryExecution.executedPlan
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      val joins = unwrap(exec).collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, "expected the variant sort-merge join:\n" +
+        unwrap(exec).toString.take(1500))
+      val bucketSide = joins.flatMap(j => Seq(j.left, j.right)).filter(side =>
+        side.collect {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.nonEmpty)
+      assert(bucketSide.nonEmpty,
+        "the index side must scan the bucketed catalog table:\n" +
+          unwrap(exec).toString.take(1500))
+      bucketSide.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "index side must be exchange-free (bucket-aligned):\n" +
+            side.toString.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q110 bpe pairs: map-side pair emission, one aggregate exchange, no join") {
     // Pairs come off the token array inside the scan projection — a
     // per-position explode + self-join on pos+1 would shuffle the corpus
