@@ -25,6 +25,17 @@ case class OpenSessions(open: Seq[(Long, Long, Long)])
 case class FunnelProgress(chain: Seq[Long], pending: Seq[(Long, Int)],
                           done: Boolean)
 
+/** State row for [[EventsStream.leaderboardTotals]]: one entity's running
+  * engagement — event count and value in exact integer 10^-4 units (the
+  * repo's units discipline: float summation order is partition-dependent,
+  * integer totals are order-invariant, which is what makes the full-replay
+  * idempotence contract checkable bit-for-bit). State is one row per
+  * entity ever seen — bounded by the entity domain (a media catalog, a
+  * user base), not by event volume; NoTimeout by design, a cumulative
+  * leaderboard's totals never expire.
+  */
+case class LeaderTotals(key: Long, n_events: Long, units: Long)
+
 /** Structured-Streaming twin of the events path (SURVEY.md §2.10: T3, T5,
   * T7, T8). The reference implements watermarks, checkpoints, and daily
   * windows by hand over a batch loop; Structured Streaming owns all of that
@@ -302,6 +313,91 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** T8 extension — live top-k leaderboard, stage 1: per-entity running
+    * engagement totals via `flatMapGroupsWithState` (the docx Business
+    * Objective "top videos by engagement" as a CONTINUOUS artifact
+    * instead of a batch report; keyed on user_id in the testdata schema,
+    * any entity id in production). Each micro-batch folds its rows into
+    * the per-key state and emits the key's new ABSOLUTE totals — count
+    * and exact integer 10^-4 value units, never deltas. Absolute
+    * emission is the idempotence lever: a replayed batch re-emits the
+    * same totals, so the downstream merge converges instead of
+    * double-counting (at-least-once sink + additive deltas is the
+    * classic leaderboard corruption).
+    *
+    * 100 TB posture: one shuffle on the key; state is one small row per
+    * entity ever seen (catalog-bounded, not event-bounded); emission per
+    * trigger is only the keys the batch touched.
+    */
+  def leaderboardTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fold(key: Long, rows: Iterator[(Long, Long)],
+             state: GroupState[LeaderTotals]): Iterator[LeaderTotals] = {
+      val prev = state.getOption.getOrElse(LeaderTotals(key, 0L, 0L))
+      var n = prev.n_events
+      var u = prev.units
+      rows.foreach { r => n += 1; u += r._2 }
+      val next = LeaderTotals(key, n, u)
+      state.update(next)
+      Iterator(next)
+    }
+
+    events
+      .select(col("user_id").cast(LongType),
+        round(coalesce(col("value"), lit(0.0)) * 10000).cast(LongType))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  /** T8 extension — live top-k leaderboard, stage 2: the streaming query.
+    * Per micro-batch the stage-1 totals are MERGED (delete+insert on the
+    * key — [[graft.ops.Upsert.merge]], the reference's upsert protocol)
+    * into a persisted totals table, then the top-k snapshot
+    * (rank, key, n_events, engagement) — ordered by units desc with the
+    * key as the deterministic tie-break, `TakeOrderedAndProject`, never a
+    * global sort — lands in `outDir/batch_id=N` through dynamic
+    * partition overwrite.
+    *
+    * Replay contract, both at-least-once modes: a SAME-CHECKPOINT replay
+    * re-emits the same absolute totals (the state store versions per
+    * batch), so the key-merge rewrites identical rows and the snapshot
+    * partition overwrites itself; a FULL replay (fresh checkpoint, fresh
+    * dirs, same source) rebuilds bit-identical integer state. Batch
+    * parity and both legs are StatefulStreamSpec-pinned. The totals
+    * table is entity-domain-sized; the snapshot is k rows per batch.
+    */
+  def leaderboardQuery(spark: SparkSession, srcDir: String,
+                       totalsDir: String, outDir: String,
+                       checkpointDir: String, k: Int,
+                       globFilter: String = "events.parquet"): StreamingQuery =
+    leaderboardTotals(readEvents(spark, srcDir, globFilter))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (updates: DataFrame, batchId: Long) =>
+        graft.ops.Upsert.recoverIfNeeded(spark, totalsDir)
+        graft.ops.Upsert.createIfNotExists(spark, totalsDir, updates.schema)
+        val merged = graft.ops.Upsert.merge(
+          spark.read.parquet(totalsDir), updates, Seq("key"))
+        graft.ops.Upsert.atomicReplace(spark, merged, totalsDir)
+        val snap = graft.ops.TopK.global(spark.read.parquet(totalsDir),
+            Seq(col("units").desc, col("key").asc), k)
+          .select(
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("units").desc, col("key").asc)).as("rank"),
+            col("key"), col("n_events"),
+            (col("units").cast("double") / 10000).as("engagement"))
+          .withColumn("batch_id", lit(batchId))
+        graft.ops.Upsert.overwritePartitions(snap, outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Shared commit protocol of the sketch-state family (hist / freq /
     * kll / theta): one PARTITION DIRECTORY per micro-batch

@@ -159,4 +159,74 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streaming funnel must reproduce the batch greedy fold exactly")
   }
+
+  test("leaderboard: per-wave batch parity; replay (same-checkpoint and full) idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lb").toString
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val w1 = ev.filter(col("event_id") % 2 === 0)
+    val w2 = ev.filter(col("event_id") % 2 === 1)
+    w1.coalesce(1).write.parquet(s"$src/w1")
+    val k = 10
+
+    // the batch twin: same per-row integer units, same deterministic
+    // tie-break — what the snapshot must equal after each wave
+    def batchTop(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").as("key"),
+        round(coalesce(col("value"), lit(0.0)) * 10000).cast("long").as("u"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"), sum(col("u")).as("units"))
+      .orderBy(col("units").desc, col("key").asc).limit(k)
+      .select(col("key"), col("n_events"),
+        (col("units").cast("double") / 10000).as("engagement"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    def run(totals: String, out: String, cp: String): Unit = {
+      val q = graft.streaming.EventsStream.leaderboardQuery(spark,
+        s"$src/*", totals, out, cp, k, globFilter = "*.parquet")
+      q.processAllAvailable(); q.stop()
+    }
+    def snapshot(out: String, batch: Long) = spark.read.parquet(out)
+      .filter(col("batch_id") === batch).orderBy(col("rank"))
+      .select(col("key"), col("n_events"), col("engagement"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val (totals, out, cp) = (s"$root/totals", s"$root/out", s"$root/cp")
+    run(totals, out, cp)
+    assert(snapshot(out, 0L) === batchTop(w1),
+      "wave-1 snapshot must equal the batch top-k over wave 1")
+    w2.coalesce(1).write.parquet(s"$src/w2")
+    run(totals, out, cp)
+    assert(snapshot(out, 1L) === batchTop(ev),
+      "wave-2 snapshot must equal the batch top-k over everything")
+    // ranks are 1..k with the deterministic tie-break
+    assert(spark.read.parquet(out).filter(col("batch_id") === 1L)
+      .select("rank").as[Int].collect().sorted.toSeq === (1 to k),
+      "snapshot must carry ranks 1..k")
+
+    // same-checkpoint replay: no new files -> totals and snapshots
+    // unchanged (absolute-total merge re-writes identical rows)
+    val before = spark.read.parquet(totals)
+      .collect().map(_.toSeq).toSet
+    run(totals, out, cp)
+    assert(spark.read.parquet(totals).collect().map(_.toSeq).toSet === before,
+      "a no-new-data re-run must not change the totals table")
+    assert(snapshot(out, 1L) === batchTop(ev))
+
+    // full replay: fresh checkpoint + fresh state dirs over the same
+    // source must rebuild bit-identical integer totals and the same
+    // final leaderboard (both waves may land in one batch — compare the
+    // LAST snapshot, not batch ids)
+    val (t2, o2, c2) = (s"$root/totals2", s"$root/out2", s"$root/cp2")
+    run(t2, o2, c2)
+    assert(spark.read.parquet(t2).collect().map(_.toSeq).toSet ===
+      spark.read.parquet(totals).collect().map(_.toSeq).toSet,
+      "full replay must rebuild identical totals")
+    val lastBatch = spark.read.parquet(o2)
+      .agg(max(col("batch_id").cast("long"))).as[Long].head()
+    assert(snapshot(o2, lastBatch) === batchTop(ev),
+      "full replay's final leaderboard must equal the batch top-k")
+  }
 }
