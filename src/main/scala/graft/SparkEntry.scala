@@ -1055,10 +1055,7 @@ object SparkEntry {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
       val tbl = s"graft_fz_variants_$tag"
       if (!s.catalog.tableExists(tbl)) {
-        val wd = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-        val fs = wd.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(wd)) fs.delete(wd, true)
+        // writeVariantTable clears a location orphaned by a previous JVM
         graft.ops.FuzzyJoin.writeVariantTable(
           cust.filter(col("c_custkey") % 8 === 0), "c_name", tbl)
         graft.ops.FuzzyJoin.appendVariantTable(
