@@ -512,6 +512,12 @@ object SparkEntry {
     // reproducible, re-rolled by salt).
     "q66_dataset_split" -> ((s, dir) =>
       graft.text.Corpus.deterministicSplit(t(s, dir, "documents"))),
+    // A9 extended — leakage-safe split (new r14): q66's md5 rule applied
+    // to the near-dup CLUSTER representative instead of the doc id, so a
+    // near-dup family can never straddle train/test (the within-corpus
+    // sibling of eval decontamination). Singletons split exactly as q66.
+    "q187_leakage_safe_split" -> ((s, dir) =>
+      graft.text.Corpus.leakageSafeSplit(t(s, dir, "documents"))),
     // North star corpus prep: sequence packing — concatenate-then-chunk
     // token offsets and pack ids, windowed per hash shard.
     "q67_sequence_pack" -> ((s, dir) =>
@@ -2858,6 +2864,69 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.lab
         |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
         |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin,
+    // q73's component walk, then q66's md5 rule over the cluster key
+    "q187_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes za ON za.doc_id = c.doc_a
+        |  JOIN sizes zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS doc_id, w.lab
+        |  FROM edges e JOIN walk w ON w.doc_id = e.dst),
+        |clusters AS (
+        |  SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster_id, d.doc_id) AS split_key,
+        |  substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+        |    || ':graft'), 1, 2) AS bucket_hex,
+        |  CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+        |         || ':graft'), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+        |         || ':graft'), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id""".stripMargin,
     // q73's component walk + the survivor anti-join: keep a document unless
     // it is a clustered NON-representative (cluster_id != doc_id).
     "q81_dedup_corpus" ->

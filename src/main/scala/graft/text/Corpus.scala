@@ -31,17 +31,60 @@ object Corpus {
     */
   def deterministicSplit(docs: DataFrame, salt: String = "graft",
                          trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = splitBucket(col("doc_id"), salt)
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket_hex"),
+      splitRule(bucket, trainPct, valPct).as("split"))
+  }
+
+  /** The ONE split-rule definition shared by [[deterministicSplit]] and
+    * [[leakageSafeSplit]]: md5 bucket of (key:salt), thresholded at the
+    * train/val percent edges — keeping the two splits' assignments
+    * IDENTICAL wherever the key is the same (a singleton document splits
+    * the same under both, spec-pinned).
+    */
+  private def splitBucket(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 2)
+
+  private def splitRule(bucket: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"train+val must leave room for test, got $trainPct+$valPct")
     val t1 = f"${(256 * trainPct) / 100}%02x"
     val t2 = f"${(256 * (trainPct + valPct)) / 100}%02x"
-    val bucket = substring(
-      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
-    docs.select(
-      col("doc_id"),
-      bucket.as("bucket_hex"),
-      when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test")
-        .as("split"))
+    when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test")
+  }
+
+  /** Leakage-safe train/val/test split: the split UNIT is the near-dup
+    * CLUSTER, not the document. [[deterministicSplit]] hashes doc ids, so
+    * two near-duplicates can land on opposite sides of the split — test
+    * content leaking into training through its own duplicate, the
+    * within-corpus sibling of eval-set contamination (q68/q177 remove
+    * eval look-alikes; this stops the corpus's duplicates from BRIDGING
+    * the split). Every document keys by its near-dup component
+    * representative ([[graft.text.TextDedup.dedupClusters]] min-id over
+    * the banded MinHash pair graph); singletons key by their own id; the
+    * shared md5 rule applies to the KEY. Consequences, both spec-pinned:
+    * every member of a cluster lands on one side, and a singleton's
+    * assignment is identical to [[deterministicSplit]]'s.
+    *
+    * Scale: pair generation is the banded MinHash path (never
+    * all-pairs), the component fold is O(log diameter) edge rounds, and
+    * the split itself is one join of the cluster map (pair-touched docs
+    * only — a small fraction of any real corpus) onto the corpus plus a
+    * map-side hash. Output (doc_id, split_key, bucket_hex, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5,
+                       salt: String = "graft",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = graft.text.TextDedup.dedupClusters(
+      graft.text.TextDedup.nearDupPairs(docs, threshold = threshold))
+    val key = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = splitBucket(key, salt)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), key.as("split_key"), bucket.as("bucket_hex"),
+        splitRule(bucket, trainPct, valPct).as("split"))
   }
 
   /** End-to-end corpus curation (the C4/Gopher-style rule pipeline): keep

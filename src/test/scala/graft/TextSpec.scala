@@ -168,6 +168,41 @@ class TextSpec extends SparkSpec {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
   }
 
+  test("leakageSafeSplit: clusters never straddle; singletons match q66's split") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val lss = Corpus.leakageSafeSplit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(lss.size == d.count(), "every document must be assigned")
+    // invariant 1: one split per split_key — a near-dup family can never
+    // straddle train/test (the operator's whole point)
+    val perKey = lss.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perKey.values.forall(_.size == 1),
+      "all members of a cluster must land on one side")
+    // and clustering is real on this fixture: some cluster has >1 member
+    assert(lss.values.groupBy(_._1).exists(_._2.size > 1),
+      "fixture must contain at least one near-dup cluster")
+    // invariant 2: every member keys by the component REPRESENTATIVE —
+    // its split equals the rep's, and differs from the doc-id split
+    // whenever the doc-id rule would have disagreed (leakage repaired,
+    // not coincidentally avoided)
+    val plain = Corpus.deterministicSplit(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clustered = lss.filter { case (id, (key, _)) => key != id }
+    assert(clustered.nonEmpty)
+    clustered.foreach { case (_, (key, split)) =>
+      assert(split == plain(key),
+        "a cluster member must carry its representative's assignment")
+    }
+    // invariant 3: singletons (split_key == doc_id) assign EXACTLY as
+    // deterministicSplit — the two splits agree wherever leakage is
+    // impossible
+    lss.filter { case (id, (key, _)) => key == id }.foreach {
+      case (id, (_, split)) => assert(split == plain(id),
+        s"singleton $id must split as deterministicSplit does")
+    }
+  }
+
   test("fused near-dup pipeline equals the staged composition (randomized)") {
     // seeded generator: word pool small enough to force real near-dups
     val rnd = new scala.util.Random(42)
