@@ -1044,9 +1044,6 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"),
         n1 = "NATION_3", n2 = "NATION_7",
         from = "1995-01-01", until = "1997-01-01")),
-    // A5/J4 extended — TPC-H Q8 shape: national market share as a
-    // conditional aggregate INSIDE one sum (never a second scan); the
-    // share is one double division of two exact integer unit sums.
     // J4/S8 extended — the exchange-free delta-index probe (new r14):
     // the q144 fuzzy probe re-layouted as a catalog table bucketed AND
     // sorted by the probe's join key `v`, so the at-rest index never
@@ -1070,6 +1067,9 @@ object SparkEntry {
       graft.ops.FuzzyJoin.fuzzyProbeTable(s, tbl,
         cust.filter(col("c_custkey") % 4 === 1), "c_name")
     }),
+    // A5/J4 extended — TPC-H Q8 shape: national market share as a
+    // conditional aggregate INSIDE one sum (never a second scan); the
+    // share is one double division of two exact integer unit sums.
     "q184_market_share" -> ((s, dir) =>
       Joins.nationalMarketShare(t(s, dir, "lineitem"), t(s, dir, "orders"),
         t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"),

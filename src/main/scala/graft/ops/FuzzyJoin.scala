@@ -267,15 +267,7 @@ object FuzzyJoin {
   def writeVariantTable(names: DataFrame, nameCol: String, table: String,
                         maxDist: Int = 1, nBuckets: Int = 8): Unit = {
     val spark = names.sparkSession
-    // the catalog is in-memory per JVM but the warehouse dir persists: a
-    // location orphaned by a previous JVM would fail the CTAS (the
-    // ensureBucketed discipline — clear it, never adopt it)
-    if (!spark.catalog.tableExists(table)) {
-      val wd = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = wd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wd)) fs.delete(wd, true)
-    }
+    graft.sources.Tables.clearOrphanedWarehouseDir(spark, table)
     variantIndexRows(names, nameCol, maxDist)
       .select(col("t"), col("v"))
       .write.mode("overwrite")

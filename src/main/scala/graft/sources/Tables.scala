@@ -235,11 +235,23 @@ object Tables {
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
                      bucketCol: String, numBuckets: Int): Unit =
     if (!spark.catalog.tableExists(table)) {
+      clearOrphanedWarehouseDir(spark, table)
+      writeBucketed(df, table, bucketCol, numBuckets)
+    }
+
+  /** The ONE definition of the orphaned-location clear every managed-table
+    * writer needs: the default catalog is in-memory per JVM but the
+    * warehouse directory persists, so a location left by a previous JVM
+    * fails any CTAS (or, across SF switches, would serve another scale
+    * factor's rows if adopted). No-op when the table IS in this session's
+    * catalog — then the location is live, not orphaned.
+    */
+  def clearOrphanedWarehouseDir(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
       val dir = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) fs.delete(dir, true)
-      writeBucketed(df, table, bucketCol, numBuckets)
     }
 
   /** Events scan with the watermark predicate pushed to the parquet scan

@@ -158,7 +158,12 @@ object DriftStream {
   /** Rotate in a new reference: append-only and strictly monotonic —
     * re-publishing an existing version or rotating "backwards" is a
     * deployment error that would silently re-baseline history, so both
-    * are refused. The member is a full [[writeDriftReference]] artifact.
+    * are refused. The member is a full [[writeDriftReference]] artifact,
+    * STAGED under a dot-prefixed temp dir and published by one directory
+    * rename (the sketch-state commit discipline): a monitor listing the
+    * store mid-rotation either sees the complete new version or none of
+    * it, never the histogram-without-sidecar window the in-place write
+    * order would expose.
     */
   def rotateDriftReference(ref: DataFrame, valueCol: String,
                            rootDir: String, version: Long,
@@ -168,7 +173,21 @@ object DriftStream {
       require(version > latest,
         s"rotateDriftReference: version $version is not after the " +
           s"store's latest $latest — rotation is append-only monotonic"))
-    writeDriftReference(ref, valueCol, s"$rootDir/v=$version", nBuckets)
+    val tmp = new org.apache.hadoop.fs.Path(rootDir, s".tmp-v=$version")
+    val dst = new org.apache.hadoop.fs.Path(rootDir, s"v=$version")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep ALL abandoned staging dirs, not just this version's:
+    // rotation is single-writer monotonic, so any .tmp-v=* present at
+    // the start of a rotation is a dead crashed attempt — left alone it
+    // would accumulate forever in a long-lived store
+    if (fs.exists(new org.apache.hadoop.fs.Path(rootDir)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v="))
+        .foreach(s => fs.delete(s.getPath, true))
+    writeDriftReference(ref, valueCol, tmp.toString, nBuckets)
+    require(fs.rename(tmp, dst),
+      s"rotateDriftReference: publishing $tmp -> $dst failed (concurrent " +
+        "rotation of the same version?)")
   }
 
   /** One batch scored against EVERY reference version in the store —

@@ -380,10 +380,16 @@ object EventsStream {
       .writeStream
       .outputMode("update")
       .foreachBatch { (updates: DataFrame, batchId: Long) =>
+        // the merge consumes the batch twice (anti-join + union) and its
+        // plan reaches back through the stateful fold to the source scan
+        // — materialize once (the dedupClusters consumed-twice
+        // discipline) so the state fold and the file read run one time
+        // per micro-batch, not two
+        val u = updates.localCheckpoint()
         graft.ops.Upsert.recoverIfNeeded(spark, totalsDir)
-        graft.ops.Upsert.createIfNotExists(spark, totalsDir, updates.schema)
+        graft.ops.Upsert.createIfNotExists(spark, totalsDir, u.schema)
         val merged = graft.ops.Upsert.merge(
-          spark.read.parquet(totalsDir), updates, Seq("key"))
+          spark.read.parquet(totalsDir), u, Seq("key"))
         graft.ops.Upsert.atomicReplace(spark, merged, totalsDir)
         val snap = graft.ops.TopK.global(spark.read.parquet(totalsDir),
             Seq(col("units").desc, col("key").asc), k)

@@ -192,12 +192,7 @@ class FuzzyJoinSpec extends SparkSpec {
     // a table not built by writeVariantTable fails loudly (clear a
     // location orphaned by a previous JVM first — this plain saveAsTable
     // lacks writeVariantTable's own orphan guard)
-    if (!spark.catalog.tableExists("graft_fztbl_bare")) {
-      val wd = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), "graft_fztbl_bare")
-      val fs = wd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wd)) fs.delete(wd, true)
-    }
+    graft.sources.Tables.clearOrphanedWarehouseDir(spark, "graft_fztbl_bare")
     b1.write.mode("overwrite").saveAsTable("graft_fztbl_bare")
     intercept[IllegalArgumentException] {
       FuzzyJoin.fuzzyProbeTable(spark, "graft_fztbl_bare", delta, "w")
