@@ -158,11 +158,17 @@ object Multimodal {
         col("asset_id").as("asset_b"), col("phash").as("ph_b")),
         Seq("band", "bv"))
       .filter(col("asset_a") < col("asset_b"))
-      .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"))
-      .distinct()
+      // popcount BEFORE the dedup: the verify reads only the dedup key's
+      // columns and is deterministic, so filter-then-distinct is
+      // set-identical — and chance band collisions (the bulk of the
+      // candidate volume) die in codegen instead of paying the distinct
+      // exchange
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"),
+        col("hamming"))
+      .distinct()
       .select(col("asset_a"), col("asset_b"), col("hamming"))
   }
 
@@ -295,9 +301,12 @@ object Multimodal {
             col("asset_id").as("asset_b"), col("fhash").as("ph_b")),
             Seq("band", "bv"))
           .filter(col("asset_a") < col("asset_b"))
+          // popcount before the dedup — set-identical (the verify reads
+          // only dedup-key columns), and failed candidates skip the
+          // distinct exchange (see the image-path comment)
+          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
           .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"))
           .distinct()
-          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
           .groupBy(col("asset_a"), col("asset_b"))
           .agg(least(count_distinct(col("ph_a")),
             count_distinct(col("ph_b"))).as("n_matched"))
@@ -513,10 +522,12 @@ object Multimodal {
           .join(broadcast(banded(delta, "asset_b", "ph_b", "n_b")),
             Seq("band", "bv"))
           .filter(col("asset_a") =!= col("asset_b"))
+          // popcount before the dedup — set-identical, failed candidates
+          // skip the distinct exchange (see the image-path comment)
+          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
           .select(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"),
             col("ph_a"), col("ph_b"))
           .distinct()
-          .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
           .groupBy(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"))
           .agg(least(count_distinct(col("ph_a")),
             count_distinct(col("ph_b"))).as("n_matched"))
@@ -615,11 +626,13 @@ object Multimodal {
             col("asset_id").as("asset_b"), col("window_index").as("w_b"),
             col("fp").as("fp_b")), Seq("band", "bv"))
           .filter(col("asset_a") < col("asset_b"))
+          // popcount before the dedup — set-identical, failed candidates
+          // skip the distinct exchange (see the image-path comment)
+          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            <= maxHamming)
           .select(col("asset_a"), col("w_a"), col("fp_a"),
             col("asset_b"), col("w_b"), col("fp_b"))
           .distinct()
-          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
-            <= maxHamming)
           .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
       }
     bestAlignment(matched, minVotes)
@@ -785,11 +798,13 @@ object Multimodal {
             col("b.band").as("band"), col("b.bv").as("bv"))
         ikeyed.join(broadcast(dkeyed), Seq("band", "bv"))
           .filter(col("asset_a") =!= col("asset_b"))
+          // popcount before the dedup — set-identical, failed candidates
+          // skip the distinct exchange (see the image-path comment)
+          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            <= maxHamming)
           .select(col("asset_a"), col("w_a"), col("fp_a"),
             col("asset_b"), col("w_b"), col("fp_b"))
           .distinct()
-          .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
-            <= maxHamming)
           .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
       }
     bestAlignment(matched, minVotes)
