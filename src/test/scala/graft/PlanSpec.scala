@@ -252,6 +252,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q186 drift rotation: ONE batch scan scores every reference version") {
+    // the operator's headline claim: per-row explode over version structs
+    // means the current batch is read once no matter how many references
+    // are stored — a per-version loop would scan it |versions| times. The
+    // reference side reads only the tiny stored histograms.
+    val exec = SparkEntry.queries("q186_drift_rotation")(spark, sf)
+      .queryExecution.executedPlan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.mkString(","))
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.inputPlan)
+      }.flatten
+    val docScans = scansOf(exec).count(_.contains("documents.parquet"))
+    assert(docScans == 1,
+      s"the batch must be scanned exactly once for all versions, got " +
+        s"$docScans documents scans")
+  }
+
   test("q110 bpe pairs: map-side pair emission, one aggregate exchange, no join") {
     // Pairs come off the token array inside the scan projection — a
     // per-position explode + self-join on pos+1 would shuffle the corpus
