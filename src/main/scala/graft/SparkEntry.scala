@@ -518,6 +518,22 @@ object SparkEntry {
     // sibling of eval decontamination). Singletons split exactly as q66.
     "q187_leakage_safe_split" -> ((s, dir) =>
       graft.text.Corpus.leakageSafeSplit(t(s, dir, "documents"))),
+    // A8 extended — incremental cluster maintenance (new r14): the corpus
+    // is split 80/20 by doc_id into an "indexed" history and a "delta";
+    // history pairs are clustered into a persisted labeling, then the
+    // delta's pairs are MERGED via dedupClustersResume (affected clusters
+    // only — untouched clusters pass through with zero recompute). The
+    // oracle is q73's cold recursive-CTE recompute over ALL pairs, so the
+    // hash gate certifies resume ≡ cold bit-exactly.
+    "q188_cluster_resume" -> ((s, dir) => {
+      val allPairs = TextDedup.nearDupPairs(t(s, dir, "documents"),
+        threshold = 0.5).localCheckpoint()
+      val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
+      val oldPairs = allPairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = allPairs.filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
+      TextDedup.dedupClustersResume(
+        TextDedup.dedupClusters(oldPairs), newPairs)
+    }),
     // North star corpus prep: sequence packing — concatenate-then-chunk
     // token offsets and pack ids, windowed per hash shard.
     "q67_sequence_pack" -> ((s, dir) =>
@@ -1822,6 +1838,63 @@ object SparkEntry {
       |FROM customer
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q30's pair pipeline + a recursive label walk: every label reachable
+    * through the symmetric edge set, MIN per doc = component minimum.
+    * Shared verbatim by q73 (cold clustering) and q188 (incremental
+    * resume) — the hash gate thereby certifies resume ≡ cold recompute.
+    */
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |        FROM toks WHERE len(t) >= 3)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+      |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+      |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+      |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+      |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+      |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+      |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+      |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN sizes za ON za.doc_id = c.doc_a
+      |  JOIN sizes zb ON zb.doc_id = c.doc_b
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.src AS doc_id, w.lab
+      |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
+      |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2811,59 +2884,10 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = c.doc_a
         |JOIN sizes zb ON zb.doc_id = c.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
-    // q30's pair pipeline + a recursive label walk: every label reachable
-    // through the symmetric edge set, MIN per doc = component minimum.
-    "q73_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        |        FROM toks WHERE len(t) >= 3)),
-        |sig AS (
-        |  SELECT doc_id,
-        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
-        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
-        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
-        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
-        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
-        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
-        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
-        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
-        |  GROUP BY c.doc_a, c.doc_b),
-        |pairs AS (
-        |  SELECT c.doc_a, c.doc_b
-        |  FROM cand c
-        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        |  JOIN sizes za ON za.doc_id = c.doc_a
-        |  JOIN sizes zb ON zb.doc_id = c.doc_b
-        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |walk AS (
-        |  SELECT src AS doc_id, src AS lab FROM edges
-        |  UNION
-        |  SELECT e.src AS doc_id, w.lab
-        |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
-        |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin,
+    "q73_dedup_clusters" -> dedupClustersSql,
+    // Incremental resume must land bit-exactly on the cold recompute —
+    // same oracle as q73 by construction.
+    "q188_cluster_resume" -> dedupClustersSql,
     // q73's component walk, then q66's md5 rule over the cluster key
     "q187_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (

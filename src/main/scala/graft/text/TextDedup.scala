@@ -461,6 +461,94 @@ object TextDedup {
     labels
   }
 
+  /** The fixpoint input for [[dedupClustersResume]]: star edges of only
+    * the AFFECTED clusters of `state` (those containing an endpoint of a
+    * new pair) unioned with the new pairs themselves. Exposed for the
+    * incrementality spec pin — untouched clusters must never appear here.
+    */
+  private[graft] def resumeSubgraph(state: DataFrame,
+                                   newPairs: DataFrame): DataFrame = {
+    val np = newPairs.select(col("doc_a"), col("doc_b"))
+    subgraphOf(state, np, affectedClusterIds(state, np))
+  }
+
+  /** Cluster ids of `state` containing an endpoint of a new pair — the
+    * set whose size (bounded by the delta's degree, not the corpus) gates
+    * every resume join.
+    */
+  private def affectedClusterIds(state: DataFrame, np: DataFrame): DataFrame =
+    state.join(np.select(col("doc_a").as("doc_id"))
+        .unionByName(np.select(col("doc_b").as("doc_id"))).distinct(),
+        Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+
+  private def subgraphOf(state: DataFrame, np: DataFrame,
+                         affectedClusters: DataFrame): DataFrame = {
+    // Star edges re-create each affected component from its depth-1 label
+    // forest: |members| rows per cluster, not the original pair set — the
+    // persisted labeling IS the compressed edge history.
+    val stars = state.join(affectedClusters, Seq("cluster_id"), "left_semi")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    stars.unionByName(np)
+  }
+
+  /** Incremental connected-components maintenance — merge a delta's
+    * near-dup pairs (e.g. from [[nearDupAgainstIndex]]) into a PERSISTED
+    * (doc_id, cluster_id) labeling without recomputing untouched
+    * clusters. Contract: if `labels0` is a valid [[dedupClusters]] output
+    * for some pair set P (cluster_id = component-minimum doc_id, the
+    * representative row doc_id = cluster_id present per cluster), the
+    * result is bit-identical to `dedupClusters(P ∪ newPairs)`.
+    *
+    * Scale shape — the 100 TB daily-cluster-refresh pattern: the dominant
+    * pair-generation cost is paid only on the delta; the fixpoint runs on
+    * the affected subgraph only (star edges are depth-1, so old clusters
+    * contribute O(1) rounds and the round count is O(log delta-diameter));
+    * every untouched cluster passes through with ZERO recompute via one
+    * anti-join on the (delta-degree-bounded) affected-cluster-id set.
+    * Both state invariants are validated up front with `isEmpty` probes
+    * (a corrupt label store must fail loudly, not silently mis-merge —
+    * the [[graft.ops.Graph.pageRankResume]] discipline).
+    */
+  def dedupClustersResume(labels0: DataFrame, newPairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val (untouched, relabeled) = resumeParts(labels0, newPairs, maxIters)
+    untouched.unionByName(relabeled)
+  }
+
+  /** The CHANGED rows of [[dedupClustersResume]] — labels for
+    * affected-cluster members and new vertices ONLY (untouched clusters
+    * are omitted). This is the per-batch write unit of a log-structured
+    * label store: each published version holds one delta, and the
+    * current labeling is the latest version per doc_id — so the write
+    * cost per merge is O(affected), not O(every cluster ever).
+    */
+  def dedupClustersDelta(labels0: DataFrame, newPairs: DataFrame,
+                         maxIters: Int = 20): DataFrame =
+    resumeParts(labels0, newPairs, maxIters)._2
+
+  private def resumeParts(labels0: DataFrame, newPairs: DataFrame,
+                          maxIters: Int): (DataFrame, DataFrame) = {
+    val state = labels0.select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint()
+    require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
+      "dedupClustersResume: labels0 is not a dedupClusters labeling — " +
+        "found cluster_id > doc_id (labels must be component minima)")
+    require(state.select(col("cluster_id")).distinct()
+      .join(state.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id")), Seq("cluster_id"), "left_anti").isEmpty,
+      "dedupClustersResume: labels0 is missing a representative row " +
+        "(doc_id = cluster_id) for some cluster — corrupt label store")
+    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val affectedClusters = affectedClusterIds(state, np).localCheckpoint()
+    val relabeled = dedupClusters(subgraphOf(state, np, affectedClusters),
+      maxIters)
+    val untouched = state.join(affectedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    (untouched, relabeled)
+  }
+
   /** The corpus minus every non-representative member of each near-dup
     * component of `pairs` (one survivor — the min doc_id — per transitive
     * duplicate cluster). The anti-join keys are only the cluster LOSERS,

@@ -361,6 +361,56 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dedupClustersResume ≡ cold recompute: merge, join, new cluster, passthrough") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    // old clusters: {1,2}, {3,4}, {7,8} — delta merges {1,2}+{3,4} via
+    // (2,3), attaches new vertex 10 to {3,4}, creates a brand-new cluster
+    // {5,6}; {7,8} is untouched.
+    val old = pairs((1L, 2L), (3L, 4L), (7L, 8L))
+    val delta = pairs((2L, 3L), (4L, 10L), (5L, 6L))
+    val got = TextDedup.dedupClustersResume(
+      TextDedup.dedupClusters(old), delta).as[(Long, Long)].collect().toMap
+    val cold = TextDedup.dedupClusters(old.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(got == cold)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dedupClustersResume: empty delta returns the state; empty state ≡ cold") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    val labels0 = TextDedup.dedupClusters(pairs((1L, 2L), (3L, 4L)))
+    val unchanged = TextDedup.dedupClustersResume(
+      labels0, pairs().limit(0)).as[(Long, Long)].collect().toMap
+    assert(unchanged == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    val fresh = TextDedup.dedupClustersResume(
+      labels0.limit(0), pairs((5L, 6L))).as[(Long, Long)].collect().toMap
+    assert(fresh == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupClustersResume is incremental: untouched clusters never enter the fixpoint") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    val labels0 = TextDedup.dedupClusters(pairs((1L, 2L), (3L, 4L), (7L, 8L)))
+    val sub = TextDedup.resumeSubgraph(labels0, pairs((2L, 3L)))
+      .as[(Long, Long)].collect().toSet
+    // only the affected clusters' stars + the new pair — {7,8} absent
+    assert(sub == Set((1L, 2L), (3L, 4L), (2L, 3L)))
+  }
+
+  test("dedupClustersResume rejects a corrupt label store") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
+    // cluster_id above doc_id — not a component-minimum labeling
+    val badMin = Seq((1L, 2L), (2L, 2L)).toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupClustersResume(badMin, pairs((1L, 5L)))
+    }
+    // representative row (doc_id = cluster_id) missing for cluster 1
+    val noRep = Seq((2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupClustersResume(noRep, pairs((2L, 5L)))
+    }
+  }
+
   test("dedupedCorpus keeps exactly one survivor per near-dup cluster") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val mutated = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
