@@ -163,6 +163,130 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- streaming cluster maintenance (the label store IS the state) ----
+  //
+  // The seventh index-is-the-state stream (text hash, vector, frame,
+  // audio, name, shingle-novelty — now near-dup CLUSTER LABELS): each
+  // document batch generates its delta pairs (batch-internal + batch-vs-
+  // signature-index), merges them into the persisted labeling via
+  // [[graft.text.TextDedup.dedupClustersDelta]], and publishes ONLY the
+  // changed rows as one new version of a log-structured store
+  // ([[graft.sources.VersionedStore]]). The current labeling is the
+  // latest version per doc_id; [[compactClusterLabels]] bounds the log.
+  //
+  // Per-batch cost at 100 TB: one signature pass over the delta, one
+  // broadcast band-probe against the index (linear in index, never
+  // corpus-vs-corpus), an affected-subgraph fixpoint (star edges are
+  // depth-1, so rounds track the DELTA's diameter), and an O(affected)
+  // label write — nothing is proportional to corpus history except the
+  // single latest-per-doc pass over the (compaction-bounded) label log.
+
+  /** Current cluster labeling from the log-structured label store: the
+    * latest published (v, cluster_id) per doc_id, or an empty
+    * (doc_id, cluster_id) frame before the first publish.
+    */
+  def readClusterLabels(spark: SparkSession,
+                        labelsDir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.VersionedStore.latestVersion(spark, labelsDir) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType()
+            .add("doc_id", org.apache.spark.sql.types.LongType)
+            .add("cluster_id", org.apache.spark.sql.types.LongType))
+      case Some(_) =>
+        // partition discovery types `v` from the dir names; max(struct)
+        // takes the highest version's row per doc — one shuffle on doc_id
+        spark.read.parquet(labelsDir)
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("v"), col("cluster_id"))).as("_m"))
+          .select(col("doc_id"), col("_m.cluster_id").as("cluster_id"))
+    }
+
+  /** Bound the label log: publish the current labeling as one full
+    * snapshot version, then retire everything older. Read-equivalent
+    * before and after (latest-per-doc is unchanged); the log length every
+    * subsequent read pays restarts at one. Crash-safe in both windows: a
+    * crash after the publish leaves a redundant snapshot the next
+    * compaction retires; a crash mid-retirement leaves only superseded
+    * versions behind.
+    */
+  def compactClusterLabels(spark: SparkSession, labelsDir: String): Unit =
+    graft.sources.VersionedStore.latestVersion(spark, labelsDir)
+      .foreach { latest =>
+        val cur = readClusterLabels(spark, labelsDir).localCheckpoint()
+        graft.sources.VersionedStore.publish(spark, labelsDir, latest + 1)(
+          tmp => cur.write.parquet(tmp))
+        graft.sources.VersionedStore.retire(spark, labelsDir, latest)
+      }
+
+  /** One cluster-maintenance micro-batch; exposed for tests. Ordering is
+    * the idempotence argument (foreachBatch is at-least-once):
+    *
+    *  1. replay guard — docs already in the signature index are dropped
+    *     first (a replayed batch must not pay the pair step or re-merge);
+    *  2. delta pairs — batch-internal (the index probe against itself;
+    *     both orientations emerge, which the min-label fixpoint is
+    *     invariant to) plus batch-vs-index;
+    *  3. labels BEFORE index — publish the merged delta, THEN append the
+    *     batch's signatures. A crash between the two replays the batch
+    *     (its docs are not yet indexed, so the same delta pairs
+    *     regenerate and the re-merge is a value-level no-op); the
+    *     reverse order would lose the merge forever, because the replay
+    *     guard would drop the docs before their pairs were ever
+    *     recorded.
+    */
+  private[graft] def clusterMaintainBatch(spark: SparkSession,
+                                          batch: org.apache.spark.sql.DataFrame,
+                                          indexDir: String, labelsDir: String,
+                                          threshold: Double): Unit = {
+    import graft.text.TextDedup
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val hasIndex = graft.sources.Tables.pathExists(spark, indexDir)
+    val newDocs = (if (hasIndex)
+        b.join(spark.read.parquet(indexDir).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else b).localCheckpoint()
+    if (!newDocs.isEmpty) {
+      val batchIdx = TextDedup.signatureIndex(newDocs).localCheckpoint()
+      val internal = TextDedup.nearDupAgainstIndex(batchIdx, batchIdx, threshold)
+      // checkpoint: the emptiness probe and the merge both consume the
+      // pair pipeline — it must run once
+      val delta = (if (hasIndex)
+          internal.unionByName(TextDedup.nearDupAgainstIndex(
+            spark.read.parquet(indexDir), batchIdx, threshold))
+        else internal).select(col("doc_a"), col("doc_b")).localCheckpoint()
+      if (!delta.isEmpty) {
+        val changed = TextDedup.dedupClustersDelta(
+          readClusterLabels(spark, labelsDir), delta).localCheckpoint()
+        val next = graft.sources.VersionedStore
+          .latestVersion(spark, labelsDir).getOrElse(0L) + 1
+        graft.sources.VersionedStore.publish(spark, labelsDir, next)(tmp =>
+          changed.write.parquet(tmp))
+      }
+      batchIdx.write.mode("append").parquet(indexDir)
+    }
+  }
+
+  /** Start the cluster-maintenance stream: document batches in `srcDir`
+    * keep the signature index under `indexDir` and the label log under
+    * `labelsDir` current. Read the labeling back any time with
+    * [[readClusterLabels]]; run [[compactClusterLabels]] on the
+    * maintenance cadence.
+    */
+  def clusterMaintainQuery(spark: SparkSession, srcDir: String,
+                           indexDir: String, labelsDir: String,
+                           checkpointDir: String, schema: StructType,
+                           threshold: Double = 0.5): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        clusterMaintainBatch(spark, batch, indexDir, labelsDir, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates
     * `outDir` on its first write).

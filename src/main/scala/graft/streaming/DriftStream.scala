@@ -169,25 +169,16 @@ object DriftStream {
                            rootDir: String, version: Long,
                            nBuckets: Int = 10): Unit = {
     val spark = ref.sparkSession
+    // check against the SIDECAR-VALIDATED listing first (a half-written
+    // member must fail the referenceVersions require, not be silently
+    // treated as absent by the generic store's name-only listing)
     latestReferenceVersion(spark, rootDir).foreach(latest =>
       require(version > latest,
         s"rotateDriftReference: version $version is not after the " +
           s"store's latest $latest — rotation is append-only monotonic"))
-    val tmp = new org.apache.hadoop.fs.Path(rootDir, s".tmp-v=$version")
-    val dst = new org.apache.hadoop.fs.Path(rootDir, s"v=$version")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep ALL abandoned staging dirs, not just this version's:
-    // rotation is single-writer monotonic, so any .tmp-v=* present at
-    // the start of a rotation is a dead crashed attempt — left alone it
-    // would accumulate forever in a long-lived store
-    if (fs.exists(new org.apache.hadoop.fs.Path(rootDir)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v="))
-        .foreach(s => fs.delete(s.getPath, true))
-    writeDriftReference(ref, valueCol, tmp.toString, nBuckets)
-    require(fs.rename(tmp, dst),
-      s"rotateDriftReference: publishing $tmp -> $dst failed (concurrent " +
-        "rotation of the same version?)")
+    graft.sources.VersionedStore.publish(spark, rootDir, version)(tmp =>
+      writeDriftReference(ref, valueCol, tmp, nBuckets))
+    ()
   }
 
   /** One batch scored against EVERY reference version in the store —

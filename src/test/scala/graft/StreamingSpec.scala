@@ -178,6 +178,68 @@ class StreamingSpec extends SparkSpec {
     assert(out2.count() == graft.text.TextDedup.exactDedup(all).count())
   }
 
+  test("streaming cluster maintenance: log-structured labels converge to the cold clustering") {
+    import graft.streaming.CorpusStream
+    import graft.sources.VersionedStore
+    import graft.text.TextDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-clstream").toString
+    val (src, idx, labels, cp) =
+      (s"$root/src", s"$root/idx", s"$root/labels", s"$root/cp")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def base(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+    def mut(p: String, j: Int) =
+      (1 to 60).map(i => if (i == j) s"MUT$j" else s"$p$i").mkString(" ")
+    def runStream(): Unit = {
+      val q = CorpusStream.clusterMaintainQuery(spark, src, idx, labels, cp,
+        schema, threshold = 0.5)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: near-dup pair {10,11}, future cluster seed 12, singleton 13
+    Seq((10L, base("a")), (11L, mut("a", 30)), (12L, base("b")),
+      (13L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runStream()
+    assert(CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap == Map(10L -> 10L, 11L -> 10L))
+    // batch 2: 20 joins {10,11} ACROSS batches via the index probe; 21/22
+    // are a brand-new batch-internal cluster
+    Seq((20L, mut("a", 31)), (21L, base("c")), (22L, mut("c", 30)))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runStream()
+    // batch 3: 30 joins 12 (a doc that had never been paired); clusters
+    // {10,11,20} and {21,22} are untouched
+    Seq((30L, mut("b", 30))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runStream()
+    val want = Map(10L -> 10L, 11L -> 10L, 20L -> 10L,
+      21L -> 21L, 22L -> 21L, 12L -> 12L, 30L -> 12L)
+    assert(CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap == want)
+    // cold parity: identical to one dedupClusters pass over all pairs
+    assert(TextDedup.dedupClusters(
+      TextDedup.nearDupPairs(spark.read.parquet(src), threshold = 0.5))
+      .as[(Long, Long)].collect().toMap == want)
+    // the log is DELTAS: batch 3's version must not rewrite the untouched
+    // clusters — only the newly-paired {12,30}
+    assert(VersionedStore.versions(spark, labels) == Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$labels/v=3").select("doc_id")
+      .as[Long].collect().toSet == Set(12L, 30L))
+    // at-least-once replay: re-delivering batch 3 is a structural no-op
+    // (the index replay-guard drops it before the pair step)
+    val idxRows = spark.read.parquet(idx).count()
+    CorpusStream.clusterMaintainBatch(spark,
+      Seq((30L, mut("b", 30))).toDF("doc_id", "text"), idx, labels, 0.5)
+    assert(VersionedStore.versions(spark, labels) == Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(idx).count() == idxRows)
+    // compaction: read-equivalent, log length restarts at one
+    CorpusStream.compactClusterLabels(spark, labels)
+    assert(VersionedStore.versions(spark, labels) == Seq(4L))
+    assert(CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
   test("streaming hist state: quantile is batch-chop-invariant and replay-safe") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-hstream").toString
