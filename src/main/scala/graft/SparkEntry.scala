@@ -1434,6 +1434,24 @@ object SparkEntry {
       Similarity.semanticClusters(
         Similarity.nearDupWithinLabel(t(s, dir, "embeddings"),
           threshold = 0.3))),
+    // A8/J7 extended — semantic cluster resume (new r14): the q188
+    // incremental-merge operator is family-agnostic, so the SAME
+    // dedupClustersResume maintains COSINE components here. 80/20 split
+    // by vec_id, history clustered into a persisted labeling, the
+    // delta's exact pairs merged; oracle is q89's cold recursive CTE,
+    // certifying resume ≡ cold across a second pair family.
+    "q189_semantic_cluster_resume" -> ((s, dir) => {
+      val pairs = Similarity.nearDupWithinLabel(t(s, dir, "embeddings"),
+        threshold = 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
+      val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
+      val oldPairs = pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = pairs.filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
+      TextDedup.dedupClustersResume(
+        TextDedup.dedupClusters(oldPairs), newPairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
     // A8 north star: the surviving corpus after semantic dedup — one
     // representative (min vec_id) per cosine-component.
     "q90_semantic_dedup" -> ((s, dir) => {
@@ -1894,6 +1912,30 @@ object SparkEntry {
       |  SELECT e.src AS doc_id, w.lab
       |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
       |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin
+
+  /** Exact label-blocked cosine pairs + the recursive component walk.
+    * Shared verbatim by q89 (cold semantic clustering) and q189
+    * (incremental resume) — the hash gate certifies resume ≡ cold.
+    */
+  private val semanticClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      |    >= 0.3),
+      |edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+      |walk AS (
+      |  SELECT src AS vec_id, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.src AS vec_id, w.lab
+      |  FROM edges e JOIN walk w ON w.vec_id = e.dst)
+      |SELECT vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY vec_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3388,25 +3430,9 @@ object SparkEntry {
         |             AND TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
     // q73's recursive component walk over embedding-cosine pairs: the
     // pair predicate is q39's (hash-exact there), the walk is q73's.
-    "q89_semantic_clusters" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-        |    >= 0.3),
-        |edges AS (
-        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
-        |  UNION
-        |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
-        |walk AS (
-        |  SELECT src AS vec_id, src AS lab FROM edges
-        |  UNION
-        |  SELECT e.src AS vec_id, w.lab
-        |  FROM edges e JOIN walk w ON w.vec_id = e.dst)
-        |SELECT vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY vec_id""".stripMargin,
+    "q89_semantic_clusters" -> semanticClustersSql,
+    // resume ≡ cold in the vector family too — same oracle as q89.
+    "q189_semantic_cluster_resume" -> semanticClustersSql,
     // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
     // assigns top-1, the delta probes its top-4 lists, exact cosine
     // verifies. Same list_dot_product kernel, so doubles are bit-exact.
