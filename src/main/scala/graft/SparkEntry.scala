@@ -923,6 +923,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         valueCol = "n_chars", nBuckets = 10)
     }),
+    // T6 drift, bucket-free form (new r14): exact two-sample KS over the
+    // q163 split — the sup-distance between the two empirical CDFs, via
+    // the range-partitioned scalableCumSum (never a one-partition global
+    // sort). Integer cross-multiplied sup; one final IEEE divide.
+    "q190_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        valueCol = "n_chars")
+    }),
     // T6 drift, MULTI-COLUMN form (round 13): every monitored column's
     // buckets from ONE scan per side — edges collected in a single
     // percentile aggregate, rows exploded to (col_name, bucket) pairs
@@ -2161,6 +2172,35 @@ object SparkEntry {
         |  COALESCE(cb.n_cur, 0) AS n_cur
         |FROM rb FULL OUTER JOIN cb
         |  ON cb.col_name = rb.col_name AND cb.bucket = rb.bucket""".stripMargin,
+    // exact two-sample KS: per-value counts, windowed CDFs (RANGE frame
+    // = ties share a value, same as the Spark side), integer
+    // cross-multiplied sup, one final IEEE divide
+    "q190_ks_drift" ->
+      """WITH ref AS (SELECT n_chars AS v FROM documents
+        |             WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |cur AS (SELECT n_chars AS v FROM documents
+        |        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |u AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT v, 0 AS side FROM ref
+        |        UNION ALL SELECT v, 1 AS side FROM cur)
+        |  GROUP BY v),
+        |c AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+        |         SUM(cb) OVER (ORDER BY v) AS fb
+        |  FROM u),
+        |n AS (SELECT (SELECT COUNT(*) FROM ref) AS na,
+        |             (SELECT COUNT(*) FROM cur) AS nb),
+        |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
+        |                   - CAST(fb AS HUGEINT) * na)) AS d_num
+        |      FROM c, n)
+        |SELECT d.d_num AS d_num,
+        |  CAST(d.d_num AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
+        |  n.na AS n_ref, n.nb AS n_cur
+        |FROM d, n""".stripMargin,
     "q163_drift_buckets" ->
       """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),

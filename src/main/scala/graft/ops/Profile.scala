@@ -225,4 +225,45 @@ object Profile {
       .select(((p - q) * log(p / q)).as("_term"))
       .agg(sum(col("_term")).as("psi"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift — the bucket-free
+    * complement of PSI ([[driftBuckets]] + [[psi]]): PSI quantizes into
+    * a frozen reference geometry and can miss a shift that stays inside
+    * bucket walls; KS is the sup-distance between the two EXACT
+    * empirical CDFs, no edges to choose. One row:
+    * `(d_num, d_stat, n_ref, n_cur)` where
+    * `d_stat = d_num / (n_ref·n_cur)` and `d_num` is the integer
+    * sup `|F_ref·n_cur − F_cur·n_ref|` — the cross-multiplied form keeps
+    * the decision statistic exact (DECIMAL(38,0), overflow-safe past
+    * 10^19-row snapshots) and the only float is one final IEEE divide,
+    * bit-reproducible across engines.
+    *
+    * Scale shape: one groupBy per side onto the distinct-value frame,
+    * then [[Windows.scalableCumSum]] for both CDFs in a single pass —
+    * range-partitioned, never a one-partition global sort. NULLs carry
+    * no distribution information and are dropped (profile them via
+    * [[profile]]'s n_null instead).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+              numPartitions: Int = 0): DataFrame = {
+    def counted(df: DataFrame, own: String, other: String) =
+      df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(own))
+        .withColumn(other, lit(0L))
+    val u = counted(ref, "ca", "cb").unionByName(counted(cur, "cb", "ca"))
+      .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .localCheckpoint()
+    val tot = u.agg(sum(col("ca")), sum(col("cb"))).head
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0 &&
+      !tot.isNullAt(1) && tot.getLong(1) > 0,
+      s"ksDrift: both snapshots must have non-null $valueCol rows")
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    Windows.scalableCumSum(u, "v", Seq("ca", "cb"), numPartitions)
+      .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * nb -
+        col("cum_cb").cast("decimal(38,0)") * na)).as("d_num"))
+      .select(col("d_num"),
+        (col("d_num").cast("double") / lit(na.toDouble * nb.toDouble))
+          .as("d_stat"),
+        lit(na).as("n_ref"), lit(nb).as("n_cur"))
+  }
 }

@@ -125,4 +125,66 @@ object Windows {
     orders.groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(dsum(col("o_totalprice")).as("day_total"),
         count(lit(1)).as("n_orders"))
+
+  /** Global cumulative sums WITHOUT a single-partition sort — the
+    * general-orderable-key sibling of [[yearBucketed]] (which is the
+    * calendar-axis special case). Adds one `cum_<c>` LONG column per
+    * entry of `sumCols` (the inputs must be integral — the offsets
+    * round-trip through driver longs, which would not be exact for
+    * floats).
+    *
+    * Plan shape: range-repartition on `orderCol`, cumulate within each
+    * partition in parallel (a window PARTITIONED by the physical
+    * partition id — never one global sort partition), then add each
+    * partition's prior-partitions offset. The per-partition totals land
+    * on the driver — bounded by the partition count, the
+    * centroid/codebook discipline — and rejoin as one broadcast.
+    *
+    * Tie semantics: equal `orderCol` values share a cumulative value
+    * (the default RANGE frame), i.e. "sum over rows ≤ v" — CDF
+    * semantics. The range partitioner assigns equal keys to one
+    * partition, so a tie group never straddles an offset boundary.
+    */
+  def scalableCumSum(df: DataFrame, orderCol: String, sumCols: Seq[String],
+                     numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    // checkpoint pins BOTH consumers (cumulate + totals) to one physical
+    // partitioning, and makes spark_partition_id stable by construction
+    val parts = df.repartitionByRange(n, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    val withCum = sumCols.foldLeft(parts)((d, c) =>
+      d.withColumn(s"cum_$c", sum(col(c).cast("long")).over(w)))
+    val totals = parts.groupBy(col("_pid"))
+      .agg(sum(col(sumCols.head).cast("long")).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c).cast("long")).as(c)): _*)
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    // each partition's offset = the totals of strictly-earlier partitions
+    val offRows = {
+      var acc = sumCols.map(_ => 0L).toIndexedSeq
+      totals.map { case (pid, t) =>
+        val row = org.apache.spark.sql.Row.fromSeq(pid +: acc)
+        acc = acc.zip(t).map { case (a, b) => a + b }
+        row
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(s"_off_$c",
+          org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val joined = withCum.join(broadcast(offDf), Seq("_pid"), "left")
+    sumCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"cum_$c",
+        col(s"cum_$c") + coalesce(col(s"_off_$c"), lit(0L))))
+      .drop("_pid")
+      .drop(sumCols.map(c => s"_off_$c"): _*)
+  }
 }

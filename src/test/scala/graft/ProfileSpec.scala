@@ -116,4 +116,34 @@ class ProfileSpec extends SparkSpec {
       Profile.profile(df.select(), Seq())
     }
   }
+
+  test("ksDrift: exact sup-distance vs a driver reference; bounds; guards") {
+    def frame(vs: Seq[Long]) = vs.toDF("x")
+    // driver reference: D = sup over union values of |F_a - F_b|, as the
+    // exact integer numerator over na*nb
+    def ksRef(a: Seq[Long], b: Seq[Long]): (BigInt, Double) = {
+      val points = (a ++ b).distinct.sorted
+      val num = points.map(v => (BigInt(a.count(_ <= v)) * b.size -
+        BigInt(b.count(_ <= v)) * a.size).abs).max
+      (num, num.toDouble / (a.size.toDouble * b.size.toDouble))
+    }
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(400)(rnd.nextInt(50).toLong)
+    val ys = Seq.fill(300)(rnd.nextInt(50).toLong + 10L)
+    val got = Profile.ksDrift(frame(xs), frame(ys), "x").collect()(0)
+    val (wantNum, wantStat) = ksRef(xs, ys)
+    assert(BigInt(got.getDecimal(0).toBigInteger) == wantNum)
+    assert(got.getDouble(1) == wantStat)
+    assert(got.getLong(2) == 400L && got.getLong(3) == 300L)
+    // identical distributions: D = 0; fully separated supports: D = 1
+    val same = Profile.ksDrift(frame(xs), frame(xs), "x").collect()(0)
+    assert(same.getDecimal(0).longValueExact() == 0L && same.getDouble(1) == 0.0)
+    val apart = Profile.ksDrift(frame(Seq(1L, 2L, 3L)),
+      frame(Seq(10L, 11L)), "x").collect()(0)
+    assert(apart.getDouble(1) == 1.0)
+    // an all-null or empty side carries no distribution — refused
+    intercept[IllegalArgumentException] {
+      Profile.ksDrift(frame(Seq.empty), frame(ys), "x")
+    }
+  }
 }

@@ -85,6 +85,27 @@ class WindowsTopKSpec extends SparkSpec {
     assert(out.filter($"grp" === "a").agg(max("rank_in_group")).as[Int].head() == 2)
   }
 
+  test("scalableCumSum matches a global-window reference across many partitions") {
+    val rnd = new scala.util.Random(13)
+    // duplicate keys included: RANGE-frame tie semantics must match
+    val rows = Seq.fill(500)((rnd.nextInt(80).toLong, rnd.nextInt(5).toLong,
+      rnd.nextInt(3).toLong))
+    val df = rows.toDF("k", "a", "b")
+    val got = Windows.scalableCumSum(df, "k", Seq("a", "b"), numPartitions = 7)
+      .select("k", "cum_a", "cum_b").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val want = df.withColumn("cum_a", sum($"a").over(w))
+      .withColumn("cum_b", sum($"b").over(w))
+      .select("k", "cum_a", "cum_b").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // row count preserved (one output row per input row)
+    assert(Windows.scalableCumSum(df, "k", Seq("a"), 7).count() == 500)
+    // empty input stays empty
+    assert(Windows.scalableCumSum(df.limit(0), "k", Seq("a"), 7).isEmpty)
+  }
+
   test("set ops: distinct union / intersect / except semantics (U2)") {
     val a = Seq(1, 2, 2, 3).toDF("k")
     val b = Seq(2, 3, 4).toDF("k")
