@@ -137,6 +137,25 @@ object SparkEntry {
         .withColumn("c_acctbal", col("c_acctbal") + 100.0)
       Upsert.merge(cust, stage, Seq("c_custkey"))
     }),
+    // U1 + time travel (new r14): the q07 merge through a versioned
+    // store — v1 = base load, v2 = merged head — then the audit a
+    // reproducible training run needs: rows where the PINNED snapshot
+    // (v1, still intact after the merge moved the head) differs from
+    // the head. Oracle recomputes the diff from the base table.
+    "q191_upsert_timetravel" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val stage = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      Upsert.upsertVersioned(s, root, cust, Seq("c_custkey"))
+      Upsert.upsertVersioned(s, root, stage, Seq("c_custkey"))
+      Upsert.readVersion(s, root, 1L)
+        .select(col("c_custkey"), col("c_acctbal").as("bal_pinned"))
+        .join(Upsert.readVersion(s, root, 2L)
+          .select(col("c_custkey"), col("c_acctbal").as("bal_head")),
+          Seq("c_custkey"))
+        .filter(col("bal_pinned") =!= col("bal_head"))
+    }),
     // U1b: composite-key upsert on the daily-agg grain (event_type, dt).
     "q08_upsert_daily" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2744,6 +2763,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM stage s WHERE s.c_custkey = t.c_custkey)
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM stage""".stripMargin,
+    // the pinned-vs-head diff reduces to the staged rows: exactly the
+    // keys the v2 merge replaced, old and new balances side by side
+    "q191_upsert_timetravel" ->
+      """SELECT c_custkey, c_acctbal AS bal_pinned,
+        |  c_acctbal + 100.0 AS bal_head
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
     "q08_upsert_daily" ->
       """WITH target AS (
         |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS load_count,

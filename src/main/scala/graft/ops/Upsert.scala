@@ -26,6 +26,46 @@ object Upsert {
   def merge(target: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame =
     target.join(stage, keys, "left_anti").unionByName(stage)
 
+  /** U1 + reproducibility: apply the delete+insert merge against the
+    * current HEAD of a [[graft.sources.VersionedStore]] table and publish
+    * the result as the next immutable version (staged, one-rename
+    * commit). Returns the published version number.
+    *
+    * This is the time-travel contract a training pipeline needs: a run
+    * records the version it read and can re-read EXACTLY that table
+    * forever, while upserts keep moving the head — the in-place
+    * [[atomicReplace]] form cannot answer "what did last Tuesday's run
+    * see". The per-merge write is the same O(table) the in-place dim
+    * rewrite already pays; the store multiplies RETENTION, not write
+    * cost — bound it with [[graft.sources.VersionedStore.retire]] on the
+    * retention cadence.
+    */
+  def upsertVersioned(spark: SparkSession, rootDir: String,
+                      stage: DataFrame, keys: Seq[String]): Long = {
+    val merged = graft.sources.VersionedStore.latestVersion(spark, rootDir)
+      .map(v => merge(spark.read.parquet(s"$rootDir/v=$v"), stage, keys))
+      .getOrElse(stage)
+    val next = graft.sources.VersionedStore.latestVersion(spark, rootDir)
+      .getOrElse(0L) + 1
+    graft.sources.VersionedStore.publish(spark, rootDir, next)(tmp =>
+      merged.write.parquet(tmp))
+    next
+  }
+
+  /** The table exactly as version `version` published it. Refused loudly
+    * when the version was retired or never existed — a training run
+    * re-reading its pinned snapshot must fail, not silently read the
+    * head.
+    */
+  def readVersion(spark: SparkSession, rootDir: String,
+                  version: Long): DataFrame = {
+    require(graft.sources.VersionedStore.versions(spark, rootDir)
+      .contains(version),
+      s"readVersion: version $version of $rootDir is retired or was " +
+        "never published")
+    spark.read.parquet(s"$rootDir/v=$version")
+  }
+
   /** U1b at rest: merge a delta into a dt-partitioned parquet table by
     * rewriting ONLY the partitions the delta touches
     * (`partitionOverwriteMode=dynamic`) — the Spark-idiomatic form of the

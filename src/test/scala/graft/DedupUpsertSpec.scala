@@ -510,4 +510,27 @@ class DedupUpsertSpec extends SparkSpec {
       .collect().toSet
     assert(again == out, "re-merging an identical snapshot must be a no-op")
   }
+
+  test("upsertVersioned: pinned versions survive later merges; retire closes them") {
+    import graft.sources.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ttspec").toString
+    def state(vs: (String, Int)*) = vs.toDF("k", "x")
+    assert(Upsert.upsertVersioned(spark, root, state("a" -> 1, "b" -> 2),
+      Seq("k")) == 1L)
+    assert(Upsert.upsertVersioned(spark, root, state("b" -> 20, "c" -> 3),
+      Seq("k")) == 2L)
+    assert(Upsert.upsertVersioned(spark, root, state("a" -> 100),
+      Seq("k")) == 3L)
+    // every version re-reads exactly as published, head included
+    def read(v: Long) = Upsert.readVersion(spark, root, v)
+      .as[(String, Int)].collect().toSet
+    assert(read(1L) == Set("a" -> 1, "b" -> 2))
+    assert(read(2L) == Set("a" -> 1, "b" -> 20, "c" -> 3))
+    assert(read(3L) == Set("a" -> 100, "b" -> 20, "c" -> 3))
+    // retention: retiring v1 refuses its read, leaves the rest intact
+    VersionedStore.retire(spark, root, 1L)
+    intercept[IllegalArgumentException] { Upsert.readVersion(spark, root, 1L) }
+    assert(read(2L) == Set("a" -> 1, "b" -> 20, "c" -> 3))
+    intercept[IllegalArgumentException] { Upsert.readVersion(spark, root, 9L) }
+  }
 }
