@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftplan.FreshPlan.localCheckpointFresh
 
 /** Iterative graph analytics by joins — PageRank in FIXED-POINT integer
   * arithmetic (Page et al. 1999, the power method; Pregel-by-DataFrames).
@@ -124,10 +125,9 @@ object Graph {
     // exact for it (quot/rem decomposition of the division).
     var ranks = ranks0 match {
       case None =>
-        nodes.crossJoin(broadcast(nTotal))
+        localCheckpointFresh(nodes.crossJoin(broadcast(nTotal))
           .select(col("node"),
-            call_function("div", lit(scale), col("n")).as("rank"))
-          .localCheckpoint()
+            call_function("div", lit(scale), col("n")).as("rank")))
       case Some(r0) =>
         val r = r0.select(col("node").cast("long").as("node"),
           col("rank").cast("long").as("rank")).localCheckpoint()
@@ -158,7 +158,7 @@ object Graph {
             "vector persisted under a different scale, or half-written?")
         // extra persisted nodes no longer in the graph are dropped: they
         // can neither receive nor (having no out-edges here) send mass.
-        r.join(nodes, Seq("node"), "left_semi").localCheckpoint()
+        localCheckpointFresh(r.join(nodes, Seq("node"), "left_semi"))
     }
     for (_ <- 1 to iters) {
       val contrib = ranks
@@ -175,15 +175,14 @@ object Graph {
             .join(danglers, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))))
         else withBase.withColumn("dm", lit(0L))
-      ranks = withDm
+      ranks = localCheckpointFresh(withDm
         .select(col("node"),
           (call_function("div", lit(teleportScaled), col("n"))
             + call_function("div",
                 coalesce(col("s"), lit(0L)) * dampNum, lit(dampDen.toLong))
             + call_function("div",
                 call_function("div", col("dm") * dampNum, lit(dampDen.toLong)),
-                col("n"))).as("rank"))
-        .localCheckpoint()
+                col("n"))).as("rank")))
     }
     ranks
   }

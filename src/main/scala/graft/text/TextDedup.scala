@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftplan.FreshPlan.localCheckpointFresh
 
 /** Document deduplication family (SURVEY.md §2.4 A8 + north star):
   * exact, MinHash+LSH near-dup, n-gram Jaccard verification, SimHash.
@@ -359,8 +360,11 @@ object TextDedup {
     * other-side root to its own root (one edge equi-join + one
     * partial+final min aggregate), converging in O(log diameter) edge
     * rounds. Labels are
-    * `localCheckpoint`ed between rounds so the plan doesn't grow with
-    * iteration count, and convergence is detected by the label SUM
+    * checkpointed FRESH between rounds ([[org.apache.spark.sql.graftplan
+    * .FreshPlan.localCheckpointFresh]]) so neither the plan nor its
+    * size statistics grow with iteration count — a plain localCheckpoint
+    * preserves origin stats (SPARK-39834) and the per-round self-joins
+    * would double the estimate's bit length every round, and convergence is detected by the label SUM
     * reaching a fixpoint (labels only ever decrease, so equal sums ⇒ no
     * label moved — one cheap aggregate per round, no row-level compare).
     *
@@ -379,8 +383,8 @@ object TextDedup {
     // but not the double planning); with it the upstream pair pipeline
     // (shingle → minhash → LSH → verify, the dominant cost) runs exactly
     // once, unconditionally.
-    val half = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+    val half = localCheckpointFresh(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sym = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
     // Self-loops fold the "min of self and neighbors" into ONE join + one
@@ -429,9 +433,9 @@ object TextDedup {
     // Initialization IS the first hook (labels start at doc_id, so the
     // aggregate needs no join at all; the self-loop edges fold v's own
     // id into the min) — one free round.
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
-      .withColumnRenamed("src", "doc_id")
-      .localCheckpoint()
+    var labels = localCheckpointFresh(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
+        .withColumnRenamed("src", "doc_id"))
     // Decimal sum: a BIGINT sum of doc ids can overflow long at corpus
     // scale, and a wrapped sum could fake a fixpoint.
     // null sum = zero vertices (an EMPTY pair set — normal for a
@@ -448,7 +452,7 @@ object TextDedup {
       // unchanged sum certifies a full fixpoint: depth-1 forest (compress
       // moved nothing) AND no cross-root edge (hook proposed nothing) —
       // i.e. every label is its component's minimum vertex id.
-      val next = hook(compress(compress(labels))).localCheckpoint()
+      val next = localCheckpointFresh(hook(compress(compress(labels))))
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -530,8 +534,8 @@ object TextDedup {
 
   private def resumeParts(labels0: DataFrame, newPairs: DataFrame,
                           maxIters: Int): (DataFrame, DataFrame) = {
-    val state = labels0.select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint()
+    val state = localCheckpointFresh(
+      labels0.select(col("doc_id"), col("cluster_id")))
     require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
       "dedupClustersResume: labels0 is not a dedupClusters labeling — " +
         "found cluster_id > doc_id (labels must be component minima)")
