@@ -687,4 +687,27 @@ class PlanSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("l_shipdate")),
       "the ship-date window must push to the parquet scan:\n" + rp.take(2000))
   }
+
+  test("q190 ks drift: every cumulative window is partitioned (no global sort)") {
+    // The scalableCumSum contract: the CDF windows run partitioned by the
+    // physical range-partition id — a WindowExec with an EMPTY
+    // partitionSpec would be the one-partition global sort the primitive
+    // exists to avoid.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q190_ks_drift")(spark, sf)
+      .queryExecution.executedPlan
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.inputPlan)
+      }.flatten
+    val ws = windows(exec)
+    assert(ws.nonEmpty, "expected the cumulative-CDF window:\n" +
+      exec.toString.take(1500))
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "a cumulative window lost its partition spec (global sort):\n" +
+        exec.toString.take(1500))
+  }
 }
