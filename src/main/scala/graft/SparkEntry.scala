@@ -923,6 +923,27 @@ object SparkEntry {
       graft.text.Corpus.noveltyAgainstIndex(s, idxDir,
         docs.filter(col("doc_id") % 5 === 4))
     }),
+    // A8/S8 extended — the exchange-free bucketed layout of the q161
+    // shingle index (new r14 wave 3, the q185 posture's second family):
+    // same build+overlapping-append+probe slices as q161, so the two
+    // layouts must answer identically (same oracle); here the probe AND
+    // the append anti-join read the at-rest hash set bucket-aligned —
+    // zero Exchange on the index side (PlanSpec-pinned). The q185
+    // ensure discipline: session-reuse, orphan-dir clear, sfDir tag.
+    "q193_novelty_bucketed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"graft_shingles_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        graft.text.Corpus.writeShingleTable(
+          docs.filter(col("doc_id") % 5 < 2), tbl, n = 3)
+        graft.text.Corpus.appendShingleTable(s, tbl,
+          docs.filter(col("doc_id") % 5 =!= 4 &&
+            col("doc_id") % 5 >= 1)) // overlaps wave 1 at residue 1
+      }
+      graft.text.Corpus.noveltyAgainstTable(s, tbl,
+        docs.filter(col("doc_id") % 5 === 4))
+    }),
     // A9 normalization: per-stratum percentile rank — one
     // correctly-rounded integer division per row (hash-exact, no margin
     // caveat), ties share a rank in both engines.
@@ -952,6 +973,52 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         valueCol = "n_chars")
+    }),
+    // T6 drift, multi-column KS (new r14 wave 3): every monitored
+    // column's exact KS from ONE scan per side (the q176 stack
+    // discipline applied to q190) — rows explode to (col_name, value)
+    // map-side, all columns' CDFs cumulate through a SINGLE grouped
+    // range shuffle (scalableCumSumBy), per-column totals driver-bounded
+    // by |cols|. Same exact cross-multiplied d_num contract as q190.
+    "q192_ks_multi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.ops.Agg.cents(col("value")).as("value_c"))
+      graft.ops.Profile.ksDriftMulti(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        valueCols = Seq("value_c", "user_id"))
+    }),
+    // T6 drift, KLL-sketch KS (new r14 wave 3; rows-only by design —
+    // KLL compaction is randomized, so the estimate moves within its
+    // error bound run to run and DuckDB has no KLL): the 100 TB path —
+    // each side reduces to ONE mergeable sketch map-side (zero rows
+    // shuffled, vs the exact form's full range shuffle), sup over a
+    // bounded quantile grid via kll_cdf. Exact twin q190 is the
+    // oracle-checked form; |d_est − d_exact| tolerance ProfileSpec-pinned
+    // at large k.
+    "q194_ks_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.ksDriftSketch(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        valueCol = "n_chars")
+    }),
+    // T6 drift, persisted-reference KS (new r14 wave 3 — the q173
+    // maintenance-state pattern, bucket-free): the reference's per-value
+    // count table + _KS_META total persist once; each batch pays one
+    // map-side count aggregate and the shared ksSup tail — the reference
+    // is never rescanned. Same splits as q190, so the shared oracle's
+    // green row IS the proof the stored-reference cycle reproduces the
+    // one-shot statistic. Streaming twin: DriftStream.ksMonitorQuery.
+    "q195_ks_reference" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "ksref", "v1") { out =>
+        graft.streaming.DriftStream.writeKsReference(
+          docs.filter(col("doc_id") % 2 === 0), "n_chars", out)
+      }
+      graft.streaming.DriftStream.ksBatch(s,
+        docs.filter(col("doc_id") % 2 === 1), refDir)
     }),
     // T6 drift, MULTI-COLUMN form (round 13): every monitored column's
     // buckets from ONE scan per side — edges collected in a single
@@ -2144,6 +2211,23 @@ object SparkEntry {
         |FROM sh b LEFT JOIN corpus c ON c.shingle = b.shingle
         |WHERE b.doc_id % 5 = 4
         |GROUP BY b.doc_id""".stripMargin,
+    // the bucketed-table layout answers with exactly the q161 rows —
+    // the layout is physical, the algebra identical
+    "q193_novelty_bucketed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 4)
+        |SELECT b.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM sh b LEFT JOIN corpus c ON c.shingle = b.shingle
+        |WHERE b.doc_id % 5 = 4
+        |GROUP BY b.doc_id""".stripMargin,
     "q162_percentile_rank" ->
       """SELECT doc_id, lang, n_chars,
         |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
@@ -2220,6 +2304,75 @@ object SparkEntry {
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
         |FROM d, n""".stripMargin,
+    // persisted-reference KS reproduces the one-shot q190 statistic on
+    // the same splits — shared oracle text is the equivalence proof
+    "q195_ks_reference" ->
+      """WITH ref AS (SELECT n_chars AS v FROM documents
+        |             WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |cur AS (SELECT n_chars AS v FROM documents
+        |        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |u AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT v, 0 AS side FROM ref
+        |        UNION ALL SELECT v, 1 AS side FROM cur)
+        |  GROUP BY v),
+        |c AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+        |         SUM(cb) OVER (ORDER BY v) AS fb
+        |  FROM u),
+        |n AS (SELECT (SELECT COUNT(*) FROM ref) AS na,
+        |             (SELECT COUNT(*) FROM cur) AS nb),
+        |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
+        |                   - CAST(fb AS HUGEINT) * na)) AS d_num
+        |      FROM c, n)
+        |SELECT d.d_num AS d_num,
+        |  CAST(d.d_num AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
+        |  n.na AS n_ref, n.nb AS n_cur
+        |FROM d, n""".stripMargin,
+    // multi-column KS: the q190 algebra per column, stacked under
+    // col_name; na/nb cast back to BIGINT (SUM(BIGINT) is HUGEINT in
+    // DuckDB — the round-13 taxonomy)
+    "q192_ks_multi" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_c
+        |  FROM events),
+        |ref AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |cur AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |s AS (
+        |  SELECT 'value_c' AS c, value_c AS v, 0 AS side FROM ref
+        |  WHERE value_c IS NOT NULL
+        |  UNION ALL SELECT 'value_c', value_c, 1 FROM cur
+        |  WHERE value_c IS NOT NULL
+        |  UNION ALL SELECT 'user_id', user_id, 0 FROM ref
+        |  WHERE user_id IS NOT NULL
+        |  UNION ALL SELECT 'user_id', user_id, 1 FROM cur
+        |  WHERE user_id IS NOT NULL),
+        |u AS (
+        |  SELECT c, v,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY c, v),
+        |n AS (SELECT c, CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb
+        |      FROM u GROUP BY c),
+        |cdf AS (
+        |  SELECT c, SUM(ca) OVER (PARTITION BY c ORDER BY v) AS fa,
+        |         SUM(cb) OVER (PARTITION BY c ORDER BY v) AS fb
+        |  FROM u),
+        |d AS (
+        |  SELECT cdf.c,
+        |    MAX(ABS(CAST(fa AS HUGEINT) * nb
+        |          - CAST(fb AS HUGEINT) * na)) AS d_num
+        |  FROM cdf JOIN n ON n.c = cdf.c GROUP BY cdf.c)
+        |SELECT d.c AS col_name, d.d_num AS d_num,
+        |  CAST(d.d_num AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
+        |  n.na AS n_ref, n.nb AS n_cur
+        |FROM d JOIN n ON n.c = d.c""".stripMargin,
     "q163_drift_buckets" ->
       """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),

@@ -178,6 +178,50 @@ case class KllQuantiles(child: Expression, ranks: Seq[Double])
     copy(child = newChild)
 }
 
+/** Empirical CDF of a serialized [[KllSketchAgg]] sketch at each value
+  * of an `array<double>` column — the rank-direction read the quantile
+  * family lacked ([[KllQuantiles]] maps rank→value; this maps
+  * value→rank, inclusive criterion, so `cdf(v) = P[X ≤ v]`). Points are
+  * sorted/deduped internally (the library demands strictly-increasing
+  * split points) and answers return in INPUT order. Empty sketch or
+  * NULL input → NULL. Like [[KllQuantiles]], runs on
+  * group-count-bounded state — [[CodegenFallback]] is deliberate.
+  */
+case class KllCdf(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_cdf"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_cdf: (sketch BINARY, points ARRAY<DOUBLE>) expected, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(sketchBytes: Any, points: Any): Any = {
+    val sketch = KllDoublesSketch.heapify(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sketch.isEmpty) return null
+    val pts = points.asInstanceOf[ArrayData].toDoubleArray()
+    if (pts.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val sorted = pts.distinct.sorted
+    val cdf = sketch.getCDF(sorted,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+    val byPoint = sorted.zip(cdf).toMap
+    new GenericArrayData(pts.map(p => byPoint(p): Any)): ArrayData
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllCdf =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `getN` of a serialized [[KllSketchAgg]] sketch, as a LONG column —
   * the stream length the error bound scales against.
   */
@@ -221,4 +265,8 @@ object KllSketch {
 
   def kll_sketch_n(sketch: Column): Column =
     GraftFunctions.column(KllSketchN(GraftFunctions.expr(sketch)))
+
+  def kll_cdf(sketch: Column, points: Column): Column =
+    GraftFunctions.column(
+      KllCdf(GraftFunctions.expr(sketch), GraftFunctions.expr(points)))
 }

@@ -258,6 +258,18 @@ object Profile {
       !tot.isNullAt(1) && tot.getLong(1) > 0,
       s"ksDrift: both snapshots must have non-null $valueCol rows")
     val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    ksSup(u, na, nb, numPartitions)
+  }
+
+  /** The shared KS tail: cumulate both sides' per-value counts through
+    * [[Windows.scalableCumSum]] and take the exact cross-multiplied sup.
+    * `u` must be the merged (v, ca, cb) per-value count frame; `na`/`nb`
+    * the side totals. Also the probe tail of
+    * [[graft.streaming.DriftStream.ksBatch]] (state + batch counts in,
+    * identical statistic out).
+    */
+  private[graft] def ksSup(u: DataFrame, na: Long, nb: Long,
+                           numPartitions: Int): DataFrame =
     Windows.scalableCumSum(u, "v", Seq("ca", "cb"), numPartitions)
       .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * nb -
         col("cum_cb").cast("decimal(38,0)") * na)).as("d_num"))
@@ -265,5 +277,93 @@ object Profile {
         (col("d_num").cast("double") / lit(na.toDouble * nb.toDouble))
           .as("d_stat"),
         lit(na).as("n_ref"), lit(nb).as("n_cur"))
+
+  /** Multi-column [[ksDrift]] in ONE scan per side — the
+    * [[driftBucketsMulti]] discipline applied to the exact KS: each row
+    * explodes map-side into `(col_name, value)` structs for every
+    * monitored column, so |cols| KS statistics cost the same two scans
+    * as one (a per-column loop would pay |cols| scans of both
+    * snapshots). The CDF pass is [[Windows.scalableCumSumBy]] grouped by
+    * column name — every column's range-partitioned cumulation rides a
+    * SINGLE shuffle, never a one-partition sort. Values are cast to
+    * LONG (the monitored columns must be integral — the cents/id
+    * discipline; floats would break the exact cross-multiply). Output:
+    * one row per column, `(col_name, d_num, d_stat, n_ref, n_cur)` with
+    * the same exact cross-multiplied `d_num` contract as [[ksDrift]].
+    * Per-column NULLs are dropped per column (a row missing one metric
+    * still contributes its others).
+    */
+  def ksDriftMulti(ref: DataFrame, cur: DataFrame, valueCols: Seq[String],
+                   numPartitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "ksDriftMulti: no columns")
+    def counted(df: DataFrame, own: String, other: String) =
+      df.select(explode(array(valueCols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("long").as("v"))): _*)).as("_cv"))
+        .select(col("_cv.c").as("c"), col("_cv.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("c"), col("v")).agg(count(lit(1)).as(own))
+        .withColumn(other, lit(0L))
+    val u = counted(ref, "ca", "cb").unionByName(counted(cur, "cb", "ca"))
+      .groupBy(col("c"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .localCheckpoint()
+    val tot = u.groupBy(col("c"))
+      .agg(sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cur"))
+    val totRows = tot.collect() // |valueCols| rows, driver-bounded
+    require(totRows.length == valueCols.length &&
+      totRows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+      s"ksDriftMulti: every monitored column needs non-null rows in BOTH " +
+        s"snapshots; totals = ${totRows.mkString(", ")}")
+    Windows.scalableCumSumBy(u, Seq("c"), "v", Seq("ca", "cb"),
+        numPartitions)
+      .join(broadcast(tot), Seq("c"))
+      .groupBy(col("c"), col("n_ref"), col("n_cur"))
+      .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * col("n_cur") -
+        col("cum_cb").cast("decimal(38,0)") * col("n_ref"))).as("d_num"))
+      .select(col("c").as("col_name"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .as("d_stat"),
+        col("n_ref"), col("n_cur"))
+  }
+
+  /** Sketch-approximated two-sample KS — the 100 TB twin of [[ksDrift]].
+    * The exact form's range shuffle moves every distinct value; here
+    * each side folds to ONE KLL sketch in a map-side-combined aggregate
+    * (two full scans, zero data shuffled — the sketch IS the reduction),
+    * and the sup runs over a bounded candidate grid: both sketches'
+    * quantiles at `grid`+1 evenly-spaced ranks, CDFs read back from each
+    * sketch via [[graft.functions.KllSketchAgg]]'s `kll_cdf`
+    * (value→rank, the quantile family's inverse). All 1-row arithmetic
+    * after the aggregates — `zip_with`/`aggregate` HOFs, nothing touches
+    * the driver.
+    *
+    * Error: `|d_est − d_exact| ≤ 2ε_k + 1/grid` whp (ε ≈ 1.65% at the
+    * default k = 200; the KS sup between grid points moves at most the
+    * rank mass a grid step spans). KLL compaction is randomized, so the
+    * ESTIMATE varies run to run within the bound — the exact twin q190
+    * stays the oracle-checked form (spec pins the tolerance at large k).
+    * Output: `(d_est, n_ref, n_cur)`.
+    */
+  def ksDriftSketch(ref: DataFrame, cur: DataFrame, valueCol: String,
+                    k: Int = 200, grid: Int = 256): DataFrame = {
+    import graft.functions.KllSketch._
+    require(grid >= 2, s"ksDriftSketch: grid >= 2, got $grid")
+    def side(df: DataFrame, sk: String, n: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .agg(kll_sketch_agg(col("v"), k).as(sk), count(lit(1)).as(n))
+    val ranks = (0 to grid).map(_.toDouble / grid)
+    val pts = array_union(kll_quantiles(col("ska"), ranks),
+      kll_quantiles(col("skb"), ranks))
+    side(ref, "ska", "n_ref").crossJoin(side(cur, "skb", "n_cur"))
+      .select(col("n_ref"), col("n_cur"),
+        kll_cdf(col("ska"), pts).as("fa"),
+        kll_cdf(col("skb"), pts).as("fb"))
+      .select(
+        aggregate(zip_with(col("fa"), col("fb"),
+            (a, b) => abs(a - b)), lit(0.0),
+          (acc, x) => greatest(acc, x)).as("d_est"),
+        col("n_ref"), col("n_cur"))
   }
 }

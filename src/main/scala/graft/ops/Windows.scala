@@ -146,41 +146,67 @@ object Windows {
     * partition, so a tie group never straddles an offset boundary.
     */
   def scalableCumSum(df: DataFrame, orderCol: String, sumCols: Seq[String],
-                     numPartitions: Int = 0): DataFrame = {
+                     numPartitions: Int = 0): DataFrame =
+    scalableCumSumBy(df, Nil, orderCol, sumCols, numPartitions)
+
+  /** Per-group [[scalableCumSum]]: cumulative sums restart at each
+    * distinct `groupCols` combination, still with no single-partition
+    * sort and ONE range shuffle for every group at once (range keys =
+    * groupCols ++ orderCol, so each group is contiguous across the
+    * partition sequence and ties stay inside one partition). A group may
+    * straddle partitions — offsets are tracked per (partition, group) —
+    * but the per-partition window stays physically local, so a skewed
+    * group parallelizes across partitions instead of pinning one task.
+    * The driver-side totals are bounded by `numPartitions + |groups| − 1`
+    * rows (contiguity: at most one group spans each partition boundary).
+    *
+    * Group keys must be NON-NULL: the offset rejoin is a plain equi-join
+    * and a NULL key would silently lose its cross-partition carry.
+    */
+  def scalableCumSumBy(df: DataFrame, groupCols: Seq[String],
+                       orderCol: String, sumCols: Seq[String],
+                       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     // checkpoint pins BOTH consumers (cumulate + totals) to one physical
     // partitioning, and makes spark_partition_id stable by construction
-    val parts = df.repartitionByRange(n, col(orderCol))
+    val parts = df
+      .repartitionByRange(n, (groupCols :+ orderCol).map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    val keyCols = "_pid" +: groupCols
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
     val withCum = sumCols.foldLeft(parts)((d, c) =>
       d.withColumn(s"cum_$c", sum(col(c).cast("long")).over(w)))
-    val totals = parts.groupBy(col("_pid"))
+    val g = groupCols.length
+    val totals = parts.groupBy(keyCols.map(col): _*)
       .agg(sum(col(sumCols.head).cast("long")).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c).cast("long")).as(c)): _*)
       .collect()
-      .map(r => r.getInt(0) -> sumCols.indices.map(i => r.getLong(i + 1)))
+      .map(r => (r.getInt(0), (1 to g).map(r.get),
+        sumCols.indices.map(i => r.getLong(1 + g + i))))
       .sortBy(_._1)
-    // each partition's offset = the totals of strictly-earlier partitions
+    // each (partition, group)'s offset = that group's totals in
+    // strictly-earlier partitions
     val offRows = {
-      var acc = sumCols.map(_ => 0L).toIndexedSeq
-      totals.map { case (pid, t) =>
-        val row = org.apache.spark.sql.Row.fromSeq(pid +: acc)
-        acc = acc.zip(t).map { case (a, b) => a + b }
-        row
+      val acc = scala.collection.mutable.Map
+        .empty[Seq[Any], IndexedSeq[Long]]
+      totals.map { case (pid, key, t) =>
+        val prev = acc.getOrElse(key, sumCols.map(_ => 0L).toIndexedSeq)
+        acc(key) = prev.zip(t).map { case (a, b) => a + b }
+        org.apache.spark.sql.Row.fromSeq((pid +: key) ++ prev)
       }
     }
     val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("_pid",
+      (org.apache.spark.sql.types.StructField("_pid",
         org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => df.schema(c))) ++
         sumCols.map(c => org.apache.spark.sql.types.StructField(s"_off_$c",
           org.apache.spark.sql.types.LongType)))
     val offDf = spark.createDataFrame(
       java.util.Arrays.asList(offRows: _*), offSchema)
-    val joined = withCum.join(broadcast(offDf), Seq("_pid"), "left")
+    val joined = withCum.join(broadcast(offDf), keyCols, "left")
     sumCols.foldLeft(joined)((d, c) =>
       d.withColumn(s"cum_$c",
         col(s"cum_$c") + coalesce(col(s"_off_$c"), lit(0L))))

@@ -264,6 +264,116 @@ object DriftStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- Persisted-reference exact KS (the q173 pattern, bucket-free) ----
+  //
+  // PSI's persisted state is a bucket histogram — tiny, but quantized by
+  // the frozen edge geometry. The EXACT KS needs the reference's full
+  // per-value count table; that IS its sufficient statistic, and as
+  // aggregate state (one row per distinct monitored value) it persists
+  // once and is never rescanned per batch. The bounded-state alternative
+  // when the value domain is huge is [[graft.ops.Profile.ksDriftSketch]]
+  // with a persisted KLL sketch row — exact-persisted and
+  // sketch-persisted forms of one family.
+
+  private val KsMetaFile = "_KS_META"
+
+  /** Persist the reference side of [[graft.ops.Profile.ksDrift]]: the
+    * per-value counts `(v, ca)` (values cast to LONG — the integral
+    * discipline) plus a `_KS_META` sidecar carrying the monitored column
+    * and the reference row total, so a probe never re-aggregates state
+    * for metadata.
+    */
+  def writeKsReference(ref: DataFrame, valueCol: String, dir: String): Unit = {
+    val spark = ref.sparkSession
+    Profile.requirePlainName(valueCol, "writeKsReference")
+    val counts = ref.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint() // one ref scan feeds both the write and the total
+    counts.write.mode("overwrite").parquet(dir)
+    val na = counts.agg(coalesce(sum(col("ca")), lit(0L))).head.getLong(0)
+    require(na > 0,
+      s"writeKsReference: reference has no non-null $valueCol rows")
+    val p = new org.apache.hadoop.fs.Path(dir, KsMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$valueCol\n$na\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readKsMeta(spark: SparkSession,
+                         dir: String): (String, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir, KsMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"KS reference at $dir lacks $KsMetaFile — build it with " +
+        "DriftStream.writeKsReference")
+    val in = fs.open(p)
+    val lines =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    require(lines.length == 2,
+      s"KS reference at $dir is corrupt: sidecar has ${lines.length} " +
+        "line(s), want 2")
+    val na =
+      try lines(1).toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"KS reference at $dir is corrupt: non-numeric total '${lines(1)}'")
+      }
+    (lines(0), na)
+  }
+
+  /** One batch's exact KS against the stored reference — output ≡
+    * [[graft.ops.Profile.ksDrift]](ref, batch) by construction (the
+    * shared `ksSup` tail guarantees the statistic cannot diverge from
+    * the one-shot form; q195's green oracle row is the proof). Per
+    * batch: one map-side count aggregate of the batch's own values +
+    * the stored count table, through the range-partitioned cumulation —
+    * the reference is never rescanned.
+    */
+  def ksBatch(spark: SparkSession, batch: DataFrame,
+              refDir: String): DataFrame = {
+    val (valueCol, na) = readKsMeta(spark, refDir)
+    require(batch.columns.contains(valueCol),
+      s"KS monitor: batch lacks the reference's monitored column " +
+        s"'$valueCol' (batch columns: ${batch.columns.mkString(", ")})")
+    val refCounts = spark.read.parquet(refDir).withColumn("cb", lit(0L))
+    val curCounts = batch.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+      .withColumn("ca", lit(0L))
+    val u = refCounts.unionByName(curCounts)
+      .groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .localCheckpoint()
+    val nb = u.agg(coalesce(sum(col("cb")), lit(0L))).head.getLong(0)
+    require(nb > 0,
+      s"KS monitor: batch has no non-null $valueCol rows")
+    Profile.ksSup(u, na, nb, numPartitions = 0)
+  }
+
+  /** The KS monitor stream: per micro-batch, one
+    * (batch_id, n_rows, d_stat) row scored against the persisted
+    * reference — the bucket-free twin of [[monitorQuery]], same
+    * batch_id-partitioned replay-convergent sink contract.
+    */
+  def ksMonitorQuery(spark: SparkSession, srcDir: String, refDir: String,
+                     outDir: String, checkpointDir: String,
+                     schema: StructType): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Upsert.overwritePartitions(
+          ksBatch(spark, batch, refDir)
+            .select(col("n_cur").as("n_rows"), col("d_stat"))
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The monitor stream: per micro-batch, one (batch_id, n_rows, psi)
     * row into `outDir`, partitioned by batch_id through dynamic
     * partition overwrite (replay overwrites the same partition with the

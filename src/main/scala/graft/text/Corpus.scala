@@ -1125,6 +1125,82 @@ object Corpus {
         sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
   }
 
+  /** The shingle index as a catalog table BUCKETED AND SORTED BY `_h` —
+    * the exchange-free probe posture (q88/S8, the
+    * [[graft.ops.FuzzyJoin.writeVariantTable]] layout applied to the
+    * novelty family). [[noveltyAgainstIndex]]'s probe join re-shuffles
+    * the at-rest hash set on `_h` every batch (the index side of a
+    * too-big-to-broadcast join); with `_h` buckets the index is read in
+    * place and only the batch's own shingles shuffle — and the APPEND's
+    * anti-join rides the same bucket alignment, so BOTH consumers of
+    * this layout are index-exchange-free (unlike the fuzzy family,
+    * where path partitioning and bucketing serve different consumers).
+    * Shingle width and bucket count ride the catalog as table
+    * properties — the `_SHINGLE_META` sidecar in catalog terms; probes
+    * never guess and never aggregate index rows for metadata.
+    */
+  def writeShingleTable(docs: DataFrame, table: String, n: Int = 3,
+                        nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Tables.clearOrphanedWarehouseDir(spark, table)
+    hashedShingles(docs, n).select(col("_h")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "_h").sortBy("_h")
+      .format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.shingle.n'='$n', 'graft.shingle.nbuckets'='$nBuckets')")
+  }
+
+  /** (shingle width n, bucket count) of a shingle TABLE from its catalog
+    * properties; fails loudly on tables not built by
+    * [[writeShingleTable]].
+    */
+  def shingleTableMeta(spark: org.apache.spark.sql.SparkSession,
+                       table: String): (Int, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.shingle.n"), props.get("graft.shingle.nbuckets")) match {
+      case (Some(n), Some(nb)) => (n.toInt, nb.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"shingle table $table lacks graft.shingle.* properties — " +
+          "build it with Corpus.writeShingleTable")
+    }
+  }
+
+  /** Overlap-safe append to the bucketed shingle table — the
+    * [[appendShingleIndex]] contract (the anti-join IS the replay
+    * guard; re-sent batches append nothing) with the anti-join itself
+    * bucket-aligned on the index side. Appends write THROUGH the
+    * catalog with the table's own bucket spec, so the exchange-free
+    * probe survives every append (files accumulate per bucket; rebuild
+    * via [[writeShingleTable]] when file counts matter).
+    */
+  def appendShingleTable(spark: org.apache.spark.sql.SparkSession,
+                         table: String, delta: DataFrame): Unit = {
+    val (n, nBuckets) = shingleTableMeta(spark, table)
+    hashedShingles(delta, n).select(col("_h")).distinct()
+      .join(spark.table(table), Seq("_h"), "left_anti")
+      .write.mode("append")
+      .bucketBy(nBuckets, "_h").sortBy("_h")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[noveltyAgainstIndex]] against the bucketed catalog table: same
+    * output contract, but the index side of the probe join reads its
+    * buckets in place — ZERO Exchange on the at-rest hash set
+    * (PlanSpec-pinned); the one shuffle is the batch's own shingles.
+    */
+  def noveltyAgainstTable(spark: org.apache.spark.sql.SparkSession,
+                          table: String, delta: DataFrame): DataFrame = {
+    val (n, _) = shingleTableMeta(spark, table)
+    val idx = spark.table(table).withColumn("_seen", lit(1))
+    hashedShingles(delta, n)
+      .join(idx, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+  }
+
   /** Percentile-rank normalization within strata: `pr = (rank−1)/(n−1)`
     * (the `percent_rank` identity, ties sharing a rank) — maps a raw
     * score onto [0,1] per stratum so thresholds compare across languages

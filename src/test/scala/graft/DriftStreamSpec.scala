@@ -89,6 +89,85 @@ class DriftStreamSpec extends SparkSpec {
     assert(b0(0).getAs[Double]("psi") == psiOf(all))
   }
 
+  test("persisted-reference ksBatch == one-shot ksDrift; sidecar guards") {
+    val root = java.nio.file.Files.createTempDirectory("ksref").toString
+    val dir = s"$root/ref"
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    DriftStream.writeKsReference(ref, "n_chars", dir)
+    val split = DriftStream.ksBatch(spark, cur, dir).collect()(0)
+    val one = Profile.ksDrift(ref, cur, "n_chars").collect()(0)
+    assert(split.getDecimal(0) == one.getDecimal(0) &&
+      split.getDouble(1) == one.getDouble(1) &&
+      split.getLong(2) == one.getLong(2) &&
+      split.getLong(3) == one.getLong(3),
+      s"stored-reference KS must equal the one-shot form: $split vs $one")
+    // a dir without the sidecar is refused, naming the builder
+    val bare = s"$root/bare"
+    ref.select(col("n_chars").cast("long").as("v"), lit(1L).as("ca"))
+      .limit(5).write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      DriftStream.ksBatch(spark, cur, bare)
+    }
+    assert(e.getMessage.contains("_KS_META"))
+    // a batch missing the monitored column, and an empty batch, refuse
+    intercept[IllegalArgumentException] {
+      DriftStream.ksBatch(spark, cur.select(col("doc_id")), dir)
+    }
+    intercept[IllegalArgumentException] {
+      DriftStream.ksBatch(spark, cur.limit(0), dir)
+    }
+    // an all-null reference cannot be persisted
+    intercept[IllegalArgumentException] {
+      DriftStream.writeKsReference(
+        ref.withColumn("n_chars", lit(null).cast("long")), "n_chars",
+        s"$root/nullref")
+    }
+  }
+
+  test("ks monitor stream: rows match the batch form; replay converges") {
+    val root = java.nio.file.Files.createTempDirectory("ksmon").toString
+    val src = s"$root/src"; val ref = s"$root/ref"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    DriftStream.writeKsReference(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", ref)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val w1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("n_chars"))
+    val w2 = docs.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), (col("n_chars") * 3).as("n_chars"))
+    w1.coalesce(1).write.parquet(s"$src/w1")
+    DriftStream.ksMonitorQuery(spark, s"$src/*", ref, out, s"$root/cp",
+      schema).awaitTermination()
+    w2.coalesce(1).write.parquet(s"$src/w2")
+    DriftStream.ksMonitorQuery(spark, s"$src/*", ref, out, s"$root/cp",
+      schema).awaitTermination()
+    val rows = spark.read.parquet(out)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("d_stat")))).toMap
+    assert(rows.keySet == Set(0L, 1L), s"one monitor row per batch: $rows")
+    def dOf(cur: org.apache.spark.sql.DataFrame): Double =
+      DriftStream.ksBatch(spark, cur, ref).collect()(0).getDouble(1)
+    assert(rows(0L) == ((w1.count(), dOf(w1))))
+    assert(rows(1L) == ((w2.count(), dOf(w2))))
+    // the tripled wave must read as more drifted than the in-dist one
+    assert(rows(1L)._2 > rows(0L)._2,
+      s"KS must separate the shifted wave: $rows")
+    // replay from a fresh checkpoint: batch 0 overwritten with the
+    // full-drain content, no duplicate rows
+    DriftStream.ksMonitorQuery(spark, s"$src/*", ref, out, s"$root/cp2",
+      schema).awaitTermination()
+    val replayed = spark.read.parquet(out)
+      .withColumn("batch_id", col("batch_id").cast("long")).collect()
+    val b0 = replayed.filter(_.getAs[Long]("batch_id") == 0L)
+    assert(b0.length == 1, s"replay must not duplicate rows: ${b0.length}")
+    val all = w1.unionByName(w2)
+    assert(b0(0).getAs[Long]("n_rows") == all.count())
+    assert(b0(0).getAs[Double]("d_stat") == dOf(all))
+  }
+
   test("rotation store: series == per-version driftBuckets; monotonic guard") {
     val root = java.nio.file.Files.createTempDirectory("driftrot").toString + "/store"
     val r1 = docs.filter(col("doc_id") % 4 === 0)

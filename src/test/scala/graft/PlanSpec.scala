@@ -252,6 +252,42 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q193 bucketed shingle probe: index side exchange-free") {
+    // the q185 contract applied to the novelty family: with broadcast
+    // disabled the probe's left-outer join must read the _h-bucketed
+    // hash set in place — no ShuffleExchange under the index side; the
+    // one join-input shuffle is the batch's own shingles.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exec = SparkEntry.queries("q193_novelty_bucketed")(spark, sf)
+        .queryExecution.executedPlan
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      val joins = unwrap(exec).collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, "expected the probe sort-merge join:\n" +
+        unwrap(exec).toString.take(1500))
+      val bucketSide = joins.flatMap(j => Seq(j.left, j.right)).filter(side =>
+        side.collect {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.nonEmpty)
+      assert(bucketSide.nonEmpty,
+        "the index side must scan the bucketed catalog table:\n" +
+          unwrap(exec).toString.take(1500))
+      bucketSide.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "index side must be exchange-free (bucket-aligned):\n" +
+            side.toString.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q186 drift rotation: ONE batch scan scores every reference version") {
     // the operator's headline claim: per-row explode over version structs
     // means the current batch is read once no matter how many references
@@ -688,26 +724,28 @@ class PlanSpec extends SparkSpec {
       "the ship-date window must push to the parquet scan:\n" + rp.take(2000))
   }
 
-  test("q190 ks drift: every cumulative window is partitioned (no global sort)") {
-    // The scalableCumSum contract: the CDF windows run partitioned by the
-    // physical range-partition id — a WindowExec with an EMPTY
-    // partitionSpec would be the one-partition global sort the primitive
-    // exists to avoid.
+  test("q190/q192 ks drift: every cumulative window is partitioned (no global sort)") {
+    // The scalableCumSum(By) contract: the CDF windows run partitioned by
+    // the physical range-partition id (+ group columns for the multi
+    // form) — a WindowExec with an EMPTY partitionSpec would be the
+    // one-partition global sort the primitive exists to avoid.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
-    val exec = SparkEntry.queries("q190_ks_drift")(spark, sf)
-      .queryExecution.executedPlan
     def windows(p: SparkPlan): Seq[WindowExec] =
       p.collect {
         case w: WindowExec => Seq(w)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           windows(a.inputPlan)
       }.flatten
-    val ws = windows(exec)
-    assert(ws.nonEmpty, "expected the cumulative-CDF window:\n" +
-      exec.toString.take(1500))
-    assert(ws.forall(_.partitionSpec.nonEmpty),
-      "a cumulative window lost its partition spec (global sort):\n" +
+    Seq("q190_ks_drift", "q192_ks_multi").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan
+      val ws = windows(exec)
+      assert(ws.nonEmpty, s"$q: expected the cumulative-CDF window:\n" +
         exec.toString.take(1500))
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"$q: a cumulative window lost its partition spec (global sort):\n" +
+          exec.toString.take(1500))
+    }
   }
 }

@@ -146,4 +146,44 @@ class ProfileSpec extends SparkSpec {
       Profile.ksDrift(frame(Seq.empty), frame(ys), "x")
     }
   }
+
+  test("ksDriftMulti == per-column ksDrift; empty-side column refused") {
+    val rnd = new scala.util.Random(11)
+    val ref = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(9).toLong))
+      .toDF("x", "y")
+    val cur = Seq.fill(250)((rnd.nextInt(40).toLong + 5L,
+      rnd.nextInt(9).toLong)).toDF("x", "y")
+    val multi = Profile.ksDriftMulti(ref, cur, Seq("x", "y")).collect()
+      .map(r => r.getString(0) ->
+        (BigInt(r.getDecimal(1).toBigInteger), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toMap
+    assert(multi.keySet == Set("x", "y"))
+    Seq("x", "y").foreach { c =>
+      val one = Profile.ksDrift(ref, cur, c).collect()(0)
+      assert(multi(c) == ((BigInt(one.getDecimal(0).toBigInteger),
+        one.getDouble(1), one.getLong(2), one.getLong(3))),
+        s"column $c diverged from the single-column form")
+    }
+    // a column with no rows on one side is refused, naming the totals
+    val curNull = cur.withColumn("y", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Profile.ksDriftMulti(ref, curNull, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("BOTH snapshots"))
+  }
+
+  test("ksDriftSketch lands within its error bound of the exact KS") {
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(2000)(rnd.nextInt(500).toLong).toDF("x")
+    val ys = Seq.fill(1500)(rnd.nextInt(500).toLong + 60L).toDF("x")
+    val exact = Profile.ksDrift(xs, ys, "x").collect()(0).getDouble(1)
+    // k = 2048 -> eps ~ 0.2%; grid 512 -> 0.2%; bound ~ 0.6%, assert 2%
+    val est = Profile.ksDriftSketch(xs, ys, "x", k = 2048, grid = 512)
+      .collect()(0)
+    assert(est.getLong(1) == 2000L && est.getLong(2) == 1500L)
+    val d = est.getDouble(0)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(math.abs(d - exact) <= 0.02,
+      s"sketch estimate $d too far from exact $exact")
+  }
 }

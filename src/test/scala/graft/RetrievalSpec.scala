@@ -148,6 +148,54 @@ class RetrievalSpec extends SparkSpec {
     assert(viaIndex == expect)
   }
 
+  test("bucketed shingle table: probe == path probe; replay appends nothing; meta guarded") {
+    val dir = java.nio.file.Files.createTempDirectory("shtbl").toString
+    val corpus1 = docs.filter(col("doc_id") % 5 < 2)
+    val corpus2 = docs.filter(col("doc_id") % 5 =!= 4 &&
+      col("doc_id") % 5 >= 1) // overlaps wave 1 at residue 1
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    // path layout (the q161 form) as the reference
+    val path = s"$dir/path"
+    Corpus.writeShingleIndex(corpus1, path, n = 3)
+    Corpus.appendShingleIndex(spark, path, corpus2)
+    val tbl = "graft_shingles_spec"
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    Corpus.writeShingleTable(corpus1, tbl, n = 3)
+    Corpus.appendShingleTable(spark, tbl, corpus2)
+    // the two layouts hold the identical hash set...
+    val a = spark.read.parquet(path).collect().map(_.getLong(0)).toSet
+    val b = spark.table(tbl).collect().map(_.getLong(0)).toSet
+    assert(a == b, "bucketed table diverged from the path index")
+    // ...and answer the probe identically
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(rows(Corpus.noveltyAgainstTable(spark, tbl, batch)) ==
+      rows(Corpus.noveltyAgainstIndex(spark, path, batch)))
+    // replay: re-sent batch appends nothing (the anti-join guard)
+    val before = spark.table(tbl).count()
+    Corpus.appendShingleTable(spark, tbl,
+      docs.filter(col("doc_id") % 5 === 2))
+    assert(spark.table(tbl).count() == before, "replayed batch appended")
+    // width rides the catalog: a 2-gram table answers 2-gram probes
+    val tbl2 = "graft_shingles_spec_w2"
+    if (spark.catalog.tableExists(tbl2)) spark.sql(s"DROP TABLE $tbl2")
+    Corpus.writeShingleTable(docs.limit(10), tbl2, n = 2)
+    val probe = Seq((9999L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Corpus.noveltyAgainstTable(spark, tbl2, probe)
+      .collect()(0).getLong(1) == 2L)
+    // a table not built by writeShingleTable is refused
+    val bare = "graft_shingles_spec_bare"
+    if (spark.catalog.tableExists(bare)) spark.sql(s"DROP TABLE $bare")
+    graft.sources.Tables.clearOrphanedWarehouseDir(spark, bare)
+    docs.limit(5).select(xxhash64(col("text")).as("_h"))
+      .write.saveAsTable(bare)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.noveltyAgainstTable(spark, bare, probe)
+    }
+    assert(e.getMessage.contains("graft.shingle"))
+  }
+
   test("shingle index width rides the sidecar, pre-sidecar dirs fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("shidx2").toString
     Corpus.writeShingleIndex(docs.limit(10), s"$dir/w2", n = 2)

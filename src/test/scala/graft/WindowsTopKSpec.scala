@@ -106,6 +106,27 @@ class WindowsTopKSpec extends SparkSpec {
     assert(Windows.scalableCumSum(df.limit(0), "k", Seq("a"), 7).isEmpty)
   }
 
+  test("scalableCumSumBy matches per-group windows; groups straddle partitions") {
+    val rnd = new scala.util.Random(29)
+    // 3 groups over 600 rows across 7 range partitions: every group
+    // spans several partition boundaries, so the per-(partition, group)
+    // offset carry is exercised, not just the single-group delegate path
+    val rows = Seq.fill(600)((s"g${rnd.nextInt(3)}",
+      rnd.nextInt(60).toLong, rnd.nextInt(5).toLong))
+    val df = rows.toDF("g", "k", "a")
+    val got = Windows.scalableCumSumBy(df, Seq("g"), "k", Seq("a"), 7)
+      .select("g", "k", "cum_a").distinct()
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("k"))
+    val want = df.withColumn("cum_a", sum($"a").over(w))
+      .select("g", "k", "cum_a").distinct()
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(Windows.scalableCumSumBy(df, Seq("g"), "k", Seq("a"), 7)
+      .count() == 600)
+  }
+
   test("set ops: distinct union / intersect / except semantics (U2)") {
     val a = Seq(1, 2, 2, 3).toDF("k")
     val b = Seq(2, 3, 4).toDF("k")
