@@ -988,6 +988,18 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 === 1),
         valueCols = Seq("value_c", "user_id"))
     }),
+    // T6 drift, per-stratum KS (new r14 wave 3): one exact KS row per
+    // language — the monitor that catches a shift INSIDE one stratum
+    // that the pooled q190 statistic dilutes away. Strata ride the
+    // grouped cumulation's key: still one scan per side, one range
+    // shuffle for all strata. One-sided strata refuse loudly.
+    "q196_ks_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.ksDriftBy(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        valueCol = "n_chars", strataCol = "lang")
+    }),
     // T6 drift, KLL-sketch KS (new r14 wave 3; rows-only by design —
     // KLL compaction is randomized, so the estimate moves within its
     // error bound run to run and DuckDB has no KLL): the 100 TB path —
@@ -1460,6 +1472,19 @@ object SparkEntry {
           emb.filter(col("vec_id") % 50 =!= 0),
           emb.filter(col("vec_id") % 50 === 0), threshold = 0.3)
         .select(col("vec_id"), col("label"))
+    }),
+    // J7/T6 embedding-distribution drift (new r14 wave 3): PSI's
+    // counting artifact in EMBEDDING space — both snapshots assign
+    // map-side to the reference's seed centroids (the q65/q181
+    // deterministic geometry), aligned per-list counts out; feed
+    // Profile.psi for the scalar. Catches encoder swaps / new-domain
+    // intake that no scalar column registers.
+    "q197_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.assignmentDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        nCentroids = 16)
     }),
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
@@ -2332,6 +2357,39 @@ object SparkEntry {
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
         |FROM d, n""".stripMargin,
+    // per-stratum KS: the q190 algebra keyed by lang — windows
+    // PARTITION BY lang, totals per lang cast back to BIGINT
+    "q196_ks_by_lang" ->
+      """WITH ref AS (SELECT lang, n_chars AS v FROM documents
+        |             WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |               AND lang IS NOT NULL),
+        |cur AS (SELECT lang, n_chars AS v FROM documents
+        |        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |          AND lang IS NOT NULL),
+        |u AS (
+        |  SELECT lang, v,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT lang, v, 0 AS side FROM ref
+        |        UNION ALL SELECT lang, v, 1 AS side FROM cur)
+        |  GROUP BY lang, v),
+        |n AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb
+        |      FROM u GROUP BY lang),
+        |cdf AS (
+        |  SELECT lang, SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS fa,
+        |         SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS fb
+        |  FROM u),
+        |d AS (
+        |  SELECT cdf.lang,
+        |    MAX(ABS(CAST(fa AS HUGEINT) * nb
+        |          - CAST(fb AS HUGEINT) * na)) AS d_num
+        |  FROM cdf JOIN n ON n.lang = cdf.lang GROUP BY cdf.lang)
+        |SELECT d.lang, d.d_num AS d_num,
+        |  CAST(d.d_num AS DOUBLE)
+        |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
+        |  n.na AS n_ref, n.nb AS n_cur
+        |FROM d JOIN n ON n.lang = d.lang""".stripMargin,
     // multi-column KS: the q190 algebra per column, stacked under
     // col_name; na/nb cast back to BIGINT (SUM(BIGINT) is HUGEINT in
     // DuckDB — the round-13 taxonomy)
@@ -4179,6 +4237,31 @@ object SparkEntry {
         |SELECT c.vec_id, c.label FROM embeddings c
         |WHERE c.vec_id % 50 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = c.vec_id)""".stripMargin,
+    // embedding drift: the q65 seed-centroid assignment (reference side
+    // defines the geometry), per-side counts aligned full-outer
+    "q197_embedding_drift" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, e.vec_id % 2 AS side, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id, side, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id) = 1),
+        |rh AS (SELECT list_id, COUNT(*) AS n_ref FROM assign
+        |       WHERE side = 0 GROUP BY list_id),
+        |ch AS (SELECT list_id, COUNT(*) AS n_cur FROM assign
+        |       WHERE side = 1 GROUP BY list_id)
+        |SELECT COALESCE(rh.list_id, ch.list_id) AS list_id,
+        |  COALESCE(rh.n_ref, 0) AS n_ref,
+        |  COALESCE(ch.n_cur, 0) AS n_cur
+        |FROM rh FULL OUTER JOIN ch ON ch.list_id = rh.list_id""".stripMargin,
     "q177_decontaminate_semantic" ->
       """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0)

@@ -314,17 +314,63 @@ object Profile {
       totRows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
       s"ksDriftMulti: every monitored column needs non-null rows in BOTH " +
         s"snapshots; totals = ${totRows.mkString(", ")}")
-    Windows.scalableCumSumBy(u, Seq("c"), "v", Seq("ca", "cb"),
+    ksSupBy(u, tot, "c", "col_name", numPartitions)
+  }
+
+  /** Keyed KS tail shared by [[ksDriftMulti]] (key = column name) and
+    * [[ksDriftBy]] (key = stratum): grouped cumulation, broadcast of the
+    * per-key totals, exact cross-multiplied sup per key.
+    */
+  private def ksSupBy(u: DataFrame, tot: DataFrame, keyCol: String,
+                      keyOut: String, numPartitions: Int): DataFrame =
+    Windows.scalableCumSumBy(u, Seq(keyCol), "v", Seq("ca", "cb"),
         numPartitions)
-      .join(broadcast(tot), Seq("c"))
-      .groupBy(col("c"), col("n_ref"), col("n_cur"))
+      .join(broadcast(tot), Seq(keyCol))
+      .groupBy(col(keyCol), col("n_ref"), col("n_cur"))
       .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * col("n_cur") -
         col("cum_cb").cast("decimal(38,0)") * col("n_ref"))).as("d_num"))
-      .select(col("c").as("col_name"), col("d_num"),
+      .select(col(keyCol).as(keyOut), col("d_num"),
         (col("d_num").cast("double") /
           (col("n_ref").cast("double") * col("n_cur").cast("double")))
           .as("d_stat"),
         col("n_ref"), col("n_cur"))
+
+  /** Per-stratum [[ksDrift]] — one KS row per value of `strataCol`
+    * (language, source, shard): the production monitor that catches a
+    * shift INSIDE one language that the pooled statistic dilutes away.
+    * Same two scans and single grouped range shuffle as [[ksDriftMulti]]
+    * (strata ride [[Windows.scalableCumSumBy]]'s group key); per-stratum
+    * totals are strata-bounded on the driver (the centroid discipline).
+    * NULL strata and NULL values are dropped. A stratum present in only
+    * ONE snapshot has no defined KS and is REFUSED loudly (a vanished or
+    * brand-new stratum is a schema-level drift signal — read it off
+    * [[profileBy]] counts, don't let it silently disappear from a drift
+    * series). Output: (strataCol, d_num, d_stat, n_ref, n_cur).
+    */
+  def ksDriftBy(ref: DataFrame, cur: DataFrame, valueCol: String,
+                strataCol: String, numPartitions: Int = 0): DataFrame = {
+    def counted(df: DataFrame, own: String, other: String) =
+      df.select(col(strataCol).as("g"), col(valueCol).as("v"))
+        .filter(col("v").isNotNull && col("g").isNotNull)
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as(own))
+        .withColumn(other, lit(0L))
+    val u = counted(ref, "ca", "cb").unionByName(counted(cur, "cb", "ca"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .localCheckpoint()
+    val tot = u.groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cur"))
+      .localCheckpoint() // strata-bounded; feeds the guard AND the join
+    val oneSided = tot.filter(col("n_ref") === 0 || col("n_cur") === 0)
+      .select(col("g")).collect().map(_.get(0))
+    require(oneSided.isEmpty,
+      s"ksDriftBy: strata present in only one snapshot: " +
+        s"${oneSided.mkString(", ")} — KS is undefined one-sided; " +
+        "surface them via profileBy counts instead")
+    require(tot.limit(1).count() > 0,
+      s"ksDriftBy: no non-null ($strataCol, $valueCol) rows in either " +
+        "snapshot")
+    ksSupBy(u, tot, "g", strataCol, numPartitions)
   }
 
   /** Sketch-approximated two-sample KS — the 100 TB twin of [[ksDrift]].

@@ -490,6 +490,39 @@ object Similarity {
     cents.toSeq.toDF("vec_id", "embedding")
   }
 
+  /** Embedding-distribution drift via centroid-assignment histograms —
+    * the T6 monitoring family's EMBEDDING modality (PSI watches scalar
+    * columns; nothing watched the vector space a retrieval/dedup stack
+    * actually lives in). The REFERENCE side defines the quantization
+    * geometry (seed centroids from its first `nCentroids` rows by
+    * vec_id — deterministic and SQL-expressible, the q65/q181
+    * discipline, playing the role percentile edges play for
+    * [[graft.ops.Profile.driftBuckets]]); both sides then assign
+    * map-side against the centroid literals (no join, no shuffle beyond
+    * two nCentroids-row count aggregates) and the aligned histogram
+    * (list_id, n_ref, n_cur) is the oracle-checkable counting artifact —
+    * feed [[graft.ops.Profile.psi]] for the scalar, exactly as with
+    * bucket drift. An embedding model swap, a new-domain intake, or a
+    * collapsed encoder all move assignment mass between lists long
+    * before any scalar column moves. Empty lists survive (zero-fill —
+    * an emptied list IS the signal). At 100 TB: centroids are
+    * maintenance state (reuse the IVF index's), each snapshot pays one
+    * map-side pass — the same cost as writing it into the index.
+    */
+  def assignmentDrift(ref: DataFrame, cur: DataFrame,
+                      nCentroids: Int = 16): DataFrame = {
+    val cents = collectCentroids(
+      ref.orderBy(col("vec_id")).limit(nCentroids))
+    def hist(df: DataFrame, as: String) =
+      df.select(array_min(centStructs(cents)(col("embedding")))
+          .getField("c_id").as("list_id"))
+        .groupBy(col("list_id")).agg(count(lit(1)).as(as))
+    hist(ref, "n_ref").join(hist(cur, "n_cur"), Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of true (probe, neighbor) top-k pairs the approximate
     * search recovered. The measuring stick for the IVF/LSH operating

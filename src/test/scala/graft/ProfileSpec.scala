@@ -172,6 +172,39 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("BOTH snapshots"))
   }
 
+  test("ksDriftBy == per-stratum ksDrift; one-sided stratum refused") {
+    val rnd = new scala.util.Random(17)
+    def frame(n: Int, shift: Long) =
+      Seq.fill(n)((if (rnd.nextBoolean()) "en" else "de",
+        rnd.nextInt(30).toLong + shift)).toDF("lang", "x")
+    val ref = frame(300, 0L)
+    val cur = frame(250, 4L)
+    val by = Profile.ksDriftBy(ref, cur, "x", "lang").collect()
+      .map(r => r.getString(0) ->
+        ((BigInt(r.getDecimal(1).toBigInteger), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))).toMap
+    assert(by.keySet == Set("en", "de"))
+    Seq("en", "de").foreach { g =>
+      val one = Profile.ksDrift(ref.filter(col("lang") === g),
+        cur.filter(col("lang") === g), "x").collect()(0)
+      assert(by(g) == ((BigInt(one.getDecimal(0).toBigInteger),
+        one.getDouble(1), one.getLong(2), one.getLong(3))),
+        s"stratum $g diverged from the filtered single-stratum form")
+    }
+    // a stratum present in only one snapshot is refused, named
+    val e = intercept[IllegalArgumentException] {
+      Profile.ksDriftBy(ref,
+        cur.unionByName(Seq(("fr", 9L)).toDF("lang", "x")), "x", "lang")
+    }
+    assert(e.getMessage.contains("fr"))
+    // NULL strata drop; all-null input refused
+    intercept[IllegalArgumentException] {
+      Profile.ksDriftBy(
+        ref.withColumn("lang", lit(null).cast("string")),
+        cur.withColumn("lang", lit(null).cast("string")), "x", "lang")
+    }
+  }
+
   test("ksDriftSketch lands within its error bound of the exact KS") {
     val rnd = new scala.util.Random(5)
     val xs = Seq.fill(2000)(rnd.nextInt(500).toLong).toDF("x")

@@ -247,6 +247,34 @@ class VectorSpec extends SparkSpec {
     assert(onDisk.count() == 3, "all non-self vectors live in the written list")
   }
 
+  test("assignmentDrift: self-drift is flat, missing cluster zero-fills, mass moves") {
+    // two well-separated clusters; seed centroids = first 2 rows by
+    // vec_id, one per cluster by construction
+    val ref = vecs(
+      (1L, Seq(1f, 0.1f), 0), (2L, Seq(0.1f, 1f), 0),
+      (3L, Seq(1f, 0.2f), 0), (4L, Seq(0.2f, 1f), 0),
+      (5L, Seq(1f, 0f), 0), (6L, Seq(0f, 1f), 0))
+    def hist(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // identical snapshots: every list has n_ref == n_cur, psi ~ 0
+    val self = Similarity.assignmentDrift(ref, ref, nCentroids = 2)
+    assert(hist(self).values.forall { case (a, b) => a == b })
+    val psiSelf = graft.ops.Profile.psi(self).collect()(0).getDouble(0)
+    assert(math.abs(psiSelf) < 1e-12)
+    // a current snapshot living entirely in cluster 1: cluster 2's list
+    // survives with n_cur = 0 (the emptied list IS the signal), and the
+    // psi reads as drifted
+    val cur = vecs((10L, Seq(1f, 0.15f), 0), (11L, Seq(1f, 0.05f), 0))
+    val moved = Similarity.assignmentDrift(ref, cur, nCentroids = 2)
+    val m = hist(moved)
+    assert(m(1L) == ((3L, 2L)) && m(2L) == ((3L, 0L)),
+      s"expected cluster-1 mass and an emptied cluster-2 list: $m")
+    assert(graft.ops.Profile.psi(moved).collect()(0).getDouble(0) > 0.25)
+    // totals: each side's histogram sums to its row count
+    assert(m.values.map(_._1).sum == 6L && m.values.map(_._2).sum == 2L)
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket("embedding", 8).as("b"))
