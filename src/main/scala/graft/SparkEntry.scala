@@ -944,6 +944,28 @@ object SparkEntry {
       graft.text.Corpus.noveltyAgainstTable(s, tbl,
         docs.filter(col("doc_id") % 5 === 4))
     }),
+    // A8 maintenance, the DELETE half (new r14 wave 4): refcounted
+    // shingle index as a log-structured ledger — appends add per-hash
+    // doc counts, forget appends the NEGATIVE of what ingest added,
+    // current state = per-hash sum > 0, compaction bounds the log. The
+    // build runs append + forget + compact end-to-end; the oracle
+    // rebuilds corpus-minus-forgotten in SQL, so the green row proves
+    // forget ∘ append ≡ never-ingested through the full ledger cycle.
+    "q198_novelty_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "shinglerc", "v1") { out =>
+        graft.text.Corpus.writeShingleIndexRc(
+          docs.filter(col("doc_id") % 5 < 2), out, n = 3)
+        graft.text.Corpus.appendShingleIndexRc(s, out,
+          docs.filter(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3))
+        graft.text.Corpus.forgetShingles(s, out,
+          docs.filter(col("doc_id") % 10 === 1)) // subset of wave 1
+        graft.text.Corpus.compactShingleIndexRc(s, out)
+      }
+      graft.text.Corpus.noveltyAgainstRcIndex(s, idxDir,
+        docs.filter(col("doc_id") % 5 === 4))
+    }),
     // A9 normalization: per-stratum percentile rank — one
     // correctly-rounded integer division per row (hash-exact, no margin
     // caveat), ties share a rank in both engines.
@@ -1485,6 +1507,25 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
         nCentroids = 16)
+    }),
+    // J7 maintenance, the DELETE half (new r14 wave 4): takedown on the
+    // at-rest IVF index — only the list partitions holding the doomed
+    // ids are rewritten (affected-list discovery is one column-pruned
+    // semi-join, <= nCentroids ids on the driver), variant columns ride
+    // the rewrite, list_stats gets negative deltas. The ensure block
+    // runs build + delete; search then answers over the shrunk index —
+    // the oracle searches corpus-minus-deleted directly, so the green
+    // row proves post-delete search ≡ never-indexed.
+    "q199_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfdel", "v1") { d =>
+        Similarity.writeIvfIndex(emb, d, nCentroids = 16)
+        Similarity.deleteFromIvfIndex(s, d,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      }
+      Similarity.searchIvfIndex(s, ivfDir,
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
     }),
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
@@ -2230,6 +2271,25 @@ object SparkEntry {
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
         |        FROM toks WHERE len(t) >= 3)),
         |corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 4)
+        |SELECT b.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM sh b LEFT JOIN corpus c ON c.shingle = b.shingle
+        |WHERE b.doc_id % 5 = 4
+        |GROUP BY b.doc_id""".stripMargin,
+    // forget ∘ append ≡ never-ingested: the oracle's corpus is simply
+    // corpus-minus-forgotten — if the ledger cycle (append, negative
+    // append, compact) left any residue, the hash gate would see it
+    "q198_novelty_forget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |corpus AS (SELECT DISTINCT shingle FROM sh
+        |           WHERE doc_id % 5 <> 4 AND doc_id % 10 <> 1)
         |SELECT b.doc_id, COUNT(*) AS n_shingles,
         |  CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_novel
@@ -4237,6 +4297,44 @@ object SparkEntry {
         |SELECT c.vec_id, c.label FROM embeddings c
         |WHERE c.vec_id % 50 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = c.vec_id)""".stripMargin,
+    // post-delete IVF search == search over corpus-minus-deleted: the
+    // q65 algebra with the doomed ids excluded from ASSIGN (the index
+    // side) while probes and centroids stay the full build's
+    "q199_ivf_delete" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id % 7 <> 3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 10
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |cand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.neighbor_id)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+        |  cosine
+        |FROM cand
+        |QUALIFY rank <= 5""".stripMargin,
     // embedding drift: the q65 seed-centroid assignment (reference side
     // defines the geometry), per-side counts aligned full-outer
     "q197_embedding_drift" ->

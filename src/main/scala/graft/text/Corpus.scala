@@ -1080,10 +1080,7 @@ object Corpus {
     val spark = docs.sparkSession
     hashedShingles(docs, n).select(col("_h")).distinct()
       .write.mode("overwrite").parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir, ShingleMetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+    writeShingleMeta(spark, dir, n)
   }
 
   private def shingleIndexN(spark: org.apache.spark.sql.SparkSession,
@@ -1183,6 +1180,102 @@ object Corpus {
       .write.mode("append")
       .bucketBy(nBuckets, "_h").sortBy("_h")
       .format("parquet").saveAsTable(table)
+  }
+
+  // ---- Refcounted (forgettable) shingle index ----------------------------
+  //
+  // The hash-set index ([[writeShingleIndex]]) is append-only: a hash,
+  // once admitted, can never leave, because the set does not know how
+  // many remaining documents still contain it. Takedowns (opt-outs,
+  // DMCA, GDPR erasure) need the DELETE half, so this variant stores
+  // (hash, refcount) as a LOG-STRUCTURED ledger (the CorpusStream label
+  // -store discipline): appends add positive per-hash doc counts,
+  // [[forgetShingles]] appends NEGATIVE ones, the current state is the
+  // per-hash SUM with non-positive rows gone, and
+  // [[compactShingleIndexRc]] bounds the log. Forgetting a document's
+  // shingles decrements exactly what ingesting it added, so
+  // forget ∘ append ≡ never-ingested BIT-EXACTLY (spec-pinned, and
+  // q198's oracle rebuilds the corpus-minus-forgotten state in SQL).
+  // Ingest contract: each document is appended exactly ONCE (the frame
+  // -index contract) — refcounts merge additively, so the ledger has no
+  // anti-join replay guard; wrap appends in a replay-guarded stream when
+  // the source is at-least-once.
+
+  /** Build the refcounted index: rows `(_h, n_docs)` — how many ingested
+    * docs contain each distinct hash — plus the same `_SHINGLE_META`
+    * width sidecar as the set form.
+    */
+  def writeShingleIndexRc(docs: DataFrame, dir: String, n: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    hashedShingles(docs, n).groupBy(col("_h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(dir)
+    writeShingleMeta(spark, dir, n)
+  }
+
+  /** Append a (never-before-ingested) batch's per-hash doc counts. */
+  def appendShingleIndexRc(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, delta: DataFrame): Unit =
+    hashedShingles(delta, shingleIndexN(spark, dir)).groupBy(col("_h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .write.mode("append").parquet(dir)
+
+  /** Forget previously-ingested documents: append the NEGATIVE of what
+    * ingesting them added. The caller passes the documents' TEXTS (the
+    * corpus store still holds them at takedown time) — the decrement
+    * must shingle exactly what the ingest shingled.
+    */
+  def forgetShingles(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, docs: DataFrame): Unit =
+    hashedShingles(docs, shingleIndexN(spark, dir)).groupBy(col("_h"))
+      .agg((-count(lit(1))).as("n_docs"))
+      .write.mode("append").parquet(dir)
+
+  /** The current hash set with live refcounts: per-hash ledger sum,
+    * non-positive rows gone. Every consumer reads THIS view — raw
+    * ledger rows are not a set (duplicate `_h`, negatives).
+    */
+  def readShingleIndexRc(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(dir).groupBy(col("_h"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+
+  /** Fold the ledger to one row per live hash (forgetting leaves tomb
+    * rows behind; compaction bounds reads). View-equivalence and
+    * re-appendability spec-pinned.
+    */
+  def compactShingleIndexRc(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit = {
+    val n = shingleIndexN(spark, dir)
+    val folded = readShingleIndexRc(spark, dir).localCheckpoint()
+    folded.write.mode("overwrite").parquet(dir)
+    writeShingleMeta(spark, dir, n) // overwrite clears the sidecar
+  }
+
+  /** [[noveltyAgainstIndex]] over the refcounted index's CURRENT view —
+    * a forgotten document's unique shingles read as novel again, which
+    * is exactly the takedown semantics (the corpus genuinely no longer
+    * contains them).
+    */
+  def noveltyAgainstRcIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, delta: DataFrame): DataFrame = {
+    val n = shingleIndexN(spark, dir)
+    val idx = readShingleIndexRc(spark, dir)
+      .select(col("_h"), lit(1).as("_seen"))
+    hashedShingles(delta, n)
+      .join(idx, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+  }
+
+  private def writeShingleMeta(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, ShingleMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** [[noveltyAgainstIndex]] against the bucketed catalog table: same

@@ -686,6 +686,68 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/list_stats")
   }
 
+  /** Takedown (right-to-be-forgotten) for the at-rest IVF index: remove
+    * `ids` from the index touching ONLY the list partitions that
+    * actually hold them — the missing DELETE half of the index's
+    * maintenance algebra (appends existed since round 8; an opt-out or
+    * DMCA sweep at 100 TB cannot pay a rebuild). Three bounded steps:
+    * (1) a column-pruned (vec_id, list_id) scan semi-joined to the
+    * broadcast id set yields the affected list ids (≤ nCentroids —
+    * collect-safe by construction); (2) those partitions alone are
+    * re-read (PartitionFilters), anti-joined, checkpointed (the rows
+    * must materialize BEFORE the dynamic partition overwrite replaces
+    * their own input files), and written back — at-rest variant columns
+    * (sq8 `codes`, `pq_codes`) ride the rewrite untouched, so variant
+    * searches keep working; (3) `list_stats` gets the removals as
+    * NEGATIVE delta rows, so [[ivfListStats]]'s sum — and therefore the
+    * [[ivfNeedsRetrain]] trigger — stays truthful without a rescan.
+    * A list emptied entirely is deleted outright (dynamic overwrite
+    * only replaces partitions PRESENT in the written frame — leaving
+    * the stale directory would resurrect the deleted vectors).
+    * Centroids are untouched, standard IVF delete semantics: geometry
+    * degrades only via occupancy, which the stats trigger already
+    * watches. Post-delete search ≡ search over an index built without
+    * the ids (spec-pinned, plus the q199 oracle).
+    *
+    * SINGLE-WRITER contract (the [[graft.maintenance.Compaction]]
+    * discipline): never run concurrently with an append to the same
+    * index.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: DataFrame): Unit = {
+    val doomed = ids.select(col("vec_id")).distinct()
+    val affected = spark.read.parquet(s"$dir/lists")
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("list_id").cast("long").as("list_id"))
+      .distinct().collect().map(_.getLong(0)) // <= nCentroids
+    if (affected.isEmpty) return
+    val hit = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(affected.map(Long.box): _*))
+    // one pass over the affected partitions feeds BOTH the survivors and
+    // the per-list removal counts; checkpointed so the overwrite below
+    // cannot see half-replaced input
+    val flagged = hit
+      .join(broadcast(doomed.withColumn("_del", lit(1))),
+        Seq("vec_id"), "left")
+      .localCheckpoint()
+    val remaining = flagged.filter(col("_del").isNull).drop("_del")
+    graft.ops.Upsert.overwritePartitions(remaining, s"$dir/lists",
+      Seq("list_id"))
+    // partitions with no survivors are not in `remaining` — remove them
+    val kept = remaining.select(col("list_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(kept).foreach { l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists/list_id=$l"),
+        true)
+    }
+    flagged.filter(col("_del").isNotNull)
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg((-count(lit(1))).as("n"))
+      .write.mode("append").parquet(s"$dir/list_stats")
+  }
+
   /** Per-list vector counts of an at-rest index, folded from the
     * build-time seed plus every append's delta rows — stats-table-sized
     * reads, the index itself is never scanned. Lists no append ever

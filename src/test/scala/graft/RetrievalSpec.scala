@@ -196,6 +196,61 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.shingle"))
   }
 
+  test("refcounted shingle index: forget == never-ingested; compaction view-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("shrc").toString
+    val waveA = docs.filter(col("doc_id") % 5 < 2)
+    val waveB = docs.filter(col("doc_id") % 5 === 2 ||
+      col("doc_id") % 5 === 3)
+    val gone = docs.filter(col("doc_id") % 10 === 1) // subset of wave A
+    def view(d: String) =
+      Corpus.readShingleIndexRc(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ledger build: two disjoint appends, then forget part of wave A
+    val led = s"$dir/ledger"
+    Corpus.writeShingleIndexRc(waveA, led, n = 3)
+    Corpus.appendShingleIndexRc(spark, led, waveB)
+    Corpus.forgetShingles(spark, led, gone)
+    // never-ingested reference: one build over (A ∪ B) minus gone
+    val refDir = s"$dir/ref"
+    Corpus.writeShingleIndexRc(
+      waveA.unionByName(waveB)
+        .join(gone.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      refDir, n = 3)
+    assert(view(led) == view(refDir),
+      "forget ∘ append must equal the never-ingested build, counts included")
+    // compaction: identical view, fewer files, still appendable
+    val filesBefore = new java.io.File(led)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Corpus.compactShingleIndexRc(spark, led)
+    assert(view(led) == view(refDir), "compaction must preserve the view")
+    val filesAfter = new java.io.File(led)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the ledger: $filesBefore -> $filesAfter")
+    // post-compaction forget still works (the ledger stays a ledger)
+    val gone2 = docs.filter(col("doc_id") % 10 === 6) // subset of wave A
+    Corpus.forgetShingles(spark, led, gone2)
+    Corpus.writeShingleIndexRc(
+      waveA.unionByName(waveB).join(
+        gone.unionByName(gone2).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"),
+      s"$dir/ref2", n = 3)
+    assert(view(led) == view(s"$dir/ref2"))
+    // the probe view matches the set-index probe over the live corpus
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    Corpus.writeShingleIndex(
+      waveA.unionByName(waveB).join(
+        gone.unionByName(gone2).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"),
+      s"$dir/set", n = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    assert(rows(Corpus.noveltyAgainstRcIndex(spark, led, batch)) ==
+      rows(Corpus.noveltyAgainstIndex(spark, s"$dir/set", batch)),
+      "the rc probe must answer exactly like the set index on the live corpus")
+  }
+
   test("shingle index width rides the sidecar, pre-sidecar dirs fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("shidx2").toString
     Corpus.writeShingleIndex(docs.limit(10), s"$dir/w2", n = 2)

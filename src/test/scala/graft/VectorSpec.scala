@@ -247,6 +247,72 @@ class VectorSpec extends SparkSpec {
     assert(onDisk.count() == 3, "all non-self vectors live in the written list")
   }
 
+  test("deleteFromIvfIndex: post-delete == never-indexed; untouched lists untouched; stats truthful") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // doomed ids chosen ABOVE the seed range so the never-indexed
+    // reference build picks the identical first-16 centroids, and
+    // SPARSE (mod 97) so some of the 16 lists are guaranteed doom-free
+    // for the untouched-files assertion
+    val doomed = emb.filter($"vec_id" >= 100 && $"vec_id" % 97 === 3)
+      .select($"vec_id")
+    val root = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Similarity.writeIvfIndex(emb, s"$root/a", nCentroids = 16, sq8 = true)
+    // file listing of every list dir before the delete
+    def listing(dir: String): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$dir/lists")
+      base.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = listing(s"$root/a")
+    Similarity.deleteFromIvfIndex(spark, s"$root/a", doomed)
+    Similarity.writeIvfIndex(
+      emb.join(doomed, Seq("vec_id"), "left_anti"), s"$root/b",
+      nCentroids = 16, sq8 = true)
+    val probes = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(rows(Similarity.searchIvfIndex(spark, s"$root/a", probes, 5)) ==
+      rows(Similarity.searchIvfIndex(spark, s"$root/b", probes, 5)),
+      "post-delete search must equal the never-indexed build")
+    // the sq8 variant column rode the rewrite
+    assert(rows(Similarity.searchIvfIndexSq8(spark, s"$root/a", probes, 5)) ==
+      rows(Similarity.searchIvfIndexSq8(spark, s"$root/b", probes, 5)),
+      "the sq8 codes column must survive the partition rewrite")
+    // lists holding no doomed vector keep their exact files
+    assert(doomed.count() > 0, "fixture must actually delete something")
+    val after = listing(s"$root/a")
+    val untouched = before.keySet.filter(k =>
+      before(k) == after.getOrElse(k, Set.empty[String]))
+    assert(untouched.nonEmpty,
+      s"expected some untouched list dirs, before=${before.keySet} " +
+        s"after=${after.keySet}")
+    assert(untouched != before.keySet,
+      "the delete must have rewritten at least one list dir")
+    // stats fold to the remaining corpus exactly
+    val statRows = Similarity.ivfListStats(spark, s"$root/a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueRows = spark.read.parquet(s"$root/a/lists")
+      .groupBy($"list_id".cast("long").as("l"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trueRows.forall { case (l, n) => statRows.get(l).contains(n) },
+      s"list_stats must fold to the post-delete counts: $statRows vs $trueRows")
+    // emptied list: a 1-vector cluster vanishes entirely and search is safe
+    val tiny = vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
+      (3L, Seq(1f, 0.1f), 0), (4L, Seq(1f, 0.2f), 0))
+    Similarity.writeIvfIndex(tiny, s"$root/t", nCentroids = 2)
+    Similarity.deleteFromIvfIndex(spark, s"$root/t",
+      Seq(2L).toDF("vec_id"))
+    assert(!new java.io.File(s"$root/t/lists/list_id=2").exists(),
+      "an emptied list's partition dir must be removed")
+    val res = Similarity.searchIvfIndex(spark, s"$root/t",
+      tiny.filter($"vec_id" === 1), 3, nProbe = 2)
+    assert(res.collect().map(_.getLong(1)).toSet == Set(3L, 4L),
+      "search across the emptied list must answer from the survivors")
+  }
+
   test("assignmentDrift: self-drift is flat, missing cluster zero-fills, mass moves") {
     // two well-separated clusters; seed centroids = first 2 rows by
     // vec_id, one per cluster by construction
