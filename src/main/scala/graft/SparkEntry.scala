@@ -1527,6 +1527,22 @@ object SparkEntry {
       Similarity.searchIvfIndex(s, ivfDir,
         emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
     }),
+    // J7/T6 embedding drift against the AT-REST index (new r14 wave 5 —
+    // the zero-extra-state form): the IVF index's centroids are the
+    // geometry and its list_stats the reference histogram, so "does
+    // today's intake still look like the retrieval corpus" costs one
+    // map-side batch assignment + a stats-table join; the index is
+    // never scanned. Same output contract as q197.
+    "q200_index_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfdrift", "v1") { d =>
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), d,
+          nCentroids = 16)
+      }
+      Similarity.assignmentDriftAgainstIndex(s, ivfDir,
+        emb.filter(col("vec_id") % 3 === 0))
+    }),
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
     // dropped; the eval set broadcasts into one corpus scan as a
@@ -4335,6 +4351,31 @@ object SparkEntry {
         |  cosine
         |FROM cand
         |QUALIFY rank <= 5""".stripMargin,
+    // index-as-reference drift: n_ref = the build corpus's assignment
+    // counts (what list_stats holds), n_cur = the batch's
+    "q200_index_drift" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, e.vec_id % 3 AS m, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id, m, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id) = 1),
+        |rh AS (SELECT list_id, COUNT(*) AS n_ref FROM assign
+        |       WHERE m <> 0 GROUP BY list_id),
+        |ch AS (SELECT list_id, COUNT(*) AS n_cur FROM assign
+        |       WHERE m = 0 GROUP BY list_id)
+        |SELECT COALESCE(rh.list_id, ch.list_id) AS list_id,
+        |  COALESCE(rh.n_ref, 0) AS n_ref,
+        |  COALESCE(ch.n_cur, 0) AS n_cur
+        |FROM rh FULL OUTER JOIN ch ON ch.list_id = rh.list_id""".stripMargin,
     // embedding drift: the q65 seed-centroid assignment (reference side
     // defines the geometry), per-side counts aligned full-outer
     "q197_embedding_drift" ->

@@ -523,6 +523,31 @@ object Similarity {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
+  /** [[assignmentDrift]] with an at-rest [[writeIvfIndex]] index as the
+    * reference — the ZERO-extra-state form: the index's centroids ARE
+    * the quantization geometry and its `list_stats` (kept truthful by
+    * appends and deletes) ARE the reference histogram, so monitoring an
+    * intake batch against "what the retrieval corpus looks like" costs
+    * one map-side assignment pass over the batch and a stats-table-sized
+    * join — the index is never scanned. Output contract matches
+    * [[assignmentDrift]]: (list_id, n_ref, n_cur), zero-filled both
+    * ways, [[graft.ops.Profile.psi]]-ready.
+    */
+  def assignmentDriftAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, batch: DataFrame): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    val cur = batch
+      .select(array_min(centStructs(cents)(col("embedding")))
+        .getField("c_id").as("list_id"))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_cur"))
+    ivfListStats(spark, dir)
+      .select(col("list_id"), col("n_vectors").as("n_ref"))
+      .join(cur, Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of true (probe, neighbor) top-k pairs the approximate
     * search recovered. The measuring stick for the IVF/LSH operating

@@ -341,6 +341,34 @@ class VectorSpec extends SparkSpec {
     assert(m.values.map(_._1).sum == 6L && m.values.map(_._2).sum == 2L)
   }
 
+  test("assignmentDriftAgainstIndex: stats reference truthful through append+delete") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // both the append delta and the deletes sit ABOVE the seed range
+    // (vec_id >= 100) so the live corpus's first-16 seed equals the
+    // index's frozen centroids — the comparison then isolates the
+    // STATS bookkeeping, not centroid choice
+    val inExtra = $"vec_id" >= 100 && $"vec_id" % 5 === 4
+    val base = emb.filter($"vec_id" % 3 =!= 0 && !inExtra)
+    val extra = emb.filter($"vec_id" % 3 =!= 0 && inExtra)
+    val doomed = base.filter($"vec_id" >= 100 && $"vec_id" % 11 === 5)
+      .select($"vec_id")
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    Similarity.writeIvfIndex(base, dir, nCentroids = 16)
+    Similarity.appendIvfIndex(extra, dir)
+    Similarity.deleteFromIvfIndex(spark, dir, doomed)
+    val live = base.unionByName(extra)
+      .join(doomed, Seq("vec_id"), "left_anti")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // the index-backed monitor (stats join, index never scanned) must
+    // equal the direct two-snapshot form over the LIVE corpus
+    assert(m(Similarity.assignmentDriftAgainstIndex(spark, dir, batch)) ==
+      m(Similarity.assignmentDrift(live, batch, nCentroids = 16)),
+      "list_stats must fold to the live corpus's assignment histogram")
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket("embedding", 8).as("b"))
