@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -71,6 +72,59 @@ object VectorStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val fresh = dedupBatch(spark, batch.toDF(), indexDir, threshold, nProbe)
         Similarity.appendIvfIndex(fresh, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One monitor row for an intake batch against the index:
+    * (n_rows, n_ref_total, psi). The histogram is the q200 batch form
+    * ([[Similarity.assignmentDriftAgainstIndex]] — one map-side
+    * assignment pass over the batch + a stats-table join, the index
+    * never scanned), checkpointed once so its three consumers (the two
+    * sums and the PSI) never re-derive it. n_rows is the histogram's
+    * own Σ n_cur (no separate count pass — the monitorRow discipline);
+    * n_ref_total stamps WHICH corpus the batch was scored against, so
+    * a reference that moved between batches (live ingest appends) or
+    * between a run and its replay is observable in the series instead
+    * of silently folded into the PSI.
+    */
+  private[graft] def driftMonitorRow(spark: SparkSession, batch: DataFrame,
+                                     indexDir: String): DataFrame = {
+    val h = Similarity.assignmentDriftAgainstIndex(spark, indexDir, batch)
+      .localCheckpoint()
+    val n = h.agg(coalesce(sum(col("n_cur")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("n_ref")), lit(0L)).as("n_ref_total"))
+    graft.ops.Profile.psi(h).crossJoin(broadcast(n))
+      .select(col("n_rows"), col("n_ref_total"), col("psi"))
+  }
+
+  /** The embedding-drift monitor stream — the vector modality's
+    * [[DriftStream.monitorQuery]]: per micro-batch, one
+    * (batch_id, n_rows, n_ref_total, psi) row scoring the intake
+    * against the LIVE index's list_stats, into a batch_id-partitioned
+    * sink through dynamic partition overwrite. Composes with
+    * [[ingestQuery]] on the same index: the monitor reads only
+    * centroids + stats, so it never contends with ingest's list
+    * appends, and scoring intake against "what the retrieval corpus
+    * looks like right now" is exactly the freshness production wants.
+    * Replay converges bit-exactly when the index is quiescent across
+    * the replay; under live ingest the n_ref_total column is the
+    * staleness witness (same content ⇒ same reference, by contract of
+    * list_stats growing monotonically with appends and shrinking only
+    * through deletes).
+    */
+  def driftMonitorQuery(spark: SparkSession, srcDir: String,
+                        indexDir: String, outDir: String,
+                        checkpointDir: String,
+                        schema: StructType): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Upsert.overwritePartitions(
+          driftMonitorRow(spark, batch.toDF(), indexDir)
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

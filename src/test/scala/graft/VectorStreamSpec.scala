@@ -82,4 +82,59 @@ class VectorStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/lists").count() == 2,
       "an all-replay batch must leave the index untouched")
   }
+
+  test("drift monitor: rows match the q200 batch form, live reference stamped, replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdrift").toString
+    val src = s"$dir/src"; val idx = s"$dir/idx"; val out = s"$dir/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    Similarity.writeIvfIndex(emb.filter($"vec_id" % 3 === 1), idx,
+      nCentroids = 8)
+    val w1 = emb.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0)
+    val w2 = emb.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 1)
+    val mschema = emb.schema
+
+    def psiOf(cur: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Profile.psi(
+        Similarity.assignmentDriftAgainstIndex(spark, idx, cur))
+        .collect()(0).getDouble(0)
+    def monRows() = spark.read.parquet(out)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_ref_total"),
+          r.getAs[Double]("psi")))).toMap
+
+    w1.coalesce(1).write.parquet(s"$src/w1")
+    VectorStream.driftMonitorQuery(spark, s"$src/*", idx, out,
+      s"$dir/cp", mschema).awaitTermination()
+    val refTotal1 = emb.filter($"vec_id" % 3 === 1).count()
+    // expected psi captured BEFORE the index moves
+    val psi1 = psiOf(w1)
+    assert(monRows() == Map(0L -> ((w1.count(), refTotal1, psi1))),
+      s"batch-0 row must equal the q200 batch form: ${monRows()}")
+
+    // the index grows between waves (live ingest): wave 2 is scored
+    // against the GROWN corpus and the row says so via n_ref_total
+    Similarity.appendIvfIndex(emb.filter($"vec_id" % 3 === 2), idx)
+    w2.coalesce(1).write.parquet(s"$src/w2")
+    VectorStream.driftMonitorQuery(spark, s"$src/*", idx, out,
+      s"$dir/cp", mschema).awaitTermination()
+    val refTotal2 = emb.filter($"vec_id" % 3 =!= 0).count()
+    val rows = monRows()
+    assert(rows(0L) == ((w1.count(), refTotal1, psi1)),
+      "an already-emitted monitor row must not be rewritten")
+    assert(rows(1L) == ((w2.count(), refTotal2, psiOf(w2))),
+      s"batch-1 row must score against the grown reference: $rows")
+
+    // replay from a fresh checkpoint over the now-quiescent index:
+    // everything lands in batch 0, partition overwrite converges to
+    // exactly one row with the combined-wave numbers
+    VectorStream.driftMonitorQuery(spark, s"$src/*", idx, out,
+      s"$dir/cp2", mschema).awaitTermination()
+    val replayed = monRows()
+    assert(replayed(0L) ==
+      ((w1.count() + w2.count(), refTotal2, psiOf(w1.unionByName(w2)))),
+      s"replay must converge to the combined-wave row: $replayed")
+  }
 }
