@@ -553,6 +553,23 @@ object SparkEntry {
       TextDedup.dedupClustersResume(
         TextDedup.dedupClusters(oldPairs), newPairs)
     }),
+    // A8 extended — the DELETE half of cluster maintenance (new r14):
+    // a takedown set (doc_id % 7 == 3) is forgotten from the persisted
+    // q73 labeling; affected clusters re-derive connectivity among their
+    // SURVIVORS from content (splits happen, last-duplicate losers drop
+    // out), untouched clusters pass through via one anti-join. Oracle =
+    // the same cold recursive CTE over the reduced corpus, so the hash
+    // gate certifies forget ≡ never-ingested. Closes the maintenance
+    // triangle: build (q73), merge (q188), forget (q201).
+    "q201_cluster_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextDedup.dedupClustersForget(
+        TextDedup.dedupClusters(
+          TextDedup.nearDupPairs(docs, threshold = 0.5)),
+        docs,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+        d => TextDedup.nearDupPairs(d, threshold = 0.5))
+    }),
     // North star corpus prep: sequence packing — concatenate-then-chunk
     // token offsets and pack ids, windowed per hash shard.
     "q67_sequence_pack" -> ((s, dir) =>
@@ -2039,10 +2056,13 @@ object SparkEntry {
     * through the symmetric edge set, MIN per doc = component minimum.
     * Shared verbatim by q73 (cold clustering) and q188 (incremental
     * resume) — the hash gate thereby certifies resume ≡ cold recompute.
+    * The `docsFilter` variant (q201) runs the SAME cold clustering over
+    * a reduced corpus, certifying forget ≡ never-ingested.
     */
-  private val dedupClustersSql: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+  private def dedupClustersSqlOver(docsFilter: String): String =
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
+      |  FROM documents WHERE $docsFilter),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -2091,6 +2111,8 @@ object SparkEntry {
       |  SELECT e.src AS doc_id, w.lab
       |  FROM edges e JOIN walk w ON w.doc_id = e.dst)
       |SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin
+
+  private val dedupClustersSql: String = dedupClustersSqlOver("TRUE")
 
   /** Exact label-blocked cosine pairs + the recursive component walk.
     * Shared verbatim by q89 (cold semantic clustering) and q189
@@ -3282,6 +3304,7 @@ object SparkEntry {
     // Incremental resume must land bit-exactly on the cold recompute —
     // same oracle as q73 by construction.
     "q188_cluster_resume" -> dedupClustersSql,
+    "q201_cluster_forget" -> dedupClustersSqlOver("doc_id % 7 <> 3"),
     // q73's component walk, then q66's md5 rule over the cluster key
     "q187_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (

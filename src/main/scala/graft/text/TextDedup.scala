@@ -534,16 +534,7 @@ object TextDedup {
 
   private def resumeParts(labels0: DataFrame, newPairs: DataFrame,
                           maxIters: Int): (DataFrame, DataFrame) = {
-    val state = localCheckpointFresh(
-      labels0.select(col("doc_id"), col("cluster_id")))
-    require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
-      "dedupClustersResume: labels0 is not a dedupClusters labeling — " +
-        "found cluster_id > doc_id (labels must be component minima)")
-    require(state.select(col("cluster_id")).distinct()
-      .join(state.filter(col("doc_id") === col("cluster_id"))
-        .select(col("cluster_id")), Seq("cluster_id"), "left_anti").isEmpty,
-      "dedupClustersResume: labels0 is missing a representative row " +
-        "(doc_id = cluster_id) for some cluster — corrupt label store")
+    val state = validatedLabeling(labels0, "dedupClustersResume")
     val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val affectedClusters = affectedClusterIds(state, np).localCheckpoint()
     val relabeled = dedupClusters(subgraphOf(state, np, affectedClusters),
@@ -551,6 +542,68 @@ object TextDedup {
     val untouched = state.join(affectedClusters, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     (untouched, relabeled)
+  }
+
+  /** `labels0` checkpointed and loudly validated as a [[dedupClusters]]
+    * output (component-minimum labels, representative row per cluster) —
+    * the state-invariant gate every maintenance operator runs first (a
+    * corrupt label store must fail, not silently mis-merge).
+    */
+  private def validatedLabeling(labels0: DataFrame, op: String): DataFrame = {
+    val state = localCheckpointFresh(
+      labels0.select(col("doc_id"), col("cluster_id")))
+    require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
+      s"$op: labels0 is not a dedupClusters labeling — " +
+        "found cluster_id > doc_id (labels must be component minima)")
+    require(state.select(col("cluster_id")).distinct()
+      .join(state.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id")), Seq("cluster_id"), "left_anti").isEmpty,
+      s"$op: labels0 is missing a representative row " +
+        "(doc_id = cluster_id) for some cluster — corrupt label store")
+    state
+  }
+
+  /** The DELETE half of cluster maintenance — remove `doomed` docs from
+    * a PERSISTED labeling (takedowns, erasure requests) without
+    * recomputing untouched clusters. Contract: if `labels0` is the valid
+    * [[dedupClusters]] clustering of `corpus` under `pairsOf`, the result
+    * is bit-identical to `dedupClusters(pairsOf(corpus − doomed))` — a
+    * doc that loses its last duplicate DROPS OUT of the labeling (cold
+    * parity), and a cluster whose bridge doc is deleted SPLITS.
+    *
+    * Why this cannot be a label pass-through: the store keeps only the
+    * depth-1 star forest, not the pair graph, so deleting a member —
+    * above all the representative at a star's center — says nothing
+    * about which survivors remain transitively connected. Connectivity
+    * among affected survivors is therefore RE-DERIVED from content:
+    * `pairsOf` (the SAME generator that built the state — banding is
+    * pairwise-deterministic, so pairs never cross valid cluster
+    * boundaries and affected-only recompute is exact) runs over the
+    * surviving members of affected clusters only. Scale shape: the
+    * recompute is bounded by the doomed set's cluster sizes, never the
+    * corpus; untouched clusters pass through via one anti-join on the
+    * (doomed-degree-bounded) affected-cluster-id set; doomed ids never
+    * clustered are a no-op. The [[dedupClustersResume]] /
+    * [[graft.vector.Similarity.deleteFromIvfIndex]] discipline, closing
+    * the maintenance triangle: build (q73), merge (q188), forget.
+    */
+  def dedupClustersForget(labels0: DataFrame, corpus: DataFrame,
+                          doomed: DataFrame,
+                          pairsOf: DataFrame => DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val state = validatedLabeling(labels0, "dedupClustersForget")
+    val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
+    val affected = state.join(dIds, Seq("doc_id"))
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    val untouched = state.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val survivorIds = state.join(affected, Seq("cluster_id"), "left_semi")
+      .join(dIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val relabeled = dedupClusters(
+      pairsOf(corpus.join(survivorIds, Seq("doc_id"), "left_semi")),
+      maxIters)
+    untouched.unionByName(relabeled)
   }
 
   /** The corpus minus every non-representative member of each near-dup

@@ -397,6 +397,48 @@ class TextSpec extends SparkSpec {
     assert(sub == Set((1L, 2L), (3L, 4L), (2L, 3L)))
   }
 
+  test("dedupClustersForget ≡ cold over the reduced corpus: split, drop-out, passthrough, no-op") {
+    // pairwise-deterministic generator: docs pair iff |v_a − v_b| <= 1 —
+    // chains WITHOUT transitivity, so deleting a bridge genuinely splits
+    def pairsOf(d: org.apache.spark.sql.DataFrame) = {
+      val a = d.select(col("doc_id").as("doc_a"), col("v").as("_va"))
+      val b = d.select(col("doc_id").as("doc_b"), col("v").as("_vb"))
+      a.join(b, abs(col("_va") - col("_vb")) <= 1 &&
+        col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
+    }
+    // chain {1,2,3,4} (v 0..3), pair {7,8}, never-clustered 9
+    val corpus = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (7L, 10L), (8L, 10L), (9L, 20L)).toDF("doc_id", "v")
+    val labels0 = TextDedup.dedupClusters(pairsOf(corpus))
+    // doomed 2 splits the chain (1 loses its last duplicate and DROPS
+    // OUT; {3,4} remains); doomed 9 was never clustered — a no-op
+    val doomed = Seq(2L, 9L).toDF("doc_id")
+    val seen = scala.collection.mutable.Set[Long]()
+    val got = TextDedup.dedupClustersForget(labels0, corpus, doomed,
+      d => { seen ++= d.select(col("doc_id")).as[Long].collect(); pairsOf(d) })
+      .as[(Long, Long)].collect().toMap
+    val cold = TextDedup.dedupClusters(
+      pairsOf(corpus.join(doomed, Seq("doc_id"), "left_anti")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == cold && got == Map(3L -> 3L, 4L -> 3L, 7L -> 7L, 8L -> 7L))
+    // the scale pin: untouched {7,8} and the no-op 9 never reach the
+    // (content-priced) pair generator — only affected survivors do
+    assert(seen.toSet == Set(1L, 3L, 4L))
+
+    // deleting a REPRESENTATIVE (the star center): survivors re-link
+    // from content and elect a new component minimum
+    val rep = TextDedup.dedupClustersForget(labels0, corpus,
+      Seq(1L).toDF("doc_id"), pairsOf).as[(Long, Long)].collect().toMap
+    assert(rep == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 7L, 8L -> 7L))
+
+    // corrupt store rejected (same validation gate as resume)
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupClustersForget(
+        Seq((2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id"),
+        corpus, Seq(2L).toDF("doc_id"), pairsOf)
+    }
+  }
+
   test("dedupClustersResume rejects a corrupt label store") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
     // cluster_id above doc_id — not a component-minimum labeling
