@@ -196,10 +196,15 @@ object CorpusStream {
             .add("cluster_id", org.apache.spark.sql.types.LongType))
       case Some(_) =>
         // partition discovery types `v` from the dir names; max(struct)
-        // takes the highest version's row per doc — one shuffle on doc_id
+        // takes the highest version's row per doc — one shuffle on doc_id.
+        // A null cluster_id in the winning version is a TOMBSTONE (the
+        // takedown write unit of [[forgetDocs]]): the doc is dropped from
+        // the labeling; [[compactClusterLabels]]'s snapshot republish
+        // then erases the tombstone physically.
         spark.read.parquet(labelsDir)
           .groupBy(col("doc_id"))
           .agg(max(struct(col("v"), col("cluster_id"))).as("_m"))
+          .filter(col("_m.cluster_id").isNotNull)
           .select(col("doc_id"), col("_m.cluster_id").as("cluster_id"))
     }
 
@@ -220,6 +225,97 @@ object CorpusStream {
         graft.sources.VersionedStore.retire(spark, labelsDir, latest)
       }
 
+  // ---- Takedown (the DELETE half of the streaming cluster pipeline) ----
+  //
+  // Erasure requests against a LIVE dedup stream need three things the
+  // append-only design lacks: (1) the doc's labels must leave the store
+  // — including relabeling its cluster's survivors, since removing a
+  // bridge doc splits a component (dedupClustersForget's job); (2) its
+  // SIGNATURES must stop influencing future clustering immediately — a
+  // new near-dup of a forgotten doc would otherwise pair with the stale
+  // index rows and resurrect the forgotten doc_id in the labeling; (3)
+  // the signatures must eventually leave the disk. The design is the
+  // standard log-structured one: a FORGOTTEN-IDS LEDGER gives (2) as a
+  // logical delete every index read honors, label TOMBSTONES give (1)
+  // through the existing versioned store, and physical erasure (3) is
+  // deferred to [[compactSignatureIndex]] on the maintenance cadence —
+  // takedowns stay O(affected cluster), never O(index rewrite).
+  //
+  // Documented staleness: a forgotten doc RE-INGESTED before the next
+  // index compaction is dropped by the ledger (doc_id-level logical
+  // delete); after compaction clears the ledger it is admitted as new.
+
+  /** Ids recorded for takedown — empty before the first
+    * [[forgetDocs]]. Distinct on read; the ledger is append-only.
+    */
+  def forgottenIds(spark: SparkSession,
+                   forgottenDir: String): org.apache.spark.sql.DataFrame =
+    if (graft.sources.Tables.pathExists(spark, forgottenDir))
+      spark.read.parquet(forgottenDir).select(col("doc_id")).distinct()
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("doc_id", org.apache.spark.sql.types.LongType))
+
+  /** The signature index minus the ledger — what every consumer (replay
+    * guard, pair probes, [[forgetDocs]]' own relabel) must read.
+    */
+  private def liveIndex(spark: SparkSession, indexDir: String,
+                        forgottenDir: Option[String])
+      : org.apache.spark.sql.DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    forgottenDir.fold(idx)(d =>
+      idx.join(forgottenIds(spark, d), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Process a takedown: record `doomed` in the ledger, then publish one
+    * label-store version with the affected clusters' new labels and
+    * tombstones ([[graft.text.TextDedup.dedupClustersForgetDelta]] —
+    * survivor connectivity re-derives from the live index's signatures,
+    * so no original text is needed). Ledger-first is the crash order
+    * that can only fail SAFE: a crash before the publish leaves the
+    * doomed docs logically dead in the index but still labeled — re-run
+    * to complete (idempotent; a completed forget makes the relabel a
+    * no-op) — while the reverse order could let stale signatures
+    * resurrect a tombstoned doc.
+    */
+  def forgetDocs(spark: SparkSession, indexDir: String, labelsDir: String,
+                 forgottenDir: String,
+                 doomed: org.apache.spark.sql.DataFrame,
+                 threshold: Double = 0.5): Unit = {
+    import graft.text.TextDedup
+    val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
+    dIds.write.mode("append").parquet(forgottenDir)
+    val live = liveIndex(spark, indexDir, Some(forgottenDir))
+    val changed = TextDedup.dedupClustersForgetDelta(
+      readClusterLabels(spark, labelsDir), live, dIds,
+      d => TextDedup.nearDupAgainstIndex(d, d, threshold)
+        .select(col("doc_a"), col("doc_b"))).localCheckpoint()
+    if (!changed.isEmpty) {
+      val next = graft.sources.VersionedStore
+        .latestVersion(spark, labelsDir).getOrElse(0L) + 1
+      graft.sources.VersionedStore.publish(spark, labelsDir, next)(tmp =>
+        changed.write.parquet(tmp))
+    }
+  }
+
+  /** Physical erasure on the maintenance cadence: rewrite the signature
+    * index minus the ledger (atomic swap), then clear the ledger. A
+    * crash between the two steps leaves ledger rows whose docs are
+    * already gone — harmless no-op filters until the next run clears
+    * them. SINGLE-WRITER CONTRACT as with every compaction here: do not
+    * race a concurrent ingest append into `indexDir`.
+    */
+  def compactSignatureIndex(spark: SparkSession, indexDir: String,
+                            forgottenDir: String): Unit = {
+    val live = liveIndex(spark, indexDir, Some(forgottenDir))
+      .localCheckpoint(true)
+    graft.ops.Upsert.atomicReplace(spark, live, indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(forgottenDir), true)
+  }
+
   /** One cluster-maintenance micro-batch; exposed for tests. Ordering is
     * the idempotence argument (foreachBatch is at-least-once):
     *
@@ -239,12 +335,22 @@ object CorpusStream {
   private[graft] def clusterMaintainBatch(spark: SparkSession,
                                           batch: org.apache.spark.sql.DataFrame,
                                           indexDir: String, labelsDir: String,
-                                          threshold: Double): Unit = {
+                                          threshold: Double,
+                                          forgottenDir: Option[String] = None)
+      : Unit = {
     import graft.text.TextDedup
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    // the takedown ledger gates the BATCH too, not just the index reads:
+    // a re-delivered (or re-crawled) forgotten doc passes the replay
+    // guard — its live index rows are gone — and its own batch
+    // signatures would otherwise re-pair it straight back into the store
+    val b0 = batch.select(col("doc_id"), col("text"))
+    val b = forgottenDir.fold(b0)(d =>
+        b0.join(forgottenIds(spark, d), Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
     val hasIndex = graft.sources.Tables.pathExists(spark, indexDir)
     val newDocs = (if (hasIndex)
-        b.join(spark.read.parquet(indexDir).select(col("doc_id")).distinct(),
+        b.join(liveIndex(spark, indexDir, forgottenDir)
+            .select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else b).localCheckpoint()
     if (!newDocs.isEmpty) {
@@ -254,7 +360,7 @@ object CorpusStream {
       // pair pipeline — it must run once
       val delta = (if (hasIndex)
           internal.unionByName(TextDedup.nearDupAgainstIndex(
-            spark.read.parquet(indexDir), batchIdx, threshold))
+            liveIndex(spark, indexDir, forgottenDir), batchIdx, threshold))
         else internal).select(col("doc_a"), col("doc_b")).localCheckpoint()
       if (!delta.isEmpty) {
         val changed = TextDedup.dedupClustersDelta(
@@ -277,11 +383,14 @@ object CorpusStream {
   def clusterMaintainQuery(spark: SparkSession, srcDir: String,
                            indexDir: String, labelsDir: String,
                            checkpointDir: String, schema: StructType,
-                           threshold: Double = 0.5): StreamingQuery =
+                           threshold: Double = 0.5,
+                           forgottenDir: Option[String] = None)
+      : StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        clusterMaintainBatch(spark, batch, indexDir, labelsDir, threshold)
+        clusterMaintainBatch(spark, batch, indexDir, labelsDir, threshold,
+          forgottenDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

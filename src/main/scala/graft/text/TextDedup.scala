@@ -591,19 +591,51 @@ object TextDedup {
                           doomed: DataFrame,
                           pairsOf: DataFrame => DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    val (untouched, relabeled, _) =
+      forgetParts(labels0, corpus, doomed, pairsOf, maxIters)
+    untouched.unionByName(relabeled)
+  }
+
+  /** The CHANGED rows of [[dedupClustersForget]] — the write unit of a
+    * log-structured label store's takedown: new labels for affected
+    * survivors that stay clustered, plus TOMBSTONES (null cluster_id)
+    * for every affected member that leaves the labeling (the doomed
+    * docs and any survivor that lost its last duplicate). Untouched
+    * clusters are omitted, so the version write is O(affected). A
+    * latest-per-doc reader drops tombstoned docs
+    * ([[graft.streaming.CorpusStream.readClusterLabels]]).
+    */
+  def dedupClustersForgetDelta(labels0: DataFrame, corpus: DataFrame,
+                               doomed: DataFrame,
+                               pairsOf: DataFrame => DataFrame,
+                               maxIters: Int = 20): DataFrame = {
+    val (_, relabeled, affectedState) =
+      forgetParts(labels0, corpus, doomed, pairsOf, maxIters)
+    val kept = relabeled.localCheckpoint()
+    val gone = affectedState
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("cluster_id"))
+    kept.unionByName(gone)
+  }
+
+  private def forgetParts(labels0: DataFrame, corpus: DataFrame,
+                          doomed: DataFrame,
+                          pairsOf: DataFrame => DataFrame, maxIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val state = validatedLabeling(labels0, "dedupClustersForget")
     val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
     val affected = state.join(dIds, Seq("doc_id"))
       .select(col("cluster_id")).distinct().localCheckpoint()
     val untouched = state.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
-    val survivorIds = state.join(affected, Seq("cluster_id"), "left_semi")
+    val affectedState = state.join(affected, Seq("cluster_id"), "left_semi")
+    val survivorIds = affectedState
       .join(dIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
     val relabeled = dedupClusters(
       pairsOf(corpus.join(survivorIds, Seq("doc_id"), "left_semi")),
       maxIters)
-    untouched.unionByName(relabeled)
+    (untouched, relabeled, affectedState)
   }
 
   /** The corpus minus every non-representative member of each near-dup

@@ -240,6 +240,88 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == want)
   }
 
+  test("cluster takedown: ledger kills stale signatures, tombstones leave the labeling, compaction erases") {
+    import graft.streaming.CorpusStream
+    import graft.sources.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val (src, idx, labels, forgotten) =
+      (s"$root/src", s"$root/idx", s"$root/labels", s"$root/forgotten")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def base(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+    def mut(p: String, j: Int) =
+      (1 to 60).map(i => if (i == j) s"MUT$j" else s"$p$i").mkString(" ")
+    def runStream(): Unit = {
+      val q = CorpusStream.clusterMaintainQuery(spark, src, idx, labels,
+        s"$root/cp", schema, threshold = 0.5,
+        forgottenDir = Some(forgotten))
+      q.processAllAvailable(); q.stop()
+    }
+    def labelMap() = CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap
+
+    // two pair clusters
+    Seq((10L, base("a")), (11L, mut("a", 30)),
+      (20L, base("b")), (21L, mut("b", 30)))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runStream()
+    assert(labelMap() == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // takedown of the whole {10,11} cluster — the delta version is
+    // pure tombstones (the one-member form, where the survivor drops
+    // out for losing its last duplicate, is pinned in TextSpec)
+    CorpusStream.forgetDocs(spark, idx, labels, forgotten,
+      Seq(10L, 11L).toDF("doc_id"))
+    assert(labelMap() == Map(20L -> 20L, 21L -> 20L))
+    assert(spark.read.parquet(s"$labels/v=2")
+      .filter(col("cluster_id").isNull)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+
+    // resurrection guard: a new near-dup of the FORGOTTEN content must
+    // not pair with the stale index rows (without the ledger, doc 30
+    // would drag 10/11 straight back into the labeling)
+    Seq((30L, mut("a", 31))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runStream()
+    assert(labelMap() == Map(20L -> 20L, 21L -> 20L),
+      "stale signatures of forgotten docs must not generate pairs")
+
+    // re-ingest before compaction: the ledger is a doc_id-level logical
+    // delete, so the re-delivery is dropped wholesale (documented
+    // staleness window)
+    val idxRows = spark.read.parquet(idx).count()
+    Seq((11L, base("z"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runStream()
+    assert(labelMap() == Map(20L -> 20L, 21L -> 20L))
+    assert(spark.read.parquet(idx).count() == idxRows,
+      "a re-ingested forgotten doc must not reach the index pre-compaction")
+
+    // physical erasure: the index rewrite drops the forgotten rows and
+    // clears the ledger
+    CorpusStream.compactSignatureIndex(spark, idx, forgotten)
+    assert(spark.read.parquet(idx).filter(col("doc_id").isin(10L, 11L))
+      .isEmpty, "compaction must erase forgotten signatures physically")
+    assert(!graft.sources.Tables.pathExists(spark, forgotten))
+
+    // post-compaction the id is re-admitted as new content: 11 pairs
+    // with the LIVE near-dup 30 (its own old signatures are gone)
+    Seq((11L, mut("a", 32))).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runStream()
+    assert(labelMap() ==
+      Map(20L -> 20L, 21L -> 20L, 11L -> 11L, 30L -> 11L))
+
+    // label compaction republishes the tombstone-filtered snapshot: no
+    // null rows survive physically, reads unchanged
+    CorpusStream.compactClusterLabels(spark, labels)
+    assert(spark.read.parquet(labels).filter(col("cluster_id").isNull)
+      .isEmpty)
+    assert(labelMap() ==
+      Map(20L -> 20L, 21L -> 20L, 11L -> 11L, 30L -> 11L))
+  }
+
   test("streaming hist state: quantile is batch-chop-invariant and replay-safe") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-hstream").toString
