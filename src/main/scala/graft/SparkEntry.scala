@@ -357,6 +357,24 @@ object SparkEntry {
       graft.ops.FuzzyJoin.fuzzyProbe(s, idxDir,
         cust.filter(col("c_custkey") % 4 === 1), "c_name")
     }),
+    // J4 extended — the DELETE half of the variant index (new r14): the
+    // q144 build plus a takedown of half the corpus's names (custkey
+    // %8==4) before the probe; the rewrite touches only the doomed
+    // terms' tb buckets. Oracle = the q144 join over the REDUCED corpus,
+    // so the green row certifies delete ≡ never-ingested through the
+    // probe path.
+    "q202_fuzzy_delete" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/customer.parquet", "fuzzydel", "v1") { out =>
+        graft.ops.FuzzyJoin.writeVariantIndex(
+          cust.filter(col("c_custkey") % 4 === 0), "c_name", out)
+        graft.ops.FuzzyJoin.deleteFromVariantIndex(s, out,
+          cust.filter(col("c_custkey") % 8 === 4), "c_name")
+      }
+      graft.ops.FuzzyJoin.fuzzyProbe(s, idxDir,
+        cust.filter(col("c_custkey") % 4 === 1), "c_name")
+    }),
     // J4 record linkage: fuzzy name pairs WITHIN an exact blocking key
     // (nation) — the key joins the variant equi-join, so every deletion
     // bucket splits by nation and the Σ_bucket n² bound tightens by the
@@ -1755,6 +1773,33 @@ object SparkEntry {
         Multimodal.appendFrameIndex(idxRows(col("doc_id") % 12 === 2), out)
         Multimodal.appendFrameIndex(idxRows(col("doc_id") % 12 === 8), out)
         graft.maintenance.Compaction.compactPartitioned(s, out, "ab")
+      }
+      Multimodal.videoNearDupAgainstIndex(
+        Multimodal.readFrameIndex(s, idxDir),
+        idxRows(col("doc_id") % 6 === 5),
+        minOverlap = 0.3, maxAssetsPerHash = 64)
+    }),
+    // A8 extended — the DELETE half of the frame index (new r14): the
+    // q132 maintenance cycle grows a takedown step — append two waves,
+    // compact, then DELETE the second wave's assets (doc_id%12==8);
+    // the rewrite touches only the doomed assets' ab buckets. Oracle =
+    // the q132 join with the corpus reduced to doc_id%12==2, so the
+    // green row certifies delete ≡ never-ingested through append AND
+    // compaction AND delete.
+    "q203_frame_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def idxRows(pred: org.apache.spark.sql.Column) =
+        Multimodal.frameIndexRows(
+          Multimodal.frameFingerprints(
+            Multimodal.syntheticVideoFrames(docs.filter(pred))))
+      val idxDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "framedel", "v1") { out =>
+        Multimodal.appendFrameIndex(idxRows(col("doc_id") % 12 === 2), out)
+        Multimodal.appendFrameIndex(idxRows(col("doc_id") % 12 === 8), out)
+        graft.maintenance.Compaction.compactPartitioned(s, out, "ab")
+        Multimodal.deleteFromAssetIndex(s, out,
+          docs.filter(col("doc_id") % 12 === 8)
+            .select(col("doc_id").as("asset_id")))
       }
       Multimodal.videoNearDupAgainstIndex(
         Multimodal.readFrameIndex(s, idxDir),
@@ -4575,6 +4620,34 @@ object SparkEntry {
         |JOIN pa nb ON p.asset_b = nb.asset_id
         |WHERE CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
         |  >= 0.3""".stripMargin,
+    // the q132 probe with the corpus reduced to the never-deleted wave
+    "q203_frame_delete" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id AS asset_id,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4]), 1, 14) AS fhash
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |hashes AS (SELECT DISTINCT asset_id, fhash FROM fr),
+        |pa AS (SELECT asset_id, COUNT(*) AS n FROM hashes GROUP BY asset_id),
+        |corpus AS (SELECT * FROM hashes WHERE asset_id % 12 = 2),
+        |delta AS (SELECT * FROM hashes WHERE asset_id % 6 = 5),
+        |stop AS (SELECT fhash FROM corpus GROUP BY fhash HAVING COUNT(*) > 64),
+        |prunedc AS (SELECT * FROM corpus
+        |            WHERE fhash NOT IN (SELECT fhash FROM stop)),
+        |pairs AS (SELECT c.asset_id AS asset_a, d.asset_id AS asset_b,
+        |    COUNT(*) AS n_matched
+        |  FROM prunedc c JOIN delta d USING (fhash) GROUP BY 1, 2)
+        |SELECT p.asset_a, p.asset_b, p.n_matched,
+        |  CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+        |    AS overlap
+        |FROM pairs p JOIN pa na ON p.asset_a = na.asset_id
+        |JOIN pa nb ON p.asset_b = nb.asset_id
+        |WHERE CAST(p.n_matched AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+        |  >= 0.3""".stripMargin,
     "q123_audio_align_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
@@ -4762,6 +4835,16 @@ object SparkEntry {
     "q144_fuzzy_delta" ->
       """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
         |           WHERE c_custkey % 4 = 0),
+        |b AS (SELECT DISTINCT c_name AS t FROM customer
+        |      WHERE c_custkey % 4 = 1)
+        |SELECT a.t AS name_a, b.t AS name_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM a JOIN b ON levenshtein(a.t, b.t) <= 1""".stripMargin,
+    // the q144 probe over the REDUCED corpus: what an index that never
+    // ingested the deleted names would answer
+    "q202_fuzzy_delete" ->
+      """WITH a AS (SELECT DISTINCT c_name AS t FROM customer
+        |           WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 4),
         |b AS (SELECT DISTINCT c_name AS t FROM customer
         |      WHERE c_custkey % 4 = 1)
         |SELECT a.t AS name_a, b.t AS name_b,

@@ -177,6 +177,44 @@ object FuzzyJoin {
       .write.partitionBy("tb").mode("append").parquet(dir)
   }
 
+  /** The DELETE half of variant-index maintenance (takedowns): every
+    * row of a term lives in its one `tb = hash(t)` bucket, so the
+    * rewrite touches only the doomed terms' buckets — first pruned by
+    * the terms' own hashes (PartitionFilters), then CONFIRMED by a
+    * semi-join so a term that was never indexed rewrites nothing.
+    * Emptied bucket dirs are removed outright (dynamic overwrite alone
+    * would resurrect their old rows). Delete-after-append ≡
+    * never-ingested is FuzzyJoinSpec-pinned row-identically and
+    * certified through the q202 probe oracle. Single-writer, like every
+    * compaction here.
+    */
+  def deleteFromVariantIndex(spark: SparkSession, dir: String,
+                             names: DataFrame, nameCol: String): Unit = {
+    val (_, nBuckets) = indexMeta(spark, dir)
+    val doomed = names.select(col(nameCol).cast("string").as("t"))
+      .distinct().localCheckpoint()
+    val cand = withBucket(doomed, nBuckets)
+      .select(col("tb")).distinct().collect().map(_.getInt(0))
+    if (cand.isEmpty) return
+    val affected = spark.read.parquet(dir)
+      .filter(col("tb").isin(cand.map(Integer.valueOf): _*))
+      .join(broadcast(doomed), Seq("t"), "left_semi")
+      .select(col("tb")).distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val remaining = spark.read.parquet(dir)
+      .filter(col("tb").isin(affected.map(Integer.valueOf): _*))
+      .join(broadcast(doomed), Seq("t"), "left_anti")
+      .localCheckpoint()
+    graft.ops.Upsert.overwritePartitions(remaining, dir, Seq("tb"))
+    val kept = remaining.select(col("tb").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(kept).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tb=$b"), true)
+    }
+  }
+
   /** The shared probe body: delta variants equi-join the corpus index —
     * the corpus is never re-paired, the index never shuffled beyond the
     * variant join. The stop-variant guard counts corpus popularity by

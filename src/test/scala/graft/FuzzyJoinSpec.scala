@@ -161,6 +161,39 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(probe(dir) === probe(rebuilt))
   }
 
+  test("variant index delete == never-ingested (row-identical); emptied buckets; no-op") {
+    val keep = Seq("kitten", "mitten", "orange").toDF("w")
+    val doomed = Seq("zzzzzz", "qqqqqq").toDF("w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-d").toString
+    FuzzyJoin.writeVariantIndex(keep.union(doomed), "w", dir, nBuckets = 8)
+    val bucketsBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).map(_.getName).toSet
+    FuzzyJoin.deleteFromVariantIndex(spark, dir, doomed, "w")
+    val clean = java.nio.file.Files.createTempDirectory("graft-fuzzyidx-c").toString
+    FuzzyJoin.writeVariantIndex(keep, "w", clean, nBuckets = 8)
+    def rows(d: String) = FuzzyJoin.readVariantIndex(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(rows(dir) === rows(clean),
+      "delete-after-ingest must equal the never-ingested build")
+    // buckets holding ONLY doomed terms' variants must be gone from disk
+    // (dynamic overwrite alone would leave their old files resurrectable)
+    val bucketsClean = new java.io.File(clean).listFiles()
+      .filter(_.getName.startsWith("tb=")).map(_.getName).toSet
+    val bucketsAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).map(_.getName).toSet
+    assert(bucketsAfter == bucketsClean &&
+      (bucketsBefore -- bucketsAfter).nonEmpty,
+      s"emptied buckets must be removed: before=$bucketsBefore after=$bucketsAfter")
+    // deleting never-indexed terms rewrites nothing (mtimes untouched)
+    val stamps = new java.io.File(dir).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    FuzzyJoin.deleteFromVariantIndex(spark, dir,
+      Seq("absent1", "absent2").toDF("w"), "w")
+    assert(new java.io.File(dir).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap == stamps,
+      "a no-hit delete must be a physical no-op")
+  }
+
   test("bucketed variant TABLE: probe == dir probe; overlapping append == rebuild") {
     val b1 = Seq("kitten", "mitten", "orange").toDF("w")
     val b2 = Seq("kitten", "orange", "oranje", "mutton").toDF("w")

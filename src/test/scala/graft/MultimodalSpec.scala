@@ -255,6 +255,53 @@ class MultimodalSpec extends SparkSpec {
       s"delta side must broadcast against the index scan:\n${plan.take(800)}")
   }
 
+  test("asset index delete == never-ingested through the ab layout (frame and audio)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def rowsOf(d: String) = spark.read.parquet(d).drop("ab")
+      .as[(Long, String, Long)].collect().toSet
+    // frame family: ingest two waves, delete the second
+    val fdir = java.nio.file.Files.createTempDirectory("graft-fdel").toString
+    def fIdx(pred: org.apache.spark.sql.Column) =
+      Multimodal.frameIndexRows(
+        Multimodal.frameFingerprints(
+          Multimodal.syntheticVideoFrames(docs.filter(pred))))
+    Multimodal.writeFrameIndex(
+      Multimodal.frameFingerprints(
+        Multimodal.syntheticVideoFrames(docs.filter(col("doc_id") % 6 === 2))),
+      fdir, nBuckets = 8)
+    Multimodal.appendFrameIndex(fIdx(col("doc_id") % 6 === 5), fdir,
+      nBuckets = 8)
+    Multimodal.deleteFromAssetIndex(spark, fdir,
+      docs.filter(col("doc_id") % 6 === 5)
+        .select(col("doc_id").as("asset_id")), nBuckets = 8)
+    assert(rowsOf(fdir) == fIdx(col("doc_id") % 6 === 2)
+      .as[(Long, String, Long)].collect().toSet,
+      "frame delete-after-append must equal the never-ingested build")
+    // audio family through the SAME implementation
+    val adir = java.nio.file.Files.createTempDirectory("graft-adel").toString
+    def aIdx(pred: org.apache.spark.sql.Column) =
+      Multimodal.audioIndexRows(
+        Multimodal.syntheticAudioWindows(docs.filter(pred)))
+    Multimodal.appendAudioIndex(aIdx(col("doc_id") % 6 === 1), adir,
+      nBuckets = 8)
+    Multimodal.appendAudioIndex(aIdx(col("doc_id") % 6 === 4), adir,
+      nBuckets = 8)
+    Multimodal.deleteFromAssetIndex(spark, adir,
+      docs.filter(col("doc_id") % 6 === 4)
+        .select(col("doc_id").as("asset_id")), nBuckets = 8)
+    val want = aIdx(col("doc_id") % 6 === 1)
+    assert(spark.read.parquet(adir).drop("ab").collect().toSet ==
+      want.collect().toSet,
+      "audio delete-after-append must equal the never-ingested build")
+    // a no-hit delete is a physical no-op
+    val stamps = new java.io.File(adir).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    Multimodal.deleteFromAssetIndex(spark, adir,
+      Seq(999999L).toDF("asset_id"), nBuckets = 8)
+    assert(new java.io.File(adir).listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap == stamps)
+  }
+
   test("audio index: append == full build, delta probe votes match the batch form") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def idxRows(pred: org.apache.spark.sql.Column) =
