@@ -1362,6 +1362,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_known"),
           col("sum_c12"), col("sum_c1"))
     }),
+    // F8/A9 extended — DSIR importance scoring (new r14): the pool
+    // (source ∉ {src0, src1}) scored under a TARGET LM (src0, the
+    // distribution to select FOR) and a REFERENCE LM (src1, the pool's
+    // own distribution) in one pass — the data-selection front end of
+    // pre-training (Xie et al. 2023). Oracle = both sides' integer
+    // sufficient statistics; the float log-ratio and the E-S resample
+    // ride spec-pinned (LangModelSpec, boundary-gap discipline).
+    "q204_dsir_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = (src: String) => graft.text.LangModel.bigramLm(
+        docs.filter(col("source") === src))
+      graft.text.LangModel.importanceStats(
+          docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+          lm("src0"), lm("src1"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("n_known_t"), col("sum_c12_t"), col("sum_c1_t"),
+          col("n_known_r"), col("sum_c12_r"), col("sum_c1_r"))
+    }),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
@@ -2985,6 +3003,42 @@ object SparkEntry {
         |FROM bg b
         |LEFT JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
         |LEFT JOIN u ON b.w1 = u.w1
+        |GROUP BY b.doc_id""".stripMargin,
+    // both LMs' integer sufficient stats from one pool scan — the q170
+    // algebra with a second (reference) model joined on
+    "q204_dsir_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src0' AND len(t) >= 2)),
+        |ct AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |ut AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM ct GROUP BY 1),
+        |rbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src1' AND len(t) >= 2)),
+        |cr AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY 1, 2),
+        |ur AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cr GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks
+        |        WHERE source NOT IN ('src0', 'src1') AND len(t) >= 2))
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  COUNT(ct.c12) AS n_known_t,
+        |  CAST(SUM(COALESCE(ct.c12, 0)) AS BIGINT) AS sum_c12_t,
+        |  CAST(SUM(COALESCE(ut.c1, 0)) AS BIGINT) AS sum_c1_t,
+        |  COUNT(cr.c12) AS n_known_r,
+        |  CAST(SUM(COALESCE(cr.c12, 0)) AS BIGINT) AS sum_c12_r,
+        |  CAST(SUM(COALESCE(ur.c1, 0)) AS BIGINT) AS sum_c1_r
+        |FROM bg b
+        |LEFT JOIN ct ON b.w1 = ct.w1 AND b.w2 = ct.w2
+        |LEFT JOIN ut ON b.w1 = ut.w1
+        |LEFT JOIN cr ON b.w1 = cr.w1 AND b.w2 = cr.w2
+        |LEFT JOIN ur ON b.w1 = ur.w1
         |GROUP BY b.doc_id""".stripMargin,
     "q96_redact" ->
       """SELECT event_id, event_type, props,

@@ -115,4 +115,73 @@ object LangModel {
       .filter(col("ppl") <= maxPpl)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"))
+
+  /** DSIR-style importance scoring (Xie et al. 2023, public): every
+    * document of `docs` scored under a TARGET LM (the distribution you
+    * want more of) and a REFERENCE LM (the distribution the pool was
+    * drawn from) in ONE pass over the pool's bigrams — four model joins
+    * on one exploded frame, never two scoring passes. Oracle-checked
+    * output is the integer sufficient statistics of BOTH sides
+    * (the [[perplexity]] determinism contract, doubled); the per-bigram
+    * mean log-likelihood ratio `log_w = Σ ln(p_t/p_r) / n_bigrams` rides
+    * as the engine-internal column [[dsirSample]] selects on. Both
+    * sides smooth with the same pool-vocabulary V, the [[perplexity]]
+    * convention, so V's ulp influence partially cancels in the ratio.
+    */
+  def importanceStats(docs: DataFrame, targetLm: DataFrame,
+                      refLm: DataFrame): DataFrame = {
+    def c12(lm: DataFrame, sfx: String) =
+      lm.select(col("w1"), col("w2"), col("c12").as(s"c12_$sfx"))
+    def c1(lm: DataFrame, sfx: String) =
+      lm.select(col("w1"), col("c1").as(s"c1_$sfx")).distinct()
+    def p(sfx: String) =
+      ((coalesce(col(s"c12_$sfx"), lit(0L)) + 1).cast("double") /
+        (coalesce(col(s"c1_$sfx"), lit(0L)) + col("_v")).cast("double"))
+    bigrams(docs)
+      .join(c12(targetLm, "t"), Seq("w1", "w2"), "left")
+      .join(c1(targetLm, "t"), Seq("w1"), "left")
+      .join(c12(refLm, "r"), Seq("w1", "w2"), "left")
+      .join(c1(refLm, "r"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocabSize(docs)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c12_t")).as("n_known_t"),
+        sum(coalesce(col("c12_t"), lit(0L))).as("sum_c12_t"),
+        sum(coalesce(col("c1_t"), lit(0L))).as("sum_c1_t"),
+        count(col("c12_r")).as("n_known_r"),
+        sum(coalesce(col("c12_r"), lit(0L))).as("sum_c12_r"),
+        sum(coalesce(col("c1_r"), lit(0L))).as("sum_c1_r"),
+        sum(log(p("t")) - log(p("r"))).as("_lw"))
+      .withColumn("log_w", col("_lw") / col("n_bigrams"))
+      .drop("_lw")
+  }
+
+  /** DSIR importance RESAMPLING: k pool documents, inclusion probability
+    * ∝ exp([[importanceStats]]' log_w) — documents that look more like
+    * the target than the reference are preferentially kept, the
+    * data-selection step in front of pre-training. Selection is
+    * [[Corpus.weightedSample]]'s Efraimidis–Spirakis top-k written in
+    * the LOG domain (`ln(u)·exp(−log_w)` orders identically to
+    * `u^(1/w)` and cannot underflow for strongly out-of-domain
+    * documents where `exp(log_w)` would); the same salted-md5 coin
+    * keeps the draw deterministic and partitioning-invariant, the same
+    * TakeOrderedAndProject keeps it one heap-merge, never a global
+    * sort. Selection rides floats, so the query-form artifact is the
+    * stats (q204); the sample itself is LangModelSpec-pinned with the
+    * measured-boundary-gap discipline.
+    */
+  def dsirSample(docs: DataFrame, targetLm: DataFrame, refLm: DataFrame,
+                 k: Int = 100, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"dsirSample: k must be positive, got $k")
+    val u = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 12),
+      16, 10).cast("double") / lit(math.pow(2, 48))
+    importanceStats(docs, targetLm, refLm)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .withColumn("_es_key", log(u) * exp(-col("log_w")))
+      .orderBy(col("_es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"), col("log_w"))
+  }
 }

@@ -150,6 +150,59 @@ class LangModelSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("dsir: importanceStats matches two perplexity passes; sample is deterministic, target-biased, gap-safe") {
+    import graft.text.LangModel
+    val pool = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
+    val lmT = LangModel.bigramLm(docs.filter(col("source") === "src0"))
+    val lmR = LangModel.bigramLm(docs.filter(col("source") === "src1"))
+    // the one-pass stats must equal the two single-LM scoring passes
+    val got = LangModel.importanceStats(pool, lmT, lmR)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    def side(lm: org.apache.spark.sql.DataFrame) =
+      LangModel.perplexity(pool, lm).collect().map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"),
+          r.getAs[Long]("n_known"), r.getAs[Long]("sum_c12"),
+          r.getAs[Long]("sum_c1")))).toMap
+    val (t, r) = (side(lmT), side(lmR))
+    assert(got.keySet == t.keySet)
+    got.foreach { case (id, (nb, nkt, sct, s1t, nkr, scr, s1r)) =>
+      assert((nb, nkt, sct, s1t) == t(id) && (nb, nkr, scr, s1r) == r(id),
+        s"doc $id: fused stats must equal the per-LM passes")
+    }
+    // log_w direction: a doc whose bigrams the target LM knows and the
+    // reference LM does not must out-score the reverse case — use the
+    // extreme docs the corpus itself provides
+    val lw = LangModel.importanceStats(pool, lmT, lmR)
+      .select(col("doc_id"), col("log_w"), col("n_known_t"), col("n_known_r"))
+      .collect()
+    val tHeavy = lw.filter(x => x.getLong(2) > 0 && x.getLong(3) == 0)
+    val rHeavy = lw.filter(x => x.getLong(2) == 0 && x.getLong(3) > 0)
+    if (tHeavy.nonEmpty && rHeavy.nonEmpty)
+      assert(tHeavy.map(_.getDouble(1)).min > rHeavy.map(_.getDouble(1)).max,
+        "target-known docs must carry higher log_w than reference-known docs")
+    // the resample: deterministic, k rows, and the selection skews toward
+    // higher log_w than the pool average
+    val s1 = LangModel.dsirSample(pool, lmT, lmR, k = 50)
+    val s2 = LangModel.dsirSample(pool, lmT, lmR, k = 50)
+    val ids = s1.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50 && ids == s2.collect().map(_.getLong(0)).toSet)
+    val sMean = s1.agg(avg(col("log_w"))).collect()(0).getDouble(0)
+    val pMean = LangModel.importanceStats(pool, lmT, lmR)
+      .agg(avg(col("log_w"))).collect()(0).getDouble(0)
+    assert(sMean > pMean,
+      s"dsir sample mean log_w $sMean not above pool mean $pMean")
+    // top-k boundary gap (the oracle-safety measurement, E-S discipline)
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":graft"))), 1, 12), 16, 10).cast("double") / lit(math.pow(2, 48))
+    val keys = LangModel.importanceStats(pool, lmT, lmR)
+      .select((log(u) * exp(-col("log_w"))).as("k"))
+      .orderBy(col("k").desc).limit(52).collect().map(_.getDouble(0))
+    assert(keys(49) - keys(50) >= 1e-9,
+      s"dsir boundary gap ${keys(49) - keys(50)} within cross-engine noise")
+  }
+
   test("winsorize clamps to exact interpolated per-stratum percentiles") {
     val out = Corpus.winsorize(docs, "n_chars", "lang", 0.05, 0.95)
     val rows = out.collect()
