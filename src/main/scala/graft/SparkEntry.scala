@@ -903,6 +903,23 @@ object SparkEntry {
     "q155_ppl_filter" -> ((s, dir) =>
       graft.text.LangModel.perplexityFilter(t(s, dir, "documents"),
         maxPpl = 30.9497)),
+    // F8 extended — the STORED-LM quality gate (new r14): the LM is
+    // persisted maintenance state (counts + frozen train-vocab V in a
+    // sidecar — the writeDriftReference pattern), scoring is therefore
+    // CHOP-INVARIANT (V no longer depends on the scored batch), which is
+    // what lets the streaming twin (CorpusStream.pplGateQuery) gate
+    // micro-batches reproducibly. Threshold 44.0 sits mid-gap at every
+    // shipped SF (measured margins 0.58 / 0.42 / 3.12 at sf0.001/0.01/
+    // 0.1; the spec pins the sf0.001 one).
+    "q205_ppl_gate_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lmDir = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "storedlm", "v1") { d =>
+        graft.text.LangModel.writeLm(docs.filter(col("source") === "src0"), d)
+      }
+      graft.text.LangModel.pplGateStored(s, lmDir,
+        docs.filter(col("source") =!= "src0"), maxPpl = 44.0)
+    }),
     // A8 asymmetric dedup: directed n-gram containment (quote/mirror/
     // wrapper detection — the pair Jaccard never flags). Integer
     // cross-multiply threshold, inverted-index candidates, exact set
@@ -2274,6 +2291,37 @@ object SparkEntry {
         |SELECT s.doc_id, d.lang, s.n_bigrams
         |FROM sc s JOIN documents d ON d.doc_id = s.doc_id
         |WHERE s.ppl <= 30.9497""".stripMargin,
+    // the q155 algebra with the LM trained on src0 and V frozen to the
+    // TRAIN stratum's vocabulary (the stored-artifact convention)
+    "q205_ppl_gate_stored" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src0' AND len(t) >= 2)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |u AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM toks WHERE source = 'src0')),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source <> 'src0' AND len(t) >= 2)),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    exp(-SUM(ln(CAST(COALESCE(c.c12, 0) + 1 AS DOUBLE) /
+        |                 CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)))
+        |        / COUNT(*)) AS ppl
+        |  FROM bg b
+        |  LEFT JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN u ON b.w1 = u.w1
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id)
+        |SELECT s.doc_id, d.lang, s.n_bigrams
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+        |WHERE s.ppl <= 44.0""".stripMargin,
     "q156_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),

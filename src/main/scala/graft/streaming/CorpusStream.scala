@@ -110,6 +110,30 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The streaming perplexity gate — [[graft.text.LangModel.writeLm]]'s
+    * consumer: each micro-batch scores against the STORED model (frozen
+    * counts AND frozen smoothing V, so a document's score is identical
+    * at any batch chop — the property the self-scored form lacks and a
+    * stream cannot do without) and the survivors land batch_id-
+    * partitioned through dynamic partition overwrite (replay rewrites
+    * the same partition with the same content — the monitorQuery sink
+    * contract). Train weekly with writeLm, gate the intake continuously.
+    */
+  def pplGateQuery(spark: SparkSession, srcDir: String, lmDir: String,
+                   outDir: String, checkpointDir: String,
+                   schema: StructType, maxPpl: Double): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Upsert.overwritePartitions(
+          graft.text.LangModel.pplGateStored(spark, lmDir, batch, maxPpl)
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One novelty-gate micro-batch; exposed for tests. Admits the docs
     * whose novel-shingle share clears `tauNum/tauDen` against the
     * at-rest shingle index (`n_novel · tauDen ≥ n_shingles · tauNum` —

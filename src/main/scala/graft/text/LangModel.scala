@@ -116,6 +116,95 @@ object LangModel {
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"))
 
+  private val MetaFile = "_LM_META"
+
+  /** Train on `docs` and persist the LM as MAINTENANCE STATE: the count
+    * table plus a sidecar holding the TRAIN vocabulary size. Freezing V
+    * is the point of the stored form — [[perplexity]] smooths with the
+    * SCORED corpus's vocabulary (fine for the one-shot corpus
+    * bootstrap), which makes a document's score depend on its
+    * batch-mates; a deployed gate needs CHOP-INVARIANT scores (the same
+    * document scores identically alone, in a micro-batch, or in a full
+    * corpus — LangModelSpec-pinned), so the smoothing constant is fixed
+    * at train time and travels with the counts. The
+    * [[graft.streaming.DriftStream.writeDriftReference]] pattern applied
+    * to the LM family: train weekly, gate daily.
+    */
+  def writeLm(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    bigramLm(docs).write.mode("overwrite").parquet(s"$dir/counts")
+    val v = docs.select(explode(TextAnalysis.tokens(col("text"))).as("_w"))
+      .agg(countDistinct(col("_w"))).head().getLong(0)
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$v\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (counts, train-vocab V) of a stored LM. Fails loudly on a missing
+    * or corrupt sidecar — a gate scoring with the wrong V silently
+    * shifts every score, so the artifact must be self-describing or
+    * refused.
+    */
+  def readLm(spark: org.apache.spark.sql.SparkSession,
+             dir: String): (DataFrame, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"stored LM at $dir lacks $MetaFile — " +
+      "rebuild it with LangModel.writeLm")
+    val in = fs.open(p)
+    val raw =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim
+      finally in.close()
+    val v = try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"stored LM at $dir is corrupt: vocab sidecar holds '$raw'")
+    }
+    require(v > 0, s"stored LM at $dir is corrupt: vocab $v")
+    (spark.read.parquet(s"$dir/counts"), v)
+  }
+
+  /** [[perplexity]] against a STORED model: identical algebra with the
+    * smoothing V read from the artifact instead of the scored corpus —
+    * the chop-invariant scoring form every streaming/batch gate must
+    * use. Integer sufficient statistics stay oracle-checkable; `ppl`
+    * rides engine-internal as always.
+    */
+  def perplexityStored(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, docs: DataFrame): DataFrame = {
+    val (lm, v) = readLm(spark, dir)
+    val uni = lm.select(col("w1"), col("c1")).distinct()
+    val p = ((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double"))
+    bigrams(docs)
+      .join(lm.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"),
+        "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c12")).as("n_known"),
+        sum(coalesce(col("c12"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"),
+        sum(log(p)).as("_lp"))
+      .withColumn("ppl", exp(-col("_lp") / col("n_bigrams")))
+      .drop("_lp")
+  }
+
+  /** The stored-LM quality gate: documents of `docs` whose stored-model
+    * perplexity is at most `maxPpl` — [[perplexityFilter]]'s deployed
+    * twin (mid-gap threshold discipline applies: the q205 threshold's
+    * margin is LangModelSpec-measured). Output carries only
+    * integer/string columns.
+    */
+  def pplGateStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    docs: DataFrame, maxPpl: Double): DataFrame =
+    perplexityStored(spark, dir, docs)
+      .filter(col("ppl") <= maxPpl)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"))
+
   /** DSIR-style importance scoring (Xie et al. 2023, public): every
     * document of `docs` scored under a TARGET LM (the distribution you
     * want more of) and a REFERENCE LM (the distribution the pool was

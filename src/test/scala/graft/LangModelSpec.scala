@@ -150,6 +150,54 @@ class LangModelSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("stored LM: chop-invariant scoring, q205 margin, sidecar guards") {
+    import graft.text.LangModel
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    LangModel.writeLm(docs.filter(col("source") === "src0"), dir)
+    val pool = docs.filter(col("source") =!= "src0")
+    val full = LangModel.perplexityStored(spark, dir, pool)
+      .select(col("doc_id"), col("ppl")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // CHOP INVARIANCE — the property the stored form exists for: a doc
+    // scored ALONE gets bit-identically the score it gets in the full
+    // pool (V is frozen in the sidecar; the self-scored perplexity()
+    // would re-derive V from whatever batch the doc happens to ride in)
+    val someIds = full.keySet.take(3)
+    someIds.foreach { id =>
+      val alone = LangModel.perplexityStored(spark, dir,
+        pool.filter(col("doc_id") === id)).select(col("ppl"))
+        .collect()(0).getDouble(0)
+      assert(alone == full(id),
+        s"doc $id scored $alone alone vs ${full(id)} in the pool")
+    }
+    // and the contrast: the self-scored form is NOT chop-invariant
+    // (documents the batch convention exists to escape)
+    val id0 = full.keySet.min
+    val selfAlone = LangModel.perplexity(pool.filter(col("doc_id") === id0))
+      .select(col("ppl")).collect()(0).getDouble(0)
+    val selfFull = LangModel.perplexity(pool)
+      .filter(col("doc_id") === id0)
+      .select(col("ppl")).collect()(0).getDouble(0)
+    assert(selfAlone != selfFull,
+      "self-scored ppl should depend on batch-mates (the documented trade)")
+    // q205's threshold margin at sf0.001 (44.0 chosen mid-gap)
+    val margin = full.values.map(p => math.abs(p - 44.0)).min
+    assert(margin >= 0.5,
+      s"q205 threshold margin $margin within cross-engine noise")
+    // sidecar guards: missing and corrupt both refused loudly
+    val bare = java.nio.file.Files.createTempDirectory("graft-lm-bare").toString
+    intercept[IllegalArgumentException] {
+      LangModel.readLm(spark, bare)
+    }
+    val mp = new org.apache.hadoop.fs.Path(dir, "_LM_META")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(mp, true)
+    o.write("bogus\n".getBytes("UTF-8")); o.close()
+    intercept[IllegalArgumentException] {
+      LangModel.readLm(spark, dir)
+    }
+  }
+
   test("dsir: importanceStats matches two perplexity passes; sample is deterministic, target-biased, gap-safe") {
     import graft.text.LangModel
     val pool = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")

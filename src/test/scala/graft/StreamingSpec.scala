@@ -322,6 +322,56 @@ class StreamingSpec extends SparkSpec {
       Map(20L -> 20L, 21L -> 20L, 11L -> 11L, 30L -> 11L))
   }
 
+  test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {
+    import graft.streaming.CorpusStream
+    import graft.text.LangModel
+    val root = java.nio.file.Files.createTempDirectory("graft-pplgate").toString
+    val (src, lm, out, cp) = (s"$root/src", s"$root/lm", s"$root/out", s"$root/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    LangModel.writeLm(docs.filter(col("source") === "src0"), lm)
+    val pool = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val schema = pool.schema
+    def run(): Unit = {
+      val q = CorpusStream.pplGateQuery(spark, s"$src/*", lm, out, cp,
+        schema, maxPpl = 44.0)
+      q.processAllAvailable(); q.stop()
+    }
+    // two arbitrary chops of the pool — the stored V makes the per-doc
+    // decision identical at ANY chop, so the union of per-batch
+    // survivors must equal the batch-form gate over the whole pool
+    pool.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$src/w1")
+    run()
+    pool.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$src/w2")
+    run()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = LangModel.pplGateStored(spark, lm, pool, maxPpl = 44.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want,
+      "streamed survivors must equal the batch gate over the whole pool")
+    assert(got.size < pool.count(), "the gate must actually drop a tail")
+    // re-running on the SAME checkpoint with no new data is a no-op
+    run()
+    assert(spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"))
+      .as[(Long, String, Long)].collect().toSet == want)
+    // full replay = fresh checkpoint AND fresh sink (the pair lives and
+    // dies together — the monitor-sink contract): everything lands in
+    // batch 0 and the result converges to the same survivor set
+    val q2 = CorpusStream.pplGateQuery(spark, s"$src/*", lm,
+      s"$root/out2", s"$root/cp2", schema, maxPpl = 44.0)
+    q2.processAllAvailable(); q2.stop()
+    val replayed = spark.read.parquet(s"$root/out2")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"))
+      .as[(Long, String, Long)].collect()
+    assert(replayed.length == replayed.distinct.length &&
+      replayed.toSet == want,
+      "replay must converge to the same survivor set without duplicates")
+  }
+
   test("streaming hist state: quantile is batch-chop-invariant and replay-safe") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-hstream").toString
