@@ -1578,6 +1578,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1),
         nCentroids = 16)
     }),
+    // J7/T6 per-stratum embedding drift (new r14): q197 keyed by label —
+    // WHICH population moved. One shared reference geometry (per-stratum
+    // geometries would be incomparable), one-sided strata refused, and
+    // Σ over strata ≡ the pooled q197 histogram (VectorSpec-pinned).
+    "q206_embedding_drift_by" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.assignmentDriftBy(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", nCentroids = 16)
+    }),
     // J7 maintenance, the DELETE half (new r14 wave 4): takedown on the
     // at-rest IVF index — only the list partitions holding the doomed
     // ids are rewritten (affected-list discovery is one column-pruned
@@ -4571,6 +4582,32 @@ object SparkEntry {
         |  COALESCE(rh.n_ref, 0) AS n_ref,
         |  COALESCE(ch.n_cur, 0) AS n_cur
         |FROM rh FULL OUTER JOIN ch ON ch.list_id = rh.list_id""".stripMargin,
+    // q197 keyed by label: same geometry, per-(label, list) counts
+    "q206_embedding_drift_by" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, e.label, e.vec_id % 2 AS side, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id, label, side, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id) = 1),
+        |rh AS (SELECT label, list_id, COUNT(*) AS n_ref FROM assign
+        |       WHERE side = 0 GROUP BY label, list_id),
+        |ch AS (SELECT label, list_id, COUNT(*) AS n_cur FROM assign
+        |       WHERE side = 1 GROUP BY label, list_id)
+        |SELECT COALESCE(rh.label, ch.label) AS label,
+        |  COALESCE(rh.list_id, ch.list_id) AS list_id,
+        |  COALESCE(rh.n_ref, 0) AS n_ref,
+        |  COALESCE(ch.n_cur, 0) AS n_cur
+        |FROM rh FULL OUTER JOIN ch
+        |  ON ch.list_id = rh.list_id AND ch.label = rh.label""".stripMargin,
     "q177_decontaminate_semantic" ->
       """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0)

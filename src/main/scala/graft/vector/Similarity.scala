@@ -523,6 +523,42 @@ object Similarity {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
+  /** [[assignmentDrift]] keyed by a stratum column — WHICH population
+    * moved, not just whether one did (the [[graft.ops.Profile.ksDriftBy]]
+    * shape in embedding space). All strata share ONE quantization
+    * geometry (the reference's global seed centroids): per-stratum
+    * geometries would make the per-stratum PSIs incomparable and hide a
+    * stratum collapsing onto another's region. One-sided strata are
+    * REFUSED loudly — a vanished or newborn stratum is schema-level
+    * drift, surfaced by the strata census, never silently zero-filled
+    * into a huge PSI. Output (stratum, list_id, n_ref, n_cur),
+    * zero-filled within each stratum; Σ over strata reproduces the
+    * pooled [[assignmentDrift]] exactly (VectorSpec-pinned).
+    */
+  def assignmentDriftBy(ref: DataFrame, cur: DataFrame, strataCol: String,
+                        nCentroids: Int = 16): DataFrame = {
+    val rs = ref.select(col(strataCol)).distinct().localCheckpoint()
+    val cs = cur.select(col(strataCol)).distinct().localCheckpoint()
+    require(cs.join(rs, Seq(strataCol), "left_anti").isEmpty,
+      s"assignmentDriftBy: current side has strata the reference lacks " +
+        s"($strataCol) — schema-level drift, handle it explicitly")
+    require(rs.join(cs, Seq(strataCol), "left_anti").isEmpty,
+      s"assignmentDriftBy: reference has strata the current side lacks " +
+        s"($strataCol) — a vanished stratum is schema-level drift")
+    val cents = collectCentroids(
+      ref.orderBy(col("vec_id")).limit(nCentroids))
+    def hist(df: DataFrame, as: String) =
+      df.select(col(strataCol),
+          array_min(centStructs(cents)(col("embedding")))
+            .getField("c_id").as("list_id"))
+        .groupBy(col(strataCol), col("list_id")).agg(count(lit(1)).as(as))
+    hist(ref, "n_ref")
+      .join(hist(cur, "n_cur"), Seq(strataCol, "list_id"), "full_outer")
+      .select(col(strataCol), col("list_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
   /** [[assignmentDrift]] with an at-rest [[writeIvfIndex]] index as the
     * reference — the ZERO-extra-state form: the index's centroids ARE
     * the quantization geometry and its `list_stats` (kept truthful by

@@ -341,6 +341,34 @@ class VectorSpec extends SparkSpec {
     assert(m.values.map(_._1).sum == 6L && m.values.map(_._2).sum == 2L)
   }
 
+  test("assignmentDriftBy: strata sum to the pooled histogram; one-sided strata refused") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ref = emb.filter($"vec_id" % 2 === 0)
+    val cur = emb.filter($"vec_id" % 2 === 1)
+    val by = Similarity.assignmentDriftBy(ref, cur, "label")
+    // one shared geometry ⇒ summing strata away reproduces the pooled form
+    val summed = by.groupBy($"list_id")
+      .agg(sum($"n_ref").as("n_ref"), sum($"n_cur").as("n_cur"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val pooled = Similarity.assignmentDrift(ref, cur)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(summed == pooled,
+      "per-stratum histograms must fold to the pooled assignmentDrift")
+    // a stratum present on one side only is refused, both directions
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.assignmentDriftBy(ref.filter($"label" =!= 3), cur, "label")
+        .collect()
+    }
+    assert(e1.getMessage.contains("vanished") ||
+      e1.getMessage.contains("lacks"))
+    intercept[IllegalArgumentException] {
+      Similarity.assignmentDriftBy(ref, cur.filter($"label" =!= 3), "label")
+        .collect()
+    }
+  }
+
   test("assignmentDriftAgainstIndex: stats reference truthful through append+delete") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // both the append delta and the deletes sit ABOVE the seed range
