@@ -691,6 +691,19 @@ class PlanSpec extends SparkSpec {
       "the probe join must stay an equi-join on list_id:\n" + p.take(1200))
   }
 
+  test("q200 index-backed drift: stats + centroids only — the index lists are NEVER scanned") {
+    val p = plan("q200_index_drift")
+    // the whole point of the stats-as-reference design: the monitor
+    // reads the nCentroids-row stats table and the batch, not the corpus
+    val listScan = p.split('\n').filter(l =>
+      l.contains("FileScan") && l.contains("/lists"))
+    assert(listScan.isEmpty,
+      s"q200 must never scan the index's list partitions:\n${listScan.mkString("\n")}")
+    assert(p.split('\n').exists(l =>
+      l.contains("FileScan") && l.contains("list_stats")),
+      "q200 must read the list_stats table:\n" + p.take(1200))
+  }
+
   test("q174 top revenue supplier: fact scanned once (at the checkpoint), no global sort") {
     val p = plan("q174_top_revenue_supplier")
     // the revenue view is localCheckpoint'ed, so the FACT scan happens
