@@ -1624,6 +1624,20 @@ object SparkEntry {
       Similarity.assignmentDriftAgainstIndex(s, ivfDir,
         emb.filter(col("vec_id") % 3 === 0))
     }),
+    // J7/U5 maintenance decision (new r14): the retrain trigger as an
+    // oracle-checkable counting artifact — one row from list_stats with
+    // the imbalance rule cross-multiplied to integers (max·n·den >=
+    // total·num ⟺ max/mean >= num/den). Shares q200's cached index, so
+    // the green row also re-certifies the stats table's integrity.
+    "q207_ivf_maintenance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivfDir = graft.sources.StateCache.ensure(s,
+        s"$dir/embeddings.parquet", "ivfdrift", "v1") { d =>
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), d,
+          nCentroids = 16)
+      }
+      Similarity.ivfMaintenanceReport(s, ivfDir)
+    }),
     // J7/A9 semantic decontamination: the embedding twin of q68/q79 —
     // corpus vectors too close (cosine >= t) to ANY eval vector are
     // dropped; the eval set broadcasts into one corpus scan as a
@@ -4557,6 +4571,32 @@ object SparkEntry {
         |  COALESCE(rh.n_ref, 0) AS n_ref,
         |  COALESCE(ch.n_cur, 0) AS n_cur
         |FROM rh FULL OUTER JOIN ch ON ch.list_id = rh.list_id""".stripMargin,
+    // the q200 index's list_stats reduced to the one-row report; the
+    // imbalance decision is integer cross-multiplied (num/den = 3/1)
+    "q207_ivf_maintenance" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c
+        |  WHERE e.vec_id % 3 <> 0),
+        |assign AS (
+        |  SELECT vec_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id) = 1),
+        |h AS (SELECT c.c_id AS list_id, COUNT(a.vec_id) AS n
+        |      FROM centroids c LEFT JOIN assign a ON a.list_id = c.c_id
+        |      GROUP BY 1)
+        |SELECT COUNT(*) AS n_lists,
+        |  CAST(SUM(n) AS BIGINT) AS total_n,
+        |  CAST(MAX(n) AS BIGINT) AS max_n,
+        |  CAST(MAX(n) * COUNT(*) * 1 >= SUM(n) * 3 AS INT) AS needs_retrain
+        |FROM h""".stripMargin,
     // embedding drift: the q65 seed-centroid assignment (reference side
     // defines the geometry), per-side counts aligned full-outer
     "q197_embedding_drift" ->

@@ -853,6 +853,28 @@ object Similarity {
                       maxImbalance: Double = 3.0): Boolean =
     ivfImbalance(spark, dir) >= maxImbalance
 
+  /** The retrain trigger as an ORACLE-CHECKABLE counting artifact: one
+    * row (n_lists, total_n, max_n, needs_retrain) from the stats table
+    * alone, with the imbalance test cross-multiplied to integers —
+    * `max_n · n_lists · den ≥ total_n · num` is exactly
+    * `max/mean ≥ num/den` (the [[ivfImbalance]] rule at num/den = 3/1)
+    * with no float in the decision, the [[graft.text.Corpus]]
+    * integer-threshold discipline applied to index maintenance. This is
+    * what a maintenance DAG keys on; [[ivfNeedsRetrain]] stays as the
+    * scalar convenience. needs_retrain rides as INT (0/1) for
+    * cross-engine hash parity.
+    */
+  def ivfMaintenanceReport(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, num: Int = 3,
+                           den: Int = 1): DataFrame =
+    ivfListStats(spark, dir)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("n_vectors")).as("total_n"),
+        max(col("n_vectors")).as("max_n"))
+      .select(col("n_lists"), col("total_n"), col("max_n"),
+        (col("max_n") * col("n_lists") * lit(den.toLong) >=
+          col("total_n") * lit(num.toLong)).cast("int").as("needs_retrain"))
+
   /** Re-cluster an index from its OWN vectors into `destDir`: fresh Lloyd
     * centroids over the accumulated corpus (base + every appended delta),
     * fresh balanced lists, fresh stats. Writes a NEW directory — the live

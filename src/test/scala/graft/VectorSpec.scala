@@ -341,6 +341,29 @@ class VectorSpec extends SparkSpec {
     assert(m.values.map(_._1).sum == 6L && m.values.map(_._2).sum == 2L)
   }
 
+  test("ivfMaintenanceReport: integer rule agrees with the float trigger, stats-only") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfrep").toString
+    Similarity.writeIvfIndex(emb.filter($"vec_id" % 3 =!= 0), dir,
+      nCentroids = 8)
+    def check(): Unit = {
+      val r = Similarity.ivfMaintenanceReport(spark, dir).collect()(0)
+      val stats = Similarity.ivfListStats(spark, dir)
+        .select($"n_vectors").as[Long].collect()
+      assert(r.getLong(0) == stats.length && r.getLong(1) == stats.sum &&
+        r.getLong(2) == stats.max)
+      assert((r.getInt(3) == 1) == Similarity.ivfNeedsRetrain(spark, dir),
+        "integer cross-multiply must agree with the float imbalance rule")
+    }
+    check()
+    // skew the index with appends and deletes; the report must track the
+    // maintained stats, not a rescan
+    Similarity.appendIvfIndex(emb.filter($"vec_id" % 3 === 0), dir)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      emb.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    check()
+  }
+
   test("assignmentDriftBy: strata sum to the pooled histogram; one-sided strata refused") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val ref = emb.filter($"vec_id" % 2 === 0)
