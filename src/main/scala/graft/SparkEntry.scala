@@ -1397,6 +1397,18 @@ object SparkEntry {
           col("n_known_t"), col("sum_c12_t"), col("sum_c1_t"),
           col("n_known_r"), col("sum_c12_r"), col("sum_c1_r"))
     }),
+    // A9 DSIR production form (rows-only by design — selection rides the
+    // E-S float key; q204 is its hash-exact stats twin and LangModelSpec
+    // pins determinism, target bias, and the boundary gap): the k pool
+    // docs importance-resampled toward the target distribution.
+    "q208_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = (src: String) => graft.text.LangModel.bigramLm(
+        docs.filter(col("source") === src))
+      graft.text.LangModel.dsirSample(
+        docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        lm("src0"), lm("src1"), k = 100)
+    }),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
     // projection, zero shuffles.
