@@ -166,6 +166,47 @@ object LangModel {
     (spark.read.parquet(s"$dir/counts"), v)
   }
 
+  /** Rotate a stored-LM family: train on `docs` and publish the full
+    * [[writeLm]] artifact as the next `v=` member of a
+    * [[graft.sources.VersionedStore]] — the q186 reference-rotation
+    * pattern applied to the LM (retrain weekly, every consumer of an
+    * OLD version keeps reading it unchanged). Returns the published
+    * version. The reproducibility contract this buys is the q191 one: a
+    * curation run PINS the version it gated with ([[lmVersionDir]]) and
+    * re-gates bit-identically forever, while the head moves.
+    */
+  def rotateLm(docs: DataFrame, rootDir: String): Long = {
+    val spark = docs.sparkSession
+    val next = graft.sources.VersionedStore
+      .latestVersion(spark, rootDir).getOrElse(0L) + 1
+    graft.sources.VersionedStore.publish(spark, rootDir, next)(tmp =>
+      writeLm(docs, tmp))
+    next
+  }
+
+  /** The directory of one pinned LM version — feed it to
+    * [[perplexityStored]]/[[pplGateStored]] or the streaming gate.
+    * Refused if absent (a retired version must fail loudly, not fall
+    * back to a different model).
+    */
+  def lmVersionDir(spark: org.apache.spark.sql.SparkSession,
+                   rootDir: String, version: Long): String = {
+    val vs = graft.sources.VersionedStore.versions(spark, rootDir)
+    require(vs.contains(version),
+      s"stored-LM store at $rootDir has versions $vs, not $version — " +
+        "the pinned model was retired or never published")
+    s"$rootDir/v=$version"
+  }
+
+  /** The head version's directory — what a freshly-started gate binds. */
+  def latestLmDir(spark: org.apache.spark.sql.SparkSession,
+                  rootDir: String): String = {
+    val v = graft.sources.VersionedStore.latestVersion(spark, rootDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"stored-LM store at $rootDir has no published versions"))
+    s"$rootDir/v=$v"
+  }
+
   /** [[perplexity]] against a STORED model: identical algebra with the
     * smoothing V read from the artifact instead of the scored corpus —
     * the chop-invariant scoring form every streaming/batch gate must

@@ -198,6 +198,38 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("LM rotation: pinned versions score bit-identically while the head moves; retired pins refuse") {
+    import graft.text.LangModel
+    import graft.sources.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-lmrot").toString + "/lms"
+    val pool = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
+    def score(dir: String) = LangModel.perplexityStored(spark, dir, pool)
+      .select(col("doc_id"), col("ppl")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val v1 = LangModel.rotateLm(docs.filter(col("source") === "src0"), root)
+    val pinned = LangModel.lmVersionDir(spark, root, v1)
+    val s1 = score(pinned)
+    // the head moves (retrained on a different stratum) — the pinned
+    // version's scores must not move with it
+    val v2 = LangModel.rotateLm(docs.filter(col("source") === "src1"), root)
+    assert(v2 == v1 + 1 && VersionedStore.versions(spark, root) == Seq(v1, v2))
+    assert(score(pinned) == s1,
+      "a pinned LM version must score bit-identically after rotation")
+    assert(LangModel.latestLmDir(spark, root).endsWith(s"v=$v2"))
+    assert(score(LangModel.latestLmDir(spark, root)) != s1,
+      "the rotated head is a different model (sanity)")
+    // retire the old version: the pin now refuses loudly
+    VersionedStore.retire(spark, root, v1)
+    intercept[IllegalArgumentException] {
+      LangModel.lmVersionDir(spark, root, v1)
+    }
+    // and an empty store refuses rather than inventing a model
+    intercept[IllegalArgumentException] {
+      LangModel.latestLmDir(spark,
+        java.nio.file.Files.createTempDirectory("graft-lmrot2").toString)
+    }
+  }
+
   test("dsir: importanceStats matches two perplexity passes; sample is deterministic, target-biased, gap-safe") {
     import graft.text.LangModel
     val pool = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
