@@ -310,6 +310,16 @@ object CorpusStream {
     import graft.text.TextDedup
     val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
     dIds.write.mode("append").parquet(forgottenDir)
+    // a takedown can arrive BEFORE the first ingest: the ledger entry
+    // above is the whole job then (it pre-blocks the id), but a label
+    // store without its index is corrupt state — refuse, don't guess
+    if (!graft.sources.Tables.pathExists(spark, indexDir)) {
+      require(readClusterLabels(spark, labelsDir).isEmpty,
+        s"forgetDocs: label store $labelsDir is non-empty but index " +
+          s"$indexDir is missing — labels derive from the index; " +
+          "restore or rebuild the index first")
+      return
+    }
     val live = liveIndex(spark, indexDir, Some(forgottenDir))
     val changed = TextDedup.dedupClustersForgetDelta(
       readClusterLabels(spark, labelsDir), live, dIds,
@@ -332,11 +342,17 @@ object CorpusStream {
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String,
                             forgottenDir: String): Unit = {
-    val live = liveIndex(spark, indexDir, Some(forgottenDir))
-      .localCheckpoint(true)
-    graft.ops.Upsert.atomicReplace(spark, live, indexDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // no index yet (takedowns-before-first-ingest): the ledger entries
+    // have nothing to erase, and clearing them would re-admit ids whose
+    // content was never stored — which is exactly what "never ingested"
+    // means, so the clear is the whole compaction
+    if (graft.sources.Tables.pathExists(spark, indexDir)) {
+      val live = liveIndex(spark, indexDir, Some(forgottenDir))
+        .localCheckpoint(true)
+      graft.ops.Upsert.atomicReplace(spark, live, indexDir)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(forgottenDir), true)
   }
 

@@ -320,6 +320,18 @@ class StreamingSpec extends SparkSpec {
       .isEmpty)
     assert(labelMap() ==
       Map(20L -> 20L, 21L -> 20L, 11L -> 11L, 30L -> 11L))
+
+    // takedown BEFORE first ingest: ledger records (pre-blocking the
+    // id), nothing crashes, and compaction over the index-less state is
+    // just the ledger clear
+    val fresh = java.nio.file.Files.createTempDirectory("graft-tdfresh").toString
+    CorpusStream.forgetDocs(spark, s"$fresh/idx", s"$fresh/labels",
+      s"$fresh/forgotten", Seq(77L).toDF("doc_id"))
+    assert(CorpusStream.forgottenIds(spark, s"$fresh/forgotten")
+      .as[Long].collect().toSet == Set(77L))
+    CorpusStream.compactSignatureIndex(spark, s"$fresh/idx",
+      s"$fresh/forgotten")
+    assert(!graft.sources.Tables.pathExists(spark, s"$fresh/forgotten"))
   }
 
   test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {
