@@ -1738,6 +1738,27 @@ object SparkEntry {
         TextDedup.dedupClusters(oldPairs), newPairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
+    // A8/J7 extended — the vector-family DELETE half (new r14): q201's
+    // dedupClustersForget maintaining COSINE components; the pair
+    // generator re-derives survivor connectivity from embeddings, so
+    // the one operator serves both modalities (the pairsOf abstraction
+    // earning its keep). Oracle = the q89 cold CTE over the reduced
+    // corpus ⇒ forget ≡ never-ingested.
+    "q209_semantic_cluster_forget" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.withColumnRenamed("vec_id", "doc_id")
+      def pairsOf(d: org.apache.spark.sql.DataFrame) =
+        Similarity.nearDupWithinLabel(
+            d.withColumnRenamed("doc_id", "vec_id"), threshold = 0.3)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      TextDedup.dedupClustersForget(
+          TextDedup.dedupClusters(pairsOf(corpus)),
+          corpus,
+          corpus.filter(pmod(col("doc_id"), lit(9)) === 4)
+            .select(col("doc_id")),
+          pairsOf)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
     // A8 north star: the surviving corpus after semantic dedup — one
     // representative (min vec_id) per cosine-component.
     "q90_semantic_dedup" -> ((s, dir) => {
@@ -2235,10 +2256,15 @@ object SparkEntry {
     * Shared verbatim by q89 (cold semantic clustering) and q189
     * (incremental resume) — the hash gate certifies resume ≡ cold.
     */
-  private val semanticClustersSql: String =
-    """WITH RECURSIVE pairs AS (
+  /** Shared by q89 (cold), q189 (resume) and — over a reduced corpus —
+    * q209 (forget ≡ never-ingested, the vector-family twin of q201).
+    */
+  private def semanticClustersSqlOver(vecsFilter: String): String =
+    s"""WITH RECURSIVE emb AS (
+      |  SELECT * FROM embeddings WHERE $vecsFilter),
+      |pairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM embeddings a JOIN embeddings b
+      |  FROM emb a JOIN emb b
       |    ON a.label = b.label AND a.vec_id < b.vec_id
       |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -2254,6 +2280,8 @@ object SparkEntry {
       |  SELECT e.src AS vec_id, w.lab
       |  FROM edges e JOIN walk w ON w.vec_id = e.dst)
       |SELECT vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY vec_id""".stripMargin
+
+  private val semanticClustersSql: String = semanticClustersSqlOver("TRUE")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3992,6 +4020,8 @@ object SparkEntry {
     "q89_semantic_clusters" -> semanticClustersSql,
     // resume ≡ cold in the vector family too — same oracle as q89.
     "q189_semantic_cluster_resume" -> semanticClustersSql,
+    "q209_semantic_cluster_forget" ->
+      semanticClustersSqlOver("vec_id % 9 <> 4"),
     // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
     // assigns top-1, the delta probes its top-4 lists, exact cosine
     // verifies. Same list_dot_product kernel, so doubles are bit-exact.
