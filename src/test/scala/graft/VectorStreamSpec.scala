@@ -83,6 +83,38 @@ class VectorStreamSpec extends SparkSpec {
       "an all-replay batch must leave the index untouched")
   }
 
+  test("takedown vs replay: an erased id is re-admitted by a full replay (as-if-never semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstream3").toString
+    val src = s"$dir/src"; val idx = s"$dir/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Similarity.writeIvfIndex(
+      vecs(10L -> Seq(1f, 0f), 11L -> Seq(0f, 1f)), idx, nCentroids = 2)
+    def ids() = spark.read.parquet(s"$idx/lists")
+      .select($"vec_id").as[Long].collect().toSet
+    // ingest two far-apart vectors, then ERASE one in place (the IVF
+    // index deletes bounded — one list partition — so no ledger is
+    // needed, unlike the text signature index; SCALE.md records the
+    // contrast)
+    vecs(20L -> Seq(0.7f, 0.7f), 21L -> Seq(-0.7f, 0.7f))
+      .coalesce(1).write.parquet(s"$src/b1")
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp1", schema,
+      threshold = 0.99, nProbe = 2).awaitTermination()
+    assert(ids() == Set(10L, 11L, 20L, 21L))
+    Similarity.deleteFromIvfIndex(spark, idx, Seq(20L).toDF("vec_id"))
+    assert(ids() == Set(10L, 11L, 21L))
+    // same-checkpoint re-run: nothing reprocesses, the erasure holds
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp1", schema,
+      threshold = 0.99, nProbe = 2).awaitTermination()
+    assert(ids() == Set(10L, 11L, 21L))
+    // FULL replay (fresh checkpoint): the erased id is re-admitted — a
+    // takedown means "as if never ingested", and a never-ingested id in
+    // the source would be ingested; 21 is still replay-guarded
+    VectorStream.ingestQuery(spark, s"$src/*", idx, s"$dir/cp2", schema,
+      threshold = 0.99, nProbe = 2).awaitTermination()
+    assert(ids() == Set(10L, 11L, 20L, 21L),
+      "a full replay must re-admit erased ids and only erased ids")
+  }
+
   test("drift monitor: rows match the q200 batch form, live reference stamped, replay converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vdrift").toString
     val src = s"$dir/src"; val idx = s"$dir/idx"; val out = s"$dir/out"
