@@ -1666,6 +1666,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // J7 ANN quality measurement (new r14): recall@5 of the IVF search
+    // at a DELIBERATELY lossy operating point (nProbe=2 of 16) against
+    // the exact top-k, per probe, all integers — both searches are
+    // deterministic, so the measuring stick itself is hash-exact. This
+    // is the artifact an nProbe sweep reads before picking the
+    // recall-vs-scan-cost point.
+    "q210_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.recallReport(
+        Similarity.ivfTopK(emb, probes, 5, nCentroids = 16, nProbe = 2),
+        Similarity.bruteForceTopK(emb, probes, 5))
+    }),
     // J7 scale path: LSH-bucketed candidate pairs with verified cosine.
     "q38_knn_lsh_buckets" -> ((s, dir) =>
       Similarity.lshCandidatePairs(t(s, dir, "embeddings"), bits = 8)),
@@ -4736,6 +4749,58 @@ object SparkEntry {
         |  cosine
         |FROM cand
         |QUALIFY rank <= 5""".stripMargin,
+    // exact top-5 (q37's CTE) left-joined by the nProbe=2 IVF result
+    // (q65's CTE at depth 2): per-probe hit counts, all integers
+    "q210_ivf_recall" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 10
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 2),
+        |cand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.neighbor_id),
+        |approx AS (
+        |  SELECT probe_id, neighbor_id FROM cand
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) <= 5),
+        |exact_pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 10),
+        |exact AS (
+        |  SELECT probe_id, neighbor_id FROM exact_pairs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) <= 5)
+        |SELECT e.probe_id, COUNT(*) AS k_true,
+        |  COUNT(a.neighbor_id) AS n_hit
+        |FROM exact e
+        |LEFT JOIN approx a
+        |  ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.probe_id""".stripMargin,
     "q39_embedding_near_dup" ->
       """SELECT * FROM (
         |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

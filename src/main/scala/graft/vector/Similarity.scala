@@ -597,6 +597,22 @@ object Similarity {
     hits.toDouble / truth.count()
   }
 
+  /** [[recallAtK]]'s oracle-checkable per-probe form: for every probe,
+    * how many of its exact top-k the approximate search recovered —
+    * (probe_id, k_true, n_hit), all integers (both searches are
+    * deterministic, so even the ANN operating point is hash-exact
+    * cross-engine). This is the per-query view an operating-point sweep
+    * reads (WHICH probes lose recall at a given nProbe, not just the
+    * average), and q210's green row pins the measuring stick itself.
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"),
+          lit(1).as("_hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k_true"), count(col("_hit")).as("n_hit"))
+
   /** Per-centroid (−cosine, c_id) structs over inlined literal centroids —
     * `array_min` of this is the assignment argmax; `sort_array` + slice is
     * probe-list selection. A NaN cosine (zero-norm vector or centroid,
