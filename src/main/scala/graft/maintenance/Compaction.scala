@@ -1,7 +1,7 @@
 package graft.maintenance
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.ops.Upsert
 
@@ -77,6 +77,49 @@ object Compaction {
     // overwrite just deleted every file it knew. Invalidate here so the
     // next plan re-lists instead of failing with FILE_NOT_EXIST.
     spark.catalog.refreshByPath(tablePath)
+  }
+
+  /** The shared bucket-delete algorithm behind
+    * [[graft.ops.FuzzyJoin.deleteFromVariantIndex]] and
+    * [[graft.multimodal.Multimodal.deleteFromAssetIndex]] (review
+    * finding: three hand-rolled copies of a crash-ordering-sensitive
+    * sequence; the IVF form keeps its own interleaved pass because it
+    * also emits list_stats deltas): doomed keys → affected partitions
+    * CONFIRMED from the index's own rows (optionally pre-pruned by
+    * `candidates` when the caller derives them from trusted state, e.g.
+    * a sidecar-recorded bucket count — never from caller guesswork) →
+    * anti-join survivors, checkpointed BEFORE the dynamic overwrite
+    * (which deletes the files being read) → emptied partition dirs
+    * removed outright (dynamic overwrite alone would resurrect their
+    * old rows). Single-writer, like every compaction here.
+    */
+  def deleteKeysFromBuckets(spark: SparkSession, dir: String,
+                            partitionCol: String, keyCol: String,
+                            doomedKeys: org.apache.spark.sql.DataFrame,
+                            candidates: Option[Array[Int]] = None): Unit = {
+    val doomed = doomedKeys.select(col(keyCol)).distinct().localCheckpoint()
+    if (candidates.exists(_.isEmpty)) return
+    val pre = candidates.fold(spark.read.parquet(dir))(cs =>
+      spark.read.parquet(dir)
+        .filter(col(partitionCol).isin(cs.map(Integer.valueOf): _*)))
+    val affected = pre
+      .join(broadcast(doomed), Seq(keyCol), "left_semi")
+      .select(col(partitionCol).cast("int").as(partitionCol))
+      .distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val remaining = spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(affected.map(Integer.valueOf): _*))
+      .join(broadcast(doomed), Seq(keyCol), "left_anti")
+      .localCheckpoint()
+    Upsert.overwritePartitions(remaining, dir, Seq(partitionCol))
+    val kept = remaining.select(col(partitionCol).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(kept).foreach { b =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/$partitionCol=$b"), true)
+    }
   }
 
   /** File count for a table or partition dir (the signal a maintenance

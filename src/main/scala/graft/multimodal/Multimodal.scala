@@ -450,39 +450,22 @@ object Multimodal {
   /** The DELETE half of the `ab`-partitioned asset indexes (frame AND
     * audio — only `asset_id` and the layout column are touched, so one
     * implementation serves both): takedown of an asset rewrites only its
-    * one `ab = pmod(asset_id, nBuckets)` bucket — candidate buckets come
-    * from the doomed ids' own hashes (PartitionFilters), confirmed by a
-    * semi-join so never-indexed ids rewrite nothing; emptied bucket dirs
-    * are removed outright. Delete-after-append ≡ never-ingested is
-    * MultimodalSpec-pinned and certified through the q203 probe oracle.
-    * `nBuckets` must match the index's writes. Single-writer, like every
+    * one `ab` bucket. Affected buckets are discovered from the INDEX'S
+    * OWN ROWS (one column-pruned semi-join — the
+    * [[graft.vector.Similarity.deleteFromIvfIndex]] discipline), never
+    * from a caller-recomputed hash: an erasure API that trusted a
+    * caller-supplied nBuckets would silently delete NOTHING when it
+    * disagreed with the index's write-time bucket count (review
+    * finding). Emptied bucket dirs are removed outright.
+    * Delete-after-append ≡ never-ingested is MultimodalSpec-pinned and
+    * certified through the q203 probe oracle. Single-writer, like every
     * compaction here.
     */
   def deleteFromAssetIndex(spark: SparkSession, dir: String,
-                           ids: DataFrame, nBuckets: Int = 64): Unit = {
-    val doomed = ids.select(col("asset_id")).distinct().localCheckpoint()
-    val cand = doomed
-      .select(pmod(col("asset_id"), lit(nBuckets)).cast("int").as("ab"))
-      .distinct().collect().map(_.getInt(0))
-    if (cand.isEmpty) return
-    val affected = spark.read.parquet(dir)
-      .filter(col("ab").isin(cand.map(Integer.valueOf): _*))
-      .join(broadcast(doomed), Seq("asset_id"), "left_semi")
-      .select(col("ab")).distinct().collect().map(_.getInt(0))
-    if (affected.isEmpty) return
-    val remaining = spark.read.parquet(dir)
-      .filter(col("ab").isin(affected.map(Integer.valueOf): _*))
-      .join(broadcast(doomed), Seq("asset_id"), "left_anti")
-      .localCheckpoint()
-    graft.ops.Upsert.overwritePartitions(remaining, dir, Seq("ab"))
-    val kept = remaining.select(col("ab").cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(kept).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ab=$b"), true)
-    }
-  }
+                           ids: DataFrame): Unit =
+    graft.maintenance.Compaction.deleteKeysFromBuckets(spark, dir,
+      "ab", "asset_id", ids)
+
 
   def readAudioIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("ab")

@@ -191,29 +191,15 @@ object FuzzyJoin {
   def deleteFromVariantIndex(spark: SparkSession, dir: String,
                              names: DataFrame, nameCol: String): Unit = {
     val (_, nBuckets) = indexMeta(spark, dir)
-    val doomed = names.select(col(nameCol).cast("string").as("t"))
-      .distinct().localCheckpoint()
+    val doomed = names.select(col(nameCol).cast("string").as("t")).distinct()
+    // the candidate pre-prune hashes with the SIDECAR's bucket count —
+    // trusted index state, never a caller-supplied number
     val cand = withBucket(doomed, nBuckets)
       .select(col("tb")).distinct().collect().map(_.getInt(0))
-    if (cand.isEmpty) return
-    val affected = spark.read.parquet(dir)
-      .filter(col("tb").isin(cand.map(Integer.valueOf): _*))
-      .join(broadcast(doomed), Seq("t"), "left_semi")
-      .select(col("tb")).distinct().collect().map(_.getInt(0))
-    if (affected.isEmpty) return
-    val remaining = spark.read.parquet(dir)
-      .filter(col("tb").isin(affected.map(Integer.valueOf): _*))
-      .join(broadcast(doomed), Seq("t"), "left_anti")
-      .localCheckpoint()
-    graft.ops.Upsert.overwritePartitions(remaining, dir, Seq("tb"))
-    val kept = remaining.select(col("tb").cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(kept).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tb=$b"), true)
-    }
+    graft.maintenance.Compaction.deleteKeysFromBuckets(spark, dir,
+      "tb", "t", doomed, Some(cand))
   }
+
 
   /** The shared probe body: delta variants equi-join the corpus index —
     * the corpus is never re-paired, the index never shuffled beyond the

@@ -129,6 +129,26 @@ object Profile {
         !c.contains("\r"),
       s"$where: column name must not contain backticks/quotes/newlines: $c")
 
+  /** Guard for every KS form that CASTS the monitored column to LONG
+    * (the stored reference and the multi-column explode need a uniform
+    * value type): casting a fractional column would silently truncate —
+    * 0.1 and 0.9 both become 0 and a complete distribution shift reads
+    * as d = 0 (review finding). The one-shot [[ksDrift]] counts values
+    * in their native type and takes any orderable column; this guard
+    * keeps the casting forms from being silently WEAKER than it.
+    */
+  private[graft] def requireIntegralColumn(df: DataFrame, c: String,
+                                           where: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"$where: column '$c' is ${dt.simpleString} — this form counts " +
+        "LONG values exactly (the cents/id discipline); cast fractional " +
+        "domains to integral units explicitly, or use ksDriftSketch / " +
+        "the one-shot ksDrift (native-typed) for continuous values")
+  }
+
   /** The ONE definition of the reference-percentile aggregate (shared by
     * the single- and multi-column forms so the edge recipe can never
     * diverge between them).
@@ -296,6 +316,10 @@ object Profile {
   def ksDriftMulti(ref: DataFrame, cur: DataFrame, valueCols: Seq[String],
                    numPartitions: Int = 0): DataFrame = {
     require(valueCols.nonEmpty, "ksDriftMulti: no columns")
+    valueCols.foreach { c =>
+      requireIntegralColumn(ref, c, "ksDriftMulti")
+      requireIntegralColumn(cur, c, "ksDriftMulti")
+    }
     def counted(df: DataFrame, own: String, other: String) =
       df.select(explode(array(valueCols.map(c =>
           struct(lit(c).as("c"), col(c).cast("long").as("v"))): _*)).as("_cv"))
@@ -407,9 +431,16 @@ object Profile {
         kll_cdf(col("ska"), pts).as("fa"),
         kll_cdf(col("skb"), pts).as("fb"))
       .select(
-        aggregate(zip_with(col("fa"), col("fb"),
-            (a, b) => abs(a - b)), lit(0.0),
-          (acc, x) => greatest(acc, x)).as("d_est"),
+        // an empty side would propagate a NULL d_est a threshold monitor
+        // silently passes (review finding) — refuse like every sibling,
+        // but with zero extra scans: the guard rides the 1-row result
+        when(col("n_ref") === 0 || col("n_cur") === 0,
+          raise_error(lit("ksDriftSketch: both snapshots must have " +
+            "non-null rows")).cast("double"))
+          .otherwise(
+            aggregate(zip_with(col("fa"), col("fb"),
+                (a, b) => abs(a - b)), lit(0.0),
+              (acc, x) => greatest(acc, x))).as("d_est"),
         col("n_ref"), col("n_cur"))
   }
 }

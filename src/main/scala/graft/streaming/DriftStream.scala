@@ -286,14 +286,18 @@ object DriftStream {
   def writeKsReference(ref: DataFrame, valueCol: String, dir: String): Unit = {
     val spark = ref.sparkSession
     Profile.requirePlainName(valueCol, "writeKsReference")
+    Profile.requireIntegralColumn(ref, valueCol, "writeKsReference")
     val counts = ref.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("ca"))
       .localCheckpoint() // one ref scan feeds both the write and the total
-    counts.write.mode("overwrite").parquet(dir)
+    // validate BEFORE the write: the reverse order left a counts table
+    // without its sidecar on an empty reference — a partial artifact
+    // whose later probes blamed the wrong function (review finding)
     val na = counts.agg(coalesce(sum(col("ca")), lit(0L))).head.getLong(0)
     require(na > 0,
       s"writeKsReference: reference has no non-null $valueCol rows")
+    counts.write.mode("overwrite").parquet(dir)
     val p = new org.apache.hadoop.fs.Path(dir, KsMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -338,6 +342,7 @@ object DriftStream {
     require(batch.columns.contains(valueCol),
       s"KS monitor: batch lacks the reference's monitored column " +
         s"'$valueCol' (batch columns: ${batch.columns.mkString(", ")})")
+    Profile.requireIntegralColumn(batch, valueCol, "ksBatch")
     val refCounts = spark.read.parquet(refDir).withColumn("cb", lit(0L))
     val curCounts = batch.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)

@@ -273,7 +273,7 @@ class MultimodalSpec extends SparkSpec {
       nBuckets = 8)
     Multimodal.deleteFromAssetIndex(spark, fdir,
       docs.filter(col("doc_id") % 6 === 5)
-        .select(col("doc_id").as("asset_id")), nBuckets = 8)
+        .select(col("doc_id").as("asset_id")))
     assert(rowsOf(fdir) == fIdx(col("doc_id") % 6 === 2)
       .as[(Long, String, Long)].collect().toSet,
       "frame delete-after-append must equal the never-ingested build")
@@ -288,7 +288,7 @@ class MultimodalSpec extends SparkSpec {
       nBuckets = 8)
     Multimodal.deleteFromAssetIndex(spark, adir,
       docs.filter(col("doc_id") % 6 === 4)
-        .select(col("doc_id").as("asset_id")), nBuckets = 8)
+        .select(col("doc_id").as("asset_id")))
     val want = aIdx(col("doc_id") % 6 === 1)
     assert(spark.read.parquet(adir).drop("ab").collect().toSet ==
       want.collect().toSet,
@@ -297,7 +297,7 @@ class MultimodalSpec extends SparkSpec {
     val stamps = new java.io.File(adir).listFiles().map(f =>
       f.getName -> f.lastModified()).toMap
     Multimodal.deleteFromAssetIndex(spark, adir,
-      Seq(999999L).toDF("asset_id"), nBuckets = 8)
+      Seq(999999L).toDF("asset_id"))
     assert(new java.io.File(adir).listFiles().map(f =>
       f.getName -> f.lastModified()).toMap == stamps)
   }

@@ -170,6 +170,15 @@ class ProfileSpec extends SparkSpec {
       Profile.ksDriftMulti(ref, curNull, Seq("x", "y"))
     }
     assert(e.getMessage.contains("BOTH snapshots"))
+    // a fractional column is refused, never silently truncated to LONG
+    // (0.1 and 0.9 both become 0 — a full shift would read as d = 0)
+    val curD = cur.withColumn("y", col("y") / 10.0)
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.ksDriftMulti(ref.withColumn("y", col("y") / 10.0), curD,
+        Seq("x", "y"))
+    }
+    assert(e2.getMessage.contains("integral") ||
+      e2.getMessage.contains("LONG"))
   }
 
   test("ksDriftBy == per-stratum ksDrift; one-sided stratum refused") {
@@ -218,5 +227,12 @@ class ProfileSpec extends SparkSpec {
     assert(d >= 0.0 && d <= 1.0)
     assert(math.abs(d - exact) <= 0.02,
       s"sketch estimate $d too far from exact $exact")
+    // an empty side raises at materialization instead of yielding the
+    // NULL d_est a threshold monitor would silently pass
+    val err = intercept[Exception] {
+      Profile.ksDriftSketch(xs, ys.filter(lit(false)), "x").collect()
+    }
+    assert(err.getMessage.contains("both snapshots"),
+      s"unexpected: ${err.getMessage}")
   }
 }
