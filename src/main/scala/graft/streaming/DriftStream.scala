@@ -126,28 +126,23 @@ object DriftStream {
   // artifact (histogram + sidecar), so every existing single-reference
   // consumer works on a member unchanged.
 
-  private val VersionRe = "^v=(\\d+)$".r
-
-  /** The versions present in a reference store, ascending. A `v=` dir
-    * missing its sidecar is a half-written rotation — refused loudly
-    * rather than silently skipped (it would otherwise vanish from the
-    * series and from [[latestReferenceVersion]] freshness checks).
+  /** The versions present in a reference store, ascending — the generic
+    * [[graft.sources.VersionedStore.versions]] listing (one definition
+    * of the `v=` naming contract, review finding) plus this store's own
+    * validation layer: a `v=` dir missing its sidecar is a half-written
+    * rotation — refused loudly rather than silently skipped (it would
+    * otherwise vanish from the series and from
+    * [[latestReferenceVersion]] freshness checks).
     */
   def referenceVersions(spark: SparkSession, rootDir: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case VersionRe(v) =>
-          require(fs.exists(new org.apache.hadoop.fs.Path(s.getPath, MetaFile)),
-            s"drift reference store $rootDir: version dir ${s.getPath.getName} " +
-              s"lacks $MetaFile — a half-written rotation; delete or rebuild it")
-          Some(v.toLong)
-        case _ => None
-      })
-      .sorted
+    val vs = graft.sources.VersionedStore.versions(spark, rootDir)
+    vs.foreach(v =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$rootDir/v=$v/$MetaFile")),
+        s"drift reference store $rootDir: version dir v=$v " +
+          s"lacks $MetaFile — a half-written rotation; delete or rebuild it"))
+    vs
   }
 
   /** Latest version in the store, if any. */
