@@ -2611,7 +2611,7 @@ object SparkEntry {
         |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
         |                   - CAST(fb AS HUGEINT) * na)) AS d_num
         |      FROM c, n)
-        |SELECT d.d_num AS d_num,
+        |SELECT CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2639,7 +2639,7 @@ object SparkEntry {
         |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
         |                   - CAST(fb AS HUGEINT) * na)) AS d_num
         |      FROM c, n)
-        |SELECT d.d_num AS d_num,
+        |SELECT CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2672,7 +2672,7 @@ object SparkEntry {
         |    MAX(ABS(CAST(fa AS HUGEINT) * nb
         |          - CAST(fb AS HUGEINT) * na)) AS d_num
         |  FROM cdf JOIN n ON n.lang = cdf.lang GROUP BY cdf.lang)
-        |SELECT d.lang, d.d_num AS d_num,
+        |SELECT d.lang, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2713,7 +2713,7 @@ object SparkEntry {
         |    MAX(ABS(CAST(fa AS HUGEINT) * nb
         |          - CAST(fb AS HUGEINT) * na)) AS d_num
         |  FROM cdf JOIN n ON n.c = cdf.c GROUP BY cdf.c)
-        |SELECT d.c AS col_name, d.d_num AS d_num,
+        |SELECT d.c AS col_name, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur

@@ -25,6 +25,26 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def canon_type(t):
+    """Canonical arrow type string so Spark parquet and DuckDB compare.
+
+    The driver's hash is type-sensitive (round-14 verdict: DECIMAL(38,0)
+    vs HUGEINT broke q190/q192/q195/q196 even with identical values), so
+    the local gate must compare types too. Only representation-equivalent
+    encodings are collapsed (large_string/string, dictionary, timestamp
+    tz spelling); numeric width/kind differences stay visible.
+    """
+    s = str(t)
+    s = s.replace("large_string", "string").replace("large_binary", "binary")
+    if s.startswith("dictionary"):
+        # dictionary<values=string, indices=int32, ordered=0> -> string
+        import re
+        m = re.search(r"values=([a-z0-9_()]+)", s)
+        if m:
+            s = m.group(1)
+    return s
+
+
 def norm(v):
     if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
         return v
@@ -92,6 +112,17 @@ def main():
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ\n  oracle: {wcols}\n  spark:  {gcols}")
+            n_fail += 1
+            continue
+        type_bad = []
+        for c in wcols:
+            wt = canon_type(want.schema.field(c).type)
+            gt = canon_type(got.schema.field(c).type)
+            if wt != gt:
+                type_bad.append((c, gt, wt))
+        if type_bad:
+            for c, gt, wt in type_bad:
+                print(f"FAIL {name}: col {c} TYPE spark={gt} oracle={wt}")
             n_fail += 1
             continue
         if want.num_rows != got.num_rows:
