@@ -129,12 +129,44 @@ object Bench {
     // lands under the bar the query genuinely costs that much — report
     // the min-of-2 like any unflagged query. Every re-time lands in the
     // JSON so a transient is diagnosable from the artifact alone.
+    // Second trigger: previous-round delta. Round 14 recorded q15 at
+    // 2.98 s and q160 at 3.29 s (adjacent in run order, both passes hit by
+    // one host transient) where round 13 and a clean re-run measured
+    // ~0.7–1.0 s — under the 3x-warm-up bar, so the guard never fired and
+    // the artifact read as a 4x regression. A query whose min-of-2 exceeds
+    // 2.5x its previous-round reported time (latest BENCH_r*.json in cwd,
+    // overridable via SPARK_GRAFT_PREV_BENCH; qNN keys) is also a
+    // candidate, with the SAME clean-run bar semantics. Queries absent
+    // from (or errored in) the prior artifact get no prev bar.
+    val prevTimes: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
+        rs.lastOption
+      }
+      path.flatMap { p =>
+        try {
+          val txt = scala.io.Source.fromFile(p)
+          val s = try txt.mkString finally txt.close()
+          val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(s).map(_.group(1))
+          qBlock.map { body =>
+            """"(q\d+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+          }
+        } catch { case _: Throwable => None }
+      }.getOrElse(Map.empty)
+    }
     val fnByName = queries
     val rawPasses = p1.zip(p2).map { case ((name, t1, _), (_, t2, _)) =>
       name -> List(t1, t2) }.toMap
     val retimed = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val results = min2.map { case (name, t, ok) =>
-      val bar = math.max(3 * warmTimes.getOrElse(name, 0.0), 0.75)
+      val warmBar = math.max(3 * warmTimes.getOrElse(name, 0.0), 0.75)
+      val prevBar = prevTimes.get(name.takeWhile(_ != '_'))
+        .map(pv => math.max(2.5 * pv, 0.75))
+      val bar = prevBar.fold(warmBar)(math.min(warmBar, _))
       if (!ok || t <= bar) (name, t, ok)
       else {
         var extras = List.empty[Double]
