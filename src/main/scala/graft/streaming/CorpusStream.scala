@@ -308,18 +308,21 @@ object CorpusStream {
                  doomed: org.apache.spark.sql.DataFrame,
                  threshold: Double = 0.5): Unit = {
     import graft.text.TextDedup
-    val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
-    dIds.write.mode("append").parquet(forgottenDir)
-    // a takedown can arrive BEFORE the first ingest: the ledger entry
-    // above is the whole job then (it pre-blocks the id), but a label
-    // store without its index is corrupt state — refuse, don't guess
-    if (!graft.sources.Tables.pathExists(spark, indexDir)) {
+    // corrupt-state refusal runs BEFORE any mutation: a label store
+    // without its index is not a state this call can interpret, and a
+    // refused call must not leave a permanent ledger entry behind (it
+    // would silently drop the ids from all future ingest batches once
+    // the operator restores the index)
+    if (!graft.sources.Tables.pathExists(spark, indexDir))
       require(readClusterLabels(spark, labelsDir).isEmpty,
         s"forgetDocs: label store $labelsDir is non-empty but index " +
           s"$indexDir is missing — labels derive from the index; " +
           "restore or rebuild the index first")
-      return
-    }
+    val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
+    dIds.write.mode("append").parquet(forgottenDir)
+    // a takedown can arrive BEFORE the first ingest: the ledger entry
+    // above is the whole job then (it pre-blocks the id)
+    if (!graft.sources.Tables.pathExists(spark, indexDir)) return
     val live = liveIndex(spark, indexDir, Some(forgottenDir))
     val changed = TextDedup.dedupClustersForgetDelta(
       readClusterLabels(spark, labelsDir), live, dIds,
@@ -342,8 +345,12 @@ object CorpusStream {
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String,
                             forgottenDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the PATH, not the default FS — on s3a:// (or
+    // any scheme differing from fs.defaultFS) FileSystem.get would throw
+    // Wrong-FS on the delete below, AFTER atomicReplace already rewrote
+    // the index (the Upsert.fsOf discipline used everywhere else)
+    val fs = new org.apache.hadoop.fs.Path(forgottenDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // no index yet (takedowns-before-first-ingest): the ledger entries
     // have nothing to erase, and clearing them would re-admit ids whose
     // content was never stored — which is exactly what "never ingested"

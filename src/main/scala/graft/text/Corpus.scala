@@ -1060,6 +1060,9 @@ object Corpus {
     * read 100%).
     */
   private val ShingleMetaFile = "_SHINGLE_META"
+  // Forgotten-doc_id replay ledger for the refcounted shingle index —
+  // the `_` prefix hides it from the index's own parquet listing.
+  private val ForgottenDocsDir = "_FORGOTTEN_DOCS"
 
   /** The sixth member of the delta-vs-index family (text q83, vectors
     * q93, frames q132, audio q133, names q144 — now shingle NOVELTY):
@@ -1197,9 +1200,20 @@ object Corpus {
   // forget ∘ append ≡ never-ingested BIT-EXACTLY (spec-pinned, and
   // q198's oracle rebuilds the corpus-minus-forgotten state in SQL).
   // Ingest contract: each document is appended exactly ONCE (the frame
-  // -index contract) — refcounts merge additively, so the ledger has no
-  // anti-join replay guard; wrap appends in a replay-guarded stream when
-  // the source is at-least-once.
+  // -index contract) — refcounts merge additively, so the APPEND side
+  // has no anti-join replay guard; wrap appends in a replay-guarded
+  // stream when the source is at-least-once. The FORGET side is guarded
+  // here: takedown queues are at-least-once by nature, and a replayed
+  // decrement would silently drive shared hashes toward zero (the
+  // `n_docs > 0` read filter hides the residue). [[forgetShingles]]
+  // keeps a forgotten-doc_id ledger (`_FORGOTTEN_DOCS` sidecar, hidden
+  // from the parquet listing) and drops already-forgotten ids before
+  // decrementing — the [[graft.streaming.CorpusStream.forgetDocs]]
+  // pattern. Compaction clears the sidecar along with the tomb rows
+  // (the erasure is already physical here), so the exact replay guard
+  // covers takedowns replayed BEFORE the next compaction; a replay
+  // arriving after fails LOUD at the following compaction's
+  // negative-fold check instead of vanishing silently.
 
   /** Build the refcounted index: rows `(_h, n_docs)` — how many ingested
     * docs contain each distinct hash — plus the same `_SHINGLE_META`
@@ -1224,12 +1238,31 @@ object Corpus {
     * ingesting them added. The caller passes the documents' TEXTS (the
     * corpus store still holds them at takedown time) — the decrement
     * must shingle exactly what the ingest shingled.
+    *
+    * Replay-guarded: doc_ids already in the `_FORGOTTEN_DOCS` sidecar
+    * ledger are dropped before decrementing, so an at-least-once
+    * takedown queue can re-deliver freely between compactions. Order is
+    * decrement-then-ledger: a crash in the window makes the RETRY
+    * double-decrement (detected at the next compaction's negative-fold
+    * check), whereas ledger-first would make the retry a silent no-op
+    * and leak the doc's shingles forever.
     */
   def forgetShingles(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, docs: DataFrame): Unit =
-    hashedShingles(docs, shingleIndexN(spark, dir)).groupBy(col("_h"))
-      .agg((-count(lit(1))).as("n_docs"))
-      .write.mode("append").parquet(dir)
+                     dir: String, docs: DataFrame): Unit = {
+    val n = shingleIndexN(spark, dir)
+    val ledger = s"$dir/$ForgottenDocsDir"
+    val fresh = (if (graft.sources.Tables.pathExists(spark, ledger))
+        docs.join(spark.read.parquet(ledger), Seq("doc_id"), "left_anti")
+      else docs).localCheckpoint() // pin BEFORE the writes below mutate
+                                   // the very ledger the anti-join reads
+    if (!fresh.isEmpty) {
+      hashedShingles(fresh, n).groupBy(col("_h"))
+        .agg((-count(lit(1))).as("n_docs"))
+        .write.mode("append").parquet(dir)
+      fresh.select(col("doc_id")).distinct()
+        .write.mode("append").parquet(ledger)
+    }
+  }
 
   /** The current hash set with live refcounts: per-hash ledger sum,
     * non-positive rows gone. Every consumer reads THIS view — raw
@@ -1244,12 +1277,28 @@ object Corpus {
   /** Fold the ledger to one row per live hash (forgetting leaves tomb
     * rows behind; compaction bounds reads). View-equivalence and
     * re-appendability spec-pinned.
+    *
+    * Fails LOUD if any hash folds NEGATIVE: a negative sum means a
+    * decrement with no matching ingest — a takedown applied twice
+    * (post-compaction replay that slipped the ledger) or a forget of a
+    * never-ingested document. The `n_docs > 0` read filter would hide
+    * the residue forever; the maintenance boundary is where it must
+    * surface. The overwrite also clears the `_FORGOTTEN_DOCS` replay
+    * ledger — the tomb rows it guarded are physically gone.
     */
   def compactShingleIndexRc(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Unit = {
     val n = shingleIndexN(spark, dir)
-    val folded = readShingleIndexRc(spark, dir).localCheckpoint()
-    folded.write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir).groupBy(col("_h"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .localCheckpoint()
+    val negatives = raw.filter(col("n_docs") < 0).count()
+    require(negatives == 0L,
+      s"compactShingleIndexRc: $negatives hashes in $dir fold negative — " +
+        "a takedown was applied twice or a never-ingested document was " +
+        "forgotten; the index no longer equals any ingest history. " +
+        "Rebuild from the corpus store (writeShingleIndexRc).")
+    raw.filter(col("n_docs") > 0).write.mode("overwrite").parquet(dir)
     writeShingleMeta(spark, dir, n) // overwrite clears the sidecar
   }
 

@@ -132,9 +132,17 @@ object LangModel {
     */
   def writeLm(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    bigramLm(docs).write.mode("overwrite").parquet(s"$dir/counts")
+    // validate BEFORE any write (the writeKsReference ordering): an
+    // empty train set would otherwise persist — and rotateLm then
+    // rename-publish — an artifact whose sidecar holds v=0, which
+    // readLm later refuses as "corrupt", blaming the artifact instead
+    // of the empty input
     val v = docs.select(explode(TextAnalysis.tokens(col("text"))).as("_w"))
       .agg(countDistinct(col("_w"))).head().getLong(0)
+    require(v > 0,
+      s"writeLm: train set has an empty vocabulary (no tokens) — " +
+        "refusing to persist an unusable LM")
+    bigramLm(docs).write.mode("overwrite").parquet(s"$dir/counts")
     val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

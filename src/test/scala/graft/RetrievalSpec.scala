@@ -251,6 +251,45 @@ class RetrievalSpec extends SparkSpec {
       "the rc probe must answer exactly like the set index on the live corpus")
   }
 
+  test("refcounted shingle index: replayed takedown is a no-op; " +
+      "never-ingested forget fails loud at compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("shrcfg").toString
+    def view(d: String) =
+      Corpus.readShingleIndexRc(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val led = s"$dir/ledger"
+    Corpus.writeShingleIndexRc(docs.filter(col("doc_id") % 5 < 4), led, n = 3)
+    val gone = docs.filter(col("doc_id") % 10 === 1)
+    Corpus.forgetShingles(spark, led, gone)
+    val after = view(led)
+    // at-least-once takedown queue: the SAME takedown re-delivered must
+    // not decrement shared hashes a second time
+    Corpus.forgetShingles(spark, led, gone)
+    assert(view(led) == after,
+      "a replayed takedown must be dropped by the forgotten-ids ledger")
+    // a replayed batch that is PARTLY new forgets only the new part
+    val gone2 = gone.unionByName(docs.filter(col("doc_id") % 10 === 6))
+    Corpus.forgetShingles(spark, led, gone2)
+    Corpus.writeShingleIndexRc(
+      docs.filter(col("doc_id") % 5 < 4).join(
+        gone2.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      s"$dir/ref", n = 3)
+    assert(view(led) == view(s"$dir/ref"),
+      "a mixed replay/new takedown batch must decrement only the new ids")
+    // compaction stays green on the guarded history, and clears the
+    // ledger so a fresh post-compaction forget is admitted
+    Corpus.compactShingleIndexRc(spark, led)
+    assert(view(led) == view(s"$dir/ref"))
+    // never-ingested forget: decrements with no matching ingest must
+    // fail LOUD at the next compaction, not vanish behind the >0 filter
+    Corpus.forgetShingles(spark, led,
+      Seq((999999L, "zz qq vv ww xx yy")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.compactShingleIndexRc(spark, led)
+    }
+    assert(e.getMessage.contains("fold negative"))
+  }
+
   test("shingle index width rides the sidecar, pre-sidecar dirs fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("shidx2").toString
     Corpus.writeShingleIndex(docs.limit(10), s"$dir/w2", n = 2)
