@@ -297,23 +297,18 @@ object FuzzyJoin {
       .write.mode("overwrite")
       .bucketBy(nBuckets, "v").sortBy("v")
       .format("parquet").saveAsTable(table)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.fuzzy.k'='$maxDist', 'graft.fuzzy.nbuckets'='$nBuckets')")
+    graft.sources.Tables.setTableMetaInts(spark, table, "graft.fuzzy",
+      "k" -> maxDist, "nbuckets" -> nBuckets)
   }
 
   /** (build depth k, bucket count) of a variant TABLE, from its catalog
-    * properties. Fails loudly on a table not built by
-    * [[writeVariantTable]].
+    * properties ([[graft.sources.Tables.tableMetaInts]]). Fails loudly
+    * on a table not built by [[writeVariantTable]].
     */
   def tableMeta(spark: SparkSession, table: String): (Int, Int) = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    (props.get("graft.fuzzy.k"), props.get("graft.fuzzy.nbuckets")) match {
-      case (Some(k), Some(nb)) => (k.toInt, nb.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"fuzzy variant table $table lacks graft.fuzzy.* properties — " +
-          "build it with FuzzyJoin.writeVariantTable")
-    }
+    val Seq(k, nb) = graft.sources.Tables.tableMetaInts(spark, table,
+      "graft.fuzzy", Seq("k", "nbuckets"), "FuzzyJoin.writeVariantTable")
+    (k, nb)
   }
 
   /** Overlap-safe append to the bucketed variant table: the same

@@ -254,6 +254,34 @@ object Tables {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
 
+  /** The ONE build-parameter-metadata contract for bucketed catalog
+    * tables: integer build parameters ride the table as
+    * `<prefix>.<key>` properties (the sidecar-file pattern re-expressed
+    * in catalog terms), so probes and appends read the CATALOG — never
+    * an aggregation over index rows, never a caller-supplied guess that
+    * could disagree with the build. Writer half of the pair.
+    */
+  def setTableMetaInts(spark: SparkSession, table: String, prefix: String,
+                       kvs: (String, Int)*): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      kvs.map { case (k, v) => s"'$prefix.$k'='$v'" }.mkString(", ") + ")")
+
+  /** Reader half: the `keys` values in order. Fails loudly (naming the
+    * `builderHint` entry point) on a table missing any `<prefix>.<key>`
+    * property — probing with a guessed parameter would silently answer
+    * a different question.
+    */
+  def tableMetaInts(spark: SparkSession, table: String, prefix: String,
+                    keys: Seq[String], builderHint: String): Seq[Int] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    keys.map { k =>
+      props.getOrElse(s"$prefix.$k", throw new IllegalArgumentException(
+        s"table $table lacks $prefix.* properties — " +
+          s"build it with $builderHint")).toInt
+    }
+  }
+
   /** Events scan with the watermark predicate pushed to the parquet scan
     * IN THE DETECTED UNIT (row-group statistics pruning) — at 100 TB the
     * difference between a pruned incremental read and a full scan.

@@ -1147,24 +1147,19 @@ object Corpus {
       .write.mode("overwrite")
       .bucketBy(nBuckets, "_h").sortBy("_h")
       .format("parquet").saveAsTable(table)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.shingle.n'='$n', 'graft.shingle.nbuckets'='$nBuckets')")
+    graft.sources.Tables.setTableMetaInts(spark, table, "graft.shingle",
+      "n" -> n, "nbuckets" -> nBuckets)
   }
 
   /** (shingle width n, bucket count) of a shingle TABLE from its catalog
-    * properties; fails loudly on tables not built by
-    * [[writeShingleTable]].
+    * properties ([[graft.sources.Tables.tableMetaInts]]); fails loudly
+    * on tables not built by [[writeShingleTable]].
     */
   def shingleTableMeta(spark: org.apache.spark.sql.SparkSession,
                        table: String): (Int, Int) = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    (props.get("graft.shingle.n"), props.get("graft.shingle.nbuckets")) match {
-      case (Some(n), Some(nb)) => (n.toInt, nb.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"shingle table $table lacks graft.shingle.* properties — " +
-          "build it with Corpus.writeShingleTable")
-    }
+    val Seq(n, nb) = graft.sources.Tables.tableMetaInts(spark, table,
+      "graft.shingle", Seq("n", "nbuckets"), "Corpus.writeShingleTable")
+    (n, nb)
   }
 
   /** Overlap-safe append to the bucketed shingle table — the
