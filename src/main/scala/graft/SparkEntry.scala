@@ -927,6 +927,20 @@ object SparkEntry {
     "q156_containment" -> ((s, dir) =>
       graft.text.Corpus.containmentPairs(t(s, dir, "documents"),
         n = 3, tauNum = 4, tauDen = 5)),
+    // A8 asymmetric dedup, AT-REST form: the same containment algebra
+    // over the _h-bucketed shingle-pair catalog table — candidate
+    // generation reads both self-join sides in place (zero Exchange,
+    // PlanSpec-pinned); the corpus text walk is paid once at ingest,
+    // not per sweep. Same oracle text as q156: the two forms must agree
+    // row-for-row.
+    "q211_containment_bucketed" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"graft_shingle_pairs_$tag"
+      if (!s.catalog.tableExists(tbl))
+        graft.text.Corpus.writeShinglePairTable(
+          t(s, dir, "documents"), tbl, n = 3)
+      graft.text.Corpus.containmentOverTable(s, tbl, tauNum = 4, tauDen = 5)
+    }),
     // A9 sampling: Efraimidis–Spirakis weighted sampling WITHOUT
     // replacement (inclusion ∝ n_chars) — one projection + global top-k
     // (TakeOrderedAndProject), never a sort. Boundary gap ≥ 5e-7 at all
@@ -2401,6 +2415,25 @@ object SparkEntry {
         |FROM sc s JOIN documents d ON d.doc_id = s.doc_id
         |WHERE s.ppl <= 44.0""".stripMargin,
     "q156_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, z.n_a, i.n_inter
+        |FROM inter i JOIN sizes z ON z.doc_id = i.doc_a
+        |WHERE i.n_inter * 5 >= z.n_a * 4""".stripMargin,
+    // the at-rest bucketed form computes the identical algebra — one
+    // oracle text, two physical plans
+    "q211_containment_bucketed" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         |sh AS (

@@ -1032,6 +1032,57 @@ object Corpus {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_inter"))
   }
 
+  /** The [[containmentPairs]] inverted index as AT-REST state: distinct
+    * `(doc_id, _h)` shingle pairs as a catalog table bucketed (and
+    * file-sorted) on `_h` — the [[writeShingleTable]] posture applied to
+    * the PAIR table the containment scan self-joins. With the rows at
+    * rest in `_h` buckets, [[containmentOverTable]]'s candidate join
+    * reads BOTH sides in place (zero Exchange on either join input,
+    * PlanSpec-pinned); the only shuffle left is the semantically
+    * required pair aggregate. This is the 100 TB boilerplate-scan
+    * layout: the corpus shingles once at ingest, and every containment
+    * sweep after that starts from the bucket files instead of re-paying
+    * the corpus-wide text walk plus the self-join exchange. Rebuild (or
+    * re-ingest through [[writeShinglePairTable]]) when the corpus
+    * changes; shingle width and bucket count ride the catalog.
+    */
+  def writeShinglePairTable(docs: DataFrame, table: String, n: Int = 3,
+                            nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Tables.clearOrphanedWarehouseDir(spark, table)
+    hashedShingles(docs, n) // distinct per doc by construction
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "_h").sortBy("_h")
+      .format("parquet").saveAsTable(table)
+    graft.sources.Tables.setTableMetaInts(spark, table, "graft.shinglepair",
+      "n" -> n, "nbuckets" -> nBuckets)
+  }
+
+  /** Directed containment over the at-rest pair table — the exact
+    * [[containmentPairs]] algebra (integer cross-multiply threshold,
+    * identical output) with candidate generation exchange-free on both
+    * sides of the self-join. Fails loudly on a table not built by
+    * [[writeShinglePairTable]].
+    */
+  def containmentOverTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String,
+                           tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"containmentOverTable: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
+    graft.sources.Tables.tableMetaInts(spark, table, "graft.shinglepair",
+      Seq("n", "nbuckets"), "Corpus.writeShinglePairTable")
+    val sh = spark.table(table)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    sh.as("a")
+      .join(sh.as("b"), col("a._h") === col("b._h") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_inter"))
+  }
+
   /** Per-document n-gram novelty: of a document's distinct word n-grams,
     * how many appear in NO earlier document (doc_id order = ingest
     * order)? The marginal-contribution score data curation ranks by —

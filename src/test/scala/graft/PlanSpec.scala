@@ -288,6 +288,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q211 bucketed containment: BOTH self-join sides exchange-free") {
+    // the at-rest containment layout's whole point: the candidate
+    // self-join reads the _h-bucketed pair table in place on both
+    // inputs — the only shuffle left is the semantically required
+    // (doc_a, doc_b) pair aggregate.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exec = SparkEntry.queries("q211_containment_bucketed")(spark, sf)
+        .queryExecution.executedPlan
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      // the candidate join: the SMJ whose both inputs scan the bucketed
+      // table (the sizes join also exists; its aggregate side shuffles)
+      val candJoins = unwrap(exec).collect {
+        case j: SortMergeJoinExec if Seq(j.left, j.right).forall(side =>
+          side.collect {
+            case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+          }.nonEmpty) => j
+      }
+      assert(candJoins.nonEmpty,
+        "expected a sort-merge join over two bucketed scans:\n" +
+          unwrap(exec).toString.take(1500))
+      candJoins.foreach(j => Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "both candidate-join sides must be exchange-free:\n" +
+            side.toString.take(1500))
+      })
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q186 drift rotation: ONE batch scan scores every reference version") {
     // the operator's headline claim: per-row explode over version structs
     // means the current batch is read once no matter how many references
