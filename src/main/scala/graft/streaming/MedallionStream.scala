@@ -52,6 +52,36 @@ object MedallionStream {
       .start()
   }
 
+  /** The WHOLE reference pipeline as one streaming query: the bronze
+    * pull drives the silver path directly through the first-class
+    * [[graft.sources.PagedStreamProvider]] source — Spark's offset log
+    * carries the reference's (media, page) checkpoint, so a restart
+    * resumes the PULL itself mid-pagination (not merely the file scan),
+    * with the same per-trigger page budget (T4) and the same
+    * watermarked dedup downstream. `apiKey` names a registered
+    * [[graft.sources.PagedStream.MediaPagedApi]].
+    */
+  def factEventsFromApiQuery(spark: SparkSession, apiKey: String,
+                             factDir: String, checkpointDir: String,
+                             maxPagesPerTrigger: Int = 10,
+                             watermarkDelay: String = "1 day")
+      : StreamingQuery = {
+    val pages = spark.readStream
+      .format("graft.sources.PagedStreamProvider")
+      .option("apiRegistry", apiKey)
+      .option("maxPagesPerTrigger", maxPagesPerTrigger.toString)
+      .load()
+      .select(col("payload"))
+    Flatten.factEvents(Flatten.normalizePages(pages))
+      .withWatermark("received_at", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_key")
+      .writeStream
+      .format("parquet")
+      .option("path", factDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Companion quarantine stream (T6 parity with the batch path): corrupt
     * pages must not vanish into the offset log — this query routes them to
     * the quarantine table under its OWN checkpoint, so both streams resume

@@ -1,0 +1,90 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import graft.sources.{PagedSource, PagedStream}
+import graft.streaming.MedallionStream
+
+/** The bronze pull as a FIRST-CLASS streaming source: offsets =
+  * (media, page) in Spark's own offset log, per-trigger page budgets,
+  * completion per the last-page algebra, checkpoint-resume without
+  * re-fetching a single emitted page, late-listed media admitted from
+  * page 1.
+  */
+class PagedStreamSpec extends SparkSpec {
+
+  private def ev(key: String, ts: String, media: String): String =
+    s"""{"event_key":"$key","received_at":"$ts","percent_viewed":0.5,
+       |"visitor_key":"v-$key","media_id":"$media","media_name":"vid"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** A media's feed: `nFull` full pages (2 events) plus one short final
+    * page (1 event) — the short page is the last-page signal.
+    */
+  private def feed(media: String, nFull: Int): Vector[String] = {
+    var k = 0
+    def next(): String = { k += 1; ev(s"$media-e$k", s"2025-04-01T1${k % 10}:00:00Z", media) }
+    (Vector.fill(nFull)(s"""{"data":[${next()},${next()}]}""") :+
+      s"""{"data":[${next()}]}""")
+  }
+
+  private class FakeApi extends PagedStream.MediaPagedApi {
+    val feeds = TrieMap[String, Vector[String]]()
+    val fetches = TrieMap[(String, Long), Int]()
+    def mediaIds: Seq[String] = feeds.keys.toSeq.sorted
+    def fetch(media: String, page: Long): PagedSource.Page = {
+      fetches.updateWith((media, page))(c => Some(c.getOrElse(0) + 1))
+      val pages = feeds(media)
+      require(page >= 1 && page <= pages.size,
+        s"fetch past the end: $media page $page of ${pages.size}")
+      val payload = pages((page - 1).toInt)
+      val size = "\"event_key\"".r.findAllIn(payload).size.toLong
+      PagedSource.Page(payload, size, total = None, perPage = Some(2L))
+    }
+  }
+
+  test("api-driven silver: budgeted drain, exactly-once pages, " +
+      "checkpoint resume admits only the late media") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream").toString
+    val fact = s"$root/fact"
+    val cp = s"$root/cp"
+    val api = new FakeApi
+    api.feeds("m1") = feed("m1", 4) // 5 pages, 9 events
+    api.feeds("m2") = feed("m2", 1) // 2 pages, 3 events
+    PagedStream.register("spec-api", api)
+    try {
+      val q = MedallionStream.factEventsFromApiQuery(spark, "spec-api",
+        fact, cp, maxPagesPerTrigger = 2)
+      q.processAllAvailable(); q.stop()
+      val out1 = spark.read.parquet(fact)
+      assert(out1.count() == 12, "every event from every page, exactly once")
+      assert(out1.select("event_key").distinct().count() == 12)
+      // the 2-page budget paces m1's 5 pages over >= 3 micro-batches
+      assert(api.fetches.keys.count(_._1 == "m1") == 5)
+      assert(api.fetches.values.forall(_ == 1),
+        s"every page fetched exactly once: ${api.fetches.toMap}")
+
+      // a media listed AFTER the first drain: restart from the same
+      // checkpoint must pull only m3 — completed media are terminal and
+      // emitted pages never re-fetch
+      api.feeds("m3") = feed("m3", 1) // 3 events
+      val q2 = MedallionStream.factEventsFromApiQuery(spark, "spec-api",
+        fact, cp, maxPagesPerTrigger = 2)
+      q2.processAllAvailable(); q2.stop()
+      val out2 = spark.read.parquet(fact)
+      assert(out2.count() == 15, "resume adds exactly the new media's events")
+      assert(out2.select("event_key").distinct().count() == 15)
+      assert(api.fetches.values.forall(_ == 1),
+        s"resume must not re-fetch any page: ${api.fetches.toMap}")
+
+      // idle restart: nothing new, nothing fetched
+      val before = api.fetches.toMap
+      val q3 = MedallionStream.factEventsFromApiQuery(spark, "spec-api",
+        fact, cp, maxPagesPerTrigger = 2)
+      q3.processAllAvailable(); q3.stop()
+      assert(spark.read.parquet(fact).count() == 15)
+      assert(api.fetches.toMap == before,
+        "all media complete: an idle restart fetches nothing")
+    } finally PagedStream.unregister("spec-api")
+  }
+}
