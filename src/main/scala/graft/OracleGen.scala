@@ -46,4 +46,17 @@ private[graft] object OracleGen {
   /** `q AS (SELECT <keys>, q0..q7 FROM <from>)` projection list. */
   def qSelect(h: String): String =
     qExprs(h).zipWithIndex.map { case (e, d) => s"$e AS q$d" }.mkString(", ")
+
+  /** The 60-bit simhash fold of per-token hash column `h` as an
+    * aggregate SQL expression (one per-doc GROUP BY consumes it): bit i
+    * is set iff strictly more tokens carry a 1 there than a 0 —
+    * `2·ones > n`, the exact [[graft.functions.SimHashAgg]] `> 0`
+    * counter semantics. Bits 60–63 are structurally 0 (the portable
+    * md5-prefix hash is 60-bit), so the fold stops at 60.
+    */
+  def simhashExpr(h: String): String =
+    (0 until 60).map(i =>
+      s"CASE WHEN 2 * SUM(($h >> $i) & 1) > COUNT(*) " +
+        s"THEN ${1L << i} ELSE 0 END")
+      .mkString("(", "\n     + ", ")")
 }

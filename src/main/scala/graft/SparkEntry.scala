@@ -522,7 +522,8 @@ object SparkEntry {
     "q73_dedup_clusters" -> ((s, dir) =>
       TextDedup.dedupClusters(
         TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5))),
-    // A8 SimHash (engine-internal xxhash64 — no SQL oracle, rows-only).
+    // A8 SimHash — hash-exact since round 15: the portable md5-prefix
+    // token hash (TextDedup.simhash) makes the pipeline SQL-expressible.
     "q31_simhash_near_dups" -> ((s, dir) =>
       TextDedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 4)),
     // F8 north star: marker-word language ID with deterministic argmax.
@@ -1822,6 +1823,20 @@ object SparkEntry {
       Similarity.semanticDedup(emb.select(col("vec_id"), col("label")),
         Similarity.ivfCandidatePairsWithCentroids(emb,
           s.read.parquet(s"$ivfDir/centroids"), threshold = 0.3))
+    }),
+    // J7/A8 blocked-dedup quality measurement (the q210 rule applied to
+    // PAIR generation): per-threshold recall of the IVF-blocked
+    // candidate pairs vs the exact all-pairs set, all integers. Seed
+    // centroids (first-16) so the oracle reproduces the generator
+    // exactly — the trained-centroid production form (q91) only ever
+    // LIFTS recall over this floor (VectorSpec pins that ordering).
+    "q212_ivf_pair_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pairRecallReport(
+        Similarity.ivfCandidatePairsWithCentroids(emb,
+          emb.orderBy(col("vec_id")).limit(16), threshold = 0.3, assign = 2),
+        Similarity.nearDupPairsExact(emb, 0.3),
+        Seq(3000, 4000, 5000, 7000))
     }),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
@@ -3517,6 +3532,32 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // the q119 shared-primitive rule applied to simhash: the portable
+    // md5-prefix token hash makes the WHOLE pipeline (per-token hash →
+    // per-doc bit-majority fold → quadrant-LSH candidates → hamming
+    // verify) plain SQL; the 60-term fold is generated from SimHashAgg's
+    // own semantics (OracleGen.simhashExpr), so there is no second copy
+    // of the bit algebra to drift
+    "q31_simhash_near_dups" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        |       FROM toks),
+        |sh AS (SELECT doc_id, ${OracleGen.simhashExpr("h")} AS simhash
+        |       FROM th GROUP BY doc_id),
+        |quads AS (
+        |  SELECT doc_id, simhash, q,
+        |    (simhash >> (q * 16)) & 65535 AS quad
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS q)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+        |    b.doc_id AS doc_b, b.simhash AS sb
+        |  FROM quads a JOIN quads b
+        |    ON a.q = b.q AND a.quad = b.quad AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 4""".stripMargin,
     "q30_near_dup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
@@ -4068,6 +4109,49 @@ object SparkEntry {
     "q189_semantic_cluster_resume" -> semanticClustersSql,
     "q209_semantic_cluster_forget" ->
       semanticClustersSqlOver("vec_id % 9 <> 4"),
+    // the q210 recall-stick rule applied to pair generation: seed-16
+    // centroids, top-2 multi-assignment, in-list pairs, exact-cosine
+    // verify at 0.3; recall counted per integer-basis-point threshold
+    "q212_ivf_pair_recall" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |lists AS (
+        |  SELECT vec_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, c_id) <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM lists a JOIN lists b
+        |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+        |approx AS (
+        |  SELECT cd.vec_a, cd.vec_b FROM cand cd
+        |  JOIN embeddings ea ON ea.vec_id = cd.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = cd.vec_b
+        |  WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+        |      >= 0.3),
+        |ex AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |taus AS (SELECT unnest([3000, 4000, 5000, 7000]) AS tau_bp)
+        |SELECT t.tau_bp, COUNT(*) AS n_true, COUNT(ap.vec_a) AS n_hit
+        |FROM ex e CROSS JOIN taus t
+        |LEFT JOIN approx ap ON ap.vec_a = e.vec_a AND ap.vec_b = e.vec_b
+        |WHERE e.cosine >= 0.3 AND e.cosine >= t.tau_bp / 10000.0
+        |GROUP BY t.tau_bp""".stripMargin,
     // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
     // assigns top-1, the delta probes its top-4 lists, exact cosine
     // verifies. Same list_dot_product kernel, so doubles are bit-exact.

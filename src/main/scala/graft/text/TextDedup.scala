@@ -698,9 +698,20 @@ object TextDedup {
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // PORTABLE 60-bit token hash: the first 15 hex chars of md5 — both
+    // engines compute md5 over the token's UTF-8 bytes, so the entire
+    // simhash pipeline is DuckDB-expressible (the q119 rule: shared
+    // primitives instead of engine-internal xxhash64) and q31 is
+    // hash-exact instead of rows-only. 15 hex chars = 2^60-1 max fits
+    // signed 64-bit on both engines with no wrap games; simhash bits
+    // 60-63 are structurally 0 (the ±1 counter only ever sees 0 there),
+    // which costs nothing — quadrant 3 still carries 12 varying bits
+    // and XOR/hamming ignores constant-equal bits.
     docs
       .withColumn("_tok", explode(split(col("text"), "\\s+")))
-      .select(col("doc_id"), xxhash64(col("_tok")).as("_h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("_tok")), 1, 15), 16, 10)
+          .cast("long").as("_h"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)

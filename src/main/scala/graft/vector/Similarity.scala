@@ -613,6 +613,30 @@ object Similarity {
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("k_true"), count(col("_hit")).as("n_hit"))
 
+  /** [[recallReport]]'s PAIR-GENERATOR form — the measuring stick for
+    * blocked dedup candidates ([[ivfCandidatePairs]] et al.) instead of
+    * top-k search: at each threshold (integer basis points, so the
+    * report carries no float columns), how many exact pairs with
+    * `cosine >= tau` did the generator recover? `approx`/`exact` carry
+    * `(vec_a, vec_b, cosine)`; thresholds with zero qualifying exact
+    * pairs produce no row (both engines agree — the group is absent).
+    * All-integer output, so the q210 rule applies: deterministic
+    * generators make the stick itself hash-exact cross-engine.
+    */
+  def pairRecallReport(approx: DataFrame, exact: DataFrame,
+                       tausBp: Seq[Int]): DataFrame = {
+    val spark = exact.sparkSession
+    import spark.implicits._
+    val taus = tausBp.toDF("tau_bp")
+    exact.select(col("vec_a"), col("vec_b"), col("cosine"))
+      .join(approx.select(col("vec_a"), col("vec_b"), lit(1).as("_hit")),
+        Seq("vec_a", "vec_b"), "left")
+      .crossJoin(broadcast(taus))
+      .filter(col("cosine") >= col("tau_bp") / lit(10000.0))
+      .groupBy(col("tau_bp"))
+      .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
+  }
+
   /** Per-centroid (−cosine, c_id) structs over inlined literal centroids —
     * `array_min` of this is the assignment argmax; `sort_array` + slice is
     * probe-list selection. A NaN cosine (zero-norm vector or centroid,
