@@ -454,14 +454,23 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       // ONE at-rest codebook format tree-wide: the same
       // write/readPqCodebook pair the IVF+PQ index uses (q128).
+      // v3: learned-OPQ rotation adopted (round-15 A/B: recall@5
+      // 0.800 -> 0.900 at equal bytes; BASELINE.md table) — rotation +
+      // codebook persist together, search reads both back
       val cbDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "pqcb", "v2") { out =>
+        s"$dir/embeddings.parquet", "pqcb", "v3") { out =>
+        val rot = Similarity.trainOpqRotation(emb, m = 8, k = 16)
+        Similarity.writePqRotation(s, out, rot)
         Similarity.writePqCodebook(s, out,
-          Similarity.trainPqCodebook(emb, m = 8, k = 16, iters = 5), 8, 16)
+          Similarity.trainPqCodebook(
+            emb.select(col("vec_id"),
+              Similarity.rotateVec(col("embedding"), rot).as("embedding")),
+            m = 8, k = 16, iters = 5), 8, 16)
       }
       val (cb, m, k) = Similarity.readPqCodebook(s, cbDir)
       Similarity.searchPq(emb, emb.filter(col("vec_id") < 10), cb,
-        m, k, topK = 5, refine = 50)
+        m, k, topK = 5, refine = 50,
+        rotation = Similarity.readPqRotation(s, cbDir))
     }),
     // J6: range join — lineitems shipped within 90 days of their order date.
     "q24_range_join" -> ((s, dir) =>
@@ -1728,10 +1737,13 @@ object SparkEntry {
     // variant. Rows-only like q116; q65 is the float twin.
     "q128_ann_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // v2: opq = true — the index learns its rotation at build time and
+      // the search reads it back (round-15 adoption)
       val ivfDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "ivfpq", "v1") { d =>
+        s"$dir/embeddings.parquet", "ivfpq", "v2") { d =>
         Similarity.writeIvfIndex(emb, d, nCentroids = 16, trainIters = 5,
-          pq = Some(Similarity.PqConfig(m = 8, k = 16, trainIters = 5)))
+          pq = Some(Similarity.PqConfig(m = 8, k = 16, trainIters = 5,
+            opq = true)))
       }
       Similarity.searchIvfIndexPq(s, ivfDir,
         emb.filter(col("vec_id") < 10), 5, nProbe = 4, refine = 40)

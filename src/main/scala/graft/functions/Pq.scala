@@ -115,7 +115,89 @@ case class PqCosine(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Orthonormal rotation of a float vector by a LITERAL d×d matrix (row-
+  * major) — the learned-OPQ front end ([[PqEncode]] then runs in the
+  * rotated space, where the per-subspace quantizer loses less). The
+  * matrix rides the plan as a reference object like the codebook; the
+  * multiply accumulates in doubles and narrows once per output element
+  * (deterministic). Rotation preserves inner products and norms, so
+  * cosine in the rotated space IS cosine in the original — the refine
+  * step can re-score against unrotated float embeddings unchanged.
+  * NULL/NaN element → NULL (the [[PqEncode]] contract); dimension
+  * mismatch throws.
+  */
+case class VecRotate(child: Expression, r: Array[Float], d: Int)
+    extends UnaryExpression {
+
+  require(d >= 1 && r.length == d * d,
+    s"vec_rotate: matrix has ${r.length} floats, expected d*d = ${d * d}")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_rotate"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_rotate: input must be array<float>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqMath.rotate(input.asInstanceOf[ArrayData], r, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rm = ctx.addReferenceObj("rotMatrix", r, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("rotRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.PqMath.rotate($a, $rm, $d);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecRotate =
+    copy(child = newChild)
+}
+
 object PqMath {
+
+  /** R·v with double accumulation, one float narrowing per output dim.
+    * NULL/NaN element → null; wrong dimension throws (a silent partial
+    * rotation would quantize garbage).
+    */
+  def rotate(v: ArrayData, r: Array[Float], d: Int): ArrayData = {
+    val n = v.numElements()
+    if (n != d) {
+      throw new IllegalArgumentException(
+        s"vec_rotate: embedding has $n dims, matrix expects $d")
+    }
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      val f = v.getFloat(i)
+      if (java.lang.Float.isNaN(f)) return null
+      x(i) = f.toDouble
+      i += 1
+    }
+    val out = new Array[Float](d)
+    i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      val base = i * d
+      while (j < d) { s += r(base + j) * x(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Nearest-centroid code per subspace, squared-L2, ties to the LOWEST
     * code (deterministic encode ⇒ deterministic downstream dedup keys).

@@ -60,9 +60,17 @@ object Similarity {
     * × `k` centroids each; `codebook` pins a pre-trained codebook (the
     * append ≡ full-build identity only holds under a FROZEN codebook),
     * None trains one on the indexed corpus with `trainIters` Lloyd rounds.
+    * `opq = true` learns an orthonormal rotation first
+    * ([[trainOpqRotation]]) and encodes in the rotated space — adopted
+    * round 15 after the measured A/B (BASELINE.md: recall@5 0.800 →
+    * 0.900 at equal bytes on the ablation corpus, identity init;
+    * +0.04/+0.10/+0.06 across random-init seeds, over the ≥0.05 bar);
+    * `rotation` pins a pre-learned matrix (frozen, like the codebook).
     */
   final case class PqConfig(m: Int = 8, k: Int = 16, trainIters: Int = 5,
-                            codebook: Option[Array[Float]] = None)
+                            codebook: Option[Array[Float]] = None,
+                            opq: Boolean = false,
+                            rotation: Option[Array[Float]] = None)
 
   private[graft] def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
                               dir: String, cb: Array[Float],
@@ -81,6 +89,133 @@ object Similarity {
     val cb = new Array[Float](rows.length)
     rows.foreach(r => cb(r.getAs[Int]("idx")) = r.getAs[Float]("value"))
     (cb, m, k)
+  }
+
+  private[graft] def writePqRotation(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, r: Array[Float]): Unit = {
+    import spark.implicits._
+    r.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value")
+      .write.mode("overwrite").parquet(s"$dir/pq_rotation")
+  }
+
+  /** The index's learned rotation, None for unrotated (pre-OPQ) indexes —
+    * the at-rest format stays self-describing either way.
+    */
+  private[graft] def readPqRotation(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Option[Array[Float]] =
+    if (!graft.sources.Tables.pathExists(spark, s"$dir/pq_rotation")) None
+    else {
+      val rows = spark.read.parquet(s"$dir/pq_rotation").collect()
+      val r = new Array[Float](rows.length)
+      rows.foreach(row => r(row.getAs[Int]("idx")) = row.getAs[Float]("value"))
+      Some(r)
+    }
+
+  /** R·emb via the codegen'd [[graft.functions.VecRotate]] (matrix rides
+    * the plan like the codebook; rotation preserves cosine exactly).
+    */
+  def rotateVec(emb: Column, r: Array[Float]): Column = {
+    val d = math.sqrt(r.length.toDouble).toInt
+    graft.functions.GraftFunctions.column(
+      graft.functions.VecRotate(
+        graft.functions.GraftFunctions.expr(emb), r, d))
+  }
+
+  /** Learn the OPQ rotation (Ge et al., non-parametric): alternate a
+    * per-subspace Lloyd codebook on the rotated sample with the
+    * orthonormal R minimizing the quantization error ‖R·x − x̂‖_F
+    * (Procrustes: R = U·Vᵀ from the SVD of Σ x̂·xᵀ). Training runs on a
+    * DRIVER-COLLECTED sample — the FAISS discipline: OPQ needs cluster
+    * geometry, not every point, so 10–100k vectors suffice at any corpus
+    * scale (`sampleFraction` draws the same seeded Bernoulli sample as
+    * [[trainPqCodebook]]); ENCODING stays distributed with the returned
+    * matrix as plan state ([[rotateVec]]). Identity init — fully
+    * deterministic, and the measured best (BASELINE.md round-15 table).
+    * Returns the d×d row-major matrix.
+    */
+  def trainOpqRotation(corpus: DataFrame, m: Int, k: Int,
+                       opqIters: Int = 6, lloydIters: Int = 4,
+                       sampleFraction: Double = 1.0,
+                       sampleSeed: Long = 42L): Array[Float] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"trainOpqRotation: sampleFraction must be in (0, 1], got $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
+    val xs = train.orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(xs.length >= k,
+      s"trainOpqRotation: training sample has ${xs.length} vectors, " +
+        s"need >= $k — raise sampleFraction")
+    val d = xs.head.length
+    require(d % m == 0, s"trainOpqRotation: $d dims not divisible by m=$m")
+    val sub = d / m
+    def mul(r: Array[Double], v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0; val base = i * d
+        while (j < d) { s += r(base + j) * v(j); j += 1 }; s
+      }
+    def lloyd(ys: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+      val cents = Array.tabulate(m, k)((mi, ki) =>
+        ys(ki).slice(mi * sub, (mi + 1) * sub).clone())
+      for (_ <- 0 until lloydIters; mi <- 0 until m) {
+        val sums = Array.fill(k, sub)(0.0)
+        val cnt = new Array[Int](k)
+        ys.foreach { y =>
+          var best = 0; var bd = Double.MaxValue
+          var ki = 0
+          while (ki < k) {
+            var dd = 0.0; var si = 0
+            while (si < sub) {
+              val df = y(mi * sub + si) - cents(mi)(ki)(si); dd += df * df
+              si += 1
+            }
+            if (dd < bd) { bd = dd; best = ki }
+            ki += 1
+          }
+          cnt(best) += 1
+          var si = 0
+          while (si < sub) { sums(best)(si) += y(mi * sub + si); si += 1 }
+        }
+        for (ki <- 0 until k if cnt(ki) > 0; si <- 0 until sub)
+          cents(mi)(ki)(si) = sums(ki)(si) / cnt(ki)
+      }
+      cents
+    }
+    def reconstruct(y: Array[Double],
+                    cents: Array[Array[Array[Double]]]): Array[Double] = {
+      val out = new Array[Double](d)
+      for (mi <- 0 until m) {
+        var best = 0; var bd = Double.MaxValue
+        var ki = 0
+        while (ki < k) {
+          var dd = 0.0; var si = 0
+          while (si < sub) {
+            val df = y(mi * sub + si) - cents(mi)(ki)(si); dd += df * df
+            si += 1
+          }
+          if (dd < bd) { bd = dd; best = ki }
+          ki += 1
+        }
+        var si = 0
+        while (si < sub) { out(mi * sub + si) = cents(mi)(best)(si); si += 1 }
+      }
+      out
+    }
+    var r = Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+    for (_ <- 0 until opqIters) {
+      val ys = xs.map(mul(r, _))
+      val cents = lloyd(ys)
+      val yh = ys.map(reconstruct(_, cents))
+      val mm = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      for (n <- xs.indices; i <- 0 until d; j <- 0 until d)
+        mm(i, j) += yh(n)(i) * xs(n)(j)
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mm)
+      val ropt = u * vt
+      r = Array.tabulate(d * d)(idx => ropt(idx / d, idx % d))
+    }
+    r.map(_.toFloat)
   }
 
   /** PQ codes of a float embedding ([[graft.functions.PqEncode]]) — `m`
@@ -135,11 +270,14 @@ object Similarity {
     * equal bytes on the sf0.001 corpus, m=8 k=16 refine=50, recall@5 vs
     * brute force (VectorSpec "OPQ-lite ablation"): unrotated 0.800;
     * rotated 0.800 / 0.860 / 0.800 over seeds {5, 11, 23}. Median ties
-    * the baseline and the spread is seed noise (±0.06), so the rotation
-    * is NOT adopted — the production path encodes unrotated. A LEARNED
-    * rotation (full OPQ, alternating R and codebook updates) is the
-    * rung that could move this; a random one just reshuffles which
-    * subspaces are lucky.
+    * the baseline and the spread is seed noise (±0.06), so the RANDOM
+    * rotation is not adopted — a random R just reshuffles which
+    * subspaces are lucky. The LEARNED rotation (full OPQ,
+    * [[trainOpqRotation]]) was measured round 15 and ADOPTED: recall@5
+    * 0.800 → 0.900 at equal bytes with deterministic identity init
+    * (+0.04/+0.10/+0.06 across random inits — over the ≥0.05 bar);
+    * `PqConfig(opq = true)` turns it on, and the production q127/q128
+    * paths carry it (BASELINE.md round-15 table).
     */
   def trainPqCodebook(corpus: DataFrame, m: Int = 8, k: Int = 16,
                       iters: Int = 5, sampleFraction: Double = 1.0,
@@ -198,16 +336,21 @@ object Similarity {
     */
   def searchPq(corpus: DataFrame, probes: DataFrame,
                codebook: Array[Float], m: Int, k: Int,
-               topK: Int, refine: Int): DataFrame = {
+               topK: Int, refine: Int,
+               rotation: Option[Array[Float]] = None): DataFrame = {
+    val embCol = rotation.fold(col("embedding"))(r =>
+      rotateVec(col("embedding"), r))
     val coded = corpus.select(col("vec_id").as("neighbor_id"),
-      pqEncode(col("embedding"), codebook, m, k).as("codes"))
+      pqEncode(embCol, codebook, m, k).as("codes"))
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("p_emb"))
+    val probeEmb = rotation.fold(col("p_emb"))(r =>
+      rotateVec(col("p_emb"), r))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val approx = coded
       .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", pqCosine(col("p_emb"), col("codes"), codebook, m, k))
+      .withColumn("cosine", pqCosine(probeEmb, col("codes"), codebook, m, k))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(topK, refine))
     if (refine <= 0) {
@@ -717,11 +860,23 @@ object Similarity {
     // the at-rest format is self-describing like the sq8 codes column
     val withPq = pq match {
       case Some(cfg) =>
-        val cb = cfg.codebook.getOrElse(
-          trainPqCodebook(corpus, cfg.m, cfg.k, cfg.trainIters))
+        // learned-OPQ leg: rotation trains first (or rides in pinned),
+        // persists beside the codebook, and BOTH codebook training and
+        // encoding run in the rotated space — searches read the matrix
+        // back, so the at-rest format stays self-describing
+        val rot = cfg.rotation.orElse(
+          if (cfg.opq) Some(trainOpqRotation(corpus, cfg.m, cfg.k))
+          else None)
+        rot.foreach(r => writePqRotation(corpus.sparkSession, dir, r))
+        val embCol = rot.fold(col("embedding"))(r =>
+          rotateVec(col("embedding"), r))
+        val cb = cfg.codebook.getOrElse {
+          val trainSrc = rot.fold(corpus)(r => corpus.select(col("vec_id"),
+            rotateVec(col("embedding"), r).as("embedding")))
+          trainPqCodebook(trainSrc, cfg.m, cfg.k, cfg.trainIters)
+        }
         writePqCodebook(corpus.sparkSession, dir, cb, cfg.m, cfg.k)
-        withSq8.withColumn("pq_codes",
-          pqEncode(col("embedding"), cb, cfg.m, cfg.k))
+        withSq8.withColumn("pq_codes", pqEncode(embCol, cb, cfg.m, cfg.k))
       case None => withSq8
     }
     withPq
@@ -778,7 +933,9 @@ object Similarity {
         else base
       if (hasPq) {
         val (cb, m, k) = readPqCodebook(spark, dir)
-        s1.withColumn("pq_codes", pqEncode(col("embedding"), cb, m, k))
+        val embCol = readPqRotation(spark, dir)
+          .fold(col("embedding"))(r => rotateVec(col("embedding"), r))
+        s1.withColumn("pq_codes", pqEncode(embCol, cb, m, k))
       } else s1
     }.localCheckpoint()
     assigned
@@ -937,8 +1094,12 @@ object Similarity {
       if (lists.schema.fieldNames.contains("pq_codes")) {
         val (_, m, k) = readPqCodebook(spark, srcDir)
         // the caller's trainIters governs BOTH retrains — a seed-only
-        // rebuild request must not silently pay 5 codebook Lloyd passes
-        Some(PqConfig(m, k, trainIters = trainIters))
+        // rebuild request must not silently pay 5 codebook Lloyd passes.
+        // An OPQ index RE-LEARNS its rotation on the current corpus: a
+        // rebuild exists to restore quantization economics after drift,
+        // and the rotation is part of the quantizer
+        Some(PqConfig(m, k, trainIters = trainIters,
+          opq = readPqRotation(spark, srcDir).isDefined))
       } else None
     writeIvfIndex(lists.select(col("vec_id"), col("embedding")),
       destDir, nCentroids, trainIters, sq8 = hasCodes, pq = pqCfg)
@@ -1035,6 +1196,10 @@ object Similarity {
                        probes: DataFrame, k: Int, nProbe: Int = 4,
                        refine: Int = 0): DataFrame = {
     val (cb, m, kk) = readPqCodebook(spark, dir)
+    // OPQ index: the ranking scan compares in the rotated space (probe
+    // rotates per row — codes were encoded rotated); the refine step
+    // stays in the original space, since rotation preserves cosine
+    val rot = readPqRotation(spark, dir)
     val cents = collectCentroids(spark.read.parquet(s"$dir/centroids"))
     val pl = probeListsFor(probes, cents, nProbe)
     val plRows = pl.collect()
@@ -1048,9 +1213,10 @@ object Similarity {
         col("list_id").cast("long").as("list_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val probeEmb = rot.fold(col("p_emb"))(r => rotateVec(col("p_emb"), r))
     val approx = coded.join(broadcast(probeLists), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", pqCosine(col("p_emb"), col("pq_codes"), cb, m, kk))
+      .withColumn("cosine", pqCosine(probeEmb, col("pq_codes"), cb, m, kk))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(k, refine))
       .select(col("probe_id"), col("p_emb"), col("neighbor_id"),
