@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -150,8 +150,21 @@ private[sources] class PagedStreamTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import PagedStream._
+
+  /** `Trigger.AvailableNow` drains to PAGINATION COMPLETION: the bounded
+    * pull advances each media until its last page, after which
+    * [[latestOffset(start:*]] stops moving and the query terminates —
+    * Spark's run-until-no-new-offset loop is exactly the drain
+    * semantics, so there is nothing to snapshot here. (A feed that
+    * grows new pages DURING the drain extends the run — the feed is
+    * finite at every probe, so termination holds.) Without this marker
+    * Spark would wrap the source and capture a single budget-capped
+    * offset up front, stopping after one micro-batch's pages.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   private val apiKey = {
     val k = options.get("apiRegistry")

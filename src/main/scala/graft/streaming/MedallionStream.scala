@@ -64,7 +64,8 @@ object MedallionStream {
   def factEventsFromApiQuery(spark: SparkSession, apiKey: String,
                              factDir: String, checkpointDir: String,
                              maxPagesPerTrigger: Int = 10,
-                             watermarkDelay: String = "1 day")
+                             watermarkDelay: String = "1 day",
+                             trigger: Option[Trigger] = None)
       : StreamingQuery = {
     val pages = spark.readStream
       .format("graft.sources.PagedStreamProvider")
@@ -72,14 +73,18 @@ object MedallionStream {
       .option("maxPagesPerTrigger", maxPagesPerTrigger.toString)
       .load()
       .select(col("payload"))
-    Flatten.factEvents(Flatten.normalizePages(pages))
+    val w = Flatten.factEvents(Flatten.normalizePages(pages))
       .withWatermark("received_at", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_key")
       .writeStream
       .format("parquet")
       .option("path", factDir)
       .option("checkpointLocation", checkpointDir)
-      .start()
+    // Trigger.AvailableNow() = the T4 batch-incremental mode: the source
+    // drains to pagination completion and the query terminates itself
+    // (PagedMicroBatchStream.prepareForTriggerAvailableNow)
+    trigger.foreach(w.trigger)
+    w.start()
   }
 
   /** Companion quarantine stream (T6 parity with the batch path): corrupt

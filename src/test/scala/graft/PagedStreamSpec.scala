@@ -87,4 +87,23 @@ class PagedStreamSpec extends SparkSpec {
         "all media complete: an idle restart fetches nothing")
     } finally PagedStream.unregister("spec-api")
   }
+
+  test("Trigger.AvailableNow drains to pagination completion and " +
+      "terminates itself (the T4 batch-incremental mode)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pavail").toString
+    val api = new FakeApi
+    api.feeds("m1") = feed("m1", 4) // 5 pages > the 2-page budget
+    PagedStream.register("avail-api", api)
+    try {
+      val q = MedallionStream.factEventsFromApiQuery(spark, "avail-api",
+        s"$root/fact", s"$root/cp", maxPagesPerTrigger = 2,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      assert(q.awaitTermination(120000),
+        "AvailableNow must terminate on its own at drain")
+      assert(spark.read.parquet(s"$root/fact").count() == 9,
+        "the drain must cover ALL pages, not one budget-capped batch")
+      assert(api.fetches.keys.count(_._1 == "m1") == 5 &&
+        api.fetches.values.forall(_ == 1))
+    } finally PagedStream.unregister("avail-api")
+  }
 }
