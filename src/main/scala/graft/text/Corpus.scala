@@ -1058,6 +1058,32 @@ object Corpus {
       "n" -> n, "nbuckets" -> nBuckets)
   }
 
+  /** Overlap-safe ingest into the bucketed pair table: a doc-level
+    * anti-join against the table's own doc_ids is the replay guard
+    * (re-sent batches append nothing — the [[appendShingleTable]]
+    * contract at doc granularity, since the pair table's unit of ingest
+    * is a document, not a hash). The fresh rows append THROUGH the
+    * catalog with the table's bucket spec, so
+    * [[containmentOverTable]]'s exchange-free candidate join survives
+    * every append; files accumulate per bucket — rebuild via
+    * [[writeShinglePairTable]] when file counts matter. The guard scan
+    * reads the table's doc_id column only (column pruning), the
+    * documented cost of the bucketed layout's append side.
+    */
+  def appendShinglePairTable(spark: org.apache.spark.sql.SparkSession,
+                             table: String, delta: DataFrame): Unit = {
+    val Seq(n, nBuckets) = graft.sources.Tables.tableMetaInts(spark, table,
+      "graft.shinglepair", Seq("n", "nbuckets"),
+      "Corpus.writeShinglePairTable")
+    val fresh = delta.join(
+      spark.table(table).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    hashedShingles(fresh, n)
+      .write.mode("append")
+      .bucketBy(nBuckets, "_h").sortBy("_h")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Directed containment over the at-rest pair table — the exact
     * [[containmentPairs]] algebra (integer cross-multiply threshold,
     * identical output) with candidate generation exchange-free on both

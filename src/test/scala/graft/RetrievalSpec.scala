@@ -196,6 +196,31 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.shingle"))
   }
 
+  test("bucketed pair table: overlapping append == one-shot containment; " +
+      "replay appends nothing") {
+    val corpus1 = docs.filter(col("doc_id") % 5 < 2)
+    val corpus2 = docs.filter(col("doc_id") % 5 =!= 4 &&
+      col("doc_id") % 5 >= 1) // overlaps wave 1 at residue 1
+    val all = corpus1.unionByName(
+      corpus2.join(corpus1.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val tbl = "graft_shingle_pairs_spec"
+    if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+    Corpus.writeShinglePairTable(corpus1, tbl, n = 3)
+    Corpus.appendShinglePairTable(spark, tbl, corpus2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows(Corpus.containmentOverTable(spark, tbl)) ==
+      rows(Corpus.containmentPairs(all, n = 3)),
+      "append-built table must answer exactly like the one-shot scan")
+    // replayed batch: the doc-level anti-join admits nothing
+    val before = spark.table(tbl).count()
+    Corpus.appendShinglePairTable(spark, tbl, corpus2)
+    assert(spark.table(tbl).count() == before,
+      "a replayed ingest batch must append zero rows")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("refcounted shingle index: forget == never-ingested; compaction view-stable") {
     val dir = java.nio.file.Files.createTempDirectory("shrc").toString
     val waveA = docs.filter(col("doc_id") % 5 < 2)
