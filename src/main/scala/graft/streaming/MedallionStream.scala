@@ -190,11 +190,54 @@ object MedallionStream {
       .option("basePath", bronzeDir)
       .json(s"$bronzeDir/*/*")
       .select("payload")
+    pages.writeStream
+      .foreachBatch(singlePassBatch(spark, factDir, quarantineDir,
+        dedupHorizonMillis))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The api-driven twin of [[factEventsSinglePassQuery]]: the
+    * [[graft.sources.PagedStreamProvider]] source replaces the bronze
+    * file scan, so the ONE query covers pull → normalize → fact +
+    * quarantine with Spark's offset log carrying the (media, page)
+    * checkpoint — corrupt pages land in the quarantine table instead of
+    * vanishing into the offset log (T6 parity for the first-class
+    * source).
+    */
+  def factEventsFromApiSinglePassQuery(spark: SparkSession, apiKey: String,
+                                       factDir: String, quarantineDir: String,
+                                       checkpointDir: String,
+                                       maxPagesPerTrigger: Int = 10,
+                                       dedupHorizonMillis: Long = 86400000L,
+                                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream
+      .format("graft.sources.PagedStreamProvider")
+      .option("apiRegistry", apiKey)
+      .option("maxPagesPerTrigger", maxPagesPerTrigger.toString)
+      .load()
+      .select(col("payload"))
+      .writeStream
+      .foreachBatch(singlePassBatch(spark, factDir, quarantineDir,
+        dedupHorizonMillis))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The shared single-pass micro-batch sink (see
+    * [[factEventsSinglePassQuery]]'s scaladoc for the replay/horizon
+    * algebra) — source-agnostic: any stream of `payload` rows.
+    */
+  private def singlePassBatch(spark: SparkSession, factDir: String,
+                              quarantineDir: String,
+                              dedupHorizonMillis: Long)
+      : (DataFrame, Long) => Unit = {
     def exists(dir: String): Boolean = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(dir))
-    pages.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    (batch: DataFrame, batchId: Long) => {
         val (good, rawQuar) = Flatten.normalizePagesWithQuarantine(batch)
         val flat = graft.ops.Dedup.firstWins(Flatten.factEvents(good),
           Seq("event_key"), Seq(col("received_at").desc)).persist()
@@ -245,10 +288,7 @@ object MedallionStream {
           flat.unpersist()
           quar.unpersist()
         }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    }
   }
 
   /** Drain-to-completion helper for [[factEventsSinglePassQuery]].

@@ -88,6 +88,44 @@ class PagedStreamSpec extends SparkSpec {
     } finally PagedStream.unregister("spec-api")
   }
 
+  test("api-driven single pass: corrupt pages land in quarantine, " +
+      "not the offset log; idle restart appends nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-psp").toString
+    val api = new FakeApi
+    // page 2 of 3 is corrupt JSON; pages 1/3 carry 2+1 good events
+    api.feeds("m1") = Vector(
+      s"""{"data":[${ev("p1", "2025-04-01T10:00:00Z", "m1")},${ev("p2", "2025-04-01T11:00:00Z", "m1")}]}""",
+      // corrupt JSON that still REPORTS a full page ("event_key" twice
+      // keeps the fake's size metric at perPage, so pagination continues
+      // past it — the real API's envelope size is metadata, not parse
+      // success)
+      """{"this is": not json "event_key" "event_key"}""",
+      s"""{"data":[${ev("p3", "2025-04-01T12:00:00Z", "m1")}]}""")
+    PagedStream.register("sp-api", api)
+    try {
+      val q = MedallionStream.factEventsFromApiSinglePassQuery(spark,
+        "sp-api", s"$root/fact", s"$root/quar", s"$root/cp",
+        maxPagesPerTrigger = 2)
+      assert(q.awaitTermination(120000))
+      assert(spark.read.parquet(s"$root/fact").count() == 3,
+        "good pages flatten to the fact")
+      val quar = spark.read.parquet(s"$root/quar")
+      assert(quar.count() == 1 &&
+        quar.head().getAs[String]("raw_payload").contains("not json"),
+        "the corrupt page must be quarantined, not dropped")
+      // idle restart: everything committed; nothing re-fetched, nothing
+      // re-appended
+      val q2 = MedallionStream.factEventsFromApiSinglePassQuery(spark,
+        "sp-api", s"$root/fact", s"$root/quar", s"$root/cp",
+        maxPagesPerTrigger = 2)
+      assert(q2.awaitTermination(120000))
+      assert(spark.read.parquet(s"$root/fact").count() == 3)
+      assert(spark.read.parquet(s"$root/quar").count() == 1)
+      assert(api.fetches.values.forall(_ == 1),
+        s"no page re-fetched: ${api.fetches.toMap}")
+    } finally PagedStream.unregister("sp-api")
+  }
+
   test("Trigger.AvailableNow drains to pagination completion and " +
       "terminates itself (the T4 batch-incremental mode)") {
     val root = java.nio.file.Files.createTempDirectory("graft-pavail").toString
