@@ -218,6 +218,24 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min_of_passes_with_outlier_retime","retimed_stat":"median_of_clean_runs","passes":2,"forcing":"full_materialization","pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"pass_q":$passQ,"retimed":$retimedJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The full line above has outgrown the driver's 2000-char stdout
+    // tail since round 5 — every BENCH_r*.json through r14 carries
+    // `parsed: null` and only a mid-map fragment of it. The LAST line
+    // must therefore be a summary that FITS the window whole: headline,
+    // pass totals, errors, retimes, and the slowest-25 digest (the
+    // queries a regression analysis reads first). The full per-query
+    // map stays on the line above (greppable locally) and is also
+    // written to bench_full.json in cwd for file-based consumers.
+    try {
+      val out = new java.io.PrintWriter("bench_full.json")
+      try out.println(s"""{"value":${fmt(total)},"pass_totals":[${fmt(passTotal1)},${fmt(passTotal2)}],"pass_q":$passQ,"retimed":$retimedJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      finally out.close()
+    } catch { case _: Throwable => () } // diagnostics must not fail the run
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val slowest = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"pass_totals":[${fmt2(passTotal1)},${fmt2(passTotal2)}],"n_queries":${results.size},"errors":$errs,"retimed":$retimedJson,"slowest25":$slowest,"full":"previous stdout line + bench_full.json"}""")
     spark.stop()
   }
 }
