@@ -42,24 +42,58 @@ object VersionedStore {
   /** Stage a new member via `write` (handed the staging path), then
     * publish it as `v=<version>` with one rename. Returns the published
     * path.
+    *
+    * Concurrent-writer posture (round 15): the store's CONTRACT stays
+    * single-writer, but a same-version race (two schedulers firing one
+    * rotation) now loses LOUDLY instead of undefined-ly —
+    *  - the publish rename goes through `FileContext.rename` with
+    *    `Rename.NONE`, whose fail-if-destination-exists semantics are
+    *    defined on every Hadoop FS (the old `FileSystem.rename` moves a
+    *    directory INTO an existing destination on some FSs, which would
+    *    silently nest the staging dir inside the live version);
+    *  - crashed-staging sweep deletes ONLY `.tmp-v=W` with
+    *    `W <= latest` — those are provably dead (version W is already
+    *    published, or can never publish under the monotonic rule). A
+    *    concurrent writer's live staging for a FUTURE version is never
+    *    swept out from under it (the old blanket sweep was a data race).
+    * Cross-version interleaving (A publishes v5 while B publishes v6)
+    * remains allowed: readers take the latest version, and each rename
+    * is individually atomic.
     */
   def publish(spark: SparkSession, rootDir: String, version: Long)
              (write: String => Unit): String = {
-    latestVersion(spark, rootDir).foreach(latest =>
-      require(version > latest,
+    val latest = latestVersion(spark, rootDir)
+    latest.foreach(l =>
+      require(version > l,
         s"VersionedStore.publish: version $version is not after the " +
-          s"store's latest $latest — the store is append-only monotonic"))
+          s"store's latest $l — the store is append-only monotonic"))
     val tmp = new org.apache.hadoop.fs.Path(rootDir, s".tmp-v=$version")
     val dst = new org.apache.hadoop.fs.Path(rootDir, s"v=$version")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dst.getFileSystem(conf)
     if (fs.exists(new org.apache.hadoop.fs.Path(rootDir)))
       fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v="))
+        .filter { s =>
+          s.isDirectory && (s.getPath.getName match {
+            case n if n.startsWith(".tmp-v=") =>
+              val w = n.stripPrefix(".tmp-v=")
+              w.forall(_.isDigit) && latest.exists(w.toLong <= _)
+            case _ => false
+          })
+        }
         .foreach(s => fs.delete(s.getPath, true))
+    if (fs.exists(tmp)) fs.delete(tmp, true) // our own crashed retry
     write(tmp.toString)
-    require(fs.rename(tmp, dst),
-      s"VersionedStore.publish: publishing $tmp -> $dst failed " +
-        "(concurrent publish of the same version?)")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, conf)
+    try fc.rename(tmp, dst)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"VersionedStore.publish: v=$version already exists — a " +
+            "concurrent publish won this version; re-read latestVersion " +
+            "and retry with the next one", e)
+    }
     dst.toString
   }
 

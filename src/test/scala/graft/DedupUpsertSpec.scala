@@ -533,4 +533,40 @@ class DedupUpsertSpec extends SparkSpec {
     assert(read(2L) == Set("a" -> 1, "b" -> 20, "c" -> 3))
     intercept[IllegalArgumentException] { Upsert.readVersion(spark, root, 9L) }
   }
+
+  test("VersionedStore under a same-version race: loser fails loudly, " +
+      "live future staging survives the sweep") {
+    import graft.sources.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-vsrace").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touchDir(name: String): Unit =
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, name))
+    VersionedStore.publish(spark, root, 1L)(tmp => fs.mkdirs(
+      new org.apache.hadoop.fs.Path(tmp)))
+    // a dead crashed attempt for an already-published version AND a
+    // concurrent writer's LIVE staging for a future version
+    touchDir(".tmp-v=1")
+    touchDir(".tmp-v=9")
+    VersionedStore.publish(spark, root, 2L)(tmp => fs.mkdirs(
+      new org.apache.hadoop.fs.Path(tmp)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ".tmp-v=1")),
+      "dead staging (version <= latest) is swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, ".tmp-v=9")),
+      "a live future staging must NOT be swept out from under its writer")
+    // same-version race: the other writer lands v=3 between our
+    // monotonic check and our rename (injected inside the write
+    // callback) — the rename must lose LOUDLY, not nest into the live
+    // version dir
+    val e = intercept[IllegalStateException] {
+      VersionedStore.publish(spark, root, 3L) { tmp =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+        touchDir("v=3") // the concurrent winner
+      }
+    }
+    assert(e.getMessage.contains("concurrent publish"))
+    assert(VersionedStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=3/.tmp-v=3")),
+      "the losing rename must not nest staging inside the live version")
+  }
 }
