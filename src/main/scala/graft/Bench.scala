@@ -140,24 +140,39 @@ object Bench {
     // from (or errored in) the prior artifact get no prev bar.
     val prevTimes: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
-        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
-        rs.lastOption
+        // numeric round sort — lexicographic would rank r9 over r10+
+        Option(new java.io.File(".").listFiles()).getOrElse(Array())
+          .map(_.getName).flatMap { n =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+              .map(m => m.group(1).toLong -> n)
+          }.sortBy(_._1).lastOption.map(_._2)
       }
-      path.flatMap { p =>
+      path.map { p =>
         try {
           val txt = scala.io.Source.fromFile(p)
           val s = try txt.mkString finally txt.close()
-          val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
-            .findFirstMatchIn(s).map(_.group(1))
-          qBlock.map { body =>
-            """"(q\d+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble)
-              .filter(_._2 > 0).toMap
-          }
-        } catch { case _: Throwable => None }
+          // The driver artifacts hold only a 2000-char stdout TAIL —
+          // every r01–r14 file cuts the line mid-map, so requiring a
+          // complete "queries":{...} block made this guard permanently
+          // empty. Harvest every "qNN": <number> pair anywhere in the
+          // text instead (pass_q arrays are keyless and retimed values
+          // are arrays, so the pattern only matches per-query times;
+          // a key seen twice — queries map + slowest25 digest — keeps
+          // the smaller, i.e. the more precise min-of-passes value).
+          // The driver wraps the tail as a JSON STRING, so every quote
+          // arrives backslash-escaped (\"q146\":0.543) — the optional
+          // backslash before the closing quote is what makes the
+          // harvest work on the real artifacts, not just raw lines.
+          """"(q\d+)\\?"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toSeq
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        } catch { case _: Throwable => Map.empty[String, Double] }
       }.getOrElse(Map.empty)
     }
+    if (prevTimes.nonEmpty)
+      System.err.println(s"[bench] prev-round guard armed: " +
+        s"${prevTimes.size} query baselines")
     val fnByName = queries
     val rawPasses = p1.zip(p2).map { case ((name, t1, _), (_, t2, _)) =>
       name -> List(t1, t2) }.toMap

@@ -944,11 +944,11 @@ object SparkEntry {
     // not per sweep. Same oracle text as q156: the two forms must agree
     // row-for-row.
     "q211_containment_bucketed" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tbl = s"graft_shingle_pairs_$tag"
-      if (!s.catalog.tableExists(tbl))
+      val tbl = graft.sources.StateCache.ensureTable(s,
+        s"$dir/documents.parquet", "shingle_pairs", "v1") { name =>
         graft.text.Corpus.writeShinglePairTable(
-          t(s, dir, "documents"), tbl, n = 3)
+          t(s, dir, "documents"), name, n = 3)
+      }
       graft.text.Corpus.containmentOverTable(s, tbl, tauNum = 4, tauDen = 5)
     }),
     // A9 sampling: Efraimidis–Spirakis weighted sampling WITHOUT
@@ -1008,12 +1008,13 @@ object SparkEntry {
     // ensure discipline: session-reuse, orphan-dir clear, sfDir tag.
     "q193_novelty_bucketed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tbl = s"graft_shingles_$tag"
-      if (!s.catalog.tableExists(tbl)) {
+      // ensureTable, not tableExists: regenerated testdata must rebuild
+      // the at-rest state, not silently serve the old corpus's hashes
+      val tbl = graft.sources.StateCache.ensureTable(s,
+        s"$dir/documents.parquet", "shingles", "v1") { name =>
         graft.text.Corpus.writeShingleTable(
-          docs.filter(col("doc_id") % 5 < 2), tbl, n = 3)
-        graft.text.Corpus.appendShingleTable(s, tbl,
+          docs.filter(col("doc_id") % 5 < 2), name, n = 3)
+        graft.text.Corpus.appendShingleTable(s, name,
           docs.filter(col("doc_id") % 5 =!= 4 &&
             col("doc_id") % 5 >= 1)) // overlaps wave 1 at residue 1
       }
@@ -1278,14 +1279,13 @@ object SparkEntry {
     // never cross-serve rows.
     "q185_fuzzy_bucketed_probe" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tbl = s"graft_fz_variants_$tag"
-      if (!s.catalog.tableExists(tbl)) {
+      val tbl = graft.sources.StateCache.ensureTable(s,
+        s"$dir/customer.parquet", "fz_variants", "v1") { name =>
         // writeVariantTable clears a location orphaned by a previous JVM
         graft.ops.FuzzyJoin.writeVariantTable(
-          cust.filter(col("c_custkey") % 8 === 0), "c_name", tbl)
+          cust.filter(col("c_custkey") % 8 === 0), "c_name", name)
         graft.ops.FuzzyJoin.appendVariantTable(
-          cust.filter(col("c_custkey") % 4 === 0), "c_name", tbl)
+          cust.filter(col("c_custkey") % 4 === 0), "c_name", name)
       }
       graft.ops.FuzzyJoin.fuzzyProbeTable(s, tbl,
         cust.filter(col("c_custkey") % 4 === 1), "c_name")

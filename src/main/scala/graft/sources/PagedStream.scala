@@ -43,8 +43,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * made durable. The API client lives ONLY on the driver (auth, rate
   * limits, sessions stay in one place, as in the reference's
   * single-process pull); executors parse the payloads. The pull is
-  * control-plane-sized — pages stream through the driver bounded by
-  * `maxPagesPerTrigger × page size` per trigger, while the
+  * control-plane-sized — budgets apply PER MEDIA per trigger (each
+  * incomplete media runs its own bounded [[PagedSource.pull]], the
+  * reference's per-feed loop), so one trigger moves up to
+  * `incomplete media × maxPagesPerTrigger × page size` through the
+  * driver: size `maxPagesPerTrigger` to the media count, or shard the
+  * media list across queries, when feeds number in the thousands. The
   * data-proportional work (flatten/dedup/sink) is distributed
   * downstream.
   *

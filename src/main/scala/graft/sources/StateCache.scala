@@ -65,4 +65,31 @@ object StateCache {
     }
     dir
   }
+
+  /** [[ensure]]'s CATALOG-TABLE twin, for state that lives as a bucketed
+    * warehouse table instead of a directory (the fuzzy-variant, shingle,
+    * and shingle-pair tables): the marker rides the table as a
+    * `graft.state.marker` property, and a mismatch (regenerated source,
+    * bumped version, hashCode-aliased path) DROPS and rebuilds — an
+    * existence-only `tableExists` check silently serves the OLD corpus's
+    * state when the source is regenerated in place. `build` is handed
+    * the table name; the marker is stamped after it returns.
+    */
+  def ensureTable(s: SparkSession, sourcePath: String, kind: String,
+                  version: String)(build: String => Unit): String = {
+    val tag = java.lang.Integer.toHexString(sourcePath.hashCode)
+    val table = s"graft_${kind}_$tag"
+    val want = s"$version|$sourcePath|${fingerprint(s, sourcePath)}"
+    val have =
+      if (!s.catalog.tableExists(table)) None
+      else s.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .find(_.getString(0) == "graft.state.marker").map(_.getString(1))
+    if (!have.contains(want)) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
+      build(table)
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.state.marker' = '${want.replace("'", "''")}')")
+    }
+    table
+  }
 }

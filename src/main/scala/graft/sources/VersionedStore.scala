@@ -77,7 +77,11 @@ object VersionedStore {
           s.isDirectory && (s.getPath.getName match {
             case n if n.startsWith(".tmp-v=") =>
               val w = n.stripPrefix(".tmp-v=")
-              w.forall(_.isDigit) && latest.exists(w.toLong <= _)
+              // bounds guard: an empty or over-long suffix must not
+              // crash every future publish with NumberFormatException —
+              // an unparseable leftover is simply not ours to sweep
+              w.nonEmpty && w.length <= 18 && w.forall(_.isDigit) &&
+                latest.exists(w.toLong <= _)
             case _ => false
           })
         }

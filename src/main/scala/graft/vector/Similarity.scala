@@ -137,13 +137,24 @@ object Similarity {
   def trainOpqRotation(corpus: DataFrame, m: Int, k: Int,
                        opqIters: Int = 6, lloydIters: Int = 4,
                        sampleFraction: Double = 1.0,
-                       sampleSeed: Long = 42L): Array[Float] = {
+                       sampleSeed: Long = 42L,
+                       maxSample: Int = 20000,
+                       initRotation: Option[Array[Float]] = None)
+      : Array[Float] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"trainOpqRotation: sampleFraction must be in (0, 1], got $sampleFraction")
+    require(maxSample >= 1, s"trainOpqRotation: maxSample $maxSample")
     val train =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
-    val xs = train.orderBy(col("vec_id")).select(col("embedding")).collect()
+    // `maxSample` HARD-BOUNDS the driver collect independent of caller
+    // discipline: even writeIvfIndex(opq = true) pointed at a full
+    // corpus trains on the deterministic first-`maxSample` by vec_id
+    // (ordered limit — one distributed top-k, never a full collect).
+    // 20k × 64 dims is megabytes; OPQ needs cluster geometry, not every
+    // point (the FAISS operating range).
+    val xs = train.orderBy(col("vec_id")).limit(maxSample)
+      .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(xs.length >= k,
       s"trainOpqRotation: training sample has ${xs.length} vectors, " +
@@ -203,7 +214,11 @@ object Similarity {
       }
       out
     }
-    var r = Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+    initRotation.foreach(r0 => require(r0.length == d * d,
+      s"trainOpqRotation: initRotation has ${r0.length} floats, " +
+        s"expected ${d * d}"))
+    var r = initRotation.map(_.map(_.toDouble))
+      .getOrElse(Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0))
     for (_ <- 0 until opqIters) {
       val ys = xs.map(mul(r, _))
       val cents = lloyd(ys)
@@ -858,6 +873,17 @@ object Similarity {
     // pq: m-byte codes (+~3% storage at the defaults) plus the codebook
     // persisted beside the index — searches and appends read it back, so
     // the at-rest format is self-describing like the sq8 codes column
+    // a rebuild that does NOT write a sidecar must also CLEAR any stale
+    // one left by a previous build in this dir — searches and appends
+    // read sidecars back by existence, so a surviving pq_rotation (or
+    // pq_codebook) from an earlier OPQ/PQ build would silently encode
+    // new rows and rotate probes against codes that were never rotated
+    def clearSidecar(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val fs = p.getFileSystem(
+        corpus.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val withPq = pq match {
       case Some(cfg) =>
         // learned-OPQ leg: rotation trains first (or rides in pinned),
@@ -867,6 +893,7 @@ object Similarity {
         val rot = cfg.rotation.orElse(
           if (cfg.opq) Some(trainOpqRotation(corpus, cfg.m, cfg.k))
           else None)
+        if (rot.isEmpty) clearSidecar("pq_rotation")
         rot.foreach(r => writePqRotation(corpus.sparkSession, dir, r))
         val embCol = rot.fold(col("embedding"))(r =>
           rotateVec(col("embedding"), r))
@@ -877,7 +904,10 @@ object Similarity {
         }
         writePqCodebook(corpus.sparkSession, dir, cb, cfg.m, cfg.k)
         withSq8.withColumn("pq_codes", pqEncode(embCol, cb, cfg.m, cfg.k))
-      case None => withSq8
+      case None =>
+        clearSidecar("pq_rotation")
+        clearSidecar("pq_codebook")
+        withSq8
     }
     withPq
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")

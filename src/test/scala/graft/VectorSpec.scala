@@ -802,34 +802,25 @@ class VectorSpec extends SparkSpec {
       "opq append must be code-identical to the full build")
   }
 
-  test("learned OPQ ablation: alternating Procrustes-R / codebook updates at equal bytes") {
-    // Full OPQ (Ge et al., non-parametric): alternate (1) Lloyd codebook
-    // on the rotated sample with (2) the orthonormal R minimizing
-    // ||R·x − reconstruct(R·x)||_F (Procrustes — R = U·Vᵀ from the SVD
-    // of Σ ŷ·xᵀ). The rotation is LEARNED on a driver-side sample (the
-    // FAISS discipline: OPQ trains on 10–100k vectors in memory even at
-    // corpus scale) and then measured through the IDENTICAL harness as
-    // the random-rotation ablation: same distributed trainPqCodebook on
-    // the rotated corpus, same searchPq, same truth set — only R
-    // changes. Adoption bar (round-14 verdict): ≥ 0.05 absolute recall
-    // lift over three R₀ seeds, else record and keep the unrotated path.
+  test("learned OPQ ablation drives the PRODUCTION trainer and pins the lift") {
+    // Full OPQ (Ge et al., non-parametric) measured through the
+    // IDENTICAL harness as the rejected random-rotation ablation: same
+    // distributed trainPqCodebook on the rotated corpus, same searchPq,
+    // same truth set — only R changes. Since round 15 the rotation is
+    // ADOPTED (PqConfig(opq = true), q127/q128), so this test (a) runs
+    // Similarity.trainOpqRotation itself — the shipped code, not a
+    // test-side copy — and (b) ASSERTS the learned lift that justified
+    // adoption: identity-init learned recall must at least match the
+    // unrotated baseline (measured +0.10; the bar tolerates measurement
+    // noise, catching a Procrustes regression that would silently
+    // un-earn the adoption). Random inits are exploratory info() only.
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter($"vec_id" < 10)
     val truth = Similarity.bruteForceTopK(emb, probes, 5)
       .select("probe_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d = 64
-    val m = 8
-    val kk = 16
-    val sub = d / m
-    val xs = emb.orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def mul(g: Array[Array[Double]], v: Array[Double]): Array[Double] =
-      Array.tabulate(d)(i => {
-        var s = 0.0; var j = 0
-        while (j < d) { s += g(i)(j) * v(j); j += 1 }; s
-      })
-    def gram(seed: Long): Array[Array[Double]] = {
+    def gram(seed: Long): Array[Float] = {
       val rnd = new java.util.Random(seed)
       val g = Array.fill(d, d)(rnd.nextGaussian())
       for (i <- 0 until d) {
@@ -840,98 +831,42 @@ class VectorSpec extends SparkSpec {
         val n = math.sqrt((0 until d).map(c => g(i)(c) * g(i)(c)).sum)
         for (c <- 0 until d) g(i)(c) /= n
       }
-      g
+      Array.tabulate(d * d)(idx => g(idx / d)(idx % d).toFloat)
     }
-    // driver Lloyd per subspace: deterministic first-k seeds, L2
-    // assignment, empty clusters keep their centroid
-    def lloyd(ys: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
-      val cents = Array.tabulate(m, kk)((mi, ki) =>
-        ys(ki).slice(mi * sub, (mi + 1) * sub).clone())
-      for (_ <- 0 until iters; mi <- 0 until m) {
-        val sums = Array.fill(kk, sub)(0.0)
-        val cnt = new Array[Int](kk)
-        ys.foreach { y =>
-          val p = y.slice(mi * sub, (mi + 1) * sub)
-          var best = 0; var bd = Double.MaxValue
-          for (ki <- 0 until kk) {
-            var dd = 0.0; var si = 0
-            while (si < sub) {
-              val df = p(si) - cents(mi)(ki)(si); dd += df * df; si += 1
-            }
-            if (dd < bd) { bd = dd; best = ki }
-          }
-          cnt(best) += 1
-          for (si <- 0 until sub) sums(best)(si) += p(si)
-        }
-        for (ki <- 0 until kk if cnt(ki) > 0; si <- 0 until sub)
-          cents(mi)(ki)(si) = sums(ki)(si) / cnt(ki)
-      }
-      cents
-    }
-    def reconstruct(y: Array[Double], cents: Array[Array[Array[Double]]]): Array[Double] = {
-      val out = new Array[Double](d)
-      for (mi <- 0 until m) {
-        val p = y.slice(mi * sub, (mi + 1) * sub)
-        var best = 0; var bd = Double.MaxValue
-        for (ki <- 0 until kk) {
-          var dd = 0.0; var si = 0
-          while (si < sub) {
-            val df = p(si) - cents(mi)(ki)(si); dd += df * df; si += 1
-          }
-          if (dd < bd) { bd = dd; best = ki }
-        }
-        for (si <- 0 until sub) out(mi * sub + si) = cents(mi)(best)(si)
-      }
-      out
-    }
-    def learnR(r0: Array[Array[Double]], opqIters: Int): Array[Array[Double]] = {
-      var r = r0
-      for (_ <- 0 until opqIters) {
-        val ys = xs.map(mul(r, _))
-        val cents = lloyd(ys, 4)
-        val yh = ys.map(reconstruct(_, cents))
-        // M = Σ ŷ·xᵀ; Procrustes argmax tr(Rᵀ M) = U·Vᵀ of M's SVD
-        val mm = breeze.linalg.DenseMatrix.zeros[Double](d, d)
-        for (n <- xs.indices; i <- 0 until d; j <- 0 until d)
-          mm(i, j) += yh(n)(i) * xs(n)(j)
-        val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mm)
-        val ropt = u * vt
-        r = Array.tabulate(d, d)((i, j) => ropt(i, j))
-      }
-      r
-    }
-    def rotateDf(df: org.apache.spark.sql.DataFrame, g: Array[Array[Double]]) = {
-      val rows = df.select("vec_id", "embedding", "label").collect().map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        (r.getLong(0), mul(g, v).map(_.toFloat).toSeq, r.getInt(2))
-      }
-      rows.toSeq.toDF("vec_id", "embedding", "label")
-    }
+    def rotateDf(df: org.apache.spark.sql.DataFrame, r: Array[Float]) =
+      df.select(col("vec_id"),
+        Similarity.rotateVec(col("embedding"), r).as("embedding"),
+        col("label"))
     def recall(corpus: org.apache.spark.sql.DataFrame,
                pr: org.apache.spark.sql.DataFrame): Double = {
-      val cb = Similarity.trainPqCodebook(corpus, m, kk, iters = 5)
-      val got = Similarity.searchPq(corpus, pr, cb, m, kk,
+      val cb = Similarity.trainPqCodebook(corpus, 8, 16, iters = 5)
+      val got = Similarity.searchPq(corpus, pr, cb, 8, 16,
           topK = 5, refine = 50)
         .select("probe_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       (truth & got).size.toDouble / truth.size
     }
     val plain = recall(emb, probes)
-    val identity = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    val learned = (Seq(0L -> identity) ++
-      Seq(5L, 11L, 23L).map(s => s -> gram(s))).map { case (seed, r0) =>
-      val r = learnR(r0, opqIters = 6)
+    def learnedRecall(r0: Option[Array[Float]]): Double = {
+      val r = Similarity.trainOpqRotation(emb, 8, 16, initRotation = r0)
       val rotEmb = rotateDf(emb, r).cache()
       val rec = recall(rotEmb, rotEmb.filter($"vec_id" < 10))
       rotEmb.unpersist()
-      seed -> rec
+      rec
     }
-    info(f"learned-OPQ ablation at m=8 k=16 refine=50: plain=$plain%.3f " +
-      learned.map { case (s, r) => f"opq(r0=$s)=$r%.3f" }.mkString(" "))
-    // adoption bar: median lift >= +0.05 absolute; until that flips this
-    // assert, the production encode stays unrotated (see trainPqCodebook
-    // scaladoc + BASELINE.md for the recorded table)
+    val learnedId = learnedRecall(None) // the production form
+    val learnedRand = Seq(5L, 11L, 23L).map(s =>
+      s -> learnedRecall(Some(gram(s))))
+    info(f"learned-OPQ at m=8 k=16 refine=50: plain=$plain%.3f " +
+      f"opq(identity)=$learnedId%.3f " +
+      learnedRand.map { case (s, r) => f"opq(r0=$s)=$r%.3f" }.mkString(" "))
     assert(plain >= 0.75, s"baseline recall floor moved: $plain")
+    assert(learnedId >= plain - 0.02,
+      s"the ADOPTED identity-init OPQ lost recall vs unrotated: " +
+        s"$learnedId < $plain — the adoption is no longer earned")
+    assert(learnedId >= 0.84,
+      s"identity-init OPQ recall fell below the round-15 adoption " +
+        s"band (measured 0.900): $learnedId")
   }
 
   test("pq append under the frozen codebook is row-identical to the full encode") {

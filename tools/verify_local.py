@@ -16,6 +16,7 @@ Exit 0 iff every query with an oracle matches exactly.
 """
 import json
 import math
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -37,11 +38,16 @@ def canon_type(t):
     s = str(t)
     s = s.replace("large_string", "string").replace("large_binary", "binary")
     if s.startswith("dictionary"):
-        # dictionary<values=string, indices=int32, ordered=0> -> string
-        import re
-        m = re.search(r"values=([a-z0-9_()]+)", s)
+        # dictionary<values=timestamp[us], indices=int32, ordered=0>
+        # -> timestamp[us] (value type may itself carry brackets/commas)
+        m = re.search(r"values=(.+?), indices=", s)
         if m:
             s = m.group(1)
+    # timestamp tz spelling: Spark parquet reads back UTC-adjusted
+    # timestamps as timestamp[us, tz=UTC]; DuckDB's TIMESTAMP is naive
+    # timestamp[us]. The session runs UTC on both engines, so these are
+    # the same instant semantics — collapse the spelling.
+    s = re.sub(r"^timestamp\[(\w+), tz=UTC\]$", r"timestamp[\1]", s)
     return s
 
 
