@@ -907,6 +907,34 @@ class VectorSpec extends SparkSpec {
     val out = Similarity.searchIvfIndexPq(spark, dst,
       emb.filter($"vec_id" < 5), 5, nProbe = 4, refine = 20)
     assert(out.count() == 25, "pq search on the rebuilt dir must answer")
+    // a non-OPQ rebuild into a dir that previously held an OPQ index
+    // must CLEAR the stale rotation sidecar, not rotate probes against
+    // unrotated codes (the round-15 review finding)
+    Similarity.writePqRotation(spark, dst,
+      Array.tabulate(64 * 64)(i => if (i / 64 == i % 64) 1f else 0f))
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16,
+      trainIters = 2)
+    assert(Similarity.readPqRotation(spark, dst).isEmpty,
+      "rebuilding an unrotated index must clear a stale pq_rotation")
+  }
+
+  test("rebuildIvfIndex re-learns the OPQ rotation") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("graft-opq-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-opq-dst").toString
+    Similarity.writeIvfIndex(emb, src, nCentroids = 16,
+      pq = Some(Similarity.PqConfig(8, 16, trainIters = 2, opq = true)))
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16,
+      trainIters = 2)
+    assert(Similarity.readPqRotation(spark, dst).isDefined,
+      "an OPQ index must stay OPQ across a rebuild (the rotation is " +
+        "part of the quantizer)")
+    val probes = emb.filter($"vec_id" < 5)
+    val full = Similarity.searchIvfIndex(spark, dst, probes, 5, nProbe = 4)
+    val got = Similarity.searchIvfIndexPq(spark, dst, probes, 5,
+      nProbe = 4, refine = 40)
+    assert(Similarity.recallAtK(got, full) >= 0.8,
+      "rebuilt OPQ search must hold the pq recall floor")
   }
 
   test("sq8Cosine is bit-identical to a plain-Scala dequantized cosine") {
