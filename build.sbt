@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver JSON-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"`. By default sbt relogs forked-process output through
+// its logger (an `[info] ` prefix on every line) and appends its own
+// `[success] Total time: ...` line — both of which kept BENCH_r*.json
+// at `parsed: null` through round 15. Let the forked JVM inherit
+// stdout verbatim and drop the success banner so the bench summary
+// JSON is the clean final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

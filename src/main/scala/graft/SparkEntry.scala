@@ -2671,7 +2671,7 @@ object SparkEntry {
         |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
         |                   - CAST(fb AS HUGEINT) * na)) AS d_num
         |      FROM c, n)
-        |SELECT CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
+        |SELECT CAST(d.d_num AS BIGINT) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2699,7 +2699,7 @@ object SparkEntry {
         |d AS (SELECT MAX(ABS(CAST(fa AS HUGEINT) * nb
         |                   - CAST(fb AS HUGEINT) * na)) AS d_num
         |      FROM c, n)
-        |SELECT CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
+        |SELECT CAST(d.d_num AS BIGINT) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2732,7 +2732,7 @@ object SparkEntry {
         |    MAX(ABS(CAST(fa AS HUGEINT) * nb
         |          - CAST(fb AS HUGEINT) * na)) AS d_num
         |  FROM cdf JOIN n ON n.lang = cdf.lang GROUP BY cdf.lang)
-        |SELECT d.lang, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
+        |SELECT d.lang, CAST(d.d_num AS BIGINT) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur
@@ -2773,7 +2773,7 @@ object SparkEntry {
         |    MAX(ABS(CAST(fa AS HUGEINT) * nb
         |          - CAST(fb AS HUGEINT) * na)) AS d_num
         |  FROM cdf JOIN n ON n.c = cdf.c GROUP BY cdf.c)
-        |SELECT d.c AS col_name, CAST(d.d_num AS DECIMAL(38,0)) AS d_num,
+        |SELECT d.c AS col_name, CAST(d.d_num AS BIGINT) AS d_num,
         |  CAST(d.d_num AS DOUBLE)
         |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS d_stat,
         |  n.na AS n_ref, n.nb AS n_cur

@@ -253,10 +253,15 @@ object Profile {
     * empirical CDFs, no edges to choose. One row:
     * `(d_num, d_stat, n_ref, n_cur)` where
     * `d_stat = d_num / (n_ref·n_cur)` and `d_num` is the integer
-    * sup `|F_ref·n_cur − F_cur·n_ref|` — the cross-multiplied form keeps
-    * the decision statistic exact (DECIMAL(38,0), overflow-safe past
-    * 10^19-row snapshots) and the only float is one final IEEE divide,
-    * bit-reproducible across engines.
+    * sup `|F_ref·n_cur − F_cur·n_ref|` — the cross-multiply happens in
+    * DECIMAL(38,0) (exact), but the published `d_num` is a BIGINT:
+    * `d_num ≤ n_ref·n_cur`, so it fits 63 bits whenever the snapshot
+    * pair does, and a plain long serializes byte-identically across
+    * engines where a DECIMAL128 cell does not (the r15 driver-hash
+    * lesson). Snapshot pairs past 2^63 products refuse loudly — at that
+    * scale use [[ksDriftSketch]], whose state is O(k) regardless. The
+    * only float is one final IEEE divide, bit-reproducible across
+    * engines.
     *
     * Scale shape: one groupBy per side onto the distinct-value frame,
     * then [[Windows.scalableCumSum]] for both CDFs in a single pass —
@@ -289,14 +294,26 @@ object Profile {
     * identical statistic out).
     */
   private[graft] def ksSup(u: DataFrame, na: Long, nb: Long,
-                           numPartitions: Int): DataFrame =
+                           numPartitions: Int): DataFrame = {
+    requireKsProductFits(na, nb)
     Windows.scalableCumSum(u, "v", Seq("ca", "cb"), numPartitions)
       .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * nb -
-        col("cum_cb").cast("decimal(38,0)") * na)).as("d_num"))
-      .select(col("d_num"),
-        (col("d_num").cast("double") / lit(na.toDouble * nb.toDouble))
+        col("cum_cb").cast("decimal(38,0)") * na)).as("_d"))
+      .select(col("_d").cast("long").as("d_num"),
+        (col("_d").cast("double") / lit(na.toDouble * nb.toDouble))
           .as("d_stat"),
         lit(na).as("n_ref"), lit(nb).as("n_cur"))
+  }
+
+  /** Guard for the BIGINT `d_num` contract: `d_num ≤ na·nb`, so the
+    * published long is exact iff the product fits 63 bits. Far beyond
+    * any single-snapshot pair we expect (3×10^9 rows PER SIDE before it
+    * trips); the refusal names the O(k)-state escape hatch.
+    */
+  private[graft] def requireKsProductFits(na: Long, nb: Long): Unit =
+    require(nb == 0L || na <= Long.MaxValue / nb,
+      s"exact KS: n_ref*n_cur = $na*$nb overflows the BIGINT d_num " +
+        "contract — use ksDriftSketch (mergeable KLL state) at this scale")
 
   /** Multi-column [[ksDrift]] in ONE scan per side — the
     * [[driftBucketsMulti]] discipline applied to the exact KS: each row
@@ -338,6 +355,7 @@ object Profile {
       totRows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
       s"ksDriftMulti: every monitored column needs non-null rows in BOTH " +
         s"snapshots; totals = ${totRows.mkString(", ")}")
+    totRows.foreach(r => requireKsProductFits(r.getLong(1), r.getLong(2)))
     ksSupBy(u, tot, "c", "col_name", numPartitions)
   }
 
@@ -352,9 +370,9 @@ object Profile {
       .join(broadcast(tot), Seq(keyCol))
       .groupBy(col(keyCol), col("n_ref"), col("n_cur"))
       .agg(max(abs(col("cum_ca").cast("decimal(38,0)") * col("n_cur") -
-        col("cum_cb").cast("decimal(38,0)") * col("n_ref"))).as("d_num"))
-      .select(col(keyCol).as(keyOut), col("d_num"),
-        (col("d_num").cast("double") /
+        col("cum_cb").cast("decimal(38,0)") * col("n_ref"))).as("_d"))
+      .select(col(keyCol).as(keyOut), col("_d").cast("long").as("d_num"),
+        (col("_d").cast("double") /
           (col("n_ref").cast("double") * col("n_cur").cast("double")))
           .as("d_stat"),
         col("n_ref"), col("n_cur"))
@@ -394,6 +412,9 @@ object Profile {
     require(tot.limit(1).count() > 0,
       s"ksDriftBy: no non-null ($strataCol, $valueCol) rows in either " +
         "snapshot")
+    // strata-bounded collect (same discipline as the one-sided guard)
+    tot.select(col("n_ref"), col("n_cur")).collect()
+      .foreach(r => requireKsProductFits(r.getLong(0), r.getLong(1)))
     ksSupBy(u, tot, "g", strataCol, numPartitions)
   }
 

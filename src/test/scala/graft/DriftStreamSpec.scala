@@ -97,7 +97,7 @@ class DriftStreamSpec extends SparkSpec {
     DriftStream.writeKsReference(ref, "n_chars", dir)
     val split = DriftStream.ksBatch(spark, cur, dir).collect()(0)
     val one = Profile.ksDrift(ref, cur, "n_chars").collect()(0)
-    assert(split.getDecimal(0) == one.getDecimal(0) &&
+    assert(split.getLong(0) == one.getLong(0) &&
       split.getDouble(1) == one.getDouble(1) &&
       split.getLong(2) == one.getLong(2) &&
       split.getLong(3) == one.getLong(3),

@@ -130,14 +130,19 @@ class ProfileSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val xs = Seq.fill(400)(rnd.nextInt(50).toLong)
     val ys = Seq.fill(300)(rnd.nextInt(50).toLong + 10L)
-    val got = Profile.ksDrift(frame(xs), frame(ys), "x").collect()(0)
+    val ksOut = Profile.ksDrift(frame(xs), frame(ys), "x")
+    // d_num publishes as BIGINT (driver-stable serialization), never a
+    // DECIMAL128 cell — the r15 oracle-hash lesson
+    assert(ksOut.schema("d_num").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = ksOut.collect()(0)
     val (wantNum, wantStat) = ksRef(xs, ys)
-    assert(BigInt(got.getDecimal(0).toBigInteger) == wantNum)
+    assert(BigInt(got.getLong(0)) == wantNum)
     assert(got.getDouble(1) == wantStat)
     assert(got.getLong(2) == 400L && got.getLong(3) == 300L)
     // identical distributions: D = 0; fully separated supports: D = 1
     val same = Profile.ksDrift(frame(xs), frame(xs), "x").collect()(0)
-    assert(same.getDecimal(0).longValueExact() == 0L && same.getDouble(1) == 0.0)
+    assert(same.getLong(0) == 0L && same.getDouble(1) == 0.0)
     val apart = Profile.ksDrift(frame(Seq(1L, 2L, 3L)),
       frame(Seq(10L, 11L)), "x").collect()(0)
     assert(apart.getDouble(1) == 1.0)
@@ -155,12 +160,11 @@ class ProfileSpec extends SparkSpec {
       rnd.nextInt(9).toLong)).toDF("x", "y")
     val multi = Profile.ksDriftMulti(ref, cur, Seq("x", "y")).collect()
       .map(r => r.getString(0) ->
-        (BigInt(r.getDecimal(1).toBigInteger), r.getDouble(2),
-          r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
     assert(multi.keySet == Set("x", "y"))
     Seq("x", "y").foreach { c =>
       val one = Profile.ksDrift(ref, cur, c).collect()(0)
-      assert(multi(c) == ((BigInt(one.getDecimal(0).toBigInteger),
+      assert(multi(c) == ((one.getLong(0),
         one.getDouble(1), one.getLong(2), one.getLong(3))),
         s"column $c diverged from the single-column form")
     }
@@ -190,13 +194,12 @@ class ProfileSpec extends SparkSpec {
     val cur = frame(250, 4L)
     val by = Profile.ksDriftBy(ref, cur, "x", "lang").collect()
       .map(r => r.getString(0) ->
-        ((BigInt(r.getDecimal(1).toBigInteger), r.getDouble(2),
-          r.getLong(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
     assert(by.keySet == Set("en", "de"))
     Seq("en", "de").foreach { g =>
       val one = Profile.ksDrift(ref.filter(col("lang") === g),
         cur.filter(col("lang") === g), "x").collect()(0)
-      assert(by(g) == ((BigInt(one.getDecimal(0).toBigInteger),
+      assert(by(g) == ((one.getLong(0),
         one.getDouble(1), one.getLong(2), one.getLong(3))),
         s"stratum $g diverged from the filtered single-stratum form")
     }
