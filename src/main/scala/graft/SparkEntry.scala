@@ -1850,6 +1850,20 @@ object SparkEntry {
         Similarity.nearDupPairsExact(emb, 0.3),
         Seq(3000, 4000, 5000, 7000))
     }),
+    // S1–S4 + P8 + T2/T4/T5 END TO END (round 16): the reference's whole
+    // bronze→silver pipeline through the FIRST-CLASS DataSourceV2 paged
+    // source — a deterministic API serves an events slice as Wistia
+    // JSON pages, MedallionStream.factEventsFromApiQuery drains it
+    // under Trigger.AvailableNow with Spark's offset log carrying the
+    // (media, page) checkpoint, and the landed fact parquet is the
+    // result. The oracle re-derives the same flatten straight from the
+    // events table, so the driver's hash certifies the
+    // pull→normalize→flatten→dedup cycle is lossless and exactly-once.
+    // event_id % 20 keeps the served slice API-response-sized (the
+    // pull is driver-side BY DESIGN — see EventsPagedApi's scaladoc).
+    "q213_api_to_fact" -> ((s, dir) =>
+      graft.streaming.EventsPagedApi.factsViaApi(s,
+        t(s, dir, "events").filter(col("event_id") % 20 === 0))),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
       Multimodal.syntheticAssets(t(s, dir, "documents")).select(
@@ -4164,6 +4178,18 @@ object SparkEntry {
         |LEFT JOIN approx ap ON ap.vec_a = e.vec_a AND ap.vec_b = e.vec_b
         |WHERE e.cosine >= 0.3 AND e.cosine >= t.tau_bp / 10000.0
         |GROUP BY t.tau_bp""".stripMargin,
+    // the api→fact drain is lossless and exactly-once, so its output is
+    // just the flatten of the served slice — the oracle derives it
+    // straight from the events table (the same algebra q05 certifies,
+    // here reached through the DataSourceV2 pull instead of a scan)
+    "q213_api_to_fact" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_key,
+        |  ts AS received_at,
+        |  value AS percent_viewed,
+        |  'v' || CAST(user_id AS VARCHAR) AS visitor_key,
+        |  event_type AS media_id,
+        |  'media-' || event_type AS media_name
+        |FROM events WHERE event_id % 20 = 0""".stripMargin,
     // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
     // assigns top-1, the delta probes its top-4 lists, exact cosine
     // verifies. Same list_dot_product kernel, so doubles are bit-exact.

@@ -45,9 +45,17 @@ object JdbcSink {
     * upsert ≡ rebuild, the q07 contract. The stage is truncated before
     * the load (a crashed previous run must not leak rows into this
     * merge) and after the merge commits (the stored procedure's own
-    * step 3). Delete + insert + truncate run in ONE transaction, so a
-    * reader of `target` never observes the deleted-but-not-reinserted
-    * state and a crash mid-merge rolls back to pre-merge.
+    * step 3). DELETE + INSERT run as ONE transaction, so a reader of
+    * `target` never observes the deleted-but-not-reinserted state and a
+    * crash mid-merge rolls back to pre-merge. The post-merge stage
+    * truncate runs as a SEPARATE follow-up statement ON PURPOSE:
+    * TRUNCATE implicitly commits on the primary targets (Redshift,
+    * MySQL), so bundling it into the merge transaction would silently
+    * move the commit point on those engines and only honor the
+    * documented atomicity on Derby/Postgres. A crash between the merge
+    * commit and the truncate leaves stale stage rows, which the NEXT
+    * run's pre-load truncate clears before they can affect any merge —
+    * the stage is never read outside this bracket.
     */
   def stagedMerge(df: DataFrame, url: String, target: String, stage: String,
                   keys: Seq[String],
@@ -70,8 +78,10 @@ object JdbcSink {
       // unchanged on Derby/Postgres/Redshift
       s"DELETE FROM $target WHERE EXISTS " +
         s"(SELECT 1 FROM $stage WHERE $keyMatch)",
-      s"INSERT INTO $target ($cols) SELECT $cols FROM $stage",
-      s"TRUNCATE TABLE $stage")
+      s"INSERT INTO $target ($cols) SELECT $cols FROM $stage")
+    // outside the txn: TRUNCATE auto-commits on Redshift/MySQL, so
+    // inside it would move the engines' real commit point (scaladoc)
+    execute(url, options, s"TRUNCATE TABLE $stage")
   }
 
   /** Run statements on one auto-committed control connection — the DDL

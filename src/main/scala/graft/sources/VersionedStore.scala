@@ -43,15 +43,24 @@ object VersionedStore {
     * publish it as `v=<version>` with one rename. Returns the published
     * path.
     *
-    * Concurrent-writer posture (round 15): the store's CONTRACT stays
-    * single-writer, but a same-version race (two schedulers firing one
-    * rotation) now loses LOUDLY instead of undefined-ly —
+    * Concurrent-writer posture (round 15, hardened round 16): the
+    * store's CONTRACT stays single-writer, but a same-version race (two
+    * schedulers firing one rotation) now loses LOUDLY instead of
+    * undefined-ly —
+    *  - each attempt stages into its OWN dir (`.tmp-v=<version>.<id>`,
+    *    id random per call), so two same-version writers can never
+    *    interleave writes into shared staging — the race is decided
+    *    entirely by the rename, and the loser's directory is complete
+    *    but unpublished, never a merged corruption (the r15 advice: the
+    *    old shared `.tmp-v=N` let both racers pass the "crashed retry"
+    *    delete and co-write one dir);
     *  - the publish rename goes through `FileContext.rename` with
     *    `Rename.NONE`, whose fail-if-destination-exists semantics are
     *    defined on every Hadoop FS (the old `FileSystem.rename` moves a
     *    directory INTO an existing destination on some FSs, which would
-    *    silently nest the staging dir inside the live version);
-    *  - crashed-staging sweep deletes ONLY `.tmp-v=W` with
+    *    silently nest the staging dir inside the live version); the
+    *    loser deletes its staging before surfacing the conflict;
+    *  - crashed-staging sweep deletes ONLY `.tmp-v=W[.id]` with
     *    `W <= latest` — those are provably dead (version W is already
     *    published, or can never publish under the monotonic rule). A
     *    concurrent writer's live staging for a FUTURE version is never
@@ -67,7 +76,11 @@ object VersionedStore {
       require(version > l,
         s"VersionedStore.publish: version $version is not after the " +
           s"store's latest $l — the store is append-only monotonic"))
-    val tmp = new org.apache.hadoop.fs.Path(rootDir, s".tmp-v=$version")
+    // per-attempt staging: same-version racers never share a dir, so a
+    // lost race is a clean unpublished directory, never merged writes
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(rootDir,
+      s".tmp-v=$version.$attempt")
     val dst = new org.apache.hadoop.fs.Path(rootDir, s"v=$version")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dst.getFileSystem(conf)
@@ -76,8 +89,10 @@ object VersionedStore {
         .filter { s =>
           s.isDirectory && (s.getPath.getName match {
             case n if n.startsWith(".tmp-v=") =>
-              val w = n.stripPrefix(".tmp-v=")
-              // bounds guard: an empty or over-long suffix must not
+              // version part = up to the attempt-id separator (the bare
+              // `.tmp-v=W` form from older stores sweeps the same way)
+              val w = n.stripPrefix(".tmp-v=").takeWhile(_ != '.')
+              // bounds guard: an empty or over-long version must not
               // crash every future publish with NumberFormatException —
               // an unparseable leftover is simply not ours to sweep
               w.nonEmpty && w.length <= 18 && w.forall(_.isDigit) &&
@@ -86,13 +101,15 @@ object VersionedStore {
           })
         }
         .foreach(s => fs.delete(s.getPath, true))
-    if (fs.exists(tmp)) fs.delete(tmp, true) // our own crashed retry
     write(tmp.toString)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       dst.toUri, conf)
     try fc.rename(tmp, dst)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        // drop our complete-but-lost staging now rather than leaving it
+        // for the next publish's sweep
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
         throw new IllegalStateException(
           s"VersionedStore.publish: v=$version already exists — a " +
             "concurrent publish won this version; re-read latestVersion " +

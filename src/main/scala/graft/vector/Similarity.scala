@@ -66,11 +66,21 @@ object Similarity {
     * 0.900 at equal bytes on the ablation corpus, identity init;
     * +0.04/+0.10/+0.06 across random-init seeds, over the ≥0.05 bar);
     * `rotation` pins a pre-learned matrix (frozen, like the codebook).
+    * `opqIters`/`opqLloydIters` are the rotation-training depth handed
+    * to [[trainOpqRotation]] — carried HERE so a caller's training
+    * budget governs the OPQ alternation too (a seed-only rebuild must
+    * not silently pay the full default 6×4 passes; the r15 advice).
+    * A pinned `codebook` under `opq = true` must come with its matching
+    * pinned `rotation`: the codebook was trained in SOME rotation
+    * space, and re-learning a fresh R against it would encode rotated
+    * vectors with centroids from a different basis (enforced loudly in
+    * [[writeIvfIndex]]).
     */
   final case class PqConfig(m: Int = 8, k: Int = 16, trainIters: Int = 5,
                             codebook: Option[Array[Float]] = None,
                             opq: Boolean = false,
-                            rotation: Option[Array[Float]] = None)
+                            rotation: Option[Array[Float]] = None,
+                            opqIters: Int = 6, opqLloydIters: Int = 4)
 
   private[graft] def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
                               dir: String, cb: Array[Float],
@@ -144,16 +154,41 @@ object Similarity {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"trainOpqRotation: sampleFraction must be in (0, 1], got $sampleFraction")
     require(maxSample >= 1, s"trainOpqRotation: maxSample $maxSample")
+    if (opqIters <= 0) {
+      // zero alternations = the identity rotation (or the pinned init):
+      // skip the sample collect entirely, so a trainIters = 0 seed-only
+      // rebuild pays nothing here (the rebuild cost contract)
+      initRotation.foreach(r0 => require({
+        val d0 = math.sqrt(r0.length.toDouble).toInt; d0 * d0 == r0.length
+      }, s"trainOpqRotation: initRotation length ${r0.length} is not square"))
+      return initRotation.getOrElse {
+        val head = corpus.select(col("embedding")).limit(1).collect()
+        require(head.nonEmpty, "trainOpqRotation: empty corpus")
+        val d = head(0).getSeq[Float](0).length
+        Array.tabulate(d * d)(i => if (i / d == i % d) 1f else 0f)
+      }
+    }
     val train =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, sampleSeed)
     // `maxSample` HARD-BOUNDS the driver collect independent of caller
-    // discipline: even writeIvfIndex(opq = true) pointed at a full
-    // corpus trains on the deterministic first-`maxSample` by vec_id
-    // (ordered limit — one distributed top-k, never a full collect).
-    // 20k × 64 dims is megabytes; OPQ needs cluster geometry, not every
-    // point (the FAISS operating range).
-    val xs = train.orderBy(col("vec_id")).limit(maxSample)
+    // discipline (20k × 64 dims is megabytes; OPQ needs cluster
+    // geometry, not every point — the FAISS operating range). The bound
+    // is an ordered limit by vec_id — one distributed top-k, never a
+    // full collect — but a deterministic PREFIX of an ingest-ordered or
+    // clustered corpus is a biased training set, so when the limit
+    // would actually bind, a seeded Bernoulli pre-sample (cushioned to
+    // land above maxSample w.h.p.) spreads the kept rows across the
+    // whole corpus first; the ordered limit then only trims the cushion.
+    // Under maxSample rows, behavior is byte-identical to before (the
+    // count() is one aggregate on a corpus training already scans).
+    val bounded = {
+      val n = train.count()
+      if (n <= maxSample) train
+      else train.sample(withReplacement = false,
+        math.min(1.0, 1.3 * maxSample / n), sampleSeed + 1)
+    }
+    val xs = bounded.orderBy(col("vec_id")).limit(maxSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(xs.length >= k,
@@ -886,12 +921,20 @@ object Similarity {
     }
     val withPq = pq match {
       case Some(cfg) =>
+        // a pinned codebook under opq needs its matching pinned rotation
+        // — it was trained in THAT rotation space; a fresh R would
+        // encode rotated vectors against centroids from another basis
+        require(cfg.rotation.isDefined || cfg.codebook.isEmpty || !cfg.opq,
+          "writeIvfIndex: PqConfig pins a codebook with opq = true but " +
+            "no rotation — pin the rotation the codebook was trained " +
+            "under (the frozen pair travels together)")
         // learned-OPQ leg: rotation trains first (or rides in pinned),
         // persists beside the codebook, and BOTH codebook training and
         // encoding run in the rotated space — searches read the matrix
         // back, so the at-rest format stays self-describing
         val rot = cfg.rotation.orElse(
-          if (cfg.opq) Some(trainOpqRotation(corpus, cfg.m, cfg.k))
+          if (cfg.opq) Some(trainOpqRotation(corpus, cfg.m, cfg.k,
+            opqIters = cfg.opqIters, lloydIters = cfg.opqLloydIters))
           else None)
         if (rot.isEmpty) clearSidecar("pq_rotation")
         rot.foreach(r => writePqRotation(corpus.sparkSession, dir, r))
@@ -1123,13 +1166,18 @@ object Similarity {
     val pqCfg =
       if (lists.schema.fieldNames.contains("pq_codes")) {
         val (_, m, k) = readPqCodebook(spark, srcDir)
-        // the caller's trainIters governs BOTH retrains — a seed-only
-        // rebuild request must not silently pay 5 codebook Lloyd passes.
-        // An OPQ index RE-LEARNS its rotation on the current corpus: a
-        // rebuild exists to restore quantization economics after drift,
-        // and the rotation is part of the quantizer
+        // the caller's trainIters governs ALL retrains — a seed-only
+        // rebuild request must not silently pay 5 codebook Lloyd passes
+        // OR the default 6×4 OPQ alternation (plus its driver-sample
+        // collect). An OPQ index RE-LEARNS its rotation on the current
+        // corpus: a rebuild exists to restore quantization economics
+        // after drift, and the rotation is part of the quantizer — so
+        // its alternation depth follows the same knob (trainIters = 0
+        // keeps the identity rotation, the true seed-only cost).
         Some(PqConfig(m, k, trainIters = trainIters,
-          opq = readPqRotation(spark, srcDir).isDefined))
+          opq = readPqRotation(spark, srcDir).isDefined,
+          opqIters = trainIters,
+          opqLloydIters = math.min(4, math.max(1, trainIters))))
       } else None
     writeIvfIndex(lists.select(col("vec_id"), col("embedding")),
       destDir, nCentroids, trainIters, sq8 = hasCodes, pq = pqCfg)

@@ -566,7 +566,13 @@ class DedupUpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("concurrent publish"))
     assert(VersionedStore.versions(spark, root) == Seq(1L, 2L, 3L))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=3/.tmp-v=3")),
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "v=3"))
+      .forall(!_.getPath.getName.startsWith(".tmp-v=")),
       "the losing rename must not nest staging inside the live version")
+    // per-attempt staging (.tmp-v=3.<id>) is deleted eagerly on the
+    // lost race, not left for the next publish's sweep
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .forall(!_.getPath.getName.startsWith(".tmp-v=3")),
+      "the loser must clean up its own staging")
   }
 }

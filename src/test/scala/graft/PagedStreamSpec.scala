@@ -126,6 +126,33 @@ class PagedStreamSpec extends SparkSpec {
     } finally PagedStream.unregister("sp-api")
   }
 
+  test("EventsPagedApi: the api→fact drain is lossless — output equals " +
+      "the direct flatten of the served events slice (q213's algebra)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "events").filter(col("event_id") % 10 === 0) // 50 events, 5 media
+    // small pages + small budget force multi-trigger pagination per feed
+    val got = graft.streaming.EventsPagedApi.factsViaApi(spark, events,
+      pageSize = 4, maxPagesPerTrigger = 2)
+    val want = events.select(
+      col("event_id").cast("string").as("event_key"),
+      col("ts").as("received_at"),
+      col("value").cast("double").as("percent_viewed"),
+      concat(lit("v"), col("user_id")).as("visitor_key"),
+      col("event_type").as("media_id"),
+      concat(lit("media-"), col("event_type")).as("media_name"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "every event must round-trip the page serialization exactly once")
+    // exact-multiple feed sizes end on the declared-total branch, never
+    // a short page — a feed of 8 with pageSize 4 must still complete
+    val api = graft.streaming.EventsPagedApi.fromEvents(
+      events.limit(8).withColumn("event_type", lit("one")), pageSize = 4)
+    val p2 = api.fetch("one", 2L)
+    assert(p2.size == 4L && graft.sources.PagedSource.isLastPage(
+      p2.size, 4L, 2L, p2.total), "declared total must mark the last page")
+  }
+
   test("Trigger.AvailableNow drains to pagination completion and " +
       "terminates itself (the T4 batch-incremental mode)") {
     val root = java.nio.file.Files.createTempDirectory("graft-pavail").toString

@@ -937,6 +937,35 @@ class VectorSpec extends SparkSpec {
       "rebuilt OPQ search must hold the pq recall floor")
   }
 
+  test("OPQ rebuild AFTER APPENDS holds the recall floor on the grown " +
+      "corpus (the re-learned rotation's drift guard)") {
+    // The adoption table only measured cold builds; this leg pins the
+    // maintenance cycle — build on a base slice, grow via frozen-quantizer
+    // appends, rebuild (rotation + codebook re-learn on the grown
+    // corpus), and the refined recall must still clear the pq floor.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("graft-opq-gs").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-opq-gd").toString
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.exceptAll(base)
+    Similarity.writeIvfIndex(base, src, nCentroids = 16,
+      pq = Some(Similarity.PqConfig(8, 16, trainIters = 2, opq = true)))
+    Similarity.appendIvfIndex(delta, src)
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16,
+      trainIters = 2)
+    assert(Similarity.readPqRotation(spark, dst).isDefined,
+      "the grown rebuild must re-learn and persist a rotation")
+    assert(spark.read.parquet(s"$dst/lists").count() == emb.count(),
+      "the rebuild must carry base + every appended delta")
+    val probes = emb.filter($"vec_id" < 10)
+    val full = Similarity.searchIvfIndex(spark, dst, probes, 5, nProbe = 4)
+    val got = Similarity.searchIvfIndexPq(spark, dst, probes, 5,
+      nProbe = 4, refine = 40)
+    val r = Similarity.recallAtK(got, full)
+    assert(r >= 0.8,
+      s"post-append OPQ rebuild recall $r fell below the 0.8 floor")
+  }
+
   test("sq8Cosine is bit-identical to a plain-Scala dequantized cosine") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probe = emb.filter($"vec_id" === 0)
