@@ -123,11 +123,27 @@ object Graph {
     // teleportScaled must equal (scale·(dampDen−dampNum)) div dampDen
     // without overflowing scale·(dampDen−dampNum); the split form above is
     // exact for it (quot/rem decomposition of the division).
+    // Lineage-cut stride: the per-round eager checkpoint exists ONLY to
+    // stop the SPARK-39834 stat explosion and keep plans round-sized —
+    // neither needs a cut EVERY round. A dangler-free graph references
+    // `ranks` exactly once per round (the contrib join), so K
+    // uncheckpointed rounds compose into one linear-depth plan whose
+    // stats multiply a bounded K times before the next cut resets them;
+    // the eager-job count (the dominant cost of small/medium fixpoints —
+    // q166's 3-round run spends most of its time scheduling, not
+    // computing) drops by ~K×. A graph WITH danglers reads `ranks`
+    // TWICE per round (contrib + dangling-mass aggregate), so an uncut
+    // round would EMBED the previous round's plan twice — exponential
+    // plan growth — and keeps the every-round cut.
+    val cutEvery = if (hasDanglers) 1 else 5
     var ranks = ranks0 match {
       case None =>
-        localCheckpointFresh(nodes.crossJoin(broadcast(nTotal))
+        // the uniform start is one cheap projection over checkpointed
+        // nodes — cutting it buys nothing on the dangler-free path
+        val init = nodes.crossJoin(broadcast(nTotal))
           .select(col("node"),
-            call_function("div", lit(scale), col("n")).as("rank")))
+            call_function("div", lit(scale), col("n")).as("rank"))
+        if (hasDanglers) localCheckpointFresh(init) else init
       case Some(r0) =>
         val r = r0.select(col("node").cast("long").as("node"),
           col("rank").cast("long").as("rank")).localCheckpoint()
@@ -160,7 +176,7 @@ object Graph {
         // can neither receive nor (having no out-edges here) send mass.
         localCheckpointFresh(r.join(nodes, Seq("node"), "left_semi"))
     }
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks
         .join(withDeg, ranks("node") === withDeg("src"))
         .select(col("dst").as("node"),
@@ -175,14 +191,17 @@ object Graph {
             .join(danglers, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))))
         else withBase.withColumn("dm", lit(0L))
-      ranks = localCheckpointFresh(withDm
+      val next = withDm
         .select(col("node"),
           (call_function("div", lit(teleportScaled), col("n"))
             + call_function("div",
                 coalesce(col("s"), lit(0L)) * dampNum, lit(dampDen.toLong))
             + call_function("div",
                 call_function("div", col("dm") * dampNum, lit(dampDen.toLong)),
-                col("n"))).as("rank")))
+                col("n"))).as("rank"))
+      ranks =
+        if (i == iters || i % cutEvery == 0) localCheckpointFresh(next)
+        else next
     }
     ranks
   }
