@@ -402,19 +402,21 @@ object Profile {
       .localCheckpoint()
     val tot = u.groupBy(col("g"))
       .agg(sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cur"))
-      .localCheckpoint() // strata-bounded; feeds the guard AND the join
-    val oneSided = tot.filter(col("n_ref") === 0 || col("n_cur") === 0)
-      .select(col("g")).collect().map(_.get(0))
+      .localCheckpoint() // strata-bounded; feeds the guards AND the join
+    // ONE strata-bounded collect serves all three guards (one-sided,
+    // emptiness, BIGINT-product) — not three driver round-trips
+    val totRows = tot.collect()
+    val oneSided = totRows
+      .filter(r => r.getLong(1) == 0L || r.getLong(2) == 0L)
+      .map(_.get(0))
     require(oneSided.isEmpty,
       s"ksDriftBy: strata present in only one snapshot: " +
         s"${oneSided.mkString(", ")} — KS is undefined one-sided; " +
         "surface them via profileBy counts instead")
-    require(tot.limit(1).count() > 0,
+    require(totRows.nonEmpty,
       s"ksDriftBy: no non-null ($strataCol, $valueCol) rows in either " +
         "snapshot")
-    // strata-bounded collect (same discipline as the one-sided guard)
-    tot.select(col("n_ref"), col("n_cur")).collect()
-      .foreach(r => requireKsProductFits(r.getLong(0), r.getLong(1)))
+    totRows.foreach(r => requireKsProductFits(r.getLong(1), r.getLong(2)))
     ksSupBy(u, tot, "g", strataCol, numPartitions)
   }
 

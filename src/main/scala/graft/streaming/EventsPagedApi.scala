@@ -45,6 +45,8 @@ object EventsPagedApi {
   def fromEvents(events: DataFrame, pageSize: Int)
       : PagedStream.MediaPagedApi = {
     require(pageSize > 0, s"fromEvents: pageSize must be positive, got $pageSize")
+    // a null event_type has no feed to live in; silently dropping the
+    // row would diverge from any oracle that keeps it — refuse loudly
     val rows = events.select(
       col("event_type").as("m"),
       col("event_id").as("id"),
@@ -58,6 +60,9 @@ object EventsPagedApi {
         concat(lit("media-"), col("event_type")).as("media_name")))
         .as("j"))
       .collect() // the API-server stand-in: see object scaladoc
+    require(!rows.exists(_.isNullAt(0)),
+      "fromEvents: events with a NULL event_type have no feed — filter " +
+        "them out explicitly (and from the oracle) before serving")
     val feeds: Map[String, (Vector[String], Vector[Long], Long)] =
       rows.groupBy(_.getString(0)).map { case (m, rs) =>
         val ordered = rs.sortBy(_.getLong(1)).map(_.getString(2)).toVector
@@ -105,11 +110,33 @@ object EventsPagedApi {
         s"$root/fact", s"$root/cp", maxPagesPerTrigger,
         watermarkDelay = "36500 days",
         trigger = Some(Trigger.AvailableNow()))
-      require(q.awaitTermination(600000L),
+      try require(q.awaitTermination(600000L),
         "factsViaApi: the AvailableNow drain did not terminate")
+      // a timed-out (or otherwise failed) drain must not leave a zombie
+      // query whose next trigger would hit the unregistered API with a
+      // misleading "no MediaPagedApi registered" — stop it before the
+      // finally below pulls the registration
+      finally if (q.isActive) q.stop()
     } finally PagedStream.unregister(key)
-    spark.read.parquet(s"$root/fact").select(
-      col("event_key"), col("received_at"), col("percent_viewed"),
-      col("visitor_key"), col("media_id"), col("media_name"))
+    val factDir = s"$root/fact"
+    // an empty served slice commits zero batches and never creates the
+    // sink dir — that is an empty result, not a crash (the
+    // runOnceSinglePass convention)
+    if (graft.sources.Tables.pathExists(spark, factDir))
+      spark.read.parquet(factDir).select(
+        col("event_key"), col("received_at"), col("percent_viewed"),
+        col("visitor_key"), col("media_id"), col("media_name"))
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("event_key", StringType),
+          StructField("received_at", TimestampType),
+          StructField("percent_viewed", DoubleType),
+          StructField("visitor_key", StringType),
+          StructField("media_id", StringType),
+          StructField("media_name", StringType))))
+    }
   }
 }

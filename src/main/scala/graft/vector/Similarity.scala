@@ -886,6 +886,16 @@ object Similarity {
                     nCentroids: Int = 16, trainIters: Int = 0,
                     sq8: Boolean = false,
                     pq: Option[PqConfig] = None): Unit = {
+    // precondition BEFORE any write: a pinned codebook under opq needs
+    // its matching pinned rotation — it was trained in THAT rotation
+    // space; a fresh R would encode rotated vectors against centroids
+    // from another basis. Checked first so a refused config can never
+    // leave a half-rebuilt dir (fresh centroids over stale lists).
+    pq.foreach(cfg =>
+      require(cfg.rotation.isDefined || cfg.codebook.isEmpty || !cfg.opq,
+        "writeIvfIndex: PqConfig pins a codebook with opq = true but " +
+          "no rotation — pin the rotation the codebook was trained " +
+          "under (the frozen pair travels together)"))
     val centDf =
       if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters)
       else corpus.orderBy(col("vec_id")).limit(nCentroids)
@@ -921,13 +931,6 @@ object Similarity {
     }
     val withPq = pq match {
       case Some(cfg) =>
-        // a pinned codebook under opq needs its matching pinned rotation
-        // — it was trained in THAT rotation space; a fresh R would
-        // encode rotated vectors against centroids from another basis
-        require(cfg.rotation.isDefined || cfg.codebook.isEmpty || !cfg.opq,
-          "writeIvfIndex: PqConfig pins a codebook with opq = true but " +
-            "no rotation — pin the rotation the codebook was trained " +
-            "under (the frozen pair travels together)")
         // learned-OPQ leg: rotation trains first (or rides in pinned),
         // persists beside the codebook, and BOTH codebook training and
         // encoding run in the rotated space — searches read the matrix
