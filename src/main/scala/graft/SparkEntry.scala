@@ -1861,9 +1861,15 @@ object SparkEntry {
     // pull→normalize→flatten→dedup cycle is lossless and exactly-once.
     // event_id % 20 keeps the served slice API-response-sized (the
     // pull is driver-side BY DESIGN — see EventsPagedApi's scaladoc).
+    // pageSize 200 / budget 10: the drain is 1–2 triggers per feed at
+    // every shipped SF — the multi-trigger pagination path is
+    // spec-pinned separately (PagedStreamSpec, pageSize 4 / budget 2),
+    // so the registered query doesn't pay 25 micro-batch commits of
+    // pure trigger overhead to prove it again.
     "q213_api_to_fact" -> ((s, dir) =>
       graft.streaming.EventsPagedApi.factsViaApi(s,
-        t(s, dir, "events").filter(col("event_id") % 20 === 0))),
+        t(s, dir, "events").filter(col("event_id") % 20 === 0),
+        pageSize = 200, maxPagesPerTrigger = 10)),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
       Multimodal.syntheticAssets(t(s, dir, "documents")).select(
