@@ -1870,6 +1870,18 @@ object SparkEntry {
       graft.streaming.EventsPagedApi.factsViaApi(s,
         t(s, dir, "events").filter(col("event_id") % 20 === 0),
         pageSize = 200, maxPagesPerTrigger = 10)),
+    // S2 END TO END (round 16, the q213 discipline for the metadata
+    // side): one single-object metadata GET per media → declared-schema
+    // parse → Flatten.dimMedia (incl. the updated→created freshness
+    // coalesce) — the reference's silver dim path from the API down.
+    // Metadata derives deterministically from events aggregates, so the
+    // oracle re-computes the same dim straight from the table; the
+    // HTTP-transport twin of the fetch is HttpPagedSourceSpec's.
+    "q214_api_to_dim" -> ((s, dir) => {
+      val meta = graft.streaming.EventsPagedApi.mediaMetadataJson(
+        t(s, dir, "events"))
+      graft.streaming.EventsPagedApi.dimViaApi(s, meta.keys.toSeq, meta)
+    }),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
       Multimodal.syntheticAssets(t(s, dir, "documents")).select(
@@ -4196,6 +4208,20 @@ object SparkEntry {
         |  event_type AS media_id,
         |  'media-' || event_type AS media_name
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
+    // the api→dim fetch/parse/flatten cycle is lossless, so the dim is
+    // the per-media aggregate the metadata objects were derived from
+    "q214_api_to_dim" ->
+      """SELECT event_type AS media_id,
+        |  'media-' || event_type AS media_name,
+        |  CAST(MAX(value) AS DOUBLE) AS duration_seconds,
+        |  MIN(ts) AS created_at,
+        |  MAX(ts) AS updated_at,
+        |  UPPER(event_type) AS section_name,
+        |  'sf-' || event_type AS subfolder_name,
+        |  'http://t/' || event_type AS thumbnail_url,
+        |  'proj' AS project_name
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     // q65's assignment CTEs split delta/corpus: corpus (vec_id >= 50)
     // assigns top-1, the delta probes its top-4 lists, exact cosine
     // verifies. Same list_dot_product kernel, so doubles are bit-exact.

@@ -115,6 +115,25 @@ object HttpPagedSource {
     }
   }
 
+  /** S2: single-object GET (the reference's per-media metadata fetch,
+    * REF `wistia_pull_wistia_api.py:99-102`) through the same status /
+    * transport error mapping and the reference retry schedule. Returns
+    * the raw payload; parse downstream with
+    * [[graft.schema.Schemas.wistiaMediaRaw]] → `Flatten.dimMedia`.
+    */
+  def fetchObject(url: String,
+                  headers: Map[String, String] = Map.empty,
+                  connectTimeoutMillis: Long = 10000L,
+                  requestTimeoutMillis: Long = 30000L,
+                  backoffMillis: Seq[Long] = Seq(1000L, 2000L, 4000L),
+                  sleep: Long => Unit = Thread.sleep): String = {
+    val client = newClient(connectTimeoutMillis)
+    PagedSource.retrying(new PagedSource.PagedApi {
+      def fetch(page: Long): PagedSource.Page =
+        get(client, url, headers, requestTimeoutMillis)
+    }, backoffMillis, sleep = sleep).fetch(1L).payload
+  }
+
   /** [[api]] pre-wrapped in the reference's retry/backoff truth table
     * (S4: 500/502/503/504 + transport retry with the (1, 2, 4) s
     * schedule, anything else fatal).

@@ -84,6 +84,68 @@ object EventsPagedApi {
     }
   }
 
+  /** Deterministic per-media metadata objects derived from `events` —
+    * the S2 single-object payload family (REF
+    * `wistia_pull_wistia_api.py:99-102`'s per-media metadata GET, with
+    * the fake playing the remote server exactly as in [[fromEvents]]).
+    * One JSON object per `event_type`, every field a deterministic
+    * aggregate of that feed's events so a SQL oracle can re-derive the
+    * flatten: created/updated = min/max ts (micros format, exact
+    * round-trip), duration = max(value) serialized as a STRING (the
+    * reference's number-or-string duration field; shortest-repr double
+    * text casts back exactly).
+    */
+  def mediaMetadataJson(events: DataFrame): Map[String, String] = {
+    val rows = events.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("created"),
+        max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("updated"),
+        max(col("value")).cast("string").as("duration"))
+      .select(to_json(struct(
+        col("event_type").as("hashed_id"),
+        concat(lit("media-"), col("event_type")).as("name"),
+        col("duration"),
+        col("created"),
+        col("updated"),
+        upper(col("event_type")).as("section"),
+        struct(concat(lit("sf-"), col("event_type")).as("name"))
+          .as("subfolder"),
+        struct(concat(lit("http://t/"), col("event_type")).as("url"))
+          .as("thumbnail"),
+        struct(lit("proj").as("name")).as("project"))).as("j"),
+        col("event_type"))
+      .collect() // one row per media — the API-server stand-in
+    rows.map(r => r.getString(1) -> r.getString(0)).toMap
+  }
+
+  /** S2 end to end: fetch one metadata object per media through
+    * `fetch` (an in-JVM map for the oracle query; over live HTTP via
+    * [[graft.sources.HttpPagedSource.fetchObject]] in the spec — the
+    * two produce identical frames), parse with the declared
+    * [[graft.schema.Schemas.wistiaMediaRaw]] schema, and flatten to
+    * dim_media rows ([[graft.ops.Flatten.dimMedia]], the reference's
+    * silver dim projection incl. the updated→created freshness
+    * coalesce). The per-media payload list is media-count-sized by
+    * construction — the same control-plane bound as the paged pull.
+    */
+  def dimViaApi(spark: org.apache.spark.sql.SparkSession,
+                media: Seq[String], fetch: String => String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(media.nonEmpty, "dimViaApi: empty media list")
+    val payloads = media.sorted.map(m =>
+      org.apache.spark.sql.Row(fetch(m)))
+    val raw = spark.createDataFrame(payloads.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.StringType))))
+      .select(from_json(col("payload"),
+        graft.schema.Schemas.wistiaMediaRaw).as("m"))
+      .select(col("m.*"))
+    graft.ops.Flatten.dimMedia(raw)
+  }
+
   /** One full api→fact drain, returning the populated fact columns:
     * register the [[fromEvents]] feeds, run
     * [[MedallionStream.factEventsFromApiQuery]] under

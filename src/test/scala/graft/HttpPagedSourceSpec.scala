@@ -135,6 +135,46 @@ class HttpPagedSourceSpec extends SparkSpec {
     }
   }
 
+  test("api->dim over live HTTP: single-object metadata GETs (S2) " +
+      "produce the identical dim frame as the in-JVM fetcher") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val meta = graft.streaming.EventsPagedApi.mediaMetadataJson(events)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val failedOnce = TrieMap[String, Boolean]()
+    server.createContext("/medias/", (ex: HttpExchange) => {
+      val m = ex.getRequestURI.getPath.stripPrefix("/medias/")
+        .stripSuffix(".json")
+      // every media's FIRST fetch 503s — the whole dim path must ride
+      // the retry schedule, not just the happy path
+      val body =
+        if (failedOnce.putIfAbsent(m, true).isEmpty) ""
+        else meta(m)
+      val status = if (body.isEmpty) 503 else 200
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val viaHttp = graft.streaming.EventsPagedApi.dimViaApi(spark,
+        meta.keys.toSeq, m => HttpPagedSource.fetchObject(
+          s"${baseUrl(server)}/medias/$m.json",
+          backoffMillis = Seq(1L, 2L), sleep = _ => ()))
+      val viaMap = graft.streaming.EventsPagedApi.dimViaApi(spark,
+        meta.keys.toSeq, meta)
+      assert(viaHttp.count() == meta.size)
+      assert(viaHttp.exceptAll(viaMap).isEmpty &&
+        viaMap.exceptAll(viaHttp).isEmpty,
+        "the HTTP transport must be a pure pipe: identical dim frames")
+      assert(viaHttp.filter(col("updated_at").isNull ||
+        col("created_at").isNull).count() == 0,
+        "timestamps must survive the wire round-trip")
+    } finally server.stop(0)
+  }
+
   test("api->fact over live HTTP: the whole reference pipeline pulled " +
       "from a real server through the DataSourceV2 source") {
     val feeds = Map("m1" -> feed("m1", 2), "m2" -> feed("m2", 1))
