@@ -88,10 +88,20 @@ object HttpPagedSource {
           throw new PagedSource.TransportFailure(
             s"GET $url failed before a status existed: ${e.getMessage}", e)
         case e: InterruptedException =>
+          // cancellation, not a transport fault: keep the interrupt
+          // status SET and propagate outside the retry taxonomy so
+          // retrying() rethrows immediately instead of re-sending a
+          // cancelled fetch through the backoff schedule
           Thread.currentThread().interrupt()
-          throw new PagedSource.TransportFailure(s"GET $url interrupted", e)
+          throw new IllegalStateException(s"GET $url interrupted", e)
       }
-    if (resp.statusCode() >= 400)
+    // >= 300, not >= 400: Redirect.NORMAL follows same-scheme redirects
+    // transparently, so any 3xx that REACHES us was refused (https→http
+    // downgrade, exhausted chain) — treating it as a page would let
+    // envelopeHints read the stub body as size 0 and silently mark the
+    // feed complete. Surface it; 3xx is not in the retryable set, so it
+    // fails loudly rather than looping.
+    if (resp.statusCode() >= 300)
       throw PagedSource.HttpStatusFailure(resp.statusCode())
     val body = resp.body()
     val (size, total, perPage) = envelopeHints(body)
@@ -115,22 +125,33 @@ object HttpPagedSource {
     }
   }
 
+  /** A shareable client for multi-call sweeps — HttpClient is
+    * unclosable before JDK 21 (each instance holds a selector thread +
+    * pool until GC), so a per-media metadata loop must reuse ONE.
+    */
+  def sharedClient(connectTimeoutMillis: Long = 10000L): HttpClient =
+    newClient(connectTimeoutMillis)
+
   /** S2: single-object GET (the reference's per-media metadata fetch,
     * REF `wistia_pull_wistia_api.py:99-102`) through the same status /
     * transport error mapping and the reference retry schedule. Returns
     * the raw payload; parse downstream with
     * [[graft.schema.Schemas.wistiaMediaRaw]] → `Flatten.dimMedia`.
+    * Pass a [[sharedClient]] when calling in a loop (one client per
+    * sweep, not per media — connection reuse plus no leaked selector
+    * threads); the default builds a one-shot client.
     */
   def fetchObject(url: String,
                   headers: Map[String, String] = Map.empty,
                   connectTimeoutMillis: Long = 10000L,
                   requestTimeoutMillis: Long = 30000L,
                   backoffMillis: Seq[Long] = Seq(1000L, 2000L, 4000L),
-                  sleep: Long => Unit = Thread.sleep): String = {
-    val client = newClient(connectTimeoutMillis)
+                  sleep: Long => Unit = Thread.sleep,
+                  client: Option[HttpClient] = None): String = {
+    val c = client.getOrElse(newClient(connectTimeoutMillis))
     PagedSource.retrying(new PagedSource.PagedApi {
       def fetch(page: Long): PagedSource.Page =
-        get(client, url, headers, requestTimeoutMillis)
+        get(c, url, headers, requestTimeoutMillis)
     }, backoffMillis, sleep = sleep).fetch(1L).payload
   }
 

@@ -133,7 +133,13 @@ object EventsPagedApi {
   def dimViaApi(spark: org.apache.spark.sql.SparkSession,
                 media: Seq[String], fetch: String => String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    require(media.nonEmpty, "dimViaApi: empty media list")
+    // no media = an empty dim, not a crash — the factsViaApi
+    // empty-slice convention (the oracle on an all-null event_type
+    // slice returns zero rows too)
+    if (media.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.schema.Schemas.dimMedia)
     val payloads = media.sorted.map(m =>
       org.apache.spark.sql.Row(fetch(m)))
     val raw = spark.createDataFrame(payloads.asJava,

@@ -122,15 +122,30 @@ class HttpPagedSourceSpec extends SparkSpec {
       assert(e.status == 401)
       assert(hits(("m1", 1L)) == before + 1, "401 must not retry")
     } finally server.stop(0)
+    // an UNFOLLOWED 3xx (Redirect.NORMAL hands it back — e.g. an
+    // https→http downgrade in production; a bare 304 here) must surface
+    // as a status failure, never read as a size-0 page that would
+    // silently mark the feed complete
+    val s3 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s3.createContext("/feeds/", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(304, -1); ex.close()
+    })
+    s3.start()
+    try {
+      val e3 = intercept[PagedSource.HttpStatusFailure] {
+        HttpPagedSource.retryingApi(
+          p => s"${baseUrl(s3)}/feeds/m1?page=$p", sleep = _ => ()).fetch(1L)
+      }
+      assert(e3.status == 304, "unfollowed 3xx is an error, not a page")
+    } finally s3.stop(0)
     // a connection that never reaches HTTP is a TransportFailure — and
-    // after the schedule it PROPAGATES (the list(retries)+[None] sentinel)
-    val deadPort = {
-      val probe = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-      val p = probe.getAddress.getPort; probe.stop(0); p
-    }
+    // after the schedule it PROPAGATES (the list(retries)+[None]
+    // sentinel). `.invalid` is RFC-2606-guaranteed never to resolve, so
+    // this is deterministic (probing a just-released ephemeral port
+    // would race with whoever binds it next).
     intercept[PagedSource.TransportFailure] {
       HttpPagedSource.retryingApi(
-        p => s"http://127.0.0.1:$deadPort/feeds/m1?page=$p",
+        p => s"http://graft-no-such-host.invalid/feeds/m1?page=$p",
         backoffMillis = Seq(1L, 1L), sleep = _ => ()).fetch(1L)
     }
   }
@@ -159,10 +174,15 @@ class HttpPagedSourceSpec extends SparkSpec {
     })
     server.start()
     try {
+      // ONE client for the whole per-media sweep (HttpClient is
+      // unclosable pre-JDK-21 — a client per media leaks selector
+      // threads and forfeits connection reuse)
+      val client = HttpPagedSource.sharedClient()
       val viaHttp = graft.streaming.EventsPagedApi.dimViaApi(spark,
         meta.keys.toSeq, m => HttpPagedSource.fetchObject(
           s"${baseUrl(server)}/medias/$m.json",
-          backoffMillis = Seq(1L, 2L), sleep = _ => ()))
+          backoffMillis = Seq(1L, 2L), sleep = _ => (),
+          client = Some(client)))
       val viaMap = graft.streaming.EventsPagedApi.dimViaApi(spark,
         meta.keys.toSeq, meta)
       assert(viaHttp.count() == meta.size)
