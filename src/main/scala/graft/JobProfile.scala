@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Diagnostic main: run ONE registered query at sf0.1 (after an sf0.001
+  * warm pass) and report wall time, Spark job count, and ms/job —
+  * `sbt "runMain graft.JobProfile q209_semantic_cluster_forget"`.
+  * Separates scheduling-floor cost from data cost: an iterative query
+  * under AQE launches one job per materialized shuffle stage, so a
+  * 4 s bench entry at ~44 ms/job over 180 jobs is the local-mode
+  * scheduling constant (irrelevant at cluster data sizes), not a plan
+  * problem. Used for the round-16 slowest-family audit (BASELINE.md).
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    })
+    val q = SparkEntry.queries(name)
+    // warm
+    q(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+    spark.catalog.clearCache()
+    jobs.set(0)
+    val t0 = System.nanoTime()
+    q(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"$name: $dt%.2f s, ${jobs.get()} jobs, ${dt / jobs.get() * 1000}%.0f ms/job")
+    spark.stop()
+  }
+}
