@@ -153,6 +153,33 @@ class PagedStreamSpec extends SparkSpec {
       p2.size, 4L, 2L, p2.total), "declared total must mark the last page")
   }
 
+  test("EventsPagedApi empty-input conventions: an empty served slice " +
+      "is an empty fact frame; an empty media list is an empty dim; " +
+      "a NULL event_type refuses loudly") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    // empty slice: zero batches commit, the sink dir never exists, and
+    // the result is a typed empty frame, not a read crash
+    val facts = graft.streaming.EventsPagedApi.factsViaApi(spark,
+      events.filter(lit(false)), pageSize = 4, maxPagesPerTrigger = 2)
+    assert(facts.count() == 0)
+    assert(facts.columns.toSeq == Seq("event_key", "received_at",
+      "percent_viewed", "visitor_key", "media_id", "media_name"))
+    // empty media list: empty dim with the declared schema
+    val dim = graft.streaming.EventsPagedApi.dimViaApi(spark, Seq.empty,
+      _ => fail("no fetch may happen for an empty media list"))
+    assert(dim.count() == 0 &&
+      dim.schema == graft.schema.Schemas.dimMedia)
+    // a NULL feed key has nowhere to live — refused, never dropped
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventsPagedApi.fromEvents(
+        events.limit(3).withColumn("event_type",
+          lit(null).cast("string")), pageSize = 2)
+    }
+    assert(e.getMessage.contains("NULL event_type"))
+  }
+
   test("Trigger.AvailableNow drains to pagination completion and " +
       "terminates itself (the T4 batch-incremental mode)") {
     val root = java.nio.file.Files.createTempDirectory("graft-pavail").toString

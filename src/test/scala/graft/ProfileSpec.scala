@@ -217,6 +217,18 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("BIGINT d_num overflow guard: snapshot pairs past 2^63 products " +
+      "refuse loudly and name the sketch escape hatch") {
+    // d_num <= na*nb, so the guard is exactly the product bound
+    Profile.requireKsProductFits(3_000_000_000L, 3_000_000_000L - 1L) // fits
+    Profile.requireKsProductFits(0L, Long.MaxValue)                   // degenerate
+    val e = intercept[IllegalArgumentException] {
+      Profile.requireKsProductFits(Long.MaxValue / 2, 3L)
+    }
+    assert(e.getMessage.contains("ksDriftSketch"),
+      "the refusal must point at the O(k)-state path")
+  }
+
   test("ksDriftSketch lands within its error bound of the exact KS") {
     val rnd = new scala.util.Random(5)
     val xs = Seq.fill(2000)(rnd.nextInt(500).toLong).toDF("x")
