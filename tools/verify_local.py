@@ -86,8 +86,11 @@ def main():
             print(r.stderr[-4000:])
             print("SPARK VERIFY RUN FAILED")
             sys.exit(2)
-        # surface per-query failures printed by Verify
-        for line in r.stdout.splitlines():
+        # surface per-query failures printed by Verify — they go to the
+        # forked JVM's stderr, which build.sbt's StdoutOutput strategy
+        # (round 16) now passes through as sbt's stderr rather than
+        # relogging onto stdout
+        for line in (r.stdout + "\n" + r.stderr).splitlines():
             if "[verify]" in line:
                 print(line)
 
