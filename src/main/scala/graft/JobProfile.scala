@@ -14,7 +14,18 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.JobProfile <query_name>  " +
+          "(a key of SparkEntry.queries, e.g. q209_semantic_cluster_forget)")
+      sys.exit(2)
+    }
     val name = args(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name' — keys: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +46,11 @@ object JobProfile {
     val t0 = System.nanoTime()
     q(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"$name: $dt%.2f s, ${jobs.get()} jobs, ${dt / jobs.get() * 1000}%.0f ms/job")
+    // a fully-cached query can trigger zero jobs — report the wall time
+    // without a nonsense Infinity ms/job
+    val perJob = if (jobs.get() == 0) "n/a (0 jobs)"
+      else f"${dt / jobs.get() * 1000}%.0f ms/job"
+    println(f"$name: $dt%.2f s, ${jobs.get()} jobs, $perJob")
     spark.stop()
   }
 }

@@ -42,11 +42,26 @@ object EventsPagedApi {
     * via `to_timestamp`'s default reader; `value` rides as a JSON
     * number (shortest-repr double, exact both ways).
     */
+  /** Hard cap on the served slice: the feed content transits the driver
+    * by design (it IS the fake remote server), so an events slice that
+    * grows with SF must refuse loudly here instead of OOMing the driver
+    * at a scale factor the shipped queries never reach. 1M rows ≈ low
+    * hundreds of MB of JSON — far above any API-volume-sized slice, far
+    * below driver heap.
+    */
+  val MaxServedRows: Int = 1000000
+
   def fromEvents(events: DataFrame, pageSize: Int)
       : PagedStream.MediaPagedApi = {
     require(pageSize > 0, s"fromEvents: pageSize must be positive, got $pageSize")
     // a null event_type has no feed to live in; silently dropping the
     // row would diverge from any oracle that keeps it — refuse loudly
+    val served = events.count()
+    require(served <= MaxServedRows,
+      s"fromEvents: the served slice has $served rows (> $MaxServedRows). " +
+        "This object plays the remote API server and collects the slice " +
+        "to the driver — size it like an API response volume (stride or " +
+        "filter the events first), not like a table scan.")
     val rows = events.select(
       col("event_type").as("m"),
       col("event_id").as("id"),
@@ -166,11 +181,37 @@ object EventsPagedApi {
     * call (a drain is one run of the reference job); the registry key is
     * derived from them so concurrent drains never collide.
     */
+  /** Every [[factsViaApi]] scratch root (fact + checkpoint dirs), deleted
+    * by ONE JVM shutdown hook: the returned frame reads the fact parquet
+    * lazily, so the dir must outlive the call — but repeated bench/verify
+    * runs in one JVM must not accumulate roots in /tmp forever. Contract:
+    * consume the returned frame before JVM exit (every driver run does —
+    * Verify writes it, Bench forces it).
+    */
+  private val scratchRoots =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(f =>
+              try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }))
+  }
+
   def factsViaApi(spark: org.apache.spark.sql.SparkSession,
                   events: DataFrame, pageSize: Int = 50,
                   maxPagesPerTrigger: Int = 4): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-api-fact").toString
+    val rootPath = java.nio.file.Files
+      .createTempDirectory("graft-api-fact")
+    scratchRoots.add(rootPath)
+    val root = rootPath.toString
     val key = s"events-api-${new java.io.File(root).getName}"
     PagedStream.register(key, fromEvents(events, pageSize))
     try {

@@ -1175,10 +1175,16 @@ object Similarity {
         // collect). An OPQ index RE-LEARNS its rotation on the current
         // corpus: a rebuild exists to restore quantization economics
         // after drift, and the rotation is part of the quantizer — so
-        // its alternation depth follows the same knob (trainIters = 0
-        // keeps the identity rotation, the true seed-only cost).
+        // its alternation depth follows the same knob. trainIters = 0 is
+        // the seed-only rebuild: zero retraining passes means the
+        // codebook must stay in the geometry it was trained in, so the
+        // SOURCE index's stored rotation is pinned (resetting to identity
+        // would silently discard the paid-for OPQ geometry and degrade
+        // recall for free). Any trainIters > 0 relearns both.
+        val storedRot = readPqRotation(spark, srcDir)
         Some(PqConfig(m, k, trainIters = trainIters,
-          opq = readPqRotation(spark, srcDir).isDefined,
+          opq = storedRot.isDefined,
+          rotation = if (trainIters == 0) storedRot else None,
           opqIters = trainIters,
           opqLloydIters = math.min(4, math.max(1, trainIters))))
       } else None

@@ -937,6 +937,37 @@ class VectorSpec extends SparkSpec {
       "rebuilt OPQ search must hold the pq recall floor")
   }
 
+  test("seed-only OPQ rebuild (trainIters = 0) PINS the stored rotation " +
+      "instead of resetting to identity") {
+    // A zero-retrain rebuild exists to re-balance lists, not to touch the
+    // quantizer geometry — discarding the learned rotation for identity
+    // would silently degrade recall at zero savings (the round-16 ADVICE
+    // finding). The rebuilt index must carry the SOURCE's rotation matrix
+    // element-for-element.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("graft-opq-s0").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-opq-d0").toString
+    Similarity.writeIvfIndex(emb, src, nCentroids = 16,
+      pq = Some(Similarity.PqConfig(8, 16, trainIters = 2, opq = true)))
+    val srcRot = Similarity.readPqRotation(spark, src)
+    assert(srcRot.isDefined, "precondition: the source index learned a rotation")
+    assert(!srcRot.get.zipWithIndex.forall { case (v, i) =>
+      v == (if (i / 64 == i % 64) 1f else 0f) },
+      "precondition: the learned rotation is not already the identity")
+    Similarity.rebuildIvfIndex(spark, src, dst, nCentroids = 16,
+      trainIters = 0)
+    val dstRot = Similarity.readPqRotation(spark, dst)
+    assert(dstRot.isDefined, "seed-only rebuild must keep the index OPQ")
+    assert(java.util.Arrays.equals(srcRot.get, dstRot.get),
+      "seed-only rebuild must pin the source rotation bit-for-bit")
+    val probes = emb.filter($"vec_id" < 5)
+    val full = Similarity.searchIvfIndex(spark, dst, probes, 5, nProbe = 4)
+    val got = Similarity.searchIvfIndexPq(spark, dst, probes, 5,
+      nProbe = 4, refine = 40)
+    assert(Similarity.recallAtK(got, full) >= 0.8,
+      "seed-only rebuilt OPQ search must hold the pq recall floor")
+  }
+
   test("OPQ rebuild AFTER APPENDS holds the recall floor on the grown " +
       "corpus (the re-learned rotation's drift guard)") {
     // The adoption table only measured cold builds; this leg pins the
