@@ -47,6 +47,57 @@ private[graft] object OracleGen {
   def qSelect(h: String): String =
     qExprs(h).zipWithIndex.map { case (e, d) => s"$e AS q$d" }.mkString(", ")
 
+  /** DuckDB SQL for [[graft.functions.PolyHash61]] of string expression
+    * `s` — the engine's 61-bit rolling hash re-derived in HUGEINT: Horner
+    * over Unicode code points, `(acc·B + cp) mod M`, `B`/`M` from
+    * [[graft.functions.PolyHashMath]] itself (embedded as literals — no
+    * second copy of the constants to drift). `list_reduce` with a single
+    * element returns it and the Java fold of one code point is that code
+    * point, so the conventions agree; the empty string is guarded to 0
+    * (list_reduce errors on empty lists, the Java fold of zero terms is
+    * 0). Yields BIGINT (< 2^61).
+    */
+  def polyHash61(s: String): String = {
+    val B = graft.functions.PolyHashMath.B
+    val M = graft.functions.PolyHashMath.M
+    s"""CAST(CASE WHEN length($s) = 0 THEN 0 ELSE
+       |  list_reduce(
+       |    list_transform(range(1, length($s) + 1),
+       |      j -> CAST(unicode(substr($s, j, 1)) AS HUGEINT)),
+       |    (a, b) -> (a * $B + b) % $M) END AS BIGINT)""".stripMargin
+  }
+
+  /** DuckDB SQL for affine MinHash member i over a BIGINT poly-hash
+    * column `h`: `(Aᵢ·h + Bᵢ) mod M` with the engine's own
+    * [[graft.functions.PolyHashMath.affineA]]/[[graft.functions.PolyHashMath.affineB]]
+    * constants evaluated here and embedded as literals (the hyperplane-
+    * sign discipline). HUGEINT intermediate: Aᵢ·h is up to 2^122.
+    */
+  def polyAffine(h: String, i: Int): String = {
+    val M = graft.functions.PolyHashMath.M
+    s"CAST((CAST(${graft.functions.PolyHashMath.affineA(i)} AS HUGEINT) " +
+      s"* $h + ${graft.functions.PolyHashMath.affineB(i)}) % $M AS BIGINT)"
+  }
+
+  /** DuckDB SQL for [[graft.functions.KgramPolyMinHash]] of string
+    * expression `t`: min over char k-gram windows of the window's Horner
+    * fold (one clamped window of the whole text when shorter than k —
+    * `greatest(len-k+1, 1)` windows, each reading `range(i, least(i+k,
+    * len+1))`). All values are in [0, 2^61), so BIGINT `list_min` is the
+    * same order the Java loop uses.
+    */
+  def kgramPolyMin(t: String, k: Int): String = {
+    val B = graft.functions.PolyHashMath.B
+    val M = graft.functions.PolyHashMath.M
+    s"""CAST(CASE WHEN length($t) = 0 THEN 0 ELSE
+       |  list_min(list_transform(
+       |    range(1, greatest(length($t) - ${k - 1}, 1) + 1),
+       |    i -> list_reduce(
+       |      list_transform(range(i, least(i + $k, length($t) + 1)),
+       |        j -> CAST(unicode(substr($t, j, 1)) AS HUGEINT)),
+       |      (a, b) -> (a * $B + b) % $M))) END AS BIGINT)""".stripMargin
+  }
+
   /** The 60-bit simhash fold of per-token hash column `h` as an
     * aggregate SQL expression (one per-doc GROUP BY consumes it): bit i
     * is set iff strictly more tokens carry a 1 there than a 0 —

@@ -520,9 +520,11 @@ object SparkEntry {
     // A8 near-dup: shingle → MinHash → LSH bands → exact-Jaccard verify.
     "q30_near_dup_minhash" -> ((s, dir) =>
       TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)),
-    // A8 production path: identical pipeline with xxhash64 signatures
-    // (Spark's seeded xxhash64 has no DuckDB analog — rows-only, like q31;
-    // q30 stays as the oracle-checked md5 twin).
+    // A8 production path: identical pipeline with the poly-hash affine
+    // signatures and hashed-shingle verify sets (one O(len) rolling hash
+    // per shingle instead of 8 md5 digests; SQL-expressible, so this is
+    // hash-exact oracle-checked — round 17 flipped it from rows-only by
+    // replacing xxhash64, which has no DuckDB analog).
     "q64_near_dup_fast" -> ((s, dir) =>
       TextDedup.nearDupPairsFast(t(s, dir, "documents"), threshold = 0.5)),
     // A8 survivor selection: connected components over the q30 pairs
@@ -552,7 +554,9 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"))
         .select(col("doc_id"), col("prefix_fp"),
           count(lit(1)).over(Window.partitionBy(col("prefix_fp"))).as("n_same_prefix"))),
-    // F8: winnowing-style char-k-gram min-hash fingerprint (rows-only).
+    // F8: winnowing-style char-k-gram rolling-hash fingerprint
+    // (hash-exact since round 17: kgram_fp is the portable 61-bit poly
+    // hash, re-derived window by window in the oracle SQL).
     "q36_fingerprint_kgram" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // North star corpus prep: salted-md5 train/val/test split (map-side,
@@ -3643,6 +3647,55 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = c.doc_a
         |JOIN sizes zb ON zb.doc_id = c.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin,
+    // the PRODUCTION near-dup path re-derived in SQL: identical pipeline
+    // shape to q30 but with the poly-hash affine signatures (one rolling
+    // hash per shingle fanned to 8 affine minima — OracleGen.polyHash61 /
+    // polyAffine, constants embedded from PolyHashMath itself) and
+    // hashed-shingle Jaccard sets. Both engines compute the SAME 61-bit
+    // hash, so even would-be collisions agree bit-exactly. Flipped from
+    // rows-only to hash-exact in round 17 (xxhash64 → portable poly hash).
+    "q64_near_dup_fast" -> {
+      val sig = (0 until 8).map(i =>
+        s"    MIN(${OracleGen.polyAffine("h", i)}) AS m$i").mkString(",\n")
+      def band(ms: Range) =
+        ms.map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ${OracleGen.polyHash61("shingle")} AS h
+        |  FROM sh0),
+        |sig AS (
+        |  SELECT doc_id,
+        |$sig
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, ${band(0 until 4)} AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, ${band(4 until 8)} AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |JOIN sizes za ON za.doc_id = c.doc_a
+        |JOIN sizes zb ON zb.doc_id = c.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin
+    },
     "q73_dedup_clusters" -> dedupClustersSql,
     // Incremental resume must land bit-exactly on the cold recompute —
     // same oracle as q73 by construction.
@@ -4348,6 +4401,15 @@ object SparkEntry {
     "q35_fingerprint_prefix" ->
       """SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
         |  COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_same_prefix
+        |FROM documents""".stripMargin,
+    // the rolling-hash fingerprint re-derived in SQL: min over char
+    // 8-gram windows of the Horner fold mod 2^61-1 (OracleGen.kgramPolyMin
+    // — B/M embedded from PolyHashMath itself). Flipped from rows-only to
+    // hash-exact in round 17 by switching kgram_fp from xxhash64 (no SQL
+    // analog) to the portable poly hash.
+    "q36_fingerprint_kgram" ->
+      s"""SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_fp,
+        |  ${OracleGen.kgramPolyMin("text", 8)} AS kgram_fp
         |FROM documents""".stripMargin,
     "q72_curate" ->
       """WITH base AS (

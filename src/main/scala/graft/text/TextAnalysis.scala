@@ -283,19 +283,23 @@ object TextAnalysis {
           .as("tf_idf"))
   }
 
-  /** Document fingerprints. `prefix_fp` (md5 of the head) is cross-engine
-    * and oracle-checked; `kgram_fp` is a winnowing-style min over char
-    * k-gram xxhash64 values (engine-internal, used for fast clustering) —
-    * the codegen'd [[graft.functions.KgramMinHash]], bit-identical to the
-    * interpreted HOF form it replaced (q36 1.48 → 0.16 s at sf0.1:
-    * ~chars-per-doc lambda evaluations and a per-row array, fused into
-    * one zero-copy loop).
+  /** Document fingerprints. `prefix_fp` (md5 of the head) and `kgram_fp`
+    * (winnowing-style min over char k-gram rolling-hash values — the
+    * codegen'd [[graft.functions.KgramPolyMinHash]]) are BOTH
+    * cross-engine and oracle-checked: the 61-bit Mersenne poly hash is
+    * the identical value in DuckDB SQL (see [[graft.functions.PolyHashMath]]),
+    * which flipped q36 from rows-only to hash-exact. Same fused
+    * zero-copy window loop as the xxhash64 [[graft.functions.KgramMinHash]]
+    * it replaced here (that expression remains for engine-internal
+    * fingerprints where cross-engine checkability is not needed); the
+    * per-window cost class is unchanged (a handful of mul/shift ops per
+    * char — q36's 0.16 s at sf0.1 was the loop fusion, not the hash).
     */
   def fingerprints(docs: DataFrame, prefixLen: Int = 80, k: Int = 8): DataFrame =
     docs.select(
       col("doc_id"),
       md5(substring(col("text"), 1, prefixLen)).as("prefix_fp"),
-      graft.functions.KgramMinHashMath.kgramMinHashCol(col("text"), k)
+      graft.functions.PolyHashMath.kgramPolyMinHashCol(col("text"), k)
         .as("kgram_fp"))
 
   /** Default PII redaction rules, applied in declaration order (emails

@@ -90,19 +90,25 @@ object TextDedup {
     shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Production MinHash signature: codegen'd xxhash64, seeded by prepending
-    * the hash index. Same shape as [[minhashSignatures]] (m0..m{k-1}, here
-    * BIGINT) but one fused hash per shingle instead of an md5 digest + hex
-    * substring — the md5 form was the largest data-path cost in the bench
-    * (the SimHash precedent measured ~8× for the same switch). No SQL
-    * oracle exists for Spark's seeded xxhash64, so queries over this path
-    * are rows-only checked; the md5 twin keeps the pipeline oracle-covered.
+  /** Production MinHash signature: the codegen'd poly-hash affine family
+    * ([[graft.functions.PolyHashes]] — ONE O(len) rolling hash per
+    * shingle, fanned to `numHashes` affine transforms). Same shape as
+    * [[minhashSignatures]] (m0..m{k-1}, here BIGINT) but no md5 digest +
+    * hex substring per seed — the md5 form was the largest data-path cost
+    * in the bench (the SimHash precedent measured ~8× for the same
+    * switch). Unlike the xxhash64 variant this replaced (round 17), the
+    * poly hash IS SQL-expressible in DuckDB (list_reduce in HUGEINT mod
+    * 2^61−1), so fast-path queries are hash-exact oracle-checked, not
+    * rows-only.
     */
   def minhashSignaturesFast(shingleDf: DataFrame, numHashes: Int = 8): DataFrame = {
+    val withH = shingleDf.select(col("doc_id"),
+      graft.functions.PolyHashMath.polyHashesCol(col("shingle"), numHashes)
+        .as("_ph"))
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i")
+      min(element_at(col("_ph"), i + 1)).as(s"m$i")
     }
-    shingleDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into `numBands` concatenated bands
@@ -268,19 +274,23 @@ object TextDedup {
       (s, k) => graft.functions.GraftFunctions.seeded_md5(s, k))
 
   /** Production near-dup pipeline: same shape as [[nearDupPairs]] but with
-    * the xxhash64 signatures, and the verify sets hold xxhash64(shingle)
-    * keys instead of raw n-gram strings — the Jaccard of the hashed sets
-    * equals the exact n-gram Jaccard up to 64-bit collisions (~n²/2⁶⁴,
-    * negligible at any corpus size that fits an LSH bucket), and the band
-    * shuffle carries 8 bytes per distinct shingle instead of the n-gram
-    * text. Only the LSH recall lottery (which random minima band
-    * together) differs from the md5 path. Identical texts always pair:
-    * equal shingle sets give equal signatures, hence equal bands.
+    * the poly-hash affine signatures ([[graft.functions.PolyHashes]] —
+    * one rolling hash per shingle, not k md5 digests), and the verify
+    * sets hold poly_hash61(shingle) keys instead of raw n-gram strings —
+    * the Jaccard of the hashed sets equals the exact n-gram Jaccard up to
+    * 61-bit collisions (~n²/2⁶¹, negligible at any corpus size that fits
+    * an LSH bucket), and the band shuffle carries 8 bytes per distinct
+    * shingle instead of the n-gram text. Only the LSH recall lottery
+    * (which random minima band together) differs from the md5 path.
+    * Identical texts always pair: equal shingle sets give equal
+    * signatures, hence equal bands. The poly hash is SQL-expressible
+    * (unlike the xxhash64 it replaced round 17), so this production path
+    * is hash-exact oracle-checked end to end (q64).
     */
   def nearDupPairsFast(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     nearDupFused(docs, threshold,
-      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
-      shingleKey = s => xxhash64(s))
+      (s, k) => graft.functions.PolyHashMath.polyHashesCol(s, k),
+      shingleKey = s => graft.functions.PolyHashMath.polyHash61Col(s))
 
   /** Persistable near-dup signature index over a corpus: one row per
     * (doc, LSH band) with the band value and the doc's distinct shingle
@@ -301,14 +311,14 @@ object TextDedup {
       numHashes, numBands, identity)
 
   /** Production signature index: same shape as [[signatureIndex]] with
-    * xxhash64 signatures and hashed shingle keys (see
+    * poly-hash affine signatures and poly_hash61 shingle keys (see
     * [[nearDupPairsFast]] for the equivalence argument).
     */
   def signatureIndexFast(docs: DataFrame, numHashes: Int = 8,
                          numBands: Int = 2): DataFrame =
     bandedProfiles(docs,
-      (s, k) => array((0 until k).map(i => xxhash64(lit(i), s)): _*),
-      numHashes, numBands, s => xxhash64(s))
+      (s, k) => graft.functions.PolyHashMath.polyHashesCol(s, k),
+      numHashes, numBands, s => graft.functions.PolyHashMath.polyHash61Col(s))
 
   /** Incremental near-dup: which documents of a NEW batch near-duplicate
     * something already in the corpus — without re-pairing the corpus.

@@ -484,4 +484,100 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("*(1) Project [kgram_min_hash"), p.take(500))
     df.collect() // force actual codegen compilation, not just planning
   }
+
+  test("PolyHashMath matches the cross-language reference (pinned literals " +
+      "+ BigInt property over the real corpus)") {
+    import graft.functions.PolyHashMath
+    import org.apache.spark.unsafe.types.UTF8String
+    // Literals computed INDEPENDENTLY (Python big-int arithmetic, which
+    // DuckDB's HUGEINT SQL twin was verified against) — any drift in
+    // mulmod/addmod/codepoint decode or the splitmix64 affine constants
+    // breaks cross-engine hash equality and therefore the q36/q64 oracles.
+    assert(PolyHashMath.hashString(UTF8String.fromString("hello world"))
+      == 2083453854010787712L)
+    assert(PolyHashMath.kgramMin(
+      UTF8String.fromString("the quick brown fox jumps"), 8)
+      == 53304914913601733L)
+    assert(PolyHashMath.hashString(UTF8String.fromString("héllo ✓ 你好"))
+      == 469649007009152114L) // 2-, 3-byte UTF-8 decode
+    assert(PolyHashMath.affineA(0) == 1227844342346046666L)
+    assert(PolyHashMath.affineB(0) == 1682153688901572306L)
+    assert(PolyHashMath.affineA(7) == 530179042305200142L)
+    assert(PolyHashMath.affineB(7) == 2153150379439133193L)
+    assert(PolyHashMath.hashes(UTF8String.fromString("hello world"), 1)
+      .getLong(0) == 1944310238947936944L)
+    assert(PolyHashMath.hashString(UTF8String.fromString("")) == 0L)
+    // property over the real corpus: the fused loop equals a BigInt
+    // Horner over String.codePoints (independent decode path)
+    val M = BigInt(PolyHashMath.M)
+    val B = BigInt(PolyHashMath.B)
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.codePoints().forEach(cp => h = (h * B + cp) % M)
+      h.toLong
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"),
+        graft.functions.PolyHashMath.polyHash61Col(col("text")).as("h"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach(r => assert(r.getLong(1) == ref(r.getString(0)),
+      s"poly hash mismatch on: ${r.getString(0).take(60)}"))
+  }
+
+  test("KgramPolyMinHash: window semantics (short, exact-k, empty, null) " +
+      "+ sliding-window reference over the corpus") {
+    import graft.functions.PolyHashMath
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long = PolyHashMath.hashString(UTF8String.fromString(s))
+    // n <= k: ONE clamped window of the whole text (the KgramMinHash
+    // convention)
+    assert(PolyHashMath.kgramMin(UTF8String.fromString("short"), 8) == h("short"))
+    assert(PolyHashMath.kgramMin(UTF8String.fromString("exactly8"), 8) == h("exactly8"))
+    assert(PolyHashMath.kgramMin(UTF8String.fromString(""), 8) == 0L)
+    // sliding-window reference via String windows (code-point safe texts)
+    def kref(s: String, k: Int): Long =
+      if (s.isEmpty) 0L
+      else if (s.codePointCount(0, s.length) <= k) h(s)
+      else {
+        val cps = s.codePoints().toArray
+        (0 to cps.length - k).map(i =>
+          h(new String(cps, i, k))).min
+      }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "naïve café — δοκιμή многобайтовый 試験テキスト")
+    texts.foreach(t => assert(
+      PolyHashMath.kgramMin(UTF8String.fromString(t), 8) == kref(t, 8), t))
+    // null passthrough + corpus agreement via the Column API
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = docs.select(col("text"),
+      PolyHashMath.kgramPolyMinHashCol(col("text"), 8).as("fp")).collect()
+    rows.foreach(r => assert(r.getLong(1) == kref(r.getString(0), 8)))
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(PolyHashMath.kgramPolyMinHashCol(col("text"), 8).as("fp"),
+        PolyHashMath.polyHash61Col(col("text")).as("h"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1),
+      "NULL text must have no fingerprint")
+  }
+
+  test("PolyHashes equals the affine transforms of PolyHash61 and stays " +
+      "in whole-stage codegen") {
+    import graft.functions.PolyHashMath
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val df = docs.select(
+      PolyHashMath.polyHashesCol(col("text"), 8).as("hs"),
+      PolyHashMath.polyHash61Col(col("text")).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [poly_hashes"), p.take(500))
+    df.collect().foreach { r =>
+      val hs = r.getSeq[Long](0)
+      val h = r.getLong(1)
+      (0 until 8).foreach { i =>
+        val expect = ((BigInt(PolyHashMath.affineA(i)) * h +
+          PolyHashMath.affineB(i)) % PolyHashMath.M).toLong
+        assert(hs(i) == expect, s"affine $i mismatch")
+      }
+    }
+  }
 }

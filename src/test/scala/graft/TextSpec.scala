@@ -35,7 +35,7 @@ class TextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("fast (xxhash64) near-dup pipeline: same verify semantics as the md5 twin") {
+  test("fast (poly-hash) near-dup pipeline: same verify semantics as the md5 twin") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val mutated = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
     val other = (100 to 160).map(i => s"w$i").mkString(" ")
@@ -56,7 +56,7 @@ class TextSpec extends SparkSpec {
     val sh = TextDedup.shingles(d)
     val s1 = TextDedup.minhashSignaturesFast(sh).orderBy("doc_id").collect()
     val s2 = TextDedup.minhashSignaturesFast(sh).orderBy("doc_id").collect()
-    assert(s1.sameElements(s2), "xxhash64 signatures must be deterministic")
+    assert(s1.sameElements(s2), "poly-hash signatures must be deterministic")
     val schema = TextDedup.minhashSignaturesFast(sh).schema
     assert(schema.fieldNames.toSeq == ("doc_id" +: (0 until 8).map(i => s"m$i")))
     assert(schema.fields.drop(1).forall(_.dataType ==
@@ -227,7 +227,7 @@ class TextSpec extends SparkSpec {
       TextDedup.lshCandidates(TextDedup.minhashSignaturesFast(sh)), sh)
       .filter(col("jaccard") >= 0.5).collect().map(key).toSet
     val fusedFast = TextDedup.nearDupPairsFast(d, 0.5).collect().map(key).toSet
-    assert(fusedFast == stagedFast, "fused xxhash64 pipeline must equal staged")
+    assert(fusedFast == stagedFast, "fused poly-hash pipeline must equal staged")
     assert(fused.nonEmpty, "generator must actually produce near-dups")
   }
 
