@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftplan.FreshPlan.localCheckpointFresh
+import org.apache.spark.sql.graftplan.FreshPlan
 
 /** Iterative graph analytics by joins — PageRank in FIXED-POINT integer
   * arithmetic (Page et al. 1999, the power method; Pregel-by-DataFrames).
@@ -62,11 +62,21 @@ object Graph {
     * symmetrized bipartite graphs, q166's shape) skip the per-iteration
     * dangling aggregate entirely, leaving exactly one join + one keyed
     * SUM per round.
+    *
+    * `checkpointDir`: `None` (default) cuts lineage with executor-local
+    * checkpoints — fastest, but an executor loss mid-fixpoint kills the
+    * run (batch retry re-pays every iteration). `Some(dir)` swaps every
+    * materialization for a RELIABLE checkpoint under `dir` (HDFS/object
+    * store on a cluster), so preempted executors recompute from files —
+    * the long-fixpoint 100 TB posture. Output is bit-identical either
+    * way (GraphSpec-pinned): the recurrence is integer fixed-point, and
+    * where the state lives cannot change what it is.
     */
   def pageRankFixed(edges: DataFrame, iters: Int,
                     scale: Long = 1000000000000L,
-                    dampNum: Int = 17, dampDen: Int = 20): DataFrame =
-    pageRankLoop(edges, None, iters, scale, dampNum, dampDen)
+                    dampNum: Int = 17, dampDen: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame =
+    pageRankLoop(edges, None, iters, scale, dampNum, dampDen, checkpointDir)
 
   /** Warm-start continuation: run `iters` more power iterations from a
     * PERSISTED rank table (node, rank) instead of the uniform start —
@@ -88,12 +98,21 @@ object Graph {
     */
   def pageRankResume(edges: DataFrame, ranks0: DataFrame, iters: Int,
                      scale: Long = 1000000000000L,
-                     dampNum: Int = 17, dampDen: Int = 20): DataFrame =
-    pageRankLoop(edges, Some(ranks0), iters, scale, dampNum, dampDen)
+                     dampNum: Int = 17, dampDen: Int = 20,
+                     checkpointDir: Option[String] = None): DataFrame =
+    pageRankLoop(edges, Some(ranks0), iters, scale, dampNum, dampDen,
+      checkpointDir)
 
   private def pageRankLoop(edges: DataFrame, ranks0: Option[DataFrame],
                            iters: Int, scale: Long,
-                           dampNum: Int, dampDen: Int): DataFrame = {
+                           dampNum: Int, dampDen: Int,
+                           checkpointDir: Option[String]): DataFrame = {
+    // one knob, two materializer flavors: invariants keep their origin
+    // stats (materialize), the loop state is stat-stripped (checkpointFresh)
+    def mat(df: DataFrame): DataFrame =
+      FreshPlan.materialize(df, checkpointDir)
+    def cutFresh(df: DataFrame): DataFrame =
+      FreshPlan.checkpointFresh(df, checkpointDir)
     require(iters >= 1, s"pageRankFixed: iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRankFixed: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -101,22 +120,22 @@ object Graph {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(mat)
     // Degree rides the edge row so the per-iteration join is ONE join,
     // not two; materialized once, reused every round.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val withDeg = e.join(deg, "src").localCheckpoint()
+    val deg = mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val withDeg = mat(e.join(deg, "src"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .transform(mat)
     val nTotal = nodes.agg(count(lit(1)).as("n"))
     // Loop-invariant: the nodes with no out-edges. Materialized once so
     // the anti-join never re-derives deg inside the loop, and checked
     // once so dangler-free graphs pay nothing per iteration.
     val danglers = nodes
       .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .transform(mat)
     val hasDanglers = !danglers.isEmpty
     val teleportScaled = scale / dampDen * (dampDen - dampNum) +
       scale % dampDen * (dampDen - dampNum) / dampDen
@@ -143,10 +162,10 @@ object Graph {
         val init = nodes.crossJoin(broadcast(nTotal))
           .select(col("node"),
             call_function("div", lit(scale), col("n")).as("rank"))
-        if (hasDanglers) localCheckpointFresh(init) else init
+        if (hasDanglers) cutFresh(init) else init
       case Some(r0) =>
         val r = r0.select(col("node").cast("long").as("node"),
-          col("rank").cast("long").as("rank")).localCheckpoint()
+          col("rank").cast("long").as("rank")).transform(mat)
         val missing = nodes.join(r, Seq("node"), "left_anti").count()
         require(missing == 0L,
           s"pageRankResume: ranks0 is missing $missing graph node(s) — " +
@@ -174,7 +193,7 @@ object Graph {
             "vector persisted under a different scale, or half-written?")
         // extra persisted nodes no longer in the graph are dropped: they
         // can neither receive nor (having no out-edges here) send mass.
-        localCheckpointFresh(r.join(nodes, Seq("node"), "left_semi"))
+        cutFresh(r.join(nodes, Seq("node"), "left_semi"))
     }
     for (i <- 1 to iters) {
       val contrib = ranks
@@ -200,7 +219,7 @@ object Graph {
                 call_function("div", col("dm") * dampNum, lit(dampDen.toLong)),
                 col("n"))).as("rank"))
       ranks =
-        if (i == iters || i % cutEvery == 0) localCheckpointFresh(next)
+        if (i == iters || i % cutEvery == 0) cutFresh(next)
         else next
     }
     ranks

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftplan.FreshPlan.localCheckpointFresh
+import org.apache.spark.sql.graftplan.FreshPlan
 
 /** Document deduplication family (SURVEY.md §2.4 A8 + north star):
   * exact, MinHash+LSH near-dup, n-gram Jaccard verification, SimHash.
@@ -386,14 +386,24 @@ object TextDedup {
     * ~2^20; the guard throws rather than returning silently-unmerged
     * clusters.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    // None = executor-local lineage cuts (fastest; an executor loss
+    // mid-fixpoint is fatal and batch retry re-pays the run); Some(dir) =
+    // reliable checkpoints on a real filesystem, the preemptible-node
+    // posture for long fixpoints. Bit-identical output either way
+    // (TextSpec-pinned) — where the state lives cannot change what it is.
+    def mat(df: DataFrame): DataFrame =
+      FreshPlan.materialize(df, checkpointDir)
+    def cutFresh(df: DataFrame): DataFrame =
+      FreshPlan.checkpointFresh(df, checkpointDir)
     // Materialize the pair plan BEFORE symmetrizing: `half` is consumed
     // twice by the union, and without the checkpoint the planner must
     // rediscover the shared subtree (exchange reuse saves the re-execution
     // but not the double planning); with it the upstream pair pipeline
     // (shingle → minhash → LSH → verify, the dominant cost) runs exactly
     // once, unconditionally.
-    val half = localCheckpointFresh(
+    val half = cutFresh(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sym = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -406,7 +416,7 @@ object TextDedup {
     // instead of paying two distinct exchanges for cosmetics.
     val edges = sym
       .unionByName(sym.select(col("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .transform(mat)
     // COMPRESS (pointer jumping): label'(v) = label(label(v)). Every
     // label is a vertex id (labels start as ids and min() preserves
     // that), so the lookup is a |V|-row self-join — cheap next to the
@@ -443,7 +453,7 @@ object TextDedup {
     // Initialization IS the first hook (labels start at doc_id, so the
     // aggregate needs no join at all; the self-loop edges fold v's own
     // id into the min) — one free round.
-    var labels = localCheckpointFresh(
+    var labels = cutFresh(
       edges.groupBy(col("src")).agg(min(col("dst")).as("cluster_id"))
         .withColumnRenamed("src", "doc_id"))
     // Decimal sum: a BIGINT sum of doc ids can overflow long at corpus
@@ -462,7 +472,7 @@ object TextDedup {
       // unchanged sum certifies a full fixpoint: depth-1 forest (compress
       // moved nothing) AND no cross-root edge (hook proposed nothing) —
       // i.e. every label is its component's minimum vertex id.
-      val next = localCheckpointFresh(hook(compress(compress(labels))))
+      val next = cutFresh(hook(compress(compress(labels))))
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -526,8 +536,10 @@ object TextDedup {
     * the [[graft.ops.Graph.pageRankResume]] discipline).
     */
   def dedupClustersResume(labels0: DataFrame, newPairs: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
-    val (untouched, relabeled) = resumeParts(labels0, newPairs, maxIters)
+                          maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val (untouched, relabeled) =
+      resumeParts(labels0, newPairs, maxIters, checkpointDir)
     untouched.unionByName(relabeled)
   }
 
@@ -539,16 +551,21 @@ object TextDedup {
     * cost per merge is O(affected), not O(every cluster ever).
     */
   def dedupClustersDelta(labels0: DataFrame, newPairs: DataFrame,
-                         maxIters: Int = 20): DataFrame =
-    resumeParts(labels0, newPairs, maxIters)._2
+                         maxIters: Int = 20,
+                         checkpointDir: Option[String] = None): DataFrame =
+    resumeParts(labels0, newPairs, maxIters, checkpointDir)._2
 
   private def resumeParts(labels0: DataFrame, newPairs: DataFrame,
-                          maxIters: Int): (DataFrame, DataFrame) = {
-    val state = validatedLabeling(labels0, "dedupClustersResume")
-    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val affectedClusters = affectedClusterIds(state, np).localCheckpoint()
+                          maxIters: Int,
+                          checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val state = validatedLabeling(labels0, "dedupClustersResume", checkpointDir)
+    val np = FreshPlan.materialize(
+      newPairs.select(col("doc_a"), col("doc_b")), checkpointDir)
+    val affectedClusters =
+      FreshPlan.materialize(affectedClusterIds(state, np), checkpointDir)
     val relabeled = dedupClusters(subgraphOf(state, np, affectedClusters),
-      maxIters)
+      maxIters, checkpointDir)
     val untouched = state.join(affectedClusters, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     (untouched, relabeled)
@@ -559,9 +576,11 @@ object TextDedup {
     * the state-invariant gate every maintenance operator runs first (a
     * corrupt label store must fail, not silently mis-merge).
     */
-  private def validatedLabeling(labels0: DataFrame, op: String): DataFrame = {
-    val state = localCheckpointFresh(
-      labels0.select(col("doc_id"), col("cluster_id")))
+  private def validatedLabeling(labels0: DataFrame, op: String,
+                                checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val state = FreshPlan.checkpointFresh(
+      labels0.select(col("doc_id"), col("cluster_id")), checkpointDir)
     require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
       s"$op: labels0 is not a dedupClusters labeling — " +
         "found cluster_id > doc_id (labels must be component minima)")
@@ -600,9 +619,10 @@ object TextDedup {
   def dedupClustersForget(labels0: DataFrame, corpus: DataFrame,
                           doomed: DataFrame,
                           pairsOf: DataFrame => DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val (untouched, relabeled, _) =
-      forgetParts(labels0, corpus, doomed, pairsOf, maxIters)
+      forgetParts(labels0, corpus, doomed, pairsOf, maxIters, checkpointDir)
     untouched.unionByName(relabeled)
   }
 
@@ -618,10 +638,12 @@ object TextDedup {
   def dedupClustersForgetDelta(labels0: DataFrame, corpus: DataFrame,
                                doomed: DataFrame,
                                pairsOf: DataFrame => DataFrame,
-                               maxIters: Int = 20): DataFrame = {
+                               maxIters: Int = 20,
+                               checkpointDir: Option[String] = None)
+      : DataFrame = {
     val (_, relabeled, affectedState) =
-      forgetParts(labels0, corpus, doomed, pairsOf, maxIters)
-    val kept = relabeled.localCheckpoint()
+      forgetParts(labels0, corpus, doomed, pairsOf, maxIters, checkpointDir)
+    val kept = FreshPlan.materialize(relabeled, checkpointDir)
     val gone = affectedState
       .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(null).cast("long").as("cluster_id"))
@@ -630,12 +652,14 @@ object TextDedup {
 
   private def forgetParts(labels0: DataFrame, corpus: DataFrame,
                           doomed: DataFrame,
-                          pairsOf: DataFrame => DataFrame, maxIters: Int)
+                          pairsOf: DataFrame => DataFrame, maxIters: Int,
+                          checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val state = validatedLabeling(labels0, "dedupClustersForget")
-    val dIds = doomed.select(col("doc_id")).distinct().localCheckpoint()
-    val affected = state.join(dIds, Seq("doc_id"))
-      .select(col("cluster_id")).distinct().localCheckpoint()
+    val state = validatedLabeling(labels0, "dedupClustersForget", checkpointDir)
+    val dIds = FreshPlan.materialize(
+      doomed.select(col("doc_id")).distinct(), checkpointDir)
+    val affected = FreshPlan.materialize(state.join(dIds, Seq("doc_id"))
+      .select(col("cluster_id")).distinct(), checkpointDir)
     val untouched = state.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     val affectedState = state.join(affected, Seq("cluster_id"), "left_semi")
@@ -644,7 +668,7 @@ object TextDedup {
       .select(col("doc_id"))
     val relabeled = dedupClusters(
       pairsOf(corpus.join(survivorIds, Seq("doc_id"), "left_semi")),
-      maxIters)
+      maxIters, checkpointDir)
     (untouched, relabeled, affectedState)
   }
 

@@ -62,6 +62,50 @@ class GraphSpec extends SparkSpec {
       s"dangling mass lost: total ${g.values.sum}")
   }
 
+  test("reliable checkpointDir is bit-identical to local cuts on the " +
+      "sf0.01 graph (and actually writes checkpoint files)") {
+    // The r16 verdict's one real 100 TB robustness gap: localCheckpoint
+    // state dies with its executor, so long fixpoints on preemptible
+    // nodes need a reliable-filesystem option. The knob must change WHERE
+    // the state lives, never WHAT it is — integer fixed-point has no
+    // partition- or storage-dependent bits.
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-rck").toString
+    val half = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .join(Tables.load(spark, "/root/testdata/sf0.01", "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // shared input: both runs read identical edges
+    def run(ck: Option[String]) = {
+      val t0 = System.nanoTime()
+      val r = Graph.pageRankFixed(edges, iters = 3, checkpointDir = ck)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (localR, tLocal) = run(None)
+    val (relR, tRel) = run(Some(dir))
+    assert(relR == localR,
+      "reliable checkpoints must not change a single rank bit")
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "reliable mode must actually write checkpoint files")
+    info(f"pageRankFixed sf0.01 ×3 iters: local $tLocal%.2f s, " +
+      f"reliable $tRel%.2f s (${tRel / tLocal}%.2fx)")
+    // resume leg: the warm start through the same knob stays bit-exact too
+    val resumed = Graph.pageRankResume(edges,
+      Seq.empty[(Long, Long)].toDF("node", "rank")
+        .unionByName(localR.toSeq.toDF("node", "rank")),
+      iters = 1, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold4 = Graph.pageRankFixed(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == cold4,
+      "reliable resume must equal the cold run of the combined depth")
+  }
+
   test("resume(k) after pageRankFixed(m) == cold pageRankFixed(m+k), bit-exact") {
     // integer fixed-point means the rank vector IS the whole state: a
     // persisted 2-iteration vector resumed for 1 more must reproduce the

@@ -361,6 +361,51 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dedupClusters with a reliable checkpointDir is bit-identical to " +
+      "local cuts on the sf0.01 corpus (resume + forget legs too)") {
+    // Same contract as the GraphSpec leg: Some(dir) moves the fixpoint
+    // state to a re-readable filesystem (preemptible-node posture);
+    // labels are integer minima, so storage cannot change them.
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-rck").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val pairs = TextDedup.nearDupPairs(docs, threshold = 0.5)
+      .localCheckpoint() // shared input: both runs cluster identical pairs
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val localL = lab(TextDedup.dedupClusters(pairs))
+    val t1 = System.nanoTime()
+    val relL = lab(TextDedup.dedupClusters(pairs, checkpointDir = Some(dir)))
+    val t2 = System.nanoTime()
+    assert(relL == localL,
+      "reliable checkpoints must not change a single label bit")
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count() > 0,
+      "reliable mode must actually write checkpoint files")
+    info(f"dedupClusters sf0.01: local ${(t1 - t0) / 1e9}%.2f s, " +
+      f"reliable ${(t2 - t1) / 1e9}%.2f s " +
+      f"(${(t2 - t1).toDouble / (t1 - t0)}%.2fx)")
+    // resume and forget ride the same knob through the shared fixpoint
+    val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
+    val oldPairs = pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+    val newPairs = pairs.filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
+    val state = TextDedup.dedupClusters(oldPairs)
+    assert(lab(TextDedup.dedupClustersResume(state, newPairs,
+        checkpointDir = Some(dir)))
+      == lab(TextDedup.dedupClustersResume(state, newPairs)),
+      "reliable resume must equal local resume bit-for-bit")
+    val doomed = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"))
+    assert(lab(TextDedup.dedupClustersForget(
+        TextDedup.dedupClusters(pairs), docs, doomed,
+        d => TextDedup.nearDupPairs(d, 0.5), checkpointDir = Some(dir)))
+      == lab(TextDedup.dedupClustersForget(
+        TextDedup.dedupClusters(pairs), docs, doomed,
+        d => TextDedup.nearDupPairs(d, 0.5))),
+      "reliable forget must equal local forget bit-for-bit")
+  }
+
   test("dedupClustersResume ≡ cold recompute: merge, join, new cluster, passthrough") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_a", "doc_b")
     // old clusters: {1,2}, {3,4}, {7,8} — delta merges {1,2}+{3,4} via
