@@ -1870,8 +1870,12 @@ object SparkEntry {
     // spec-pinned separately (PagedStreamSpec, pageSize 4 / budget 2),
     // so the registered query doesn't pay 25 micro-batch commits of
     // pure trigger overhead to prove it again.
+    // REAL SOCKETS in the driver run (round 17): the feeds are served by
+    // an in-process localhost HttpServer and pulled through the
+    // production HttpPagedSource transport — the correctness row now
+    // certifies the whole wire path, not just the in-JVM pull algebra.
     "q213_api_to_fact" -> ((s, dir) =>
-      graft.streaming.EventsPagedApi.factsViaApi(s,
+      graft.streaming.EventsPagedApi.factsViaApiHttp(s,
         t(s, dir, "events").filter(col("event_id") % 20 === 0),
         pageSize = 200, maxPagesPerTrigger = 10)),
     // S2 END TO END (round 16, the q213 discipline for the metadata
@@ -1879,13 +1883,11 @@ object SparkEntry {
     // parse → Flatten.dimMedia (incl. the updated→created freshness
     // coalesce) — the reference's silver dim path from the API down.
     // Metadata derives deterministically from events aggregates, so the
-    // oracle re-computes the same dim straight from the table; the
-    // HTTP-transport twin of the fetch is HttpPagedSourceSpec's.
-    "q214_api_to_dim" -> ((s, dir) => {
-      val meta = graft.streaming.EventsPagedApi.mediaMetadataJson(
-        t(s, dir, "events"))
-      graft.streaming.EventsPagedApi.dimViaApi(s, meta.keys.toSeq, meta)
-    }),
+    // oracle re-computes the same dim straight from the table. REAL
+    // SOCKETS since round 17: each metadata object is a localhost GET
+    // through HttpPagedSource.fetchObject in the driver run itself.
+    "q214_api_to_dim" -> ((s, dir) =>
+      graft.streaming.EventsPagedApi.dimViaApiHttp(s, t(s, dir, "events"))),
     // North star multimodal: opaque binary payload column + typed metadata.
     "q41_multimodal_binary" -> ((s, dir) =>
       Multimodal.syntheticAssets(t(s, dir, "documents")).select(

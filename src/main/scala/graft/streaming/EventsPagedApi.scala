@@ -207,13 +207,110 @@ object EventsPagedApi {
 
   def factsViaApi(spark: org.apache.spark.sql.SparkSession,
                   events: DataFrame, pageSize: Int = 50,
-                  maxPagesPerTrigger: Int = 4): DataFrame = {
+                  maxPagesPerTrigger: Int = 4): DataFrame =
+    drainFacts(spark, fromEvents(events, pageSize), maxPagesPerTrigger)
+
+  /** [[factsViaApi]] WITH THE WIRE IN THE LOOP: the same deterministic
+    * feeds, served by an in-process localhost `HttpServer` and pulled
+    * back through [[graft.sources.HttpPagedSource.mediaApi]] — real
+    * sockets, the production transport's status/envelope/retry path, in
+    * the registered q213 itself (r16 verdict item 6; previously only the
+    * spec drained over HTTP). Output is frame-identical to the in-JVM
+    * fake by construction: the server DELEGATES to [[fromEvents]] page
+    * for page, and the envelope hints re-parse to the same totals. An
+    * empty served slice has no feeds to serve (mediaApi refuses empty
+    * media lists) and needs no wire to prove anything — it falls back to
+    * the in-JVM drain's empty-result convention.
+    */
+  def factsViaApiHttp(spark: org.apache.spark.sql.SparkSession,
+                      events: DataFrame, pageSize: Int = 50,
+                      maxPagesPerTrigger: Int = 4): DataFrame = {
+    val fake = fromEvents(events, pageSize)
+    if (fake.mediaIds.isEmpty) drainFacts(spark, fake, maxPagesPerTrigger)
+    else withLocalServer(Some(fake), Map.empty) { base =>
+      drainFacts(spark,
+        graft.sources.HttpPagedSource.mediaApi(fake.mediaIds,
+          (m, p) => s"$base/feeds/$m?page=$p"),
+        maxPagesPerTrigger)
+    }
+  }
+
+  /** [[dimViaApi]] over real sockets: one localhost single-object GET per
+    * media through [[graft.sources.HttpPagedSource.fetchObject]] (shared
+    * client — one selector thread per sweep, not per media). The fetch
+    * loop in [[dimViaApi]] is eager, so the server's lifetime is the
+    * call; the returned frame holds only parsed rows.
+    */
+  def dimViaApiHttp(spark: org.apache.spark.sql.SparkSession,
+                    events: DataFrame): DataFrame = {
+    val meta = mediaMetadataJson(events)
+    if (meta.isEmpty) return dimViaApi(spark, Seq.empty, meta)
+    withLocalServer(None, meta) { base =>
+      val client = graft.sources.HttpPagedSource.sharedClient()
+      dimViaApi(spark, meta.keys.toSeq, m =>
+        graft.sources.HttpPagedSource.fetchObject(s"$base/media/$m",
+          client = Some(client)))
+    }
+  }
+
+  /** Localhost HTTP server over the deterministic fakes:
+    * `/feeds/<media>?page=N` delegates to `feeds.fetch(media, N)` and
+    * `/media/<id>` serves `objects(id)` — the spec's pagedServer shape
+    * promoted next to the production entry points so the DRIVER-RUN
+    * queries exercise real sockets too. Handler faults map to 500 (the
+    * transport surfaces them as retry-then-HttpStatusFailure, never a
+    * silent empty page).
+    */
+  private def withLocalServer[T](feeds: Option[PagedStream.MediaPagedApi],
+                                 objects: Map[String, String])
+                                (body: String => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // com.sun.net.httpserver reads this ONCE at class init (so it must be
+    // set before the first HttpServer.create in the JVM — this call site
+    // is that for Verify/Bench runs): without TCP_NODELAY the server's
+    // header/body write pair trips Nagle + delayed-ACK — measured 44 ms
+    // per localhost GET vs 4 ms with it, which multiplied into the q213
+    // drain's page count.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, status: Int, payload: String): Unit = {
+      val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    feeds.foreach(api => server.createContext("/feeds/", (ex: HttpExchange) =>
+      try {
+        val media = ex.getRequestURI.getPath.stripPrefix("/feeds/")
+        val page = ex.getRequestURI.getQuery.split("&").collectFirst {
+          case q if q.startsWith("page=") => q.stripPrefix("page=").toLong
+        }.get
+        respond(ex, 200, api.fetch(media, page).payload)
+      } catch { case e: Exception => respond(ex, 500, e.getMessage) }))
+    if (objects.nonEmpty)
+      server.createContext("/media/", (ex: HttpExchange) =>
+        try {
+          val id = ex.getRequestURI.getPath.stripPrefix("/media/")
+          objects.get(id) match {
+            case Some(payload) => respond(ex, 200, payload)
+            case None => respond(ex, 404, "")
+          }
+        } catch { case e: Exception => respond(ex, 500, e.getMessage) })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def drainFacts(spark: org.apache.spark.sql.SparkSession,
+                         api: PagedStream.MediaPagedApi,
+                         maxPagesPerTrigger: Int): DataFrame = {
     val rootPath = java.nio.file.Files
       .createTempDirectory("graft-api-fact")
     scratchRoots.add(rootPath)
     val root = rootPath.toString
     val key = s"events-api-${new java.io.File(root).getName}"
-    PagedStream.register(key, fromEvents(events, pageSize))
+    PagedStream.register(key, api)
     try {
       val q = MedallionStream.factEventsFromApiQuery(spark, key,
         s"$root/fact", s"$root/cp", maxPagesPerTrigger,
