@@ -7,13 +7,22 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM smoke (round-17 verdict item 2): SPARK_GRAFT_MASTER=
+    // "local-cluster[2,16,4096]" runs the WHOLE oracle gate with real
+    // separate executor JVMs (needs SPARK_HOME=/opt/spark for the worker
+    // launcher), flushing JVM-local assumptions local[n] can't see —
+    // executors then need the graft classes on their own classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val outFs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
