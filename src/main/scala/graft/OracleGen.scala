@@ -98,6 +98,22 @@ private[graft] object OracleGen {
        |      (a, b) -> (a * $B + b) % $M))) END AS BIGINT)""".stripMargin
   }
 
+  /** DuckDB SQL for one [[graft.functions.WordNgramHashes]] window value:
+    * the nested mod-M Horner fold of the n per-token poly hashes,
+    * `(((h₁·B + h₂) mod M)·B + h₃) mod M` — `tokenSql(j)` supplies the
+    * SQL of 1-based token j's TEXT (e.g. `t[i]`, `t[i+1]`…), each hashed
+    * by [[polyHash61]]. The engine's fused byte walk computes the
+    * identical value (same per-token hash, same fold order).
+    */
+  def wordNgramPolySql(tokenSql: Int => String, n: Int): String = {
+    val B = graft.functions.PolyHashMath.B
+    val M = graft.functions.PolyHashMath.M
+    val first = s"CAST(${polyHash61(tokenSql(1))} AS HUGEINT)"
+    val chain = (2 to n).foldLeft(first)((acc, j) =>
+      s"(($acc * $B + ${polyHash61(tokenSql(j))}) % $M)")
+    s"CAST($chain AS BIGINT)"
+  }
+
   /** The 60-bit simhash fold of per-token hash column `h` as an
     * aggregate SQL expression (one per-doc GROUP BY consumes it): bit i
     * is set iff strictly more tokens carry a 1 there than a 0 —

@@ -31,14 +31,15 @@ object SparkEntry {
     * — the q83/q93 split), then probed by both incremental queries. The
     * write is maintenance work, like ensureBucketed / the IVF index dirs;
     * [[graft.sources.StateCache]] rebuilds it when the source data is
-    * regenerated or the hotlist key format changes (v2 = WordNgramHashes
-    * identity keys — a v1 `xxhash64(shingle)` hotlist would silently
-    * match NOTHING under the new probes).
+    * regenerated or the hotlist key format changes (v3 = poly-hash
+    * WordNgramHashes identity keys, round 17; v2 was the xxhash64 walk —
+    * a stale-format hotlist would silently match NOTHING under the new
+    * probes, hence the bump).
     */
   private def ensureHotlist(s: SparkSession, dir: String,
                             docs: DataFrame): String =
     graft.sources.StateCache.ensure(s, s"$dir/documents.parquet",
-      "hotlist", "v2") { hotDir =>
+      "hotlist", "v3") { hotDir =>
       graft.text.Corpus.writeHotlist(
         docs.filter(col("doc_id") % 10 =!= 0), hotDir, minDocs = 2)
     }
@@ -773,7 +774,8 @@ object SparkEntry {
     "q86_boilerplate_fraction" -> ((s, dir) =>
       graft.text.Corpus.boilerplateFraction(t(s, dir, "documents"),
         minDocs = 2)),
-    // A9 production hotlist (rows-only; q85 is the text-carrying exact
+    // A9 production hotlist (hash-exact since round 17 — the poly-hash
+    // window fold is SQL-expressible; q85 stays as the text-carrying
     // twin): 8-byte rows end to end — every in-engine consumer probes by
     // hash identity, so the n-gram text never exists on this path.
     "q109_hot_hashes" -> ((s, dir) =>
@@ -948,8 +950,11 @@ object SparkEntry {
     // not per sweep. Same oracle text as q156: the two forms must agree
     // row-for-row.
     "q211_containment_bucketed" -> ((s, dir) => {
+      // v2 = poly-hash shingle identities (round 17): containment counts
+      // are hash-value-agnostic, but appends must never mix hash formats
+      // in one table, so the format version rides the identity function.
       val tbl = graft.sources.StateCache.ensureTable(s,
-        s"$dir/documents.parquet", "shingle_pairs", "v1") { name =>
+        s"$dir/documents.parquet", "shingle_pairs", "v2") { name =>
         graft.text.Corpus.writeShinglePairTable(
           t(s, dir, "documents"), name, n = 3)
       }
@@ -993,7 +998,7 @@ object SparkEntry {
     "q161_novelty_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idxDir = graft.sources.StateCache.ensure(s,
-        s"$dir/documents.parquet", "shingleidx", "v1") { out =>
+        s"$dir/documents.parquet", "shingleidx", "v2") { out =>
         graft.text.Corpus.writeShingleIndex(
           docs.filter(col("doc_id") % 5 < 2), out, n = 3)
         graft.text.Corpus.appendShingleIndex(s, out,
@@ -1015,7 +1020,7 @@ object SparkEntry {
       // ensureTable, not tableExists: regenerated testdata must rebuild
       // the at-rest state, not silently serve the old corpus's hashes
       val tbl = graft.sources.StateCache.ensureTable(s,
-        s"$dir/documents.parquet", "shingles", "v1") { name =>
+        s"$dir/documents.parquet", "shingles", "v2") { name =>
         graft.text.Corpus.writeShingleTable(
           docs.filter(col("doc_id") % 5 < 2), name, n = 3)
         graft.text.Corpus.appendShingleTable(s, name,
@@ -1035,7 +1040,7 @@ object SparkEntry {
     "q198_novelty_forget" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idxDir = graft.sources.StateCache.ensure(s,
-        s"$dir/documents.parquet", "shinglerc", "v1") { out =>
+        s"$dir/documents.parquet", "shinglerc", "v2") { out =>
         graft.text.Corpus.writeShingleIndexRc(
           docs.filter(col("doc_id") % 5 < 2), out, n = 3)
         graft.text.Corpus.appendShingleIndexRc(s, out,
@@ -3953,6 +3958,24 @@ object SparkEntry {
         |        FROM toks WHERE len(t) >= 3))
         |SELECT shingle, COUNT(*) AS df
         |FROM sh GROUP BY shingle HAVING COUNT(*) >= 2""".stripMargin,
+    // the production 8-byte hotlist re-derived in SQL: per-token poly
+    // hash + the nested mod-M window fold (OracleGen.wordNgramPolySql —
+    // the engine's own B/M/fold embedded). Flipped from rows-only to
+    // hash-exact in round 17 when WordNgramHashes switched from xxhash64
+    // to the portable poly family.
+    "q109_hot_hashes" -> {
+      val h = OracleGen.wordNgramPolySql(j => s"t[i+${j - 1}]", 3)
+        .replace("\n", "\n    ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |wh AS (
+        |  SELECT DISTINCT doc_id,
+        |    $h AS hot_hash
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3))
+        |SELECT hot_hash, COUNT(*) AS df
+        |FROM wh GROUP BY hot_hash HAVING COUNT(*) >= 2""".stripMargin
+    },
     "q86_boilerplate_fraction" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),

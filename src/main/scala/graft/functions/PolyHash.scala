@@ -119,10 +119,14 @@ object PolyHashMath {
   /** Whole-string hash; the empty string hashes to 0 (the Horner fold of
     * zero terms — the SQL twin guards the empty list the same way).
     */
-  def hashString(s: UTF8String): Long = {
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val nBytes = s.numBytes()
+  def hashString(s: UTF8String): Long =
+    hashBytes(s.getBaseObject, s.getBaseOffset, s.numBytes())
+
+  /** [[hashString]] over a raw UTF-8 byte RANGE — the in-place form for
+    * fused walks that already know their token boundaries
+    * ([[WordNgramHashesMath]]): no UTF8String wrapper, no copy.
+    */
+  def hashBytes(base: AnyRef, off: Long, nBytes: Int): Long = {
     var h = 0L
     var pos = 0
     while (pos < nBytes) {

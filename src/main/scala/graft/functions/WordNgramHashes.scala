@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -19,24 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * This replaces the shingle-STRING production pipeline — regex `split`,
   * a per-position `explode`, and a per-window `concat_ws` allocation
-  * feeding `xxhash64(shingle)` — which the round-7 bench measured as the
+  * feeding a per-shingle hash — which the round-7 bench measured as the
   * dominant cost of every hash-probing consumer (spans q102/q103,
   * boilerplate fraction q86, the hotlist/incremental family q104/q105/
   * q109). One fused loop walks the UTF-8 bytes once: whitespace runs
   * (the 6 Java-regex `\s` ASCII chars — all single-byte, so continuation
-  * bytes can never false-match) delimit tokens, each token's bytes hash
-  * in place (xxhash64, Spark's seed 42), and each window folds its n
-  * token hashes (`acc = xxh64(h, acc)` left to right, seeded 42). The
-  * n-gram string never exists.
+  * bytes can never false-match) delimit tokens, each token's code points
+  * hash in place ([[PolyHashMath.hashBytes]], the 61-bit Mersenne poly
+  * family — round 17, replacing xxhash64), and each window folds its n
+  * token hashes with the same Horner step (`acc = (acc·B + hⱼ) mod M`
+  * left to right, from 0). The n-gram string never exists.
   *
-  * The hash VALUES differ from `xxhash64(concat_ws(" ", ...))` by
-  * construction — consumers must treat them as opaque n-gram IDENTITY,
-  * which every consumer in this engine does (the persisted-hotlist state
-  * format is versioned accordingly, see [[graft.text.Corpus.writeHotlist]]).
-  * Equal token sequences hash equal; distinct sequences collide with the
-  * usual 64-bit bound (hash-of-hashes: ~2⁻⁶⁴ per pair, same order as the
-  * string form — SpanSpec/TextSpec pin output bit-identity against
-  * text-keyed references on every test corpus).
+  * The hash VALUES are CROSS-ENGINE since round 17: DuckDB re-derives
+  * them as `polyHash61(t[i])` per token + the nested mod-M fold
+  * ([[graft.OracleGen.wordNgramPolySql]]), which is what flipped the
+  * hash-carrying q109 from rows-only to hash-exact. Consumers still
+  * treat them as opaque n-gram IDENTITY (the persisted-hotlist state
+  * format is versioned accordingly — the hash switch bumped it, see
+  * [[graft.text.Corpus.writeHotlist]]). Equal token sequences hash
+  * equal; distinct sequences collide with the 61-bit birthday bound
+  * (fold-of-hashes, same order as the string form — SpanSpec/TextSpec
+  * pin output bit-identity against text-keyed references on every test
+  * corpus).
   */
 case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
@@ -67,8 +71,6 @@ case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   */
 object WordNgramHashesMath {
 
-  private val Seed = 42L // Spark's xxhash64 default seed
-
   /** Java-regex `\s`: the 6 ASCII whitespace chars (NOT Unicode spaces —
     * matching `split(text, "\\s+")` exactly).
     */
@@ -92,31 +94,32 @@ object WordNgramHashesMath {
     }
     val numToks = runs + 1
     if (numToks < n) return ArrayData.toArrayData(Array.emptyLongArray)
-    // Pass 2: hash each token's bytes in place.
+    // Pass 2: poly-hash each token's code points in place (empty boundary
+    // tokens fold to 0, the poly convention on both engines).
     val tokHash = new Array[Long](numToks)
     var tok = 0
     var tokStart = 0
     i = 0
     while (i < nBytes) {
       if (isWs(Platform.getByte(base, off + i))) {
-        tokHash(tok) =
-          XXH64.hashUnsafeBytes(base, off + tokStart, i - tokStart, Seed)
+        tokHash(tok) = PolyHashMath.hashBytes(base, off + tokStart, i - tokStart)
         tok += 1
         i += 1
         while (i < nBytes && isWs(Platform.getByte(base, off + i))) i += 1
         tokStart = i
       } else i += 1
     }
-    tokHash(tok) =
-      XXH64.hashUnsafeBytes(base, off + tokStart, nBytes - tokStart, Seed)
-    // Window fold: n longs per window, left to right.
+    tokHash(tok) = PolyHashMath.hashBytes(base, off + tokStart, nBytes - tokStart)
+    // Window fold: the same Horner step over the n token hashes, left to
+    // right from 0 — in SQL, the nested (…·B + hⱼ) mod M chain.
     val out = new Array[Long](numToks - n + 1)
     var w = 0
     while (w < out.length) {
-      var acc = Seed
+      var acc = 0L
       var j = 0
       while (j < n) {
-        acc = XXH64.hashLong(tokHash(w + j), acc)
+        acc = PolyHashMath.addmod(PolyHashMath.mulmod(acc, PolyHashMath.B),
+          tokHash(w + j))
         j += 1
       }
       out(w) = acc

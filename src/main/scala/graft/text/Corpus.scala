@@ -400,8 +400,9 @@ object Corpus {
     * numBits/items) — never under-count, so no contaminated document
     * escapes (TextSpec pins `n_flagged >= n_contaminated` per doc).
     * Output shape mirrors [[contamination]] with flagged_frac in place of
-    * contamination; the hashes are engine-internal (xxhash64 + bloom),
-    * so queries over this path are rows-only checked, with q68/q79 as
+    * contamination; the BLOOM's bit pattern is engine-internal (Spark's
+    * BloomFilterAggregate re-hashes the poly n-gram identities), so
+    * queries over this path stay rows-only checked, with q68/q79 as
     * the exact oracle-checked twins.
     */
   def contaminationBloom(evalDocs: DataFrame, trainDocs: DataFrame,
@@ -437,8 +438,9 @@ object Corpus {
     * 3-grams). Since round 8 the hashes come from the codegen'd
     * [[graft.functions.WordNgramHashes]] byte walk — the shingle STRING
     * production (regex split + explode + concat_ws) that used to feed
-    * `xxhash64(shingle)` was the family's dominant data-path cost, not
-    * the shuffle width. Hash values are engine-internal identity; the
+    * the per-shingle hash was the family's dominant data-path cost, not
+    * the shuffle width. Hash values are the poly window fold (round 17 —
+    * cross-engine, see [[graft.functions.WordNgramHashes]]); the
     * persisted-hotlist state format is versioned accordingly
     * ([[writeHotlist]]).
     */
@@ -559,8 +561,10 @@ object Corpus {
           col("n_shingles")).as("boilerplate_frac"))
   }
 
-  /** Persist the boilerplate hotlist as reusable state: every
-    * `xxhash64(shingle)` whose document frequency reaches `minDocs`,
+  /** Persist the boilerplate hotlist as reusable state: every n-gram
+    * identity hash ([[graft.functions.WordNgramHashes]] — the format
+    * version in the StateCache marker tracks the hash family, bumped
+    * round 17 for the xxhash64→poly switch) whose df reaches `minDocs`,
     * with its df — the maintenance half of the incremental passage-
     * cleaning pattern (the text-domain analogue of the q83 signature
     * index and the IVF centroid table: corpus-wide state is built once,
