@@ -500,6 +500,13 @@ class FunctionsSpec extends SparkSpec {
       == 53304914913601733L)
     assert(PolyHashMath.hashString(UTF8String.fromString("héllo ✓ 你好"))
       == 469649007009152114L) // 2-, 3-byte UTF-8 decode
+    // 4-byte (supplementary-plane) decode: emoji, musical symbol, and a
+    // ZWJ family sequence — 18 code points, reference-pinned (Python ==
+    // DuckDB HUGEINT == this value)
+    assert(PolyHashMath.hashString(
+      UTF8String.fromString("🚀 data 𝄞clef " +
+        "👩‍👩‍👧"))
+      == 573548212088664442L)
     assert(PolyHashMath.affineA(0) == 1227844342346046666L)
     assert(PolyHashMath.affineB(0) == 1682153688901572306L)
     assert(PolyHashMath.affineA(7) == 530179042305200142L)

@@ -61,6 +61,41 @@ class StatefulStreamSpec extends SparkSpec {
     assert(total == 700, s"state must accumulate 200 + 500 rows, got $total")
   }
 
+  test("RocksDB state store: the api→fact drain is frame-identical to the " +
+      "default provider (the 100 TB state backend)") {
+    // HDFSBackedStateStoreProvider keeps every version of streaming state
+    // in executor HEAP — at real corpus scale the dedup key space OOMs
+    // the executors, and the production answer is Spark's bundled RocksDB
+    // provider (native, spills to local disk, bounded memory). This leg
+    // pins that the engine's stateful drain (paged pull → watermarked
+    // dropDuplicates → fact) produces the IDENTICAL frame under RocksDB,
+    // so flipping the provider at scale is a pure config change.
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_id") % 10 === 0)
+    def drain(): Seq[(String, java.sql.Timestamp, Double, String, String)] =
+      graft.streaming.EventsPagedApi
+        .factsViaApi(spark, events, pageSize = 50, maxPagesPerTrigger = 4)
+        .select(col("event_key"), col("received_at"), col("percent_viewed"),
+          col("visitor_key"), col("media_id"))
+        .as[(String, java.sql.Timestamp, Double, String, String)]
+        .collect().sortBy(_._1).toSeq
+    val base = drain()
+    assert(base.nonEmpty, "precondition: the slice drains rows")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val rocks = drain()
+      assert(rocks == base,
+        "RocksDB-backed drain must be frame-identical to the default")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionsStateful emits exactly the batch session_window set (T8, EventTimeTimeout)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
