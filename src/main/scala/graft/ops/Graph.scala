@@ -107,12 +107,13 @@ object Graph {
                            iters: Int, scale: Long,
                            dampNum: Int, dampDen: Int,
                            checkpointDir: Option[String]): DataFrame = {
-    // one knob, two materializer flavors: invariants keep their origin
-    // stats (materialize), the loop state is stat-stripped (checkpointFresh)
-    def mat(df: DataFrame): DataFrame =
-      FreshPlan.materialize(df, checkpointDir)
-    def cutFresh(df: DataFrame): DataFrame =
-      FreshPlan.checkpointFresh(df, checkpointDir)
+    // one chain per fixpoint: invariants keep their origin stats and are
+    // deleted when the loop closes; each cut supersedes (and deletes) the
+    // previous round's reliable files — only the RETURNED frame's
+    // checkpoint outlives the call (see FreshPlan.CutChain).
+    val chain = FreshPlan.chain(checkpointDir)
+    def mat(df: DataFrame): DataFrame = chain.invariant(df)
+    def cutFresh(df: DataFrame): DataFrame = chain.cut(df)
     require(iters >= 1, s"pageRankFixed: iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRankFixed: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -222,6 +223,7 @@ object Graph {
         if (i == iters || i % cutEvery == 0) cutFresh(next)
         else next
     }
+    chain.close() // final cut is materialized; loop invariants are dead
     ranks
   }
 }

@@ -194,14 +194,19 @@ object EventsPagedApi {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchRoots.forEach { p =>
+        // catch Exception, not just IOException: Files.walk's iterator
+        // throws UncheckedIOException (and delete can race the walk) — a
+        // narrower catch would kill the hook thread on the first bad root
+        // and leak every root after it. The stream is closed either way.
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).sorted(
-            java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(f =>
               try java.nio.file.Files.deleteIfExists(f)
-              catch { case _: java.io.IOException => () })
-        } catch { case _: java.io.IOException => () }
+              catch { case _: Exception => () })
+          finally walk.close()
+        } catch { case _: Exception => () }
       }))
   }
 
@@ -287,7 +292,11 @@ object EventsPagedApi {
           case q if q.startsWith("page=") => q.stripPrefix("page=").toLong
         }.get
         respond(ex, 200, api.fetch(media, page).payload)
-      } catch { case e: Exception => respond(ex, 500, e.getMessage) }))
+      } catch { case e: Exception =>
+        // a null getMessage must not NPE inside respond — that would leak
+        // the exchange and stall the client through its full
+        // timeout+retry schedule instead of surfacing the intended 500
+        respond(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName)) }))
     if (objects.nonEmpty)
       server.createContext("/media/", (ex: HttpExchange) =>
         try {
@@ -296,7 +305,8 @@ object EventsPagedApi {
             case Some(payload) => respond(ex, 200, payload)
             case None => respond(ex, 404, "")
           }
-        } catch { case e: Exception => respond(ex, 500, e.getMessage) })
+        } catch { case e: Exception =>
+          respond(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName)) })
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}")
     finally server.stop(0)

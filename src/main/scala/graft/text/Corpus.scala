@@ -470,10 +470,14 @@ object Corpus {
 
   /** The text-free boilerplate hotlist — (hot_hash, df) — for consumers
     * that probe by identity (all of them: [[boilerplateFraction]],
-    * [[writeHotlist]]'s probes, the streaming scrub). The oracle-checked
-    * text form [[boilerplateNgrams]] (q85) is this query's md5-style
-    * exact twin; hashes are engine-internal, so this path is rows-only
-    * checked (TextSpec pins row parity between the two).
+    * [[writeHotlist]]'s probes, the streaming scrub). Since round 17 the
+    * hashes are the CROSS-ENGINE poly window fold
+    * ([[graft.functions.WordNgramHashes]]), so q109 is hash-exact
+    * oracle-checked in its own right; [[boilerplateNgrams]] (q85) stays
+    * as the text-carrying twin (TextSpec pins row parity between the
+    * two). Changing the hash family means changing the q109 oracle AND
+    * every hash-identity state version — do not reintroduce an
+    * engine-internal hash here.
     */
   def boilerplateHotHashes(docs: DataFrame, minDocs: Int = 3,
                            n: Int = 3): DataFrame =

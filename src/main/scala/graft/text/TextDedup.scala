@@ -393,18 +393,21 @@ object TextDedup {
     // reliable checkpoints on a real filesystem, the preemptible-node
     // posture for long fixpoints. Bit-identical output either way
     // (TextSpec-pinned) — where the state lives cannot change what it is.
-    def mat(df: DataFrame): DataFrame =
-      FreshPlan.materialize(df, checkpointDir)
-    def cutFresh(df: DataFrame): DataFrame =
-      FreshPlan.checkpointFresh(df, checkpointDir)
+    val chain = FreshPlan.chain(checkpointDir)
+    def mat(df: DataFrame): DataFrame = chain.invariant(df)
+    def cutFresh(df: DataFrame): DataFrame = chain.cut(df)
     // Materialize the pair plan BEFORE symmetrizing: `half` is consumed
     // twice by the union, and without the checkpoint the planner must
     // rediscover the shared subtree (exchange reuse saves the re-execution
     // but not the double planning); with it the upstream pair pipeline
     // (shingle → minhash → LSH → verify, the dominant cost) runs exactly
     // once, unconditionally.
-    val half = cutFresh(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // half is a loop INVARIANT (every round's hook reads it through sym),
+    // so it must not enter the cut chain — but its origin plan is the
+    // whole pair pipeline, whose multiplied stats must still be stripped.
+    val half = chain.invariant(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      fresh = true)
     val sym = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
     // Self-loops fold the "min of self and neighbors" into ONE join + one
@@ -486,6 +489,7 @@ object TextDedup {
       labels = next
       iters += 1
     }
+    chain.close() // last cut is materialized either way; half/edges are dead
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge in $maxIters rounds — component " +
         "diameter exceeds the bound; raise maxIters")

@@ -48,12 +48,14 @@ object FreshPlan {
       case Some(dir) => rewrap(reliable(df, dir))
     }
 
-  /** Stat-PRESERVING materializer for loop invariants (edge tables,
-    * degree annotations): `localCheckpoint` in local mode, a reliable
-    * `checkpoint` under `Some(dir)`. No fresh re-wrap — invariants are
-    * materialized once, so their origin statistics never compound, and
-    * keeping them lets the planner still auto-broadcast a small
-    * materialized side.
+  /** Stat-PRESERVING materializer for state that outlives any one loop
+    * (id lists, validated labelings): `localCheckpoint` in local mode, a
+    * reliable `checkpoint` under `Some(dir)`. No fresh re-wrap — these
+    * are materialized once, so their origin statistics never compound,
+    * and keeping them lets the planner still auto-broadcast a small
+    * materialized side. Reliable files persist until the caller wipes
+    * the scratch root (returned frames may read them lazily, so nothing
+    * here can safely delete them).
     */
   def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
@@ -61,18 +63,124 @@ object FreshPlan {
       case Some(dir) => reliable(df, dir)
     }
 
+  /** One fixpoint's checkpoint bookkeeping — the GraphX
+    * PeriodicCheckpointer discipline, without which a 20-round reliable
+    * fixpoint leaves 20 full copies of its state on the checkpoint
+    * filesystem (`spark.cleaner.referenceTracking.cleanCheckpoints`
+    * defaults to false and would be GC-timed anyway):
+    *
+    *  - [[CutChain.cut]] is [[checkpointFresh]], plus: once the NEW
+    *    round's files are materialized, the PREVIOUS round's are deleted
+    *    (nothing references them — the new checkpoint was computed from
+    *    them and is now self-contained). The FINAL cut's files back the
+    *    returned frame and survive until the caller wipes the root.
+    *  - [[CutChain.invariant]] is [[materialize]], plus the file is
+    *    remembered so [[CutChain.close]] can delete it after the final
+    *    cut materializes (loop invariants are dead once the loop ends).
+    *
+    * Local mode (`checkpointDir = None`): both are the plain local forms
+    * and `close()` is a no-op — zero behavior change.
+    */
+  final class CutChain private[graftplan] (checkpointDir: Option[String]) {
+    private var prevCut: Option[String] = None
+    private val invariants = scala.collection.mutable.ArrayBuffer[String]()
+    private var hconf: Option[org.apache.hadoop.conf.Configuration] = None
+
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case None => localCheckpointFresh(df)
+      case Some(dir) =>
+        val ck = reliable(df, dir)
+        rememberConf(ck)
+        val file = checkpointFileOf(ck)
+        prevCut.foreach(delete)
+        prevCut = file
+        rewrap(ck)
+    }
+
+    /** `fresh = true` applies the [[localCheckpointFresh]] stat strip on
+      * top (for invariants whose ORIGIN plan already carries multiplied
+      * stats — e.g. a pair pipeline's output consumed by every round);
+      * `false` keeps origin stats so small sides still auto-broadcast.
+      */
+    def invariant(df: DataFrame, fresh: Boolean = false): DataFrame =
+      checkpointDir match {
+        case None =>
+          if (fresh) localCheckpointFresh(df) else df.localCheckpoint()
+        case Some(dir) =>
+          val ck = reliable(df, dir)
+          rememberConf(ck)
+          checkpointFileOf(ck).foreach(invariants += _)
+          if (fresh) rewrap(ck) else ck
+      }
+
+    /** Call after the FINAL cut is materialized (and only then): deletes
+      * every invariant's files. The last cut's files are intentionally
+      * kept — they ARE the returned frame.
+      */
+    def close(): Unit = {
+      invariants.foreach(delete)
+      invariants.clear()
+    }
+
+    private def rememberConf(df: DataFrame): Unit =
+      if (hconf.isEmpty)
+        hconf = Some(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+          .sparkSession.sparkContext.hadoopConfiguration)
+
+    private def delete(file: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(file)
+        hconf.foreach(c => p.getFileSystem(c).delete(p, true))
+      } catch { case _: java.io.IOException => () } // cleanup is best-effort
+  }
+
+  def chain(checkpointDir: Option[String]): CutChain = new CutChain(checkpointDir)
+
+  /** The reliably-checkpointed RDD's file path — `Dataset.checkpoint`
+    * wraps the materialized RDD in a LogicalRDD, so the path is one
+    * pattern match away. None (no cleanup possible) if the plan shape
+    * ever changes; the chain then degrades to keep-everything, never to
+    * deleting something live.
+    */
+  private def checkpointFileOf(ck: DataFrame): Option[String] =
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Serializes (setCheckpointDir → checkpoint) pairs: the checkpoint
+    * directory is CONTEXT-GLOBAL state, so two concurrent fixpoints with
+    * different roots would otherwise interleave the set and the write
+    * and silently checkpoint into each other's roots (a caller that
+    * asked for a durable hdfs:// root could land on local scratch).
+    * Reliable cuts of concurrent queries serialize on this lock; the
+    * local path never touches it.
+    */
+  private val reliableLock = new Object
+
   private def reliable(df: DataFrame, dir: String): DataFrame = {
     val sc = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .sparkSession.sparkContext
-    // setCheckpointDir appends a per-context UUID subdirectory, so the
-    // stored value never string-equals `dir` — only (re)set when the
-    // current one does not live under the requested root, keeping
-    // repeated cuts in one run inside one directory tree.
-    val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    if (!sc.getCheckpointDir.exists(d =>
-        new org.apache.hadoop.fs.Path(d).toUri.getPath.startsWith(wanted)))
-      sc.setCheckpointDir(dir)
-    df.checkpoint()
+    reliableLock.synchronized {
+      // setCheckpointDir appends a per-context UUID subdirectory, so the
+      // stored value never equals `dir` — (re)set unless the current one
+      // lives under the requested root. The comparison is on FULLY
+      // QUALIFIED paths with a separator-bounded prefix: a bare
+      // startsWith matched "/mnt/ck" against "/mnt/ckpt-old/…", and
+      // comparing toUri.getPath alone dropped the scheme, letting a
+      // stale file:/ dir shadow a requested hdfs:// root — both ways to
+      // silently lose the durability the caller asked for.
+      val want = new org.apache.hadoop.fs.Path(dir)
+      val fs = want.getFileSystem(sc.hadoopConfiguration)
+      val root = fs.makeQualified(want).toString
+      val under = sc.getCheckpointDir.exists { c =>
+        val q = fs.makeQualified(new org.apache.hadoop.fs.Path(c)).toString
+        q == root || q.startsWith(root + "/")
+      }
+      if (!under) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
   }
 
   private def rewrap(ck0: DataFrame): DataFrame = {

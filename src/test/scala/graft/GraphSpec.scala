@@ -92,6 +92,17 @@ class GraphSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(files > 0, "reliable mode must actually write checkpoint files")
+    // PeriodicCheckpointer discipline: superseded round cuts and closed
+    // loop invariants are DELETED — only the final rank table's rdd dir
+    // may remain, else a 20-round 100 TB fixpoint keeps 20 state copies
+    def rddDirs() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }
+    assert(rddDirs() == 1,
+      s"only the final cut may survive the run, found ${rddDirs()} rdd dirs")
     info(f"pageRankFixed sf0.01 ×3 iters: local $tLocal%.2f s, " +
       f"reliable $tRel%.2f s (${tRel / tLocal}%.2fx)")
     // resume leg: the warm start through the same knob stays bit-exact too

@@ -383,6 +383,16 @@ class TextSpec extends SparkSpec {
     assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count() > 0,
       "reliable mode must actually write checkpoint files")
+    // PeriodicCheckpointer discipline: superseded per-round cuts and the
+    // closed half/edges invariants are deleted — only the final labels
+    // survive this cold run
+    locally {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val n = try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+      assert(n == 1, s"only the final cut may survive the cold run, found $n")
+    }
     info(f"dedupClusters sf0.01: local ${(t1 - t0) / 1e9}%.2f s, " +
       f"reliable ${(t2 - t1) / 1e9}%.2f s " +
       f"(${(t2 - t1).toDouble / (t1 - t0)}%.2fx)")
