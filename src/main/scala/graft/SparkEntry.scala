@@ -534,6 +534,15 @@ object SparkEntry {
     "q73_dedup_clusters" -> ((s, dir) =>
       TextDedup.dedupClusters(
         TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5))),
+    // A8 + T-robustness, DRIVER-GATED (round 17): q73's component walk
+    // with the fixpoint state on a RELIABLE checkpoint filesystem —
+    // labels are integer minima, so the oracle (q73's cold recursive
+    // CTE) must hash-match regardless of where the state lives.
+    "q216_clusters_reliable" -> ((s, dir) =>
+      TextDedup.dedupClusters(
+        TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5),
+        checkpointDir =
+          Some(graft.sources.ScratchDirs.create("graft-cc-reliable")))),
     // A8 SimHash — hash-exact since round 15: the portable md5-prefix
     // token hash (TextDedup.simhash) makes the pipeline SQL-expressible.
     "q31_simhash_near_dups" -> ((s, dir) =>
@@ -1235,6 +1244,24 @@ object SparkEntry {
         half.unionByName(
           half.select(col("dst").as("src"), col("src").as("dst"))),
         iters = 3)
+    }),
+    // J8 + T-robustness, DRIVER-GATED (round 17): the identical PageRank
+    // with every materialization on a RELIABLE checkpoint filesystem
+    // (FreshPlan.CutChain: superseded rounds deleted, one state copy on
+    // disk). The oracle is q166's — integer fixed-point state has no
+    // storage-dependent bits, and this row certifies it in the driver's
+    // own gate, not just in specs.
+    "q215_pagerank_reliable" -> ((s, dir) => {
+      val half = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.pageRankFixed(
+        half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst"))),
+        iters = 3,
+        checkpointDir =
+          Some(graft.sources.ScratchDirs.create("graft-pr-reliable")))
     }),
     // Graph consumer: top-20 suppliers by order-graph authority — the
     // rank table decodes back to supplier keys and broadcast-joins the
@@ -2349,6 +2376,44 @@ object SparkEntry {
 
   private val dedupClustersSql: String = dedupClustersSqlOver("TRUE")
 
+  /** The q166 fixed-point recurrence unrolled (3 iterations, integer //
+    * throughout) — shared by q166 and its reliable-checkpoint twin q215
+    * (same computation, different state durability, same hash).
+    */
+  private val pagerank3Sql: String =
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r0 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r2 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r1 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node),
+        |r3 AS (SELECT nd.node,
+        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
+        |       FROM nodes nd CROSS JOIN nn
+        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+        |                  FROM r2 r JOIN e ON e.src = r.node
+        |                  JOIN deg d ON d.src = r.node
+        |                  GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+
   /** Exact label-blocked cosine pairs + the recursive component walk.
     * Shared verbatim by q89 (cold semantic clustering) and q189
     * (incremental resume) — the hash gate certifies resume ≡ cold.
@@ -2921,39 +2986,8 @@ object SparkEntry {
     // integer (// is DuckDB's integral divide, div on the Spark side), so
     // the three iterations hash-match exactly. 150000000000 =
     // (10^12 * 3) // 20, the teleport term at damping 17/20.
-    "q166_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
-        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |e AS (SELECT src, dst FROM e0
-        |      UNION SELECT dst AS src, src AS dst FROM e0),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-        |nodes AS (SELECT src AS node FROM e
-        |          UNION SELECT dst AS node FROM e),
-        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-        |r0 AS (SELECT node, 1000000000000 // n AS rank
-        |       FROM nodes CROSS JOIN nn),
-        |r1 AS (SELECT nd.node,
-        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
-        |       FROM nodes nd CROSS JOIN nn
-        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
-        |                  FROM r0 r JOIN e ON e.src = r.node
-        |                  JOIN deg d ON d.src = r.node
-        |                  GROUP BY e.dst) c ON c.node = nd.node),
-        |r2 AS (SELECT nd.node,
-        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
-        |       FROM nodes nd CROSS JOIN nn
-        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
-        |                  FROM r1 r JOIN e ON e.src = r.node
-        |                  JOIN deg d ON d.src = r.node
-        |                  GROUP BY e.dst) c ON c.node = nd.node),
-        |r3 AS (SELECT nd.node,
-        |         (150000000000 // nn.n) + (17*COALESCE(c.s,0)) // 20 AS rank
-        |       FROM nodes nd CROSS JOIN nn
-        |       LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
-        |                  FROM r2 r JOIN e ON e.src = r.node
-        |                  JOIN deg d ON d.src = r.node
-        |                  GROUP BY e.dst) c ON c.node = nd.node)
-        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+    "q166_pagerank" -> pagerank3Sql,
+    "q215_pagerank_reliable" -> pagerank3Sql,
     "q167_pagerank_top" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -3704,6 +3738,7 @@ object SparkEntry {
         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5""".stripMargin
     },
     "q73_dedup_clusters" -> dedupClustersSql,
+    "q216_clusters_reliable" -> dedupClustersSql,
     // Incremental resume must land bit-exactly on the cold recompute —
     // same oracle as q73 by construction.
     "q188_cluster_resume" -> dedupClustersSql,

@@ -181,34 +181,10 @@ object EventsPagedApi {
     * call (a drain is one run of the reference job); the registry key is
     * derived from them so concurrent drains never collide.
     */
-  /** Every [[factsViaApi]] scratch root (fact + checkpoint dirs), deleted
-    * by ONE JVM shutdown hook: the returned frame reads the fact parquet
-    * lazily, so the dir must outlive the call — but repeated bench/verify
-    * runs in one JVM must not accumulate roots in /tmp forever. Contract:
-    * consume the returned frame before JVM exit (every driver run does —
-    * Verify writes it, Bench forces it).
-    */
-  private val scratchRoots =
-    java.util.Collections.synchronizedList(
-      new java.util.ArrayList[java.nio.file.Path]())
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchRoots.forEach { p =>
-        // catch Exception, not just IOException: Files.walk's iterator
-        // throws UncheckedIOException (and delete can race the walk) — a
-        // narrower catch would kill the hook thread on the first bad root
-        // and leak every root after it. The stream is closed either way.
-        try {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(f =>
-              try java.nio.file.Files.deleteIfExists(f)
-              catch { case _: Exception => () })
-          finally walk.close()
-        } catch { case _: Exception => () }
-      }))
-  }
+  // Scratch roots (fact + checkpoint dirs) live under
+  // [[graft.sources.ScratchDirs]]: the returned frame reads the fact
+  // parquet lazily, so the dir must outlive the call, and the shared
+  // shutdown hook keeps repeated runs from accumulating roots in /tmp.
 
   def factsViaApi(spark: org.apache.spark.sql.SparkSession,
                   events: DataFrame, pageSize: Int = 50,
@@ -315,10 +291,7 @@ object EventsPagedApi {
   private def drainFacts(spark: org.apache.spark.sql.SparkSession,
                          api: PagedStream.MediaPagedApi,
                          maxPagesPerTrigger: Int): DataFrame = {
-    val rootPath = java.nio.file.Files
-      .createTempDirectory("graft-api-fact")
-    scratchRoots.add(rootPath)
-    val root = rootPath.toString
+    val root = graft.sources.ScratchDirs.create("graft-api-fact")
     val key = s"events-api-${new java.io.File(root).getName}"
     PagedStream.register(key, api)
     try {
