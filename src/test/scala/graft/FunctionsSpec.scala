@@ -568,6 +568,60 @@ class FunctionsSpec extends SparkSpec {
       "NULL text must have no fingerprint")
   }
 
+  test("poly hash differential fuzz: random Unicode strings across every " +
+      "UTF-8 width match the BigInt code-point reference (seeded)") {
+    import graft.functions.PolyHashMath
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // code points drawn from every UTF-8 encoding width (1..4 bytes),
+    // excluding the surrogate range (not valid scalar values)
+    val cpGen = Gen.frequency(
+      4 -> Gen.choose(0x20, 0x7e),          // 1-byte ASCII incl. space
+      1 -> Gen.oneOf(0x09, 0x0a, 0x0d),     // the tokenizer's ws chars
+      2 -> Gen.choose(0x80, 0x7ff),         // 2-byte
+      2 -> Gen.choose(0x800, 0xd7ff),       // 3-byte below surrogates
+      1 -> Gen.choose(0xe000, 0xffff),      // 3-byte above surrogates
+      2 -> Gen.choose(0x10000, 0x10ffff))   // 4-byte supplementary
+    val strGen = Gen.listOfN(40, cpGen)
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    val M = BigInt(PolyHashMath.M)
+    val B = BigInt(PolyHashMath.B)
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.codePoints().forEach(cp => h = (h * B + cp) % M)
+      h.toLong
+    }
+    def kref(s: String, k: Int): Long = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0L
+      else if (cps.length <= k) ref(s)
+      else (0 to cps.length - k).map(i => ref(new String(cps, i, k))).min
+    }
+    // the fused word-n-gram walk vs the compositional reference: Java
+    // split("\\s+", -1) tokens, each poly-hashed, Horner-folded per
+    // window — pins the tokenizer boundary semantics (leading/trailing
+    // empty tokens, multi-byte chars adjacent to whitespace) that the
+    // single-pass byte walk must reproduce
+    def wref(s: String, n: Int): Seq[Long] = {
+      val toks = s.split("\\s+", -1).toSeq
+      if (toks.length < n) Seq.empty
+      else toks.map(ref).sliding(n).map(_.foldLeft(BigInt(0))(
+        (acc, h) => (acc * B + h) % M).toLong).toSeq
+    }
+    for (i <- 0 until 300) {
+      val s = strGen(Gen.Parameters.default, Seed(i.toLong)).getOrElse("")
+      val u = UTF8String.fromString(s)
+      assert(PolyHashMath.hashString(u) == ref(s),
+        s"hashString diverged on seed $i: ${s.take(40)}")
+      assert(PolyHashMath.kgramMin(u, 8) == kref(s, 8),
+        s"kgramMin diverged on seed $i: ${s.take(40)}")
+      val got = graft.functions.WordNgramHashesMath.compute(u, 3)
+      assert(got.toLongArray().toSeq == wref(s, 3),
+        s"word-ngram walk diverged on seed $i: ${s.take(40)}")
+    }
+  }
+
   test("PolyHashes equals the affine transforms of PolyHash61 and stays " +
       "in whole-stage codegen") {
     import graft.functions.PolyHashMath
