@@ -56,6 +56,40 @@ class FreshPlanSpec extends SparkSpec {
     assert(c2.as[Long].collect().sorted.toSeq == (2L to 11L))
   }
 
+  test("concurrent reliable fixpoints with DIFFERENT roots both stay " +
+      "bit-correct and both write under their own root (the set-dir race)") {
+    // sc.setCheckpointDir is context-global: without the serialization in
+    // FreshPlan.reliable, thread B's re-point could land between thread
+    // A's dir check and A's checkpoint write, silently sending A's state
+    // to B's (possibly non-durable) root. Two concurrent component walks
+    // with different roots must each converge to the local-mode labels
+    // and each leave files under their own directory.
+    import graft.text.TextDedup
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def pairs(shift: Long) = Seq(
+      (1L + shift, 2L + shift), (2L + shift, 3L + shift),
+      (10L + shift, 11L + shift), (3L + shift, 4L + shift))
+      .toDF("doc_a", "doc_b")
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectA = lab(TextDedup.dedupClusters(pairs(0)))
+    val expectB = lab(TextDedup.dedupClusters(pairs(100)))
+    val dirA = java.nio.file.Files.createTempDirectory("graft-fpA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-fpB").toString
+    val fa = Future(lab(TextDedup.dedupClusters(pairs(0),
+      checkpointDir = Some(dirA))))
+    val fb = Future(lab(TextDedup.dedupClusters(pairs(100),
+      checkpointDir = Some(dirB))))
+    assert(Await.result(fa, 5.minutes) == expectA,
+      "concurrent reliable run A must match its local twin")
+    assert(Await.result(fb, 5.minutes) == expectB,
+      "concurrent reliable run B must match its local twin")
+    assert(rddDirs(dirA) >= 1, "root A must hold A's surviving cut")
+    assert(rddDirs(dirB) >= 1, "root B must hold B's surviving cut")
+  }
+
   test("local mode (None) is unchanged by the chain machinery") {
     val chain = FreshPlan.chain(None)
     val out = chain.cut(chain.invariant(spark.range(5).toDF("id")))
