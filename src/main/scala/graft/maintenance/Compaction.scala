@@ -101,14 +101,14 @@ object Compaction {
     if (candidates.exists(_.isEmpty)) return
     val pre = candidates.fold(spark.read.parquet(dir))(cs =>
       spark.read.parquet(dir)
-        .filter(col(partitionCol).isin(cs.map(Integer.valueOf): _*)))
+        .filter(col(partitionCol).isin(cs.map(Integer.valueOf).toIndexedSeq: _*)))
     val affected = pre
       .join(broadcast(doomed), Seq(keyCol), "left_semi")
       .select(col(partitionCol).cast("int").as(partitionCol))
       .distinct().collect().map(_.getInt(0))
     if (affected.isEmpty) return
     val remaining = spark.read.parquet(dir)
-      .filter(col(partitionCol).isin(affected.map(Integer.valueOf): _*))
+      .filter(col(partitionCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
       .join(broadcast(doomed), Seq(keyCol), "left_anti")
       .localCheckpoint()
     Upsert.overwritePartitions(remaining, dir, Seq(partitionCol))

@@ -427,7 +427,7 @@ object Multimodal {
       .select(pmod(col("asset_id"), lit(nBuckets)).cast("int").as("ab"))
       .distinct().collect().map(_.getInt(0))
     spark.read.parquet(dir)
-      .filter(col("ab").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("ab").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("asset_id")).distinct()
   }
 

@@ -53,7 +53,7 @@ object AsOfJoin {
     // match merely had a null field.
     val unioned = pSide.unionByName(qSide)
       .withColumn("_quote",
-        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+        when(col("_is_probe") === 0, struct(qOnly.map(col).toIndexedSeq: _*)))
       .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
     unioned
       .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
@@ -95,7 +95,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = pSide.unionByName(qSide)
       .withColumn("_quote",
-        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+        when(col("_is_probe") === 0, struct(qOnly.map(col).toIndexedSeq: _*)))
       .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
     unioned
       .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
@@ -137,7 +137,7 @@ object AsOfJoin {
     val lastPerBucket = q0
       .withColumn("_bucket", bucketOf(col(quoteTime)))
       .groupBy(keyCols :+ col("_bucket"): _*)
-      .agg(max_by(struct(qOnly.map(col): _*), col(quoteTime)).as("_last_q"))
+      .agg(max_by(struct(qOnly.map(col).toIndexedSeq: _*), col(quoteTime)).as("_last_q"))
 
     // Every (key, bucket) either side touches; the carried-in quote for each
     // is the running last over strictly-earlier buckets. This window runs on
@@ -179,7 +179,7 @@ object AsOfJoin {
 
     pSide.unionByName(qSideIn).unionByName(qSideCarried)
       .withColumn("_quote",
-        when(col("_is_probe") === 0, struct(qOnly.map(col): _*)))
+        when(col("_is_probe") === 0, struct(qOnly.map(col).toIndexedSeq: _*)))
       .withColumn("_quote", last(col("_quote"), ignoreNulls = true).over(w))
       .filter(col("_is_probe") === 1 && col("_quote").isNotNull)
       .select(keyCols ++ pOnly.map(col) ++
@@ -216,7 +216,7 @@ object AsOfJoin {
           val hottest = ds.map(spark.read.parquet(_))
             .reduce(_.unionByName(_))
             .groupBy(keys.map(col): _*).agg(sum(col("_n")).as("_n"))
-            .agg(max(col("_n"))).head.get(0)
+            .agg(max(col("_n"))).head().get(0)
           Some(Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L))
         }
     }
@@ -257,7 +257,7 @@ object AsOfJoin {
       val hottest = probes.select(keyCols: _*)
         .unionByName(quotes.select(keyCols: _*))
         .groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
-        .agg(max(col("_n"))).head.get(0)
+        .agg(max(col("_n"))).head().get(0)
       Option(hottest).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
     if (hot > maxKeyRows)

@@ -49,6 +49,6 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(struct(ordered.map(col): _*)).as("_w"))
       .select(keys.map(col) ++ valueCols.map(c => col(s"_w.$c").as(c)): _*)
-      .select(df.columns.map(col(_)): _*)
+      .select(df.columns.map(col(_)).toIndexedSeq: _*)
   }
 }

@@ -153,7 +153,7 @@ object FuzzyJoin {
     val buckets = withBucket(terms, nBuckets)
       .select(col("tb")).distinct().collect().map(_.getInt(0))
     spark.read.parquet(dir)
-      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tb").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("t")).distinct()
   }
 

@@ -278,7 +278,7 @@ object Profile {
     val u = counted(ref, "ca", "cb").unionByName(counted(cur, "cb", "ca"))
       .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
       .localCheckpoint()
-    val tot = u.agg(sum(col("ca")), sum(col("cb"))).head
+    val tot = u.agg(sum(col("ca")), sum(col("cb"))).head()
     require(!tot.isNullAt(0) && tot.getLong(0) > 0 &&
       !tot.isNullAt(1) && tot.getLong(1) > 0,
       s"ksDrift: both snapshots must have non-null $valueCol rows")

@@ -78,7 +78,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -267,7 +267,7 @@ object Upsert {
     val refolded = scd2FromWeightedChanges(
       headLog.unionByName(tailLog).unionByName(newLog), Seq(key), stateCol,
       tsCol)
-    untouched.unionByName(refolded.select(history.columns.map(col(_)): _*))
+    untouched.unionByName(refolded.select(history.columns.map(col(_)).toIndexedSeq: _*))
   }
 
   /** Detector for the one case [[scd2ApplyChanges]] cannot refold exactly:
@@ -322,7 +322,7 @@ object Upsert {
       .join(affected, Seq(key), "left_semi")
       .unionByName(changes.select(logCols: _*))
     val refolded = scd2FromChanges(fullLog, Seq(key), stateCol, tsCol, tieCols)
-    untouched.unionByName(refolded.select(history.columns.map(col(_)): _*))
+    untouched.unionByName(refolded.select(history.columns.map(col(_)).toIndexedSeq: _*))
   }
 
   /** [[scd2FromChanges]] over a weighted log (each row counts `_w`

@@ -177,7 +177,7 @@ object Tables {
           requireNanosConf(spark)
           spark.read.schema(eventsRawSchema).parquet(path)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-            .select(Schemas.events.fieldNames.map(col): _*)
+            .select(Schemas.events.fieldNames.map(col).toIndexedSeq: _*)
       }
     } else {
       val reader = spark.read
@@ -307,7 +307,7 @@ object Tables {
         spark.read.schema(eventsRawSchema).parquet(path)
           .filter(col("ts") >= boundNanos)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select(Schemas.events.fieldNames.map(col): _*)
+          .select(Schemas.events.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
 

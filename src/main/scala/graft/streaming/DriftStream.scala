@@ -289,7 +289,7 @@ object DriftStream {
     // validate BEFORE the write: the reverse order left a counts table
     // without its sidecar on an empty reference — a partial artifact
     // whose later probes blamed the wrong function (review finding)
-    val na = counts.agg(coalesce(sum(col("ca")), lit(0L))).head.getLong(0)
+    val na = counts.agg(coalesce(sum(col("ca")), lit(0L))).head().getLong(0)
     require(na > 0,
       s"writeKsReference: reference has no non-null $valueCol rows")
     counts.write.mode("overwrite").parquet(dir)
@@ -347,7 +347,7 @@ object DriftStream {
       .groupBy(col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
       .localCheckpoint()
-    val nb = u.agg(coalesce(sum(col("cb")), lit(0L))).head.getLong(0)
+    val nb = u.agg(coalesce(sum(col("cb")), lit(0L))).head().getLong(0)
     require(nb > 0,
       s"KS monitor: batch has no non-null $valueCol rows")
     Profile.ksSup(u, na, nb, numPartitions = 0)

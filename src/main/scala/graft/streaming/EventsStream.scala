@@ -194,7 +194,7 @@ object EventsStream {
           merged(merged.size - 1) = (p._1, math.max(p._2, s._2), p._3 + s._3)
         } else merged += s
       }
-      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (closed, open) = merged.toSeq.partition(_._2 + gapUs <= wmUs)
       if (open.isEmpty) state.remove()
       else {
@@ -202,7 +202,7 @@ object EventsStream {
         // Timeout is ms-granular; a 1-ms-early firing just re-arms (the
         // closure test above is exact micros). Must stay > watermark.
         val minEndMs = open.map(s => (s._2 + gapUs) / 1000L).min
-        state.setTimeoutTimestamp(math.max(minEndMs, state.getCurrentWatermarkMs + 1))
+        state.setTimeoutTimestamp(math.max(minEndMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator.map(s => (s._1, s._2 + gapUs, user, s._3))
     }
@@ -266,7 +266,7 @@ object EventsStream {
         rows.foreach(_ => ()) // drain replays/post-conversion events
         return Iterator.empty
       }
-      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (fin, pend0) = (prev.pending ++ rows.map(r => (r._3, r._4)))
         .partition(_._1 < wmUs)
       var chain = prev.chain
@@ -284,7 +284,7 @@ object EventsStream {
         if (pend.nonEmpty) {
           val minMs = pend.map(_._1).min / 1000L
           state.setTimeoutTimestamp(
-            math.max(minMs + 1, state.getCurrentWatermarkMs + 1))
+            math.max(minMs + 1, state.getCurrentWatermarkMs() + 1))
         }
         Iterator.empty
       }

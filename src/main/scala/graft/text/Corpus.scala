@@ -419,7 +419,7 @@ object Corpus {
         .wordNgramHashesCol(col("text"), n)).as("_h"))
       .agg(bloom_filter_agg(col("_h"), estimatedItems,
         numBits).as("f"))
-      .head.getAs[Array[Byte]]("f")
+      .head().getAs[Array[Byte]]("f")
     val evalSh = hashedShingles(evalDocs, n)
     val hit = might_contain(lit(filterBytes), col("_h"))
     evalSh.groupBy(col("doc_id"))

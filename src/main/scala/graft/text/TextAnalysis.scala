@@ -200,7 +200,7 @@ object TextAnalysis {
       : DataFrame =
     learnedQualityScoreAll(docs, model, Seq("the", "a"))
       .filter(col("keep"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
 
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digit runs | single other chars).

@@ -473,7 +473,7 @@ object TextDedup {
     // loop certifies the trivial fixpoint instead of NPE-ing.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var iters = 0
     var converged = false

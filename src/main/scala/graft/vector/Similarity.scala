@@ -843,7 +843,7 @@ object Similarity {
         (-nanvl(cosine(emb, typedLit(cEmb)), lit(Double.PositiveInfinity)))
           .as("nc"),
         lit(cId).as("c_id"))
-    }: _*)
+    }.toIndexedSeq: _*)
 
   /** (probe_id, p_emb, list_id) rows: each probe's top-`nProbe` lists. */
   private def probeListsFor(probes: DataFrame,
@@ -1056,7 +1056,7 @@ object Similarity {
       .distinct().collect().map(_.getLong(0)) // <= nCentroids
     if (affected.isEmpty) return
     val hit = spark.read.parquet(s"$dir/lists")
-      .filter(col("list_id").isin(affected.map(Long.box): _*))
+      .filter(col("list_id").isin(affected.map(Long.box).toIndexedSeq: _*))
     // one pass over the affected partitions feeds BOTH the survivors and
     // the per-list removal counts; checkpointed so the overwrite below
     // cannot see half-replaced input
@@ -1544,7 +1544,7 @@ object Similarity {
     val wanted = pl.select(col("list_id")).distinct()
       .collect().map(_.getLong(0))
     val hits = spark.read.parquet(s"$dir/lists")
-      .filter(col("list_id").isin(wanted.map(Long.box): _*))
+      .filter(col("list_id").isin(wanted.map(Long.box).toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding").as("n_emb"),
         col("list_id").cast("long").as("list_id"))
       .join(pl, Seq("list_id"))
