@@ -557,6 +557,16 @@ object SparkEntry {
     // successor: q33 measures, this predicts-and-gates.
     "q124_learned_quality" -> ((s, dir) =>
       TextAnalysis.learnedQualityScore(t(s, dir, "documents"))),
+    // F8/A9 north star (round 17b): blocklist tagging — ONE Aho-Corasick
+    // pass per doc (MultiMatchCounts) vs the oracle's K-replace CROSS
+    // JOIN; per-(doc, term) non-overlapping greedy counts, sparse form.
+    "q217_blocklist_hits" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(t(s, dir, "documents"))),
+    // F8/A9 north star (round 17b): the quarantine gate over the same
+    // pass — integer-exact density compare (total·100 > 11·n_chars),
+    // DOUBLE density published for reporting only.
+    "q218_blocklist_gate" -> ((s, dir) =>
+      TextAnalysis.blocklistGate(t(s, dir, "documents"))),
     // F8 north star: whitespace + BPE-ish regex token counting.
     "q34_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // F8 north star: md5-prefix fingerprint + same-fingerprint cluster size.
@@ -4451,6 +4461,40 @@ object SparkEntry {
         |  quality_score >= (CASE source WHEN 'src0' THEN 0.25
         |    WHEN 'src1' THEN -0.25 ELSE 0.0 END) AS keep
         |FROM s""".stripMargin,
+    // The classic SQL multi-pattern counting idiom — K replace-scans per
+    // doc via CROSS JOIN — against the engine's ONE Aho-Corasick pass.
+    // Non-overlapping greedy byte counts agree by construction (replace
+    // restarts after each match and never re-scans removals; MultiMatch
+    // enforces the same rule with a per-term cursor). strlen = BYTES on
+    // both sides (the expression is byte-oriented; the corpus is ASCII,
+    // but byte semantics would also agree on multibyte text).
+    "q217_blocklist_hits" -> {
+      val vals = graft.text.TextAnalysis.blocklistTerms
+        .map(term => s"('$term')").mkString(", ")
+      s"""WITH terms(term) AS (VALUES $vals)
+         |SELECT d.doc_id, t.term,
+         |  CAST((strlen(d.text) - strlen(replace(d.text, t.term, '')))
+         |       // strlen(t.term) AS BIGINT) AS cnt
+         |FROM documents d CROSS JOIN terms t
+         |WHERE strlen(d.text) <> strlen(replace(d.text, t.term, ''))""".stripMargin
+    },
+    // The gate compares INTEGERS (total·100 > 11·n_chars — exact BIGINT
+    // on both engines, no float-boundary class); the DOUBLE density is
+    // published for reporting and follows the cast-early house rule.
+    "q218_blocklist_gate" -> {
+      val vals = graft.text.TextAnalysis.blocklistTerms
+        .map(term => s"('$term')").mkString(", ")
+      s"""WITH terms(term) AS (VALUES $vals),
+         |per AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    CAST(SUM((strlen(d.text) - strlen(replace(d.text, t.term, '')))
+         |             // strlen(t.term)) AS BIGINT) AS total_hits
+         |  FROM documents d CROSS JOIN terms t
+         |  GROUP BY d.doc_id, d.n_chars)
+         |SELECT doc_id, total_hits,
+         |  CAST(total_hits AS DOUBLE) * 100.0 / n_chars AS hits_per_100
+         |FROM per WHERE total_hits * 100 > 11 * n_chars""".stripMargin
+    },
     "q34_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,

@@ -183,6 +183,13 @@ object GraftFunctions {
   def seeded_md5(s: Column, numSeeds: Int): Column =
     column(SeededMd5(expr(s), numSeeds))
 
+  /** Single-pass Aho-Corasick blocklist counter (see [[MultiMatchCounts]]):
+    * element i of the returned `array<int>` is the non-overlapping greedy
+    * count of `terms(i)` in `text`.
+    */
+  def multi_match_counts(text: Column, terms: Seq[String]): Column =
+    column(MultiMatchCounts(expr(text), terms))
+
   /** Evaluate a foldable int argument of a SQL function call (e.g. the
     * `bits` literal in `lsh_bucket(emb, 8, 64, 0)`). `name` must carry the
     * function name ("lsh_bucket: bits") — litInt serves several functions,
@@ -261,6 +268,25 @@ object GraftFunctions {
       else "▁")
   }
 
+  private[functions] def multiMatchFromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "multi_match_counts(text, array('t1', 't2', ...))")
+    val termsExpr = exprs(1)
+    require(termsExpr.foldable && termsExpr.dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType],
+      "multi_match_counts: terms must be a literal array of strings")
+    val arr = termsExpr.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        "multi_match_counts: terms must be a non-null literal array, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+    val terms = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), "multi_match_counts: NULL term")
+      arr.getUTF8String(i).toString
+    }
+    MultiMatchCounts(exprs(0), terms)
+  }
+
   /** Register custom functions on an EXISTING session (tests, notebooks). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -273,6 +299,8 @@ object GraftFunctions {
       "seeded_md5", seededMd5FromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_min_hash", kgramMinHashFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_match_counts", multiMatchFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

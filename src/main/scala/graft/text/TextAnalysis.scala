@@ -322,4 +322,55 @@ object TextAnalysis {
     */
   def redact(c: Column, rules: Seq[(String, String)] = redactionRules): Column =
     rules.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  /** Blocklist for the registered q217/q218: substring (not word-boundary)
+    * terms chosen to exercise the Aho-Corasick structure on the corpus —
+    * nested suffixes ('scan'⊃'can'⊃'an', 'the'⊃'he', 'slow'⊃'low',
+    * 'part'⊃'art'), a two-word phrase, a self-overlapping phrase ('a a' in
+    * 'a a a' counts ONCE — the greedy non-overlap rule), and a repeated-word
+    * phrase. A production run swaps in its safety/licence term list; the
+    * plan is identical.
+    */
+  val blocklistTerms: Seq[String] = Seq(
+    "scan", "can", "an", "the", "he", "table table", "slow", "low",
+    "row scan", "part", "art", "a a")
+
+  /** Per-(doc, term) blocklist hit counts — one Aho-Corasick pass per
+    * document ([[graft.functions.MultiMatchCounts]]) instead of the K
+    * `replace` scans of the SQL idiom, then `posexplode` + a literal-array
+    * `element_at` to name the terms. Row-wise projection end to end: zero
+    * shuffles, zero joins, whole-stage codegen at any corpus size. Rows
+    * with zero hits are dropped (the sparse long form).
+    */
+  def blocklistHits(docs: DataFrame,
+      terms: Seq[String] = blocklistTerms): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .multi_match_counts(col("text"), terms).as("cnts"))
+      .select(col("doc_id"), posexplode(col("cnts")).as(Seq("idx", "c")))
+      .where(col("c") > 0)
+      .select(col("doc_id"),
+        element_at(lit(terms.toArray), col("idx") + 1).as("term"),
+        col("c").cast("long").as("cnt"))
+
+  /** Blocklist density gate — the quarantine half of a safety filter: docs
+    * whose total hit count exceeds `per100` hits per 100 chars. The GATE
+    * compares integers (`total·100 > per100·n_chars`, exact in BIGINT on
+    * both engines — no float-boundary class, the q190 lesson); the DOUBLE
+    * density column is reporting only. `aggregate()` folds the counts
+    * array in the same projection, so the whole gate is still one
+    * shuffle-free scan.
+    */
+  def blocklistGate(docs: DataFrame, terms: Seq[String] = blocklistTerms,
+      per100: Long = 11L): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        aggregate(
+          graft.functions.GraftFunctions
+            .multi_match_counts(col("text"), terms),
+          lit(0L), (acc, x) => acc + x).as("total_hits"))
+      .where(col("total_hits") * lit(100L) > lit(per100) * col("n_chars"))
+      .select(col("doc_id"), col("total_hits"),
+        (col("total_hits") * lit(100.0) / col("n_chars")).as("hits_per_100"))
 }
