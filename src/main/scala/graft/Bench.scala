@@ -18,7 +18,7 @@ object Bench {
     // Same override as Verify: SPARK_GRAFT_MASTER="local-cluster[2,16,4096]"
     // benches with real separate executor JVMs (set SPARK_HOME +
     // SPARK_SCALA_VERSION; executor classpath added below when used).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val master = GraftSession.envMaster(s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,9 +32,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster"))
-      builder.config("spark.executor.extraClassPath",
-        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    GraftSession.withExecutorClasses(builder, master)
     // Config experiments without recompiling: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
       val Array(k, v) = kv.split("=", 2)

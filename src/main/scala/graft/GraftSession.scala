@@ -51,4 +51,26 @@ object GraftSession {
     GraftFunctions.registerAll(spark)
     spark
   }
+
+  /** The Verify/Bench mains' master resolution: `SPARK_GRAFT_MASTER`
+    * overrides (e.g. `local-cluster[2,16,4096]` for the multi-JVM gate),
+    * else the caller's local default.
+    */
+  def envMaster(default: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", default)
+
+  /** For `local-cluster` masters the executor JVMs are separate processes
+    * that do NOT inherit sbt's classpath — point them at the engine's own
+    * compiled classes. Resolved from this class's code source so the mains
+    * work from any cwd; the sbt-layout path is only the fallback when no
+    * code source is available (e.g. a REPL-defined loader).
+    */
+  def withExecutorClasses(builder: SparkSession.Builder,
+      master: String): SparkSession.Builder =
+    if (master.startsWith("local-cluster")) {
+      val classes = Option(getClass.getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+        .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      builder.config("spark.executor.extraClassPath", classes)
+    } else builder
 }

@@ -4470,7 +4470,7 @@ object SparkEntry {
     // but byte semantics would also agree on multibyte text).
     "q217_blocklist_hits" -> {
       val vals = graft.text.TextAnalysis.blocklistTerms
-        .map(term => s"('$term')").mkString(", ")
+        .map(term => "('" + term.replace("'", "''") + "')").mkString(", ")
       s"""WITH terms(term) AS (VALUES $vals)
          |SELECT d.doc_id, t.term,
          |  CAST((strlen(d.text) - strlen(replace(d.text, t.term, '')))
@@ -4483,7 +4483,7 @@ object SparkEntry {
     // published for reporting and follows the cast-early house rule.
     "q218_blocklist_gate" -> {
       val vals = graft.text.TextAnalysis.blocklistTerms
-        .map(term => s"('$term')").mkString(", ")
+        .map(term => "('" + term.replace("'", "''") + "')").mkString(", ")
       s"""WITH terms(term) AS (VALUES $vals),
          |per AS (
          |  SELECT d.doc_id, d.n_chars,

@@ -12,17 +12,15 @@ object Verify {
     // separate executor JVMs (needs SPARK_HOME=/opt/spark for the worker
     // launcher), flushing JVM-local assumptions local[n] can't see —
     // executors then need the graft classes on their own classpath.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val master = GraftSession.envMaster(s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster"))
-      builder.config("spark.executor.extraClassPath",
-        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-    val spark = builder.getOrCreate()
+    val spark =
+      GraftSession.withExecutorClasses(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val outFs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

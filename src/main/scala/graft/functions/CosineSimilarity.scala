@@ -271,8 +271,12 @@ object GraftFunctions {
   private[functions] def multiMatchFromSql(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "multi_match_counts(text, array('t1', 't2', ...))")
     val termsExpr = exprs(1)
-    require(termsExpr.foldable && termsExpr.dataType.isInstanceOf[
-      org.apache.spark.sql.types.ArrayType],
+    val isStringArray = termsExpr.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(termsExpr.foldable && isStringArray,
       "multi_match_counts: terms must be a literal array of strings")
     val arr = termsExpr.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a
