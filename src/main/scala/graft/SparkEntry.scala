@@ -801,8 +801,10 @@ object SparkEntry {
       graft.text.Corpus.boilerplateHotHashes(t(s, dir, "documents"),
         minDocs = 2)),
     // A9 decontamination at fixed memory: the train side folds into one
-    // bloom filter (engine-internal hashes — rows-only; q68/q79 are the
-    // exact oracle twins, and TextSpec pins the no-false-negative bound).
+    // bloom filter. Hash-exact since round 17: the deterministic poly
+    // bloom's probe positions are plain integer SQL, so the oracle
+    // reproduces the flag decision false-positives-included (previously
+    // Spark's BloomFilterAggregate bit pattern kept this rows-only).
     "q87_decontaminate_bloom" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.text.Corpus.contaminationBloom(
@@ -4041,6 +4043,46 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / z.n_shingles
         |    AS boilerplate_frac
         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    // The deterministic poly bloom re-derived in SQL: each distinct
+    // train n-gram hash sets k=5 positions (Kirsch–Mitzenmacher double
+    // hashing on m=2^23 — pure BIGINT arithmetic, identical to
+    // PolyBloomMath), an eval shingle is flagged iff all 5 of its
+    // positions are set. False positives reproduce exactly; the whole
+    // fixed-memory decision is hash-checked, not just bounded.
+    "q87_decontaminate_bloom" -> {
+      val h = OracleGen.wordNgramPolySql(j => s"t[i+${j - 1}]", 3)
+        .replace("\n", "\n    ")
+      val m = 1 << 23
+      def pos(hc: String) =
+        s"(($hc % $m) + r.i * ((($hc // $m) % $m) | 1)) % $m"
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |wh AS (
+         |  SELECT DISTINCT doc_id,
+         |    $h AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |        FROM toks WHERE len(t) >= 3)),
+         |tpos AS (
+         |  SELECT DISTINCT ${pos("th.h")} AS p
+         |  FROM (SELECT DISTINCT h FROM wh WHERE doc_id % 10 <> 0) th
+         |  CROSS JOIN range(5) r(i)),
+         |epos AS (
+         |  SELECT w.doc_id, w.h, ${pos("w.h")} AS p
+         |  FROM wh w CROSS JOIN range(5) r(i)
+         |  WHERE w.doc_id % 10 = 0),
+         |probe AS (
+         |  SELECT e.doc_id, e.h, COUNT(t.p) AS n_set
+         |  FROM epos e LEFT JOIN tpos t ON e.p = t.p
+         |  GROUP BY e.doc_id, e.h),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles,
+         |    SUM(CASE WHEN n_set = 5 THEN 1 ELSE 0 END) AS n_flagged
+         |  FROM probe GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_flagged AS BIGINT) AS n_flagged,
+         |  CAST(n_flagged AS DOUBLE) / n_shingles AS flagged_frac
+         |FROM agg""".stripMargin
+    },
     // positions are 1-based n-gram starts; spans merge while the gap
     // between consecutive hot positions is <= n (interval union)
     "q102_repeated_spans" ->

@@ -180,6 +180,21 @@ object GraftFunctions {
     column(org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(expr(filter), expr(c)))
 
+  /** Deterministic cross-engine Bloom fold of a non-negative BIGINT key
+    * column (see [[PolyBloomAgg]]): position math is plain integer SQL,
+    * so decisions through it are hash-exact oracle-checkable — unlike
+    * [[bloom_filter_agg]], whose internal re-hash has no SQL analog.
+    */
+  def poly_bloom_agg(c: Column, numBits: Int, k: Int): Column =
+    column(PolyBloomAgg(expr(c), numBits, k).toAggregateExpression())
+
+  /** Membership probe against a [[poly_bloom_agg]] value; same false
+    * positives on every engine, false negatives never.
+    */
+  def poly_bloom_contains(filter: Column, c: Column,
+      numBits: Int, k: Int): Column =
+    column(PolyBloomContains(expr(filter), expr(c), numBits, k))
+
   def seeded_md5(s: Column, numSeeds: Int): Column =
     column(SeededMd5(expr(s), numSeeds))
 
@@ -305,6 +320,18 @@ object GraftFunctions {
       "kgram_min_hash", kgramMinHashFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "multi_match_counts", multiMatchFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_bloom_agg",
+      { exprs: Seq[Expression] => PolyBloomAgg(exprs(0),
+        litInt(exprs(1), "poly_bloom_agg: numBits"),
+        litInt(exprs(2), "poly_bloom_agg: k")) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_bloom_contains",
+      { exprs: Seq[Expression] => PolyBloomContains(exprs(0), exprs(1),
+        litInt(exprs(2), "poly_bloom_contains: numBits"),
+        litInt(exprs(3), "poly_bloom_contains: k")) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -400,15 +400,19 @@ object Corpus {
     * numBits/items) — never under-count, so no contaminated document
     * escapes (TextSpec pins `n_flagged >= n_contaminated` per doc).
     * Output shape mirrors [[contamination]] with flagged_frac in place of
-    * contamination; the BLOOM's bit pattern is engine-internal (Spark's
-    * BloomFilterAggregate re-hashes the poly n-gram identities), so
-    * queries over this path stay rows-only checked, with q68/q79 as
-    * the exact oracle-checked twins.
+    * contamination. Since round 17 the filter is the engine's OWN
+    * deterministic poly bloom ([[graft.functions.PolyBloomAgg]]): the k
+    * probe positions derive from the poly n-gram identity with pure
+    * integer arithmetic, so the flag decision — false positives included
+    * — is re-derivable in plain SQL and q87 is hash-exact checked
+    * (previously Spark's BloomFilterAggregate re-hashed the identities
+    * internally, which kept this path rows-only with q68/q79 as the
+    * exact twins).
     */
   def contaminationBloom(evalDocs: DataFrame, trainDocs: DataFrame,
-                         n: Int = 3, estimatedItems: Long = 1L << 20,
-                         numBits: Long = 1L << 23): DataFrame = {
-    import graft.functions.GraftFunctions.{bloom_filter_agg, might_contain}
+                         n: Int = 3, numBits: Int = 1 << 23,
+                         k: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.{poly_bloom_agg, poly_bloom_contains}
     // Bloom insertion is duplicate-invariant: the raw per-occurrence
     // hash stream feeds the aggregate straight off the scan — no
     // distinct shuffle on the train side at all (cheaper than even the
@@ -417,11 +421,10 @@ object Corpus {
     val filterBytes = trainDocs
       .select(explode(graft.functions.WordNgramHashesMath
         .wordNgramHashesCol(col("text"), n)).as("_h"))
-      .agg(bloom_filter_agg(col("_h"), estimatedItems,
-        numBits).as("f"))
+      .agg(poly_bloom_agg(col("_h"), numBits, k).as("f"))
       .head().getAs[Array[Byte]]("f")
     val evalSh = hashedShingles(evalDocs, n)
-    val hit = might_contain(lit(filterBytes), col("_h"))
+    val hit = poly_bloom_contains(lit(filterBytes), col("_h"), numBits, k)
     evalSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(hit, 1)).as("n_flagged"))

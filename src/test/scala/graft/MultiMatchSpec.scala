@@ -116,6 +116,45 @@ class MultiMatchSpec extends SparkSpec {
     assert(bad == 0, "Aho-Corasick counts must equal the replace idiom")
   }
 
+  test("streaming twin: the gate over a file stream equals the batch gate") {
+    // The gate is a stateless projection+filter, so it runs unchanged on a
+    // streaming frame — this leg pins that the codegen'd expression works
+    // under MicroBatchExecution and that a checkpoint restart appends only
+    // the new file's quarantines (exactly-once for the stateless class).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    val src = s"$dir/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val isOld = pmod(col("doc_id"), lit(10)) < 8
+    docs.filter(isOld).write.mode("overwrite").parquet(s"$src/batch1")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = TextAnalysis.blocklistGate(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$dir/cp").option("path", s"$dir/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    val firstRows = spark.read.parquet(s"$dir/out").count()
+    val firstExpect = TextAnalysis.blocklistGate(docs.filter(isOld))
+    assert(spark.read.parquet(s"$dir/out").except(firstExpect).isEmpty &&
+      firstExpect.except(spark.read.parquet(s"$dir/out")).isEmpty,
+      "streamed gate must equal the batch gate on the first drain")
+    // Restart from the checkpoint with the remaining docs as a new file.
+    docs.filter(!isOld).write.mode("overwrite").parquet(s"$src/batch2")
+    drain()
+    val out = spark.read.parquet(s"$dir/out")
+    val expect = TextAnalysis.blocklistGate(docs)
+    assert(out.except(expect).isEmpty && expect.except(out).isEmpty,
+      "after restart the union of drains must equal the full batch gate")
+    assert(out.count() == expect.count() &&
+      out.count() - firstRows ==
+        TextAnalysis.blocklistGate(docs.filter(!isOld)).count(),
+      "restart must append exactly the new file's quarantines")
+  }
+
   test("q218 gate: integer compare equals the density definition") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val gate = TextAnalysis.blocklistGate(docs).collect()

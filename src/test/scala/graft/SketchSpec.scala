@@ -351,6 +351,64 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("poly bloom: no false negatives, scala-reference bit identity") {
+    import graft.functions.{GraftFunctions, PolyBloomMath}
+    val keys = {
+      val rnd = new scala.util.Random(8723)
+      // the poly domain: non-negative, < 2^61
+      Seq.fill(3000)((rnd.nextLong() & Long.MaxValue) % ((1L << 61) - 1))
+    }
+    val numBits = 1 << 16
+    val k = 5
+    val filter = keys.toDF("h")
+      .agg(GraftFunctions.poly_bloom_agg(col("h"), numBits, k).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    // Bit identity against a plain-Scala fold — the aggregate adds
+    // nothing beyond the documented position math.
+    val ref = new Array[Byte](numBits >>> 3)
+    keys.foreach(h => PolyBloomMath.add(ref, h, numBits, k))
+    assert(java.util.Arrays.equals(filter, ref),
+      "aggregate bytes must equal the sequential reference fold")
+    // No false negatives: every inserted key probes true.
+    keys.foreach(h =>
+      assert(PolyBloomMath.contains(filter, h, numBits, k)))
+    // FP rate sanity on non-members: ~ (1 - e^(-kn/m))^k ≈ 0.0086 here;
+    // allow a generous 3x.
+    val rnd2 = new scala.util.Random(992)
+    val probes = Seq.fill(20000)((rnd2.nextLong() & Long.MaxValue) % ((1L << 61) - 1))
+      .filterNot(keys.toSet)
+    val fp = probes.count(PolyBloomMath.contains(filter, _, numBits, k))
+    assert(fp <= probes.size * 0.03,
+      s"fp rate ${fp.toDouble / probes.size} out of contract")
+  }
+
+  test("poly bloom: merge is OR — byte-identical under any partitioning") {
+    import graft.functions.GraftFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .select(explode(graft.functions.WordNgramHashesMath
+        .wordNgramHashesCol(col("text"), 3)).as("_h"))
+      .agg(GraftFunctions.poly_bloom_agg(col("_h"), 1 << 20, 5).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    val base = bytesOf(docs)
+    assert(java.util.Arrays.equals(base, bytesOf(docs.repartition(13))))
+    // duplicate-invariance: inserting the corpus twice changes nothing
+    assert(java.util.Arrays.equals(base, bytesOf(docs.union(docs))))
+  }
+
+  test("poly bloom rejects negative keys and bad params loudly") {
+    import graft.functions.PolyBloomMath
+    intercept[IllegalArgumentException] {
+      PolyBloomMath.add(new Array[Byte](8), -1L, 64, 2)
+    }
+    intercept[IllegalArgumentException] {
+      PolyBloomMath.checkParams(100, 2) // not a power of two
+    }
+    intercept[IllegalArgumentException] {
+      PolyBloomMath.checkParams(1 << 20, 0)
+    }
+  }
+
   test("theta family is SQL-registered") {
     graft.functions.GraftFunctions.registerAll(spark)
     val ev = Tables.load(spark, sf, "events")
