@@ -2149,6 +2149,13 @@ object SparkEntry {
     // engine-internal sketch, rows-only.
     "q51_approx_distinct" -> ((s, dir) =>
       Agg.dailyEngagementApprox(t(s, dir, "events"))),
+    // A4 deterministic sketch member (round 17b): KMV bottom-k distinct
+    // state built per day, rolled up per type through the LOSSLESS
+    // bottom-k union — the oracle recomputes the direct order statistic
+    // in SQL, so state math AND estimate are hash-exact (the HLL/theta
+    // twins stay rows-only by nature).
+    "q219_distinct_kmv" -> ((s, dir) =>
+      Agg.kmvRollup(Agg.dailyKmvSketches(t(s, dir, "events")))),
     // W2 extended: first/last/nth value, percent_rank, cume_dist.
     "q52_window_family" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -3417,6 +3424,35 @@ object SparkEntry {
         |GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
     "q03_high_water" ->
       "SELECT MAX(ts) AS high_water, COUNT(*) AS n_events FROM events",
+    // KMV re-derived as a pure order statistic: the k=256 smallest
+    // affine-mixed poly hashes per type (row_number <= k), estimate
+    // (k-1)*M/h_k in the same double-op order as KmvSketch.kmvEstimate.
+    // The rollup-from-daily-state path on the Spark side must equal this
+    // direct form — the lossless bottom-k merge identity IS what the
+    // hash gate certifies.
+    "q219_distinct_kmv" -> {
+      val h0 = OracleGen.polyHash61("CAST(user_id AS VARCHAR)")
+        .replace("\n", "\n    ")
+      val aff = OracleGen.polyAffine("CAST(h0 AS HUGEINT)", 0)
+      s"""WITH h0 AS (
+         |  SELECT DISTINCT event_type,
+         |    $h0 AS h0
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT DISTINCT event_type, $aff AS h FROM h0),
+         |ranked AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM h),
+         |n AS (SELECT event_type, COUNT(*) AS nh FROM h GROUP BY event_type),
+         |d AS (SELECT event_type,
+         |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+         |SELECT n.event_type, d.n_days,
+         |  CASE WHEN n.nh < 256 THEN CAST(n.nh AS DOUBLE)
+         |    ELSE 255.0 * CAST(2305843009213693951 AS DOUBLE) /
+         |      (SELECT CAST(h AS DOUBLE) FROM ranked r
+         |       WHERE r.event_type = n.event_type AND r.r = 256) END
+         |    AS visitors_est
+         |FROM n JOIN d ON d.event_type = n.event_type""".stripMargin
+    },
     "q04_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

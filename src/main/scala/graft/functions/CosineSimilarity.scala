@@ -195,6 +195,17 @@ object GraftFunctions {
       numBits: Int, k: Int): Column =
     column(PolyBloomContains(expr(filter), expr(c), numBits, k))
 
+  /** KMV bottom-k distinct sketch state over affine-mixed poly hashes
+    * (see [[KmvSketchAgg]]) — the deterministic, SQL-re-derivable member
+    * of the mergeable sketch family.
+    */
+  def kmv_sketch_agg(c: Column, k: Int): Column =
+    column(KmvSketchAgg(expr(c), k).toAggregateExpression())
+
+  /** Lossless union of persisted [[kmv_sketch_agg]] state arrays. */
+  def kmv_union_agg(c: Column, k: Int): Column =
+    column(KmvUnionAgg(expr(c), k).toAggregateExpression())
+
   def seeded_md5(s: Column, numSeeds: Int): Column =
     column(SeededMd5(expr(s), numSeeds))
 
@@ -331,6 +342,16 @@ object GraftFunctions {
       { exprs: Seq[Expression] => PolyBloomContains(exprs(0), exprs(1),
         litInt(exprs(2), "poly_bloom_contains: numBits"),
         litInt(exprs(3), "poly_bloom_contains: k")) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch_agg",
+      { exprs: Seq[Expression] => KmvSketchAgg(exprs(0),
+        litInt(exprs(1), "kmv_sketch_agg: k")) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_union_agg",
+      { exprs: Seq[Expression] => KmvUnionAgg(exprs(0),
+        litInt(exprs(1), "kmv_union_agg: k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")

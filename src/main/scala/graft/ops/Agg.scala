@@ -186,6 +186,40 @@ object Agg {
         sum(col("load_count")).as("load_count"),
         count(lit(1)).as("n_days"))
 
+  /** Per-day KMV (bottom-k) distinct-visitor state — the DETERMINISTIC
+    * sibling of [[dailySketches]]: the k smallest distinct affine-mixed
+    * poly hashes of the day's visitors, as a plain `array<bigint>` any
+    * engine can re-derive (q219 is hash-exact where the HLL twin q51/q84
+    * is rows-only). Same persistence posture: daily state rows, history
+    * never rescanned.
+    */
+  def dailyKmvSketches(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("dt"),
+        element_at(graft.functions.PolyHashMath
+          .polyHashesCol(col("user_id").cast("string"), 1), 1).as("_h"))
+      .groupBy(col("event_type"), col("dt"))
+      .agg(graft.functions.GraftFunctions
+        .kmv_sketch_agg(col("_h"), k).as("kmv_state"))
+
+  /** Roll persisted daily KMV states up to one estimate per event_type.
+    * Unlike the HLL rollup this merge is an IDENTITY — bottomₖ of the
+    * daily bottomₖ sets equals bottomₖ of the full stream — so the
+    * estimate from state equals the direct computation bit-for-bit
+    * (SketchSpec pins state-array byte identity; the q219 oracle
+    * recomputes the direct form in SQL and hash-matches this rollup).
+    */
+  def kmvRollup(daily: DataFrame, k: Int = 256): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .kmv_union_agg(col("kmv_state"), k).as("kmv"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        graft.functions.KmvSketch.kmvEstimate(col("kmv"), k)
+          .as("visitors_est"))
+
   /** Per-day KLL quantile sketches over the event value (A4 mergeable
     * state, third rung beside the HLL distinct counts and the frequent-
     * items heavy hitters): what a percentile dashboard persists daily at

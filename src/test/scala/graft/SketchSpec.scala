@@ -396,6 +396,62 @@ class SketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(base, bytesOf(docs.union(docs))))
   }
 
+  test("kmv: rollup from daily state is byte-identical to the direct build") {
+    import graft.functions.GraftFunctions
+    val ev = Tables.load(spark, sf, "events")
+    val k = 64
+    // direct: one global bottom-k per type over the raw keys
+    val keyed = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        element_at(graft.functions.PolyHashMath
+          .polyHashesCol(col("user_id").cast("string"), 1), 1).as("_h"))
+    def states(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.as[(String, Seq[Long])].collect().toMap
+    val direct = states(keyed.groupBy(col("event_type"))
+      .agg(GraftFunctions.kmv_sketch_agg(col("_h"), k).as("s")))
+    val rolled = states(Agg.dailyKmvSketches(ev, k)
+      .groupBy(col("event_type"))
+      .agg(GraftFunctions.kmv_union_agg(col("kmv_state"), k).as("s")))
+    assert(rolled == direct,
+      "bottom-k of daily bottom-k states must equal the direct bottom-k")
+    // invariance under partitioning: the state is an order statistic
+    val repart = states(keyed.repartition(7).groupBy(col("event_type"))
+      .agg(GraftFunctions.kmv_sketch_agg(col("_h"), k).as("s")))
+    assert(repart == direct)
+    // and the state survives a parquet round-trip losslessly
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    Agg.dailyKmvSketches(ev, k).write.mode("overwrite").parquet(dir)
+    val fromDisk = states(spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(GraftFunctions.kmv_union_agg(col("kmv_state"), k).as("s")))
+    assert(fromDisk == direct)
+  }
+
+  test("kmv estimate: exact below k, within the RSE envelope above") {
+    val ev = Tables.load(spark, sf, "events")
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    // k above every group's cardinality -> the estimate IS the exact count
+    val big = Agg.kmvRollup(Agg.dailyKmvSketches(ev, k = 4096), k = 4096)
+      .select(col("event_type"), col("visitors_est"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (t, n) =>
+      assert(big(t) == n.toDouble, s"$t: sub-k estimate must be exact")
+    }
+    // k below the cardinality -> RSE ~ 1/sqrt(k-2); allow 4 sigma
+    val k = 64
+    val est = Agg.kmvRollup(Agg.dailyKmvSketches(ev, k), k)
+      .select(col("event_type"), col("visitors_est"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (t, n) =>
+      val tol = 4.0 / math.sqrt(k - 2.0)
+      assert(math.abs(est(t) - n) <= tol * n,
+        s"$t: est=${est(t)} exact=$n outside ${tol * 100}%")
+    }
+  }
+
   test("poly bloom rejects negative keys and bad params loudly") {
     import graft.functions.PolyBloomMath
     intercept[IllegalArgumentException] {
