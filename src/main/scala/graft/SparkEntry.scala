@@ -3437,14 +3437,17 @@ object SparkEntry {
       s"""WITH h0 AS (
          |  SELECT DISTINCT event_type,
          |    $h0 AS h0
-         |  FROM events WHERE user_id IS NOT NULL),
+         |  FROM events WHERE user_id IS NOT NULL
+         |    AND ts IS NOT NULL AND event_type IS NOT NULL),
          |h AS (SELECT DISTINCT event_type, $aff AS h FROM h0),
          |ranked AS (SELECT event_type, h,
          |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM h),
          |n AS (SELECT event_type, COUNT(*) AS nh FROM h GROUP BY event_type),
          |d AS (SELECT event_type,
          |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-         |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+         |  FROM events WHERE user_id IS NOT NULL
+         |    AND ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY event_type)
          |SELECT n.event_type, d.n_days,
          |  CASE WHEN n.nh < 256 THEN CAST(n.nh AS DOUBLE)
          |    ELSE 255.0 * CAST(2305843009213693951 AS DOUBLE) /

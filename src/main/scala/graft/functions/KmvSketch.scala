@@ -154,6 +154,14 @@ case class KmvSketchAgg(
   * rows. Because the merge identity is exact, union-from-state output is
   * byte-identical to a direct [[KmvSketchAgg]] over the raw keys. NULL
   * state rows (keys with no state) are skipped.
+  *
+  * SOUNDNESS DIRECTION: the identity holds only for union k ≤ sketch k —
+  * a union at LARGER k silently under-estimates (values a state truncated
+  * above its own kth minimum are unrecoverable), and the mismatch cannot
+  * be detected from the arrays alone (short state is indistinguishable
+  * from an exhaustive group). Carry k with the state and refuse
+  * mismatches at the call site — [[graft.ops.Agg.kmvRollup]] does, with a
+  * `raise_error` guard over its `kmv_k` column.
   */
 case class KmvUnionAgg(
     child: Expression,

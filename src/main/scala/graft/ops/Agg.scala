@@ -195,13 +195,23 @@ object Agg {
     */
   def dailyKmvSketches(events: DataFrame, k: Int = 256): DataFrame =
     events
-      .filter(col("user_id").isNotNull)
+      // NULL keys carry no state: a null user has no hash, and a null
+      // type/ts has no (type, day) cell — dropped on BOTH engines (the
+      // oracle filters identically; an equality join on a NULL group
+      // would otherwise diverge between Spark's groupBy and SQL's JOIN).
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("dt"),
         element_at(graft.functions.PolyHashMath
           .polyHashesCol(col("user_id").cast("string"), 1), 1).as("_h"))
       .groupBy(col("event_type"), col("dt"))
       .agg(graft.functions.GraftFunctions
         .kmv_sketch_agg(col("_h"), k).as("kmv_state"))
+      // Self-describing state (the _SHINGLE_META discipline): a union at
+      // a DIFFERENT k must refuse, not silently mis-estimate — a bottom-k
+      // array shorter than its k is indistinguishable from an exhaustive
+      // day, so the parameter has to ride WITH the state.
+      .withColumn("kmv_k", lit(k))
 
   /** Roll persisted daily KMV states up to one estimate per event_type.
     * Unlike the HLL rollup this merge is an IDENTITY — bottomₖ of the
@@ -214,7 +224,19 @@ object Agg {
     daily
       .groupBy(col("event_type"))
       .agg(graft.functions.GraftFunctions
-        .kmv_union_agg(col("kmv_state"), k).as("kmv"),
+        .kmv_union_agg(
+          // Fail-loud k guard riding the union's own pass (the
+          // ksDriftSketch raise_error idiom, zero extra scans): a union
+          // at k > sketch-k would silently UNDER-estimate (values a day
+          // truncated above its kth minimum are unrecoverable), and a
+          // shorter-k union is refused too for one uniform contract —
+          // re-union at the state's own k instead.
+          when(col("kmv_k") =!= k,
+            raise_error(concat(lit("kmvRollup: state built at k="),
+              col("kmv_k").cast("string"),
+              lit(s" cannot union at k=$k")))
+              .cast("array<bigint>"))
+            .otherwise(col("kmv_state")), k).as("kmv"),
         count(lit(1)).as("n_days"))
       .select(col("event_type"), col("n_days"),
         graft.functions.KmvSketch.kmvEstimate(col("kmv"), k)

@@ -372,14 +372,15 @@ class SketchSpec extends SparkSpec {
     // No false negatives: every inserted key probes true.
     keys.foreach(h =>
       assert(PolyBloomMath.contains(filter, h, numBits, k)))
-    // FP rate sanity on non-members: ~ (1 - e^(-kn/m))^k ≈ 0.0086 here;
-    // allow a generous 3x.
+    // FP rate on non-members: (1 - e^(-kn/m))^k = (1 - e^(-5*3000/65536))^5
+    // ≈ 3.6e-4 — allow ~4x so the pin catches a position-math regression
+    // that inflates the rate, not just total breakage.
     val rnd2 = new scala.util.Random(992)
     val probes = Seq.fill(20000)((rnd2.nextLong() & Long.MaxValue) % ((1L << 61) - 1))
       .filterNot(keys.toSet)
     val fp = probes.count(PolyBloomMath.contains(filter, _, numBits, k))
-    assert(fp <= probes.size * 0.03,
-      s"fp rate ${fp.toDouble / probes.size} out of contract")
+    assert(fp <= probes.size * 0.0015,
+      s"fp rate ${fp.toDouble / probes.size} out of contract (expect ~3.6e-4)")
   }
 
   test("poly bloom: merge is OR — byte-identical under any partitioning") {
@@ -425,6 +426,19 @@ class SketchSpec extends SparkSpec {
       .groupBy(col("event_type"))
       .agg(GraftFunctions.kmv_union_agg(col("kmv_state"), k).as("s")))
     assert(fromDisk == direct)
+  }
+
+  test("kmv rollup refuses a k mismatch loudly (self-describing state)") {
+    val ev = Tables.load(spark, sf, "events")
+    val daily = Agg.dailyKmvSketches(ev, k = 128)
+    val err = intercept[Exception] {
+      Agg.kmvRollup(daily, k = 256).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("cannot union at k=256")),
+      s"expected the kmv_k guard, got: $err")
   }
 
   test("kmv estimate: exact below k, within the RSE envelope above") {
