@@ -595,4 +595,23 @@ object EventsStream {
     : StreamingQuery =
     guardedStateQuery(spark, events, stateDir, checkpointDir)(
       graft.ops.Agg.dailyThetaSketches(_, lgK))
+
+  /** The DETERMINISTIC member of the streaming sketch-state family
+    * ([[freqStateQuery]]/[[kllStateQuery]]/[[thetaStateQuery]]): per
+    * micro-batch KMV bottom-k daily state rows behind the same batch-id
+    * replay guard. The replay contract matches theta's byte-identity
+    * class and goes one step further — the state is a PLAIN
+    * `array<bigint>` order statistic (no sketch image encoding), so a
+    * fresh-checkpoint full replay rebuilds value-identical rows, the
+    * consume side is shared with batch ([[graft.ops.Agg.kmvRollup]],
+    * whose `kmv_k` guard also rides these state rows), and the rolled-up
+    * estimate from chopped streaming state equals the direct batch
+    * computation EXACTLY (the lossless bottom-k merge identity —
+    * StreamingSpec pins all three legs).
+    */
+  def kmvStateQuery(spark: SparkSession, events: DataFrame,
+                    stateDir: String, checkpointDir: String,
+                    k: Int = 256): StreamingQuery =
+    guardedStateQuery(spark, events, stateDir, checkpointDir)(
+      graft.ops.Agg.dailyKmvSketches(_, k))
 }

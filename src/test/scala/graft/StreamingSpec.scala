@@ -578,6 +578,51 @@ class StreamingSpec extends SparkSpec {
     checkRanks(replayed)
   }
 
+  test("streaming kmv state: value-identical replay, rollup == direct") {
+    import graft.ops.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft-kmvstream").toString
+    val ev = Tables.load(spark, sf, "events")
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(s"$root/src")
+    def run(tag: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+      val q = graft.streaming.EventsStream.kmvStateQuery(spark, stream,
+        s"$root/state-$tag", s"$root/cp-$tag", k = 64)
+      q.processAllAvailable(); q.stop()
+    }
+    run("a")
+    def img(tag: String): Map[(String, java.sql.Date, Long), Seq[Long]] =
+      spark.read.parquet(s"$root/state-$tag").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("dt"),
+          r.getAs[Number]("batch_id").longValue()) ->
+          r.getAs[Seq[Long]]("kmv_state")).toMap
+    val first = img("a")
+    assert(first.keys.map(_._3).toSet.size >= 3,
+      "expected one state batch per source file")
+    // deterministic order statistic: fresh-checkpoint replay rebuilds
+    // value-identical state rows (the theta byte-identity class)
+    run("b")
+    assert(img("b") == first,
+      "fresh-checkpoint replay must rebuild identical kmv state")
+    // same-checkpoint replay is a guarded no-op
+    run("a")
+    assert(img("a") == first,
+      "a replayed trigger must not append state partials")
+    // consume side shared with batch: the lossless bottom-k identity
+    // makes rollup-from-chopped-state EQUAL the direct build (per-batch
+    // partial rows for one (type, day) union idempotently)
+    def rolled(df: org.apache.spark.sql.DataFrame) =
+      Agg.kmvRollup(df.select("event_type", "dt", "kmv_state", "kmv_k"),
+        k = 64)
+        .select(col("event_type"), col("visitors_est"))
+        .as[(String, Double)].collect().toMap
+    assert(rolled(spark.read.parquet(s"$root/state-a")) ==
+      rolled(Agg.dailyKmvSketches(ev, k = 64)),
+      "kmv rollup from chopped streaming state must equal the batch build")
+  }
+
   test("streaming theta state: byte-identical across a fresh-checkpoint replay") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-tstream").toString
