@@ -68,8 +68,12 @@ object GraftSession {
   def withExecutorClasses(builder: SparkSession.Builder,
       master: String): SparkSession.Builder =
     if (master.startsWith("local-cluster")) {
-      val classes = Option(getClass.getProtectionDomain.getCodeSource)
-        .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+      // Try, not just null-check: a non-hierarchical code-source URI
+      // (jar-in-jar launchers) makes File(uri) throw — fall back to the
+      // sbt layout path rather than crashing before session startup.
+      val classes = scala.util.Try(
+        new java.io.File(getClass.getProtectionDomain.getCodeSource
+          .getLocation.toURI).getAbsolutePath)
         .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       builder.config("spark.executor.extraClassPath", classes)
     } else builder

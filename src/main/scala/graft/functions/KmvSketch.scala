@@ -90,41 +90,21 @@ object KmvSketch {
   }
 }
 
-/** Fold non-negative BIGINT keys into KMV state (`array<bigint>`, the ≤k
-  * smallest distinct values ascending). Buffer is a live TreeSet —
-  * duplicate keys occupy no slot, updates are O(log k) with an O(1)
-  * reject of keys above the current kth minimum (the steady-state path:
-  * once warm, almost every key short-circuits on one compare).
+/** Shared TreeSet-buffer plumbing for the fold and union sides — ONE
+  * implementation of buffer lifecycle, merge, eval, and (de)serialization
+  * so the two aggregates can never drift (review finding: the pair was
+  * copy-pasted). Subclasses supply only their input handling.
   */
-case class KmvSketchAgg(
-    child: Expression,
-    k: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+private[functions] trait KmvBufferOps
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
-  KmvSketch.checkK(k)
+  def k: Int
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "kmv_sketch_agg"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"kmv_sketch_agg: key must be BIGINT, got ${other.simpleString}")
-  }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
-
-  override def update(buffer: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) KmvSketch.addCapped(buffer, v.asInstanceOf[Long], k)
-    buffer
-  }
 
   override def merge(buffer: java.util.TreeSet[java.lang.Long],
       other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
@@ -141,6 +121,38 @@ case class KmvSketchAgg(
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
     KmvSketch.fromBytes(bytes)
+}
+
+/** Fold non-negative BIGINT keys into KMV state (`array<bigint>`, the ≤k
+  * smallest distinct values ascending). Buffer is a live TreeSet —
+  * duplicate keys occupy no slot, updates are O(log k) with an O(1)
+  * reject of keys above the current kth minimum (the steady-state path:
+  * once warm, almost every key short-circuits on one compare).
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KmvBufferOps
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  KmvSketch.checkK(k)
+
+  override def prettyName: String = "kmv_sketch_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch_agg: key must be BIGINT, got ${other.simpleString}")
+  }
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvSketch.addCapped(buffer, v.asInstanceOf[Long], k)
+    buffer
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(mutableAggBufferOffset = newOffset)
@@ -168,13 +180,11 @@ case class KmvUnionAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  extends KmvBufferOps
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
   KmvSketch.checkK(k)
 
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_union_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -182,9 +192,6 @@ case class KmvUnionAgg(
     case other => TypeCheckResult.TypeCheckFailure(
       s"kmv_union_agg: state must be ARRAY<BIGINT>, got ${other.simpleString}")
   }
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
 
   override def update(buffer: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
@@ -199,22 +206,6 @@ case class KmvUnionAgg(
     }
     buffer
   }
-
-  override def merge(buffer: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) KmvSketch.addCapped(buffer, it.next(), k)
-    buffer
-  }
-
-  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any =
-    KmvSketch.evalArray(buffer)
-
-  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] =
-    KmvSketch.toBytes(buffer)
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
-    KmvSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(mutableAggBufferOffset = newOffset)

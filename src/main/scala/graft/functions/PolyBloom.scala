@@ -42,8 +42,22 @@ object PolyBloomMath {
     require(k >= 1 && k <= 16, s"poly_bloom: k must be in [1,16], got $k")
   }
 
+  /** Width guard shared by add/contains: probing (or folding into) a
+    * filter at the WRONG numBits computes positions mod the wrong m —
+    * silent false negatives, the one error class a Bloom filter must
+    * never have — or indexes out of bounds. Fail loud instead; the SQL
+    * surface takes caller-supplied numBits, so this is reachable.
+    */
+  private def checkWidth(bits: Array[Byte], numBits: Int): Unit =
+    if (bits.length.toLong * 8 != numBits) {
+      throw new IllegalArgumentException(
+        s"poly_bloom: filter is ${bits.length * 8L} bits but numBits=" +
+          s"$numBits — build and probe widths must match")
+    }
+
   /** Set key `h`'s k bits in `bits` (len = numBits/8). */
   def add(bits: Array[Byte], h: Long, numBits: Int, k: Int): Unit = {
+    checkWidth(bits, numBits)
     if (h < 0) throw new IllegalArgumentException(
       s"poly_bloom: negative key $h — keys must be the non-negative " +
         "poly-hash family")
@@ -60,6 +74,7 @@ object PolyBloomMath {
 
   /** True iff all k of key `h`'s bits are set (static for codegen). */
   def contains(bits: Array[Byte], h: Long, numBits: Int, k: Int): Boolean = {
+    checkWidth(bits, numBits)
     if (h < 0) throw new IllegalArgumentException(
       s"poly_bloom: negative key $h — keys must be the non-negative " +
         "poly-hash family")

@@ -230,14 +230,19 @@ object Agg {
           // at k > sketch-k would silently UNDER-estimate (values a day
           // truncated above its kth minimum are unrecoverable), and a
           // shorter-k union is refused too for one uniform contract —
-          // re-union at the state's own k instead.
-          when(col("kmv_k") =!= k,
+          // re-union at the state's own k instead. NULL-SAFE compare: a
+          // NULL kmv_k (pre-guard state files) must refuse, not slip
+          // through the three-valued =!= into the otherwise branch.
+          when(!(col("kmv_k") <=> lit(k)),
             raise_error(concat(lit("kmvRollup: state built at k="),
-              col("kmv_k").cast("string"),
+              coalesce(col("kmv_k").cast("string"), lit("NULL")),
               lit(s" cannot union at k=$k")))
               .cast("array<bigint>"))
             .otherwise(col("kmv_state")), k).as("kmv"),
-        count(lit(1)).as("n_days"))
+        // DISTINCT days, not state rows: the chopped streaming state
+        // (kmvStateQuery) commits one partial row per (type, day, batch),
+        // and a row count would over-report n_days there.
+        countDistinct(col("dt")).as("n_days"))
       .select(col("event_type"), col("n_days"),
         graft.functions.KmvSketch.kmvEstimate(col("kmv"), k)
           .as("visitors_est"))

@@ -15,6 +15,8 @@ import graft.text.TextAnalysis
 class MultiMatchSpec extends SparkSpec {
   import spark.implicits._
 
+  private val sf = "/root/testdata/sf0.001"
+
   /** Naive greedy non-overlapping byte count — the replace-idiom rule. */
   private def naive(text: Array[Byte], term: Array[Byte]): Int = {
     var i = 0
@@ -82,7 +84,7 @@ class MultiMatchSpec extends SparkSpec {
     assert(out(0).getSeq[Int](1) == Seq(1, 1, 1))
     assert(out(1).getSeq[Int](1) == Seq(0, 0, 0))
     assert(out(2).isNullAt(1))
-    val viaSql = df.createOrReplaceTempView("mm_docs")
+    df.createOrReplaceTempView("mm_docs")
     val sqlOut = spark.sql(
       "SELECT id, multi_match_counts(text, array('the', 'he', 'cat')) c " +
         "FROM mm_docs ORDER BY id").collect()
@@ -100,7 +102,7 @@ class MultiMatchSpec extends SparkSpec {
   }
 
   test("replace-idiom equivalence on the real corpus (the oracle rule)") {
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = Tables.load(spark, sf, "documents")
     val terms = TextAnalysis.blocklistTerms
     // Spark-side replace idiom, same arithmetic as the DuckDB oracle.
     val idiom = terms.zipWithIndex.map { case (term, i) =>
@@ -121,7 +123,7 @@ class MultiMatchSpec extends SparkSpec {
     // streaming frame — this leg pins that the codegen'd expression works
     // under MicroBatchExecution and that a checkpoint restart appends only
     // the new file's quarantines (exactly-once for the stateless class).
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = Tables.load(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     val src = s"$dir/src"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
@@ -156,7 +158,7 @@ class MultiMatchSpec extends SparkSpec {
   }
 
   test("q218 gate: integer compare equals the density definition") {
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = Tables.load(spark, sf, "documents")
     val gate = TextAnalysis.blocklistGate(docs).collect()
     assert(gate.nonEmpty)
     gate.foreach { r =>

@@ -616,8 +616,12 @@ class StreamingSpec extends SparkSpec {
     def rolled(df: org.apache.spark.sql.DataFrame) =
       Agg.kmvRollup(df.select("event_type", "dt", "kmv_state", "kmv_k"),
         k = 64)
-        .select(col("event_type"), col("visitors_est"))
-        .as[(String, Double)].collect().toMap
+        // n_days included: the chopped state has one PARTIAL row per
+        // (type, day, batch), so this also pins that n_days counts
+        // DISTINCT days, not state rows (review finding)
+        .select(col("event_type"), col("n_days"), col("visitors_est"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(rolled(spark.read.parquet(s"$root/state-a")) ==
       rolled(Agg.dailyKmvSketches(ev, k = 64)),
       "kmv rollup from chopped streaming state must equal the batch build")
