@@ -321,7 +321,9 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
-      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "cosine_similarity(vec1, vec2)")
+        CosineSimilarity(exprs(0), exprs(1)) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", lshBucketFromSql, "built-in")
@@ -333,25 +335,33 @@ object GraftFunctions {
       "multi_match_counts", multiMatchFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_bloom_agg",
-      { exprs: Seq[Expression] => PolyBloomAgg(exprs(0),
-        litInt(exprs(1), "poly_bloom_agg: numBits"),
-        litInt(exprs(2), "poly_bloom_agg: k")) },
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3, "poly_bloom_agg(key, numBits, k)")
+        PolyBloomAgg(exprs(0),
+          litInt(exprs(1), "poly_bloom_agg: numBits"),
+          litInt(exprs(2), "poly_bloom_agg: k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_bloom_contains",
-      { exprs: Seq[Expression] => PolyBloomContains(exprs(0), exprs(1),
-        litInt(exprs(2), "poly_bloom_contains: numBits"),
-        litInt(exprs(3), "poly_bloom_contains: k")) },
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 4, "poly_bloom_contains(filter, key, numBits, k)")
+        PolyBloomContains(exprs(0), exprs(1),
+          litInt(exprs(2), "poly_bloom_contains: numBits"),
+          litInt(exprs(3), "poly_bloom_contains: k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch_agg",
-      { exprs: Seq[Expression] => KmvSketchAgg(exprs(0),
-        litInt(exprs(1), "kmv_sketch_agg: k")) },
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "kmv_sketch_agg(key, k)")
+        KmvSketchAgg(exprs(0),
+          litInt(exprs(1), "kmv_sketch_agg: k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_union_agg",
-      { exprs: Seq[Expression] => KmvUnionAgg(exprs(0),
-        litInt(exprs(1), "kmv_union_agg: k")) },
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "kmv_union_agg(state, k)")
+        KmvUnionAgg(exprs(0),
+          litInt(exprs(1), "kmv_union_agg: k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngram_hashes", wordNgramHashesFromSql, "built-in")

@@ -200,6 +200,10 @@ case class KmvUnionAgg(
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
       while (i < arr.numElements()) {
+        // Fail loud on corrupt state: a NULL element would otherwise fold as
+        // key 0 under UnsafeArrayData (or NPE under GenericArrayData).
+        require(!arr.isNullAt(i),
+          "kmv_union_agg: NULL element in KMV state array — corrupt state")
         KmvSketch.addCapped(buffer, arr.getLong(i), k)
         i += 1
       }

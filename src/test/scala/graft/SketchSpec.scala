@@ -441,6 +441,40 @@ class SketchSpec extends SparkSpec {
       s"expected the kmv_k guard, got: $err")
   }
 
+  test("kmv union fails loud on a NULL element in a state array") {
+    import graft.functions.GraftFunctions
+    // hand-corrupted state: a NULL element must raise, never fold as key 0
+    val corrupt = spark.range(1).select(
+      array(lit(1L), lit(null).cast("long"), lit(3L)).as("kmv_state"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val err = intercept[Exception] {
+      corrupt.agg(GraftFunctions.kmv_union_agg(col("kmv_state"), 64)).collect()
+    }
+    assert(messages(err).exists(_.contains("NULL element in KMV state")),
+      s"expected the NULL-element guard, got: $err")
+  }
+
+  test("sketch SQL registrations reject wrong arity with a usage message") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(
+      "SELECT poly_bloom_agg(1)" -> "poly_bloom_agg(key, numBits, k)",
+      "SELECT poly_bloom_contains(x'00', 1)" ->
+        "poly_bloom_contains(filter, key, numBits, k)",
+      "SELECT kmv_sketch_agg(1)" -> "kmv_sketch_agg(key, k)",
+      "SELECT kmv_union_agg(array(1L))" -> "kmv_union_agg(state, k)",
+      "SELECT cosine_similarity(array(1.0f))" -> "cosine_similarity(vec1, vec2)"
+    ).foreach { case (sql, usage) =>
+      val err = intercept[Exception] { spark.sql(sql).collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(err).exists(_.contains(usage)),
+        s"$sql: expected usage '$usage', got: $err")
+    }
+  }
+
   test("kmv estimate: exact below k, within the RSE envelope above") {
     val ev = Tables.load(spark, sf, "events")
     val exact = ev.filter(col("user_id").isNotNull)
