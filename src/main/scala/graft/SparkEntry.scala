@@ -627,6 +627,24 @@ object SparkEntry {
     "q67_sequence_pack" -> ((s, dir) =>
       graft.text.Corpus.packSequences(t(s, dir, "documents"),
         maxTokens = 2048, numShards = 8)),
+    // A9 INTEGRATION row (round 18): the full corpus-build chain —
+    // curate (q72) → near-dup survivors (q81) → decontaminate against a
+    // held-out benchmark slice (q79's membership algebra, sides
+    // reversed) → token-budget mixture sample (q111) → pack (q67) — as
+    // ONE registered query with ONE composed oracle. Every stage is
+    // individually hash-exact; this row pins the stage INTERFACES (the
+    // mixture rates must be computed over the decontaminated survivors,
+    // not the raw corpus — the drift class per-stage oracles can't see).
+    // Corpus = doc_id % 10 != 0; benchmark = the % 10 == 0 slice.
+    "q220_corpus_build" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.corpusBuild(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1,
+          "src3" -> 0.05, "src4" -> 0.025),
+        tokenBudget = 5000)
+    }),
     // North star corpus prep: eval-set decontamination (n-gram overlap of
     // a held-out slice against the rest of the corpus).
     "q68_decontaminate" -> ((s, dir) => {
@@ -1761,18 +1779,26 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
         nCentroids = 16, nProbe = 4)
     }),
-    // J7 quantized ANN (rows-only: ranking rides the engine-internal
-    // int8 codes; VectorSpec pins the recall floor vs the float path and
-    // bit-identity of the refined cosines — q65 is the float twin). The
-    // probed scan reads the codes column only: 1/4 the vector bytes of
-    // q65's at-rest search at the same partition pruning; the refine
-    // step touches full precision for candidates only.
+    // J7 quantized ANN — HASH-EXACT since round 18: Sq8Encode is pure
+    // deterministic float32 math (`round(v_i/max|v|·127)`), and DuckDB
+    // re-derives the codes bit-identically with an explicit f32 op chain
+    // (x/mx and ·127 each correctly rounded to FLOAT, Math.round spelled
+    // as floor(x + 0.5f); verified 0 mismatches over every testdata
+    // vector before the flip). The quantized ranking is then the q37
+    // double-accumulation cosine over (float probe, integer codes), and
+    // the float refine is q65's algebra — so the WHOLE search is
+    // oracle-derivable. v2: seed centroids (the q65/q181/q199 geometry)
+    // replace the trained ones so the probe algebra stays
+    // SQL-expressible; the trained-centroid path keeps its coverage in
+    // q128 and the trainCentroids specs. The probed scan still reads the
+    // codes column only: 1/4 the vector bytes of q65's at-rest search at
+    // the same partition pruning; refine touches full precision for
+    // candidates only.
     "q116_ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val ivfDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "ivfsq8", "v1") { d =>
-        Similarity.writeIvfIndex(emb, d, nCentroids = 16, trainIters = 5,
-          sq8 = true)
+        s"$dir/embeddings.parquet", "ivfsq8", "v2") { d =>
+        Similarity.writeIvfIndex(emb, d, nCentroids = 16, sq8 = true)
       }
       Similarity.searchIvfIndexSq8(s, ivfDir,
         emb.filter(col("vec_id") < 10), 5, nProbe = 4, refine = 20)
@@ -4927,6 +4953,146 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens, start_offset,
         |  CAST(start_offset // 2048 AS BIGINT) AS pack_id
         |FROM o""".stripMargin,
+    // q220: the q72→q81→q79→q111→q67 chain composed into one statement.
+    // Each CTE block is the corresponding per-stage oracle verbatim,
+    // re-rooted on the previous stage's output.
+    "q220_corpus_build" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT doc_id, text, source FROM documents
+        |           WHERE doc_id % 10 != 0),
+        |base AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t
+        |         FROM corpus),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+        |         WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+        |         WHEN de >= fr AND de >= zh THEN 'de'
+        |         WHEN fr >= zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |    len(list_intersect(list_distinct(t), ['the', 'a', 'row'])) AS en,
+        |    len(list_intersect(list_distinct(t), ['data', 'query'])) AS es,
+        |    len(list_intersect(list_distinct(t), ['merge', 'batch'])) AS de,
+        |    len(list_intersect(list_distinct(t), ['stream', 'filter'])) AS fr,
+        |    len(list_intersect(list_distinct(t), ['window', 'join'])) AS zh
+        |  FROM base)),
+        |qual AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 2.0
+        |      + (CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(t))
+        |      - (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text))
+        |      AS quality
+        |  FROM base),
+        |tot AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_tot
+        |        FROM base WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |             FROM base WHERE len(t) >= 3)),
+        |rep AS (
+        |  SELECT tot.doc_id, 1.0 - CAST(d.n AS DOUBLE) / tot.n_tot AS repetition
+        |  FROM tot JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) d
+        |    ON d.doc_id = tot.doc_id),
+        |curated AS (
+        |  SELECT l.doc_id FROM lang l
+        |  JOIN qual q ON q.doc_id = l.doc_id
+        |  JOIN rep r ON r.doc_id = l.doc_id
+        |  WHERE l.pred_lang = 'en' AND q.quality >= 1.0 AND r.repetition <= 0.2),
+        |csh AS (SELECT sh.* FROM sh JOIN curated c ON c.doc_id = sh.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(substr(md5(shingle || '#0'), 1, 16)) AS m0,
+        |    MIN(substr(md5(shingle || '#1'), 1, 16)) AS m1,
+        |    MIN(substr(md5(shingle || '#2'), 1, 16)) AS m2,
+        |    MIN(substr(md5(shingle || '#3'), 1, 16)) AS m3,
+        |    MIN(substr(md5(shingle || '#4'), 1, 16)) AS m4,
+        |    MIN(substr(md5(shingle || '#5'), 1, 16)) AS m5,
+        |    MIN(substr(md5(shingle || '#6'), 1, 16)) AS m6,
+        |    MIN(substr(md5(shingle || '#7'), 1, 16)) AS m7
+        |  FROM csh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, m0 || m1 || m2 || m3 AS band, 0 AS band_id FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, m4 || m5 || m6 || m7 AS band, 1 AS band_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN csh sa ON sa.doc_id = c.doc_a
+        |  JOIN csh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes za ON za.doc_id = c.doc_a
+        |  JOIN sizes zb ON zb.doc_id = c.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.src AS doc_id, w.lab
+        |  FROM edges e JOIN walk w ON w.doc_id = e.dst),
+        |clusters AS (
+        |  SELECT doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc_id),
+        |survivors AS (
+        |  SELECT c.doc_id FROM curated c
+        |  LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+        |  WHERE cl.doc_id IS NULL OR cl.cluster_id = c.doc_id),
+        |evb AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |ev5 AS (SELECT DISTINCT
+        |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |            || ' ' || t[i+4] AS shingle
+        |        FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i
+        |              FROM evb WHERE len(t) >= 5)),
+        |s5 AS (SELECT b.doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |           || ' ' || t[i+4] AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |             FROM base WHERE len(t) >= 5) b
+        |       JOIN survivors sv ON sv.doc_id = b.doc_id),
+        |dirty AS (SELECT DISTINCT s.doc_id
+        |          FROM s5 s JOIN ev5 e ON e.shingle = s.shingle),
+        |clean AS (SELECT sv.doc_id FROM survivors sv
+        |          LEFT JOIN dirty dy ON dy.doc_id = sv.doc_id
+        |          WHERE dy.doc_id IS NULL),
+        |cdocs AS (SELECT d.doc_id, d.text, d.source
+        |          FROM corpus d JOIN clean c ON c.doc_id = d.doc_id),
+        |mc AS (SELECT source, SUM(len(string_split_regex(text, '\s+'))) AS n
+        |       FROM cdocs GROUP BY source),
+        |mt AS (
+        |  SELECT source, printf('%05x', CAST(FLOOR(65536 * LEAST(
+        |    CAST(1.0 AS DOUBLE),
+        |    (CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+        |                 WHEN 'src2' THEN CAST(0.1 AS DOUBLE)
+        |                 WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+        |                 WHEN 'src4' THEN CAST(0.025 AS DOUBLE) END)
+        |      * CAST(5000 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS thr
+        |  FROM mc WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |samp AS (
+        |  SELECT d.doc_id, d.text FROM cdocs d JOIN mt ON mt.source = d.source
+        |  WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 4)
+        |        < mt.thr),
+        |pt AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |       FROM samp),
+        |po AS (SELECT doc_id, shard, n_tokens,
+        |       CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |         AS BIGINT) AS start_offset
+        |       FROM pt)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  CAST(start_offset // 2048 AS BIGINT) AS pack_id
+        |FROM po""".stripMargin,
     "q37_knn_bruteforce" ->
       """WITH pairs AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
@@ -5177,6 +5343,66 @@ object SparkEntry {
         |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
         |  JOIN embeddings p ON p.vec_id = pl.probe_id
         |  JOIN embeddings n ON n.vec_id = a.neighbor_id)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+        |  cosine
+        |FROM cand
+        |QUALIFY rank <= 5""".stripMargin,
+    // q116: q65's probe algebra, with the candidate RANKING on
+    // re-derived int8 codes (the f32 chain below is bit-identical to
+    // Sq8Math.encode — x/mx and ·127 correctly rounded to FLOAT,
+    // Math.round(f) ≡ floor(f + 0.5f)) and a top-20 float refine.
+    "q116_ann_sq8" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 10
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(FLOOR(CAST(CAST(x / mx AS FLOAT) * CAST(127.0 AS FLOAT) AS FLOAT)
+        |                 + CAST(0.5 AS FLOAT)) AS BIGINT)) END AS c
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |        FROM embeddings)),
+        |qcand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(nc.c AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(nc.c AS DOUBLE[]), CAST(nc.c AS DOUBLE[]))))
+        |      AS qcos
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN codes nc ON nc.vec_id = a.neighbor_id),
+        |pool AS (
+        |  SELECT probe_id, neighbor_id FROM qcand
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY qcos DESC, neighbor_id) <= 20),
+        |cand AS (
+        |  SELECT r.probe_id, r.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM pool r
+        |  JOIN embeddings p ON p.vec_id = r.probe_id
+        |  JOIN embeddings n ON n.vec_id = r.neighbor_id)
         |SELECT probe_id, neighbor_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,

@@ -975,6 +975,74 @@ object Corpus {
       .withColumn("pack_id", expr(s"start_offset DIV $maxTokens"))
   }
 
+  /** End-to-end corpus build — the production artifact a pretraining-data
+    * user actually ships, chaining the five individually-certified stages
+    * in their canonical order:
+    *
+    *   1. [[curate]] — C4/Gopher-style lang-id + quality + repetition
+    *      gates (the q72 stage);
+    *   2. near-dup removal — [[TextDedup.nearDupPairs]] →
+    *      [[TextDedup.survivors]] over the CURATED set (the q81 stage:
+    *      MinHash/LSH candidates, exact-Jaccard verify, connected
+    *      components, loser anti-join);
+    *   3. decontamination — the GPT-3-style exact-overlap rule: ANY
+    *      distinct `contamN`-gram shared with the `benchmark` frame
+    *      disqualifies the document (the q68/q79 membership algebra with
+    *      the sides REVERSED: the keep decision is per TRAIN candidate,
+    *      and the benchmark — small by definition — is the broadcast
+    *      side, so the corpus never shuffles for this stage). `contamN`
+    *      is deliberately WIDER than the dedup shingle width: short
+    *      n-grams are shared vocabulary, not evidence of leakage — at
+    *      sf0.1 the median doc shares 61% of its TRIgrams with the
+    *      benchmark slice but only 4% of docs share any 5-gram. A doc
+    *      shorter than `contamN` tokens has no n-grams and is trivially
+    *      clean. The decision is an integer count = 0 — no float;
+    *   4. token-budget mixture sampling — [[tokenMixtureSample]] (the
+    *      q111 stage: per-source keep rates `min(1, w_s·budget/m_s)`
+    *      decided on salted-md5 hex buckets);
+    *   5. [[packSequences]] — concatenate-then-chunk offsets and pack
+    *      ids inside hash shards (the q67 stage).
+    *
+    * Every stage keeps its own certified scale posture (curate: two
+    * corpus scans; dedup: Σdf² banded candidates; decontaminate:
+    * broadcast benchmark keys + map-side probe; mixture: broadcast rate
+    * table + map-side filter; pack: shard-local windows), and the
+    * stage interfaces are doc_id semi-joins — only 8-byte keys shuffle
+    * between stages. The value of registering the CHAIN as one query is
+    * interface-drift detection: the per-stage oracles cannot see a
+    * survivor set wired to the wrong input or a rate table computed over
+    * the wrong denominator population (the mixture rates here MUST be
+    * computed over the decontaminated survivors, not the raw corpus —
+    * exactly the class of bug a composed oracle pins).
+    */
+  def corpusBuild(docs: DataFrame, benchmark: DataFrame,
+                  weights: Map[String, Double], tokenBudget: Long,
+                  dedupThreshold: Double = 0.5, contamN: Int = 5,
+                  maxTokens: Int = 2048, numShards: Int = 8,
+                  n: Int = 3): DataFrame = {
+    require(contamN >= n,
+      s"corpusBuild: contamN must be >= the dedup shingle width $n (short " +
+        s"n-grams are shared vocabulary, not leakage), got $contamN")
+    val curated = docs.join(
+      curate(docs, n = n).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deduped = TextDedup.survivors(curated,
+      TextDedup.nearDupPairs(curated, dedupThreshold))
+    // Benchmark membership rides the 8-byte hashed-shingle identity (the
+    // q79 re-key): one map-side broadcast semi-join over the survivors'
+    // distinct n-grams; only the tiny contaminated-id set is ever
+    // aggregated or anti-joined.
+    val benchKeys = hashedShingles(benchmark, contamN)
+      .select(col("_h")).distinct()
+    val dirtyIds = hashedShingles(deduped, contamN)
+      .join(broadcast(benchKeys), Seq("_h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(dirtyIds, Seq("doc_id"), "left_anti")
+    val sampledIds = tokenMixtureSample(clean, weights, tokenBudget)
+      .select(col("doc_id"))
+    packSequences(clean.join(sampledIds, Seq("doc_id"), "left_semi"),
+      maxTokens, numShards)
+  }
+
   /** Directed n-gram containment pairs — `|A ∩ B| / |A| ≥ tauNum/tauDen`
     * over distinct word n-gram sets. The ASYMMETRIC cousin of the Jaccard
     * dedup family (Broder's containment, the quote/mirror/wrapper
