@@ -134,6 +134,53 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One blocklist-gate micro-batch; exposed for tests. Admits the docs
+    * whose blocklist density stays AT or UNDER `per100` hits per 100
+    * chars — the complement of [[graft.text.TextAnalysis.blocklistGate]]
+    * (which returns the quarantine side); the two partition each batch
+    * exactly. The decision is the same integer cross-multiply
+    * (`total·100 > per100·n_chars` flags), evaluated by one Aho-Corasick
+    * automaton walk per document — row-wise, shuffle-free at any batch
+    * size.
+    */
+  private[graft] def blocklistGateBatch(batch: org.apache.spark.sql.DataFrame,
+                                        terms: Seq[String], per100: Long)
+      : org.apache.spark.sql.DataFrame =
+    batch.join(
+      graft.text.TextAnalysis.blocklistGate(batch, terms, per100)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** The streaming blocklist safety gate — q217/q218's ingest twin (every
+    * other gate family has its streaming member; this completes the
+    * safety one). Each micro-batch walks the FROZEN term automaton and
+    * the admitted docs land batch_id-partitioned through dynamic
+    * partition overwrite — the [[pplGateQuery]] sink contract: the
+    * per-doc decision depends only on the doc and the frozen term list,
+    * so a replayed batch rewrites the same partition with the same
+    * content and the sink converges under at-least-once delivery.
+    * Swap `terms` for the production safety/licence list; the plan is
+    * identical. The batch row (q218) already certifies the decision
+    * algebra against the DuckDB oracle; StreamingSpec pins
+    * chop-invariance and replay convergence here.
+    */
+  def blocklistGateQuery(spark: SparkSession, srcDir: String, outDir: String,
+                         checkpointDir: String, schema: StructType,
+                         terms: Seq[String] =
+                           graft.text.TextAnalysis.blocklistTerms,
+                         per100: Long = 11L): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Upsert.overwritePartitions(
+          blocklistGateBatch(batch, terms, per100)
+            .withColumn("batch_id", lit(batchId)),
+          outDir, Seq("batch_id"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One novelty-gate micro-batch; exposed for tests. Admits the docs
     * whose novel-shingle share clears `tauNum/tauDen` against the
     * at-rest shingle index (`n_novel · tauDen ≥ n_shingles · tauNum` —

@@ -384,6 +384,51 @@ class StreamingSpec extends SparkSpec {
       "replay must converge to the same survivor set without duplicates")
   }
 
+  test("streaming blocklist gate: chop-invariant decisions, admitted = batch complement, replay converges") {
+    import graft.streaming.CorpusStream
+    import graft.text.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("graft-blgate").toString
+    val (src, out, cp) = (s"$root/src", s"$root/out", s"$root/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val schema = docs.schema
+    def run(): Unit = {
+      val q = CorpusStream.blocklistGateQuery(spark, s"$src/*", out, cp,
+        schema)
+      q.processAllAvailable(); q.stop()
+    }
+    // two arbitrary chops — the decision is per-doc against the frozen
+    // term list, so the union of per-batch admits must equal the batch
+    // form's complement over the whole pool
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$src/w1")
+    run()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$src/w2")
+    run()
+    val got = spark.read.parquet(out).select(col("doc_id"))
+      .as[Long].collect().toSet
+    val flagged = TextAnalysis.blocklistGate(docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val want = docs.select(col("doc_id")).as[Long].collect().toSet -- flagged
+    assert(got == want,
+      "streamed admits must equal the batch gate's complement")
+    assert(flagged.nonEmpty, "the gate must actually quarantine a tail")
+    // re-running on the SAME checkpoint with no new data is a no-op
+    run()
+    assert(spark.read.parquet(out).select(col("doc_id"))
+      .as[Long].collect().toSet == want)
+    // full replay = fresh checkpoint AND fresh sink: everything lands in
+    // batch 0 and converges to the same admitted set, no duplicates
+    val q2 = CorpusStream.blocklistGateQuery(spark, s"$src/*",
+      s"$root/out2", s"$root/cp2", schema)
+    q2.processAllAvailable(); q2.stop()
+    val replayed = spark.read.parquet(s"$root/out2").select(col("doc_id"))
+      .as[Long].collect()
+    assert(replayed.length == replayed.distinct.length &&
+      replayed.toSet == want,
+      "replay must converge to the same admitted set without duplicates")
+  }
+
   test("streaming hist state: quantile is batch-chop-invariant and replay-safe") {
     import graft.ops.Agg
     val root = java.nio.file.Files.createTempDirectory("graft-hstream").toString
