@@ -448,9 +448,11 @@ object SparkEntry {
     // J7 quantization ladder rung past SQ8: product-quantized ranking scan
     // (m=8 bytes/vector, 32× under float32) + float refine of the top-R.
     // The k-means codebook is maintenance state (ensure-once, like the
-    // IVF/zorder rows); rows-only like q116 — recall floor and
-    // pqCosine ≡ reconstructed-cosine bit-identity are spec-pinned
-    // (VectorSpec), q37 is the exact twin.
+    // IVF/zorder rows); rows-only — the PQ codebook is trained float
+    // k-means, engine-internal (unlike q116's scale-free SQ8 codes,
+    // hash-exact since r18); recall floor and pqCosine ≡
+    // reconstructed-cosine bit-identity are spec-pinned (VectorSpec),
+    // q37 is the exact twin.
     "q127_pq_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // ONE at-rest codebook format tree-wide: the same
@@ -1780,11 +1782,13 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
     }),
     // J7 quantized ANN — HASH-EXACT since round 18: Sq8Encode is pure
-    // deterministic float32 math (`round(v_i/max|v|·127)`), and DuckDB
-    // re-derives the codes bit-identically with an explicit f32 op chain
-    // (x/mx and ·127 each correctly rounded to FLOAT, Math.round spelled
-    // as floor(x + 0.5f); verified 0 mismatches over every testdata
-    // vector before the flip). The quantized ranking is then the q37
+    // deterministic float32 math (`floor(v_i/max|v|·127 + 0.5f)` — the
+    // explicit floor spelling, chosen over Math.round precisely because
+    // post-JDK-9 Math.round diverges from floor(x+0.5f) on the
+    // largest-float-below-k+0.5 class; see Sq8Math.encode), and DuckDB
+    // re-derives the codes bit-identically with the same f32 op chain
+    // (verified 0 mismatches over every testdata vector before the
+    // flip). The quantized ranking is then the q37
     // double-accumulation cosine over (float probe, integer codes), and
     // the float refine is q65's algebra — so the WHOLE search is
     // oracle-derivable. v2: seed centroids (the q65/q181/q199 geometry)
@@ -1796,8 +1800,10 @@ object SparkEntry {
     // candidates only.
     "q116_ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // v3: floor(x+0.5f) encode spelling (could differ from v2's
+      // Math.round codes on boundary-class values — version hygiene)
       val ivfDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "ivfsq8", "v2") { d =>
+        s"$dir/embeddings.parquet", "ivfsq8", "v3") { d =>
         Similarity.writeIvfIndex(emb, d, nCentroids = 16, sq8 = true)
       }
       Similarity.searchIvfIndexSq8(s, ivfDir,
@@ -1808,7 +1814,9 @@ object SparkEntry {
     // (1/32 of the float bytes; sq8 is 1/4), float refine of the top-40
     // (the wider pool PQ's coarser codes need — see VectorSpec). Codebook
     // + codes persist beside the lists; appends/rebuilds preserve the
-    // variant. Rows-only like q116; q65 is the float twin.
+    // variant. Rows-only (trained centroids + trained codebook —
+    // engine-internal float k-means, unlike q116's now-hash-exact
+    // SQ8); q65 is the float twin.
     "q128_ann_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // v2: opq = true — the index learns its rotation at build time and
@@ -5350,9 +5358,10 @@ object SparkEntry {
         |FROM cand
         |QUALIFY rank <= 5""".stripMargin,
     // q116: q65's probe algebra, with the candidate RANKING on
-    // re-derived int8 codes (the f32 chain below is bit-identical to
-    // Sq8Math.encode — x/mx and ·127 correctly rounded to FLOAT,
-    // Math.round(f) ≡ floor(f + 0.5f)) and a top-20 float refine.
+    // re-derived int8 codes (the f32 chain below IS Sq8Math.encode
+    // op-for-op — x/mx and ·127 correctly rounded to FLOAT, then the
+    // explicit floor(x + 0.5f) both sides spell) and a top-20 float
+    // refine.
     "q116_ann_sq8" ->
       """WITH centroids AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb

@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
 
 /** Symmetric int8 scalar quantization of a float embedding (the ANN
-  * memory/scan-cost leg): `code_i = round(v_i / max|v| · 127)`, one byte
-  * per dimension — 4× fewer bytes than float32 in the scan that dominates
-  * IVF search cost at 100 TB. The per-vector scale is deliberately NOT
+  * memory/scan-cost leg): `code_i = floor(v_i / max|v| · 127 + 0.5f)` —
+  * round-half-up via the explicit floor identity, every intermediate a
+  * correctly-rounded float32 op, so plain SQL re-derives the codes
+  * bit-identically (the q116 hash-exact contract; see the boundary-class
+  * note in [[Sq8Math.encode]]). One byte per dimension — 4× fewer bytes
+  * than float32 in the scan that dominates IVF search cost at 100 TB. The per-vector scale is deliberately NOT
   * stored: cosine is scale-invariant in each argument, so ranking against
   * the raw codes loses only the ~7-bit rounding of the DIRECTION, never
   * the magnitude (which is why this works for cosine search and would be
@@ -124,7 +127,16 @@ object Sq8Math {
     if (mx == 0.0f) return out // zero vector → all-zero codes
     i = 0
     while (i < n) {
-      out(i) = math.round(v.getFloat(i) / mx * 127.0f).toByte
+      // Deliberately floor(x + 0.5f), NOT Math.round: since JDK 9
+      // (JDK-8010430) Math.round(0.49999997f) == 0 while the float sum
+      // 0.49999997f + 0.5f rounds UP to 1.0f — so the two differ on the
+      // largest-float-below-k+0.5 boundary class. floor(x + 0.5f) is the
+      // spelling plain SQL reproduces exactly (FLOOR(x + CAST(0.5 AS
+      // FLOAT)) — the q116 oracle), and the ≤2⁻²⁴-wide deviation from
+      // round-half-up is immaterial to a 7-bit quantizer whose whole
+      // rounding step loses ~2⁻⁸ of direction anyway.
+      out(i) = math.floor(
+        (v.getFloat(i) / mx * 127.0f + 0.5f).toDouble).toInt.toByte
       i += 1
     }
     out

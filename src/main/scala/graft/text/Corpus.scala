@@ -1018,15 +1018,26 @@ object Corpus {
   def corpusBuild(docs: DataFrame, benchmark: DataFrame,
                   weights: Map[String, Double], tokenBudget: Long,
                   dedupThreshold: Double = 0.5, contamN: Int = 5,
-                  maxTokens: Int = 2048, numShards: Int = 8,
-                  n: Int = 3): DataFrame = {
-    require(contamN >= n,
-      s"corpusBuild: contamN must be >= the dedup shingle width $n (short " +
+                  maxTokens: Int = 2048, numShards: Int = 8): DataFrame = {
+    // Curate and dedup shingle at the family-wide width 3 (curate's
+    // default and the ONLY width nearDupPairs speaks — a configurable
+    // dedup n here would be a lie, the round-18 review finding);
+    // contamN parameterizes just the decontamination stage.
+    require(contamN >= 3,
+      "corpusBuild: contamN must be >= the dedup shingle width 3 (short " +
         s"n-grams are shared vocabulary, not leakage), got $contamN")
+    // Stage outputs are consumed 2-3× each downstream (deduped by the
+    // decontamination probe AND the anti-join; clean by the mixture's
+    // rate aggregate, its probe side, and the pack input), so each is
+    // materialized ONCE — the q86/sourceOverlap lesson: exchange reuse
+    // does not unify consumers, and without the checkpoints the
+    // two-scan curate pipeline re-executes per consumer.
     val curated = docs.join(
-      curate(docs, n = n).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      curate(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val deduped = TextDedup.survivors(curated,
       TextDedup.nearDupPairs(curated, dedupThreshold))
+      .localCheckpoint()
     // Benchmark membership rides the 8-byte hashed-shingle identity (the
     // q79 re-key): one map-side broadcast semi-join over the survivors'
     // distinct n-grams; only the tiny contaminated-id set is ever
@@ -1037,6 +1048,7 @@ object Corpus {
       .join(broadcast(benchKeys), Seq("_h"), "left_semi")
       .select(col("doc_id")).distinct()
     val clean = deduped.join(dirtyIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val sampledIds = tokenMixtureSample(clean, weights, tokenBudget)
       .select(col("doc_id"))
     packSequences(clean.join(sampledIds, Seq("doc_id"), "left_semi"),

@@ -1004,7 +1004,10 @@ class VectorSpec extends SparkSpec {
     def enc(v: Seq[Float]): Array[Byte] = {
       val mx = v.map(math.abs).max
       if (mx == 0f) new Array[Byte](v.size)
-      else v.map(x => math.round(x / mx * 127.0f).toByte).toArray
+      // the documented floor(x + 0.5f) spelling — NOT Math.round, which
+      // diverges on the largest-float-below-k+0.5 class since JDK 9
+      else v.map(x =>
+        math.floor((x / mx * 127.0f + 0.5f).toDouble).toInt.toByte).toArray
     }
     def cosD(p: Seq[Float], c: Array[Byte]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
