@@ -16,11 +16,14 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: runMain graft.JobProfile <query_name>  " +
-          "(a key of SparkEntry.queries, e.g. q209_semantic_cluster_forget)")
+        "usage: runMain graft.JobProfile <query_name> [sfDir]  " +
+          "(a key of SparkEntry.queries, e.g. q209_semantic_cluster_forget; " +
+          "sfDir defaults to /root/testdata/sf0.1 — pass a fixtures dir " +
+          "for the ratio-vs-SF investigations)")
       sys.exit(2)
     }
     val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     if (!SparkEntry.queries.contains(name)) {
       System.err.println(s"unknown query '$name' — keys: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
@@ -44,7 +47,7 @@ object JobProfile {
     spark.catalog.clearCache()
     jobs.set(0)
     val t0 = System.nanoTime()
-    q(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+    q(spark, sfDir).queryExecution.toRdd.count()
     val dt = (System.nanoTime() - t0) / 1e9
     // a fully-cached query can trigger zero jobs — report the wall time
     // without a nonsense Infinity ms/job

@@ -145,10 +145,33 @@ object Multimodal {
       struct(lit(i).as("band"),
         shiftright(col(hashCol), i * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
 
+  /** Image/video twin of the audio-family [[firstMatchingBand]], over the
+    * fixed 4×14-bit pHash geometry of [[bandStructs]]: the index of the
+    * FIRST band where two hashes agree. Keeping only
+    * `band === firstMatchingPhashBand(a, b)` emits each (row_a, row_b)
+    * candidate exactly once — a row-wise predicate in codegen instead of
+    * a candidate-volume distinct exchange. Exact for distinct input rows
+    * (one phash per asset on the image path; the video paths' inputs are
+    * distinct (asset, fhash) by construction, and their count_distinct
+    * aggregates are duplicate-invariant besides).
+    */
+  private def firstMatchingPhashBand(
+      hA: org.apache.spark.sql.Column,
+      hB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def bv(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, i * 14).bitwiseAND(lit(16383L))
+    (0 until 4).reverse.foldLeft(lit(-1)) { (els, i) =>
+      when(bv(hA, i) === bv(hB, i), lit(i)).otherwise(els)
+    }
+  }
+
   def nearDupByPHash(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded search over 4 bands guarantees hamming <= 3, got $maxHamming")
-    val keyed = hashes.select(col("asset_id"), col("phash"),
+    // dedup the per-asset input first (one row per asset — tiny): the
+    // exchange-free band dedup below is exact for distinct input rows
+    val keyed = hashes.select(col("asset_id"), col("phash")).distinct()
+      .select(col("asset_id"), col("phash"),
         explode(bandStructs("phash")).as("b"))
       .select(col("asset_id"), col("phash"), col("b.band").as("band"),
         col("b.bv").as("bv"))
@@ -158,17 +181,15 @@ object Multimodal {
         col("asset_id").as("asset_b"), col("phash").as("ph_b")),
         Seq("band", "bv"))
       .filter(col("asset_a") < col("asset_b"))
-      // popcount BEFORE the dedup: the verify reads only the dedup key's
-      // columns and is deterministic, so filter-then-distinct is
-      // set-identical — and chance band collisions (the bulk of the
-      // candidate volume) die in codegen instead of paying the distinct
-      // exchange
+      // popcount first: chance band collisions (the bulk of the
+      // candidate volume) die in codegen before the dedup
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"),
-        col("hamming"))
-      .distinct()
+      // exchange-free band dedup (see [[firstMatchingPhashBand]]): one
+      // row per matching pair, no candidate-sized distinct exchange
+      .filter(col("band") === firstMatchingPhashBand(col("ph_a"),
+        col("ph_b")))
       .select(col("asset_a"), col("asset_b"), col("hamming"))
   }
 
@@ -301,12 +322,14 @@ object Multimodal {
             col("asset_id").as("asset_b"), col("fhash").as("ph_b")),
             Seq("band", "bv"))
           .filter(col("asset_a") < col("asset_b"))
-          // popcount before the dedup — set-identical (the verify reads
-          // only dedup-key columns), and failed candidates skip the
-          // distinct exchange (see the image-path comment)
+          // popcount first — failed candidates die in codegen
           .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
-          .select(col("asset_a"), col("asset_b"), col("ph_a"), col("ph_b"))
-          .distinct()
+          // exchange-free band dedup: inputs are distinct (asset, fhash)
+          // and the count_distinct aggregate is duplicate-invariant
+          // besides, so dropping the candidate-sized distinct exchange
+          // is doubly safe (see [[firstMatchingPhashBand]])
+          .filter(col("band") === firstMatchingPhashBand(col("ph_a"),
+            col("ph_b")))
           .groupBy(col("asset_a"), col("asset_b"))
           .agg(least(count_distinct(col("ph_a")),
             count_distinct(col("ph_b"))).as("n_matched"))
@@ -542,12 +565,12 @@ object Multimodal {
           .join(broadcast(banded(delta, "asset_b", "ph_b", "n_b")),
             Seq("band", "bv"))
           .filter(col("asset_a") =!= col("asset_b"))
-          // popcount before the dedup — set-identical, failed candidates
-          // skip the distinct exchange (see the image-path comment)
+          // popcount first — failed candidates die in codegen
           .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
-          .select(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"),
-            col("ph_a"), col("ph_b"))
-          .distinct()
+          // exchange-free band dedup (see [[firstMatchingPhashBand]]);
+          // the count_distinct aggregate is duplicate-invariant besides
+          .filter(col("band") === firstMatchingPhashBand(col("ph_a"),
+            col("ph_b")))
           .groupBy(col("asset_a"), col("asset_b"), col("n_a"), col("n_b"))
           .agg(least(count_distinct(col("ph_a")),
             count_distinct(col("ph_b"))).as("n_matched"))
@@ -646,13 +669,16 @@ object Multimodal {
             col("asset_id").as("asset_b"), col("window_index").as("w_b"),
             col("fp").as("fp_b")), Seq("band", "bv"))
           .filter(col("asset_a") < col("asset_b"))
-          // popcount before the dedup — set-identical, failed candidates
-          // skip the distinct exchange (see the image-path comment)
+          // popcount first — failed candidates never reach the dedup
           .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
             <= maxHamming)
-          .select(col("asset_a"), col("w_a"), col("fp_a"),
-            col("asset_b"), col("w_b"), col("fp_b"))
-          .distinct()
+          // exchange-free band dedup: a pair meets once per agreeing
+          // band; keeping only the FIRST agreeing band emits it exactly
+          // once with a row-wise predicate (set-identical to the old
+          // candidate-sized `.distinct()`, which dominated the plan at
+          // dense-candidate scale — BASELINE.md round-18)
+          .filter(col("band") === firstMatchingBand(col("fp_a"),
+            col("fp_b"), maxHamming))
           .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
       }
     bestAlignment(matched, minVotes)
@@ -669,16 +695,46 @@ object Multimodal {
     * the batch and delta tolerant matchers so a geometry change can
     * never diverge them.
     */
-  private def audioBandStructs(fpCol: String,
-                               maxHamming: Int): org.apache.spark.sql.Column = {
+  /** One definition of the 32-bit band geometry for the audio family —
+    * [[audioBandStructs]] (key emission) and [[firstMatchingBand]]
+    * (exchange-free dedup) must never disagree on widths/offsets.
+    */
+  private def audioBandGeometry(maxHamming: Int): (Seq[Int], Seq[Int]) = {
     val nBands = maxHamming + 1
     val widths = Seq.tabulate(nBands)(i => 32 / nBands +
       (if (i < 32 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    array((0 until nBands).map(i =>
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  private def audioBandStructs(fpCol: String,
+                               maxHamming: Int): org.apache.spark.sql.Column = {
+    val (widths, offsets) = audioBandGeometry(maxHamming)
+    array(widths.indices.map(i =>
       struct(lit(i).as("band"),
         shiftright(col(fpCol), offsets(i))
           .bitwiseAND(lit((1L << widths(i)) - 1L)).as("bv"))): _*)
+  }
+
+  /** The index of the FIRST band where two fingerprints agree — the
+    * exchange-free replacement for the candidate `.distinct()`: a pair
+    * of (asset, window) rows meets once per agreeing band, so keeping
+    * only `band === firstMatchingBand(fp_a, fp_b)` emits each pair
+    * EXACTLY once with a row-wise predicate instead of a corpus-of-
+    * candidates-sized distinct exchange. Measured at the 50k-doc
+    * fixture (q151): the distinct was the dominant stage — the dense
+    * shared-vocabulary n-grams put ~10⁷ surviving candidates through
+    * it (BASELINE.md round-18). Rows reaching the popcount filter
+    * matched in some band, so the CASE always resolves for them.
+    */
+  private def firstMatchingBand(fpA: org.apache.spark.sql.Column,
+                                fpB: org.apache.spark.sql.Column,
+                                maxHamming: Int): org.apache.spark.sql.Column = {
+    val (widths, offsets) = audioBandGeometry(maxHamming)
+    def bv(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    widths.indices.reverse.foldLeft(lit(-1)) { (els, i) =>
+      when(bv(fpA, i) === bv(fpB, i), lit(i)).otherwise(els)
+    }
   }
 
   private def requireTolerantAudioFp(df: DataFrame, maxHamming: Int): Unit = {
@@ -818,13 +874,13 @@ object Multimodal {
             col("b.band").as("band"), col("b.bv").as("bv"))
         ikeyed.join(broadcast(dkeyed), Seq("band", "bv"))
           .filter(col("asset_a") =!= col("asset_b"))
-          // popcount before the dedup — set-identical, failed candidates
-          // skip the distinct exchange (see the image-path comment)
+          // popcount first — failed candidates never reach the dedup
           .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
             <= maxHamming)
-          .select(col("asset_a"), col("w_a"), col("fp_a"),
-            col("asset_b"), col("w_b"), col("fp_b"))
-          .distinct()
+          // exchange-free band dedup (see [[firstMatchingBand]]): the
+          // probe's candidate volume never pays a distinct exchange
+          .filter(col("band") === firstMatchingBand(col("fp_a"),
+            col("fp_b"), maxHamming))
           .select(col("asset_a"), col("w_a"), col("asset_b"), col("w_b"))
       }
     bestAlignment(matched, minVotes)
