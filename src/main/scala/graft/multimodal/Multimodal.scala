@@ -141,9 +141,22 @@ object Multimodal {
     * never diverge them (round-11 review finding).
     */
   private def bandStructs(hashCol: String): org.apache.spark.sql.Column =
-    array((0 until 4).map(i =>
-      struct(lit(i).as("band"),
-        shiftright(col(hashCol), i * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
+    array((0 until PhashBandCount).map(i =>
+      struct(lit(i).as("band"), phashBandValue(col(hashCol), i).as("bv"))): _*)
+
+  /** One definition of the fixed 4×14-bit pHash band geometry —
+    * [[bandStructs]] (key emission) and [[firstMatchingPhashBand]]
+    * (exchange-free dedup) must never disagree on widths/offsets, the
+    * same single-definition rule [[audioBandGeometry]] enforces for the
+    * audio family (round-18 ADVICE).
+    */
+  private val PhashBandCount = 4
+  private val PhashBandBits = 14
+
+  private def phashBandValue(c: org.apache.spark.sql.Column,
+                             i: Int): org.apache.spark.sql.Column =
+    shiftright(c, i * PhashBandBits)
+      .bitwiseAND(lit((1L << PhashBandBits) - 1L))
 
   /** Image/video twin of the audio-family [[firstMatchingBand]], over the
     * fixed 4×14-bit pHash geometry of [[bandStructs]]: the index of the
@@ -157,13 +170,11 @@ object Multimodal {
     */
   private def firstMatchingPhashBand(
       hA: org.apache.spark.sql.Column,
-      hB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def bv(c: org.apache.spark.sql.Column, i: Int) =
-      shiftright(c, i * 14).bitwiseAND(lit(16383L))
-    (0 until 4).reverse.foldLeft(lit(-1)) { (els, i) =>
-      when(bv(hA, i) === bv(hB, i), lit(i)).otherwise(els)
+      hB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PhashBandCount).reverse.foldLeft(lit(-1)) { (els, i) =>
+      when(phashBandValue(hA, i) === phashBandValue(hB, i), lit(i))
+        .otherwise(els)
     }
-  }
 
   def nearDupByPHash(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -840,6 +851,16 @@ object Multimodal {
                                maxAssetsPerFp: Int = 64,
                                maxHamming: Int = 0): DataFrame = {
     requireTolerantAudioFp(delta, maxHamming)
+    // Distinct the (broadcast-small) delta rows up front — the
+    // exchange-free band dedup keeps each candidate only in its first
+    // agreeing band, which removes per-BAND multiplicity but not
+    // duplicate caller-supplied rows; the batch paths distinct their
+    // input explicitly and this public probe must not make that a
+    // silent precondition (round-18 ADVICE). In-repo callers feed
+    // [[audioIndexRows]] output (already distinct), so this is a value
+    // no-op for them at negligible broadcast-side cost.
+    val dRows = delta
+      .select(col("asset_id"), col("window_index"), col("fp")).distinct()
     val stopFps = index.groupBy(col("fp"))
       .agg(countDistinct(col("asset_id")).as("n_assets"))
       .filter(col("n_assets") > maxAssetsPerFp)
@@ -848,7 +869,7 @@ object Multimodal {
     val matched =
       if (maxHamming == 0)
         prunedIdx
-          .join(broadcast(delta.select(col("fp"),
+          .join(broadcast(dRows.select(col("fp"),
             col("asset_id").as("asset_b"), col("window_index").as("w_b"))),
             Seq("fp"))
           .filter(col("asset_id") =!= col("asset_b"))
@@ -866,7 +887,7 @@ object Multimodal {
           .select(col("asset_id").as("asset_a"),
             col("window_index").as("w_a"), col("fp").as("fp_a"),
             col("b.band").as("band"), col("b.bv").as("bv"))
-        val dkeyed = delta
+        val dkeyed = dRows
           .select(col("asset_id"), col("window_index"), col("fp"),
             explode(audioBandStructs("fp", maxHamming)).as("b"))
           .select(col("asset_id").as("asset_b"),

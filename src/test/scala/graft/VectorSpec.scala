@@ -1191,4 +1191,77 @@ class VectorSpec extends SparkSpec {
     assert(!withCopy.contains(50L),
       "an identical-id eval copy must drop its corpus twin")
   }
+
+  test("sq8 encode boundary class: floor(x+0.5f) pinned against the oracle " +
+    "chain on crafted k+0.5 vectors; k=0 divergence point unreachable") {
+    import graft.functions.Sq8Math
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // (1) The JDK divergence class itself (JDK-8010430): on the largest
+    // float below 0.5, post-JDK-9 Math.round answers 0 while the f32 sum
+    // 0.49999997f + 0.5f (exact value 1 − 2⁻²⁵, halfway between
+    // 1 − 2⁻²⁴ and 1.0) ties-to-even UP to 1.0f — the spellings differ,
+    // which is why Sq8Math.encode spells round-half-up as floor(x+0.5f).
+    val cls = java.lang.Math.nextDown(0.5f) // 0.49999997f
+    assert(Math.round(cls) == 0, "post-JDK-9 Math.round on the class")
+    assert(math.floor((cls + 0.5f).toDouble) == 1.0,
+      "the f32-sum spelling ties up — the documented divergence")
+    // (2) Crafted boundary vector — mx = 1.0 so the division step is
+    // exact under ANY float/double promotion scheme; each component's
+    // scaled product lands exactly ON k + 0.5 or on its largest-float-
+    // below neighbor (the class the driver testdata never exercises).
+    // Expected codes derived from first-principles correctly-rounded
+    // f32 ops and verified identical against DuckDB's q116 oracle FLOAT
+    // chain (BASELINE.md round-19) — the cross-engine pin the round-18
+    // ADVICE asked for.
+    val vec = Array(1.0f, 0.0039370074f, 0.003937008f, 0.011811023f,
+      0.011811024f, 0.39763775f, 0.996063f, -0.003937008f,
+      -0.0039370083f, -0.996063f)
+    // scaled: 127, 0.49999994, 0.5, 1.4999999, 1.5, 50.499996, 126.5,
+    //         -0.5, -0.50000006, -126.5
+    val expected = Array[Byte](127, 0, 1, 1, 2, 50, 127, 0, -1, -126)
+    val direct = Sq8Math.encode(new GenericArrayData(vec.map(x => x: Any)))
+    assert(direct.toSeq == expected.toSeq,
+      s"Sq8Math.encode boundary codes: got ${direct.toSeq}")
+    val df = Seq((1L, vec.toSeq)).toDF("vec_id", "embedding")
+    val colCodes = df.select(Similarity.sq8Encode($"embedding").as("c"))
+      .as[Array[Byte]].head()
+    assert(colCodes.toSeq == expected.toSeq, "codegen'd sq8Encode path")
+    // (3) The oracle's OWN spelling, evaluated by Spark SQL with the
+    // same explicit FLOAT casts the q116 DuckDB text uses — every
+    // intermediate a correctly-rounded f32 op, so any engine honoring
+    // IEEE f32 (DuckDB included) re-derives these codes bit-identically.
+    df.createOrReplaceTempView("sq8_boundary_v")
+    val sqlCodes = spark.sql(
+      """SELECT transform(embedding, x ->
+        |  CAST(FLOOR(CAST(CAST(x / mx AS FLOAT) * CAST(127.0 AS FLOAT)
+        |                  AS FLOAT) + CAST(0.5 AS FLOAT)) AS BIGINT)) AS c
+        |FROM (SELECT embedding,
+        |        array_max(transform(embedding, x -> abs(x))) AS mx
+        |      FROM sq8_boundary_v)""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(sqlCodes == expected.map(_.toLong).toSeq,
+      s"oracle-spelled SQL chain: got $sqlCodes")
+    // (4) The divergence point cannot ARISE from the chain: sweep EVERY
+    // f32 quotient t whose product t·127f lands near ±0.5 — the product
+    // grid (ulp(t)·127 ≈ 2⁻²⁴ there) skips 0.49999997f (= 0.5 − 2⁻²⁵)
+    // entirely, and both spellings agree on every reachable product.
+    // For k ≥ 1 the sum k + (0.5 − ulp) is exactly representable (same
+    // binade as k + 0.5), so k = 0 was the only candidate class — and
+    // this sweep pins it unreachable: no DuckDB version bump or new
+    // fixture data can flap the q116 gate on the boundary class.
+    def sweep(lo: Float, hi: Float): Int = {
+      var t = lo; var n = 0
+      while (t < hi) {
+        val u = t * 127.0f
+        assert(u != cls && u != -cls,
+          s"quotient $t reaches the divergence point")
+        assert(math.floor((u + 0.5f).toDouble).toLong == Math.round(u).toLong,
+          s"spellings diverge at quotient $t (product $u)")
+        t = java.lang.Math.nextUp(t); n += 1
+      }
+      n
+    }
+    assert(sweep(0.003933f, 0.003941f) > 15000, "positive window covered")
+    assert(sweep(-0.003941f, -0.003933f) > 15000, "negative window covered")
+  }
 }
