@@ -1019,6 +1019,28 @@ object Corpus {
                   weights: Map[String, Double], tokenBudget: Long,
                   dedupThreshold: Double = 0.5, contamN: Int = 5,
                   maxTokens: Int = 2048, numShards: Int = 8): DataFrame = {
+    val clean = corpusBuildClean(docs, benchmark, dedupThreshold, contamN)
+    // The mixture rates MUST be computed over the decontaminated
+    // survivors — `clean` is both the rate denominator population and
+    // the probe side (the exact interface the composed q220 oracle and
+    // TextSpec's wiring test pin).
+    val sampledIds = tokenMixtureSample(clean, weights, tokenBudget)
+      .select(col("doc_id"))
+    packSequences(clean.join(sampledIds, Seq("doc_id"), "left_semi"),
+      maxTokens, numShards)
+  }
+
+  /** Stages 1–3 of [[corpusBuild]] — curate, near-dup removal,
+    * decontamination — returning the CLEAN survivor frame every
+    * downstream rate must be computed over. Split out (round 19) because
+    * two consumers need exactly this population: [[corpusBuild]] (which
+    * samples and packs it) and the streaming ingest twin's replay-parity
+    * contract ([[graft.streaming.CorpusStream.corpusBuildIngestQuery]]),
+    * which must converge to this batch set under any batch chop.
+    */
+  def corpusBuildClean(docs: DataFrame, benchmark: DataFrame,
+                       dedupThreshold: Double = 0.5,
+                       contamN: Int = 5): DataFrame = {
     // Curate and dedup shingle at the family-wide width 3 (curate's
     // default and the ONLY width nearDupPairs speaks — a configurable
     // dedup n here would be a lie, the round-18 review finding);
@@ -1038,22 +1060,34 @@ object Corpus {
     val deduped = TextDedup.survivors(curated,
       TextDedup.nearDupPairs(curated, dedupThreshold))
       .localCheckpoint()
-    // Benchmark membership rides the 8-byte hashed-shingle identity (the
-    // q79 re-key): one map-side broadcast semi-join over the survivors'
-    // distinct n-grams; only the tiny contaminated-id set is ever
-    // aggregated or anti-joined.
-    val benchKeys = hashedShingles(benchmark, contamN)
-      .select(col("_h")).distinct()
-    val dirtyIds = hashedShingles(deduped, contamN)
+    val dirtyIds = contaminatedIds(deduped, benchmarkKeys(benchmark, contamN),
+      contamN)
+    deduped.join(dirtyIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+  }
+
+  /** Distinct hashed `contamN`-gram keys of the benchmark frame — the
+    * FROZEN broadcast side of the decontamination probe (tiny by
+    * definition: eval sets are bounded by hand-curation, so the corpus
+    * never shuffles for this stage). Benchmark membership rides the
+    * 8-byte hashed-shingle identity (the q79 re-key).
+    */
+  def benchmarkKeys(benchmark: DataFrame, contamN: Int = 5): DataFrame =
+    hashedShingles(benchmark, contamN).select(col("_h")).distinct()
+
+  /** Ids of `docs` sharing at least one distinct `contamN`-gram with
+    * `benchKeys` — the GPT-3-style exact-overlap disqualification rule;
+    * the decision is an integer count = 0, no float. One map-side
+    * broadcast semi-join over the docs' hashed shingles; only the tiny
+    * contaminated-id set is ever aggregated or anti-joined. Per-doc
+    * independent given the frozen keys, which is what lets the
+    * streaming ingest apply it batch-by-batch with no chop sensitivity.
+    */
+  def contaminatedIds(docs: DataFrame, benchKeys: DataFrame,
+                      contamN: Int = 5): DataFrame =
+    hashedShingles(docs, contamN)
       .join(broadcast(benchKeys), Seq("_h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val clean = deduped.join(dirtyIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val sampledIds = tokenMixtureSample(clean, weights, tokenBudget)
-      .select(col("doc_id"))
-    packSequences(clean.join(sampledIds, Seq("doc_id"), "left_semi"),
-      maxTokens, numShards)
-  }
 
   /** Directed n-gram containment pairs — `|A ∩ B| / |A| ≥ tauNum/tauDen`
     * over distinct word n-gram sets. The ASYMMETRIC cousin of the Jaccard

@@ -1003,4 +1003,57 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == "no pii here")
     assert(out(5L) == null)
   }
+
+  test("corpusBuild wiring: mixture rates computed over decontaminated " +
+    "survivors (planted doc flips a keep decision); contamN boundary") {
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+      .mkString(" ")
+    // 7 clean 30-token docs (ids 0-6), one contaminated 10-token doc
+    // (id 7 shares the 5-gram cont1..cont5 with the benchmark), one
+    // near-dup pair (ids 8/9, 20 tokens, Jaccard ~0.71 -> 9 loses).
+    // Clean population = {0-6, 8} = 230 tokens. With budget 110 the
+    // keep threshold is floor(65536*110/230) = 31343, so doc 5 (salted
+    // md5 bucket 30706) is KEPT; computed over the PRE-decontamination
+    // population (240 tokens -> 30037) or the PRE-dedup one (260 ->
+    // 27726) it is DROPPED — the planted doc's tokens flip a real
+    // decision, which is exactly the wiring class the composed q220
+    // oracle pins and this fixture isolates.
+    val d = docs(
+      ((0L to 6L).map(i => (i, s"the a row ${toks(s"u${i}x", 27)}")) ++
+        Seq(
+          (7L, "the a row cont1 cont2 cont3 cont4 cont5 d7x d7y"),
+          (8L, s"the a row ${toks("v", 17)}"),
+          (9L, s"the a row ${toks("v", 16)} w99"))): _*)
+    val benchmark = docs(
+      (100L, "bmA bmB cont1 cont2 cont3 cont4 cont5 bmC"))
+    val clean = Corpus.corpusBuildClean(d, benchmark)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L),
+      s"clean survivor set: $clean")
+    val out = Corpus.corpusBuild(d, benchmark, Map("s" -> 1.0), 110L)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(3L, 5L),
+      "sampled+packed set under correctly-wired rates")
+    assert(out.forall(_.getAs[Long]("n_tokens") == 30L))
+    // the discriminator: the same mixture over clean + the contaminated
+    // doc (ids 0-8) computes a lower rate and drops doc 5 — proof the
+    // fixture can SEE a mis-wired denominator population
+    val misWired = Corpus.tokenMixtureSample(
+        d.filter($"doc_id" =!= 9L), Map("s" -> 1.0), 110L)
+      .select("doc_id").as[Long].collect().toSet
+    // (the mis-wiring fails BOTH ways: doc 5 dropped by the inflated
+    // denominator AND the contaminated doc 7 itself admitted)
+    assert(misWired == Set(3L, 7L),
+      s"pre-decontamination denominator must drop doc 5: $misWired")
+    // contamN boundary: widths below the dedup shingle width 3 are
+    // refused; exactly 3 is accepted (and on this fixture selects the
+    // same set — the cont ngrams contaminate at width 3 too)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.corpusBuild(d, benchmark, Map("s" -> 1.0), 110L, contamN = 2)
+    }
+    assert(e.getMessage.contains("contamN"))
+    val at3 = Corpus.corpusBuild(d, benchmark, Map("s" -> 1.0), 110L,
+        contamN = 3).collect()
+    assert(at3.map(_.getAs[Long]("doc_id")).toSet == Set(3L, 5L))
+  }
 }
