@@ -490,6 +490,153 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- composed corpus-build ingest (the q220 streaming twin) ----
+  //
+  // The production artifact a pretraining-data user SHIPS is the chain
+  // q220 certifies in batch ([[graft.text.Corpus.corpusBuild]]: curate →
+  // near-dup removal → decontaminate → token-mixture → pack); what they
+  // RUN day to day is its ingest form: every arriving document batch
+  // pays the per-doc gates once, the dedup index/label state absorbs the
+  // batch incrementally, and the training corpus is ASSEMBLED from the
+  // maintained state whenever a snapshot is cut — never by re-running
+  // the batch chain over corpus history.
+  //
+  // Stage mapping — the corpusBuild contracts re-cut along the batch
+  // boundary, each cut justified by the stage's own algebra:
+  //  - CURATE is per-doc (lang-id, quality, repetition are functions of
+  //    the document alone) → chop-invariant, applied per batch;
+  //  - DECONTAMINATION is per-doc given the FROZEN benchmark keys → a
+  //    per-batch FLAG, deliberately not a drop: the batch algebra
+  //    decontaminates AFTER dedup, so a contaminated doc must still
+  //    cluster (dropping it pre-cluster would hand its near-dup losers
+  //    a survivorship they don't have in corpusBuildClean — the
+  //    contaminated-survivor fixture in StreamingSpec pins exactly this
+  //    divergence). The flag defers the drop to assembly, where it
+  //    lands in the same place as the batch anti-join;
+  //  - DEDUP is [[clusterMaintainBatch]]: batch-internal pairs plus the
+  //    batch-vs-index probe over the SAME signature family union, across
+  //    triggers, to exactly the full-corpus pair set (for x < y, the
+  //    pair is emitted by y's trigger — batch-internal if co-arriving,
+  //    index probe otherwise), so the label fixpoint converges to
+  //    dedupClusters of everything ingested under ANY batch chop;
+  //  - MIXTURE + PACK are assembly-time by definition (global rates over
+  //    the full clean population), via the SAME Corpus.sampleAndPack
+  //    spelling the batch entry point uses.
+  //
+  // Per-batch cost at 100 TB: the curate projection and the benchmark
+  // probe are map-side over the batch (benchmark keys broadcast-frozen),
+  // the docs-store write is one batch-sized partition overwrite, and the
+  // dedup step inherits clusterMaintainBatch's posture (one signature
+  // pass, one broadcast band probe linear in the index, O(affected)
+  // label writes). Nothing is proportional to corpus history.
+
+  /** One corpus-build ingest micro-batch; exposed for tests. Replay
+    * safety (foreachBatch is at-least-once): the docs-store write is a
+    * batch_id-partitioned dynamic overwrite (same batch → same rows →
+    * same partition content, the [[pplGateQuery]] sink contract) and
+    * [[clusterMaintainBatch]] carries its own replay guard — so a
+    * replayed batch converges both stores.
+    */
+  private[graft] def corpusBuildIngestBatch(spark: SparkSession,
+                                            batch: org.apache.spark.sql.DataFrame,
+                                            benchKeys: org.apache.spark.sql.DataFrame,
+                                            indexDir: String, labelsDir: String,
+                                            docsDir: String, batchId: Long,
+                                            threshold: Double,
+                                            contamN: Int): Unit = {
+    import graft.text.Corpus
+    val curated = batch.join(
+      Corpus.curate(batch).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val contam = Corpus.contaminatedIds(curated, benchKeys, contamN)
+      .withColumn("contaminated", lit(true))
+    graft.ops.Upsert.overwritePartitions(
+      curated.join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+        .withColumn("batch_id", lit(batchId)),
+      docsDir, Seq("batch_id"))
+    clusterMaintainBatch(spark, curated, indexDir, labelsDir, threshold)
+  }
+
+  /** Start the composed corpus-build ingest stream — the streaming twin
+    * of [[graft.text.Corpus.corpusBuild]]'s stages 1–3. Document batches
+    * in `srcDir` flow through the curate gate and the decontamination
+    * probe (against the benchmark at `benchmarkDir`, loaded and frozen
+    * at query start — retrain-by-restart, the [[pplGateQuery]] model
+    * posture), land in the admitted-docs store under `docsDir`, and
+    * keep the dedup signature index (`indexDir`) + label log
+    * (`labelsDir`) current. Assemble the training corpus any time with
+    * [[corpusBuildFromIngest]]; StreamingSpec pins that the assembled
+    * set equals the batch [[graft.text.Corpus.corpusBuildClean]] /
+    * [[graft.text.Corpus.corpusBuild]] over everything ingested, under
+    * multi-batch chops AND a fresh-checkpoint full replay.
+    *
+    * `doc_id` is the document identity across the stream: identical
+    * re-deliveries are absorbed (index by the replay guard, docs store
+    * by the assembly-time dedup); re-using an id for different content
+    * is undefined here exactly as it is in the batch chain.
+    */
+  def corpusBuildIngestQuery(spark: SparkSession, srcDir: String,
+                             benchmarkDir: String, indexDir: String,
+                             labelsDir: String, docsDir: String,
+                             checkpointDir: String, schema: StructType,
+                             threshold: Double = 0.5,
+                             contamN: Int = 5): StreamingQuery = {
+    // materialized ONCE per query start: the probe side is broadcast
+    // into every batch; re-deriving it per trigger would re-shingle the
+    // benchmark each time for no freshness gain (it is frozen state)
+    val benchKeys = graft.text.Corpus.benchmarkKeys(
+      spark.read.parquet(benchmarkDir), contamN).localCheckpoint()
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        corpusBuildIngestBatch(spark, batch, benchKeys, indexDir, labelsDir,
+          docsDir, batchId, threshold, contamN)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The CLEAN population from the ingest state — the streaming-side
+    * equal of [[graft.text.Corpus.corpusBuildClean]]: admitted docs
+    * minus cluster losers (label store: doc_id ≠ cluster_id) minus
+    * flagged-contaminated, in that order-free combination (the three
+    * conditions are independent per doc). The whole-row dedup absorbs
+    * identical cross-batch re-deliveries (one exchange over the admitted
+    * store — the assembly is a snapshot cut, not a per-batch path).
+    */
+  def corpusBuildIngestClean(spark: SparkSession, docsDir: String,
+                             labelsDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(graft.sources.Tables.pathExists(spark, docsDir),
+      s"corpusBuildIngestClean: no admitted-docs store at $docsDir — " +
+        "run corpusBuildIngestQuery first")
+    val docs = spark.read.parquet(docsDir).drop("batch_id").dropDuplicates()
+    val losers = readClusterLabels(spark, labelsDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .filter(!col("contaminated"))
+      .drop("contaminated")
+  }
+
+  /** Assemble the full production artifact from the ingest state —
+    * mixture-sample + pack over [[corpusBuildIngestClean]], through the
+    * SAME [[graft.text.Corpus.sampleAndPack]] spelling the batch
+    * [[graft.text.Corpus.corpusBuild]] uses (the mixture rates are
+    * computed over the decontaminated survivors by construction; the
+    * two entry points share the code so they cannot drift).
+    */
+  def corpusBuildFromIngest(spark: SparkSession, docsDir: String,
+                            labelsDir: String,
+                            weights: Map[String, Double], tokenBudget: Long,
+                            maxTokens: Int = 2048, numShards: Int = 8)
+      : org.apache.spark.sql.DataFrame =
+    graft.text.Corpus.sampleAndPack(
+      corpusBuildIngestClean(spark, docsDir, labelsDir),
+      weights, tokenBudget, maxTokens, numShards)
+
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates
     * `outDir` on its first write).

@@ -1019,11 +1019,22 @@ object Corpus {
                   weights: Map[String, Double], tokenBudget: Long,
                   dedupThreshold: Double = 0.5, contamN: Int = 5,
                   maxTokens: Int = 2048, numShards: Int = 8): DataFrame = {
-    val clean = corpusBuildClean(docs, benchmark, dedupThreshold, contamN)
-    // The mixture rates MUST be computed over the decontaminated
-    // survivors — `clean` is both the rate denominator population and
-    // the probe side (the exact interface the composed q220 oracle and
-    // TextSpec's wiring test pin).
+    sampleAndPack(corpusBuildClean(docs, benchmark, dedupThreshold, contamN),
+      weights, tokenBudget, maxTokens, numShards)
+  }
+
+  /** Stages 4–5 of [[corpusBuild]] over an already-CLEAN population: the
+    * mixture rates MUST be computed over the decontaminated survivors —
+    * `clean` is both the rate denominator population and the probe side
+    * (the exact interface the composed q220 oracle and TextSpec's wiring
+    * test pin). One spelling shared by [[corpusBuild]] and the streaming
+    * assembly ([[graft.streaming.CorpusStream.corpusBuildFromIngest]])
+    * so the two entry points cannot drift.
+    */
+  private[graft] def sampleAndPack(clean: DataFrame,
+                                   weights: Map[String, Double],
+                                   tokenBudget: Long, maxTokens: Int,
+                                   numShards: Int): DataFrame = {
     val sampledIds = tokenMixtureSample(clean, weights, tokenBudget)
       .select(col("doc_id"))
     packSequences(clean.join(sampledIds, Seq("doc_id"), "left_semi"),

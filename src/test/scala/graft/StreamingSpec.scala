@@ -334,6 +334,106 @@ class StreamingSpec extends SparkSpec {
     assert(!graft.sources.Tables.pathExists(spark, s"$fresh/forgotten"))
   }
 
+  test("corpus-build ingest: chopped stream == batch corpusBuild; " +
+    "contaminated survivors still cluster; fresh-checkpoint replay") {
+    import graft.streaming.CorpusStream
+    import graft.text.Corpus
+    val root = java.nio.file.Files.createTempDirectory("graft-cbingest").toString
+    val (src, bench, idx, labels, store) = (s"$root/src", s"$root/bench",
+      s"$root/idx", s"$root/labels", s"$root/docs")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+    def mk(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def doc(p: String) = "the a row " + (1 to 57).map(i => s"$p$i").mkString(" ")
+    def mut(p: String, j: Int) = "the a row " +
+      (1 to 57).map(i => if (i == j) s"MUT$j" else s"$p$i").mkString(" ")
+    // contaminated cluster SURVIVOR (id 14 carries the benchmark 5-gram
+    // c1..c5 mid-document; its near-dup 15 breaks the run, so 15 is
+    // clean) — the fixture that catches decontaminating BEFORE dedup:
+    // dropped early, 14 never indexes, 15 never pairs, and 15 wrongly
+    // survives. (Mid-position chosen so the pair survives the MinHash
+    // band lottery — verified against the seeded-md5 family directly.)
+    val d14 = "the a row " + (1 to 27).map(i => s"d$i").mkString(" ") +
+      " c1 c2 c3 c4 c5 " + (28 to 52).map(i => s"d$i").mkString(" ")
+    val d15 = "the a row " + (1 to 27).map(i => s"d$i").mkString(" ") +
+      " c1 c2 MUTC c4 c5 " + (28 to 52).map(i => s"d$i").mkString(" ")
+    mk((100L, "bq1 bq2 c1 c2 c3 c4 c5 bq3")).write.parquet(bench)
+    def runIngest(cp: String): Unit = {
+      val q = CorpusStream.corpusBuildIngestQuery(spark, src, bench, idx,
+        labels, store, cp, schema)
+      q.processAllAvailable(); q.stop()
+    }
+    // three chopped batches: cross-batch near-dup joins (20 -> {10,11},
+    // 30 -> {12}), per-batch curate failures (13 short, 22 repetitive),
+    // the contaminated pair split across batches (14 then 15)
+    mk((10L, doc("a")), (11L, mut("a", 30)), (12L, doc("b")),
+      (13L, "x y"), (14L, d14)).write.mode("append").parquet(src)
+    runIngest(s"$root/cp")
+    mk((20L, mut("a", 31)), (21L, doc("g")),
+      (22L, "r1 r2 r1 r2 r1 r2 r1 r2"), (15L, d15))
+      .write.mode("append").parquet(src)
+    runIngest(s"$root/cp")
+    mk((30L, mut("b", 30))).write.mode("append").parquet(src)
+    runIngest(s"$root/cp")
+    // store: curate gate applied per batch, contamination as a FLAG
+    val stored = spark.read.parquet(store)
+    assert(stored.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 11L, 12L, 14L, 15L, 20L, 21L, 30L),
+      "curate failures must not land; contaminated docs must")
+    assert(stored.filter(col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet == Set(14L))
+    // the contaminated survivor DID cluster (14 wins, 15 loses) …
+    val labelMap = CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap
+    assert(labelMap == Map(10L -> 10L, 11L -> 10L, 20L -> 10L,
+      12L -> 12L, 30L -> 12L, 14L -> 14L, 15L -> 14L))
+    // … so the assembled clean set equals the batch corpusBuildClean:
+    // neither 14 (contaminated) nor 15 (loser) survives
+    val all = spark.read.parquet(src)
+    val cleanIngest = CorpusStream.corpusBuildIngestClean(spark, store, labels)
+    val cleanBatch = Corpus.corpusBuildClean(all, mk((100L,
+      "bq1 bq2 c1 c2 c3 c4 c5 bq3")))
+    assert(cleanIngest.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    assert(cleanIngest.collect().map(_.toSeq).toSet ==
+      cleanBatch.select(cleanIngest.columns.map(col): _*)
+        .collect().map(_.toSeq).toSet,
+      "ingest clean rows must equal the batch corpusBuildClean rows")
+    // full-artifact parity: assembly shares sampleAndPack with the
+    // batch entry point; budget 130 over 180 clean tokens keeps a
+    // PROPER subset ({10, 21} — rate floor 47331 drops doc 12), so the
+    // mixture denominator is exercised, not bypassed
+    val packedIngest = CorpusStream.corpusBuildFromIngest(spark, store,
+      labels, Map("s" -> 1.0), 130L)
+    val packedBatch = Corpus.corpusBuild(all, mk((100L,
+      "bq1 bq2 c1 c2 c3 c4 c5 bq3")), Map("s" -> 1.0), 130L)
+    assert(packedIngest.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 21L))
+    assert(packedIngest.collect().map(_.toSeq).toSet ==
+      packedBatch.select(packedIngest.columns.map(col): _*)
+        .collect().map(_.toSeq).toSet,
+      "assembled pack must equal the batch corpusBuild pack")
+    // fresh-checkpoint full replay: every source file re-delivers under
+    // a new chop; the index replay-guard and the assembly-time dedup
+    // absorb it — state and assembled corpus converge unchanged
+    val idxRows = spark.read.parquet(idx).count()
+    runIngest(s"$root/cp2")
+    assert(spark.read.parquet(idx).count() == idxRows,
+      "replayed docs must not re-enter the signature index")
+    assert(CorpusStream.readClusterLabels(spark, labels)
+      .as[(Long, Long)].collect().toMap == labelMap)
+    assert(CorpusStream.corpusBuildIngestClean(spark, store, labels)
+      .collect().map(_.toSeq).toSet ==
+      cleanIngest.collect().map(_.toSeq).toSet,
+      "fresh-checkpoint replay must converge the assembled clean set")
+  }
+
   test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {
     import graft.streaming.CorpusStream
     import graft.text.LangModel
