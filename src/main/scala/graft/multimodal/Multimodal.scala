@@ -779,15 +779,28 @@ object Multimodal {
       .groupBy(col("asset_a"), col("asset_b"),
         (col("w_a") - col("w_b")).as("dt"))
       .agg(count(lit(1)).as("votes"))
+      // The (votes, -dt) argmax is packed into ONE BIGINT —
+      // votes·2³² + (2³¹ − dt) — instead of max(struct(votes, -dt)):
+      // a struct max has no mutable aggregation buffer, so Catalyst
+      // plans BOTH aggregate halves as SortAggregate with a full sort
+      // on each side of the exchange, over the per-(pair, dt) vote
+      // table (candidate-scale at dense-fingerprint corpora — measured
+      // the dominant stage of the round-19 q151 budget at sf1). The
+      // packing is the exact lexicographic order: votes < 2³¹ (bounded
+      // by a pair's matched-window count) and |dt| < 2³¹ (window
+      // indices), so max(packed) ≡ max(votes, then −dt), every
+      // aggregate is a primitive max/sum, and the whole tail plans as
+      // codegen'd HashAggregate.
       .groupBy(col("asset_a"), col("asset_b"))
       .agg(max(col("votes")).as("best_votes"),
         sum(col("votes")).as("n_matched"),
-        (lit(-1L) * max(struct(col("votes"),
-          (lit(-1L) * col("dt")).as("neg_dt"))).getField("neg_dt"))
-          .as("best_dt"))
+        max(col("votes") * lit(4294967296L) +
+          (lit(2147483648L) - col("dt"))).as("_packed"))
       .filter(col("best_votes") >= minVotes)
       .select(col("asset_a"), col("asset_b"), col("best_votes"),
-        col("best_dt"), col("n_matched"))
+        (lit(2147483648L) - col("_packed") % lit(4294967296L))
+          .as("best_dt"),
+        col("n_matched"))
 
   /** Brute-force twin of the banded audio path — all-pairs over distinct
     * (asset, window, fp) rows with the popcount filter; the spec oracle
