@@ -662,8 +662,11 @@ object SparkEntry {
       import graft.streaming.CorpusStream
       val d = t(s, dir, "documents")
       val train = d.filter(col("doc_id") % 10 =!= 0)
+      // materialized once for the 3-batch build — the corpusBuildIngest
+      // Query posture: re-deriving the keys per batch would re-shingle
+      // the benchmark slice each time for no freshness gain
       val benchKeys = graft.text.Corpus.benchmarkKeys(
-        d.filter(col("doc_id") % 10 === 0))
+        d.filter(col("doc_id") % 10 === 0)).localCheckpoint()
       val root = graft.sources.StateCache.ensure(s,
         s"$dir/documents.parquet", "cbingest", "v1") { rt =>
         (0 until 3).foreach { b =>
@@ -2538,7 +2541,7 @@ object SparkEntry {
     oracleSqlBase + ("q221_corpus_build_ingest" ->
       oracleSqlBase("q220_corpus_build"))
 
-  private def oracleSqlBase: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q95_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         |t AS (

@@ -858,6 +858,15 @@ object Multimodal {
     * corpus-side popularity (countDistinct, since one asset legitimately
     * repeats a fingerprint across windows); the two-level vote aggregate
     * shuffles only matched pairs.
+    *
+    * PRECONDITION: `index` rows must be distinct (asset_id,
+    * window_index, fp) — [[audioIndexRows]]/[[readAudioIndex]] guarantee
+    * it, and [[appendAudioIndex]] preserves it. A duplicated index row
+    * would vote its window twice (inflating best_votes/n_matched and
+    * possibly flipping best_dt). The index is corpus-sized, so this
+    * probe deliberately does NOT pay a per-call distinct exchange over
+    * it the way it absorbs duplicate rows on the broadcast-small delta
+    * side; route index writes through the audioIndexRows family.
     */
   def audioNearDupAgainstIndex(index: DataFrame, delta: DataFrame,
                                minVotes: Int = 4,

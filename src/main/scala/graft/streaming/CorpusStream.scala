@@ -545,6 +545,12 @@ object CorpusStream {
                                             threshold: Double,
                                             contamN: Int): Unit = {
     import graft.text.Corpus
+    // the batch twin's boundary, enforced here too so the direct batch
+    // entry point (q221's builder) cannot run a configuration
+    // corpusBuildClean refuses
+    require(contamN >= 3,
+      "corpusBuildIngest: contamN must be >= the dedup shingle width 3 " +
+        s"(short n-grams are shared vocabulary, not leakage), got $contamN")
     val curated = batch.join(
       Corpus.curate(batch).select(col("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -582,6 +588,9 @@ object CorpusStream {
                              checkpointDir: String, schema: StructType,
                              threshold: Double = 0.5,
                              contamN: Int = 5): StreamingQuery = {
+    require(contamN >= 3,
+      "corpusBuildIngestQuery: contamN must be >= the dedup shingle " +
+        s"width 3, got $contamN")
     // materialized ONCE per query start: the probe side is broadcast
     // into every batch; re-deriving it per trigger would re-shingle the
     // benchmark each time for no freshness gain (it is frozen state)
@@ -612,7 +621,21 @@ object CorpusStream {
     require(graft.sources.Tables.pathExists(spark, docsDir),
       s"corpusBuildIngestClean: no admitted-docs store at $docsDir — " +
         "run corpusBuildIngestQuery first")
-    val docs = spark.read.parquet(docsDir).drop("batch_id").dropDuplicates()
+    val stored = spark.read.parquet(docsDir).drop("batch_id")
+    // The contamination flag is aggregated per doc_id as a RATCHET
+    // (contaminated in ANY batch ⇒ contaminated), NOT treated as part
+    // of the row identity: after a benchmark update (the documented
+    // retrain-by-restart posture) a re-delivered doc exists as both a
+    // false row (old benchmark's partition) and a true row — whole-row
+    // dedup would keep both and the !contaminated filter would admit
+    // the doc through its stale false copy (round-19 review finding).
+    // Once flagged, a doc stays out until the stores are rebuilt
+    // against the new benchmark — the conservative direction for
+    // decontamination, and the same posture as the takedown ledger.
+    val flags = stored.groupBy(col("doc_id"))
+      .agg((max(col("contaminated").cast("int")) === 1).as("contaminated"))
+    val docs = stored.drop("contaminated").dropDuplicates()
+      .join(flags, Seq("doc_id"))
     val losers = readClusterLabels(spark, labelsDir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))

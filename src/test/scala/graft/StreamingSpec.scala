@@ -432,6 +432,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet ==
       cleanIngest.collect().map(_.toSeq).toSet,
       "fresh-checkpoint replay must converge the assembled clean set")
+    // benchmark-update ratchet: re-deliver doc 10 under a NEW benchmark
+    // that flags it — the per-doc_id flag aggregation must drop it even
+    // though its original contaminated=false row persists in an old
+    // batch partition (whole-row dedup would admit it via that stale
+    // copy — the round-19 review finding)
+    CorpusStream.corpusBuildIngestBatch(spark, mk((10L, doc("a"))),
+      Corpus.benchmarkKeys(mk((101L, doc("a")))), idx, labels, store,
+      99L, threshold = 0.5, contamN = 5)
+    val afterUpdate = CorpusStream.corpusBuildIngestClean(spark, store, labels)
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterUpdate == Set(12L, 21L),
+      "a doc flagged by an updated benchmark must leave the corpus " +
+        s"despite its stale unflagged row: $afterUpdate")
+    // the batch twin's contamN boundary holds at both ingest entry points
+    intercept[IllegalArgumentException] {
+      CorpusStream.corpusBuildIngestQuery(spark, src, bench, idx, labels,
+        store, s"$root/cpBad", schema, contamN = 2)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStream.corpusBuildIngestBatch(spark, mk((50L, doc("x"))),
+        Corpus.benchmarkKeys(mk((101L, doc("a")))), idx, labels, store,
+        100L, threshold = 0.5, contamN = 2)
+    }
   }
 
   test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {
