@@ -109,10 +109,17 @@ object Upsert {
     * layout; this swap remains CORRECT there (crash ⇒ recoverable `.old`),
     * just not instantaneous.
     */
-  def atomicReplace(spark: SparkSession, merged: DataFrame, tablePath: String): Unit = {
+  def atomicReplace(spark: SparkSession, merged: DataFrame, tablePath: String,
+                    partitionCols: Seq[String] = Nil): Unit = {
     recoverIfNeeded(spark, tablePath)
     val tmp = tablePath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    merged.write.mode("overwrite").parquet(tmp)
+    // partitionCols preserves a partitioned table's on-disk layout across
+    // the swap (a rewrite that flattened it would leave later
+    // partition-targeted writes with a mixed-layout directory parquet
+    // discovery refuses)
+    val w = merged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
     val (fs, target) = fsOf(spark, tablePath)
     if (fs.exists(target)) {
       val trash = new Path(tablePath + ".old")

@@ -543,7 +543,9 @@ object CorpusStream {
                                             indexDir: String, labelsDir: String,
                                             docsDir: String, batchId: Long,
                                             threshold: Double,
-                                            contamN: Int): Unit = {
+                                            contamN: Int,
+                                            forgottenDir: Option[String] = None)
+      : Unit = {
     import graft.text.Corpus
     // the batch twin's boundary, enforced here too so the direct batch
     // entry point (q221's builder) cannot run a configuration
@@ -551,8 +553,15 @@ object CorpusStream {
     require(contamN >= 3,
       "corpusBuildIngest: contamN must be >= the dedup shingle width 3 " +
         s"(short n-grams are shared vocabulary, not leakage), got $contamN")
-    val curated = batch.join(
-      Corpus.curate(batch).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // the takedown ledger gates the DOCS-STORE write as well as the
+    // cluster step: a re-delivered forgotten doc must not re-land its
+    // TEXT in the admitted store any more than its signatures in the
+    // index ([[forgetDocs]]' documented staleness window applies: after
+    // compaction clears the ledger, re-ingest re-admits as new)
+    val b = forgottenDir.fold(batch)(d =>
+      batch.join(forgottenIds(spark, d), Seq("doc_id"), "left_anti"))
+    val curated = b.join(
+      Corpus.curate(b).select(col("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val contam = Corpus.contaminatedIds(curated, benchKeys, contamN)
       .withColumn("contaminated", lit(true))
@@ -561,7 +570,8 @@ object CorpusStream {
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
         .withColumn("batch_id", lit(batchId)),
       docsDir, Seq("batch_id"))
-    clusterMaintainBatch(spark, curated, indexDir, labelsDir, threshold)
+    clusterMaintainBatch(spark, curated, indexDir, labelsDir, threshold,
+      forgottenDir)
   }
 
   /** Start the composed corpus-build ingest stream — the streaming twin
@@ -587,7 +597,9 @@ object CorpusStream {
                              labelsDir: String, docsDir: String,
                              checkpointDir: String, schema: StructType,
                              threshold: Double = 0.5,
-                             contamN: Int = 5): StreamingQuery = {
+                             contamN: Int = 5,
+                             forgottenDir: Option[String] = None)
+      : StreamingQuery = {
     require(contamN >= 3,
       "corpusBuildIngestQuery: contamN must be >= the dedup shingle " +
         s"width 3, got $contamN")
@@ -600,7 +612,7 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         corpusBuildIngestBatch(spark, batch, benchKeys, indexDir, labelsDir,
-          docsDir, batchId, threshold, contamN)
+          docsDir, batchId, threshold, contamN, forgottenDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -616,12 +628,18 @@ object CorpusStream {
     * store — the assembly is a snapshot cut, not a per-batch path).
     */
   def corpusBuildIngestClean(spark: SparkSession, docsDir: String,
-                             labelsDir: String)
+                             labelsDir: String,
+                             forgottenDir: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     require(graft.sources.Tables.pathExists(spark, docsDir),
       s"corpusBuildIngestClean: no admitted-docs store at $docsDir — " +
         "run corpusBuildIngestQuery first")
-    val stored = spark.read.parquet(docsDir).drop("batch_id")
+    // the takedown ledger is a doc_id-level logical delete every
+    // consumer of the docs store must honor until
+    // [[compactCorpusBuildIngest]] erases physically
+    val stored0 = spark.read.parquet(docsDir).drop("batch_id")
+    val stored = forgottenDir.fold(stored0)(d =>
+      stored0.join(forgottenIds(spark, d), Seq("doc_id"), "left_anti"))
     // The contamination flag is aggregated per doc_id as a RATCHET
     // (contaminated in ANY batch ⇒ contaminated), NOT treated as part
     // of the row identity: after a benchmark update (the documented
@@ -654,11 +672,39 @@ object CorpusStream {
   def corpusBuildFromIngest(spark: SparkSession, docsDir: String,
                             labelsDir: String,
                             weights: Map[String, Double], tokenBudget: Long,
-                            maxTokens: Int = 2048, numShards: Int = 8)
+                            maxTokens: Int = 2048, numShards: Int = 8,
+                            forgottenDir: Option[String] = None)
       : org.apache.spark.sql.DataFrame =
     graft.text.Corpus.sampleAndPack(
-      corpusBuildIngestClean(spark, docsDir, labelsDir),
+      corpusBuildIngestClean(spark, docsDir, labelsDir, forgottenDir),
       weights, tokenBudget, maxTokens, numShards)
+
+  /** Physical erasure for the ingest family, on the maintenance cadence
+    * — the docs store holds the TEXT, the thing a takedown is actually
+    * about, so its rewrite comes FIRST: [[compactSignatureIndex]] ends
+    * by clearing the ledger, and the ledger is exactly what the
+    * docs-store read and this rewrite honor — the reverse order could
+    * clear the ledger while the forgotten text still sits on disk (and
+    * every reader would silently re-admit it). A crash between the two
+    * steps leaves ledger rows whose docs-store rows are already gone —
+    * harmless no-op filters until the next run completes the index half.
+    * Use this INSTEAD of bare compactSignatureIndex wherever a
+    * corpus-build ingest docs store shares the ledger. Single-writer
+    * contract as with every compaction here.
+    */
+  def compactCorpusBuildIngest(spark: SparkSession, docsDir: String,
+                               indexDir: String,
+                               forgottenDir: String): Unit = {
+    if (graft.sources.Tables.pathExists(spark, docsDir)) {
+      val live = spark.read.parquet(docsDir)
+        .join(forgottenIds(spark, forgottenDir), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      // batch_id layout preserved across the swap: later triggers keep
+      // writing per-batch partitions through overwritePartitions
+      graft.ops.Upsert.atomicReplace(spark, live, docsDir, Seq("batch_id"))
+    }
+    compactSignatureIndex(spark, indexDir, forgottenDir)
+  }
 
   /** Drain-to-completion helper (the batch-incremental mode). Returns an
     * empty frame when no batch ever committed (the sink only creates

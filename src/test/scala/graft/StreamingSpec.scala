@@ -455,6 +455,39 @@ class StreamingSpec extends SparkSpec {
         Corpus.benchmarkKeys(mk((101L, doc("a")))), idx, labels, store,
         100L, threshold = 0.5, contamN = 2)
     }
+    // takedown lifecycle: forget the cluster REPRESENTATIVE 10 — the
+    // relabel promotes 11 to survivor, so the assembled corpus swaps
+    // 10 out and its next copy IN (the erasure semantics a dedup'd
+    // corpus needs: losing a doc must not lose its content class)
+    val forgotten = s"$root/forgotten"
+    CorpusStream.forgetDocs(spark, idx, labels, forgotten,
+      Seq(10L).toDF("doc_id"))
+    assert(CorpusStream.corpusBuildIngestClean(spark, store, labels,
+        Some(forgotten))
+      .select("doc_id").as[Long].collect().toSet == Set(11L, 12L, 21L),
+      "forgetting the representative must promote the next copy")
+    // the ledger blocks re-delivery of the forgotten id wholesale —
+    // its text must not re-land in the docs store pre-compaction
+    val storeRows10 = spark.read.parquet(store)
+      .filter(col("doc_id") === 10L).count()
+    CorpusStream.corpusBuildIngestBatch(spark, mk((10L, doc("a"))),
+      Corpus.benchmarkKeys(mk((100L, "bq1 bq2 c1 c2 c3 c4 c5 bq3"))),
+      idx, labels, store, 101L, threshold = 0.5, contamN = 5,
+      forgottenDir = Some(forgotten))
+    assert(spark.read.parquet(store).filter(col("doc_id") === 10L)
+      .count() == storeRows10,
+      "a re-delivered forgotten doc must not re-land its text")
+    // physical erasure: the docs store is rewritten minus the ledger
+    // BEFORE compactSignatureIndex clears it — afterwards the text is
+    // gone from disk and no reader needs the ledger any more
+    CorpusStream.compactCorpusBuildIngest(spark, store, idx, forgotten)
+    assert(spark.read.parquet(store).filter(col("doc_id") === 10L).isEmpty,
+      "compaction must physically erase the forgotten doc's text")
+    assert(spark.read.parquet(idx).filter(col("doc_id") === 10L).isEmpty)
+    assert(!graft.sources.Tables.pathExists(spark, forgotten))
+    assert(CorpusStream.corpusBuildIngestClean(spark, store, labels)
+      .select("doc_id").as[Long].collect().toSet == Set(11L, 12L, 21L),
+      "post-compaction the assembled corpus stands without the ledger")
   }
 
   test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {
