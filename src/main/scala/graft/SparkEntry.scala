@@ -44,6 +44,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), hotDir, minDocs = 2)
     }
 
+  /** The audio-family fixture state: the synthesized window
+    * sub-fingerprints (asset_id, window_index, hex fp) for the whole
+    * documents table, materialized once per (source fingerprint, synthesis
+    * version) — the production posture for fingerprints: the capture
+    * pipeline computes them ONCE at ingest (here the tokenize→trigram→md5
+    * synthesis standing in for audio DSP) and every matcher reads them at
+    * rest, exactly as the q133 index and the IVF dirs already do. Before
+    * round 20 the probe sides re-synthesized per run, which charged ~44%
+    * of the q151 stage budget to fixture synthesis instead of matching
+    * (BASELINE.md round-19 budget). The DuckDB oracles keep synthesizing
+    * from `documents` in SQL — the oracle is stateless by construction —
+    * so a green row also certifies fixture == synthesis.
+    */
+  private def ensureAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.sources.StateCache.ensure(s, s"$dir/documents.parquet",
+      "audiowin", "v1") { out =>
+      Multimodal.syntheticAudioWindows(t(s, dir, "documents"))
+        .write.parquet(s"$out/w")
+    }
+    s.read.parquet(s"$fx/w")
+  }
+
   /** price·(1−discount) as exact integer 10^-4 dollar units — the shared
     * revenue measure of the TPC-H-shaped queries, aggregated through
     * [[Agg.unitsSum]]'s long partials (bit-identical to the decimal form,
@@ -662,13 +684,16 @@ object SparkEntry {
       import graft.streaming.CorpusStream
       val d = t(s, dir, "documents")
       val train = d.filter(col("doc_id") % 10 =!= 0)
-      // materialized once for the 3-batch build — the corpusBuildIngest
-      // Query posture: re-deriving the keys per batch would re-shingle
-      // the benchmark slice each time for no freshness gain
-      val benchKeys = graft.text.Corpus.benchmarkKeys(
-        d.filter(col("doc_id") % 10 === 0)).localCheckpoint()
       val root = graft.sources.StateCache.ensure(s,
         s"$dir/documents.parquet", "cbingest", "v1") { rt =>
+        // materialized once for the 3-batch build — the corpusBuildIngest
+        // Query posture: re-deriving the keys per batch would re-shingle
+        // the benchmark slice each time for no freshness gain. Derived
+        // INSIDE the ensure closure so a cache-hit execution (the normal
+        // driver run) never pays the benchmark shingling at all — the
+        // keys are build-time state like the index they feed (r19 ADVICE).
+        val benchKeys = graft.text.Corpus.benchmarkKeys(
+          d.filter(col("doc_id") % 10 === 0)).localCheckpoint()
         (0 until 3).foreach { b =>
           CorpusStream.corpusBuildIngestBatch(s,
             train.filter(col("doc_id") % 3 === b), benchKeys,
@@ -1267,6 +1292,51 @@ object SparkEntry {
       graft.streaming.DriftStream.driftSeries(s,
         docs.filter(col("doc_id") % 2 === 1), root)
     }),
+    // T6 composed (round 20): the GATED INCREMENTAL baseline — the third
+    // reference posture after frozen (q173) and rotating (q186). Three
+    // sequential updates against the stored baseline: an in-distribution
+    // batch is ABSORBED (counts add under frozen edges — the lossless
+    // merge), a drifted batch (n_chars×3 — the q150 synthetic-shift
+    // pattern) is refused AND LATCHES the store, and a third batch that
+    // is back in-band is refused BY THE LATCH alone — the ratchet that
+    // stops an auto-refreshing baseline from normalizing drift, and the
+    // row the pure threshold replay cannot produce. Output is the
+    // per-step ledger (all-integer counts + the 0/1 decision); the psi
+    // ln-sum rides engine-internal with the decision margin measured:
+    // min |psi − 0.5| = 0.234 across sf0.001/0.01/0.1 (DuckDB-measured,
+    // BASELINE.md round 20), ~12 orders above cross-engine ln noise.
+    // Step 3's in-band psi (0.026–0.105) ≤ 0.5 at ALL three SFs, so the
+    // latch decides it everywhere — the ratchet is load-bearing, not
+    // decorative. State is maintenance work (ensure-once); DriftSpec
+    // pins the latch file, the merge algebra, and the swap safety.
+    "q223_baseline_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import graft.streaming.DriftStream
+      val root = graft.sources.StateCache.ensure(s,
+        s"$dir/documents.parquet", "psibase", "v1") { rt =>
+        val refDir = s"$rt/baseline"
+        DriftStream.writeDriftReference(
+          docs.filter(col("doc_id") % 4 === 0), "n_chars", refDir)
+        val steps = Seq(
+          (1L, docs.filter(col("doc_id") % 4 === 1)),
+          (2L, docs.filter(col("doc_id") % 4 === 2)
+            .withColumn("n_chars", col("n_chars") * 3)),
+          (3L, docs.filter(col("doc_id") % 4 === 3)))
+        steps.map { case (step, b) =>
+          // pre-update alignment captured BEFORE the store mutates; the
+          // post-step baseline is derivable from it plus the decision
+          val pre = DriftStream.driftBatch(s, b, refDir).localCheckpoint()
+          val accepted = DriftStream.updateDriftBaseline(s, refDir, b,
+            maxPsi = 0.5, tag = s"step$step")
+          pre.select(lit(step).as("step"), col("bucket"),
+            col("n_cur").as("n_batch"),
+            lit(if (accepted) 1L else 0L).as("accepted"),
+            (col("n_ref") + (if (accepted) col("n_cur") else lit(0L)))
+              .as("n_base"))
+        }.reduce(_.unionByName(_)).write.parquet(s"$rt/ledger")
+      }
+      s.read.parquet(s"$root/ledger")
+    }),
     // F8/A9 privacy: k-anonymity release gate — quasi-identifier groups
     // below k are suppressed before export (the post-redact group-size
     // floor). Integer decision; combos-sized aggregate broadcast back as
@@ -1489,6 +1559,31 @@ object SparkEntry {
         t(s, dir, "documents"), nProbes = 3, n = 20)
       graft.vector.Retrieval.rrfFuse(dense, sparse, k = 10)
     }),
+    // J7/F8 composed (round 20): the THIRD retrieval stage — cross-
+    // encoder-style rerank over the q169 pipeline's candidates. Stage 1
+    // over-retrieves (each retriever's own scale path, fused top-20 —
+    // wider than q169's top-10: the rerank contract is cheap-recall
+    // first, expensive-precision on the short list); stage 2 re-scores
+    // every (probe, candidate) PAIR with a pair-joint scorer (cosine +
+    // token Jaccard blend — the deterministic stand-in for a neural
+    // cross-encoder, keeping its defining both-sides-jointly property)
+    // and emits the top-10. Rerank cost is candidate-bounded: the pair
+    // list broadcasts into every corpus-sized side, the token explode is
+    // semi-join-pruned to candidate docs — the corpus is never re-
+    // scanned per pair. Hash-exact: integer counts, one division, a
+    // two-term blend, doc_id tie-breaks.
+    "q222_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+          20, nCentroids = 16, nProbe = 4)
+        .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val sparse = graft.vector.Retrieval.sparseTopN(
+        t(s, dir, "documents"), nProbes = 3, n = 20)
+      graft.vector.Retrieval.rerank(
+        graft.vector.Retrieval.rrfFuse(dense, sparse, k = 20),
+        emb, t(s, dir, "documents"), k = 10)
+    }),
     // F8 LM quality, PRODUCTION form (q154 is the self-scored bootstrap):
     // the two-corpus perplexity — train the bigram LM on one curated
     // source stratum, score every OTHER document against it (the CCNet
@@ -1522,10 +1617,19 @@ object SparkEntry {
           col("n_known_t"), col("sum_c12_t"), col("sum_c1_t"),
           col("n_known_r"), col("sum_c12_r"), col("sum_c1_r"))
     }),
-    // A9 DSIR production form (rows-only by design — selection rides the
-    // E-S float key; q204 is its hash-exact stats twin and LangModelSpec
-    // pins determinism, target bias, and the boundary gap): the k pool
-    // docs importance-resampled toward the target distribution.
+    // A9 DSIR production form — hash-exact since round 20 (the q157
+    // measured-gap discipline applied to the E-S float key): the oracle
+    // replays the whole selection — both LMs, the smoothed log-ratio,
+    // the salted-md5 coin, the log-domain E-S key — in SQL, and the
+    // registered columns are the exact-typed selection (doc_id, lang,
+    // source; log_w stays engine-internal, its sufficient statistics
+    // are q204's). Oracle-safe because the k=100 boundary gap is
+    // 1.7e-3–2.4e-2 RELATIVE at sf0.001/0.01/0.1 (DuckDB-measured,
+    // BASELINE.md round 20) — the ln-sum's cross-engine accumulation
+    // noise is ~1e-13 relative over the corpus's bigram counts, four-
+    // plus orders below the gap, so both engines pick the same set.
+    // LangModelSpec pins determinism, target bias, and the spec-data
+    // boundary gap.
     "q208_dsir_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val lm = (src: String) => graft.text.LangModel.bigramLm(
@@ -1533,6 +1637,7 @@ object SparkEntry {
       graft.text.LangModel.dsirSample(
         docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
         lm("src0"), lm("src1"), k = 100)
+        .select(col("doc_id"), col("lang"), col("source"))
     }),
     // F8 privacy pass: chained regexp_replace PII scrub (emails → IPs →
     // digit runs) over the events props column — one codegen'd row-wise
@@ -2046,8 +2151,7 @@ object SparkEntry {
     // detects copies AND shifted clips; stop-fingerprint guard bounds
     // the hot buckets.
     "q123_audio_align_dup" -> ((s, dir) =>
-      Multimodal.audioNearDup(
-        Multimodal.syntheticAudioWindows(t(s, dir, "documents")),
+      Multimodal.audioNearDup(ensureAudioWindows(s, dir),
         minVotes = 2, maxAssetsPerFp = 64)),
     // A8 incremental multimodal: the corpus's frame-fingerprint inverted
     // index is PERSISTED maintenance state (ensure-once, like the q83
@@ -2107,22 +2211,24 @@ object SparkEntry {
     // broadcasts against it with time-offset voting — never re-pairs the
     // corpus. Corpus = audio docs with doc_id%6=1, delta = doc_id%6=4.
     "q133_audio_dup_delta" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // asset_id == doc_id in the fixture, and every fixture asset has
+      // doc_id % 3 == 1 (the synthesis split), so the %12/%6 slices
+      // filter the at-rest windows directly
+      val windows = ensureAudioWindows(s, dir)
       def idxRows(pred: org.apache.spark.sql.Column) =
-        Multimodal.audioIndexRows(
-          Multimodal.syntheticAudioWindows(docs.filter(pred)))
+        Multimodal.audioIndexRows(windows.filter(pred))
       // Same maintenance-cycle build as q132: append waves into the
       // ab-bucket layout, then compaction — green oracle = probe parity
       // over a compacted index.
       val idxDir = graft.sources.StateCache.ensure(s,
         s"$dir/documents.parquet", "audioidx", "v2") { out =>
-        Multimodal.appendAudioIndex(idxRows(col("doc_id") % 12 === 1), out)
-        Multimodal.appendAudioIndex(idxRows(col("doc_id") % 12 === 7), out)
+        Multimodal.appendAudioIndex(idxRows(col("asset_id") % 12 === 1), out)
+        Multimodal.appendAudioIndex(idxRows(col("asset_id") % 12 === 7), out)
         graft.maintenance.Compaction.compactPartitioned(s, out, "ab")
       }
       Multimodal.audioNearDupAgainstIndex(
         Multimodal.readAudioIndex(s, idxDir),
-        idxRows(col("doc_id") % 6 === 4),
+        idxRows(col("asset_id") % 6 === 4),
         minVotes = 2, maxAssetsPerFp = 64)
     }),
     // A8 TOLERANT audio: numeric 32-bit sub-fingerprints with simulated
@@ -2135,7 +2241,7 @@ object SparkEntry {
     // ~n²/65536 per band vs n²/256 at the old 4×8 geometry.
     "q150_audio_tolerant" -> ((s, dir) =>
       Multimodal.audioNearDup(
-        Multimodal.syntheticAudioWindows(t(s, dir, "documents"))
+        ensureAudioWindows(s, dir)
           .withColumn("fp", conv(col("fp"), 16, 10).cast("long")
             .bitwiseXOR(pmod(col("window_index"), lit(2)))),
         minVotes = 2, maxAssetsPerFp = 64, maxHamming = 1)),
@@ -2143,14 +2249,14 @@ object SparkEntry {
     // corpus index — index exploded map-side into band keys, delta
     // broadcast with its own; only matched candidates pay the verify.
     "q151_audio_tolerant_delta" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val windows = ensureAudioWindows(s, dir)
       def wn(pred: org.apache.spark.sql.Column) =
         Multimodal.audioIndexRows(
-          Multimodal.syntheticAudioWindows(docs.filter(pred))
+          windows.filter(pred)
             .withColumn("fp", conv(col("fp"), 16, 10).cast("long")
               .bitwiseXOR(pmod(col("window_index"), lit(2)))))
-      Multimodal.audioNearDupAgainstIndex(wn(col("doc_id") % 6 === 1),
-        wn(col("doc_id") % 6 === 4), minVotes = 2, maxAssetsPerFp = 64,
+      Multimodal.audioNearDupAgainstIndex(wn(col("asset_id") % 6 === 1),
+        wn(col("asset_id") % 6 === 4), minVotes = 2, maxAssetsPerFp = 64,
         maxHamming = 1)
     }),
     // North star multimodal: frame sampling (row explosion before shuffle).
@@ -3056,6 +3162,109 @@ object SparkEntry {
         |  COALESCE(rb2.bucket, cb2.bucket) AS bucket,
         |  COALESCE(rb2.n_ref, 0) AS n_ref, COALESCE(cb2.n_cur, 0) AS n_cur
         |FROM rb2 FULL OUTER JOIN cb2 ON cb2.bucket = rb2.bucket""".stripMargin,
+    // The gated-incremental chain replayed: frozen edges from the seed
+    // slice, per-step histogram + add-half-smoothed PSI vs the RUNNING
+    // baseline, threshold decisions (0.5, margin 0.234 measured), the
+    // step-2 refusal leaving the baseline unchanged, and step 3 refused
+    // by the LATCH (any prior refusal) despite being in-band.
+    "q223_baseline_update" ->
+      """WITH s0 AS (SELECT n_chars FROM documents WHERE doc_id % 4 = 0),
+        |e AS (SELECT quantile_cont(n_chars,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |      FROM s0),
+        |b0 AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(r.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_ref
+        |  FROM s0 r CROSS JOIN e GROUP BY 1),
+        |c1 AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM (SELECT n_chars FROM documents WHERE doc_id % 4 = 1) c
+        |  CROSS JOIN e GROUP BY 1),
+        |j1 AS (
+        |  SELECT COALESCE(b0.bucket, c1.bucket) AS bucket,
+        |    COALESCE(b0.n_ref, 0) AS n_ref, COALESCE(c1.n_cur, 0) AS n_cur
+        |  FROM b0 FULL OUTER JOIN c1 ON c1.bucket = b0.bucket),
+        |t1 AS (
+        |  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS nb
+        |  FROM j1),
+        |p1 AS (
+        |  SELECT SUM(((n_ref + 0.5) / (t.tr + t.nb * 0.5)
+        |            - (n_cur + 0.5) / (t.tc + t.nb * 0.5))
+        |           * ln(((n_ref + 0.5) / (t.tr + t.nb * 0.5))
+        |              / ((n_cur + 0.5) / (t.tc + t.nb * 0.5)))) AS psi
+        |  FROM j1 CROSS JOIN t1 t),
+        |a1 AS (SELECT psi, psi <= 0.5 AS acc FROM p1),
+        |b1 AS (
+        |  SELECT j1.bucket,
+        |    j1.n_ref + CASE WHEN a1.acc THEN j1.n_cur ELSE 0 END AS n_ref
+        |  FROM j1 CROSS JOIN a1),
+        |c2 AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM (SELECT n_chars * 3 AS n_chars FROM documents
+        |        WHERE doc_id % 4 = 2) c
+        |  CROSS JOIN e GROUP BY 1),
+        |j2 AS (
+        |  SELECT COALESCE(b1.bucket, c2.bucket) AS bucket,
+        |    COALESCE(b1.n_ref, 0) AS n_ref, COALESCE(c2.n_cur, 0) AS n_cur
+        |  FROM b1 FULL OUTER JOIN c2 ON c2.bucket = b1.bucket),
+        |t2 AS (
+        |  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS nb
+        |  FROM j2),
+        |p2 AS (
+        |  SELECT SUM(((n_ref + 0.5) / (t.tr + t.nb * 0.5)
+        |            - (n_cur + 0.5) / (t.tc + t.nb * 0.5))
+        |           * ln(((n_ref + 0.5) / (t.tr + t.nb * 0.5))
+        |              / ((n_cur + 0.5) / (t.tc + t.nb * 0.5)))) AS psi
+        |  FROM j2 CROSS JOIN t2 t),
+        |a2 AS (SELECT p2.psi, (p2.psi <= 0.5 AND a1.acc) AS acc
+        |       FROM p2 CROSS JOIN a1),
+        |b2 AS (
+        |  SELECT j2.bucket,
+        |    j2.n_ref + CASE WHEN a2.acc THEN j2.n_cur ELSE 0 END AS n_ref
+        |  FROM j2 CROSS JOIN a2),
+        |c3 AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(c.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM (SELECT n_chars FROM documents WHERE doc_id % 4 = 3) c
+        |  CROSS JOIN e GROUP BY 1),
+        |j3 AS (
+        |  SELECT COALESCE(b2.bucket, c3.bucket) AS bucket,
+        |    COALESCE(b2.n_ref, 0) AS n_ref, COALESCE(c3.n_cur, 0) AS n_cur
+        |  FROM b2 FULL OUTER JOIN c3 ON c3.bucket = b2.bucket),
+        |t3 AS (
+        |  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS nb
+        |  FROM j3),
+        |p3 AS (
+        |  SELECT SUM(((n_ref + 0.5) / (t.tr + t.nb * 0.5)
+        |            - (n_cur + 0.5) / (t.tc + t.nb * 0.5))
+        |           * ln(((n_ref + 0.5) / (t.tr + t.nb * 0.5))
+        |              / ((n_cur + 0.5) / (t.tc + t.nb * 0.5)))) AS psi
+        |  FROM j3 CROSS JOIN t3 t),
+        |a3 AS (SELECT p3.psi, (p3.psi <= 0.5 AND a2.acc AND a1.acc) AS acc
+        |       FROM p3 CROSS JOIN a2 CROSS JOIN a1)
+        |SELECT CAST(1 AS BIGINT) AS step, j1.bucket,
+        |  j1.n_cur AS n_batch,
+        |  CAST(CASE WHEN a1.acc THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+        |  j1.n_ref + CASE WHEN a1.acc THEN j1.n_cur ELSE 0 END AS n_base
+        |FROM j1 CROSS JOIN a1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS step, j2.bucket,
+        |  j2.n_cur AS n_batch,
+        |  CAST(CASE WHEN a2.acc THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+        |  j2.n_ref + CASE WHEN a2.acc THEN j2.n_cur ELSE 0 END AS n_base
+        |FROM j2 CROSS JOIN a2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS step, j3.bucket,
+        |  j3.n_cur AS n_batch,
+        |  CAST(CASE WHEN a3.acc THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+        |  j3.n_ref + CASE WHEN a3.acc THEN j3.n_cur ELSE 0 END AS n_base
+        |FROM j3 CROSS JOIN a3""".stripMargin,
     "q164_k_anonymity" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
@@ -3339,6 +3548,104 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY rrf DESC, doc_id) AS INT) AS rank_rrf
         |FROM f QUALIFY rank_rrf <= 10""".stripMargin,
+    // q169's retrieval replayed to a top-20 pool, then the rerank stage:
+    // pair-joint cosine + token-Jaccard blend, ranked per probe.
+    "q222_rerank" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ccos AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))
+        |      AS ccos
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, c_id AS list_id FROM ccos
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) = 1),
+        |plists AS (
+        |  SELECT vec_id AS probe_id, c_id AS list_id FROM ccos
+        |  WHERE vec_id < 3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) <= 4),
+        |cand AS (
+        |  SELECT pl.probe_id, a.neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM plists pl
+        |  JOIN assign a ON a.list_id = pl.list_id AND a.neighbor_id != pl.probe_id
+        |  JOIN embeddings p ON p.vec_id = pl.probe_id
+        |  JOIN embeddings n ON n.vec_id = a.neighbor_id),
+        |dense AS (
+        |  SELECT probe_id, neighbor_id AS doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank_vec
+        |  FROM cand QUALIFY rank_vec <= 20),
+        |tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |ov AS (
+        |  SELECT pt.doc_id AS probe_id, ct.doc_id AS doc_id,
+        |    COUNT(*) AS kw_overlap
+        |  FROM tok pt JOIN tok ct
+        |    ON pt.token = ct.token AND ct.doc_id != pt.doc_id
+        |  WHERE pt.doc_id < 3 GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT probe_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY kw_overlap DESC, doc_id) AS INT) AS rank_kw
+        |  FROM ov QUALIFY rank_kw <= 20),
+        |f AS (
+        |  SELECT COALESCE(d.probe_id, sp.probe_id) AS probe_id,
+        |    COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60 + d.rank_vec), 0.0)
+        |      + COALESCE(1.0/(60 + sp.rank_kw), 0.0) AS rrf
+        |  FROM dense d FULL OUTER JOIN sparse sp
+        |    ON d.probe_id = sp.probe_id AND d.doc_id = sp.doc_id),
+        |cand20 AS (
+        |  SELECT probe_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY rrf DESC, doc_id) AS INT) AS rank_first
+        |  FROM f QUALIFY rank_first <= 20),
+        |csz AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM tok
+        |  WHERE doc_id IN (SELECT doc_id FROM cand20
+        |                   UNION SELECT probe_id FROM cand20)
+        |  GROUP BY doc_id),
+        |pi AS (
+        |  SELECT c.probe_id, c.doc_id, COUNT(*) AS n_inter
+        |  FROM cand20 c
+        |  JOIN tok pt ON pt.doc_id = c.probe_id
+        |  JOIN tok dt ON dt.doc_id = c.doc_id AND dt.token = pt.token
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c.probe_id, c.doc_id, c.rank_first,
+        |    COALESCE(pi.n_inter, 0) AS n_inter,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+        |      AS cosine,
+        |    CAST(COALESCE(pi.n_inter, 0) AS DOUBLE)
+        |      / CAST(sp.n_tok + sd.n_tok - COALESCE(pi.n_inter, 0) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cand20 c
+        |  LEFT JOIN pi ON pi.probe_id = c.probe_id AND pi.doc_id = c.doc_id
+        |  JOIN csz sp ON sp.doc_id = c.probe_id
+        |  JOIN csz sd ON sd.doc_id = c.doc_id
+        |  JOIN embeddings p ON p.vec_id = c.probe_id
+        |  JOIN embeddings n ON n.vec_id = c.doc_id),
+        |blended AS (
+        |  SELECT probe_id, doc_id, rank_first, n_inter, cosine, jaccard,
+        |    0.5 * cosine + 0.5 * jaccard AS score
+        |  FROM scored)
+        |SELECT probe_id, doc_id, rank_first, n_inter, cosine, jaccard,
+        |  score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM blended QUALIFY rank <= 10""".stripMargin,
     "q170_ppl_transfer" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
@@ -3396,6 +3703,58 @@ object SparkEntry {
         |LEFT JOIN cr ON b.w1 = cr.w1 AND b.w2 = cr.w2
         |LEFT JOIN ur ON b.w1 = ur.w1
         |GROUP BY b.doc_id""".stripMargin,
+    // q204's model replayed to the FULL selection: smoothed per-bigram
+    // log-ratio (pool vocabulary V on both sides, the importanceStats
+    // convention), per-doc mean log_w, then the log-domain E-S key
+    // ln(u)·exp(−log_w) with the q157 salted-md5 coin. Output columns
+    // are the exact-typed selection only.
+    "q208_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src0' AND len(t) >= 2)),
+        |ct AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+        |ut AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM ct GROUP BY 1),
+        |rbg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE source = 'src1' AND len(t) >= 2)),
+        |cr AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbg GROUP BY 1, 2),
+        |ur AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cr GROUP BY 1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(t) AS tok FROM toks
+        |    WHERE source NOT IN ('src0', 'src1'))),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks
+        |        WHERE source NOT IN ('src0', 'src1') AND len(t) >= 2)),
+        |stats AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(ln(CAST(COALESCE(ct.c12, 0) + 1 AS DOUBLE)
+        |           / CAST(COALESCE(ut.c1, 0) + v.v AS DOUBLE))
+        |      - ln(CAST(COALESCE(cr.c12, 0) + 1 AS DOUBLE)
+        |           / CAST(COALESCE(ur.c1, 0) + v.v AS DOUBLE))) AS lw
+        |  FROM bg b
+        |  LEFT JOIN ct ON b.w1 = ct.w1 AND b.w2 = ct.w2
+        |  LEFT JOIN ut ON b.w1 = ut.w1
+        |  LEFT JOIN cr ON b.w1 = cr.w1 AND b.w2 = cr.w2
+        |  LEFT JOIN ur ON b.w1 = ur.w1
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id),
+        |keyed AS (
+        |  SELECT s.doc_id, d.lang, d.source,
+        |    ln(CAST(CAST('0x' ||
+        |          substr(md5(CAST(s.doc_id AS VARCHAR) || ':graft'), 1, 12)
+        |        AS BIGINT) AS DOUBLE) / 281474976710656.0)
+        |      * exp(-(s.lw / s.n_bigrams)) AS es_key
+        |  FROM stats s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT doc_id, lang, source FROM keyed
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     "q96_redact" ->
       """SELECT event_id, event_type, props,
         |  regexp_replace(regexp_replace(regexp_replace(props,

@@ -779,6 +779,25 @@ object Multimodal {
       .groupBy(col("asset_a"), col("asset_b"),
         (col("w_a") - col("w_b")).as("dt"))
       .agg(count(lit(1)).as("votes"))
+      // Packing precondition made LOUD (r19 ADVICE): the BIGINT argmax
+      // below is the lexicographic (votes, -dt) order only while
+      // votes < 2³¹ and |dt| < 2³¹. votes is bounded by a pair's
+      // matched-window count, but dt comes straight from caller-supplied
+      // window indices — indices derived from epoch timestamps would
+      // overflow SILENTLY into a corrupted best_dt, so a violation
+      // raises here instead (renumber windows per asset, e.g.
+      // row_number over the capture order). assert_true returns NULL on
+      // pass, so the filter keeps every row and cannot be pruned; cost
+      // is one codegen'd comparison per (pair, dt) row, post-aggregate,
+      // and the aggregate pair still plans as HashAggregate.
+      .filter(assert_true(
+        abs(col("dt")) < lit(2147483648L) &&
+          col("votes") < lit(2147483648L),
+        concat(lit("bestAlignment: packed argmax needs |dt| < 2^31 and " +
+          "votes < 2^31; got dt="), col("dt"),
+          lit(" votes="), col("votes"),
+          lit(" — window indices must be small per-asset ordinals, " +
+            "not epoch-derived timestamps"))).isNull)
       // The (votes, -dt) argmax is packed into ONE BIGINT —
       // votes·2³² + (2³¹ − dt) — instead of max(struct(votes, -dt)):
       // a struct max has no mutable aggregation buffer, so Catalyst

@@ -623,9 +623,10 @@ object CorpusStream {
     * equal of [[graft.text.Corpus.corpusBuildClean]]: admitted docs
     * minus cluster losers (label store: doc_id ≠ cluster_id) minus
     * flagged-contaminated, in that order-free combination (the three
-    * conditions are independent per doc). The whole-row dedup absorbs
-    * identical cross-batch re-deliveries (one exchange over the admitted
-    * store — the assembly is a snapshot cut, not a per-batch path).
+    * conditions are independent per doc). Cross-batch re-deliveries are
+    * absorbed by a doc_id-keyed representative aggregation (one
+    * exchange over the admitted store, keyed on the 8-byte id — the
+    * assembly is a snapshot cut, not a per-batch path).
     */
   def corpusBuildIngestClean(spark: SparkSession, docsDir: String,
                              labelsDir: String,
@@ -640,20 +641,34 @@ object CorpusStream {
     val stored0 = spark.read.parquet(docsDir).drop("batch_id")
     val stored = forgottenDir.fold(stored0)(d =>
       stored0.join(forgottenIds(spark, d), Seq("doc_id"), "left_anti"))
-    // The contamination flag is aggregated per doc_id as a RATCHET
-    // (contaminated in ANY batch ⇒ contaminated), NOT treated as part
-    // of the row identity: after a benchmark update (the documented
-    // retrain-by-restart posture) a re-delivered doc exists as both a
-    // false row (old benchmark's partition) and a true row — whole-row
-    // dedup would keep both and the !contaminated filter would admit
-    // the doc through its stale false copy (round-19 review finding).
-    // Once flagged, a doc stays out until the stores are rebuilt
-    // against the new benchmark — the conservative direction for
-    // decontamination, and the same posture as the takedown ledger.
-    val flags = stored.groupBy(col("doc_id"))
-      .agg((max(col("contaminated").cast("int")) === 1).as("contaminated"))
-    val docs = stored.drop("contaminated").dropDuplicates()
-      .join(flags, Seq("doc_id"))
+    // ONE doc_id-keyed aggregation does both halves of the cut:
+    //  - representative row per doc_id (`first` over the non-key
+    //    columns — sound because re-using an id for different content
+    //    is undefined here, the module's stated identity contract, so
+    //    every copy of a doc_id is the same row; r19 verdict: the
+    //    previous whole-row dropDuplicates hash-partitioned the
+    //    exchange on the FULL TEXT and then joined a separate flags
+    //    aggregate — at 100 TB the snapshot cut was exchanging document
+    //    text as the shuffle key for no discriminating power);
+    //  - the contamination flag aggregated as a RATCHET (contaminated
+    //    in ANY batch ⇒ contaminated), NOT part of the row identity:
+    //    after a benchmark update (the documented retrain-by-restart
+    //    posture) a re-delivered doc exists as both a false row (old
+    //    benchmark's partition) and a true row — keeping both would
+    //    admit the doc through its stale false copy (round-19 review
+    //    finding). Once flagged, a doc stays out until the stores are
+    //    rebuilt against the new benchmark — the conservative direction
+    //    for decontamination, and the same posture as the takedown
+    //    ledger.
+    // Map-side partial aggregation keeps one candidate row per doc_id
+    // per input partition, so the single exchange carries 8-byte keys
+    // plus one representative row — not every re-delivered copy.
+    val otherCols = stored.columns
+      .filterNot(c => c == "doc_id" || c == "contaminated")
+    val docs = stored.groupBy(col("doc_id"))
+      .agg(first(col(otherCols.head)).as(otherCols.head),
+        otherCols.tail.map(c => first(col(c)).as(c)) :+
+          (max(col("contaminated").cast("int")) === 1).as("contaminated"): _*)
     val losers = readClusterLabels(spark, labelsDir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
@@ -699,9 +714,23 @@ object CorpusStream {
       val live = spark.read.parquet(docsDir)
         .join(forgottenIds(spark, forgottenDir), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      // batch_id layout preserved across the swap: later triggers keep
-      // writing per-batch partitions through overwritePartitions
-      graft.ops.Upsert.atomicReplace(spark, live, docsDir, Seq("batch_id"))
+      if (live.isEmpty) {
+        // Ledger covers EVERY stored doc: a partitioned overwrite of an
+        // empty frame emits no schema-bearing data files — the dir
+        // would still pass pathExists but spark.read.parquet on it
+        // throws "unable to infer schema" (r19 ADVICE). Physical
+        // erasure of everything is removing the store outright:
+        // corpusBuildIngestClean then refuses loudly exactly as before
+        // first ingest, and the next batch's overwritePartitions
+        // recreates the store with its layout.
+        val p = new org.apache.hadoop.fs.Path(docsDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } else {
+        // batch_id layout preserved across the swap: later triggers keep
+        // writing per-batch partitions through overwritePartitions
+        graft.ops.Upsert.atomicReplace(spark, live, docsDir, Seq("batch_id"))
+      }
     }
     compactSignatureIndex(spark, indexDir, forgottenDir)
   }

@@ -115,6 +115,81 @@ object DriftStream {
       .select(col("n_rows"), col("psi"))
   }
 
+  private val LatchFile = "_DRIFT_LATCH"
+
+  /** True iff a refused update has LATCHED this baseline (see
+    * [[updateDriftBaseline]]).
+    */
+  def baselineLatched(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, LatchFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Gated INCREMENTAL baseline update — the third reference posture,
+    * between the frozen snapshot ([[writeDriftReference]]) and full
+    * replacement ([[rotateDriftReference]]): an in-distribution batch is
+    * ABSORBED into the stored histogram (counts add — the lossless,
+    * order-free merge; the EDGES stay frozen, so every past and future
+    * bucket is the same geometry and the merged histogram is exactly
+    * hist(reference ∪ absorbed batches)), while a drifted batch is
+    * refused AND the refusal LATCHES the baseline. The latch is the
+    * ratchet monitoring needs: without it, an auto-refreshing baseline
+    * normalizes a slow drift one under-threshold step at a time, and
+    * the batches that arrive AFTER a refusal are a mixture the monitor
+    * cannot decompose — so after one refusal the baseline stops
+    * absorbing entirely (later in-band batches are still SCORED, just
+    * not merged) until an operator rebuilds or rotates a fresh
+    * reference, the retrain-by-restart posture everywhere else in this
+    * engine (benchmark keys, contamination flags, takedown ledger).
+    *
+    * Returns true iff the batch was absorbed. The accepted-path rewrite
+    * stages the full artifact (merged histogram + the UNCHANGED sidecar)
+    * in a temp dir and swaps by rename — a reader never observes a
+    * histogram-without-sidecar; a crash between renames leaves `.old`
+    * for [[graft.ops.Upsert.recoverIfNeeded]], which runs on entry.
+    * Single-writer contract, like every maintenance op here. Per-update
+    * cost: one map-side histogram of the batch + an nBuckets-row join —
+    * never a reference rescan (the histogram IS the state).
+    */
+  def updateDriftBaseline(spark: SparkSession, dir: String,
+                          batch: DataFrame, maxPsi: Double = 0.25,
+                          tag: String = ""): Boolean = {
+    graft.ops.Upsert.recoverIfNeeded(spark, dir)
+    val aligned = driftBatch(spark, batch, dir).localCheckpoint()
+    val psiVal = Profile.psi(aligned).collect()(0).getDouble(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    if (baselineLatched(spark, dir) || psiVal > maxPsi) {
+      if (!baselineLatched(spark, dir)) {
+        // the ratchet instant: record WHAT refused first (provenance an
+        // operator reads before deciding to rotate); later refusals
+        // keep the original latch
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, LatchFile),
+          false)
+        try out.write(s"$tag\n$psiVal\n".getBytes("UTF-8"))
+        finally out.close()
+      }
+      false
+    } else {
+      val merged = aligned.select(col("bucket"),
+        (col("n_ref") + col("n_cur")).as("n_ref"))
+      val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+      merged.write.parquet(tmp)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dir, MetaFile), fs,
+        new org.apache.hadoop.fs.Path(tmp, MetaFile), false, conf)
+      val trash = new org.apache.hadoop.fs.Path(dir + ".old")
+      fs.delete(trash, true)
+      if (!fs.rename(target, trash))
+        throw new java.io.IOException(s"rename failed: $target -> $trash")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+        throw new java.io.IOException(s"rename failed: $tmp -> $target")
+      fs.delete(trash, true)
+      true
+    }
+  }
+
   // ---- Multi-reference rotation (the production monitoring shape) ----
   //
   // One frozen reference goes stale: production drift monitoring ROTATES

@@ -132,4 +132,81 @@ object Retrieval {
       .select(col("probe_id"), col("doc_id"), col("rank_vec"),
         col("rank_kw"), col("rrf"), col("rank_rrf"))
   }
+
+  /** Cross-encoder-style RERANK — the second stage of production
+    * retrieval: the first stage over-retrieves a candidate pool per
+    * probe (here [[rrfFuse]]'s top-N), and the reranker re-scores each
+    * (probe, candidate) PAIR with a scorer that sees both sides jointly
+    * — the defining property of a cross-encoder versus the bi-encoder /
+    * keyword stages, which score sides independently and only meet in
+    * rank space. The deterministic stand-in for the neural pair-scorer
+    * keeps that property: `score = wCos·cosine(p, d) + (1−wCos)·
+    * tokenJaccard(p, d)` — a pair-joint interaction in embedding space
+    * plus a pair-joint set interaction over the documents' token sets.
+    *
+    * Scale posture: everything is candidate-bounded. The pair list is
+    * |probes|×N rows and BROADCASTS into every corpus-sized side: two
+    * id-keyed joins fetch the embeddings, a semi-join prunes the token
+    * explode to candidate documents before any aggregation, and the
+    * intersection count touches only candidate-token rows. The corpus is
+    * never re-scanned per pair and never self-joined — rerank cost grows
+    * with the candidate pool, not the corpus, which is exactly why the
+    * expensive scorer is affordable as a SECOND stage (the two-stage
+    * contract from the neural-retrieval literature: cheap recall first,
+    * expensive precision on the short list).
+    *
+    * Determinism: cosine is the q37-pinned double; Jaccard is ONE
+    * correctly-rounded division of exact integer counts; the blend is
+    * two multiplies and one add in both engines, and ranks tie-break on
+    * doc_id — hash-exact cross-engine, no measured-margin caveat.
+    */
+  def rerank(cands: DataFrame, emb: DataFrame, docs: DataFrame,
+             k: Int = 10, wCos: Double = 0.5): DataFrame = {
+    require(wCos >= 0 && wCos <= 1, s"wCos must be in [0, 1], got $wCos")
+    val pairs = cands.select(col("probe_id"), col("doc_id"),
+      col("rank_rrf").as("rank_first"))
+    val pe = emb.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"))
+    val ne = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").as("n_emb"))
+    val cosined = ne
+      .join(broadcast(pe.join(broadcast(pairs), Seq("probe_id"))),
+        Seq("doc_id"))
+      .withColumn("cosine", Similarity.cosine(col("p_emb"), col("n_emb")))
+      .select(col("probe_id"), col("doc_id"), col("rank_first"),
+        col("cosine"))
+    // token features, candidate-pruned BEFORE the explode aggregates:
+    // only documents appearing in the pair list (either side) keep rows
+    val toks = docTokens(docs)
+    val wanted = pairs.select(col("probe_id").as("doc_id"))
+      .union(pairs.select(col("doc_id"))).distinct()
+    val candToks = toks.join(broadcast(wanted), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sizes = candToks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    val inter = broadcast(pairs.select(col("probe_id"), col("doc_id")))
+      .join(candToks.select(col("doc_id").as("probe_id"), col("token")),
+        Seq("probe_id"))
+      .join(candToks, Seq("doc_id", "token"), "left_semi")
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    cosined
+      .join(inter, Seq("probe_id", "doc_id"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(broadcast(sizes.select(col("doc_id").as("probe_id"),
+        col("n_tok").as("n_ptok"))), Seq("probe_id"))
+      .join(broadcast(sizes.select(col("doc_id"),
+        col("n_tok").as("n_dtok"))), Seq("doc_id"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_ptok") + col("n_dtok") - col("n_inter")).cast("double"))
+      .withColumn("score",
+        lit(wCos) * col("cosine") + lit(1.0 - wCos) * col("jaccard"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("doc_id"), col("rank_first"),
+        col("n_inter"), col("cosine"), col("jaccard"), col("score"),
+        col("rank"))
+  }
 }

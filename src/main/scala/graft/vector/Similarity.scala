@@ -375,6 +375,20 @@ object Similarity {
     codebook
   }
 
+  /** The PQ-family refine-pool sizing rule, in ONE place: an explicit
+    * `refine >= 0` wins; otherwise the pool is `refineFraction` of the
+    * corpus, floored at the requested result width. `corpusRows` is
+    * by-name so the auto path alone pays the row count.
+    */
+  private[graft] def resolveRefine(refine: Int, corpusRows: => Long,
+                                   refineFraction: Double,
+                                   floor: Int): Int = {
+    require(refineFraction > 0 && refineFraction <= 1,
+      s"refineFraction must be in (0, 1], got $refineFraction")
+    if (refine >= 0) refine
+    else math.max(floor, math.ceil(corpusRows * refineFraction).toInt)
+  }
+
   /** Top-k cosine neighbors via the PQ ranking scan + full-precision
     * refinement: rank ALL vectors per probe by [[pqCosine]] (a scan that
     * reads m bytes/vector — the 100 TB point of PQ), keep the top
@@ -383,11 +397,22 @@ object Similarity {
     * for the width of the exact pass; recall is spec-measured against
     * [[bruteForceTopK]]. Composes with IVF the same way
     * [[searchIvfIndexSq8]] does — the codes column simply replaces sq8's.
+    *
+    * `refine < 0` (the default) auto-sizes the pool as
+    * `max(topK, ceil(refineFraction × corpus rows))` — the round-19
+    * ratio-vs-SF measurement's rule (a FIXED pool's recall decays as the
+    * corpus grows past it: 160-at-20k held 0.82, 160-at-200k would not),
+    * so the scale-correct posture is the API default rather than a
+    * number every caller must know to grow. Sizing pays one `count()`
+    * of the corpus frame; pass an explicit `refine` to skip it (0 = no
+    * exact pass, quantized cosines returned as-is).
     */
   def searchPq(corpus: DataFrame, probes: DataFrame,
                codebook: Array[Float], m: Int, k: Int,
-               topK: Int, refine: Int,
-               rotation: Option[Array[Float]] = None): DataFrame = {
+               topK: Int, refine: Int = -1,
+               rotation: Option[Array[Float]] = None,
+               refineFraction: Double = 0.01): DataFrame = {
+    val refineN = resolveRefine(refine, corpus.count(), refineFraction, topK)
     val embCol = rotation.fold(col("embedding"))(r =>
       rotateVec(col("embedding"), r))
     val coded = corpus.select(col("vec_id").as("neighbor_id"),
@@ -402,8 +427,8 @@ object Similarity {
       .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", pqCosine(probeEmb, col("codes"), codebook, m, k))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(topK, refine))
-    if (refine <= 0) {
+      .filter(col("rank") <= math.max(topK, refineN))
+    if (refineN <= 0) {
       approx.select(col("probe_id"), col("neighbor_id"), col("rank"),
         col("cosine"))
     } else {
@@ -1277,11 +1302,19 @@ object Similarity {
     * at the defaults, 1/8 of sq8's), at the same partition pruning as
     * [[searchIvfIndex]]. The persisted codebook is read back (m·k·sub
     * floats) and inlined into the plan. `refine > 0` re-scores the top
-    * candidates against the float column, candidate-bounded.
+    * candidates against the float column, candidate-bounded; `refine <
+    * 0` (the default) auto-sizes the pool as `max(k, ceil(refineFraction
+    * × index rows))` — the round-19 ratio-vs-SF rule, so the pool grows
+    * with the index instead of silently starving recall at scale. The
+    * index row count is a parquet metadata-only count of `lists`; pass
+    * `refine = 0` explicitly for the raw quantized ranking.
     */
   def searchIvfIndexPq(spark: org.apache.spark.sql.SparkSession, dir: String,
                        probes: DataFrame, k: Int, nProbe: Int = 4,
-                       refine: Int = 0): DataFrame = {
+                       refine: Int = -1,
+                       refineFraction: Double = 0.01): DataFrame = {
+    val refineN = resolveRefine(refine,
+      spark.read.parquet(s"$dir/lists").count(), refineFraction, k)
     val (cb, m, kk) = readPqCodebook(spark, dir)
     // OPQ index: the ranking scan compares in the rotated space (probe
     // rotates per row — codes were encoded rotated); the refine step
@@ -1305,10 +1338,10 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", pqCosine(probeEmb, col("pq_codes"), cb, m, kk))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(k, refine))
+      .filter(col("rank") <= math.max(k, refineN))
       .select(col("probe_id"), col("p_emb"), col("neighbor_id"),
         col("rank"), col("cosine"))
-    if (refine <= 0) {
+    if (refineN <= 0) {
       approx.select(col("probe_id"), col("neighbor_id"), col("rank"),
         col("cosine"))
     } else {

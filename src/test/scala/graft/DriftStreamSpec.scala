@@ -327,4 +327,68 @@ class DriftStreamSpec extends SparkSpec {
     }
     assert(e8.getMessage.contains("must not contain"))
   }
+
+  test("gated incremental baseline: absorb, refuse+latch, ratchet, swap safety") {
+    val root = java.nio.file.Files.createTempDirectory("driftbase").toString
+    val dir = s"$root/base"
+    val s0 = docs.filter(col("doc_id") % 4 === 0)
+    DriftStream.writeDriftReference(s0, "n_chars", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaP = new org.apache.hadoop.fs.Path(dir, "_DRIFT_META")
+    val fs = metaP.getFileSystem(conf)
+    def readFile(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val metaBefore = readFile(metaP)
+
+    // step 1: in-distribution batch ABSORBS — the stored histogram must
+    // equal hist(s0 ∪ b1) under s0's FROZEN edges (the lossless merge)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    assert(DriftStream.updateDriftBaseline(spark, dir, b1, maxPsi = 0.5,
+      tag = "b1"), "in-distribution batch must absorb")
+    val expect = Profile.driftBuckets(s0, s0.unionByName(b1), "n_chars")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val stored = spark.read.parquet(dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stored == expect,
+      s"merged histogram must be hist(ref UNION batch): $stored vs $expect")
+    // the frozen sidecar survived the staged swap byte-for-byte
+    assert(readFile(metaP) == metaBefore,
+      "sidecar must survive the accepted-path swap unchanged")
+    assert(!DriftStream.baselineLatched(spark, dir))
+
+    // step 2: drifted batch REFUSES and LATCHES; the store is unchanged
+    val b2 = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("n_chars", col("n_chars") * 3)
+    assert(!DriftStream.updateDriftBaseline(spark, dir, b2, maxPsi = 0.5,
+      tag = "b2"), "drifted batch must refuse")
+    assert(DriftStream.baselineLatched(spark, dir))
+    val afterRefuse = spark.read.parquet(dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(afterRefuse == stored, "a refused batch must not touch counts")
+    val latchP = new org.apache.hadoop.fs.Path(dir, "_DRIFT_LATCH")
+    assert(readFile(latchP).startsWith("b2\n"),
+      "latch must record the refusing batch's provenance")
+
+    // step 3: IN-BAND batch refused BY THE LATCH alone — the ratchet.
+    // Sanity first: the threshold by itself would accept it.
+    val b3 = docs.filter(col("doc_id") % 4 === 3)
+    val psi3 = Profile.psi(DriftStream.driftBatch(spark, b3, dir))
+      .collect()(0).getDouble(0)
+    assert(psi3 <= 0.5, s"fixture drifted: step-3 psi $psi3 not in-band")
+    assert(!DriftStream.updateDriftBaseline(spark, dir, b3, maxPsi = 0.5,
+      tag = "b3"), "latched baseline must refuse even in-band batches")
+    assert(readFile(latchP).startsWith("b2\n"),
+      "later refusals must not overwrite the original latch provenance")
+    // scoring still works while latched (refuse-to-absorb, not
+    // refuse-to-monitor)
+    assert(DriftStream.driftBatch(spark, b3, dir).count() > 0)
+    // rebuild clears the latch (retrain-by-restart)
+    DriftStream.writeDriftReference(s0, "n_chars", dir)
+    assert(!DriftStream.baselineLatched(spark, dir),
+      "a rebuilt reference must start unlatched")
+  }
 }

@@ -394,6 +394,29 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("asset_a") < r.getAs[Long]("asset_b")))
   }
 
+  test("packed argmax bound is LOUD: epoch-scale window indices raise") {
+    // |dt| >= 2^31 would silently corrupt the packed (votes, -dt) order
+    // (r19 ADVICE) — the guard must raise instead. Epoch-microsecond
+    // window indices are the realistic violation.
+    val big = 3_000_000_000L // > 2^31
+    val fps = Seq((1L, 0L, "f0"), (1L, 1L, "f1"),
+      (2L, big, "f0"), (2L, big + 1L, "f1"))
+      .toDF("asset_id", "window_index", "fp")
+    val e = intercept[Exception] {
+      Multimodal.audioNearDup(fps, minVotes = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("packed argmax")),
+      s"expected the bestAlignment bound message, got: ${msgs(e)}")
+    // windows renumbered per asset (the documented fix) pass and align
+    val ok = Multimodal.audioNearDup(
+      Seq((1L, 0L, "f0"), (1L, 1L, "f1"), (2L, 5L, "f0"), (2L, 6L, "f1"))
+        .toDF("asset_id", "window_index", "fp"), minVotes = 2)
+      .collect()
+    assert(ok.length == 1 && ok(0).getAs[Long]("best_dt") == -5L)
+  }
+
   test("audioNearDup banded path equals brute-force at d in {0,1,2,3}") {
     // synthetic NUMERIC 32-bit sub-fingerprints — the real spectral-
     // landmark regime the banded switch exists for. 10 base tracks of 16

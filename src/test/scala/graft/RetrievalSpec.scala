@@ -110,6 +110,59 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(fused(1L).getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-15)
   }
 
+  test("rerank: pair features match direct sets, blend order, candidate-bounded") {
+    val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+        k = 20)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val sparse = Retrieval.sparseTopN(docs, nProbes = 3, n = 20)
+    val cands = Retrieval.rrfFuse(dense, sparse, k = 20)
+    val out = Retrieval.rerank(cands, emb, docs, k = 10)
+    val rows = out.collect()
+    // candidate-bounded: every output pair came from the first stage,
+    // exactly k per probe, ranks dense 1..k
+    val candSet = cands.select(col("probe_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => candSet((r.getAs[Long]("probe_id"),
+      r.getAs[Long]("doc_id")))))
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      assert(g.length == 10 &&
+        g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10))
+    }
+    // pair-joint features equal a direct token-set computation, and the
+    // blend is exactly 0.5·cosine + 0.5·jaccard (same one-step FP)
+    val ids = rows.flatMap(r => Seq(r.getAs[Long]("probe_id"),
+      r.getAs[Long]("doc_id"))).distinct
+    val tokSets = docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { r =>
+      val (p, d) = (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))
+      val inter = (tokSets(p) & tokSets(d)).size
+      assert(r.getAs[Long]("n_inter") == inter.toLong,
+        s"n_inter mismatch for ($p, $d)")
+      val jac = inter.toDouble /
+        (tokSets(p).size + tokSets(d).size - inter).toDouble
+      assert(r.getAs[Double]("jaccard") == jac)
+      assert(r.getAs[Double]("score") ==
+        0.5 * r.getAs[Double]("cosine") + 0.5 * jac)
+    }
+    // per-probe order is (score desc, doc_id asc)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ => ()
+      }
+    }
+    // wCos = 1 degenerates to the pure pair-cosine ordering
+    Retrieval.rerank(cands, emb, docs, k = 10, wCos = 1.0).collect()
+      .foreach(r => assert(
+        r.getAs[Double]("score") == r.getAs[Double]("cosine")))
+  }
+
   test("novelty shingle index: overlapping append == one-shot rebuild; replay appends nothing") {
     val dir = java.nio.file.Files.createTempDirectory("shidx").toString
     val oneShot = s"$dir/full"

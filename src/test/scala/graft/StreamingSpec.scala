@@ -488,6 +488,26 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusStream.corpusBuildIngestClean(spark, store, labels)
       .select("doc_id").as[Long].collect().toSet == Set(11L, 12L, 21L),
       "post-compaction the assembled corpus stands without the ledger")
+    // FULL takedown (r19 ADVICE): with every stored doc on the ledger, a
+    // partitioned empty overwrite would leave a schema-less dir that
+    // passes pathExists but cannot be read — compaction must instead
+    // remove the store outright, clean must refuse loudly (exactly as
+    // before first ingest), and the next batch must recreate the store.
+    CorpusStream.forgetDocs(spark, idx, labels, forgotten,
+      spark.read.parquet(store).select(col("doc_id")).distinct())
+    CorpusStream.compactCorpusBuildIngest(spark, store, idx, forgotten)
+    assert(!graft.sources.Tables.pathExists(spark, store),
+      "full takedown must erase the docs store entirely")
+    val eAll = intercept[IllegalArgumentException] {
+      CorpusStream.corpusBuildIngestClean(spark, store, labels)
+    }
+    assert(eAll.getMessage.contains("no admitted-docs store"))
+    CorpusStream.corpusBuildIngestBatch(spark, mk((30L, doc("z"))),
+      Corpus.benchmarkKeys(mk((101L, doc("a")))), idx, labels, store,
+      102L, threshold = 0.5, contamN = 5)
+    assert(CorpusStream.corpusBuildIngestClean(spark, store, labels)
+      .select("doc_id").as[Long].collect().contains(30L),
+      "post-erasure ingest must recreate the store and assemble")
   }
 
   test("streaming ppl gate: chop-invariant batch scores, survivors match the batch form, replay converges") {

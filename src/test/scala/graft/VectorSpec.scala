@@ -592,6 +592,35 @@ class VectorSpec extends SparkSpec {
       "pq_cosine must equal cosine(probe, reconstructed) bit-for-bit")
   }
 
+  test("pq auto refine: pool scales with the corpus, recall holds at 3x/10x") {
+    // The sizing rule itself: explicit wins, fraction scales, floor holds.
+    assert(Similarity.resolveRefine(-1, 6000L, 0.01, 5) == 60)
+    assert(Similarity.resolveRefine(-1, 20000L, 0.01, 5) == 200)
+    assert(Similarity.resolveRefine(-1, 100L, 0.01, 5) == 5)
+    assert(Similarity.resolveRefine(40, 20000L, 0.01, 5) == 40)
+    assert(Similarity.resolveRefine(0, 20000L, 0.01, 5) == 0)
+    // Recall through the DEFAULT (no refine argument) at the round-19
+    // scale fixtures: the r19 evidence was that a FIXED pool decays with
+    // corpus growth (160-at-20k = 0.82); the fraction default keeps the
+    // pool at 1% of the corpus, so the floor must hold at BOTH scales
+    // without the caller touching a knob.
+    for (fx <- Seq("emb3x", "emb10x")) {
+      val emb = spark.read.parquet(s"/root/repo/fixtures/$fx/embeddings.parquet")
+        .localCheckpoint()
+      val probes = emb.filter($"vec_id" < 10)
+      val truth = Similarity.bruteForceTopK(emb, probes, 5)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cb = Similarity.trainPqCodebook(emb, 8, 16, iters = 2)
+      val got = Similarity.searchPq(emb, probes, cb, 8, 16, topK = 5)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & got).size.toDouble / truth.size
+      assert(recall >= 0.8, s"auto-refine recall@5 at $fx too low: $recall")
+      info(f"$fx auto-refine recall@5 = $recall%.3f")
+    }
+  }
+
   test("pq search: recall floor vs brute force, and training helps") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter($"vec_id" < 10)
@@ -676,7 +705,10 @@ class VectorSpec extends SparkSpec {
     Similarity.writeIvfIndex(emb, dir, nCentroids = 16,
       pq = Some(Similarity.PqConfig(8, 16, trainIters = 3)))
     val full = Similarity.searchIvfIndex(spark, dir, probes, 5, nProbe = 4)
-    val raw = Similarity.searchIvfIndexPq(spark, dir, probes, 5, nProbe = 4)
+    // refine = 0 EXPLICITLY: this leg pins the raw quantized ranking
+    // (plan reads pq_codes only); the default is now the auto-sized pool
+    val raw = Similarity.searchIvfIndexPq(spark, dir, probes, 5, nProbe = 4,
+      refine = 0)
     // PQ at the defaults is 32× compression (4 bits/subspace over 8 dims)
     // — far coarser than sq8's 8 bits/dim — so the refine pool must be
     // wider for the same recall: ~refine=40 of the ~125 probed
