@@ -389,6 +389,22 @@ object Similarity {
     else math.max(floor, math.ceil(corpusRows * refineFraction).toInt)
   }
 
+  /** Absolute floor of the AUTO-sized refine pool. The fraction rule
+    * alone under-sizes SMALL corpora: a PQ codebook's rank inversions
+    * have an absolute radius set by the quantization geometry (m·log2 k
+    * bits/vector), not by corpus size, so below ~40k rows the pool must
+    * cover that radius outright. Measured on the fitted scale fixtures
+    * (m=8, k=16, recall@5 vs bruteForceTopK, iters=2 codebook):
+    * emb3x (6k rows) pool 60 (1%) → 0.46, 200 → 0.74, 400 → 0.82;
+    * emb10x (20k rows) pool 200 (1%) → 0.80 (boundary), 400 → 0.88.
+    * At scale the 1% fraction dominates (400 < 1% past 40k rows), so
+    * this floor costs nothing where the fraction rule is the binding
+    * one. Callers with measured workloads pass an explicit `refine`.
+    */
+  private[graft] val MinRefinePool = 400
+
+  private def autoRefineFloor(topK: Int): Int = math.max(topK, MinRefinePool)
+
   /** Top-k cosine neighbors via the PQ ranking scan + full-precision
     * refinement: rank ALL vectors per probe by [[pqCosine]] (a scan that
     * reads m bytes/vector — the 100 TB point of PQ), keep the top
@@ -399,20 +415,23 @@ object Similarity {
     * [[searchIvfIndexSq8]] does — the codes column simply replaces sq8's.
     *
     * `refine < 0` (the default) auto-sizes the pool as
-    * `max(topK, ceil(refineFraction × corpus rows))` — the round-19
-    * ratio-vs-SF measurement's rule (a FIXED pool's recall decays as the
-    * corpus grows past it: 160-at-20k held 0.82, 160-at-200k would not),
-    * so the scale-correct posture is the API default rather than a
-    * number every caller must know to grow. Sizing pays one `count()`
-    * of the corpus frame; pass an explicit `refine` to skip it (0 = no
-    * exact pass, quantized cosines returned as-is).
+    * `max(topK, MinRefinePool, ceil(refineFraction × corpus rows))` —
+    * the round-19 ratio-vs-SF measurement's rule (a FIXED pool's recall
+    * decays as the corpus grows past it: 160-at-20k held 0.82,
+    * 160-at-200k would not) plus the round-20 measured absolute floor
+    * (see [[MinRefinePool]]: the fraction alone starves recall on small
+    * corpora), so the scale-correct posture is the API default rather
+    * than a number every caller must know to grow. Sizing pays one
+    * `count()` of the corpus frame; pass an explicit `refine` to skip
+    * it (0 = no exact pass, quantized cosines returned as-is).
     */
   def searchPq(corpus: DataFrame, probes: DataFrame,
                codebook: Array[Float], m: Int, k: Int,
                topK: Int, refine: Int = -1,
                rotation: Option[Array[Float]] = None,
                refineFraction: Double = 0.01): DataFrame = {
-    val refineN = resolveRefine(refine, corpus.count(), refineFraction, topK)
+    val refineN = resolveRefine(refine, corpus.count(), refineFraction,
+      autoRefineFloor(topK))
     val embCol = rotation.fold(col("embedding"))(r =>
       rotateVec(col("embedding"), r))
     val coded = corpus.select(col("vec_id").as("neighbor_id"),
@@ -1303,8 +1322,9 @@ object Similarity {
     * [[searchIvfIndex]]. The persisted codebook is read back (m·k·sub
     * floats) and inlined into the plan. `refine > 0` re-scores the top
     * candidates against the float column, candidate-bounded; `refine <
-    * 0` (the default) auto-sizes the pool as `max(k, ceil(refineFraction
-    * × index rows))` — the round-19 ratio-vs-SF rule, so the pool grows
+    * 0` (the default) auto-sizes the pool as `max(k, MinRefinePool,
+    * ceil(refineFraction × index rows))` — the round-19 ratio-vs-SF
+    * rule plus the measured small-corpus floor, so the pool grows
     * with the index instead of silently starving recall at scale. The
     * index row count is a parquet metadata-only count of `lists`; pass
     * `refine = 0` explicitly for the raw quantized ranking.
@@ -1314,7 +1334,8 @@ object Similarity {
                        refine: Int = -1,
                        refineFraction: Double = 0.01): DataFrame = {
     val refineN = resolveRefine(refine,
-      spark.read.parquet(s"$dir/lists").count(), refineFraction, k)
+      spark.read.parquet(s"$dir/lists").count(), refineFraction,
+      autoRefineFloor(k))
     val (cb, m, kk) = readPqCodebook(spark, dir)
     // OPQ index: the ranking scan compares in the rotated space (probe
     // rotates per row — codes were encoded rotated); the refine step

@@ -592,6 +592,24 @@ class VectorSpec extends SparkSpec {
       "pq_cosine must equal cosine(probe, reconstructed) bit-for-bit")
   }
 
+  /** The emb3x/emb10x scale fixtures are gitignored (repo convention:
+    * fixtures regenerate per checkout) and fully deterministic
+    * (tools/gen_embeddings.py, seed 42) — regenerate any missing one so
+    * `sbt test` is self-sufficient on a fresh clone.
+    */
+  private def ensureEmbFixture(name: String, nVecs: Int): String = {
+    val path = s"/root/repo/fixtures/$name/embeddings.parquet"
+    if (!new java.io.File(path).exists()) {
+      new java.io.File(path).getParentFile.mkdirs()
+      val rc = new ProcessBuilder("python3",
+          "/root/repo/tools/gen_embeddings.py", nVecs.toString, path)
+        .inheritIO().start().waitFor()
+      require(rc == 0 && new java.io.File(path).exists(),
+        s"could not regenerate fixture $path (gen_embeddings.py rc=$rc)")
+    }
+    path
+  }
+
   test("pq auto refine: pool scales with the corpus, recall holds at 3x/10x") {
     // The sizing rule itself: explicit wins, fraction scales, floor holds.
     assert(Similarity.resolveRefine(-1, 6000L, 0.01, 5) == 60)
@@ -599,13 +617,22 @@ class VectorSpec extends SparkSpec {
     assert(Similarity.resolveRefine(-1, 100L, 0.01, 5) == 5)
     assert(Similarity.resolveRefine(40, 20000L, 0.01, 5) == 40)
     assert(Similarity.resolveRefine(0, 20000L, 0.01, 5) == 0)
+    // The default-path absolute floor (round-20 measured: the 1%
+    // fraction alone starves recall below ~40k rows — emb3x pool 60 →
+    // 0.46; see Similarity.MinRefinePool). Past 40k rows the fraction
+    // is the binding rule again.
+    assert(Similarity.MinRefinePool == 400)
+    assert(Similarity.resolveRefine(-1, 6000L, 0.01,
+      math.max(5, Similarity.MinRefinePool)) == 400)
+    assert(Similarity.resolveRefine(-1, 100000L, 0.01,
+      math.max(5, Similarity.MinRefinePool)) == 1000)
     // Recall through the DEFAULT (no refine argument) at the round-19
     // scale fixtures: the r19 evidence was that a FIXED pool decays with
     // corpus growth (160-at-20k = 0.82); the fraction default keeps the
     // pool at 1% of the corpus, so the floor must hold at BOTH scales
     // without the caller touching a knob.
-    for (fx <- Seq("emb3x", "emb10x")) {
-      val emb = spark.read.parquet(s"/root/repo/fixtures/$fx/embeddings.parquet")
+    for ((fx, n) <- Seq("emb3x" -> 6000, "emb10x" -> 20000)) {
+      val emb = spark.read.parquet(ensureEmbFixture(fx, n))
         .localCheckpoint()
       val probes = emb.filter($"vec_id" < 10)
       val truth = Similarity.bruteForceTopK(emb, probes, 5)
