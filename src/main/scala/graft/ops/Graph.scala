@@ -123,7 +123,14 @@ object Graph {
       .distinct()
       .transform(mat)
     // Degree rides the edge row so the per-iteration join is ONE join,
-    // not two; materialized once, reused every round.
+    // not two; materialized once, reused every round. (Round 20 A/B:
+    // deriving deg as a window count over src — to make the edge side
+    // arrive pre-partitioned for the iteration join — measured SLOWER
+    // (JobProfile q166 8.0 → 9.5-10.4 s): the rank vector is node-sized
+    // and BROADCASTS onto the edges, so the edge table was never
+    // re-exchanged per iteration in the first place, and the window
+    // only added a full edge sort. The groupBy + broadcast-join-back
+    // stays.)
     val deg = mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
     val withDeg = mat(e.join(deg, "src"))
     val nodes = e.select(col("src").as("node"))
@@ -167,15 +174,31 @@ object Graph {
       case Some(r0) =>
         val r = r0.select(col("node").cast("long").as("node"),
           col("rank").cast("long").as("rank")).transform(mat)
-        val missing = nodes.join(r, Seq("node"), "left_anti").count()
+        // All three admission checks — coverage, duplication, mass
+        // envelope — from ONE action (round 20: they were three separate
+        // jobs; a full-outer join of the node set against the per-node
+        // rank aggregate carries every signal at once, and the resumed
+        // vector is validated on every execution, so the action count is
+        // per-run cost, not build cost).
+        val chk = nodes
+          .join(r.groupBy(col("node")).agg(count(lit(1)).as("_c"),
+              sum(col("rank")).as("_m")),
+            Seq("node"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("_c").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("missing"),
+            coalesce(sum(when(col("_c") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("dups"),
+            coalesce(sum(col("_m")), lit(0L)).as("mass"))
+          .head()
+        val missing = chk.getLong(0)
         require(missing == 0L,
           s"pageRankResume: ranks0 is missing $missing graph node(s) — " +
             "a resumed vector must cover the graph it is resumed on")
         // a doubly-written vector (append instead of overwrite, retried
         // job) would pass the coverage check and silently DOUBLE-count
         // mass in the first contrib aggregate — refuse it
-        val dup = r.groupBy(col("node")).agg(count(lit(1)).as("_c"))
-          .filter(col("_c") > 1).count()
+        val dup = chk.getLong(1)
         require(dup == 0L,
           s"pageRankResume: ranks0 has $dup duplicated node(s) — a rank " +
             "vector must be one row per node (was it appended twice?)")
@@ -184,10 +207,11 @@ object Graph {
         // both checks above and silently resumes to wrong-magnitude
         // ranks. Total mass is conserved by the recurrence up to
         // truncation evaporation (and a changed-graph warm start extends
-        // with zero-mass rows), so the sum must sit near `scale` — one
-        // 1-row aggregate, order-of-magnitude envelope.
-        val mass = r.agg(coalesce(sum(col("rank")), lit(0L)))
-          .collect()(0).getLong(0)
+        // with zero-mass rows), so the sum must sit near `scale` — a
+        // 1-row order-of-magnitude envelope. Mass counts EVERY r row,
+        // including persisted nodes no longer in the graph (they are
+        // dropped below, exactly as before).
+        val mass = chk.getLong(2)
         require(mass > scale / 2 && mass <= scale + scale / 100,
           s"pageRankResume: ranks0 total mass $mass is outside the " +
             s"integer-truncation envelope of scale=$scale — was the " +

@@ -44,25 +44,40 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** (doc_id, w1, w2) — one row per adjacent token pair. Documents with
-    * fewer than two tokens have no bigrams and are absent downstream
-    * (unscorable, the CCNet convention).
+  /** (doc_id, _t: array<string>) — the tokenized corpus. Split out
+    * (round 20) so the scoring paths can tokenize ONCE and feed both
+    * bigram derivation and vocabulary counting: the regex tokenize is a
+    * full text-bytes walk, and [[perplexity]]/[[importanceStats]] were
+    * paying it twice per scored corpus (bigrams + vocabSize as two
+    * independent subtrees, each re-scanning the parquet text column).
     */
-  private[text] def bigrams(docs: DataFrame): DataFrame =
+  private[text] def tokensOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
-      .filter(size(col("_t")) >= 2)
+
+  private[text] def bigramsFromTokens(toks: DataFrame): DataFrame =
+    toks.filter(size(col("_t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("_t")) - 1),
           i => struct(element_at(col("_t"), i).as("w1"),
             element_at(col("_t"), i + 1).as("w2")))).as("_bg"))
       .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
 
+  /** (doc_id, w1, w2) — one row per adjacent token pair. Documents with
+    * fewer than two tokens have no bigrams and are absent downstream
+    * (unscorable, the CCNet convention).
+    */
+  private[text] def bigrams(docs: DataFrame): DataFrame =
+    bigramsFromTokens(tokensOf(docs))
+
   /** The trained model: (w1, w2, c12, c1) — bigram count plus its left
     * context's total. c1 is a window sum over the count frame (vocab²
     * rows), so training never scans the corpus twice.
     */
   def bigramLm(docs: DataFrame): DataFrame =
-    bigrams(docs)
+    bigramLmFromTokens(tokensOf(docs))
+
+  private[text] def bigramLmFromTokens(toks: DataFrame): DataFrame =
+    bigramsFromTokens(toks)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .withColumn("c1",
         sum(col("c12")).over(Window.partitionBy(col("w1"))))
@@ -72,21 +87,31 @@ object LangModel {
     docs.select(explode(TextAnalysis.tokens(col("text"))).as("_w"))
       .agg(countDistinct(col("_w")).as("_v"))
 
+  private def vocabSizeFromTokens(toks: DataFrame): DataFrame =
+    toks.select(explode(col("_t")).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+
   /** Per-document LM score: integer sufficient statistics (oracle-checked)
     * plus the engine-internal `ppl`. `n_known` counts bigrams the model
     * has seen; `sum_c12`/`sum_c1` are the summed counts feeding the
     * smoothed probabilities — together they pin the whole scoring join
     * cross-engine without touching a float.
     */
-  def perplexity(docs: DataFrame, lm: DataFrame): DataFrame = {
+  def perplexity(docs: DataFrame, lm: DataFrame): DataFrame =
+    // ONE tokenize pass feeds both the bigram stream and the smoothing
+    // vocabulary (round 20 — see [[tokensOf]]); identical algebra.
+    perplexityFromTokens(tokensOf(docs).localCheckpoint(), lm)
+
+  private def perplexityFromTokens(toks: DataFrame,
+                                   lm: DataFrame): DataFrame = {
     val uni = lm.select(col("w1"), col("c1")).distinct()
     val p = ((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("_v")).cast("double"))
-    bigrams(docs)
+    bigramsFromTokens(toks)
       .join(lm.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"),
         "left")
       .join(uni, Seq("w1"), "left")
-      .crossJoin(broadcast(vocabSize(docs)))
+      .crossJoin(broadcast(vocabSizeFromTokens(toks)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("c12")).as("n_known"),
@@ -100,10 +125,15 @@ object LangModel {
   /** Self-scored perplexity: train on `docs`, score `docs` — the corpus
     * bootstrap form (no external reference corpus in the test data; the
     * two-argument [[perplexity]] is the production entry point where the
-    * LM comes from a curated reference).
+    * LM comes from a curated reference). The SAME materialized tokenize
+    * feeds training, scoring, and the vocabulary (round 20: this path
+    * walked the corpus text three times — train bigrams, score bigrams,
+    * vocab — for byte-identical token streams).
     */
-  def perplexity(docs: DataFrame): DataFrame =
-    perplexity(docs, bigramLm(docs))
+  def perplexity(docs: DataFrame): DataFrame = {
+    val toks = tokensOf(docs).localCheckpoint()
+    perplexityFromTokens(toks, bigramLmFromTokens(toks))
+  }
 
   /** Documents whose self-scored perplexity is at most `maxPpl` — the
     * CCNet keep-side. Output carries only integer/string columns; the
@@ -275,12 +305,15 @@ object LangModel {
     def p(sfx: String) =
       ((coalesce(col(s"c12_$sfx"), lit(0L)) + 1).cast("double") /
         (coalesce(col(s"c1_$sfx"), lit(0L)) + col("_v")).cast("double"))
-    bigrams(docs)
+    // ONE tokenize pass feeds both the bigram stream and the smoothing
+    // vocabulary (round 20 — see [[tokensOf]]); identical algebra.
+    val toks = tokensOf(docs).localCheckpoint()
+    bigramsFromTokens(toks)
       .join(c12(targetLm, "t"), Seq("w1", "w2"), "left")
       .join(c1(targetLm, "t"), Seq("w1"), "left")
       .join(c12(refLm, "r"), Seq("w1", "w2"), "left")
       .join(c1(refLm, "r"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocabSize(docs)))
+      .crossJoin(broadcast(vocabSizeFromTokens(toks)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("c12_t")).as("n_known_t"),

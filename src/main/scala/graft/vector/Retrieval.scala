@@ -33,11 +33,19 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Distinct (doc_id, token) pairs — the sparse side's unit. */
+  /** Distinct (doc_id, token) pairs — the sparse side's unit.
+    * Deduplicated PER DOCUMENT with `array_distinct` BEFORE the explode:
+    * (doc_id, token) uniqueness only needs within-document dedup, so the
+    * global `.distinct()` this replaces (round 20) was a corpus-scale
+    * Exchange + aggregate pair spent re-checking uniqueness across
+    * documents that can never collide — the guide §2.4 "distinct on
+    * data that is already unique" accidental shuffle. Row-identical
+    * output, zero shuffle.
+    */
   private def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
-      .distinct()
+      explode(array_distinct(graft.text.TextAnalysis.tokens(col("text"))))
+        .as("token"))
 
   /** (probe_id, doc_id, kw_overlap) for every pair sharing ≥ 1 token —
     * the ONE definition of the sparse modality's candidate generation
