@@ -183,6 +183,18 @@ private[sources] class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
       .getOrElse(Long.MaxValue / 4)
   private val defaultPerPage =
     Option(options.get("defaultPerPage")).map(_.toLong).getOrElse(100L)
+  // Driver-side fetch concurrency ACROSS media (round 20, guide §2.6 —
+  // overlap independent work): each media's bounded pull is independent
+  // (own cursor, own budgets, results keyed by (media, page)), so
+  // pulling feeds one after another serialized the whole trigger's
+  // admission on round-trip latency × feed count. A bounded pool pulls
+  // up to `fetchParallelism` feeds at once; per-media pull semantics,
+  // budgets, and the exactly-once cache contract are UNCHANGED, and
+  // failures surface in deterministic media order (futures are awaited
+  // in the same sorted order the sequential loop used). 1 restores the
+  // sequential loop.
+  private val fetchParallelism =
+    Option(options.get("fetchParallelism")).map(_.toInt).getOrElse(4)
 
   // payloads fetched by latestOffset, pending commit: (media, startPage)
   private val cache =
@@ -205,17 +217,41 @@ private[sources] class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
     // re-list media every trigger: late-listed media start at page 1
     val cursors = (s.media.keySet ++ api.mediaIds).toSeq.map(m =>
       m -> s.media.getOrElse(m, MediaCursor()))
-    PagedOffsets(cursors.map { case (m, c) =>
-      if (c.complete) m -> c
+    def pullOne(m: String, c: MediaCursor): (String, MediaCursor) = {
+      val res = PagedSource.pull(adapter(m),
+        PagedSource.Checkpoint(c.nextPage, c.hw),
+        maxPages, timeBudget, defaultPerPage)
+      cache.put((m, c.nextPage), res.payloads)
+      m -> MediaCursor(c.nextPage + res.payloads.size, res.complete,
+        res.checkpoint.lastReceivedAt)
+    }
+    val (done, todo) = cursors.partition(_._2.complete)
+    val pulled =
+      if (todo.sizeIs <= 1 || fetchParallelism <= 1)
+        todo.map { case (m, c) => pullOne(m, c) }
       else {
-        val res = PagedSource.pull(adapter(m),
-          PagedSource.Checkpoint(c.nextPage, c.hw),
-          maxPages, timeBudget, defaultPerPage)
-        cache.put((m, c.nextPage), res.payloads)
-        m -> MediaCursor(c.nextPage + res.payloads.size, res.complete,
-          res.checkpoint.lastReceivedAt)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(fetchParallelism, todo.size))
+        try {
+          val futs = todo.map { case (m, c) =>
+            pool.submit(new java.util.concurrent.Callable[(String, MediaCursor)] {
+              override def call(): (String, MediaCursor) = pullOne(m, c)
+            })
+          }
+          // await in submission (media) order and UNWRAP the executor's
+          // ExecutionException so callers keep seeing the transport
+          // taxonomy (TransportFailure / HttpStatusFailure), exactly as
+          // the sequential loop threw it
+          futs.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally pool.shutdown()
       }
-    }.toMap)
+    PagedOffsets((done ++ pulled).toMap)
   }
 
   override def latestOffset(): Offset =

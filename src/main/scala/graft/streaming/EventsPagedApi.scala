@@ -283,9 +283,15 @@ object EventsPagedApi {
           }
         } catch { case e: Exception =>
           respond(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName)) })
+    // Serve concurrently (round 20): a real API serves independent
+    // feeds in parallel, and the connector's concurrent driver pull
+    // (PagedStream fetchParallelism) would otherwise serialize at this
+    // stand-in's single dispatcher thread, hiding the overlap it buys.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
+    finally { server.stop(0); pool.shutdown() }
   }
 
   private def drainFacts(spark: org.apache.spark.sql.SparkSession,
