@@ -621,26 +621,19 @@ object SparkEntry {
     // oracle is q73's cold recursive-CTE recompute over ALL pairs, so the
     // hash gate certifies resume ≡ cold bit-exactly.
     "q188_cluster_resume" -> ((s, dir) => {
-      // The HISTORY labeling is maintenance state (round 20 — the q172
-      // rank-vector pattern applied to the label store this operator's
-      // contract already describes as persisted): built once per
-      // testdata generation, resumed against on every execution, so the
-      // per-run cost is the delta merge — not a cold re-clustering of
-      // history the resume operator exists to avoid. Resume ≡ cold is
-      // the spec-pinned bit-exact claim, so the oracle (the cold
-      // recursive CTE over ALL pairs) is unchanged.
+      // The history labeling is built INLINE, per run (round 21: the
+      // round-20 StateCache move persisted it across runs, which the
+      // optimization rules treat as precomputation, not optimization —
+      // reverted). Pair generation — the dominant cost — still runs
+      // exactly once: history and delta pairs are filters of ONE
+      // materialized pair set.
+      val allPairs = TextDedup.nearDupPairs(t(s, dir, "documents"),
+        threshold = 0.5).localCheckpoint()
       val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
-      val labelsDir = graft.sources.StateCache.ensure(s,
-        s"$dir/documents.parquet", "cclabels_old", "v1") { out =>
-        TextDedup.dedupClusters(
-          TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)
-            .filter(isOld(col("doc_a")) && isOld(col("doc_b"))))
-          .write.parquet(out)
-      }
-      val newPairs = TextDedup.nearDupPairs(t(s, dir, "documents"),
-          threshold = 0.5)
-        .filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
-      TextDedup.dedupClustersResume(s.read.parquet(labelsDir), newPairs)
+      val oldPairs = allPairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = allPairs.filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
+      TextDedup.dedupClustersResume(
+        TextDedup.dedupClusters(oldPairs), newPairs)
     }),
     // A8 extended — the DELETE half of cluster maintenance (new r14):
     // a takedown set (doc_id % 7 == 3) is forgotten from the persisted
@@ -652,23 +645,30 @@ object SparkEntry {
     // triangle: build (q73), merge (q188), forget (q201).
     "q201_cluster_forget" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // The labeling being forgotten FROM is maintenance state (round
-      // 20, the q172/q188 pattern — the scaladoc above already says
-      // "forgotten from the persisted q73 labeling"): built once per
-      // testdata generation; each execution pays the forget path only
-      // (affected-cluster re-derivation + anti-join passthrough).
-      // Forget ≡ never-ingested stays the oracle's claim, unchanged.
-      val labelsDir = graft.sources.StateCache.ensure(s,
-        s"$dir/documents.parquet", "cclabels", "v1") { out =>
-        TextDedup.dedupClusters(
-          TextDedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5))
-          .write.parquet(out)
+      // Labeling built INLINE, per run (round 21: the round-20 StateCache
+      // persistence reverted — cross-run state is precomputation, not
+      // optimization). Round-21 win instead: pair generation runs ONCE.
+      // LSH banding is pairwise-deterministic (a doc's bands depend only
+      // on its own shingles, jaccard only on the two docs), so the pair
+      // set of any sub-corpus is exactly the full pair set restricted to
+      // endpoints inside it — the forget path's survivor re-derivation
+      // filters the one materialized pair set instead of re-shingling
+      // the survivors (previously: a second full shingle+band+verify).
+      val allPairs = TextDedup.nearDupPairs(docs, threshold = 0.5)
+        .localCheckpoint()
+      val restrictTo = (d: org.apache.spark.sql.DataFrame) => {
+        val ids = d.select(col("doc_id"))
+        allPairs
+          .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+            "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+            "left_semi")
       }
       TextDedup.dedupClustersForget(
-        s.read.parquet(labelsDir),
+        TextDedup.dedupClusters(allPairs),
         docs,
         docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
-        d => TextDedup.nearDupPairs(d, threshold = 0.5))
+        restrictTo)
     }),
     // North star corpus prep: sequence packing — concatenate-then-chunk
     // token offsets and pack ids, windowed per hash shard.
@@ -2011,22 +2011,19 @@ object SparkEntry {
     // delta's exact pairs merged; oracle is q89's cold recursive CTE,
     // certifying resume ≡ cold across a second pair family.
     "q189_semantic_cluster_resume" -> ((s, dir) => {
-      // History labeling as maintenance state (round 20, the q188/q172
-      // pattern in the vector family): per-execution cost is the delta
-      // pair generation + the affected-subgraph merge. Resume ≡ cold is
-      // spec-pinned; the q89 cold-CTE oracle is unchanged.
-      val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
-      def pairs = Similarity.nearDupWithinLabel(t(s, dir, "embeddings"),
+      // History labeling built INLINE, per run (round 21: round-20's
+      // cross-run StateCache persistence reverted as precomputation).
+      // Cosine pair generation — the dominant cost — runs once; history
+      // and delta are filters of the one materialized pair set.
+      val pairs = Similarity.nearDupWithinLabel(t(s, dir, "embeddings"),
         threshold = 0.3)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val labelsDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "coslabels_old", "v1") { out =>
-        TextDedup.dedupClusters(
-          pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b"))))
-          .write.parquet(out)
-      }
+        .localCheckpoint()
+      val isOld = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) < 8
+      val oldPairs = pairs.filter(isOld(col("doc_a")) && isOld(col("doc_b")))
       val newPairs = pairs.filter(!(isOld(col("doc_a")) && isOld(col("doc_b"))))
-      TextDedup.dedupClustersResume(s.read.parquet(labelsDir), newPairs)
+      TextDedup.dedupClustersResume(
+        TextDedup.dedupClusters(oldPairs), newPairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
     // A8/J7 extended — the vector-family DELETE half (new r14): q201's
@@ -2038,25 +2035,31 @@ object SparkEntry {
     "q209_semantic_cluster_forget" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.withColumnRenamed("vec_id", "doc_id")
-      def pairsOf(d: org.apache.spark.sql.DataFrame) =
-        Similarity.nearDupWithinLabel(
-            d.withColumnRenamed("doc_id", "vec_id"), threshold = 0.3)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      // Persisted labeling per the q201/q172 maintenance-state pattern
-      // (round 20); each execution pays only the forget path. The q89
-      // cold-CTE-over-reduced-corpus oracle is unchanged.
-      val labelsDir = graft.sources.StateCache.ensure(s,
-        s"$dir/embeddings.parquet", "coslabels", "v1") { out =>
-        TextDedup.dedupClusters(pairsOf(
-          t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")))
-          .write.parquet(out)
+      // Labeling built INLINE, per run (round 21: round-20's cross-run
+      // StateCache persistence reverted as precomputation). Round-21 win
+      // instead: the cosine pair generation runs ONCE — the pairing is
+      // pairwise (same-label blocking + per-pair cosine), so the pair
+      // set of any sub-corpus is the full pair set restricted to
+      // endpoints inside it, and the forget path's survivor
+      // re-derivation filters the one materialized pair set instead of
+      // re-running the within-label cosine join over the survivors.
+      val allPairs = Similarity.nearDupWithinLabel(emb, threshold = 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
+      val restrictTo = (d: org.apache.spark.sql.DataFrame) => {
+        val ids = d.select(col("doc_id"))
+        allPairs
+          .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+            "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+            "left_semi")
       }
       TextDedup.dedupClustersForget(
-          s.read.parquet(labelsDir),
+          TextDedup.dedupClusters(allPairs),
           corpus,
           corpus.filter(pmod(col("doc_id"), lit(9)) === 4)
             .select(col("doc_id")),
-          pairsOf)
+          restrictTo)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
     // A8 north star: the surviving corpus after semantic dedup — one
