@@ -121,7 +121,6 @@ object Graph {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
-      .transform(mat)
     // Degree rides the edge row so the per-iteration join is ONE join,
     // not two; materialized once, reused every round. (Round 20 A/B:
     // deriving deg as a window count over src — to make the edge side
@@ -131,20 +130,37 @@ object Graph {
     // re-exchanged per iteration in the first place, and the window
     // only added a full edge sort. The groupBy + broadcast-join-back
     // stays.)
-    val deg = mat(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    //
+    // ONE setup materialization instead of three (round 21): `withDeg`
+    // subsumes `e` (the deg join is inner on a key every edge has, so
+    // withDeg's rows ARE e's rows) and embeds `deg` — materializing the
+    // intermediate frames bought nothing the withDeg blocks don't hold,
+    // and each extra materialization is jobs at local scale / a full
+    // checkpoint write (twice that, pre-round-21) on the reliable path.
+    // The two e-consumers inside withDeg's one plan share the distinct's
+    // exchange (ReusedExchange — same canonical subtree).
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = mat(e.join(deg, "src"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = withDeg.select(col("src").as("node"))
+      .unionByName(withDeg.select(col("dst").as("node")))
       .distinct()
       .transform(mat)
-    val nTotal = nodes.agg(count(lit(1)).as("n"))
-    // Loop-invariant: the nodes with no out-edges. Materialized once so
-    // the anti-join never re-derives deg inside the loop, and checked
-    // once so dangler-free graphs pay nothing per iteration.
-    val danglers = nodes
-      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .transform(mat)
-    val hasDanglers = !danglers.isEmpty
+    // The node count is a LITERAL, not a broadcast 1-row frame (round
+    // 21): every round cross-joined broadcast(nTotal) just to divide by
+    // n — a per-round broadcast stage whose payload is one long. One
+    // count off the materialized node blocks replaces them all, and the
+    // teleport term div(teleportScaled, n) constant-folds outright.
+    // Integer semantics identical: Long./ truncates exactly like div on
+    // the non-negative operands here.
+    val n = nodes.count()
+    // Loop-invariant: the nodes with no out-edges, checked once so
+    // dangler-free graphs pay nothing per iteration — and MATERIALIZED
+    // only on the dangler path (round 21): the common dangler-free case
+    // paid a checkpoint for a frame nothing ever read again.
+    val danglers0 = nodes
+      .join(withDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+    val hasDanglers = !danglers0.isEmpty
+    val danglers = if (hasDanglers) mat(danglers0) else danglers0
     val teleportScaled = scale / dampDen * (dampDen - dampNum) +
       scale % dampDen * (dampDen - dampNum) / dampDen
     // teleportScaled must equal (scale·(dampDen−dampNum)) div dampDen
@@ -163,13 +179,15 @@ object Graph {
     // round would EMBED the previous round's plan twice — exponential
     // plan growth — and keeps the every-round cut.
     val cutEvery = if (hasDanglers) 1 else 5
+    // n = 0 (empty graph) leaves every frame empty; guard the eager
+    // literal divisions the old per-row div never evaluated on zero rows.
+    val initRank = if (n == 0) 0L else scale / n
+    val teleportPerNode = if (n == 0) 0L else teleportScaled / n
     var ranks = ranks0 match {
       case None =>
         // the uniform start is one cheap projection over checkpointed
         // nodes — cutting it buys nothing on the dangler-free path
-        val init = nodes.crossJoin(broadcast(nTotal))
-          .select(col("node"),
-            call_function("div", lit(scale), col("n")).as("rank"))
+        val init = nodes.select(col("node"), lit(initRank).as("rank"))
         if (hasDanglers) cutFresh(init) else init
       case Some(r0) =>
         val r = r0.select(col("node").cast("long").as("node"),
@@ -226,9 +244,7 @@ object Graph {
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      val withBase = nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nTotal))
+      val withBase = nodes.join(contrib, Seq("node"), "left")
       val withDm =
         if (hasDanglers)
           withBase.crossJoin(broadcast(ranks
@@ -237,12 +253,16 @@ object Graph {
         else withBase.withColumn("dm", lit(0L))
       val next = withDm
         .select(col("node"),
-          (call_function("div", lit(teleportScaled), col("n"))
+          (lit(teleportPerNode)
             + call_function("div",
                 coalesce(col("s"), lit(0L)) * dampNum, lit(dampDen.toLong))
             + call_function("div",
                 call_function("div", col("dm") * dampNum, lit(dampDen.toLong)),
-                col("n"))).as("rank"))
+                // max(n,1): with n = 0 every frame is empty and dm = 0,
+                // but constant folding would still evaluate div(_, 0)
+                // at plan time and throw — the clamped divisor is never
+                // observed by a row
+                lit(math.max(n, 1L)))).as("rank"))
       ranks =
         if (i == iters || i % cutEvery == 0) cutFresh(next)
         else next

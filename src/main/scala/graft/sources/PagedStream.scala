@@ -242,12 +242,22 @@ private[sources] class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
           // ExecutionException so callers keep seeing the transport
           // taxonomy (TransportFailure / HttpStatusFailure), exactly as
           // the sequential loop threw it
-          futs.map { f =>
+          try futs.map { f =>
             try f.get()
             catch {
               case e: java.util.concurrent.ExecutionException =>
                 throw e.getCause
             }
+          } catch {
+            case t: Throwable =>
+              // a failed pull must not leave sibling fetches running into
+              // a restarted query (double-fetching the remote API):
+              // cancel queued AND in-flight work before rethrowing — the
+              // ConcurrentHashMap keeps any already-completed cache.put
+              // safe, interrupted pulls simply re-run from their cursor
+              futs.foreach(_.cancel(true))
+              pool.shutdownNow()
+              throw t
           }
         } finally pool.shutdown()
       }

@@ -84,10 +84,26 @@ object FreshPlan {
   final class CutChain private[graftplan] (checkpointDir: Option[String]) {
     private var prevCut: Option[String] = None
     private val invariants = scala.collection.mutable.ArrayBuffer[String]()
+    // Local-mode twins of the two file lists above (round 21): the
+    // executor-local checkpoint BLOCKS of superseded cuts and dead
+    // invariants. Without explicit unpersists they linger in the block
+    // manager until the JVM happens to GC the RDD references — across a
+    // 200-query bench pass that is hundreds of orphaned blocksets
+    // squeezing the storage pool (guide §5). The deadness argument is
+    // EXACTLY the one the reliable path already relies on to DELETE the
+    // same state from disk: a new cut was computed from the previous one
+    // and is self-contained; invariants are dead once the loop closes.
+    private var prevCutBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
+    private val invariantBlocks =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     private var hconf: Option[org.apache.hadoop.conf.Configuration] = None
 
     def cut(df: DataFrame): DataFrame = checkpointDir match {
-      case None => localCheckpointFresh(df)
+      case None =>
+        val ck = df.localCheckpoint()
+        prevCutBlocks.foreach(_.unpersist(blocking = false))
+        prevCutBlocks = checkpointRddOf(ck)
+        rewrap(ck)
       case Some(dir) =>
         val ck = reliable(df, dir)
         rememberConf(ck)
@@ -105,7 +121,9 @@ object FreshPlan {
     def invariant(df: DataFrame, fresh: Boolean = false): DataFrame =
       checkpointDir match {
         case None =>
-          if (fresh) localCheckpointFresh(df) else df.localCheckpoint()
+          val ck = df.localCheckpoint()
+          checkpointRddOf(ck).foreach(invariantBlocks += _)
+          if (fresh) rewrap(ck) else ck
         case Some(dir) =>
           val ck = reliable(df, dir)
           rememberConf(ck)
@@ -114,12 +132,15 @@ object FreshPlan {
       }
 
     /** Call after the FINAL cut is materialized (and only then): deletes
-      * every invariant's files. The last cut's files are intentionally
+      * every invariant's files (reliable mode) / drops every invariant's
+      * blocks (local mode). The last cut's files/blocks are intentionally
       * kept — they ARE the returned frame.
       */
     def close(): Unit = {
       invariants.foreach(delete)
       invariants.clear()
+      invariantBlocks.foreach(_.unpersist(blocking = false))
+      invariantBlocks.clear()
     }
 
     private def rememberConf(df: DataFrame): Unit =
@@ -146,6 +167,17 @@ object FreshPlan {
     ck.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** The locally-checkpointed RDD backing `ck` — the handle an explicit
+    * block unpersist needs. Same degradation contract as
+    * [[checkpointFileOf]]: None (no cleanup) if the plan shape ever
+    * changes, never a live block dropped.
+    */
+  private def checkpointRddOf(ck: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
 
@@ -179,6 +211,14 @@ object FreshPlan {
         q == root || q.startsWith(root + "/")
       }
       if (!under) sc.setCheckpointDir(dir)
+      // No persist-across-checkpoint here (round-21 A/B, REJECTED): the
+      // classic "cache before reliable checkpoint or it computes twice"
+      // advice does not apply on Spark 4 — eager Dataset.checkpoint runs
+      // `internalRdd.doCheckpoint()` directly (verified in the 4.1.2
+      // bytecode: RDD.checkpoint mark + RDD.doCheckpoint, no separate
+      // count action), which computes the plan ONCE and writes the files
+      // in the same pass. Adding MEMORY_AND_DISK persist around it
+      // measured q216 3.11 → 3.84 s (pure cache-write overhead).
       df.checkpoint()
     }
   }

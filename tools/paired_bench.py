@@ -82,12 +82,14 @@ def main():
     rows = []
     for n in duck_names:
         k = qkey(n)
-        s = [sr.get(k, -1.0) for sr in spark_rounds]
+        # a query missing from a Spark round is NaN everywhere, never a
+        # negative timing that flows into the ratio column
+        s = [sr.get(k, float("nan")) for sr in spark_rounds]
         d = [dr[n] for dr in duck_rounds]
         band = (max(s) / min(s)) if min(s) > 0 else float("nan")
         dband = (max(d) / min(d)) if min(d) > 0 else float("nan")
         rows.append({"query": n, "spark": s, "duck": d,
-                     "ratio": [si / di if di > 0 else float("nan")
+                     "ratio": [si / di if di > 0 and si > 0 else float("nan")
                                for si, di in zip(s, d)],
                      "spark_band": band, "duck_band": dband})
     # spark-only (no-oracle) subset members still get their band
@@ -107,11 +109,14 @@ def main():
            " | spark band | duck band |")
     print(hdr)
     print("|" + "---|" * (2 * rounds + 3))
+    def cell(v, fmt):
+        # missing/NaN renders as '-', not 'nanx' (r20 advice)
+        return "-" if v != v else format(v, fmt)
     for row in rows:
-        s = " | ".join(f"{v:.2f}" for v in row["spark"])
-        d = " | ".join(f"{v:.3f}" for v in row["duck"]) or "-"
-        print(f"| {row['query']} | {s} | {d} | "
-              f"{row['spark_band']:.2f}x | {row['duck_band']:.2f}x |")
+        s = " | ".join(cell(v, ".2f") for v in row["spark"])
+        d = " | ".join(cell(v, ".3f") for v in row["duck"]) or "-"
+        sb, db = cell(row["spark_band"], ".2f"), cell(row["duck_band"], ".2f")
+        print(f"| {row['query']} | {s} | {d} | {sb}x | {db}x |")
 
 
 if __name__ == "__main__":
