@@ -225,6 +225,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankFixed(empty, 2).count() == 0)
   }
 
+  test("fixpoint leaves exactly one persisted blockset (the returned cut)") {
+    // Round-21 CutChain hygiene pin: superseded per-round cuts and dead
+    // loop invariants must be UNPERSISTED when the loop closes, in local
+    // mode exactly as their files are deleted in reliable mode — across a
+    // 200-query bench pass the leaked blocks squeezed the storage pool.
+    // The returned frame's own blocks must survive (they ARE the result).
+    val sc = spark.sparkContext
+    System.gc() // let the ContextCleaner drain earlier tests' orphans
+    Thread.sleep(200)
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L), (6L, 6L),
+      (7L, 2L)).toDF("src", "dst")
+    val ranks = Graph.pageRankFixed(edges, 3)
+    val rows = ranks.count()
+    assert(rows > 0)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // one blockset for the final cut; the graph has danglers, so its
+    // materialized dangler invariant is unpersisted by close() like the
+    // rest — anything beyond the final cut is a leak
+    assert(leaked.size <= 1,
+      s"fixpoint leaked ${leaked.size} persisted RDDs (expected <= 1: " +
+        "the returned cut): ids " + leaked.mkString(", "))
+    // the survivor must still be readable — close() must never have
+    // unpersisted the returned frame's own blocks
+    assert(ranks.count() == rows)
+  }
+
   test("mass accounting: total rank <= scale, loss bounded by truncation") {
     val rnd = new scala.util.Random(5)
     val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
