@@ -590,7 +590,11 @@ object TextDedup {
   private def validatedLabeling(labels0: DataFrame, op: String,
                                 checkpointDir: Option[String] = None)
       : DataFrame = {
-    val state = FreshPlan.checkpointFresh(
+    // freshIfMaterialized: an inline composition (dedupClusters output
+    // fed straight in, round 21) skips the redundant label-store copy;
+    // a parquet-read label store still materializes exactly as before.
+    // The invariant VALIDATION below runs unconditionally either way.
+    val state = FreshPlan.freshIfMaterialized(
       labels0.select(col("doc_id"), col("cluster_id")), checkpointDir)
     // Both invariants in ONE per-cluster aggregate (round-17 fusion: the
     // two isEmpty probes were separate fail-loud scans — ~4 AQE jobs of

@@ -48,6 +48,29 @@ object FreshPlan {
       case Some(dir) => rewrap(reliable(df, dir))
     }
 
+  /** [[checkpointFresh]] that SKIPS the re-materialization when `df` is
+    * already a materialized checkpoint (a `LogicalRDD`, optionally under
+    * one narrow projection) — then the blocks/files exist and a second
+    * checkpoint would copy them verbatim; only the stat-strip re-wrap is
+    * applied. Round 21: the inline maintenance compositions
+    * (q188/q189/q201/q209 feed `dedupClusters` output STRAIGHT into
+    * resume/forget) were paying a full label-store copy inside
+    * `validatedLabeling` for state materialized one call earlier.
+    * Local mode only — a reliable caller wants the files under ITS root,
+    * which a prior local cut cannot guarantee.
+    */
+  def freshIfMaterialized(df: DataFrame,
+                          checkpointDir: Option[String]): DataFrame = {
+    val alreadyMat = checkpointDir.isEmpty && (
+      df.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        case _ => false
+      })
+    if (alreadyMat) rewrap(df) else checkpointFresh(df, checkpointDir)
+  }
+
   /** Stat-PRESERVING materializer for state that outlives any one loop
     * (id lists, validated labelings): `localCheckpoint` in local mode, a
     * reliable `checkpoint` under `Some(dir)`. No fresh re-wrap — these
