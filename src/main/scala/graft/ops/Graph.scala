@@ -178,6 +178,14 @@ object Graph {
     // TWICE per round (contrib + dangling-mass aggregate), so an uncut
     // round would EMBED the previous round's plan twice — exponential
     // plan growth — and keeps the every-round cut.
+    // Preemption contract of the K-stride on the RELIABLE path: a cut
+    // every Kth round means an executor/node loss recomputes at most K
+    // rounds from the last checkpoint files instead of failing the run —
+    // recovery cost K·(round time) against (K−1)/K fewer full rank-table
+    // writes per fixpoint. K = 5 suits short refresh fixpoints (≤ 1 round
+    // of slack per ~daily run); raise the stride only when the per-round
+    // write dominates the round itself. Output is bit-identical for any
+    // K (integer fixed-point; GraphSpec pins reliable ≡ local).
     val cutEvery = if (hasDanglers) 1 else 5
     // n = 0 (empty graph) leaves every frame empty; guard the eager
     // literal divisions the old per-row div never evaluated on zero rows.
